@@ -1,13 +1,28 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-module query registries; every entry in
+  * [[queries]] that has a twin in [[oracleSql]] is hash-checked by the
+  * driver against DuckDB at sf0.01 (SURVEY.md §2.3).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full vector-similarity pipeline (the reference's
+    * 4-step `VectorSimilarities` job) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    rel.SimQueries.queries("q_vector_pipeline")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rel.SimQueries.queries ++
+      rel.RelQueries.queries ++
+      ext.ExtQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    rel.SimQueries.oracles ++
+      rel.RelQueries.oracles ++
+      ext.ExtQueries.oracles
 }

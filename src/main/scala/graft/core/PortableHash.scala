@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-neutral arithmetic string hash.
+  *
+  * Spark's `hash()`/`xxhash64`/`crc32` have no DuckDB counterparts with
+  * equal output (SURVEY.md §7.4), so every hash-shaped extension op
+  * (minhash bands, simhash bits, fingerprints) uses this family: plain
+  * integer arithmetic over `ascii`/`substr`/`length`, which both
+  * engines evaluate identically. It is NOT cryptographic — it only
+  * needs to spread a small shingle/token space uniformly enough for
+  * LSH banding, and to be reproducible bit-for-bit in ANSI SQL.
+  *
+  * For production-scale runs where oracle parity is not needed,
+  * substitute `xxhash64` — the surrounding operators take the hash as
+  * a Column, so the swap is one argument.
+  *
+  * h(s) = ( ascii(t[1])·8191 + ascii(t[2])·127 + ascii(t[4])·31
+  *        + ascii(t[len(t)−1])·7 + length(s)·5381 ) mod 1000003
+  * where t = rpad(s, 5, '#') so all positions exist.
+  */
+object PortableHash {
+  val M = 1000003 // prime modulus
+
+  def h(s: Column): Column = {
+    val t = rpad(s, 5, "#")
+    (ascii(substring(t, 1, 1)) * lit(8191)
+      + ascii(substring(t, 2, 1)) * lit(127)
+      + ascii(substring(t, 4, 1)) * lit(31)
+      + ascii(t.substr(length(t) - lit(1), lit(1))) * lit(7)
+      + length(s) * lit(5381)) % lit(M)
+  }
+
+  /** SQL twin of [[h]] (DuckDB). */
+  def hSql(expr: String): String = {
+    val t = s"rpad($expr, 5, '#')"
+    s"((ascii(substr($t,1,1))*8191 + ascii(substr($t,2,1))*127" +
+      s" + ascii(substr($t,4,1))*31 + ascii(substr($t, length($t)-1, 1))*7" +
+      s" + length($expr)*5381) % $M)"
+  }
+
+  /** Per-band minhash transform: an affine re-hash of h per band b,
+    * so each band draws an (approximately) independent permutation. */
+  def bandHash(h: Column, band: Int): Column =
+    (h * lit(2 * band + 3) + lit(band * 97)) % lit(M)
+
+  def bandHashSql(hExpr: String, band: Int): String =
+    s"(($hExpr)*${2 * band + 3} + ${band * 97}) % $M"
+}

@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.PortableHash
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash with pigeonhole
+  * blocking, and exact n-gram Jaccard over LSH candidates.
+  *
+  * The reference repo has no dedup surface; these extend it per the
+  * BASELINE.json north star. Design rules:
+  *  - never compare all N² documents: candidates come from LSH band
+  *    buckets (minhash) or 4-bit pigeonhole blocks (simhash), both of
+  *    which shuffle on small keys and stay sub-quadratic at 100 TB;
+  *  - all hashes are [[PortableHash]] arithmetic so the DuckDB oracle
+  *    reproduces them bit-for-bit; swap in xxhash64 for production.
+  */
+object Dedup {
+  val Bands = 8
+  val SimhashBits = 16
+  val SimhashBlocks = 4
+
+  /** Normalization used by the exact-dup queries: the first k words.
+    * (The synthetic corpus has no full-text duplicates; prefix
+    * normalization is the stand-in for e.g. lowercased/stripped text.) */
+  def normPrefix(text: Column, k: Int): Column =
+    array_join(slice(split(text, " "), 1, k), " ")
+
+  /** Exact duplicate groups by sha2-256 of the normalized text.
+    * Output: sig, cnt, min_doc, max_doc for groups with cnt > 1. */
+  def exactDupGroups(docs: DataFrame, norm: Column): DataFrame =
+    docs.groupBy(sha2(norm, 256).as("sig"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .where(col("cnt") > 1)
+
+  /** Keep-first dedup: every doc that shares a signature with an
+    * earlier (lower doc_id) doc, with its keeper. */
+  def dropDuplicatesKeepFirst(docs: DataFrame, norm: Column): DataFrame = {
+    val sigs = docs.select(col("doc_id"), sha2(norm, 256).as("sig"))
+    val keepers = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("keeper"))
+    sigs.join(keepers, Seq("sig"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("keeper"), col("sig"))
+  }
+
+  /** Word n-gram shingles, one row per (doc_id, shingle). Documents
+    * with fewer than n words produce no rows. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ws = split(col("text"), " ")
+    val sh = transform(
+      sequence(lit(1), size(ws) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))
+    docs.where(size(ws) >= n)
+      .select(col("doc_id"), explode(sh).as("shingle"))
+  }
+
+  /** SQL twin of [[shingles]] as a CTE over `documents` (n=3). */
+  val shinglesSql: String =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |shingles AS (
+      |  SELECT doc_id,
+      |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 FOR i IN range(1, len(w)-1)]) AS shingle
+      |  FROM ws WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** MinHash signature in long form: (doc_id, b, mh) for b in
+    * 0..Bands-1, mh = min over the doc's shingles of bandHash(h, b).
+    * One aggregation computes all band minima (no band explosion);
+    * stack unpivots the Bands columns afterwards — at that point the
+    * frame is one row per doc. */
+  def minhashBandMins(sh: DataFrame): DataFrame = {
+    val h = PortableHash.h(col("shingle"))
+    val aggs = (0 until Bands).map(b =>
+      min(PortableHash.bandHash(h, b)).as(s"m$b"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until Bands)
+      .map(b => s"CAST($b AS BIGINT), CAST(m$b AS BIGINT)").mkString(", ")
+    sig.select(col("doc_id"),
+      expr(s"stack($Bands, $stackArgs)").as(Seq("b", "mh")))
+  }
+
+  /** SQL twin of [[minhashBandMins]] (CTEs `sig`, `bandmins`). */
+  val minhashBandMinsSql: String = {
+    val h = PortableHash.hSql("shingle")
+    val mins = (0 until Bands)
+      .map(b => s"min(${PortableHash.bandHashSql(h, b)}) AS m$b").mkString(", ")
+    val unions = (0 until Bands)
+      .map(b => s"SELECT doc_id, CAST($b AS BIGINT) AS b, CAST(m$b AS BIGINT) AS mh FROM sig")
+      .mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc_id, $mins FROM shingles GROUP BY 1),
+       |bandmins AS ($unions)""".stripMargin
+  }
+
+  /** LSH candidate pairs: docs sharing a band minimum, with the count
+    * of agreeing bands (a cheap Jaccard proxy). Shuffles on (b, mh) —
+    * bucket keys, never doc pairs — so it scales with bucket sizes. */
+  def minhashCandidates(bandMins: DataFrame): DataFrame = {
+    val a = bandMins.select(col("doc_id").as("d1"), col("b"), col("mh"))
+    val b2 = bandMins.select(col("doc_id").as("d2"), col("b"), col("mh"))
+    a.join(b2, Seq("b", "mh")).where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("bands"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (cand: d1, d2):
+    * |A∩B| / |A∪B| over each doc's distinct shingle set. */
+  def ngramJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    import graft.core.Det
+    val ds = sh.distinct()
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(ds.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
+      .join(ds.select(col("doc_id").as("d2"), col("shingle").as("s2")), Seq("d2"))
+      .where(col("shingle") === col("s2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    cand
+      .join(common, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("c1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("c2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("c1"), col("c2"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      .withColumn("jaccard", Det.r4(
+        col("common").cast("double") /
+          (col("c1") + col("c2") - col("common")).cast("double")))
+  }
+
+  /** SimHash per doc over word tokens: bit j of the signature is the
+    * sign of the tf-weighted sum of bit j across token hashes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), PortableHash.h(col("w")).as("h"))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(floor(col("h") / lit(1 << j)).cast("long") % 2 === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"s$j"))
+    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimhashBits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SQL twin of [[simhash]] (CTEs `tok`, `bitsums`, `simhash`). */
+  val simhashSql: String = {
+    val h = PortableHash.hSql("w")
+    val bitSums = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN CAST(floor(h / ${1 << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val sim = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, $h AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |),
+       |bitsums AS (SELECT doc_id, $bitSums FROM tok GROUP BY 1),
+       |simhash AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bitsums)""".stripMargin
+  }
+
+  /** Near-dup pairs by simhash hamming distance ≤ maxDist, found via
+    * pigeonhole blocking: split the 16 bits into 4 blocks of 4; any
+    * pair within distance 3 agrees on ≥1 whole block, so joining per
+    * block is complete — and sub-quadratic, since the join key is
+    * (block index, block value). */
+  def simhashNearDups(sims: DataFrame, maxDist: Int = 3): DataFrame = {
+    val blockRows = sims.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("blk"))
+      .withColumn("bv",
+        floor(col("simhash") / pow(lit(16.0), col("blk"))).cast("long") % 16)
+    val a = blockRows.select(col("doc_id").as("d1"),
+      col("simhash").as("h1"), col("blk"), col("bv"))
+    val b = blockRows.select(col("doc_id").as("d2"),
+      col("simhash").as("h2"), col("blk"), col("bv"))
+    a.join(b, Seq("blk", "bv")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .where(col("hamming") <= maxDist)
+  }
+}

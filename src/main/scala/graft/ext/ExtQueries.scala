@@ -1,0 +1,378 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, PortableHash}
+import graft.io.Sources
+import graft.rel.Oracle.r4
+import graft.streaming.StreamOps
+
+/** Extension query inventory: dedup, near-dup, text analysis,
+  * embedding search, multimodal metadata, session windows — the
+  * training-data-pipeline surface mandated beyond the reference
+  * (SURVEY.md §2.3 extension rows + BASELINE.json north star).
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, d: String) = Sources.table(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
+
+  private val normSqlExpr =
+    "array_to_string(string_split(text,' ')[1:5], ' ')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: sha2 groups over prefix-normalized text.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupGroups(docs(s, d), Dedup.normPrefix(col("text"), 5))
+        .orderBy(col("sig"))),
+
+    // Keep-first policy: which docs a dedup pass would drop.
+    "q_dedup_keep_first" -> ((s, d) =>
+      Dedup.dropDuplicatesKeepFirst(docs(s, d), Dedup.normPrefix(col("text"), 5))
+        .orderBy(col("doc_id"))),
+
+    // MinHash+LSH near-dup candidates (8 portable-hash bands).
+    "q_minhash_near_dup" -> ((s, d) =>
+      Dedup.minhashCandidates(Dedup.minhashBandMins(Dedup.shingles(docs(s, d))))
+        .orderBy(col("d1"), col("d2"))),
+
+    // Exact 3-gram Jaccard over the strong (≥2 bands) candidates.
+    "q_ngram_jaccard" -> ((s, d) => {
+      val sh = Dedup.shingles(docs(s, d))
+      val cand = Dedup.minhashCandidates(Dedup.minhashBandMins(sh))
+        .where(col("bands") >= 2).select(col("d1"), col("d2"))
+      Dedup.ngramJaccard(cand, sh).orderBy(col("d1"), col("d2"))
+    }),
+
+    // SimHash near-dups via 4-bit pigeonhole blocking.
+    "q_simhash_near_dup" -> ((s, d) =>
+      Dedup.simhashNearDups(Dedup.simhash(docs(s, d)))
+        .orderBy(col("d1"), col("d2"))),
+
+    // Token counting: whitespace words + regex token stream.
+    "q_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenRegex),
+          lit(0))).cast("long").as("n_re"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: length/stopword/word-shape bands.
+    "q_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityColumns(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Marker-based language scoring + argmax prediction.
+    "q_lang_id" -> ((s, d) => {
+      val ws = TextAnalysis.wordsCol
+      val scored = docs(s, d).select(
+        (col("doc_id") +: col("lang") +:
+          TextAnalysis.Markers.map { case (l, ms) =>
+            TextAnalysis.markerCount(ws, ms).as(s"score_$l") }): _*)
+      val en = col("score_en"); val es = col("score_es")
+      val fr = col("score_fr"); val de = col("score_de")
+      scored.withColumn("lang_pred",
+        when(en >= es && en >= fr && en >= de && en > 0, "en")
+          .when(es >= fr && es >= de && es > 0, "es")
+          .when(fr >= de && fr > 0, "fr")
+          .when(de > 0, "de")
+          .otherwise("unknown"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Position-weighted rolling-hash fingerprint.
+    "q_doc_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(split(col("text"), " ")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // tf-idf top-5 terms per language.
+    "q_tfidf_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("term"))
+      TextAnalysis.tfidf(docs(s, d))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("lang"), col("term"), col("tf"), col("df"),
+          col("score"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Brute-force cosine top-5 per label centroid (exact ANN baseline).
+    "q_embed_cosine_topk" -> ((s, d) =>
+      VectorSearch.topKByCosine(
+        emb(s, d).select(col("vec_id"), col("embedding")),
+        VectorSearch.labelCentroids(emb(s, d)),
+        "label", "centroid", 5)
+        .select(col("label"), col("vec_id"), col("cos_sim"), col("rn"))
+        .orderBy(col("label"), col("rn"))),
+
+    // Sign-LSH bucketed pair search (sub-quadratic scale path).
+    "q_embed_near_dup" -> ((s, d) =>
+      VectorSearch.bucketedPairCosine(emb(s, d), 6)
+        .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+        .limit(100)),
+
+    // Multimodal metadata over the opaque payload column.
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
+
+    // session_window in batch mode (streaming twin: StreamOps).
+    "q_session_window" -> ((s, d) =>
+      StreamOps.sessionAgg(Sources.table(s, d, "events"))
+        .orderBy(col("user_id"), col("start_us")))
+  )
+
+  // ---------------------------------------------------------------
+  // Oracle SQL twins.
+  // ---------------------------------------------------------------
+
+  private val dupSigSql =
+    s"nsig AS (SELECT doc_id, sha256($normSqlExpr) AS sig FROM documents)"
+
+  private val candSql =
+    s"""${Dedup.shinglesSql},
+       |${Dedup.minhashBandMinsSql},
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b2.doc_id AS d2, count(*) AS bands
+       |  FROM bandmins a JOIN bandmins b2
+       |    ON a.b = b2.b AND a.mh = b2.mh AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH $dupSigSql
+         |SELECT sig, count(*) AS cnt, min(doc_id) AS min_doc,
+         |       max(doc_id) AS max_doc
+         |FROM nsig GROUP BY 1 HAVING count(*) > 1 ORDER BY sig""".stripMargin,
+
+    "q_dedup_keep_first" ->
+      s"""WITH $dupSigSql,
+         |k AS (SELECT sig, min(doc_id) AS keeper FROM nsig GROUP BY 1)
+         |SELECT n.doc_id, k.keeper, n.sig
+         |FROM nsig n JOIN k USING (sig)
+         |WHERE n.doc_id != k.keeper ORDER BY n.doc_id""".stripMargin,
+
+    "q_minhash_near_dup" ->
+      s"""WITH $candSql
+         |SELECT d1, d2, bands FROM cand ORDER BY d1, d2""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $candSql,
+         |strong AS (SELECT d1, d2 FROM cand WHERE bands >= 2),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+         |com AS (
+         |  SELECT c.d1, c.d2, count(*) AS common
+         |  FROM strong c
+         |  JOIN ds a  ON a.doc_id = c.d1
+         |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.d1, c.d2, s1.n_sh AS c1, s2.n_sh AS c2,
+         |       CAST(coalesce(com.common, 0) AS BIGINT) AS common,
+         |       ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
+              "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
+         |         AS jaccard
+         |FROM strong c
+         |JOIN sizes s1 ON s1.doc_id = c.d1
+         |JOIN sizes s2 ON s2.doc_id = c.d2
+         |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
+         |ORDER BY c.d1, c.d2""".stripMargin,
+
+    "q_simhash_near_dup" ->
+      s"""WITH ${Dedup.simhashSql},
+         |blocks AS (
+         |  ${(0 until Dedup.SimhashBlocks).map(b =>
+             s"SELECT doc_id, simhash, $b AS blk, " +
+               s"CAST(floor(simhash / power(16, $b)) AS BIGINT) % 16 AS bv " +
+               "FROM simhash").mkString(" UNION ALL ")}
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+         |         a.simhash AS h1, b2.simhash AS h2
+         |  FROM blocks a JOIN blocks b2
+         |    ON a.blk = b2.blk AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT d1, d2, h1, h2,
+         |       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM pairs
+         |WHERE bit_count(xor(h1, h2)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |       CAST(len(regexp_extract_all(text,
+         |         '${TextAnalysis.TokenRegex}')) AS BIGINT) AS n_re,
+         |       n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(len(w) AS BIGINT) AS n_words,
+         |         ${TextAnalysis.markerCountSql(Seq("the", "a", "and", "of"))}
+         |           AS n_stop,
+         |         ${r4("CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w)")}
+         |           AS avg_wlen
+         |  FROM ws),
+         |rs AS (
+         |  SELECT *, ${r4("CAST(n_stop AS DOUBLE) / n_words")} AS stop_ratio
+         |  FROM base)
+         |SELECT doc_id, n_chars, n_words, n_stop, avg_wlen, stop_ratio,
+         |       ${r4("0.3*least(CAST(n_words AS DOUBLE)/50.0, 1.0)" +
+              " + 0.4*(1.0 - stop_ratio)" +
+              " + 0.3*least(avg_wlen/10.0, 1.0)")} AS quality
+         |FROM rs ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val scoreCols = TextAnalysis.Markers.map { case (l, ms) =>
+        s"${TextAnalysis.markerCountSql(ms)} AS score_$l" }.mkString(", ")
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |scored AS (SELECT doc_id, lang, $scoreCols FROM ws)
+         |SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+         |       CASE
+         |         WHEN score_en >= score_es AND score_en >= score_fr
+         |              AND score_en >= score_de AND score_en > 0 THEN 'en'
+         |         WHEN score_es >= score_fr AND score_es >= score_de
+         |              AND score_es > 0 THEN 'es'
+         |         WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+         |         WHEN score_de > 0 THEN 'de'
+         |         ELSE 'unknown'
+         |       END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_fingerprint" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents)
+         |SELECT doc_id, ${TextAnalysis.fingerprintSql} AS fp
+         |FROM ws ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      s"""WITH wrds AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM wrds) GROUP BY 1),
+         |tf AS (SELECT lang, term, count(*) AS tf FROM wrds GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT lang, term, tf, df,
+         |         ${r4("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))")}
+         |           AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |                               ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |SELECT lang, term, tf, df, score, rn
+         |FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |cent AS (
+         |  SELECT label, i,
+         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM expl GROUP BY 1, 2),
+         |cnorm AS (
+         |  SELECT label,
+         |         CAST(sum(CAST(floor(cv*cv*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS cn
+         |  FROM cent GROUP BY 1),
+         |enorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS en
+         |  FROM expl GROUP BY 1),
+         |dots AS (
+         |  SELECT c.label, e.vec_id,
+         |         CAST(sum(CAST(floor(c.cv*e.v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS dot
+         |  FROM expl e JOIN cent c ON c.i = e.i GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.label, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(cn)*sqrt(en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(cn)*sqrt(en)) END")} AS cos_sim
+         |  FROM dots d JOIN cnorm USING (label) JOIN enorm USING (vec_id)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |                               ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT label, vec_id, cos_sim, rn
+         |FROM ranked WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
+
+    "q_embed_near_dup" ->
+      s"""WITH withb AS (
+         |  SELECT vec_id, embedding,
+         |         CAST(${VectorSearch.signBucketSql("embedding", 6)} AS BIGINT)
+         |           AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.bucket, a.vec_id AS v1, b2.vec_id AS v2,
+         |         a.embedding AS e1, b2.embedding AS e2
+         |  FROM withb a JOIN withb b2
+         |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |terms AS (
+         |  SELECT bucket, v1, v2, i,
+         |         CAST(e1[i] AS DOUBLE) AS x, CAST(e2[i] AS DOUBLE) AS y
+         |  FROM pairs, unnest(range(1, len(e1)+1)) AS t(i)),
+         |dots AS (
+         |  SELECT bucket, v1, v2,
+         |         CAST(sum(CAST(floor(x*y*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS dot,
+         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS nx,
+         |         CAST(sum(CAST(floor(y*y*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS ny
+         |  FROM terms GROUP BY 1, 2, 3)
+         |SELECT bucket, v1, v2,
+         |       ${r4("CASE WHEN sqrt(nx)*sqrt(ny) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
+         |FROM dots
+         |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(ascii(substr(text, 1, 1)) % 4 AS BIGINT) AS format_id,
+        |       CAST(64 + octet_length(CAST(text AS BLOB)) % 640 AS BIGINT)
+        |         AS width,
+        |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT)
+        |         AS height,
+        |       CAST(floor(octet_length(CAST(text AS BLOB)) / 32.0) + 1
+        |            AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |sessions AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |       max(ts_us) + 1800000000 AS end_us,
+        |       count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus decode/feature-extract
+  * entry points.
+  *
+  * The container ships no image/audio codecs, so the decode kernel is
+  * a clearly-marked deterministic STUB ([[decodeFrame]]); everything
+  * around it — schema, batch iteration shape, partition-parallel
+  * execution, metadata extraction as pushdown-friendly Columns — is
+  * the real Spark plumbing a production decoder would drop into.
+  *
+  * Scale notes: payload bytes stay columnar (never in a groupBy key or
+  * join key); metadata extraction is pure Column work so scans prune
+  * to metadata-only when frames aren't needed; the decode path is
+  * `mapPartitions` (one decoder init per partition, batch-amortized —
+  * the Scala analog of a Pandas-UDF-over-`mapInPandas` kernel).
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Long, format_id: Long,
+                       width: Long, height: Long, n_frames: Long)
+
+  val FrameBytes = 32
+
+  /** Testdata adapter: treat each document's text bytes as an opaque
+    * media payload (the real pipeline reads e.g. a parquet of jpeg
+    * blobs with the same shape). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+
+  /** Metadata as pure Columns — the oracle-checkable surface. The
+    * width/height/format derivations are deterministic fakes standing
+    * in for container-header parsing. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        (ascii(substring(col("text"), 1, 1)) % 4).cast("long").as("format_id"))
+      .withColumn("width", lit(64L) + col("n_bytes") % 640)
+      .withColumn("height", lit(64L) + (col("n_bytes") * 7) % 480)
+      .withColumn("n_frames",
+        floor(col("n_bytes") / lit(FrameBytes.toDouble)).cast("long") + 1)
+
+  /** STUB decode kernel: a real implementation would decode `bytes`
+    * with an image/audio library; this fake derives the same shaped
+    * output deterministically from the payload so the distributed
+    * plumbing is testable. */
+  private[ext] def decodeFrame(bytes: Array[Byte]): MediaMeta = {
+    // ??? <- real decoder goes here (e.g. javax.imageio / ffmpeg JNI)
+    val n = bytes.length.toLong
+    val b0 = if (bytes.isEmpty) 0L else (bytes(0) & 0xff).toLong
+    MediaMeta(-1L, n, b0 % 4, 64L + n % 640, 64L + (n * 7) % 480,
+      n / FrameBytes + 1)
+  }
+
+  /** Partition-parallel decode over the binary column: the Scala
+    * analog of a Pandas UDF via mapInPandas — one kernel per
+    * partition, streaming over the rows, never collecting. */
+  def decodeAll(media: DataFrame): Dataset[MediaMeta] = {
+    implicit val encIn = Encoders.product[MediaRecord]
+    implicit val encOut = Encoders.product[MediaMeta]
+    media.as[MediaRecord].mapPartitions { it =>
+      // decoder init would happen once per partition, here:
+      it.map(r => decodeFrame(r.media).copy(doc_id = r.doc_id))
+    }
+  }
+
+  /** Frame sampling plumbing: byte offsets of every k-th fixed-size
+    * frame (stub for video frame extraction — offsets are real, the
+    * frame decode is [[decodeFrame]]). */
+  def frameOffsets(media: DataFrame, everyK: Int): DataFrame =
+    media.select(col("doc_id"),
+      transform(
+        sequence(lit(0),
+          floor(octet_length(col("media")) / lit(FrameBytes * everyK)).cast("int")),
+        i => i.cast("long") * (FrameBytes * everyK)).as("frame_offsets"))
+}

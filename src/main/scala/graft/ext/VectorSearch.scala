@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Det
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the scale mandate:
+  *  - brute-force cosine top-k against a small probe set (label
+  *    centroids here) — the exact baseline; probes are broadcast so
+  *    the scan is shuffle-free and embarrassingly parallel;
+  *  - sign-LSH bucketed pair search — the sub-quadratic scale path
+  *    for all-pairs near-duplicate detection (bucket on the sign
+  *    pattern of leading dimensions; only intra-bucket pairs are
+  *    compared).
+  *
+  * All dot products/norms go through per-term fixed-point snapping
+  * ([[fixedDot]]): each product is floored to an integer in 1e-12
+  * units and summed exactly, so the result is independent of the
+  * fold order — Spark's `aggregate` HOF folds left, DuckDB's `sum`
+  * over unnested terms is unordered, and both land on identical bits.
+  */
+object VectorSearch {
+  val DotScale = 1e12
+
+  /** Exact fixed-point dot product of two double arrays. */
+  def fixedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(DotScale) + lit(0.5))
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x) / lit(DotScale)
+
+  /** Exact fixed-point squared norm. */
+  def fixedNormSq(a: Column): Column = fixedDot(a, a)
+
+  /** Cosine from fixed-point dot/norms, 0.0 on zero denominator. */
+  def cosineCol(dot: Column, n1: Column, n2: Column): Column = {
+    val den = sqrt(n1) * sqrt(n2)
+    when(den === 0.0, lit(0.0)).otherwise(dot / den)
+  }
+
+  /** Per-label centroids as arrays, element-wise mean with exact
+    * fixed-point sums (1e-9 units): (label, centroid, n_members). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val longForm = emb.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val perPos = longForm.groupBy(col("label"), col("pos"))
+      .agg(((sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+        .cast("long")).cast("double") / count(lit(1))) / lit(1e9)).as("cv"))
+    perPos.groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+  }
+
+  /** Top-k nearest embeddings per probe row (probeKey, probeVec) by
+    * cosine; probes are broadcast. Rank on the rounded cosine with
+    * vec_id tiebreak so ordering is engine-stable. */
+  def topKByCosine(emb: DataFrame, probes: DataFrame,
+                   probeKey: String, probeVec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.crossJoin(broadcast(probes))
+      .select(col(probeKey), col("vec_id"),
+        Det.r4(cosineCol(
+          fixedDot(col(probeVec), col("embedding")),
+          fixedNormSq(col(probeVec)),
+          fixedNormSq(col("embedding")))).as("cos_sim"))
+    val w = Window.partitionBy(col(probeKey))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Sign-LSH bucket id from the first `bits` dimensions. */
+  def signBucket(emb: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(emb, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  def signBucketSql(expr: String, bits: Int): String =
+    (0 until bits)
+      .map(i => s"CASE WHEN $expr[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** All intra-bucket pairs with their cosine — the LSH-bucketed
+    * near-duplicate path (compare ~N·bucketSize pairs, not N²). */
+  def bucketedPairCosine(emb: DataFrame, bits: Int): DataFrame = {
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val a = withB.select(col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("e1"))
+    val b = withB.select(col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"))
+    a.join(b, Seq("bucket")).where(col("v1") < col("v2"))
+      .select(col("bucket"), col("v1"), col("v2"),
+        Det.r4(cosineCol(
+          fixedDot(col("e1"), col("e2")),
+          fixedNormSq(col("e1")), fixedNormSq(col("e2")))).as("cos_sim"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Det
+
+/** Source adapters.
+  *
+  * Covers the reference's R1 surface (SURVEY.md §2.1): delimited-text
+  * ratings in the two dialects the reference parses —
+  *  - movies: `user|item|rating` (`moviesSimilarities.py ≈L63` [R]),
+  *  - books: `"user";"item";"rating"` quote-stripped
+  *    (`vectorSimilarities.py ≈L168–184` [R]) —
+  * plus the parquet star-schema tables under /root/testdata and the
+  * derived `ratings` view (FIXTURES.md §1) that stands in for the
+  * MovieLens input at scale.
+  */
+object Sources {
+
+  val ratingSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType, nullable = false),
+    StructField("item_id", StringType, nullable = false),
+    StructField("rating", DoubleType, nullable = false)))
+
+  /** One parquet table from a testdata scale-factor dir. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 cannot read natively (PARQUET_TYPE_ILLEGAL). Read nanos
+    * as LONG and truncate to microseconds (integer div — the values,
+    * ~1.7e18, exceed double precision) — the same floor DuckDB's
+    * `epoch_us` applies, so event-time semantics agree with oracles. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Reference movies dialect: `user|item|rating`, no quoting.
+    * Mirrors `moviesSimilarities.py ≈L58–66 (group_by_user_rating)` [R]. */
+  def moviesRatings(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "|")
+      .schema("user_id STRING, item_id STRING, rating DOUBLE")
+      .csv(path)
+
+  /** Reference books dialect: `"user";"item";"rating"` — semicolon-
+    * separated, double-quoted (Book-Crossing). The reference strips
+    * quotes by hand (`vectorSimilarities.py ≈L177–184` [R]); Spark's
+    * csv reader does it declaratively via the `quote` option. */
+  def booksRatings(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", ";")
+      .option("quote", "\"")
+      .schema("user_id STRING, item_id STRING, rating STRING")
+      .csv(path)
+      .select(col("user_id"), col("item_id"),
+        col("rating").cast(DoubleType).as("rating"))
+
+  /** The engine's MovieLens analog over the testdata star schema
+    * (FIXTURES.md §1): one (user=o_custkey, item=l_partkey) preference
+    * per pair, rating = avg ordered quantity rounded half-up to 4
+    * decimals. Carries `rating_i` (rating in 1e-4 fixed-point units,
+    * LONG) so downstream moment sums are exact integers and therefore
+    * aggregation-order-independent — the determinism backbone of every
+    * similarity query (SURVEY.md §7.4).
+    *
+    * Scale note: at 100 TB, lineitem⋈orders is the dominant shuffle;
+    * both sides should be bucketed by order key at write time. The
+    * group-by that follows re-shuffles on (custkey, partkey) — that is
+    * the partitioning all similarity ops inherit.
+    */
+  def ratings(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o  = table(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(avg(col("l_quantity")).as("rating_raw"))
+      .select(
+        col("user_id"), col("item_id"),
+        Det.r4(col("rating_raw")).as("rating"),
+        Det.fx4(col("rating_raw")).as("rating_i"))
+  }
+
+  /** SQL twin of [[ratings]] for DuckDB oracles (splice as a CTE). */
+  val ratingsSql: String =
+    """ratings AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |         floor(avg(l_quantity)*10000 + 0.5)/10000.0 AS rating,
+      |         CAST(floor(avg(l_quantity)*10000 + 0.5) AS BIGINT) AS rating_i
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+}

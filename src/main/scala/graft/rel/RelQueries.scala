@@ -1,0 +1,407 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Det
+import graft.io.Sources
+
+/** Relational breadth queries (SURVEY.md §2.3): scans, aggregations,
+  * joins, windows, sorts, set ops, scalar function families. These are
+  * capabilities Catalyst gives for free once declared; the engine's job
+  * is to declare them so pushdown/pruning/codegen all fire.
+  */
+object RelQueries {
+  import Oracle._
+
+  private def t(s: SparkSession, d: String, n: String) = Sources.table(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Scan + filter + project: predicate and column pruning reach parquet.
+    "q_scan_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // TPC-H-Q1-style pricing summary: hash agg with partial/final split.
+    "q_agg_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Det.fsum2(col("l_extendedprice")).as("sum_base_price"),
+          Det.fsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"),
+          Det.r4(col("sum_qty") / col("count_order")).as("avg_qty"),
+          Det.r4(col("sum_base_price") / col("count_order")).as("avg_price"),
+          col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Grouping sets: rollup over customer ⋈ nation.
+    "q_agg_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          Det.fsum2(col("c_acctbal")).as("sum_acctbal"))
+        .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy(col("nation"), col("segment"))
+    }),
+
+    // Exact distinct aggregation.
+    "q_distinct_users" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_custkey")).as("n_users"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Star join through broadcast dims: revenue by region.
+    "q_join_broadcast_dims" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(Det.fsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Semi/anti joins: customers with and without orders.
+    "q_join_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+      val withO = c.join(o, Seq("c_custkey"), "left_semi")
+        .select(lit("with_orders").as("kind"), col("c_custkey"))
+      val noO = c.join(o, Seq("c_custkey"), "left_anti")
+        .select(lit("without_orders").as("kind"), col("c_custkey"))
+      withO.unionAll(noO).orderBy(col("kind"), col("c_custkey"))
+    }),
+
+    // Ranking windows: rank / dense_rank / ntile within nation.
+    "q_rank_dense_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+    }),
+
+    // Analytic frame: running total per customer. The summand is
+    // snapped to exact cents so the prefix sums are order-independent
+    // integers — engines may associate window sums differently.
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).over(w)
+            / lit(100.0)).as("running_total"))
+        .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+    }),
+
+    // Global sort + limit with key tiebreak.
+    "q_sort_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)),
+
+    // Set operations over two customer-key sets.
+    "q_set_ops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val a = o.where(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val b = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")).distinct()
+      a.union(b).distinct().select(lit("union").as("op"), col("custkey"))
+        .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("custkey")))
+        .unionAll(a.except(b).select(lit("except").as("op"), col("custkey")))
+        .orderBy(col("op"), col("custkey"))
+    }),
+
+    // String function family over part.
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          length(col("p_name")).cast("long").as("name_len"),
+          split(col("p_type"), " ").getItem(0).as("type_head"),
+          regexp_replace(col("p_brand"), "#", "").as("brand_clean"),
+          concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))),
+
+    // Date functions: orders per month (emitted as strings — timestamp
+    // physical encodings differ across engines, strings are parity-safe).
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.fsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("month"))),
+
+    // Math function family; per-row IEEE ops are engine-identical.
+    "q_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Det.r4(sqrt(col("l_extendedprice"))).as("sqrt_price"),
+          Det.r4((lit(1.0) + col("l_discount")) * (lit(1.0) + col("l_discount"))
+            * (lit(1.0) + col("l_discount"))).as("disc_cubed"),
+          Det.r4(abs(col("l_tax") - col("l_discount"))).as("abs_diff"),
+          Det.r4(log(col("l_quantity"))).as("ln_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // JSON extraction + grouped stats over events.props.
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .select(col("event_type"), col("n"), col("sum_k"), col("min_k"),
+          col("max_k"),
+          Det.r4(col("sum_k").cast("double") / col("n")).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    // Array functions: collect_list → sort_array → size/element_at,
+    // plus an exact aggregate over the exploded list (roundtrip).
+    "q_array_funcs" -> ((s, d) =>
+      Sources.ratings(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("item_id"))).as("items"),
+          sum(col("item_id")).as("sum_items"))
+        .select(col("user_id"),
+          size(col("items")).cast("long").as("n_items"),
+          element_at(col("items"), 1).as("first_item"),
+          element_at(col("items"), -1).as("last_item"),
+          col("sum_items"))
+        .orderBy(col("user_id"))),
+
+    // Tumbling event-time windows (batch): 1-hour buckets per type.
+    "q_tumbling_window_counts" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.fsum4(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Sessionization (batch analog): 30-min inactivity gap via
+    // lag + cumulative sum — the deterministic, oracle-checkable twin
+    // of the streaming session_window variant.
+    "q_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      val flagged = ev.withColumn("new_session",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L
+          || lag(col("ts_ms"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      flagged
+        .withColumn("session_id", sum(col("new_session")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("ts_ms")) - min(col("ts_ms"))) / lit(1000.0))
+            .as("duration_sec"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_pricing_summary" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |         sum(l_quantity) AS sum_qty,
+         |         ${fsum2("l_extendedprice")} AS sum_base_price,
+         |         ${fsum4("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |         count(*) AS count_order
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+         |       sum_disc_price,
+         |       ${r4("sum_qty / count_order")} AS avg_qty,
+         |       ${r4("sum_base_price / count_order")} AS avg_price,
+         |       count_order
+         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT coalesce(n_name, '(all)') AS nation,
+         |       coalesce(c_mktsegment, '(all)') AS segment,
+         |       count(*) AS n_customers,
+         |       ${fsum2("c_acctbal")} AS sum_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, c_mktsegment)
+         |ORDER BY nation, segment""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_users,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_broadcast_dims" ->
+      s"""SELECT r_name,
+         |       ${fsum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |       count(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY 1 ORDER BY r_name""".stripMargin,
+
+    "q_join_semi_anti" ->
+      """SELECT 'with_orders' AS kind, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind, c_custkey""".stripMargin,
+
+    "q_rank_dense_ntile" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) / 100.0 AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |           WHERE o_totalprice > 150000),
+        |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer
+        |      WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'union' AS op, custkey
+        |  FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, custkey
+        |  FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, custkey
+        |  FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       lower(p_name) AS name_lower,
+        |       length(p_name) AS name_len,
+        |       split_part(p_type, ' ', 1) AS type_head,
+        |       regexp_replace(p_brand, '#', '') AS brand_clean,
+        |       concat_ws(':', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         |       count(*) AS n_orders,
+         |       ${fsum2("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_math_funcs" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |       ${r4("sqrt(l_extendedprice)")} AS sqrt_price,
+         |       ${r4("(1.0 + l_discount)*(1.0 + l_discount)*(1.0 + l_discount)")} AS disc_cubed,
+         |       ${r4("abs(l_tax - l_discount)")} AS abs_diff,
+         |       ${r4("ln(l_quantity)")} AS ln_qty
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_json_extract" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events)
+         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+         |       min(k) AS min_k, max(k) AS max_k,
+         |       ${r4("CAST(sum(k) AS DOUBLE) / count(*)")} AS avg_k
+         |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_array_funcs" ->
+      s"""WITH ${Sources.ratingsSql},
+         |g AS (
+         |  SELECT user_id, list_sort(list(item_id)) AS items,
+         |         CAST(sum(item_id) AS BIGINT) AS sum_items
+         |  FROM ratings GROUP BY 1)
+         |SELECT user_id, len(items) AS n_items,
+         |       items[1] AS first_item, items[-1] AS last_item, sum_items
+         |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_tumbling_window_counts" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         |         AS window_start,
+         |       event_type, count(*) AS n,
+         |       ${fsum4("value")} AS sum_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
+        |                OR lag(ts_ms) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_ms, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
+        |       CAST(max(ts_ms) - min(ts_ms) AS DOUBLE) / 1000.0
+        |         AS duration_sec
+        |FROM sessions GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,229 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Moments, Pipeline, Ranking, Similarity => S}
+import graft.io.Sources
+
+/** The similarity-family query inventory (SURVEY.md §2.3) — the
+  * reference's actual capability surface, re-expressed Spark-first,
+  * each with its DuckDB oracle twin.
+  *
+  * Every query follows the determinism contract (SURVEY.md §7.4):
+  * doubles r4-rounded at the final projection, total-order ORDER BY,
+  * pair canonicalization `item_x < item_y`, integer fixed-point
+  * moments so aggregation order cannot shift any emitted bit.
+  */
+object SimQueries {
+  import Oracle.r4
+
+  private def ratings(spark: SparkSession, dir: String): DataFrame =
+    Sources.ratings(spark, dir)
+
+  /** Rounded metric columns over an asDoubles moment frame. */
+  private def corrCol = Det.r4(S.correlation(
+    col("nd"), col("sxyd"), col("sxd"), col("syd"), col("sxxd"), col("syyd")))
+
+  // Shared SQL fragments.
+  private val R  = Sources.ratingsSql
+  private val P  = Moments.pairMomentsSql
+  private val RC = Moments.raterCountsSql
+  private val corrSql =
+    S.Sql.corr("nd", "sxyd", "sxd", "syd", "sxxd", "syyd")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1: the source adapter at testdata scale — the ratings view itself.
+    "q_parse_ratings" -> ((s, d) =>
+      ratings(s, d).select(col("user_id"), col("item_id"), col("rating"))
+        .orderBy(col("user_id"), col("item_id"))),
+
+    // R3: per-user postings aggregation.
+    "q_user_postings" -> ((s, d) =>
+      ratings(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("item_count"),
+          (sum(col("rating_i")) / lit(10000.0)).as("rating_sum"))
+        .orderBy(col("user_id"))),
+
+    // R4: pairwise co-occurrence via the canonicalized self-join.
+    "q_pairs_cooccurrence" -> ((s, d) =>
+      Moments.pairMoments(ratings(s, d))
+        .select(col("item_x"), col("item_y"), col("n"))
+        .orderBy(col("n").desc, col("item_x"), col("item_y"))
+        .limit(200)),
+
+    // R5+R9: Pearson per pair (n>=2: below that corr is the 0.0 sentinel).
+    "q_sim_pearson" -> ((s, d) =>
+      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+        .where(col("n") >= 2)
+        .select(col("item_x"), col("item_y"), col("n"), corrCol.as("corr"))
+        .orderBy(col("item_x"), col("item_y"))),
+
+    // R12: cosine per pair.
+    "q_sim_cosine" -> ((s, d) =>
+      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+        .where(col("n") >= 2)
+        .select(col("item_x"), col("item_y"), col("n"),
+          Det.r4(S.cosine(col("sxyd"), col("sxxd"), col("syyd"))).as("cos_sim"))
+        .orderBy(col("item_x"), col("item_y"))),
+
+    // R10: jaccard from per-item rater counts (R2's nraters).
+    "q_sim_jaccard" -> ((s, d) => {
+      val r = ratings(s, d)
+      val m = Moments.asDoubles(
+        Moments.withRaterCounts(Moments.pairMoments(r), Moments.raterCounts(r)))
+        .where(col("n") >= 2)
+      m.select(col("item_x"), col("item_y"), col("n"), col("n_x"), col("n_y"),
+          Det.r4(S.jaccard(col("nd"),
+            col("n_x").cast("double"), col("n_y").cast("double"))).as("jaccard"))
+        .orderBy(col("item_x"), col("item_y"))
+    }),
+
+    // R13: regularized correlation (PRIOR_COUNT=10, PRIOR_CORRELATION=0).
+    "q_sim_regcorr" -> ((s, d) =>
+      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+        .where(col("n") >= 2)
+        .select(col("item_x"), col("item_y"), col("n"),
+          Det.r4(S.regularizedCorrelation(
+            col("nd"), col("sxyd"), col("sxd"), col("syd"),
+            col("sxxd"), col("syyd"))).as("reg_corr"))
+        .orderBy(col("item_x"), col("item_y"))),
+
+    // R11: normalized correlation — defined but unwired in the
+    // reference [R-med]; we wire it.
+    "q_sim_normcorr" -> ((s, d) =>
+      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+        .where(col("n") >= 2)
+        .select(col("item_x"), col("item_y"), col("n"),
+          Det.r4(S.normalizedCorrelation(
+            col("nd"), col("sxyd"), col("sxd"), col("syd"),
+            col("sxxd"), col("syyd"))).as("norm_corr"))
+        .orderBy(col("item_x"), col("item_y"))),
+
+    // R2–R7: the full 4-step vector pipeline.
+    "q_vector_pipeline" -> ((s, d) =>
+      Pipeline.vector(ratings(s, d))
+        .orderBy(col("item_x"), col("rn"))),
+
+    // R6/R7 as the capability the reference named but never shipped:
+    // true per-item top-k neighbors.
+    "q_topk_neighbors" -> ((s, d) => {
+      val sims = Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+        .withColumn("corr", corrCol)
+        .where(col("n") > 0)
+        .select(col("item_x"), col("item_y"), col("corr"), col("n"))
+      Ranking.topK(sims, "item_x", col("corr"), "item_y", 10)
+        .orderBy(col("item_x"), col("rn"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_parse_ratings" ->
+      s"""WITH $R
+         |SELECT user_id, item_id, rating FROM ratings
+         |ORDER BY user_id, item_id""".stripMargin,
+
+    "q_user_postings" ->
+      s"""WITH $R
+         |SELECT user_id, count(*) AS item_count,
+         |       CAST(sum(rating_i) AS DOUBLE)/10000.0 AS rating_sum
+         |FROM ratings GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_pairs_cooccurrence" ->
+      s"""WITH $R
+         |SELECT a.item_id AS item_x, b.item_id AS item_y, count(*) AS n
+         |FROM ratings a JOIN ratings b
+         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |GROUP BY 1, 2
+         |ORDER BY n DESC, item_x, item_y LIMIT 200""".stripMargin,
+
+    "q_sim_pearson" ->
+      s"""WITH $R, $P
+         |SELECT item_x, item_y, n, ${r4(corrSql)} AS corr
+         |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    "q_sim_cosine" ->
+      s"""WITH $R, $P
+         |SELECT item_x, item_y, n,
+         |       ${r4(S.Sql.cosine("sxyd", "sxxd", "syyd"))} AS cos_sim
+         |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    "q_sim_jaccard" ->
+      s"""WITH $R, $P, $RC
+         |SELECT item_x, item_y, n, cx.nraters AS n_x, cy.nraters AS n_y,
+         |       ${r4(S.Sql.jaccard("nd",
+              "CAST(cx.nraters AS DOUBLE)", "CAST(cy.nraters AS DOUBLE)"))} AS jaccard
+         |FROM pairs
+         |JOIN rater_counts cx ON pairs.item_x = cx.item_id
+         |JOIN rater_counts cy ON pairs.item_y = cy.item_id
+         |WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    "q_sim_regcorr" ->
+      s"""WITH $R, $P
+         |SELECT item_x, item_y, n,
+         |       ${r4(S.Sql.regCorr("nd", "sxyd", "sxd", "syd", "sxxd", "syyd"))} AS reg_corr
+         |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    "q_sim_normcorr" ->
+      s"""WITH $R, $P
+         |SELECT item_x, item_y, n,
+         |       ${r4(S.Sql.normCorr("nd", "sxyd", "sxd", "syd", "sxxd", "syyd"))} AS norm_corr
+         |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    "q_vector_pipeline" ->
+      s"""WITH $R, $RC,
+         |r2 AS (
+         |  SELECT r.user_id, r.item_id, r.rating_i, c.nraters
+         |  FROM ratings r JOIN rater_counts c ON r.item_id = c.item_id
+         |  WHERE c.nraters >= ${S.MinNumRaters}
+         |),
+         |users_ok AS (
+         |  SELECT user_id FROM r2 GROUP BY 1
+         |  HAVING count(*) <= ${S.MaxNumRaters}
+         |),
+         |filtered AS (SELECT r2.* FROM r2 JOIN users_ok USING (user_id)),
+         |vpairs AS (
+         |  SELECT a.item_id AS item_x, b.item_id AS item_y,
+         |         count(*) AS n,
+         |         CAST(count(*) AS DOUBLE) AS nd,
+         |         CAST(sum(a.rating_i) AS DOUBLE) AS sxd,
+         |         CAST(sum(b.rating_i) AS DOUBLE) AS syd,
+         |         CAST(sum(a.rating_i*a.rating_i) AS DOUBLE) AS sxxd,
+         |         CAST(sum(b.rating_i*b.rating_i) AS DOUBLE) AS syyd,
+         |         CAST(sum(a.rating_i*b.rating_i) AS DOUBLE) AS sxyd,
+         |         min(a.nraters) AS n_x, min(b.nraters) AS n_y
+         |  FROM filtered a JOIN filtered b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2
+         |),
+         |sims AS (
+         |  SELECT item_x, item_y,
+         |         ${r4(corrSql)} AS corr,
+         |         ${r4(S.Sql.cosine("sxyd", "sxxd", "syyd"))} AS cos_sim,
+         |         ${r4(S.Sql.regCorr("nd", "sxyd", "sxd", "syd", "sxxd", "syyd"))} AS reg_corr,
+         |         ${r4(S.Sql.jaccard("nd",
+              "CAST(n_x AS DOUBLE)", "CAST(n_y AS DOUBLE)"))} AS jaccard,
+         |         n, n_x, n_y
+         |  FROM vpairs WHERE n > ${S.MinIntersection}
+         |)
+         |SELECT item_x, item_y, corr, cos_sim, reg_corr, jaccard, n, n_x, n_y,
+         |       row_number() OVER (PARTITION BY item_x
+         |                          ORDER BY corr DESC, item_y) AS rn
+         |FROM sims
+         |ORDER BY item_x, rn""".stripMargin,
+
+    "q_topk_neighbors" ->
+      s"""WITH $R, $P,
+         |sims AS (
+         |  SELECT item_x, item_y, ${r4(corrSql)} AS corr, n
+         |  FROM pairs WHERE n > 0
+         |),
+         |ranked AS (
+         |  SELECT item_x, item_y, corr, n,
+         |         row_number() OVER (PARTITION BY item_x
+         |                            ORDER BY corr DESC, item_y) AS rn
+         |  FROM sims
+         |)
+         |SELECT * FROM ranked WHERE rn <= 10
+         |ORDER BY item_x, rn""".stripMargin
+  )
+}

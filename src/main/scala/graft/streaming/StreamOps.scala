@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference is strictly batch (SURVEY.md §2.2); this is the
+  * extension surface. Batch and streaming share the same transforms:
+  * [[sessionAgg]] works in both modes because `session_window` is a
+  * plain grouping expression — the scored query `q_session_window`
+  * runs it in batch (DuckDB-checkable), and [[sessionizeStream]] runs
+  * the identical aggregation incrementally with a watermark.
+  */
+object StreamOps {
+
+  /** Session aggregation shared by batch and streaming: 30-min-gap
+    * sessions per user with event counts and exact microsecond
+    * bounds (epoch µs longs — engine-neutral, unlike raw timestamps). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+
+  /** Tumbling-window streaming aggregation with late-data handling. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** File-source streaming run of [[sessionAgg]] against a testdata
+    * dir, drained synchronously into an in-memory sink (local smoke
+    * harness; a production run swaps source/sink + trigger). */
+  def sessionizeStream(spark: SparkSession, dir: String,
+                       queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+    val q = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}
