@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.PortableHash
+import graft.ext.{Dedup, Multimodal, TextAnalysis, VectorSearch}
+
+/** Unit tests for the extension operators on small explicit inputs. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+
+  test("exact dedup groups duplicate prefixes and keep-first drops later ids") {
+    val docs = docsDF(
+      1L -> "a b c d e x y z", 2L -> "a b c d e q r s",
+      3L -> "k l m n o p", 4L -> "a b c d e w")
+    val groups = Dedup.exactDupGroups(docs, Dedup.normPrefix(col("text"), 5))
+      .collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("cnt") === 3L)
+    assert(groups(0).getAs[Long]("min_doc") === 1L)
+    val dropped = Dedup.dropDuplicatesKeepFirst(
+      docs, Dedup.normPrefix(col("text"), 5))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(dropped.toSeq === Seq(2L, 4L))
+  }
+
+  test("minhash: identical docs share all bands; disjoint docs share none") {
+    val docs = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different words appear inside this other document here")
+    val cand = Dedup.minhashCandidates(
+      Dedup.minhashBandMins(Dedup.shingles(docs))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cand((1L, 2L)) === Dedup.Bands.toLong)
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard: identical docs -> 1.0") {
+    val docs = docsDF(
+      1L -> "one two three four five six",
+      2L -> "one two three four five six")
+    val sh = Dedup.shingles(docs)
+    val cand = Dedup.minhashCandidates(Dedup.minhashBandMins(sh))
+      .select(col("d1"), col("d2"))
+    val j = Dedup.ngramJaccard(cand, sh).collect()
+    assert(j.length === 1 && j(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash: identical docs have distance 0 and are found as near-dups") {
+    val docs = docsDF(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta")
+    val nd = Dedup.simhashNearDups(Dedup.simhash(docs)).collect()
+    assert(nd.length === 1 && nd(0).getAs[Long]("hamming") === 0L)
+  }
+
+  test("portable hash is stable and within [0, M)") {
+    val h = docsDF(1L -> "anything").select(
+      PortableHash.h(lit("spark")).as("h1"),
+      PortableHash.h(lit("spark")).as("h2"),
+      PortableHash.h(lit("a")).as("h3")).collect()(0)
+    assert(h.getInt(0) === h.getInt(1))
+    assert(h.getInt(0) >= 0 && h.getInt(0) < PortableHash.M)
+    assert(h.getInt(2) >= 0 && h.getInt(2) < PortableHash.M)
+  }
+
+  test("fingerprint is order-sensitive (permuted doc differs)") {
+    val fp = docsDF(1L -> "a b c", 2L -> "c b a")
+      .select(TextAnalysis.fingerprint(split(col("text"), " ")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+  }
+
+  test("quality/lang columns have expected shapes") {
+    val q = TextAnalysis.qualityColumns(
+      docsDF(1L -> "the cat sat on a mat")).collect()(0)
+    assert(q.getAs[Long]("n_words") === 6L)
+    assert(q.getAs[Long]("n_stop") === 2L) // the, a
+    val quality = q.getAs[Double]("quality")
+    assert(quality > 0.0 && quality <= 1.0)
+  }
+
+  test("fixed-point dot product is exact and fold-order-free") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorSearch.fixedDot(col("a"), col("b")).as("dot"),
+      VectorSearch.fixedNormSq(col("a")).as("na")).collect()(0)
+    assert(r.getDouble(0) === 32.0) // 4 + 10 + 18
+    assert(r.getDouble(1) === 14.0) // 1 + 4 + 9
+  }
+
+  test("label centroids: mean of members, ordered by position") {
+    val df = Seq((1L, Array(1.0f, 3.0f), 0), (2L, Array(3.0f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val c = VectorSearch.labelCentroids(df).collect()(0)
+    assert(c.getAs[Seq[Double]]("centroid") === Seq(2.0, 4.0))
+  }
+
+  test("topK by cosine: the nearest vector to a probe is itself-direction") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val probes = Seq((99L, Array(1.0d, 0.0d))).toDF("pid", "pvec")
+    val top = VectorSearch.topKByCosine(emb, probes, "pid", "pvec", 2)
+      .orderBy(col("rn")).collect()
+    assert(top(0).getAs[Long]("vec_id") === 1L) // cos = 1.0
+    assert(top(1).getAs[Long]("vec_id") === 3L) // cos ~ 0.9938
+  }
+
+  test("multimodal: typed decode path matches the Column metadata path") {
+    val docs = docsDF(1L -> "some media payload bytes here", 2L -> "x")
+    val viaColumns = Multimodal.mediaMeta(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val viaDecode = Multimodal.decodeAll(Multimodal.mediaTable(docs))
+      .orderBy(col("doc_id")).collect()
+      .map(m => (m.doc_id, m.n_bytes, m.width, m.height))
+    assert(viaColumns.toSeq === viaDecode.toSeq)
+    val offs = Multimodal.frameOffsets(Multimodal.mediaTable(docs), 1)
+      .orderBy(col("doc_id")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("frame_offsets")
+    assert(offs.head === 0L)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Similarity => S}
+
+/** Property-based checks of the metric formulas (SURVEY.md §5.2),
+  * over fixed-seed random co-rating vectors. Properties are evaluated
+  * through the actual Column expressions, so they exercise the code
+  * that runs in the engine, not a scala reimplementation.
+  * (Deliberately not using a property-testing framework: the offline
+  * dependency set has no scalatest↔scalacheck bridge; a seeded
+  * generator gives the same coverage reproducibly.) */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+  private def vecPair(): (Seq[Double], Seq[Double]) = {
+    val n = 2 + rnd.nextInt(11)
+    (Seq.fill(n)((1 + rnd.nextInt(50)).toDouble),
+      Seq.fill(n)((1 + rnd.nextInt(50)).toDouble))
+  }
+  private val cases: Seq[(Seq[Double], Seq[Double])] =
+    Seq.fill(25)(vecPair())
+
+  /** Evaluate (corr, cos, reg, norm) through the Column formulas from
+    * explicit co-rating vectors — batched into one DataFrame so the
+    * whole property suite costs a handful of Spark jobs. */
+  private def evalAll(ps: Seq[(Seq[Double], Seq[Double])])
+      : Seq[(Double, Double, Double, Double)] = {
+    import spark.implicits._
+    val rows = ps.zipWithIndex.map { case ((xs, ys), i) =>
+      val n = xs.size.toDouble
+      (i, n, xs.sum, ys.sum, xs.map(v => v * v).sum,
+        ys.map(v => v * v).sum, xs.zip(ys).map { case (a, b) => a * b }.sum)
+    }
+    rows.toDF("i", "nd", "sxd", "syd", "sxxd", "syyd", "sxyd")
+      .select(col("i"),
+        S.correlation(col("nd"), col("sxyd"), col("sxd"), col("syd"),
+          col("sxxd"), col("syyd")).as("corr"),
+        S.cosine(col("sxyd"), col("sxxd"), col("syyd")).as("cos"),
+        S.regularizedCorrelation(col("nd"), col("sxyd"), col("sxd"),
+          col("syd"), col("sxxd"), col("syyd")).as("reg"),
+        S.normalizedCorrelation(col("nd"), col("sxyd"), col("sxd"),
+          col("syd"), col("sxxd"), col("syyd")).as("norm"))
+      .orderBy(col("i")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+  }
+
+  test("corr and cosine are symmetric under x<->y") {
+    val fwd = evalAll(cases)
+    val rev = evalAll(cases.map(_.swap))
+    fwd.zip(rev).foreach { case ((c1, co1, _, _), (c2, co2, _, _)) =>
+      assert(math.abs(c1 - c2) < 1e-12 && math.abs(co1 - co2) < 1e-12)
+    }
+  }
+
+  test("corr in [-1,1]; cosine in [0,1] for positive ratings") {
+    evalAll(cases).foreach { case (c, co, _, _) =>
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(co >= 0.0 && co <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cosine is scale-invariant: cos(ax, by) = cos(x, y) for a,b>0") {
+    val scaled = cases.map { case (xs, ys) => (xs.map(_ * 3), ys.map(_ * 4)) }
+    evalAll(cases).zip(evalAll(scaled)).foreach {
+      case ((_, co1, _, _), (_, co2, _, _)) =>
+        assert(math.abs(co1 - co2) < 1e-9)
+    }
+  }
+
+  test("pearson is translation-invariant: corr(x+a, y+b) = corr(x, y)") {
+    val shifted = cases.map { case (xs, ys) => (xs.map(_ + 7), ys.map(_ + 3)) }
+    evalAll(cases).zip(evalAll(shifted)).foreach {
+      case ((c1, _, _, _), (c2, _, _, _)) =>
+        assert(math.abs(c1 - c2) < 1e-6)
+    }
+  }
+
+  test("normcorr = (corr+1)/2; regcorr = w*corr with w = n/(n+10)") {
+    cases.zip(evalAll(cases)).foreach { case ((xs, _), (c, _, reg, norm)) =>
+      assert(math.abs(norm - (c + 1.0) / 2.0) < 1e-12)
+      val w = xs.size / (xs.size + S.PriorCount)
+      assert(math.abs(reg - w * c) < 1e-12)
+      assert(math.abs(reg) <= math.abs(c) + 1e-12)
+    }
+  }
+
+  test("our pearson matches Spark's built-in corr (modulo 0.0-vs-NULL)") {
+    import spark.implicits._
+    val ours = evalAll(cases)
+    cases.zip(ours).foreach { case ((xs, ys), (c, _, _, _)) =>
+      val builtin = xs.zip(ys).toDF("x", "y")
+        .select(corr(col("x"), col("y"))).collect()(0)
+      if (builtin.isNullAt(0)) assert(c === 0.0) // our sentinel convention
+      else assert(math.abs(builtin.getDouble(0) - c) < 1e-9)
+    }
+  }
+}
