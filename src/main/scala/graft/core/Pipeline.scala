@@ -73,6 +73,48 @@ object Pipeline {
         col("nraters_x").as("n_x"), col("nraters_y").as("n_y"), col("rn"))
   }
 
+  /** [[vector]] re-derived from an already-materialized *unfiltered*
+    * pair-moment table — an exact rewrite under one precondition.
+    *
+    * Why it is exact: the min-raters step drops whole items before
+    * pairing, but a pair's moments depend only on users who rated
+    * *both* of its items — removing other items changes nothing — so
+    * filtering pairs to `n_x >= minRaters AND n_y >= minRaters`
+    * afterwards yields identical rows ( `nraters` is computed before
+    * the item filter in the reference, i.e. it is the global count).
+    * The max-raters user cap is the one step that would change the
+    * moments themselves; the caller must verify no user exceeds it
+    * (cheap aggregate over the ratings view) and fall back to
+    * [[vector]] otherwise.
+    *
+    * This turns the pipeline's self-join + pair aggregation — the
+    * dominant shuffles — into a reuse of the shared moment table that
+    * the q_sim_* family already materialized.
+    */
+  def vectorFromMoments(moments: DataFrame, counts: DataFrame,
+                        minRaters: Int = S.MinNumRaters,
+                        minIntersection: Int = S.MinIntersection): DataFrame = {
+    val ok = counts.where(col("nraters") >= minRaters)
+    val cx = ok.select(col("item_id").as("item_x"), col("nraters").as("nraters_x"))
+    val cy = ok.select(col("item_id").as("item_y"), col("nraters").as("nraters_y"))
+    val m = Moments.asDoubles(
+      moments.join(broadcast(cx), Seq("item_x"))
+        .join(broadcast(cy), Seq("item_y")))
+    val sims = m
+      .withColumn("corr", Det.r4(S.correlation(
+        col("nd"), col("sxyd"), col("sxd"), col("syd"), col("sxxd"), col("syyd"))))
+      .withColumn("cos_sim", Det.r4(S.cosine(col("sxyd"), col("sxxd"), col("syyd"))))
+      .withColumn("reg_corr", Det.r4(S.regularizedCorrelation(
+        col("nd"), col("sxyd"), col("sxd"), col("syd"), col("sxxd"), col("syyd"))))
+      .withColumn("jaccard", Det.r4(S.jaccard(
+        col("nd"), col("nraters_x").cast("double"), col("nraters_y").cast("double"))))
+      .where(col("n") > minIntersection)
+    Ranking.withRank(sims, "item_x", col("corr"), "item_y")
+      .select(col("item_x"), col("item_y"), col("corr"), col("cos_sim"),
+        col("reg_corr"), col("jaccard"), col("n"),
+        col("nraters_x").as("n_x"), col("nraters_y").as("n_y"), col("rn"))
+  }
+
   /** The 3-step movies pipeline: Pearson only, `n > 0` ranking filter
     * (`moviesSimilarities.py ≈L130–141` [R]), no rater-count filters. */
   def movies(ratings: DataFrame): DataFrame = {

@@ -174,10 +174,15 @@ object Dedup {
       col("simhash").as("h1"), col("blk"), col("bv"))
     val b = blockRows.select(col("doc_id").as("d2"),
       col("simhash").as("h2"), col("blk"), col("bv"))
+    // hamming filter BEFORE the distinct: the bit ops are a few cycles
+    // per candidate, while distinct is a shuffle — shrink its input.
+    // (filter∘distinct ≡ distinct∘filter here: hamming is a pure
+    // function of the pair.)
     a.join(b, Seq("blk", "bv")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
       .withColumn("hamming",
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .where(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("h1"), col("h2"), col("hamming"))
+      .distinct()
   }
 }

@@ -14,8 +14,20 @@ import graft.streaming.StreamOps
   */
 object ExtQueries {
 
+  import graft.core.Cache
+
   private def docs(s: SparkSession, d: String) = Sources.table(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
+
+  /** Shared dedup intermediates, materialized once per session: the
+    * shingle table and the LSH candidate pairs feed both near-dup
+    * queries (see graft.core.Cache for the scale rationale). */
+  private def shinglesC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "shingles", d)(Dedup.shingles(docs(s, d)))
+
+  private def candidatesC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "minhash_cand", d)(
+      Dedup.minhashCandidates(Dedup.minhashBandMins(shinglesC(s, d))))
 
   private val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
@@ -34,15 +46,13 @@ object ExtQueries {
 
     // MinHash+LSH near-dup candidates (8 portable-hash bands).
     "q_minhash_near_dup" -> ((s, d) =>
-      Dedup.minhashCandidates(Dedup.minhashBandMins(Dedup.shingles(docs(s, d))))
-        .orderBy(col("d1"), col("d2"))),
+      candidatesC(s, d).orderBy(col("d1"), col("d2"))),
 
     // Exact 3-gram Jaccard over the strong (≥2 bands) candidates.
     "q_ngram_jaccard" -> ((s, d) => {
-      val sh = Dedup.shingles(docs(s, d))
-      val cand = Dedup.minhashCandidates(Dedup.minhashBandMins(sh))
+      val cand = candidatesC(s, d)
         .where(col("bands") >= 2).select(col("d1"), col("d2"))
-      Dedup.ngramJaccard(cand, sh).orderBy(col("d1"), col("d2"))
+      Dedup.ngramJaccard(cand, shinglesC(s, d)).orderBy(col("d1"), col("d2"))
     }),
 
     // SimHash near-dups via 4-bit pigeonhole blocking.

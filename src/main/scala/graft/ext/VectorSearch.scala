@@ -61,12 +61,13 @@ object VectorSearch {
   def topKByCosine(emb: DataFrame, probes: DataFrame,
                    probeKey: String, probeVec: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = emb.crossJoin(broadcast(probes))
+    val embN = emb.withColumn("nrm_e", fixedNormSq(col("embedding")))
+    val probesN = probes.withColumn("nrm_p", fixedNormSq(col(probeVec)))
+    val scored = embN.crossJoin(broadcast(probesN))
       .select(col(probeKey), col("vec_id"),
         Det.r4(cosineCol(
           fixedDot(col(probeVec), col("embedding")),
-          fixedNormSq(col(probeVec)),
-          fixedNormSq(col("embedding")))).as("cos_sim"))
+          col("nrm_p"), col("nrm_e"))).as("cos_sim"))
     val w = Window.partitionBy(col(probeKey))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -87,16 +88,19 @@ object VectorSearch {
   /** All intra-bucket pairs with their cosine — the LSH-bucketed
     * near-duplicate path (compare ~N·bucketSize pairs, not N²). */
   def bucketedPairCosine(emb: DataFrame, bits: Int): DataFrame = {
+    // norms once per vector (N rows), not once per pair side (~N·B
+    // rows) — the dot product is the only per-pair array work left.
     val withB = emb.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), bits).as("bucket"))
+      signBucket(col("embedding"), bits).as("bucket"),
+      fixedNormSq(col("embedding")).as("nrm"))
     val a = withB.select(col("bucket"), col("vec_id").as("v1"),
-      col("embedding").as("e1"))
+      col("embedding").as("e1"), col("nrm").as("n1"))
     val b = withB.select(col("bucket"), col("vec_id").as("v2"),
-      col("embedding").as("e2"))
+      col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket")).where(col("v1") < col("v2"))
       .select(col("bucket"), col("v1"), col("v2"),
         Det.r4(cosineCol(
           fixedDot(col("e1"), col("e2")),
-          fixedNormSq(col("e1")), fixedNormSq(col("e2")))).as("cos_sim"))
+          col("n1"), col("n2"))).as("cos_sim"))
   }
 }

@@ -16,9 +16,29 @@ import graft.io.Sources
   */
 object SimQueries {
   import Oracle.r4
+  import graft.core.Cache
 
+  /** Shared intermediates, materialized once per session (Cache doc).
+    * `moments` is the unfiltered pair-moment table that 7 of the
+    * queries consume — the single most expensive sub-plan in the
+    * inventory. */
   private def ratings(spark: SparkSession, dir: String): DataFrame =
-    Sources.ratings(spark, dir)
+    Cache.getOrPersist(spark, "ratings", dir)(Sources.ratings(spark, dir))
+
+  private def moments(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrPersist(spark, "pair_moments", dir)(
+      Moments.pairMoments(ratings(spark, dir)))
+
+  /** Largest per-user posting-list size, memoized per (session, dir):
+    * the runtime guard for the vectorFromMoments rewrite. */
+  private val maxItemsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private def maxUserItems(spark: SparkSession, dir: String): Long =
+    maxItemsMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), dir),
+      ratings(spark, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c")).agg(max(col("c")))
+        .collect()(0).getLong(0))
 
   /** Rounded metric columns over an asDoubles moment frame. */
   private def corrCol = Det.r4(S.correlation(
@@ -46,21 +66,21 @@ object SimQueries {
 
     // R4: pairwise co-occurrence via the canonicalized self-join.
     "q_pairs_cooccurrence" -> ((s, d) =>
-      Moments.pairMoments(ratings(s, d))
+      moments(s, d)
         .select(col("item_x"), col("item_y"), col("n"))
         .orderBy(col("n").desc, col("item_x"), col("item_y"))
         .limit(200)),
 
     // R5+R9: Pearson per pair (n>=2: below that corr is the 0.0 sentinel).
     "q_sim_pearson" -> ((s, d) =>
-      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+      Moments.asDoubles(moments(s, d))
         .where(col("n") >= 2)
         .select(col("item_x"), col("item_y"), col("n"), corrCol.as("corr"))
         .orderBy(col("item_x"), col("item_y"))),
 
     // R12: cosine per pair.
     "q_sim_cosine" -> ((s, d) =>
-      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+      Moments.asDoubles(moments(s, d))
         .where(col("n") >= 2)
         .select(col("item_x"), col("item_y"), col("n"),
           Det.r4(S.cosine(col("sxyd"), col("sxxd"), col("syyd"))).as("cos_sim"))
@@ -70,7 +90,7 @@ object SimQueries {
     "q_sim_jaccard" -> ((s, d) => {
       val r = ratings(s, d)
       val m = Moments.asDoubles(
-        Moments.withRaterCounts(Moments.pairMoments(r), Moments.raterCounts(r)))
+        Moments.withRaterCounts(moments(s, d), Moments.raterCounts(r)))
         .where(col("n") >= 2)
       m.select(col("item_x"), col("item_y"), col("n"), col("n_x"), col("n_y"),
           Det.r4(S.jaccard(col("nd"),
@@ -80,7 +100,7 @@ object SimQueries {
 
     // R13: regularized correlation (PRIOR_COUNT=10, PRIOR_CORRELATION=0).
     "q_sim_regcorr" -> ((s, d) =>
-      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+      Moments.asDoubles(moments(s, d))
         .where(col("n") >= 2)
         .select(col("item_x"), col("item_y"), col("n"),
           Det.r4(S.regularizedCorrelation(
@@ -91,7 +111,7 @@ object SimQueries {
     // R11: normalized correlation — defined but unwired in the
     // reference [R-med]; we wire it.
     "q_sim_normcorr" -> ((s, d) =>
-      Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+      Moments.asDoubles(moments(s, d))
         .where(col("n") >= 2)
         .select(col("item_x"), col("item_y"), col("n"),
           Det.r4(S.normalizedCorrelation(
@@ -99,15 +119,24 @@ object SimQueries {
             col("sxxd"), col("syyd"))).as("norm_corr"))
         .orderBy(col("item_x"), col("item_y"))),
 
-    // R2–R7: the full 4-step vector pipeline.
-    "q_vector_pipeline" -> ((s, d) =>
-      Pipeline.vector(ratings(s, d))
-        .orderBy(col("item_x"), col("rn"))),
+    // R2–R7: the full 4-step vector pipeline. When no user trips the
+    // MAX_NUM_RATERS cap (checked once per session — the cap exists
+    // for pathological power users), the pipeline is re-derived from
+    // the shared moment table, skipping a second self-join+agg pass;
+    // see Pipeline.vectorFromMoments for the exactness argument.
+    "q_vector_pipeline" -> ((s, d) => {
+      val r = ratings(s, d)
+      if (maxUserItems(s, d) <= S.MaxNumRaters)
+        Pipeline.vectorFromMoments(moments(s, d), Moments.raterCounts(r))
+          .orderBy(col("item_x"), col("rn"))
+      else
+        Pipeline.vector(r).orderBy(col("item_x"), col("rn"))
+    }),
 
     // R6/R7 as the capability the reference named but never shipped:
     // true per-item top-k neighbors.
     "q_topk_neighbors" -> ((s, d) => {
-      val sims = Moments.asDoubles(Moments.pairMoments(ratings(s, d)))
+      val sims = Moments.asDoubles(moments(s, d))
         .withColumn("corr", corrCol)
         .where(col("n") > 0)
         .select(col("item_x"), col("item_y"), col("corr"), col("n"))
