@@ -132,7 +132,16 @@ object ExtQueries {
     // session_window in batch mode (streaming twin: StreamOps).
     "q_session_window" -> ((s, d) =>
       StreamOps.sessionAgg(Sources.table(s, d, "events"))
-        .orderBy(col("user_id"), col("start_us")))
+        .orderBy(col("user_id"), col("start_us"))),
+
+    // Model-based CF (MLlib ALS) — the BASELINE.json north-star
+    // approach. Iterative solver => no DuckDB oracle; the driver
+    // records a rows-only check (seeded, so locally reproducible).
+    "q_als_recommend" -> ((s, d) => {
+      val r = Cache.getOrPersist(s, "ratings", d)(Sources.ratings(s, d))
+      Recommender.recommendTopK(Recommender.fit(r), 5)
+        .orderBy(col("user_id"), col("rn"))
+    })
   )
 
   // ---------------------------------------------------------------

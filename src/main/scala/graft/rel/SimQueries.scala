@@ -133,6 +133,18 @@ object SimQueries {
         Pipeline.vector(r).orderBy(col("item_x"), col("rn"))
     }),
 
+    // The 3-step MoviesSimilarities job (Pearson only, n>0 at the
+    // ranking step, no rater-count filters) — reuses the shared
+    // moment table, which is exactly its unfiltered input.
+    "q_movies_pipeline" -> ((s, d) => {
+      val m = Moments.asDoubles(moments(s, d))
+        .withColumn("corr", corrCol)
+        .where(col("n") > 0)
+      Ranking.withRank(m, "item_x", col("corr"), "item_y")
+        .select(col("item_x"), col("item_y"), col("corr"), col("n"), col("rn"))
+        .orderBy(col("item_x"), col("rn"))
+    }),
+
     // R6/R7 as the capability the reference named but never shipped:
     // true per-item top-k neighbors.
     "q_topk_neighbors" -> ((s, d) => {
@@ -235,6 +247,18 @@ object SimQueries {
          |  FROM vpairs WHERE n > ${S.MinIntersection}
          |)
          |SELECT item_x, item_y, corr, cos_sim, reg_corr, jaccard, n, n_x, n_y,
+         |       row_number() OVER (PARTITION BY item_x
+         |                          ORDER BY corr DESC, item_y) AS rn
+         |FROM sims
+         |ORDER BY item_x, rn""".stripMargin,
+
+    "q_movies_pipeline" ->
+      s"""WITH $R, $P,
+         |sims AS (
+         |  SELECT item_x, item_y, ${r4(corrSql)} AS corr, n
+         |  FROM pairs WHERE n > 0
+         |)
+         |SELECT item_x, item_y, corr, n,
          |       row_number() OVER (PARTITION BY item_x
          |                          ORDER BY corr DESC, item_y) AS rn
          |FROM sims

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
 /** Structured Streaming surface over the events table.
   *
@@ -34,6 +34,27 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  case class Ev(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n: Long, sum_value: Double)
+
+  /** Custom stateful operator: running per-user totals via
+    * `mapGroupsWithState` — the arbitrary-state surface
+    * (KeyValueGroupedDataset) beyond what windowed aggs express.
+    * Works identically on batch Datasets (state lives per run). */
+  def runningUserTotals(ds: Dataset[Ev]): Dataset[UserTotal] = {
+    implicit val enc = Encoders.product[UserTotal]
+    implicit val encL = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          val next = evs.foldLeft(prev)((a, e) =>
+            UserTotal(uid, a.n + 1, a.sum_value + e.value))
+          state.update(next)
+          next
+      }
+  }
 
   /** File-source streaming run of [[sessionAgg]] against a testdata
     * dir, drained synchronously into an in-memory sink (local smoke

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Skew
+import graft.ext.Recommender
+import graft.io.Bucketing
+
+/** The user-facing surfaces: SQL registration, typed adapters, ALS,
+  * bucketing (shuffle elimination), salting (semantic no-op). */
+class ApiSpec extends SparkSpec {
+
+  test("registerTables makes the inventory SQL-addressable") {
+    Graft.registerTables(spark, sf001)
+    val n = spark.sql(
+      """SELECT count(*) FROM ratings r
+        |JOIN customer c ON r.user_id = c.c_custkey""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) > 5000)
+  }
+
+  test("typed adapters: ratingsDS and similaritiesDS round-trip") {
+    val r = Graft.ratingsDS(spark, sf001)
+    assert(r.head().rating > 0.0)
+    val s = Graft.similaritiesDS(spark, sf001)
+    val row = s.head()
+    assert(row.item_x < row.item_y && row.n >= 1)
+  }
+
+  test("ALS: seeded fit produces k recs per user with valid rank") {
+    val recs = Recommender.recommendTopK(
+      Recommender.fit(toyRatingsNumeric, rank = 4, maxIter = 3), 2)
+    val byUser = recs.collect().groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.values.foreach { rs =>
+      assert(rs.length <= 2)
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length))
+    }
+  }
+
+  test("bucketed self-join on the bucket key plans without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(toyRatingsNumeric, "r_bucketed", 4,
+        "user_id", Seq("user_id"))
+      val t1 = spark.table("r_bucketed")
+      val t2 = spark.table("r_bucketed")
+        .select(col("user_id"), col("item_id").as("item_y"))
+      val joined = t1.join(t2, Seq("user_id"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("saltedJoin and saltedCount match their unsalted equivalents") {
+    val r = toyRatingsNumeric
+    val dim = spark.range(1, 5).toDF("user_id")
+      .withColumn("tag", col("user_id") * 10)
+    val plain = r.join(dim, Seq("user_id"))
+      .select(col("user_id"), col("item_id"), col("tag"))
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(r, dim, "user_id", 3)
+      .select(col("user_id"), col("item_id"), col("tag"))
+      .collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+
+    val plainCnt = r.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val saltCnt = Skew.saltedCount(r, "user_id", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(saltCnt === plainCnt)
+  }
+
+  /** toyRatings with numeric ids (ALS/bucketing need numeric keys). */
+  private def toyRatingsNumeric = {
+    import spark.implicits._
+    Seq((1L, 10L, 4.0), (1L, 11L, 3.0), (1L, 12L, 1.0),
+      (2L, 10L, 5.0), (2L, 11L, 4.0),
+      (3L, 10L, 1.0), (3L, 12L, 5.0),
+      (4L, 11L, 2.0), (4L, 12L, 4.0))
+      .toDF("user_id", "item_id", "rating")
+      .withColumn("rating_i", floor(col("rating") * 10000 + 0.5).cast("long"))
+  }
+}

@@ -16,6 +16,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful running totals accumulate across incremental batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamOps.Ev](spark)
+    val q = StreamOps.runningUserTotals(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals").start()
+    try {
+      input.addData(StreamOps.Ev(1L, 2.0), StreamOps.Ev(1L, 3.0),
+        StreamOps.Ev(2L, 1.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Ev(1L, 5.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        """SELECT n, sum_value FROM totals WHERE user_id = 1
+          |ORDER BY n DESC LIMIT 1""".stripMargin).collect()(0)
+      assert(last.getLong(0) === 3L)      // state carried across batches
+      assert(last.getDouble(1) === 10.0)
+    } finally q.stop()
+  }
+
   test("batch and streaming session counts agree at the session level") {
     val batch = StreamOps.sessionAgg(
       graft.io.Sources.events(spark, sf001)).count()
