@@ -17,27 +17,41 @@ import org.apache.spark.sql.functions._
   * substitute `xxhash64` — the surrounding operators take the hash as
   * a Column, so the swap is one argument.
   *
-  * h(s) = ( ascii(t[1])·8191 + ascii(t[2])·127 + ascii(t[4])·31
-  *        + ascii(t[len(t)−1])·7 + length(s)·5381 ) mod 1000003
-  * where t = rpad(s, 5, '#') so all positions exist.
+  * Definition (t = rpad(s,5,'#'), a 5-char window — note rpad
+  * TRUNCATES longer strings in both engines, so the head terms only
+  * see chars 1,2,4; the tail terms read the original string's last
+  * two chars, with `greatest(…,1)` guarding position 0, whose
+  * semantics differ across engines):
+  *
+  *   h(s) = ( ascii(t[1])·8191 + ascii(t[2])·127 + ascii(t[4])·31
+  *          + ascii(s[len−1])·7 + ascii(s[len])·3
+  *          + length(s)·5381 ) mod 1000003
+  *
+  * Three bit-identical implementations exist: this composed Column
+  * form, the [[hSql]] DuckDB twin, and the codegen'd native
+  * [[graft.expr.PortableHashExpr]] (ExprSpec asserts equality).
   */
 object PortableHash {
   val M = 1000003 // prime modulus
 
   def h(s: Column): Column = {
     val t = rpad(s, 5, "#")
+    val len = length(s)
     (ascii(substring(t, 1, 1)) * lit(8191)
       + ascii(substring(t, 2, 1)) * lit(127)
       + ascii(substring(t, 4, 1)) * lit(31)
-      + ascii(t.substr(length(t) - lit(1), lit(1))) * lit(7)
-      + length(s) * lit(5381)) % lit(M)
+      + ascii(s.substr(greatest(len - lit(1), lit(1)), lit(1))) * lit(7)
+      + ascii(s.substr(greatest(len, lit(1)), lit(1))) * lit(3)
+      + len * lit(5381)) % lit(M)
   }
 
   /** SQL twin of [[h]] (DuckDB). */
   def hSql(expr: String): String = {
     val t = s"rpad($expr, 5, '#')"
     s"((ascii(substr($t,1,1))*8191 + ascii(substr($t,2,1))*127" +
-      s" + ascii(substr($t,4,1))*31 + ascii(substr($t, length($t)-1, 1))*7" +
+      s" + ascii(substr($t,4,1))*31" +
+      s" + ascii(substr($expr, greatest(length($expr)-1, 1), 1))*7" +
+      s" + ascii(substr($expr, greatest(length($expr), 1), 1))*3" +
       s" + length($expr)*5381) % $M)"
   }
 

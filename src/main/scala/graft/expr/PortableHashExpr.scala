@@ -1,0 +1,72 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for [[graft.core.PortableHash]].
+  *
+  * The composed-Column form builds `rpad` + four `substring`/`ascii`
+  * nodes + arithmetic per call — 8 allocations-ish per string per
+  * band-hash. This expression computes the identical value in one pass
+  * and participates in whole-stage codegen via [[doGenCode]] (a single
+  * static call, no codegen fallback), which is the preference order
+  * the engine follows: built-ins first, then a native Expression —
+  * never a Scala UDF (opaque to Catalyst, breaks codegen).
+  *
+  * Bit-compatibility contract: `PortableHashImpl.compute` mirrors the
+  * Column formula exactly (same positions, same char semantics as
+  * Spark's `substring`/`ascii`/`length`, same modulus), so the DuckDB
+  * oracle twins — which spell out the arithmetic — keep matching.
+  * ExprSpec asserts equality against the composed form over corpus
+  * samples.
+  */
+case class PortableHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHashImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.PortableHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableHashImpl {
+  /** Single-pass twin of PortableHash.h (see its scaladoc for the
+    * formula, incl. the rpad-truncation and position-guard rules). */
+  def compute(u: UTF8String): Int = {
+    val s = u.toString
+    val n = s.length
+    // t = rpad(s,5,'#'): exactly 5 chars — truncates when longer
+    @inline def t(i: Int): Int =
+      if (i < n && i < 5) s.charAt(i).toInt else '#'.toInt
+    // ascii(substr(s, max(p,1), 1)), 0 when out of range (empty substr)
+    @inline def tail(p: Int): Int = {
+      val q = math.max(p, 1)
+      if (q <= n) s.charAt(q - 1).toInt else 0
+    }
+    val h = t(0) * 8191 + t(1) * 127 + t(3) * 31 +
+      tail(n - 1) * 7 + tail(n) * 3 + n * 5381
+    h % 1000003
+  }
+}
+
+/** Session registration for the engine's native SQL functions. */
+object GraftFunctions {
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
+
+  /** Idempotently register `graft_hash` on a session so it is callable
+    * from both `spark.sql` and `call_function`. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registered.add(System.identityHashCode(spark))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_hash", exprs => PortableHashExpr(exprs.head), "scala_udf")
+    }
+}

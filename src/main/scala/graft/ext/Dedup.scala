@@ -72,7 +72,10 @@ object Dedup {
     * stack unpivots the Bands columns afterwards — at that point the
     * frame is one row per doc. */
   def minhashBandMins(sh: DataFrame): DataFrame = {
-    val h = PortableHash.h(col("shingle"))
+    // native single-pass hash expression (codegen'd); bit-identical to
+    // PortableHash.h — see graft.expr.PortableHashExpr
+    graft.expr.GraftFunctions.ensureRegistered(sh.sparkSession)
+    val h = call_function("graft_hash", col("shingle"))
     val aggs = (0 until Bands).map(b =>
       min(PortableHash.bandHash(h, b)).as(s"m$b"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -129,9 +132,10 @@ object Dedup {
   /** SimHash per doc over word tokens: bit j of the signature is the
     * sign of the tf-weighted sum of bit j across token hashes. */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), PortableHash.h(col("w")).as("h"))
+      .select(col("doc_id"), call_function("graft_hash", col("w")).as("h"))
     val bitSums = (0 until SimhashBits).map(j =>
       sum(when(floor(col("h") / lit(1 << j)).cast("long") % 2 === 1, lit(1L))
         .otherwise(lit(-1L))).as(s"s$j"))

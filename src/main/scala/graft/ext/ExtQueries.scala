@@ -91,11 +91,14 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Position-weighted rolling-hash fingerprint.
-    "q_doc_fingerprint" -> ((s, d) =>
+    // Position-weighted rolling-hash fingerprint (native hash expr).
+    "q_doc_fingerprint" -> ((s, d) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
       docs(s, d).select(col("doc_id"),
-        TextAnalysis.fingerprint(split(col("text"), " ")).as("fp"))
-        .orderBy(col("doc_id"))),
+        TextAnalysis.fingerprint(split(col("text"), " "),
+          w => call_function("graft_hash", w)).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
 
     // tf-idf top-5 terms per language.
     "q_tfidf_top_terms" -> ((s, d) => {

@@ -52,10 +52,14 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: position-weighted sum of
     * portable token hashes mod 1e9+7. Order-sensitive (a permuted doc
-    * fingerprints differently) yet engine-neutral and exact. */
-  def fingerprint(ws: Column): Column =
+    * fingerprints differently) yet engine-neutral and exact.
+    * `h` defaults to the composed-Column hash (works on any session);
+    * callers that registered GraftFunctions pass the native
+    * expression for the codegen'd fast path. */
+  def fingerprint(ws: Column,
+                  h: Column => Column = PortableHash.h): Column =
     aggregate(
-      transform(ws, (w, i) => ((i + lit(1)).cast("long")) * PortableHash.h(w)),
+      transform(ws, (w, i) => ((i + lit(1)).cast("long")) * h(w)),
       lit(0L), (acc, x) => acc + x) % lit(1000000007L)
 
   val fingerprintSql: String = {

@@ -41,6 +41,14 @@ class ApiSpec extends SparkSpec {
   test("bucketed self-join on the bucket key plans without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // in-memory catalog forgets tables between JVMs but the warehouse
+      // dir persists — clear the stale location
+      spark.sql("DROP TABLE IF EXISTS r_bucketed")
+      val loc = new java.io.File("/tmp/graft-warehouse/r_bucketed")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
       Bucketing.writeBucketed(toyRatingsNumeric, "r_bucketed", 4,
         "user_id", Seq("user_id"))
       val t1 = spark.table("r_bucketed")
