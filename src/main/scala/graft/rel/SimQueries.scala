@@ -133,6 +133,22 @@ object SimQueries {
         Pipeline.vector(r).orderBy(col("item_x"), col("rn"))
     }),
 
+    // R8: the SemicolonValueProtocol output surface — movies-pipeline
+    // rows serialized as the reference's ';'-joined lines. Doubles go
+    // through DECIMAL(10,4) so both engines render "0.1667"-style
+    // strings (raw double→string formatting is engine-specific:
+    // Spark emits 1.0E-4 below 1e-3, DuckDB emits 0.0001).
+    "q_semicolon_protocol" -> ((s, d) => {
+      val m = Moments.asDoubles(moments(s, d))
+        .withColumn("corr", corrCol)
+        .where(col("n") > 0)
+      m.select(concat_ws(";",
+          col("item_x").cast("string"), col("item_y").cast("string"),
+          col("corr").cast("decimal(10,4)").cast("string"),
+          col("n").cast("string")).as("line"))
+        .orderBy(col("line")).limit(10000)
+    }),
+
     // The 3-step MoviesSimilarities job (Pearson only, n>0 at the
     // ranking step, no rater-count filters) — reuses the shared
     // moment table, which is exactly its unfiltered input.
@@ -251,6 +267,17 @@ object SimQueries {
          |                          ORDER BY corr DESC, item_y) AS rn
          |FROM sims
          |ORDER BY item_x, rn""".stripMargin,
+
+    "q_semicolon_protocol" ->
+      s"""WITH $R, $P,
+         |sims AS (
+         |  SELECT item_x, item_y, ${r4(corrSql)} AS corr, n
+         |  FROM pairs WHERE n > 0
+         |)
+         |SELECT CAST(item_x AS VARCHAR) || ';' || CAST(item_y AS VARCHAR)
+         |       || ';' || CAST(CAST(corr AS DECIMAL(10,4)) AS VARCHAR)
+         |       || ';' || CAST(n AS VARCHAR) AS line
+         |FROM sims ORDER BY line LIMIT 10000""".stripMargin,
 
     "q_movies_pipeline" ->
       s"""WITH $R, $P,
