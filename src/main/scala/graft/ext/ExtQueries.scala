@@ -137,6 +137,23 @@ object ExtQueries {
       StreamOps.sessionAgg(Sources.table(s, d, "events"))
         .orderBy(col("user_id"), col("start_us"))),
 
+    // IVF ANN: label centroids as the coarse quantizer, every ~50th
+    // vector as a query, 2 probes, top-3. Deterministic throughout
+    // (fixed-point math) but the oracle SQL would be a page of CTEs —
+    // the LSH variant above carries the oracle coverage for ANN;
+    // this records a rows-only check.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val cells = VectorSearch.labelCentroids(e)
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.ivfTopK(
+        e.select(col("vec_id"), col("embedding")), cells, queries,
+        "qid", "qvec", 3, 2)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // Model-based CF (MLlib ALS) — the BASELINE.json north-star
     // approach. Iterative solver => no DuckDB oracle; the driver
     // records a rows-only check (seeded, so locally reproducible).

@@ -74,6 +74,60 @@ object VectorSearch {
       .where(col("rn") <= k)
   }
 
+  /** IVF-style ANN: a coarse quantizer (cells = centroid table) maps
+    * every vector to its nearest cell once (build side); a query then
+    * probes only the `nProbe` cells nearest to it and brute-forces
+    * within those — the classic inverted-file trade: recall vs the
+    * fraction of the corpus scanned. At 100 TB the assignment table is
+    * written partitioned by cell_id so a probe reads only its cells'
+    * partitions; cells stay broadcast-sized (√N cells ≈ thousands).
+    *
+    * The cell table here is any (cell_id, centroid) frame —
+    * [[labelCentroids]] in the queries (deterministic), k-means in a
+    * production build.
+    */
+  def ivfTopK(emb: DataFrame, cells: DataFrame, queries: DataFrame,
+              queryKey: String, queryVec: String,
+              k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellsB = broadcast(cells.select(col("cell_id"),
+      col("centroid"), fixedNormSq(col("centroid")).as("cnrm")))
+    // build: nearest cell per vector (rn=1 over cosine desc)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val assigned = emb
+      .withColumn("enrm", fixedNormSq(col("embedding")))
+      .crossJoin(cellsB)
+      .withColumn("cell_cos", Det.r4(cosineCol(
+        fixedDot(col("embedding"), col("centroid")),
+        col("enrm"), col("cnrm"))))
+      .withColumn("arn", row_number().over(aw))
+      .where(col("arn") === 1)
+      .select(col("cell_id"), col("vec_id"), col("embedding"), col("enrm"))
+    // probe: nProbe nearest cells per query
+    val pw = Window.partitionBy(col(queryKey))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val probes = queries
+      .withColumn("qnrm", fixedNormSq(col(queryVec)))
+      .crossJoin(cellsB)
+      .withColumn("cell_cos", Det.r4(cosineCol(
+        fixedDot(col(queryVec), col("centroid")),
+        col("qnrm"), col("cnrm"))))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= nProbe)
+      .select(col(queryKey), col(queryVec), col("qnrm"), col("cell_id"))
+    // scan only the probed cells
+    val sw = Window.partitionBy(col(queryKey))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell_id"))
+      .select(col(queryKey), col("vec_id"),
+        Det.r4(cosineCol(
+          fixedDot(col(queryVec), col("embedding")),
+          col("qnrm"), col("enrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(sw).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Sign-LSH bucket id from the first `bits` dimensions. */
   def signBucket(emb: Column, bits: Int): Column =
     (0 until bits).map(i =>

@@ -114,6 +114,26 @@ class ExtSpec extends SparkSpec {
     assert(top(1).getAs[Long]("vec_id") === 3L) // cos ~ 0.9938
   }
 
+  test("IVF topK: query in a cell finds its cluster-mates; recall vs brute force") {
+    // two clean clusters around (1,0) and (0,1)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.95f, 0.0f)),
+      (4L, Array(0.05f, 1.0f)), (5L, Array(0.1f, 0.9f)), (6L, Array(0.0f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val cells = Seq((0L, Array(1.0d, 0.0d)), (1L, Array(0.0d, 1.0d)))
+      .toDF("cell_id", "centroid")
+    val queries = Seq((100L, Array(0.98f, 0.02f))).toDF("qid", "qvec")
+    val ivf = VectorSearch.ivfTopK(emb, cells, queries, "qid", "qvec", 3, 1)
+      .orderBy(col("rn")).collect().map(_.getAs[Long]("vec_id"))
+    // nProbe=1 restricts the scan to cluster A's members only
+    assert(ivf.toSet.subsetOf(Set(1L, 2L, 3L)) && ivf.length === 3)
+    // and matches brute force (probes spanning the whole space)
+    val brute = VectorSearch.topKByCosine(emb,
+      Seq((100L, Array(0.98d, 0.02d))).toDF("qid", "qvec2"), "qid", "qvec2", 3)
+      .orderBy(col("rn")).collect().map(_.getAs[Long]("vec_id"))
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
   test("multimodal: typed decode path matches the Column metadata path") {
     val docs = docsDF(1L -> "some media payload bytes here", 2L -> "x")
     val viaColumns = Multimodal.mediaMeta(docs)
