@@ -56,6 +56,44 @@ object StreamOps {
       }
   }
 
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                        n_events: Long)
+
+  /** Custom stateful sessionizer via `flatMapGroupsWithState`: buffers
+    * per-user event times in state and emits CLOSED sessions only
+    * (zero or many outputs per invocation — the flatMap shape that
+    * mapGroupsWithState cannot express). Batch-mode twin of the
+    * `session_window` aggregation; in a stream, pair with a watermark
+    * and event-time timeout. */
+  def closedSessions(ds: Dataset[Ev2], gapMs: Long = 1800000L): Dataset[SessionOut] = {
+    implicit val enc = Encoders.product[SessionOut]
+    implicit val encL = Encoders.scalaLong
+    implicit val encState = Encoders.product[SessionBuf]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev2], state: GroupState[SessionBuf]) =>
+          val ts = (state.getOption.map(_.open).getOrElse(Nil) ++
+            evs.map(_.ts_ms)).sorted
+          // split into gap-delimited runs; all but the last are closed
+          val runs = ts.foldLeft(List.empty[List[Long]]) {
+            case (acc, t) => acc match {
+              case (run @ (last :: _)) :: rest if t - last < gapMs =>
+                (t :: run) :: rest
+              case _ => List(t) :: acc
+            }
+          }.map(_.reverse).reverse
+          val (closed, open) =
+            if (runs.isEmpty) (Nil, Nil) else (runs.init, runs.last)
+          state.update(SessionBuf(open))
+          closed.iterator.map(r =>
+            SessionOut(uid, r.head, r.last, r.size.toLong))
+      }
+  }
+  case class Ev2(user_id: Long, ts_ms: Long)
+  case class SessionBuf(open: List[Long])
+
   /** File-source streaming run of [[sessionAgg]] against a testdata
     * dir, drained synchronously into an in-memory sink (local smoke
     * harness; a production run swaps source/sink + trigger). */

@@ -114,6 +114,41 @@ class ExtSpec extends SparkSpec {
     assert(top(1).getAs[Long]("vec_id") === 3L) // cos ~ 0.9938
   }
 
+  test("typed MomentAggregator matches the relational moment sums") {
+    import graft.core.MomentAggregator
+    val pairs = Seq((4.0, 5.0), (3.0, 4.0), (1.0, 2.0))
+    val buf = pairs.foldLeft(MomentAggregator.zero)(MomentAggregator.reduce)
+    assert(buf.n === 3L && buf.sx === 8.0 && buf.sy === 11.0)
+    assert(buf.sxy === 4.0 * 5.0 + 3.0 * 4.0 + 1.0 * 2.0)
+    // merge is the same monoid op (the streaming-aggregable property)
+    val (l, r) = pairs.splitAt(1)
+    val merged = MomentAggregator.merge(
+      l.foldLeft(MomentAggregator.zero)(MomentAggregator.reduce),
+      r.foldLeft(MomentAggregator.zero)(MomentAggregator.reduce))
+    assert(merged === buf)
+    // typed end-to-end through a Dataset group-by
+    val ds = pairs.map { case (x, y) => (1L, x, y) }.toDF("k", "x", "y")
+      .as[(Long, Double, Double)]
+    val agg = ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(MomentAggregator.toColumn).collect()(0)._2
+    assert(agg === buf)
+    assert(MomentAggregator.pearson(buf) === 1.0) // y = x + 1 exactly
+  }
+
+  test("sinks: semicolon lines, parquet roundtrip, csv dialect") {
+    import graft.io.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("sinks").toString
+    val df = Seq(("A", "B", 1.0, 2L)).toDF("item_x", "item_y", "corr", "n")
+    Sinks.writeSemicolon(df, Seq("item_x", "item_y", "corr", "n"), s"$tmp/semi")
+    val line = spark.read.text(s"$tmp/semi").collect()(0).getString(0)
+    assert(line === "A;B;1.0;2")
+    Sinks.writeParquet(df, s"$tmp/pq", partitionBy = Seq("item_x"))
+    assert(spark.read.parquet(s"$tmp/pq").count() === 1L)
+    Sinks.writeCsv(df, s"$tmp/csv", sep = "|")
+    assert(spark.read.option("sep", "|").csv(s"$tmp/csv").count() === 1L)
+  }
+
   test("IVF topK: query in a cell finds its cluster-mates; recall vs brute force") {
     // two clean clusters around (1,0) and (0,1)
     val emb = Seq(

@@ -37,6 +37,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits only closed sessions, keeps the open one") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamOps.Ev2](spark)
+    val q = StreamOps.closedSessions(input.toDS(), gapMs = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+    try {
+      // session A: t=0,500; then a gap > 1000 starts session B at t=5000
+      input.addData(StreamOps.Ev2(1L, 0L), StreamOps.Ev2(1L, 500L),
+        StreamOps.Ev2(1L, 5000L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT start_ms, end_ms, n_events FROM closed_sessions").collect()
+      assert(rows.length === 1)            // only session A closed
+      assert(rows(0).getLong(0) === 0L && rows(0).getLong(1) === 500L
+        && rows(0).getLong(2) === 2L)
+      // next batch closes session B by starting session C
+      input.addData(StreamOps.Ev2(1L, 9000L))
+      q.processAllAvailable()
+      val all = spark.sql(
+        "SELECT count(*) FROM closed_sessions").collect()(0).getLong(0)
+      assert(all === 2L)                   // A and B closed, C still open
+    } finally q.stop()
+  }
+
   test("batch and streaming session counts agree at the session level") {
     val batch = StreamOps.sessionAgg(
       graft.io.Sources.events(spark, sf001)).count()
