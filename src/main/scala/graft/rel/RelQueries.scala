@@ -121,6 +121,72 @@ object RelQueries {
         .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
     }),
 
+    // Analytic window functions: lag/lead/first/last/nth. Nullable
+    // analytic results are coalesced — Spark sorts NULLS FIRST,
+    // DuckDB NULLS LAST, so nulls must never reach the output.
+    "q_window_analytics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"),
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)).as("prev_price"),
+          coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)).as("next_price"),
+          first_value(col("o_totalprice")).over(wRun).as("first_price"),
+          last_value(col("o_totalprice")).over(wAll).as("last_price"),
+          coalesce(nth_value(col("o_totalprice"), 2).over(wAll), lit(0.0))
+            .as("second_price"))
+        .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+    }),
+
+    // RANGE frame: 30-day moving revenue per customer over portable
+    // epoch-day integers (exact-cents summands).
+    "q_window_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, d, "orders")
+        // o_orderdate is TIMESTAMP_NTZ in parquet; cast through
+        // session-UTC timestamp so epoch math matches DuckDB's naive
+        // epoch_ms
+        .withColumn("day",
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          (sum(col("cents")).over(w) / lit(100.0)).as("moving_30d"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    }),
+
+    // CUBE grouping sets with grouping() indicators.
+    "q_agg_cube" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.fsum2(col("o_totalprice")).as("sum_price"),
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"))
+        .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("sum_price"), col("g_seg"), col("g_pri"))
+        .orderBy(col("segment"), col("priority"))
+    }),
+
+    // Exact interpolated percentiles (same p·(n−1) linear rule as
+    // DuckDB's quantile_cont; integral inputs → identical doubles).
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Det.r4(percentile(col("l_quantity"), lit(0.5))).as("median_qty"),
+          Det.r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
+          Det.r4(percentile(col("l_quantity"), lit(0.99))).as("p99_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
       t(s, d, "orders")
@@ -309,6 +375,60 @@ object RelQueries {
         |            AS DOUBLE) / 100.0 AS running_total
         |FROM orders
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice,
+        |       coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+        |       coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS next_price,
+        |       first_value(o_totalprice) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS first_price,
+        |       last_value(o_totalprice) OVER wf AS last_price,
+        |       coalesce(nth_value(o_totalprice, 2) OVER wf, 0.0)
+        |         AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+
+    "q_window_range" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |                             RANGE BETWEEN 30 PRECEDING
+        |                             AND CURRENT ROW) AS DOUBLE) / 100.0
+        |         AS moving_30d
+        |FROM o
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
+         |       coalesce(o_orderpriority, '(all)') AS priority,
+         |       count(*) AS n_orders,
+         |       ${fsum2("o_totalprice")} AS sum_price,
+         |       CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+         |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+         |ORDER BY segment, priority""".stripMargin,
+
+    "q_percentiles" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |       ${r4("quantile_cont(l_quantity, 0.5)")} AS median_qty,
+         |       ${r4("quantile_cont(l_quantity, 0.9)")} AS p90_qty,
+         |       ${r4("quantile_cont(l_quantity, 0.99)")} AS p99_qty
+         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
