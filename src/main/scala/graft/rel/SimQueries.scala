@@ -22,6 +22,13 @@ object SimQueries {
     * `moments` is the unfiltered pair-moment table that 7 of the
     * queries consume — the single most expensive sub-plan in the
     * inventory. */
+  /** NOTE (plan-audited): pre-repartitioning this cache by user_id
+    * does NOT eliminate the self-join exchange — with AQE enabled the
+    * cached plan root is AdaptiveSparkPlan, whose partitioning is
+    * opaque to consumers, so EnsureRequirements re-shuffles anyway.
+    * The shuffle-free layout for the pair join is the bucketed table
+    * (io.Bucketing, zero-Exchange plan asserted in ApiSpec), which a
+    * 100 TB deployment writes at ingest. */
   private def ratings(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrPersist(spark, "ratings", dir)(Sources.ratings(spark, dir))
 
