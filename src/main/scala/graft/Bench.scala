@@ -13,14 +13,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Build the session-shared intermediates under their own timer so
+    // per-query numbers don't depend on map iteration order; the cost
+    // stays inside the reported total.
+    val tw = System.nanoTime()
+    try { SparkEntry.warmShared(spark, sfDir) } catch { case _: Throwable => () }
+    val warm = ("_shared_build", (System.nanoTime() - tw) / 1e9)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (warm :: results.toList).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum + warm._2
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -19,6 +19,16 @@ object SparkEntry {
       rel.RelQueries.queries ++
       ext.ExtQueries.queries
 
+  /** Force all session-shared intermediates (bucketed ratings table,
+    * pair moments, shingles, LSH candidates). Bench times this as its
+    * own `_shared_build` line so per-query numbers are stable no
+    * matter which query runs first; Verify/driver runs need not call
+    * it — the first consuming query triggers the same builds. */
+  def warmShared(spark: SparkSession, dir: String): Unit = {
+    rel.SimQueries.warm(spark, dir)
+    ext.ExtQueries.warm(spark, dir)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =

@@ -29,6 +29,14 @@ object ExtQueries {
     Cache.getOrPersist(s, "minhash_cand", d)(
       Dedup.minhashCandidates(Dedup.minhashBandMins(shinglesC(s, d))))
 
+  /** Force this module's session-shared intermediates (shingle table,
+    * LSH candidate pairs) — see [[graft.rel.SimQueries.warm]]. */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    shinglesC(spark, dir).count()
+    candidatesC(spark, dir).count()
+    ()
+  }
+
   private val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
 

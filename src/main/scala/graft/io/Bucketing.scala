@@ -1,6 +1,8 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-layout utilities — the 100 TB co-partitioning story made
   * concrete (SURVEY.md §7.5).
@@ -22,5 +24,43 @@ object Bucketing {
       .bucketBy(buckets, by)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  private val memo = TrieMap.empty[(Int, String), String]
+
+  /** One-time bucketed materialization of a shared intermediate,
+    * memoized per (session, name, dir) like [[graft.core.Cache]] — but
+    * the result is a catalog table, so downstream scans keep the
+    * bucket partitioning that `persist()` hides behind an
+    * AdaptiveSparkPlan (the negative result recorded in PLANS.md).
+    * A self-join of the returned frame on `by` needs no Exchange, and
+    * with one file per bucket (the `repartition` below guarantees it)
+    * no per-file Sort either when `sortCols` prefix the join key.
+    *
+    * This is the in-session analog of the 100 TB ingest-time layout:
+    * pay the partitioning shuffle once at write, never per query. */
+  def materializeOnce(spark: SparkSession, name: String, dir: String,
+                      by: String, sortCols: Seq[String] = Nil)
+                     (build: => DataFrame): DataFrame = {
+    val table = memo.getOrElseUpdate(
+      (System.identityHashCode(spark), s"$name:$dir"), {
+        val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val t = s"graft_${name}_" +
+          Integer.toHexString(System.identityHashCode(spark)) + "_" +
+          Integer.toHexString(dir.hashCode)
+        // the in-memory catalog forgets tables between JVMs but the
+        // warehouse dir persists — clear any stale location first
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val loc = new java.io.File(wh, t.toLowerCase)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+        writeBucketed(build.repartition(buckets, col(by)), t, buckets, by, sortCols)
+        t
+      })
+    spark.table(table)
   }
 }

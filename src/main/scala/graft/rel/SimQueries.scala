@@ -29,12 +29,21 @@ object SimQueries {
     * The shuffle-free layout for the pair join is the bucketed table
     * (io.Bucketing, zero-Exchange plan asserted in ApiSpec), which a
     * 100 TB deployment writes at ingest. */
+  /** Ratings in the bucketed-by-user layout (one-time write per
+    * session+dir): the self-join's co-partitioned source. */
+  private def ratingsBucketed(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Bucketing.materializeOnce(spark, "ratings", dir,
+      by = "user_id", sortCols = Seq("user_id", "item_id"))(
+      Sources.ratings(spark, dir))
+
+  /** In-memory ratings for point consumers — re-reads the bucketed
+    * table (cheap scan) so the view's lineitem⋈orders agg runs once. */
   private def ratings(spark: SparkSession, dir: String): DataFrame =
-    Cache.getOrPersist(spark, "ratings", dir)(Sources.ratings(spark, dir))
+    Cache.getOrPersist(spark, "ratings", dir)(ratingsBucketed(spark, dir))
 
   private def moments(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrPersist(spark, "pair_moments", dir)(
-      Moments.pairMoments(ratings(spark, dir)))
+      Moments.pairMoments(ratingsBucketed(spark, dir)))
 
   /** Largest per-user posting-list size, memoized per (session, dir):
     * the runtime guard for the vectorFromMoments rewrite. */
@@ -46,6 +55,17 @@ object SimQueries {
       ratings(spark, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("c")).agg(max(col("c")))
         .collect()(0).getLong(0))
+
+  /** Force this module's session-shared intermediates (bucketed
+    * ratings table, ratings cache, pair-moment cache, max-items memo)
+    * so bench runs can account the one-time build separately from
+    * per-query time. */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    ratings(spark, dir).count()
+    moments(spark, dir).count()
+    maxUserItems(spark, dir)
+    ()
+  }
 
   /** Rounded metric columns over an asDoubles moment frame. */
   private def corrCol = Det.r4(S.correlation(

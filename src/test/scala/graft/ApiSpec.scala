@@ -55,10 +55,31 @@ class ApiSpec extends SparkSpec {
       val t2 = spark.table("r_bucketed")
         .select(col("user_id"), col("item_id").as("item_y"))
       val joined = t1.join(t2, Seq("user_id"))
-      val plan = joined.queryExecution.sparkPlan.toString
+      // executedPlan, not sparkPlan: EnsureRequirements only inserts
+      // Exchange nodes in the executed plan
+      val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() > 0)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("pair moments over materializeOnce plan a single Exchange (the group-by)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Bucketing.materializeOnce(spark, "ratings_plan", sf001,
+        by = "user_id", sortCols = Seq("user_id", "item_id"))(
+        graft.io.Sources.ratings(spark, sf001))
+      // memoized: second call returns the same table without rewriting
+      val again = Bucketing.materializeOnce(spark, "ratings_plan", sf001,
+        by = "user_id")(fail("builder must not run twice"))
+      val m = graft.core.Moments.pairMoments(bucketed)
+      val plan = m.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"self-join side should be exchange-free, only the pair group-by shuffles:\n$plan")
+      assert(m.count() > 0 && again.count() == bucketed.count())
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
