@@ -278,6 +278,45 @@ object RelQueries {
           .as("window_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // Backward as-of join (TemporalJoin.asof): each purchase event
+    // picks up the user's most recent click at or before it — one
+    // window pass over the unioned sides, no per-row probe.
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_ms").as("click_ms"))
+      graft.core.TemporalJoin.asof(purchases, clicks, "user_id",
+          leftTs = "ts_ms", rightTs = "click_ms",
+          payload = Seq("click_id", "click_ms"), tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("ts_ms") - col("click_ms"), lit(-1L)).as("gap_ms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Banded range join (TemporalJoin.bandJoin): same-type event pairs
+    // within 10 minutes, canonically ordered, aggregated per type.
+    // The band predicate runs as an equi-join on (type, time bucket) —
+    // hash-partitionable — never as a nested-loop theta join.
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val pairs = graft.core.TemporalJoin
+        .bandJoin(ev, ev, Seq("event_type"), "ts_ms", "ts_ms", 600000L)
+        .where(col("b_ts_ms") > col("a_ts_ms") ||
+          (col("b_ts_ms") === col("a_ts_ms") &&
+            col("b_event_id") > col("a_event_id")))
+      pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("b_ts_ms") - col("a_ts_ms")).as("sum_gap_ms"),
+          max(col("b_ts_ms") - col("a_ts_ms")).as("max_gap_ms"))
+        .orderBy(col("event_type"))
+    }),
+
     // Sessionization (batch analog): 30-min inactivity gap via
     // lag + cumulative sum — the deterministic, oracle-checkable twin
     // of the streaming session_window variant.
@@ -499,6 +538,46 @@ object RelQueries {
          |       ${fsum4("value")} AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY window_start, event_type""".stripMargin,
+
+    // Same union+window formulation as the engine (ANSI; DuckDB's
+    // native ASOF JOIN would leave right-timestamp ties unspecified).
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, ts_ms, 1 AS side, event_id,
+        |         NULL::BIGINT AS click_id, NULL::BIGINT AS click_ms
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_ms, 0 AS side, event_id,
+        |         event_id AS click_id, ts_ms AS click_ms
+        |  FROM ev WHERE event_type = 'click'),
+        |filled AS (
+        |  SELECT user_id, ts_ms, side, event_id,
+        |         last_value(click_id IGNORE NULLS) OVER w AS click_id,
+        |         last_value(click_ms IGNORE NULLS) OVER w AS click_ms
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, side, click_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |       coalesce(click_id, -1) AS click_id,
+        |       coalesce(ts_ms - click_ms, -1) AS gap_ms
+        |FROM filled WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT a.event_type, count(*) AS n_pairs,
+        |       CAST(sum(b.ts_ms - a.ts_ms) AS BIGINT) AS sum_gap_ms,
+        |       max(b.ts_ms - a.ts_ms) AS max_gap_ms
+        |FROM ev a JOIN ev b
+        |  ON a.event_type = b.event_type
+        | AND (b.ts_ms > a.ts_ms OR
+        |      (b.ts_ms = a.ts_ms AND b.event_id > a.event_id))
+        | AND b.ts_ms - a.ts_ms <= 600000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH ev AS (
