@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { q =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, sfDir).count()
+      println(f"TIMING $q ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -11,15 +11,22 @@ import graft.core.PortableHash
   * The reference repo has no dedup surface; these extend it per the
   * BASELINE.json north star. Design rules:
   *  - never compare all N² documents: candidates come from LSH band
-  *    buckets (minhash) or 4-bit pigeonhole blocks (simhash), both of
+  *    buckets (minhash) or 8-bit pigeonhole blocks (simhash), both of
   *    which shuffle on small keys and stay sub-quadratic at 100 TB;
   *  - all hashes are [[PortableHash]] arithmetic so the DuckDB oracle
   *    reproduces them bit-for-bit; swap in xxhash64 for production.
   */
 object Dedup {
   val Bands = 8
-  val SimhashBits = 16
+  // 32-bit signatures in 8-bit blocks: a 16/4 split leaves only
+  // 4·16 = 64 distinct (block, value) join keys, so every bucket holds
+  // ~|docs|/16 rows and the candidate join goes quadratic. 8-bit
+  // blocks give 4·256 keys — ~16× smaller buckets, ~256× fewer
+  // candidate pairs — while the pigeonhole argument (dist ≤ 3 < 4
+  // blocks ⇒ some block equal) still guarantees completeness.
+  val SimhashBits = 32
   val SimhashBlocks = 4
+  val SimhashBlockBase = 1 << (SimhashBits / SimhashBlocks)
 
   /** Normalization used by the exact-dup queries: the first k words.
     * (The synthetic corpus has no full-text duplicates; prefix
@@ -165,7 +172,7 @@ object Dedup {
   }
 
   /** Near-dup pairs by simhash hamming distance ≤ maxDist, found via
-    * pigeonhole blocking: split the 16 bits into 4 blocks of 4; any
+    * pigeonhole blocking: split the 32 bits into 4 blocks of 8; any
     * pair within distance 3 agrees on ≥1 whole block, so joining per
     * block is complete — and sub-quadratic, since the join key is
     * (block index, block value). */
@@ -173,7 +180,8 @@ object Dedup {
     val blockRows = sims.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("blk"))
       .withColumn("bv",
-        floor(col("simhash") / pow(lit(16.0), col("blk"))).cast("long") % 16)
+        floor(col("simhash") / pow(lit(SimhashBlockBase.toDouble), col("blk")))
+          .cast("long") % SimhashBlockBase)
     val a = blockRows.select(col("doc_id").as("d1"),
       col("simhash").as("h1"), col("blk"), col("bv"))
     val b = blockRows.select(col("doc_id").as("d2"),

@@ -234,7 +234,8 @@ object ExtQueries {
          |blocks AS (
          |  ${(0 until Dedup.SimhashBlocks).map(b =>
              s"SELECT doc_id, simhash, $b AS blk, " +
-               s"CAST(floor(simhash / power(16, $b)) AS BIGINT) % 16 AS bv " +
+               s"CAST(floor(simhash / power(${Dedup.SimhashBlockBase}, $b)) AS BIGINT)" +
+               s" % ${Dedup.SimhashBlockBase} AS bv " +
                "FROM simhash").mkString(" UNION ALL ")}
          |),
          |pairs AS (
