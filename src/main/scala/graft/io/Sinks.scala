@@ -34,4 +34,9 @@ object Sinks {
     df.write.mode("overwrite")
       .option("sep", sep).option("header", header.toString)
       .csv(path)
+
+  /** JSON-lines sink — the interchange twin of
+    * [[graft.io.Sources.jsonRatings]]. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

@@ -60,6 +60,14 @@ object Sources {
       .select(col("user_id"), col("item_id"),
         col("rating").cast(DoubleType).as("rating"))
 
+  /** JSON-lines ratings dialect: `{"user_id":…,"item_id":…,"rating":…}`
+    * per line. Schema is always explicit — `inferSchema` means a full
+    * extra pass over 100 TB before the query even starts. */
+  def jsonRatings(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(ratingSchema).json(path)
+      .select(col("user_id"), col("item_id"),
+        col("rating").cast(DoubleType).as("rating"))
+
   /** The engine's MovieLens analog over the testdata star schema
     * (FIXTURES.md §1): one (user=o_custkey, item=l_partkey) preference
     * per pair, rating = avg ordered quantity rounded half-up to 4

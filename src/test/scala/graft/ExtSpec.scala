@@ -149,6 +149,15 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.option("sep", "|").csv(s"$tmp/csv").count() === 1L)
   }
 
+  test("json source/sink roundtrip preserves the ratings dialect") {
+    val dir = "/tmp/graft-json-roundtrip"
+    val src = toyRatings.select(col("user_id"), col("item_id"), col("rating"))
+    graft.io.Sinks.writeJson(src, dir)
+    val back = graft.io.Sources.jsonRatings(spark, dir)
+    assert(back.schema.map(_.name) === Seq("user_id", "item_id", "rating"))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("IVF topK: query in a cell finds its cluster-mates; recall vs brute force") {
     // two clean clusters around (1,0) and (0,1)
     val emb = Seq(

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.streaming.StreamOps
 
 /** Structured Streaming smoke: the same session aggregation that the
@@ -34,6 +35,40 @@ class StreamingSpec extends SparkSpec {
           |ORDER BY n DESC LIMIT 1""".stripMargin).collect()(0)
       assert(last.getLong(0) === 3L)      // state carried across batches
       assert(last.getDouble(1) === 10.0)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the threshold in append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val q = StreamOps.tumblingCounts(
+        input.toDF().toDF("ts", "event_type", "value"),
+        width = "1 hour", watermark = "2 hours")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm").start()
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    try {
+      // batch 1: events in hours 1 and 2 -> watermark advances to 00:30
+      input.addData((t(1), "a", 1.0), (t(2), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: push max event time to hour 8 -> watermark 06:30;
+      // windows [1:00,2:00) and [2:00,3:00) close and emit
+      input.addData((t(8), "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: a straggler at hour 1, far behind the 06:30 watermark
+      input.addData((t(1), "a", 99.0))
+      q.processAllAvailable()
+      input.addData((t(12), "a", 1.0))  // close hour-8 window too
+      q.processAllAvailable()
+      val counts = spark.sql("SELECT ws, n FROM wm ORDER BY ws").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      // the late hour-1 event was DROPPED: its closed window stays n=1
+      assert(counts("2024-01-01 01:00:00.0") === 1L)
+      assert(counts("2024-01-01 02:00:00.0") === 1L)
+      assert(counts("2024-01-01 08:00:00.0") === 1L)
     } finally q.stop()
   }
 
