@@ -55,6 +55,19 @@ object PortableHash {
       s" + length($expr)*5381) % $M)"
   }
 
+  /** Full-range spread for range-gated uses (sampling cuts): raw h is
+    * uniform enough for equality joins but clusters in a narrow band
+    * for short keys (it is a positional-weighted sum), so `h < p·M`
+    * gates select wildly wrong fractions. Multiplying by a
+    * Lehmer-style constant mod the prime M is a bijection on [0, M)
+    * that spreads any dense cluster across the whole ring. BIGINT
+    * casts matter: h·48271 overflows 32-bit in both engines. */
+  def spread(h: Column): Column =
+    (h.cast("long") * lit(48271L)) % lit(M.toLong)
+
+  def spreadSql(hExpr: String): String =
+    s"((CAST($hExpr AS BIGINT) * 48271) % $M)"
+
   /** Per-band minhash transform: an affine re-hash of h per band b,
     * so each band draws an (approximately) independent permutation. */
   def bandHash(h: Column, band: Int): Column =

@@ -136,6 +136,23 @@ object ExtQueries {
         .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
         .limit(100)),
 
+    // Deterministic ~10% corpus cut: portable-hash gate on doc_id —
+    // a pure post-scan filter, zero shuffle, identical rows on any
+    // engine/partitioning (ext.Sampling rationale).
+    "q_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(docs(s, d), col("doc_id").cast("string"), 10.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic stratified sample: 20 docs per language by
+    // smallest (hash, key) — seeded-reservoir analog.
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratified(docs(s, d), col("lang"),
+          col("doc_id").cast("string"), 20)
+        .select(col("lang"), col("doc_id"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
     // Multimodal metadata over the opaque payload column.
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
@@ -389,6 +406,24 @@ object ExtQueries {
               "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
          |FROM dots
          |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin,
+
+    "q_hash_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Sampling.hashSampleSql("CAST(doc_id AS VARCHAR)", 10.0)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id,
+         |         row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${graft.core.PortableHash.spreadSql(
+                       graft.core.PortableHash.hSql("CAST(doc_id AS VARCHAR)"))},
+         |                    CAST(doc_id AS VARCHAR)) AS sample_rank
+         |  FROM documents)
+         |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM ranked WHERE sample_rank <= 20
+         |ORDER BY lang, sample_rank""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -149,6 +149,30 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.option("sep", "|").csv(s"$tmp/csv").count() === 1L)
   }
 
+  test("hash sample is partitioning-invariant and roughly pct-sized") {
+    import graft.ext.Sampling
+    val ids = spark.range(0, 2000).toDF("doc_id")
+    val key = col("doc_id").cast("string")
+    val s1 = Sampling.hashSample(ids, key, 10.0)
+    val s2 = Sampling.hashSample(ids.repartition(7), key, 10.0)
+    val rows1 = s1.collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows1 === s2.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(rows1.size > 100 && rows1.size < 300) // ~10% of 2000
+  }
+
+  test("stratified sample: exactly n per stratum, stable under reruns") {
+    import graft.ext.Sampling
+    val df = spark.range(0, 300)
+      .select(col("id").as("doc_id"), (col("id") % 3).as("lang"))
+    val out = Sampling.stratified(df, col("lang"),
+      col("doc_id").cast("string"), 5)
+    val byLang = out.collect().groupBy(_.getLong(1))
+    assert(byLang.size === 3 && byLang.values.forall(_.length === 5))
+    val again = Sampling.stratified(df.repartition(5), col("lang"),
+      col("doc_id").cast("string"), 5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("json source/sink roundtrip preserves the ratings dialect") {
     val dir = "/tmp/graft-json-roundtrip"
     val src = toyRatings.select(col("user_id"), col("item_id"), col("rating"))
