@@ -62,11 +62,14 @@ object GraftFunctions {
   private val registered =
     java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
 
-  /** Idempotently register `graft_hash` on a session so it is callable
-    * from both `spark.sql` and `call_function`. */
+  /** Idempotently register the native functions on a session so they
+    * are callable from both `spark.sql` and `call_function`. */
   def ensureRegistered(spark: SparkSession): Unit =
     if (registered.add(System.identityHashCode(spark))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_hash", exprs => PortableHashExpr(exprs.head), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_fixed_dot",
+        exprs => FixedDotExpr(exprs.head, exprs(1)), "scala_udf")
     }
 }

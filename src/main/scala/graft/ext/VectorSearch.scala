@@ -24,13 +24,23 @@ import graft.core.Det
 object VectorSearch {
   val DotScale = 1e12
 
-  /** Exact fixed-point dot product of two double arrays. */
-  def fixedDot(a: Column, b: Column): Column =
+  /** Exact fixed-point dot product — composed-HOF reference form.
+    * Documents the per-term math the DuckDB oracles spell out; the
+    * operators below run [[fixedDot]], its fused native twin. */
+  def fixedDotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         floor(x.cast("double") * y.cast("double") * lit(DotScale) + lit(0.5))
           .cast("long")),
       lit(0L), (acc, x) => acc + x) / lit(DotScale)
+
+  /** Exact fixed-point dot product via the native codegen'd
+    * [[graft.expr.FixedDotExpr]] (bit-identical to [[fixedDotHof]],
+    * asserted in ExprSpec; fused loop, no intermediate array).
+    * Callers' sessions need [[graft.expr.GraftFunctions]] registered —
+    * every DataFrame entry point here does it. */
+  def fixedDot(a: Column, b: Column): Column =
+    call_function("graft_fixed_dot", a, b) / lit(DotScale)
 
   /** Exact fixed-point squared norm. */
   def fixedNormSq(a: Column): Column = fixedDot(a, a)
@@ -61,6 +71,7 @@ object VectorSearch {
   def topKByCosine(emb: DataFrame, probes: DataFrame,
                    probeKey: String, probeVec: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     val embN = emb.withColumn("nrm_e", fixedNormSq(col("embedding")))
     val probesN = probes.withColumn("nrm_p", fixedNormSq(col(probeVec)))
     val scored = embN.crossJoin(broadcast(probesN))
@@ -90,6 +101,7 @@ object VectorSearch {
               queryKey: String, queryVec: String,
               k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     val cellsB = broadcast(cells.select(col("cell_id"),
       col("centroid"), fixedNormSq(col("centroid")).as("cnrm")))
     // build: nearest cell per vector (rn=1 over cosine desc)
@@ -142,6 +154,7 @@ object VectorSearch {
   /** All intra-bucket pairs with their cosine — the LSH-bucketed
     * near-duplicate path (compare ~N·bucketSize pairs, not N²). */
   def bucketedPairCosine(emb: DataFrame, bits: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     // norms once per vector (N rows), not once per pair side (~N·B
     // rows) — the dot product is the only per-pair array work left.
     val withB = emb.select(col("vec_id"), col("embedding"),

@@ -35,6 +35,23 @@ class ExprSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("native graft_fixed_dot equals the HOF formula on real embeddings") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
+    // float×float and float×double(centroid-shaped) operand mixes
+    val pairs = e.crossJoin(b).where(col("vec_id") % 17 === col("v2") % 23)
+      .withColumn("embd", transform(col("emb2"), _.cast("double")))
+    val mism = pairs.select(
+      graft.ext.VectorSearch.fixedDot(col("embedding"), col("emb2")).as("nat"),
+      graft.ext.VectorSearch.fixedDotHof(col("embedding"), col("emb2")).as("hof"),
+      graft.ext.VectorSearch.fixedDot(col("embedding"), col("embd")).as("natd"),
+      graft.ext.VectorSearch.fixedDotHof(col("embedding"), col("embd")).as("hofd"))
+      .where(col("nat") =!= col("hof") || col("natd") =!= col("hofd")).count()
+    assert(mism === 0L)
+  }
+
   test("graft_hash is callable from SQL after registration") {
     GraftFunctions.ensureRegistered(spark)
     val v = spark.sql("SELECT graft_hash('spark')").collect()(0).getInt(0)

@@ -87,6 +87,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("fixed-point dot product is exact and fold-order-free") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
     val r = df.select(
