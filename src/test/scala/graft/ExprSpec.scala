@@ -52,6 +52,37 @@ class ExprSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("GraftExtensions injects the native functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // force the shared lazy session to exist first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext. The spark.sql.extensions conf
+      // is STATIC (read from the SparkContext conf at context creation),
+      // so on a shared test context the programmatic withExtensions
+      // route exercises the same injector.
+      val s2 = SparkSession.builder()
+        .master("local[2]") // SparkContext.getOrCreate reuses the live context
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne orig)
+      val r = s2.sql(
+        """SELECT graft_hash('spark') AS h,
+          |       graft_fixed_dot(array(CAST(1.0 AS FLOAT)),
+          |                       array(CAST(2.0 AS FLOAT))) AS d""".stripMargin)
+        .collect()(0)
+      assert(r.getInt(0) === graft.expr.PortableHashImpl.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("spark")))
+      assert(r.getLong(1) === 2000000000000L) // 1·2 in 1e-12 units
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("graft_hash is callable from SQL after registration") {
     GraftFunctions.ensureRegistered(spark)
     val v = spark.sql("SELECT graft_hash('spark')").collect()(0).getInt(0)
