@@ -37,6 +37,10 @@ object ExtQueries {
     ()
   }
 
+  /** q_dataset_mix rates (shared by query and oracle). */
+  private val MixRates =
+    Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
+
   private val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
 
@@ -152,6 +156,15 @@ object ExtQueries {
         .select(col("lang"), col("doc_id"),
           col("sample_rank").cast("long").as("sample_rank"))
         .orderBy(col("lang"), col("sample_rank"))),
+
+    // Weighted training mix: 1.5 epochs of src0, half of src1, a
+    // tenth of src2, 1 epoch of everything else — deterministic
+    // per-row gate + generate, no shuffle.
+    "q_dataset_mix" -> ((s, d) =>
+      Sampling.weightedMix(docs(s, d), col("source"),
+          col("doc_id").cast("string"), MixRates, defaultRate = 1.0)
+        .select(col("doc_id"), col("source"), col("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))),
 
     // Multimodal metadata over the opaque payload column.
     "q_multimodal_meta" -> ((s, d) =>
@@ -406,6 +419,17 @@ object ExtQueries {
               "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
          |FROM dots
          |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin,
+
+    "q_dataset_mix" -> {
+      val (copiesExpr, _) = Sampling.weightedMixSql(
+        "source", "CAST(doc_id AS VARCHAR)", MixRates, defaultRate = 1.0)
+      s"""WITH gated AS (
+         |  SELECT doc_id, source, $copiesExpr AS n_copies FROM documents)
+         |SELECT doc_id, source,
+         |       unnest(generate_series(1, n_copies)) AS copy_id
+         |FROM gated WHERE n_copies > 0
+         |ORDER BY doc_id, copy_id""".stripMargin
+    },
 
     "q_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -35,6 +35,57 @@ object Sampling {
     s"${PortableHash.spreadSql(PortableHash.hSql(keyExpr))}" +
       s" < ${math.round(PortableHash.M * pct / 100.0)}"
 
+  /** Weighted dataset mix — the training-mix primitive ("1.5 epochs of
+    * src0, half of src1, a tenth of src2"). Each row gets
+    * `floor(rate)` whole copies plus one more when its spread key hash
+    * clears the fractional cut; copies are numbered `copy_id` = 1…n.
+    * Cuts are precomputed on the driver as integers, so the engine and
+    * oracle share exact constants (no runtime float arithmetic), and
+    * the whole thing is a per-row gate + generate — shuffle-free.
+    *
+    * Rows are filtered to `n_copies > 0` BEFORE the sequence: Spark's
+    * `sequence(1, 0)` counts DOWN ([1,0]), it does not produce empty. */
+  def weightedMix(df: DataFrame, source: Column, key: Column,
+                  rates: Map[String, Double],
+                  defaultRate: Double): DataFrame = {
+    def parts(r: Double): (Long, Long) = {
+      require(r >= 0, s"negative mix rate $r")
+      val w = math.floor(r).toLong
+      (w, math.round((r - w) * PortableHash.M))
+    }
+    val (dw, dc) = parts(defaultRate)
+    val whole = rates.foldLeft(lit(dw)) { case (acc, (s, r)) =>
+      when(source === s, lit(parts(r)._1)).otherwise(acc) }
+    val cut = rates.foldLeft(lit(dc)) { case (acc, (s, r)) =>
+      when(source === s, lit(parts(r)._2)).otherwise(acc) }
+    val gate = PortableHash.spread(PortableHash.h(key))
+    df.withColumn("n_copies",
+        whole + when(gate < cut, lit(1L)).otherwise(lit(0L)))
+      .where(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
+  /** SQL twin of [[weightedMix]]'s copy computation (DuckDB): CASE
+    * fragments over the same driver-side integer constants. Splice as
+    * `SELECT …, $whole AS whole, $cut AS cut` then
+    * `unnest(generate_series(1, n_copies)) AS copy_id`. */
+  def weightedMixSql(sourceExpr: String, keyExpr: String,
+                     rates: Map[String, Double],
+                     defaultRate: Double): (String, String) = {
+    def parts(r: Double): (Long, Long) = {
+      val w = math.floor(r).toLong
+      (w, math.round((r - w) * PortableHash.M))
+    }
+    def cases(pick: Double => Long, dflt: Long): String =
+      rates.toSeq.sortBy(_._1).map { case (s, r) =>
+        s"WHEN $sourceExpr = '$s' THEN ${pick(r)}"
+      }.mkString("CASE ", " ", s" ELSE $dflt END")
+    val whole = cases(r => parts(r)._1, parts(defaultRate)._1)
+    val cut = cases(r => parts(r)._2, parts(defaultRate)._2)
+    val gate = PortableHash.spreadSql(PortableHash.hSql(keyExpr))
+    (s"($whole + CASE WHEN $gate < $cut THEN 1 ELSE 0 END)", gate)
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum
     * with the smallest (spread hash, key) — a seeded reservoir analog
     * whose output is a stable function of the data. Ranking runs as

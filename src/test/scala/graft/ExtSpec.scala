@@ -174,6 +174,26 @@ class ExtSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("weightedMix: whole-rate copies exact, zero-rate dropped, fraction gated") {
+    import graft.ext.Sampling
+    val df = spark.range(0, 600).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val out = Sampling.weightedMix(df, col("source"),
+      col("doc_id").cast("string"),
+      Map("s0" -> 2.0, "s1" -> 0.0, "s2" -> 0.5), defaultRate = 1.0)
+    val bySrc = out.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") === 400L)          // 200 rows × exactly 2 copies
+    assert(!bySrc.contains("s1"))         // rate 0 drops the source
+    assert(bySrc("s2") > 40 && bySrc("s2") < 160) // ~50% of 200
+    // copy_id numbering: every s0 doc has copies 1 and 2
+    val ids = out.where(col("source") === "s0")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("copy_id"))))
+      .collect()
+    assert(ids.forall(_.getSeq[Long](1) === Seq(1L, 2L)))
+  }
+
   test("json source/sink roundtrip preserves the ratings dialect") {
     val dir = "/tmp/graft-json-roundtrip"
     val src = toyRatings.select(col("user_id"), col("item_id"), col("rating"))
