@@ -84,6 +84,18 @@ class ApiSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("approx_count_distinct tracks the exact distinct count within 5%") {
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val r = o.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx"))
+      .collect()(0)
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(exact > 0 && math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("saltedJoin and saltedCount match their unsalted equivalents") {
     val r = toyRatingsNumeric
     val dim = spark.range(1, 5).toDF("user_id")
