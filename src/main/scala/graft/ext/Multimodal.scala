@@ -78,4 +78,47 @@ object Multimodal {
         sequence(lit(0),
           floor(octet_length(col("media")) / lit(FrameBytes * everyK)).cast("int")),
         i => i.cast("long") * (FrameBytes * everyK)).as("frame_offsets"))
+
+  case class MediaResized(doc_id: Long, media: Array[Byte])
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** STUB resize kernel: nearest-neighbor stride-sample of the payload
+    * to a fixed length (a real implementation resamples decoded
+    * pixels). Output size is constant per call — the property the
+    * downstream batch shape relies on. */
+  private[ext] def resizeBytes(bytes: Array[Byte], outLen: Int): Array[Byte] = {
+    // ??? <- real decoder+bilinear resample goes here
+    if (bytes.isEmpty) new Array[Byte](outLen)
+    else Array.tabulate(outLen)(i =>
+      bytes(((i.toLong * bytes.length) / outLen).toInt))
+  }
+
+  /** STUB feature kernel: dim-bin byte histogram, L1-normalized (a
+    * real kernel runs a vision/audio embedding model). Deterministic,
+    * so the distributed path is testable end-to-end. */
+  private[ext] def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real model inference goes here
+    val h = new Array[Float](dim)
+    bytes.foreach(b => h((b & 0xff) % dim) += 1f)
+    val n = math.max(1f, bytes.length.toFloat)
+    h.map(_ / n)
+  }
+
+  /** Partition-parallel resize: same mapPartitions shape as
+    * [[decodeAll]] (kernel init once per partition). */
+  def resizeAll(media: DataFrame, outLen: Int = 64): Dataset[MediaResized] = {
+    implicit val encIn = Encoders.product[MediaRecord]
+    implicit val encOut = Encoders.product[MediaResized]
+    media.as[MediaRecord].mapPartitions(_.map(r =>
+      MediaResized(r.doc_id, resizeBytes(r.media, outLen))))
+  }
+
+  /** Partition-parallel feature extraction; output feeds
+    * [[graft.ext.VectorSearch]] directly (multimodal → ANN path). */
+  def featuresAll(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    implicit val encIn = Encoders.product[MediaRecord]
+    implicit val encOut = Encoders.product[MediaFeatures]
+    media.as[MediaRecord].mapPartitions(_.map(r =>
+      MediaFeatures(r.doc_id, extractFeatures(r.media, dim))))
+  }
 }

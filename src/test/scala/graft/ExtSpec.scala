@@ -223,6 +223,24 @@ class ExtSpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("multimodal: resize fixes batch shape; features feed ANN end-to-end") {
+    val docs = docsDF(1L -> "a b c d e f g h i j k l",
+      2L -> "a b c d e f g h i j k m", 3L -> "zz yy xx ww vv uu")
+    val media = Multimodal.mediaTable(docs)
+    val resized = Multimodal.resizeAll(media, outLen = 16).collect()
+    assert(resized.forall(_.media.length === 16)) // constant batch shape
+    val feats = Multimodal.featuresAll(media, dim = 8)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    // doc 1 probes the corpus: nearest by cosine must be itself, and
+    // the near-identical doc 2 must beat the disjoint doc 3
+    val probe = feats.where(col("vec_id") === 1L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = VectorSearch.topKByCosine(feats, probe, "qid", "qvec", 3)
+      .orderBy(col("rn")).collect()
+    assert(top(0).getLong(1) === 1L)
+    assert(top(1).getLong(1) === 2L)
+  }
+
   test("multimodal: typed decode path matches the Column metadata path") {
     val docs = docsDF(1L -> "some media payload bytes here", 2L -> "x")
     val viaColumns = Multimodal.mediaMeta(docs)
