@@ -96,4 +96,29 @@ class PropertySpec extends SparkSpec {
       else assert(math.abs(builtin.getDouble(0) - c) < 1e-9)
     }
   }
+
+  test("bandJoin equals the naive theta join on seeded random event sets") {
+    import spark.implicits._
+    import graft.core.TemporalJoin
+    // clustered timestamps so many pairs straddle bucket boundaries
+    (0 until 3).foreach { trial =>
+      val r = new scala.util.Random(1000 + trial)
+      val W = 1 + r.nextInt(200)
+      val rows = (0 until 250).map { i =>
+        (s"k${r.nextInt(4)}", i.toLong,
+          (r.nextInt(40) * W / 10 + r.nextInt(2 * W)).toLong)
+      }.toDF("k", "id", "ts")
+      val banded = TemporalJoin.bandJoin(rows, rows, Seq("k"), "ts", "ts", W)
+        .select(col("k"), col("a_id"), col("b_id"))
+      val a = rows.select(col("k"), col("id").as("a_id"), col("ts").as("a_ts"))
+      val b = rows.select(col("k").as("k2"), col("id").as("b_id"),
+        col("ts").as("b_ts"))
+      val naive = a.join(b, col("k") === col("k2") &&
+          col("b_ts") >= col("a_ts") && col("b_ts") - col("a_ts") <= W)
+        .select(col("k"), col("a_id"), col("b_id"))
+      assert(banded.count() === naive.count(), s"trial $trial W=$W")
+      assert(banded.exceptAll(naive).isEmpty &&
+        naive.exceptAll(banded).isEmpty, s"trial $trial W=$W")
+    }
+  }
 }
