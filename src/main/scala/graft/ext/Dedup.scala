@@ -197,4 +197,58 @@ object Dedup {
       .select(col("d1"), col("d2"), col("h1"), col("h2"), col("hamming"))
       .distinct()
   }
+
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS (one keeper per
+    * cluster is the actual dedup policy). Iterative min-label
+    * propagation: every node starts as its own label; each round a
+    * node adopts the smallest label among itself and its neighbors;
+    * fixpoint = every node carries the component's minimum id.
+    *
+    * Spark-first iteration: each round is one join + one groupBy over
+    * the (node, label) frame — the same shape GraphX's Pregel lowers
+    * to, without leaving the DataFrame world. Rounds needed = graph
+    * diameter; near-dup graphs are dense clusters with tiny diameter,
+    * so convergence is fast. The driver-side loop with a convergence
+    * `count()` per round is inherent to iterate-to-fixpoint (per-round
+    * persist keeps lineage flat; at 100 TB add checkpointing every ~5
+    * rounds).
+    *
+    * Input: nodes (nodeCol), edges (d1, d2). Output: (nodeCol,
+    * cluster_id = min node id of the component). Throws if not
+    * converged within maxIter — silent wrong labels would poison the
+    * downstream drop list.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          nodeCol: String = "doc_id",
+                          maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(nodeCol).as("node"),
+      col(nodeCol).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val viaNeighbors = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(
+          labels.withColumnRenamed("label", "old"), Seq("node"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    sym.unpersist()
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels.select(col("node").as(nodeCol), col("label").as("cluster_id"))
+  }
 }

@@ -29,6 +29,12 @@ object ExtQueries {
     Cache.getOrPersist(s, "minhash_cand", d)(
       Dedup.minhashCandidates(Dedup.minhashBandMins(shinglesC(s, d))))
 
+  /** Simhash near-dup pairs, shared by the pair query and the cluster
+    * resolution query. */
+  private def simhashPairsC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "simhash_pairs", d)(
+      Dedup.simhashNearDups(Dedup.simhash(docs(s, d))))
+
   /** Force this module's session-shared intermediates (shingle table,
     * LSH candidate pairs) — see [[graft.rel.SimQueries.warm]]. */
   def warm(spark: SparkSession, dir: String): Unit = {
@@ -40,6 +46,23 @@ object ExtQueries {
   /** q_dataset_mix rates (shared by query and oracle). */
   private val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
+
+  /** Shared CTE chain `simhash → blocks → pairs` for the simhash
+    * oracles (candidate pairs before the hamming filter). */
+  private lazy val simhashPairCtes: String =
+    s"""${Dedup.simhashSql},
+       |blocks AS (
+       |  ${(0 until Dedup.SimhashBlocks).map(b =>
+           s"SELECT doc_id, simhash, $b AS blk, " +
+             s"CAST(floor(simhash / power(${Dedup.SimhashBlockBase}, $b)) AS BIGINT)" +
+             s" % ${Dedup.SimhashBlockBase} AS bv " +
+             "FROM simhash").mkString(" UNION ALL ")}
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+       |         a.simhash AS h1, b2.simhash AS h2
+       |  FROM blocks a JOIN blocks b2
+       |    ON a.blk = b2.blk AND a.bv = b2.bv AND a.doc_id < b2.doc_id)""".stripMargin
 
   private val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
@@ -69,8 +92,18 @@ object ExtQueries {
 
     // SimHash near-dups via 4-bit pigeonhole blocking.
     "q_simhash_near_dup" -> ((s, d) =>
-      Dedup.simhashNearDups(Dedup.simhash(docs(s, d)))
-        .orderBy(col("d1"), col("d2"))),
+      simhashPairsC(s, d).orderBy(col("d1"), col("d2"))),
+
+    // Near-dup pairs resolved into duplicate clusters: connected
+    // components by iterative min-label propagation; cluster_id is
+    // the component's smallest doc_id (= the keep-first keeper).
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+          docs(s, d).select(col("doc_id")),
+          simhashPairsC(s, d).select(col("d1"), col("d2")))
+        .withColumn("is_keeper",
+          (col("doc_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("doc_id"))),
 
     // Token counting: whitespace words + regex token stream.
     "q_token_count" -> ((s, d) =>
@@ -260,24 +293,33 @@ object ExtQueries {
          |ORDER BY c.d1, c.d2""".stripMargin,
 
     "q_simhash_near_dup" ->
-      s"""WITH ${Dedup.simhashSql},
-         |blocks AS (
-         |  ${(0 until Dedup.SimhashBlocks).map(b =>
-             s"SELECT doc_id, simhash, $b AS blk, " +
-               s"CAST(floor(simhash / power(${Dedup.SimhashBlockBase}, $b)) AS BIGINT)" +
-               s" % ${Dedup.SimhashBlockBase} AS bv " +
-               "FROM simhash").mkString(" UNION ALL ")}
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
-         |         a.simhash AS h1, b2.simhash AS h2
-         |  FROM blocks a JOIN blocks b2
-         |    ON a.blk = b2.blk AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      s"""WITH $simhashPairCtes
          |SELECT d1, d2, h1, h2,
          |       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
          |FROM pairs
          |WHERE bit_count(xor(h1, h2)) <= 3
          |ORDER BY d1, d2""".stripMargin,
+
+    // Same pair CTEs + recursive min-label propagation: the recursive
+    // member re-derives exactly what the engine's iterate-to-fixpoint
+    // loop computes (min reachable doc_id per component).
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |edges AS (
+         |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3),
+         |sym AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges
+         |  UNION ALL
+         |  SELECT d2 AS src, d1 AS dst FROM edges),
+         |cc AS (
+         |  SELECT doc_id AS node, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT sym.dst AS node, cc.label
+         |  FROM cc JOIN sym ON cc.node = sym.src)
+         |SELECT node AS doc_id, min(label) AS cluster_id,
+         |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_keeper
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,

@@ -60,6 +60,18 @@ class ExtSpec extends SparkSpec {
     assert(nd.length === 1 && nd(0).getAs[Long]("hamming") === 0L)
   }
 
+  test("connected components: chains merge, isolates keep their own id") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; isolate 99
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) === 1L))
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(cc(99L) === 99L)
+  }
+
   test("portable hash is stable and within [0, M)") {
     val h = docsDF(1L -> "anything").select(
       PortableHash.h(lit("spark")).as("h1"),
