@@ -40,6 +40,7 @@ object ExtQueries {
   def warm(spark: SparkSession, dir: String): Unit = {
     shinglesC(spark, dir).count()
     candidatesC(spark, dir).count()
+    simhashPairsC(spark, dir).count()
     ()
   }
 
