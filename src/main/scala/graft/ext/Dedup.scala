@@ -223,32 +223,72 @@ object Dedup {
                           nodeCol: String = "doc_id",
                           maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    val e = edges.select(col("d1"), col("d2"))
+    // One contraction pass over the FULL graph before iterating: map
+    // every node to min(itself, direct neighbors). Near-dup graphs are
+    // quasi-cliques, so this collapses almost every component to its
+    // representative immediately — the fixpoint loop then runs on the
+    // contracted graph (representatives + surviving cross-rep edges),
+    // which is orders of magnitude smaller than the edge list. The
+    // expensive data touches the big edge set O(1) times, not
+    // O(diameter) times.
+    val sym = e.unionByName(
+      e.select(col("d2").as("d1"), col("d1").as("d2")))
+    val l0 = nodes.select(col(nodeCol).as("node"))
+      .join(sym.groupBy(col("d1").as("node")).agg(min(col("d2")).as("mn")),
+        Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("mn"), col("node"))).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(nodeCol).as("node"),
-      col(nodeCol).as("label"))
+    // node→rep maps are |nodes|-sized (tiny next to the edge list):
+    // broadcast them so the big edge set is never shuffled here
+    val r1 = l0.select(col("node").as("d1"), col("rep").as("rep1"))
+    val r2 = l0.select(col("node").as("d2"), col("rep").as("rep2"))
+    val contracted = e.join(broadcast(r1), Seq("d1"))
+      .join(broadcast(r2), Seq("d2"))
+      .where(col("rep1") =!= col("rep2"))
+      .select(least(col("rep1"), col("rep2")).as("d1"),
+        greatest(col("rep1"), col("rep2")).as("d2"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = l0.select(col("rep").as("node")).distinct()
+    // min-label propagation to fixpoint on the contracted graph.
+    // Each round ends in localCheckpoint(eager): iterate-to-fixpoint
+    // DOUBLES the logical plan per round if only persist()ed — the
+    // data is cached but Catalyst re-analyzes the whole exponential
+    // lineage every round (measured: round-3 plans with ~400 scan
+    // nodes dominating wall time on the driver). Checkpointing
+    // truncates the plan to a scan of the materialized result. At
+    // 100 TB use reliable checkpoint(dir) instead — localCheckpoint
+    // does not survive executor loss.
+    val csym = contracted.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(contracted.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = reps.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val viaNeighbors = sym.join(labels, sym("src") === labels("node"))
+      val viaNeighbors = csym.join(labels, csym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val next = labels.unionByName(viaNeighbors)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(
           labels.withColumnRenamed("label", "old"), Seq("node"))
         .where(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       done = changed == 0L
       iter += 1
     }
-    sym.unpersist()
+    contracted.unpersist()
     if (!done)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds")
-    labels.select(col("node").as(nodeCol), col("label").as("cluster_id"))
+    // l0 stays persisted: unpersisting here would recompute its 2|E|
+    // aggregation when the caller materializes the result (it is
+    // |nodes| rows — the persist is cheap, the recompute is not)
+    l0.join(broadcast(labels.withColumnRenamed("node", "rep")), Seq("rep"))
+      .select(col("node").as(nodeCol), col("label").as("cluster_id"))
   }
 }
