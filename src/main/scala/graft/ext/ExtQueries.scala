@@ -119,6 +119,27 @@ object ExtQueries {
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityColumns(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Lexical-diversity stats: type-token ratio + Gini-Simpson index
+    // (1 − Σp²) per doc — repetition detectors for template-heavy
+    // corpora. Deliberately rational arithmetic over exact integer
+    // counts: entropy's ln() is not bit-portable across engines
+    // (libm vs JVM can differ a ulp), Σc²/n² is.
+    "q_text_stats" -> ((s, d) => {
+      val words = docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          Det.r4(col("n_distinct").cast("double") /
+            col("n_words").cast("double")).as("ttr"),
+          Det.r4(lit(1.0) - col("sumsq").cast("double") /
+            (col("n_words") * col("n_words")).cast("double")).as("simpson"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Marker-based language scoring + argmax prediction.
     "q_lang_id" -> ((s, d) => {
       val ws = TextAnalysis.wordsCol
@@ -329,6 +350,25 @@ object ExtQueries {
          |         '${TextAnalysis.TokenRegex}')) AS BIGINT) AS n_re,
          |       n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |wc AS (
+         |  SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(sum(c) AS BIGINT) AS n_words,
+         |         count(*) AS n_distinct,
+         |         CAST(sum(c*c) AS BIGINT) AS sumsq
+         |  FROM wc GROUP BY 1)
+         |SELECT doc_id, n_words, n_distinct,
+         |       ${r4("CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)")}
+         |         AS ttr,
+         |       ${r4("1.0 - CAST(sumsq AS DOUBLE) / CAST(n_words*n_words AS DOUBLE)")}
+         |         AS simpson
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       s"""WITH ws AS (
