@@ -278,6 +278,18 @@ object RelQueries {
           .as("window_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // Pivot: order counts + exact-cents revenue per priority, statuses
+    // as columns. Values are pinned explicitly — pivot without a value
+    // list scans once just to discover columns (a full extra pass at
+    // 100 TB) and makes the output schema data-dependent.
+    "q_pivot_status" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"),
+          Det.fsum2(col("o_totalprice")).as("rev"))
+        .orderBy(col("o_orderpriority"))),
+
     // Backward as-of join (TemporalJoin.asof): each purchase event
     // picks up the user's most recent click at or before it — one
     // window pass over the unioned sides, no per-row probe.
@@ -538,6 +550,16 @@ object RelQueries {
          |       ${fsum4("value")} AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_pivot_status" -> {
+      def cell(st: String) =
+        s"""count(*) FILTER (o_orderstatus = '$st') AS "${st}_n",
+           |${fsum2(s"CASE WHEN o_orderstatus = '$st' THEN o_totalprice END")}
+           |  AS "${st}_rev"""".stripMargin
+      s"""SELECT o_orderpriority,
+         |${Seq("F", "O", "P").map(cell).mkString(",\n")}
+         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+    },
 
     // Same union+window formulation as the engine (ANSI; DuckDB's
     // native ASOF JOIN would leave right-timestamp ties unspecified).
