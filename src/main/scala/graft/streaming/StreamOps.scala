@@ -94,6 +94,20 @@ object StreamOps {
   case class Ev2(user_id: Long, ts_ms: Long)
   case class SessionBuf(open: List[Long])
 
+  /** Rate-source synthetic event stream: the load-generator twin of
+    * the file source (schema-compatible with the events-derived
+    * transforms: ts, user_id, event_type, value). Useful for
+    * throughput smoke tests without any input data. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(col("timestamp").as("ts"),
+        (col("value") % 1000).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (col("value") % 3).cast("int") + 1).as("event_type"),
+        (col("value") % 100).cast("double").as("value"))
+
   /** File-source streaming run of [[sessionAgg]] against a testdata
     * dir, drained synchronously into an in-memory sink (local smoke
     * harness; a production run swaps source/sink + trigger). */

@@ -38,6 +38,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate source feeds the shared session aggregation") {
+    val q = StreamOps.sessionAgg(StreamOps.rateEvents(spark, 500))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rate_sessions").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200) // let the rate source emit at least one batch
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM rate_sessions")
+        .collect()(0).getLong(0)
+      assert(n > 0, "rate-sourced sessions should exist")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
