@@ -143,8 +143,11 @@ object Dedup {
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), call_function("graft_hash", col("w")).as("h"))
+    // (h >> j) & 1 ≡ floor(h / 2^j) % 2 for the non-negative h the
+    // portable hash emits — integer ops, no double division, and the
+    // SQL twin uses the same operators so parity is exact.
     val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(floor(col("h") / lit(1 << j)).cast("long") % 2 === 1, lit(1L))
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1)) === 1, lit(1L))
         .otherwise(lit(-1L))).as(s"s$j"))
     val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until SimhashBits).map(j =>
@@ -157,7 +160,7 @@ object Dedup {
   val simhashSql: String = {
     val h = PortableHash.hSql("w")
     val bitSums = (0 until SimhashBits).map(j =>
-      s"sum(CASE WHEN CAST(floor(h / ${1 << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
     val sim = (0 until SimhashBits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
