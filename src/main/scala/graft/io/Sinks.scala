@@ -39,4 +39,25 @@ object Sinks {
     * [[graft.io.Sources.jsonRatings]]. */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Compact a parquet directory into ~targetMB files — the
+    * small-files remedy (every file costs a task + namenode entry; a
+    * 100 TB table accreted from streaming micro-batches degrades every
+    * scan until compacted). Sizes from the actual on-disk bytes, not
+    * row counts; coalesce (not repartition) so compaction itself does
+    * not shuffle. Writes to `out` (compacting in place would destroy
+    * the input on job failure). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     in: String, out: String, targetMB: Int = 128): Unit = {
+    val bytes = {
+      val dir = new java.io.File(in)
+      if (dir.isDirectory)
+        dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      else dir.length
+    }
+    val files = math.max(1, (bytes / (targetMB.toLong << 20)).toInt +
+      (if (bytes % (targetMB.toLong << 20) > 0) 1 else 0))
+    spark.read.parquet(in).coalesce(files)
+      .write.mode("overwrite").parquet(out)
+  }
 }

@@ -206,6 +206,17 @@ class ExtSpec extends SparkSpec {
     assert(ids.forall(_.getSeq[Long](1) === Seq(1L, 2L)))
   }
 
+  test("compactParquet merges a many-file dir into few files, same rows") {
+    val in = "/tmp/graft-compact-in"; val out = "/tmp/graft-compact-out"
+    val src = spark.range(0, 10000).toDF("id")
+    src.repartition(20).write.mode("overwrite").parquet(in)
+    graft.io.Sinks.compactParquet(spark, in, out, targetMB = 128)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles === 1) // tiny data -> single target-size file
+    assert(spark.read.parquet(out).count() === 10000L)
+  }
+
   test("json source/sink roundtrip preserves the ratings dialect") {
     val dir = "/tmp/graft-json-roundtrip"
     val src = toyRatings.select(col("user_id"), col("item_id"), col("rating"))
