@@ -43,7 +43,8 @@ object Bucketing {
                       by: String, sortCols: Seq[String] = Nil)
                      (build: => DataFrame): DataFrame = {
     val table = memo.getOrElseUpdate(
-      (System.identityHashCode(spark), s"$name:$dir"), {
+      (System.identityHashCode(spark), s"$name:$dir"),
+      try {
         val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
         val t = s"graft_${name}_" +
           Integer.toHexString(System.identityHashCode(spark)) + "_" +
@@ -60,7 +61,18 @@ object Bucketing {
         }
         writeBucketed(build.repartition(buckets, col(by)), t, buckets, by, sortCols)
         t
+      } catch {
+        // unwritable warehouse (host session with a read-only CWD):
+        // fall back to a plain persisted intermediate — semantics
+        // identical, only the exchange-free self-join layout is lost
+        case e: Throwable =>
+          System.err.println(
+            s"[bucketing] $name: bucketed write failed (${e.getMessage}); " +
+              "falling back to persist()")
+          "" // sentinel: use the Cache path below
       })
-    spark.table(table)
+    if (table.isEmpty)
+      graft.core.Cache.getOrPersist(spark, s"${name}_unbucketed", dir)(build)
+    else spark.table(table)
   }
 }
