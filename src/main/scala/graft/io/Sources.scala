@@ -68,6 +68,12 @@ object Sources {
       .select(col("user_id"), col("item_id"),
         col("rating").cast(DoubleType).as("rating"))
 
+  /** ORC reader — the other Spark-native columnar format (vectorized
+    * read, predicate pushdown, like parquet). No avro: the spark-avro
+    * datasource jar is not on this classpath. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** The engine's MovieLens analog over the testdata star schema
     * (FIXTURES.md §1): one (user=o_custkey, item=l_partkey) preference
     * per pair, rating = avg ordered quantity rounded half-up to 4

@@ -217,6 +217,30 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 10000L)
   }
 
+  test("orc source/sink roundtrip with pushdown-visible scan") {
+    val dir = "/tmp/graft-orc-roundtrip"
+    val src = toyRatings.select(col("user_id"), col("item_id"), col("rating"))
+    graft.io.Sinks.writeOrc(src, dir)
+    val back = graft.io.Sources.orc(spark, dir)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    val plan = back.where(col("rating") > 3.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"orc scan should push the predicate:\n$plan")
+  }
+
+  test("nested hash samples: the 5% cut is a subset of the 10% cut") {
+    import graft.ext.Sampling
+    val ids = spark.range(0, 5000).toDF("doc_id")
+    val key = col("doc_id").cast("string")
+    val small = Sampling.hashSample(ids, key, 5.0)
+    val large = Sampling.hashSample(ids, key, 10.0)
+    // hash gating gives CONSISTENT nested samples: growing the rate
+    // only adds rows — rand()-based sampling cannot promise this
+    assert(small.exceptAll(large).isEmpty)
+    assert(small.count() < large.count())
+  }
+
   test("json source/sink roundtrip preserves the ratings dialect") {
     val dir = "/tmp/graft-json-roundtrip"
     val src = toyRatings.select(col("user_id"), col("item_id"), col("rating"))
