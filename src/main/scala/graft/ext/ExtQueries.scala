@@ -119,6 +119,28 @@ object ExtQueries {
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityColumns(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Corpus bigram counts: top-10 per language by frequency — the
+    // language-model-counts shape (explode adjacent pairs, count,
+    // rank). Integer-only, so trivially engine-portable; a PMI variant
+    // would need log(), which is not bit-portable.
+    "q_top_bigrams" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = split(col("text"), " ")
+      // size >= 2 guard: sequence(1, 0) counts DOWN in Spark (the
+      // q_dataset_mix trap), and element_at(_, 0) throws
+      val bigrams = docs(s, d).where(size(ws) >= 2).select(col("lang"),
+        explode(transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+          .as("bigram"))
+      val counts = bigrams.groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // Lexical-diversity stats: type-token ratio + Gini-Simpson index
     // (1 − Σp²) per doc — repetition detectors for template-heavy
     // corpora. Deliberately rational arithmetic over exact integer
@@ -350,6 +372,25 @@ object ExtQueries {
          |         '${TextAnalysis.TokenRegex}')) AS BIGINT) AS n_re,
          |       n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_top_bigrams" ->
+      """WITH ws AS (
+        |  SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |bigrams AS (
+        |  SELECT lang,
+        |         unnest(list_transform(range(1, len(w)),
+        |           i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM ws),
+        |counts AS (
+        |  SELECT lang, bigram, count(*) AS n FROM bigrams GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, bigram, n,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n DESC, bigram) AS rn
+        |  FROM counts)
+        |SELECT lang, bigram, n, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 10
+        |ORDER BY lang, rn""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH words AS (
