@@ -1,8 +1,9 @@
 package graft.ext
 
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Model-based collaborative filtering via MLlib ALS — the north-star
   * companion to the reference's neighborhood item-item CF
@@ -35,6 +36,24 @@ object Recommender {
       .setSeed(seed)
       .setColdStartStrategy("drop")
       .fit(train)
+  }
+
+  /** Deterministic dense dictionary for arbitrary keys (string or
+    * numeric): sorted distinct keys zipped with their global index —
+    * the pre-pass [[fit]]'s scaladoc defers to for ids that are
+    * strings or exceed int range. `zipWithIndex` computes per-partition
+    * offsets with one extra small job, keeping the assignment
+    * distributed; the naive `row_number()` over an unpartitioned
+    * window would collapse every key into a single task. Output:
+    * (<keyCol>, idx: INT dense 0…n−1). */
+  def dictionary(df: DataFrame, keyCol: String): DataFrame = {
+    val distinctSorted = df.select(col(keyCol)).distinct().orderBy(col(keyCol))
+    val schema = StructType(distinctSorted.schema.fields :+
+      StructField("idx", IntegerType, nullable = false))
+    val rdd = distinctSorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i.toInt)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Top-k item recommendations per user, long-form:

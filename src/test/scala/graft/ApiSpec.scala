@@ -84,6 +84,17 @@ class ApiSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dictionary mints dense deterministic int ids for string keys") {
+    import spark.implicits._
+    val df = Seq("m9", "m1", "m5", "m1", "m9").toDF("item_id")
+    val dict = Recommender.dictionary(df, "item_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dict === Map("m1" -> 0, "m5" -> 1, "m9" -> 2)) // sorted, dense
+    val again = Recommender.dictionary(df.repartition(3), "item_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(again === dict) // partitioning-invariant
+  }
+
   test("approx_count_distinct tracks the exact distinct count within 5%") {
     val o = spark.read.parquet(s"$sf001/orders.parquet")
     val r = o.agg(
