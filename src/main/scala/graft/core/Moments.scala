@@ -58,6 +58,44 @@ object Moments {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** DECIMAL(38,0)-accumulating twin of [[pairMoments]] for the 100 TB
+    * deployment envelope: the LONG variant's `rating_i²` products
+    * overflow 2^63 once `rating_i` passes ~3·10^9 in fixed-point units
+    * (or co-rater counts per pair reach ~10^4 at full 5-star scale ×
+    * ~10^14 products). Here each side is widened to DECIMAL(19,0)
+    * before the multiply — Spark's precision rules make the product
+    * DECIMAL(38,0) and the sums stay exact to ~10^38, the same
+    * envelope [[Det.fsumDec4]] documents. Output schema: n LONG; sx,
+    * sy DECIMAL(29,0); sxx, syy, sxy DECIMAL(38,0) — [[asDoubles]]
+    * works unchanged on top.
+    *
+    * DuckDB twin: plain `sum(a.rating_i*b.rating_i)` — DuckDB
+    * accumulates BIGINT sums in HUGEINT (128-bit) natively, so the
+    * SQL side is [[pairMomentsSql]] as-is. */
+  def pairMomentsDec(ratings: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val a = ratings.select(
+      (col("user_id") +: col("item_id").as("item_x")
+        +: col("rating_i").cast("decimal(19,0)").as("rx")
+        +: carry.map(c => col(c).as(s"${c}_x"))): _*)
+    val b = ratings.select(
+      (col("user_id") +: col("item_id").as("item_y")
+        +: col("rating_i").cast("decimal(19,0)").as("ry")
+        +: carry.map(c => col(c).as(s"${c}_y"))): _*)
+    val carryAggs = carry.flatMap(c =>
+      Seq(min(col(s"${c}_x")).as(s"${c}_x"), min(col(s"${c}_y")).as(s"${c}_y")))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"),
+      sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy")) ++ carryAggs
+    a.join(b, Seq("user_id"))
+      .where(col("item_x") < col("item_y"))
+      .groupBy(col("item_x"), col("item_y"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Moments pre-cast to DOUBLE in the fixed order the metric formulas
     * (and their SQL twins) consume: nd, sxd, syd, sxxd, syyd, sxyd. */
   def asDoubles(m: DataFrame): DataFrame =

@@ -34,25 +34,33 @@ import org.apache.spark.sql.functions._
 object PortableHash {
   val M = 1000003 // prime modulus
 
+  /** Accumulation is 64-bit on purpose: `length·5381` alone passes
+    * 2^31 at ~400 K chars, and Int wrap-around is NOT mirrored by
+    * DuckDB (which promotes or errors instead of wrapping). The final
+    * value is `% M` so it always fits back in an INT — the cast keeps
+    * downstream schemas unchanged. */
   def h(s: Column): Column = {
     val t = rpad(s, 5, "#")
     val len = length(s)
-    (ascii(substring(t, 1, 1)) * lit(8191)
-      + ascii(substring(t, 2, 1)) * lit(127)
-      + ascii(substring(t, 4, 1)) * lit(31)
-      + ascii(s.substr(greatest(len - lit(1), lit(1)), lit(1))) * lit(7)
-      + ascii(s.substr(greatest(len, lit(1)), lit(1))) * lit(3)
-      + len * lit(5381)) % lit(M)
+    ((ascii(substring(t, 1, 1)).cast("long") * lit(8191L)
+      + ascii(substring(t, 2, 1)).cast("long") * lit(127L)
+      + ascii(substring(t, 4, 1)).cast("long") * lit(31L)
+      + ascii(s.substr(greatest(len - lit(1), lit(1)), lit(1))).cast("long") * lit(7L)
+      + ascii(s.substr(greatest(len, lit(1)), lit(1))).cast("long") * lit(3L)
+      + len.cast("long") * lit(5381L)) % lit(M.toLong)).cast("int")
   }
 
-  /** SQL twin of [[h]] (DuckDB). */
+  /** SQL twin of [[h]] (DuckDB). BIGINT casts match the Column form's
+    * 64-bit accumulation (DuckDB would otherwise raise on INT overflow
+    * for multi-hundred-KB strings rather than wrap). */
   def hSql(expr: String): String = {
     val t = s"rpad($expr, 5, '#')"
-    s"((ascii(substr($t,1,1))*8191 + ascii(substr($t,2,1))*127" +
-      s" + ascii(substr($t,4,1))*31" +
-      s" + ascii(substr($expr, greatest(length($expr)-1, 1), 1))*7" +
-      s" + ascii(substr($expr, greatest(length($expr), 1), 1))*3" +
-      s" + length($expr)*5381) % $M)"
+    s"((CAST(ascii(substr($t,1,1)) AS BIGINT)*8191" +
+      s" + CAST(ascii(substr($t,2,1)) AS BIGINT)*127" +
+      s" + CAST(ascii(substr($t,4,1)) AS BIGINT)*31" +
+      s" + CAST(ascii(substr($expr, greatest(length($expr)-1, 1), 1)) AS BIGINT)*7" +
+      s" + CAST(ascii(substr($expr, greatest(length($expr), 1), 1)) AS BIGINT)*3" +
+      s" + CAST(length($expr) AS BIGINT)*5381) % $M)"
   }
 
   /** Full-range spread for range-gated uses (sampling cuts): raw h is

@@ -51,9 +51,11 @@ object PortableHashImpl {
       val q = math.max(p, 1)
       if (q <= n) s.charAt(q - 1).toInt else 0
     }
-    val h = t(0) * 8191 + t(1) * 127 + t(3) * 31 +
-      tail(n - 1) * 7 + tail(n) * 3 + n * 5381
-    h % 1000003
+    // 64-bit accumulation (n·5381 overflows Int past ~400 K chars and
+    // the wrap would diverge from the Column/SQL twins, which are Long)
+    val h = t(0) * 8191L + t(1) * 127L + t(3) * 31L +
+      tail(n - 1) * 7L + tail(n) * 3L + n * 5381L
+    (h % 1000003L).toInt
   }
 }
 

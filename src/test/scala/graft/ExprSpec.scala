@@ -35,6 +35,25 @@ class ExprSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("graft_hash accumulates in 64-bit: 1 MB strings agree across twins") {
+    GraftFunctions.ensureRegistered(spark)
+    // length·5381 alone exceeds 2^31 here — an Int-accumulating twin
+    // would wrap (differently from DuckDB) and diverge
+    val big = Seq("x" * 1_000_000, "ab" * 300_000, "q" * 399_000).toDF("s")
+    val rows = big.select(col("s"),
+      call_function("graft_hash", col("s")).as("fast"),
+      PortableHash.h(col("s")).as("composed")).collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      // the formula in Long math, straight off the scaladoc
+      val expected = ((s(0).toInt * 8191L + s(1) * 127L + s(3) * 31L
+        + s(s.length - 2) * 7L + s(s.length - 1) * 3L
+        + s.length * 5381L) % 1000003L).toInt
+      assert(r.getInt(1) === expected, s"len=${s.length}")
+      assert(r.getInt(2) === expected, s"len=${s.length}")
+    }
+  }
+
   test("native graft_fixed_dot equals the HOF formula on real embeddings") {
     GraftFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")

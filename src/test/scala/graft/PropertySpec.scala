@@ -97,6 +97,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pairMomentsDec is exact at magnitudes where LONG moments overflow") {
+    import spark.implicits._
+    import graft.core.Moments
+    // rating_i ~3e14: a single rating_i² product is ~9e28 ≫ 2^63, so
+    // the LONG variant cannot even form one term; the DECIMAL(38,0)
+    // variant must match driver-side BigInt arithmetic exactly
+    val raw = Seq(
+      ("u1", "A", 300000000000000L), ("u1", "B", 299999999999999L),
+      ("u2", "A", 123456789012345L), ("u2", "B", 222222222222222L),
+      ("u3", "A", 987654321098765L), ("u3", "B", 111111111111111L))
+    val df = raw.toDF("user_id", "item_id", "rating_i")
+    val row = Moments.pairMomentsDec(df).collect()(0)
+    val byUser = raw.groupBy(_._1).map { case (u, ts) =>
+      u -> ts.map(t => t._2 -> t._3).toMap }
+    val users = byUser.keys.toSeq.sorted
+    val xs = users.map(u => BigInt(byUser(u)("A")))
+    val ys = users.map(u => BigInt(byUser(u)("B")))
+    def bd(b: BigInt) = new java.math.BigDecimal(b.bigInteger)
+    assert(row.getAs[Long]("n") === 3L)
+    assert(row.getAs[java.math.BigDecimal]("sx").compareTo(bd(xs.sum)) === 0)
+    assert(row.getAs[java.math.BigDecimal]("sxx")
+      .compareTo(bd(xs.map(x => x * x).sum)) === 0)
+    assert(row.getAs[java.math.BigDecimal]("syy")
+      .compareTo(bd(ys.map(y => y * y).sum)) === 0)
+    assert(row.getAs[java.math.BigDecimal]("sxy")
+      .compareTo(bd(xs.zip(ys).map { case (x, y) => x * y }.sum)) === 0)
+    // and at ordinary magnitudes the two variants agree exactly
+    val long_ = Moments.pairMoments(toyRatings).orderBy("item_x", "item_y")
+      .select(col("item_x"), col("item_y"), col("n"),
+        col("sxx").cast("string"), col("sxy").cast("string")).collect()
+    val dec_ = Moments.pairMomentsDec(toyRatings).orderBy("item_x", "item_y")
+      .select(col("item_x"), col("item_y"), col("n"),
+        col("sxx").cast("string"), col("sxy").cast("string")).collect()
+    assert(long_.map(_.toString).toSeq === dec_.map(_.toString).toSeq)
+  }
+
   test("bandJoin equals the naive theta join on seeded random event sets") {
     import spark.implicits._
     import graft.core.TemporalJoin
