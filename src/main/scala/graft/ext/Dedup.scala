@@ -104,12 +104,36 @@ object Dedup {
        |bandmins AS ($unions)""".stripMargin
   }
 
+  /** Band buckets above this size are excluded from pair generation:
+    * boilerplate-heavy corpora concentrate on a few (b, mh) keys, and
+    * a hot bucket goes quadratic WITHIN the bucket — AQE can split the
+    * partition but cannot shrink the pair count. Members of an
+    * over-cap bucket are near-identical under that band's permutation;
+    * exact-hash dedup ([[exactDupGroups]]) owns fully-identical text,
+    * and the remaining bands still pair docs whose other minima land
+    * in small buckets. [[minhashOverCapBuckets]] is the monitoring
+    * surface (log/alert on its count in a deploy). */
+  val MinhashBucketCap = 200
+
+  /** (b, mh, sz) for band buckets over the cap. */
+  def minhashOverCapBuckets(bandMins: DataFrame,
+                            cap: Int = MinhashBucketCap): DataFrame =
+    bandMins.groupBy(col("b"), col("mh")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") > cap)
+
   /** LSH candidate pairs: docs sharing a band minimum, with the count
     * of agreeing bands (a cheap Jaccard proxy). Shuffles on (b, mh) —
-    * bucket keys, never doc pairs — so it scales with bucket sizes. */
-  def minhashCandidates(bandMins: DataFrame): DataFrame = {
-    val a = bandMins.select(col("doc_id").as("d1"), col("b"), col("mh"))
-    val b2 = bandMins.select(col("doc_id").as("d2"), col("b"), col("mh"))
+    * bucket keys, never doc pairs — so it scales with bucket sizes;
+    * buckets above `cap` are dropped (see [[MinhashBucketCap]]). */
+  def minhashCandidates(bandMins: DataFrame,
+                        cap: Int = MinhashBucketCap): DataFrame = {
+    val ok = bandMins.groupBy(col("b"), col("mh"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") <= cap)
+      .select(col("b"), col("mh"))
+    val kept = bandMins.join(ok, Seq("b", "mh"))
+    val a = kept.select(col("doc_id").as("d1"), col("b"), col("mh"))
+    val b2 = kept.select(col("doc_id").as("d2"), col("b"), col("mh"))
     a.join(b2, Seq("b", "mh")).where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("bands"))
   }

@@ -211,9 +211,10 @@ object ExtQueries {
         .select(col("label"), col("vec_id"), col("cos_sim"), col("rn"))
         .orderBy(col("label"), col("rn"))),
 
-    // Sign-LSH bucketed pair search (sub-quadratic scale path).
+    // Multi-band sign-LSH pair search (4 tables × 16 bits, bucket cap):
+    // the sub-quadratic scale path — see VectorSearch's banding notes.
     "q_embed_near_dup" -> ((s, d) =>
-      VectorSearch.bucketedPairCosine(emb(s, d), 6)
+      VectorSearch.bandedPairCosine(emb(s, d))
         .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
         .limit(100)),
 
@@ -254,9 +255,8 @@ object ExtQueries {
 
     // IVF ANN: label centroids as the coarse quantizer, every ~50th
     // vector as a query, 2 probes, top-3. Deterministic throughout
-    // (fixed-point math) but the oracle SQL would be a page of CTEs —
-    // the LSH variant above carries the oracle coverage for ANN;
-    // this records a rows-only check.
+    // (fixed-point math); the oracle CTE chain below replays the
+    // assignment/probe/scan stages in DuckDB.
     "q_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       val cells = VectorSearch.labelCentroids(e)
@@ -289,9 +289,15 @@ object ExtQueries {
   private val candSql =
     s"""${Dedup.shinglesSql},
        |${Dedup.minhashBandMinsSql},
+       |bmok AS (
+       |  SELECT bandmins.* FROM bandmins
+       |  JOIN (SELECT b, mh FROM bandmins GROUP BY 1, 2
+       |        HAVING count(*) <= ${Dedup.MinhashBucketCap}) okb
+       |    USING (b, mh)
+       |),
        |cand AS (
        |  SELECT a.doc_id AS d1, b2.doc_id AS d2, count(*) AS bands
-       |  FROM bandmins a JOIN bandmins b2
+       |  FROM bmok a JOIN bmok b2
        |    ON a.b = b2.b AND a.mh = b2.mh AND a.doc_id < b2.doc_id
        |  GROUP BY 1, 2
        |)""".stripMargin
@@ -514,23 +520,35 @@ object ExtQueries {
          |SELECT label, vec_id, cos_sim, rn
          |FROM ranked WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
 
-    "q_embed_near_dup" ->
-      s"""WITH withb AS (
-         |  SELECT vec_id, embedding,
-         |         CAST(${VectorSearch.signBucketSql("embedding", 6)} AS BIGINT)
-         |           AS bucket
-         |  FROM embeddings),
-         |pairs AS (
-         |  SELECT a.bucket, a.vec_id AS v1, b2.vec_id AS v2,
-         |         a.embedding AS e1, b2.embedding AS e2
-         |  FROM withb a JOIN withb b2
-         |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+    "q_embed_near_dup" -> {
+      val bandSelects = (0 until VectorSearch.DefaultBands).map(b =>
+        s"SELECT vec_id, CAST($b AS BIGINT) AS band, " +
+          s"CAST(${VectorSearch.signBandBucketSql("embedding", b,
+            VectorSearch.DefaultBandBits)} AS BIGINT) AS bucket " +
+          "FROM embeddings").mkString(" UNION ALL ")
+      s"""WITH bb AS ($bandSelects),
+         |ok AS (
+         |  SELECT band, bucket FROM bb GROUP BY 1, 2
+         |  HAVING count(*) <= ${VectorSearch.DefaultBucketCap}),
+         |kept AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+         |cand AS (
+         |  SELECT a.vec_id AS v1, b2.vec_id AS v2, count(*) AS bands
+         |  FROM kept a JOIN kept b2
+         |    ON a.band = b2.band AND a.bucket = b2.bucket
+         |   AND a.vec_id < b2.vec_id
+         |  GROUP BY 1, 2),
+         |cpairs AS (
+         |  SELECT c.v1, c.v2, c.bands,
+         |         e1.embedding AS e1, e2.embedding AS e2
+         |  FROM cand c
+         |  JOIN embeddings e1 ON e1.vec_id = c.v1
+         |  JOIN embeddings e2 ON e2.vec_id = c.v2),
          |terms AS (
-         |  SELECT bucket, v1, v2, i,
+         |  SELECT v1, v2, bands, i,
          |         CAST(e1[i] AS DOUBLE) AS x, CAST(e2[i] AS DOUBLE) AS y
-         |  FROM pairs, unnest(range(1, len(e1)+1)) AS t(i)),
+         |  FROM cpairs, unnest(range(1, len(e1)+1)) AS t(i)),
          |dots AS (
-         |  SELECT bucket, v1, v2,
+         |  SELECT v1, v2, bands,
          |         CAST(sum(CAST(floor(x*y*1000000000000.0 + 0.5) AS BIGINT))
          |              AS DOUBLE) / 1000000000000.0 AS dot,
          |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
@@ -538,11 +556,83 @@ object ExtQueries {
          |         CAST(sum(CAST(floor(y*y*1000000000000.0 + 0.5) AS BIGINT))
          |              AS DOUBLE) / 1000000000000.0 AS ny
          |  FROM terms GROUP BY 1, 2, 3)
-         |SELECT bucket, v1, v2,
+         |SELECT v1, v2, bands,
          |       ${r4("CASE WHEN sqrt(nx)*sqrt(ny) = 0.0 THEN 0.0 " +
               "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
          |FROM dots
-         |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin,
+         |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin
+    },
+
+    // IVF ANN replay: same fixed-point per-term snapping as the Spark
+    // side; `acos` scores every (vector, cell) once and serves BOTH
+    // the build-side assignment (argmax per vector) and the probe side
+    // (top-nProbe per query vector), exactly as ivfTopK computes them.
+    "q_ann_ivf" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |cent AS (
+         |  SELECT CAST(label AS BIGINT) AS cell_id, i,
+         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM expl GROUP BY 1, 2),
+         |cnorm AS (
+         |  SELECT cell_id,
+         |         CAST(sum(CAST(floor(cv*cv*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS cn
+         |  FROM cent GROUP BY 1),
+         |enorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS en
+         |  FROM expl GROUP BY 1),
+         |acos AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |         ${r4("CASE WHEN sqrt(cn)*sqrt(en) = 0.0 THEN 0.0 " +
+              "ELSE (CAST(sum(CAST(floor(c.cv*e.v*1000000000000.0 + 0.5)" +
+              " AS BIGINT)) AS DOUBLE)/1000000000000.0)" +
+              "/(sqrt(cn)*sqrt(en)) END")} AS cell_cos
+         |  FROM expl e
+         |  JOIN cent c ON c.i = e.i
+         |  JOIN cnorm ON cnorm.cell_id = c.cell_id
+         |  JOIN enorm ON enorm.vec_id = e.vec_id
+         |  GROUP BY e.vec_id, c.cell_id, cn, en),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cell_cos DESC, cell_id) AS arn
+         |    FROM acos) WHERE arn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cell_cos DESC, cell_id) AS prn
+         |    FROM acos WHERE vec_id % 50 = 0) WHERE prn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id
+         |  FROM probes p JOIN assign a ON a.cell_id = p.cell_id),
+         |pdots AS (
+         |  SELECT c.qid, c.vec_id,
+         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS dot
+         |  FROM cand c
+         |  JOIN expl q ON q.vec_id = c.qid
+         |  JOIN expl e ON e.vec_id = c.vec_id AND e.i = q.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+         |  FROM pdots d
+         |  JOIN enorm nq ON nq.vec_id = d.qid
+         |  JOIN enorm ne ON ne.vec_id = d.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |                               ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "q_dataset_mix" -> {
       val (copiesExpr, _) = Sampling.weightedMixSql(

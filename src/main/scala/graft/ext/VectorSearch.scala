@@ -104,18 +104,26 @@ object VectorSearch {
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     val cellsB = broadcast(cells.select(col("cell_id"),
       col("centroid"), fixedNormSq(col("centroid")).as("cnrm")))
-    // build: nearest cell per vector (rn=1 over cosine desc)
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_cos").desc, col("cell_id"))
+    // build: nearest cell per vector via max_by aggregation — argmax
+    // with partial/final (map-side combine) aggregation and no sort.
+    // The previous row_number() window forced a full shuffle+sort of
+    // the N×C crossed frame just to pick one row per vector (the r1
+    // scale-killer); max_by reduces each partition's N×C slice to N
+    // rows before the exchange. Ties break to the smallest cell_id
+    // (the -cell_id struct field), mirroring the oracle's
+    // `ORDER BY cell_cos DESC, cell_id`.
     val assigned = emb
       .withColumn("enrm", fixedNormSq(col("embedding")))
       .crossJoin(cellsB)
       .withColumn("cell_cos", Det.r4(cosineCol(
         fixedDot(col("embedding"), col("centroid")),
         col("enrm"), col("cnrm"))))
-      .withColumn("arn", row_number().over(aw))
-      .where(col("arn") === 1)
-      .select(col("cell_id"), col("vec_id"), col("embedding"), col("enrm"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cell_id"), col("embedding"), col("enrm")),
+        struct(col("cell_cos"), (-col("cell_id")).as("tb"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("vec_id"),
+        col("best.embedding").as("embedding"), col("best.enrm").as("enrm"))
     // probe: nProbe nearest cells per query
     val pw = Window.partitionBy(col(queryKey))
       .orderBy(col("cell_cos").desc, col("cell_id"))
@@ -140,32 +148,113 @@ object VectorSearch {
       .where(col("rn") <= k)
   }
 
-  /** Sign-LSH bucket id from the first `bits` dimensions. */
-  def signBucket(emb: Column, bits: Int): Column =
+  // ---------------------------------------------------------------
+  // Multi-band sign-LSH near-duplicate search.
+  //
+  // The r1 single-table variant bucketed on the sign pattern of the
+  // first 6 dims: 64 buckets TOTAL, independent of N, so intra-bucket
+  // pairs were ~N²/64 — quadratic with a constant shaved off. The
+  // banded scheme below is the random-projection analog of minhash
+  // banding: `bands` independent tables, each keyed by the sign
+  // pattern of `bits` distinct dimensions. A pair is a candidate if
+  // it agrees on ALL bits of ANY band; bucket count per band is 2^bits,
+  // so expected candidates ≈ bands·N²/2^bits — pick bits ≳ log2(N)+4
+  // ([[autoBandBits]]) and that is ~bands·N/16: linear in N.
+  // ---------------------------------------------------------------
+
+  /** Default shape for the scored query: 4 tables × 16 bits covers all
+    * 64 embedding dims and gives 65 536 buckets per table (vs r1's 64
+    * total). Constants are pinned (not [[autoBandBits]]) because the
+    * DuckDB oracle is a static SQL string that must agree at every
+    * scale factor; a production deployment sizes bits from the corpus
+    * count instead. */
+  val DefaultBands = 4
+  val DefaultBandBits = 16
+
+  /** Band buckets above this size are dropped from pair generation
+    * (and counted via [[overCapBuckets]]): a degenerate hot bucket —
+    * all-zero embeddings, boilerplate-heavy corpora — would otherwise
+    * go quadratic WITHIN the bucket no matter how many buckets exist.
+    * Contract note: members of an over-cap bucket are near-identical
+    * along that band's dims; exact dedup (or a re-band on other dims)
+    * owns them, the same policy as [[Dedup]]'s minhash cap. */
+  val DefaultBucketCap = 1000
+
+  /** Production sizing: 2^bits ≥ 16·N keeps expected intra-bucket
+    * pairs per band under N/16. Floor of 16 bits; callers must keep
+    * bands·bits ≤ embedding dim. */
+  def autoBandBits(n: Long, floorBits: Int = 16): Int = {
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    math.max(floorBits, bitLen + 4)
+  }
+
+  /** Sign bucket of band `band`: bits from dims
+    * [band·bits+1, band·bits+bits] (1-based), LSB-first. */
+  def signBandBucket(emb: Column, band: Int, bits: Int): Column =
     (0 until bits).map(i =>
-      when(element_at(emb, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L)))
+      when(element_at(emb, band * bits + i + 1) > lit(0.0f), lit(1L << i))
+        .otherwise(lit(0L)))
       .reduce(_ + _)
 
-  def signBucketSql(expr: String, bits: Int): String =
+  def signBandBucketSql(expr: String, band: Int, bits: Int): String =
     (0 until bits)
-      .map(i => s"CASE WHEN $expr[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
+      .map(i =>
+        s"CASE WHEN $expr[${band * bits + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
       .mkString("(", " + ", ")")
 
-  /** All intra-bucket pairs with their cosine — the LSH-bucketed
-    * near-duplicate path (compare ~N·bucketSize pairs, not N²). */
-  def bucketedPairCosine(emb: DataFrame, bits: Int): DataFrame = {
+  /** Long-form (vec_id, band, bucket) over all bands — one explode,
+    * no self-union, so the source is scanned once. */
+  def bandBuckets(emb: DataFrame, bands: Int, bits: Int): DataFrame =
+    emb.select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b.toLong).as("band"),
+          signBandBucket(col("embedding"), b, bits).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** (band, bucket, sz) for buckets over the cap — the monitoring
+    * surface for the drop policy (a deploy logs/alerts on this count;
+    * tests assert it). */
+  def overCapBuckets(emb: DataFrame, bands: Int, bits: Int, cap: Int): DataFrame =
+    bandBuckets(emb, bands, bits)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") > cap)
+
+  /** Candidate pairs from the banded tables: (v1, v2, bands) where
+    * `bands` counts agreeing band tables. Shuffles only on
+    * (band, bucket) keys and pair ids — never a cross join — and
+    * drops over-cap buckets before pairing. */
+  def bandedCandidates(emb: DataFrame, bands: Int, bits: Int,
+                       cap: Int = DefaultBucketCap): DataFrame = {
+    val bb = bandBuckets(emb, bands, bits)
+    val ok = bb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") <= cap)
+      .select(col("band"), col("bucket"))
+    val kept = bb.join(ok, Seq("band", "bucket"))
+    val a = kept.select(col("band"), col("bucket"), col("vec_id").as("v1"))
+    val b2 = kept.select(col("band"), col("bucket"), col("vec_id").as("v2"))
+    a.join(b2, Seq("band", "bucket")).where(col("v1") < col("v2"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("bands"))
+  }
+
+  /** Banded-LSH near-dup pairs rescored with the exact fixed-point
+    * cosine: candidates from [[bandedCandidates]], embeddings joined
+    * back per side (candidates ≪ N², so two hash joins on vec_id beat
+    * carrying arrays through the band explosion). */
+  def bandedPairCosine(emb: DataFrame,
+                       bands: Int = DefaultBands,
+                       bits: Int = DefaultBandBits,
+                       cap: Int = DefaultBucketCap): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
-    // norms once per vector (N rows), not once per pair side (~N·B
-    // rows) — the dot product is the only per-pair array work left.
-    val withB = emb.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), bits).as("bucket"),
+    val cand = bandedCandidates(emb, bands, bits, cap)
+    val withN = emb.select(col("vec_id"), col("embedding"),
       fixedNormSq(col("embedding")).as("nrm"))
-    val a = withB.select(col("bucket"), col("vec_id").as("v1"),
-      col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = withB.select(col("bucket"), col("vec_id").as("v2"),
-      col("embedding").as("e2"), col("nrm").as("n2"))
-    a.join(b, Seq("bucket")).where(col("v1") < col("v2"))
-      .select(col("bucket"), col("v1"), col("v2"),
+    cand
+      .join(withN.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), Seq("v1"))
+      .join(withN.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), Seq("v2"))
+      .select(col("v1"), col("v2"), col("bands"),
         Det.r4(cosineCol(
           fixedDot(col("e1"), col("e2")),
           col("n1"), col("n2"))).as("cos_sim"))

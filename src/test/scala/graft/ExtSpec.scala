@@ -270,6 +270,69 @@ class ExtSpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("banded LSH: over-cap buckets are dropped and surfaced for monitoring") {
+    // 300 identical vectors — a degenerate hot bucket in every band
+    val hot = spark.range(300).select(col("id").as("vec_id"),
+      array((1 to 64).map(_ => lit(1.0f)): _*).as("embedding"))
+    val over = VectorSearch.overCapBuckets(hot, 4, 16, cap = 100).collect()
+    assert(over.length === 4 && over.forall(_.getAs[Long]("sz") === 300L))
+    assert(VectorSearch.bandedCandidates(hot, 4, 16, cap = 100).count() === 0L)
+    // cap above the bucket size: every pair appears, agreeing on all bands
+    val all = VectorSearch.bandedCandidates(hot, 4, 16, cap = 500)
+    assert(all.count() === 300L * 299L / 2L)
+    assert(all.where(col("bands") =!= 4).count() === 0L)
+  }
+
+  test("banded LSH with autoBandBits: candidates grow ~linearly in a 10x blowup") {
+    // deterministic pseudo-random sign patterns (murmur over (id, dim));
+    // dim 80 leaves room for 4 bands × autoBandBits(20000)=19 bits
+    def synth(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(80)),
+        i => when(pmod(hash(col("id"), i), lit(2)) === 0, lit(1.0f))
+          .otherwise(lit(-1.0f))).as("embedding"))
+    assert(VectorSearch.autoBandBits(2000) === 16)
+    assert(VectorSearch.autoBandBits(20000) === 19)
+    val cS = VectorSearch.bandedCandidates(synth(2000), 4,
+      VectorSearch.autoBandBits(2000)).count()
+    val cB = VectorSearch.bandedCandidates(synth(20000), 4,
+      VectorSearch.autoBandBits(20000)).count()
+    assert(cS > 0) // 16-bit buckets over 2k random vectors do collide
+    // ~linear: expected ≈12×; a fixed-bucket (r1) scheme would be ~100×
+    assert(cB < cS * 30,
+      s"10x data grew candidates ${cB.toDouble / cS}x — quadratic behavior")
+  }
+
+  test("minhash bucket cap: hot boilerplate buckets drop, true pairs survive") {
+    val boiler = (1L to 250L).map(i =>
+      i -> "common boilerplate header text repeated across the corpus every time")
+    val pair = Seq(
+      900L -> "unique snowflake document alpha beta gamma delta epsilon zeta",
+      901L -> "unique snowflake document alpha beta gamma delta epsilon zeta")
+    val docs = docsDF((boiler ++ pair): _*)
+    val bm = Dedup.minhashBandMins(Dedup.shingles(docs))
+    // every band's boilerplate bucket holds 250 docs > cap=200
+    assert(Dedup.minhashOverCapBuckets(bm).count() === Dedup.Bands.toLong)
+    val cand = Dedup.minhashCandidates(bm).collect()
+    assert(cand.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((900L, 901L)))
+    assert(cand.head.getLong(2) === Dedup.Bands.toLong)
+  }
+
+  test("IVF assignment path is max_by aggregation, not a window sort") {
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cells = Seq((0L, Array(1.0d, 0.0d)), (1L, Array(0.0d, 1.0d)))
+      .toDF("cell_id", "centroid")
+    val queries = Seq((9L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val ivf = VectorSearch.ivfTopK(emb, cells, queries, "qid", "qvec", 1, 1)
+    val plan = ivf.queryExecution.executedPlan.toString
+    // only the probe-side and final-scan rankers are windows (both
+    // partition on the small query key); the N-row build-side
+    // assignment must be the max_by aggregate
+    assert("Window \\[".r.findAllIn(plan).length === 2,
+      s"expected probe+scan windows only:\n$plan")
+    assert(plan.contains("max_by"), plan)
+  }
+
   test("multimodal: resize fixes batch shape; features feed ANN end-to-end") {
     val docs = docsDF(1L -> "a b c d e f g h i j k l",
       2L -> "a b c d e f g h i j k m", 3L -> "zz yy xx ww vv uu")
