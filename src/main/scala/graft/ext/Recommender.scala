@@ -3,7 +3,8 @@ package graft.ext
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Model-based collaborative filtering via MLlib ALS — the north-star
   * companion to the reference's neighborhood item-item CF
@@ -20,32 +21,71 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   */
 object Recommender {
 
-  /** Fit ALS on a ratings frame (user_id, item_id, rating). Keys are
-    * cast to int — ALS's factor indexing is int-based; testdata keys
-    * are well inside range (at true 100 TB scale, string/long ids need
-    * a dictionary-encoding pass first). */
+  /** A fitted model plus the id dictionaries used (None on each side
+    * whose raw keys were int-safe and trained directly). */
+  case class FittedRecommender(model: ALSModel,
+                               userDict: Option[DataFrame],
+                               itemDict: Option[DataFrame])
+
+  /** Fit ALS on a ratings frame (user_id, item_id, rating). ALS's
+    * factor indexing is int-based, and the reference accepts arbitrary
+    * string ids everywhere — so keys that are not int-safe (strings,
+    * or longs whose observed range leaves 32 bits — checked with one
+    * tiny min/max agg) are routed through [[dictionary]] automatically
+    * instead of crashing on the cast. The training frame is persisted
+    * for the solver's maxIter sweeps (ALS re-reads its input when
+    * building rating blocks; without the persist every sweep re-derives
+    * the upstream lineage — the r1 bench's 30 s ALS tail). */
   def fit(ratings: DataFrame, rank: Int = 8, maxIter: Int = 5,
-          regParam: Double = 0.1, seed: Long = 42L): ALSModel = {
-    val train = ratings.select(
-      col("user_id").cast("int").as("user"),
-      col("item_id").cast("int").as("item"),
+          regParam: Double = 0.1, seed: Long = 42L): FittedRecommender = {
+    def intSafe(c: String): Boolean = ratings.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType => true
+      case LongType =>
+        val r = ratings.agg(min(col(c)), max(col(c))).head()
+        !r.isNullAt(0) &&
+          r.getLong(0) >= Int.MinValue.toLong &&
+          r.getLong(1) <= Int.MaxValue.toLong
+      case _ => false
+    }
+    val uDict =
+      if (intSafe("user_id")) None
+      else Some(dictionary(ratings, "user_id").persist(StorageLevel.MEMORY_AND_DISK))
+    val iDict =
+      if (intSafe("item_id")) None
+      else Some(dictionary(ratings, "item_id").persist(StorageLevel.MEMORY_AND_DISK))
+    val withU = uDict match {
+      case Some(d) => ratings.join(
+        d.select(col("user_id"), col("idx").as("__uidx")), Seq("user_id"))
+      case None => ratings.withColumn("__uidx", col("user_id").cast("int"))
+    }
+    val withI = iDict match {
+      case Some(d) => withU.join(
+        d.select(col("item_id"), col("idx").as("__iidx")), Seq("item_id"))
+      case None => withU.withColumn("__iidx", col("item_id").cast("int"))
+    }
+    val train = withI.select(
+      col("__uidx").as("user"),
+      col("__iidx").as("item"),
       col("rating").cast("float").as("rating"))
-    new ALS()
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
-      .setSeed(seed)
-      .setColdStartStrategy("drop")
-      .fit(train)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new ALS()
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+        .setSeed(seed)
+        .setColdStartStrategy("drop")
+        .fit(train)
+      FittedRecommender(model, uDict, iDict)
+    } finally train.unpersist(blocking = false)
   }
 
   /** Deterministic dense dictionary for arbitrary keys (string or
     * numeric): sorted distinct keys zipped with their global index —
-    * the pre-pass [[fit]]'s scaladoc defers to for ids that are
-    * strings or exceed int range. `zipWithIndex` computes per-partition
-    * offsets with one extra small job, keeping the assignment
-    * distributed; the naive `row_number()` over an unpartitioned
-    * window would collapse every key into a single task. Output:
-    * (<keyCol>, idx: INT dense 0…n−1). */
+    * the pre-pass [[fit]] routes non-int-safe ids through.
+    * `zipWithIndex` computes per-partition offsets with one extra
+    * small job, keeping the assignment distributed; the naive
+    * `row_number()` over an unpartitioned window would collapse every
+    * key into a single task. Output: (<keyCol>, idx: INT dense 0…n−1). */
   def dictionary(df: DataFrame, keyCol: String): DataFrame = {
     val distinctSorted = df.select(col(keyCol)).distinct().orderBy(col(keyCol))
     val schema = StructType(distinctSorted.schema.fields :+
@@ -57,13 +97,29 @@ object Recommender {
   }
 
   /** Top-k item recommendations per user, long-form:
-    * (user_id, item_id, score, rn). */
-  def recommendTopK(model: ALSModel, k: Int): DataFrame =
-    model.recommendForAllUsers(k)
-      .select(col("user").cast("long").as("user_id"),
+    * (user_id, item_id, score, rn). Dictionary-trained sides map the
+    * int factor indices back to the ORIGINAL keys (and keep their
+    * original type); direct sides normalize to BIGINT as before. The
+    * dict joins are broadcast — dictionaries are O(distinct keys),
+    * tiny next to the recommendation long-form. */
+  def recommendTopK(fitted: FittedRecommender, k: Int): DataFrame = {
+    val recs = fitted.model.recommendForAllUsers(k)
+      .select(col("user").as("__uidx"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))
-      .select(col("user_id"),
-        col("rec.item").cast("long").as("item_id"),
+      .select(col("__uidx"),
+        col("rec.item").as("__iidx"),
         col("rec.rating").cast("double").as("score"),
         (col("pos") + 1).cast("long").as("rn"))
+    val withU = fitted.userDict match {
+      case Some(d) => recs.join(
+        broadcast(d.select(col("user_id"), col("idx").as("__uidx"))), Seq("__uidx"))
+      case None => recs.withColumn("user_id", col("__uidx").cast("long"))
+    }
+    val withI = fitted.itemDict match {
+      case Some(d) => withU.join(
+        broadcast(d.select(col("item_id"), col("idx").as("__iidx"))), Seq("__iidx"))
+      case None => withU.withColumn("item_id", col("__iidx").cast("long"))
+    }
+    withI.select(col("user_id"), col("item_id"), col("score"), col("rn"))
+  }
 }

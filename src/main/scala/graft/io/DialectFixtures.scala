@@ -1,0 +1,69 @@
+package graft.io
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-dialect fixture generation for the end-to-end dialect
+  * queries (q_movies_dialect / q_books_dialect).
+  *
+  * A real user's first act is pointing the engine at a ratings FILE in
+  * one of the reference's two dialects — `user|item|rating` MovieLens
+  * lines (`moviesSimilarities.py ≈L63` [R]) or `;`-separated
+  * double-quoted Book-Crossing CSV (`vectorSimilarities.py ≈L168–184`
+  * [R]). These helpers render the testdata ratings view INTO those
+  * dialects on local disk, so the scored queries exercise the full
+  * text-file → parse → pipeline path under the DuckDB oracle
+  * (`read_csv` over the same files).
+  *
+  * Paths are fixed absolutes (not per-sf): the oracle SQL is a static
+  * string. Each (session, sf-dir) writes once; a session that switches
+  * sf dirs re-renders, so the file always reflects the LAST dir a
+  * dialect query ran against — the same single-run assumption the
+  * driver's verify flow makes.
+  *
+  * Ratings render through DECIMAL(14,4) so both engines re-parse the
+  * identical double (raw double→string formatting is engine-specific —
+  * the q_semicolon_protocol lesson). `coalesce(1)` keeps the fixture a
+  * single file locally; the oracle reads a `part-*.txt` glob, so a
+  * many-part 100 TB render would pass unchanged.
+  */
+object DialectFixtures {
+  val MoviesPath = "/root/repo/target/dialect/movies"
+  val BooksPath = "/root/repo/target/dialect/books"
+
+  private val written = TrieMap.empty[(Int, String, String), Boolean]
+
+  private def once(spark: SparkSession, dir: String, which: String)
+                  (write: => Unit): Unit = {
+    written.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, which), { write; true })
+    ()
+  }
+
+  /** `user|item|rating` pipe dialect; returns the directory path. */
+  def writeMovies(spark: SparkSession, dir: String): String = {
+    once(spark, dir, "movies") {
+      Sources.ratings(spark, dir)
+        .select(concat_ws("|",
+          col("user_id").cast("string"), col("item_id").cast("string"),
+          col("rating").cast("decimal(14,4)").cast("string")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(MoviesPath)
+    }
+    MoviesPath
+  }
+
+  /** `"user";"item";"rating"` quoted semicolon dialect. */
+  def writeBooks(spark: SparkSession, dir: String): String = {
+    once(spark, dir, "books") {
+      Sources.ratings(spark, dir)
+        .select(concat(
+          lit("\""), col("user_id").cast("string"),
+          lit("\";\""), col("item_id").cast("string"),
+          lit("\";\""), col("rating").cast("decimal(14,4)").cast("string"),
+          lit("\"")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(BooksPath)
+    }
+    BooksPath
+  }
+}

@@ -160,20 +160,64 @@ object SimQueries {
         Pipeline.vector(r).orderBy(col("item_x"), col("rn"))
     }),
 
+    // R1 end-to-end, movies dialect: render the ratings view as the
+    // reference's actual `user|item|rating` pipe-file, re-parse it
+    // through the Sources adapter, and run the similarity core on a
+    // deterministic 10% user cut (hash-gate — the cut keeps the pair
+    // blowup proportionate; dialect fidelity is carried by every
+    // parsed row feeding exact integer moments). Oracle reads the SAME
+    // file via read_csv.
+    "q_movies_dialect" -> ((s, d) => {
+      val parsed = Sources.moviesRatings(s,
+          graft.io.DialectFixtures.writeMovies(s, d))
+        .withColumn("rating_i", Det.fx4(col("rating")))
+      val gated = graft.ext.Sampling.hashSample(parsed, col("user_id"), 10.0)
+      Moments.asDoubles(Moments.pairMoments(gated))
+        .where(col("n") >= 2)
+        .select(col("item_x"), col("item_y"), col("n"), corrCol.as("corr"))
+        .orderBy(col("item_x"), col("item_y"))
+    }),
+
+    // R1 end-to-end, books dialect: `"user";"item";"rating"` quoted
+    // Book-Crossing lines through the quote-stripping adapter into the
+    // R3 user-postings aggregation — every parsed row lands in an
+    // exact integer sum, so one mis-parse anywhere breaks the hash.
+    "q_books_dialect" -> ((s, d) => {
+      val parsed = Sources.booksRatings(s,
+          graft.io.DialectFixtures.writeBooks(s, d))
+        .withColumn("rating_i", Det.fx4(col("rating")))
+      parsed.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("item_count"),
+          sum(col("rating_i")).as("rating_i_sum"),
+          min(col("item_id")).as("first_item"),
+          max(col("item_id")).as("last_item"))
+        .orderBy(col("user_id"))
+    }),
+
     // R8: the SemicolonValueProtocol output surface — movies-pipeline
     // rows serialized as the reference's ';'-joined lines. Doubles go
     // through DECIMAL(10,4) so both engines render "0.1667"-style
     // strings (raw double→string formatting is engine-specific:
     // Spark emits 1.0E-4 below 1e-3, DuckDB emits 0.0001).
     "q_semicolon_protocol" -> ((s, d) => {
-      val m = Moments.asDoubles(moments(s, d))
-        .withColumn("corr", corrCol)
-        .where(col("n") > 0)
-      m.select(concat_ws(";",
+      val m = Moments.asDoubles(moments(s, d)).where(col("n") > 0)
+      // Rank on the line's `x;y;` prefix, not the rendered line: item
+      // ids are digit-only strings, so two keys are never prefixes of
+      // each other and every line pair diverges inside the key —
+      // full-line order == key order. TakeOrderedAndProject then
+      // truncates per partition BEFORE the corr arithmetic and
+      // DECIMAL rendering run (those now touch 10 000 rows, not every
+      // pair); the final line sort handles only the survivors.
+      val top = m
+        .withColumn("k", concat(col("item_x").cast("string"), lit(";"),
+          col("item_y").cast("string"), lit(";")))
+        .orderBy(col("k")).limit(10000)
+      top.withColumn("corr", corrCol)
+        .select(concat_ws(";",
           col("item_x").cast("string"), col("item_y").cast("string"),
           col("corr").cast("decimal(10,4)").cast("string"),
           col("n").cast("string")).as("line"))
-        .orderBy(col("line")).limit(10000)
+        .orderBy(col("line"))
     }),
 
     // The 3-step MoviesSimilarities job (Pearson only, n>0 at the
@@ -294,6 +338,35 @@ object SimQueries {
          |                          ORDER BY corr DESC, item_y) AS rn
          |FROM sims
          |ORDER BY item_x, rn""".stripMargin,
+
+    "q_movies_dialect" ->
+      s"""WITH parsed AS (
+         |  SELECT user_id, item_id, rating,
+         |         CAST(floor(rating*10000 + 0.5) AS BIGINT) AS rating_i
+         |  FROM read_csv('${graft.io.DialectFixtures.MoviesPath}/part-*.txt',
+         |       delim='|', header=false,
+         |       columns={'user_id': 'VARCHAR', 'item_id': 'VARCHAR',
+         |                'rating': 'DOUBLE'})),
+         |ratings AS (
+         |  SELECT * FROM parsed
+         |  WHERE ${graft.ext.Sampling.hashSampleSql("user_id", 10.0)}),
+         |$P
+         |SELECT item_x, item_y, n, ${r4(corrSql)} AS corr
+         |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    "q_books_dialect" ->
+      s"""WITH parsed AS (
+         |  SELECT user_id, item_id,
+         |         CAST(floor(CAST(rating AS DOUBLE)*10000 + 0.5) AS BIGINT)
+         |           AS rating_i
+         |  FROM read_csv('${graft.io.DialectFixtures.BooksPath}/part-*.txt',
+         |       delim=';', quote='"', header=false,
+         |       columns={'user_id': 'VARCHAR', 'item_id': 'VARCHAR',
+         |                'rating': 'VARCHAR'}))
+         |SELECT user_id, count(*) AS item_count,
+         |       CAST(sum(rating_i) AS BIGINT) AS rating_i_sum,
+         |       min(item_id) AS first_item, max(item_id) AS last_item
+         |FROM parsed GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_semicolon_protocol" ->
       s"""WITH $R, $P,

@@ -38,6 +38,29 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("ALS auto-routes string ids through the dictionary") {
+    // the reference accepts arbitrary string ids everywhere; fit must
+    // not crash on them (r1 gap: int-cast produced nulls/failures)
+    val fitted = Recommender.fit(toyRatings, rank = 2, maxIter = 2)
+    assert(fitted.userDict.isDefined && fitted.itemDict.isDefined)
+    val recs = Recommender.recommendTopK(fitted, 2).collect()
+    assert(recs.nonEmpty)
+    assert(recs.map(_.getString(0)).toSet.subsetOf(Set("u1", "u2", "u3", "u4")))
+    assert(recs.map(_.getString(1)).toSet.subsetOf(Set("A", "B", "C")))
+    recs.groupBy(_.getString(0)).values.foreach(rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length)))
+  }
+
+  test("ALS auto-routes out-of-int-range longs through the dictionary") {
+    val shifted = toyRatingsNumeric
+      .withColumn("user_id", col("user_id") + lit(10_000_000_000L))
+    val fitted = Recommender.fit(shifted, rank = 2, maxIter = 2)
+    assert(fitted.userDict.isDefined && fitted.itemDict.isEmpty)
+    val recs = Recommender.recommendTopK(fitted, 2).collect()
+    assert(recs.nonEmpty)
+    assert(recs.map(_.getLong(0)).forall(_ > 10_000_000_000L))
+  }
+
   test("bucketed self-join on the bucket key plans without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -82,6 +105,13 @@ class ApiSpec extends SparkSpec {
       assert(m.count() > 0 && again.count() == bucketed.count())
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q_semicolon_protocol plans the 10k cut as TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q_semicolon_protocol")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sorted-limit should truncate per partition:\n$plan")
   }
 
   test("dictionary mints dense deterministic int ids for string keys") {
