@@ -35,13 +35,24 @@ object ExtQueries {
     Cache.getOrPersist(s, "simhash_pairs", d)(
       Dedup.simhashNearDups(Dedup.simhash(docs(s, d))))
 
+  /** Force the minhash chain (shingle table → LSH candidate pairs). */
+  def warmMinhash(spark: SparkSession, dir: String): Unit = {
+    shinglesC(spark, dir).count()
+    candidatesC(spark, dir).count()
+    ()
+  }
+
+  /** Force the simhash near-dup pair table. */
+  def warmSimhash(spark: SparkSession, dir: String): Unit = {
+    simhashPairsC(spark, dir).count()
+    ()
+  }
+
   /** Force this module's session-shared intermediates (shingle table,
     * LSH candidate pairs) — see [[graft.rel.SimQueries.warm]]. */
   def warm(spark: SparkSession, dir: String): Unit = {
-    shinglesC(spark, dir).count()
-    candidatesC(spark, dir).count()
-    simhashPairsC(spark, dir).count()
-    ()
+    warmMinhash(spark, dir)
+    warmSimhash(spark, dir)
   }
 
   /** q_dataset_mix rates (shared by query and oracle). */

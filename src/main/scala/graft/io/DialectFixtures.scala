@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Ratings render through DECIMAL(14,4) so both engines re-parse the
   * identical double (raw double→string formatting is engine-specific —
-  * the q_semicolon_protocol lesson). `coalesce(1)` keeps the fixture a
-  * single file locally; the oracle reads a `part-*.txt` glob, so a
-  * many-part 100 TB render would pass unchanged.
+  * the q_semicolon_protocol lesson). The render writes with full
+  * parallelism (a `coalesce(1)` single-writer tripled the query's
+  * bench time); both the Spark re-read (directory) and the DuckDB
+  * oracle (`part-*.txt` glob) are part-count-agnostic.
   */
 object DialectFixtures {
   val MoviesPath = "/root/repo/target/dialect/movies"
@@ -48,7 +49,7 @@ object DialectFixtures {
         .select(concat_ws("|",
           col("user_id").cast("string"), col("item_id").cast("string"),
           col("rating").cast("decimal(14,4)").cast("string")).as("value"))
-        .coalesce(1).write.mode("overwrite").text(MoviesPath)
+        .write.mode("overwrite").text(MoviesPath)
     }
     MoviesPath
   }
@@ -62,7 +63,7 @@ object DialectFixtures {
           lit("\";\""), col("item_id").cast("string"),
           lit("\";\""), col("rating").cast("decimal(14,4)").cast("string"),
           lit("\"")).as("value"))
-        .coalesce(1).write.mode("overwrite").text(BooksPath)
+        .write.mode("overwrite").text(BooksPath)
     }
     BooksPath
   }
