@@ -39,17 +39,29 @@ case class PortableHashExpr(child: Expression) extends UnaryExpression {
 
 object PortableHashImpl {
   /** Single-pass twin of PortableHash.h (see its scaladoc for the
-    * formula, incl. the rpad-truncation and position-guard rules). */
+    * formula, incl. the rpad-truncation and position-guard rules).
+    *
+    * Character positions are CODE POINTS: Spark's `length`/`substring`
+    * /`ascii` (and DuckDB's) count code points, while Java's
+    * `charAt`/`length` count UTF-16 units — a charAt-based twin
+    * diverges on surrogate-pair (astral-plane) text such as emoji
+    * (caught by ExprSpec's unicode test). The no-surrogate fast path
+    * keeps ASCII/BMP hashing allocation- and scan-free. */
   def compute(u: UTF8String): Int = {
     val s = u.toString
-    val n = s.length
+    val n16 = s.length
+    val n = s.codePointCount(0, n16)
+    // cpAt(k): code point at 0-based code-point index k
+    val cpAt: Int => Int =
+      if (n == n16) k => s.charAt(k).toInt
+      else k => s.codePointAt(s.offsetByCodePoints(0, k))
     // t = rpad(s,5,'#'): exactly 5 chars — truncates when longer
     @inline def t(i: Int): Int =
-      if (i < n && i < 5) s.charAt(i).toInt else '#'.toInt
+      if (i < n && i < 5) cpAt(i) else '#'.toInt
     // ascii(substr(s, max(p,1), 1)), 0 when out of range (empty substr)
     @inline def tail(p: Int): Int = {
       val q = math.max(p, 1)
-      if (q <= n) s.charAt(q - 1).toInt else 0
+      if (q <= n) cpAt(q - 1) else 0
     }
     // 64-bit accumulation (n·5381 overflows Int past ~400 K chars and
     // the wrap would diverge from the Column/SQL twins, which are Long)

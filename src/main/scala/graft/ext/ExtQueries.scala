@@ -280,6 +280,46 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // Embedding-dedup end-to-end: banded sign-LSH candidates →
+    // cosine threshold → connected components → cluster table with
+    // keepers. The full "embedding-cosine near-dup dedup" pipeline a
+    // training-data curation run executes. τ=0.0 here: the synthetic
+    // embeddings have no true near-dups (max pair cosine ≈0.45), so
+    // the scored query keeps any positively-aligned candidate to
+    // exercise thresholding + clustering; a production corpus runs
+    // the identical plan with τ≈0.95.
+    "q_embed_dedup_clusters" -> ((s, d) => {
+      val e = emb(s, d)
+      val pairs = VectorSearch.bandedPairCosine(e)
+        .where(col("cos_sim") >= 0.0)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      Dedup.connectedComponents(e.select(col("vec_id")), pairs,
+          nodeCol = "vec_id")
+        .withColumn("is_keeper",
+          (col("vec_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The curation funnel: quality-score filter → exact-dup drop →
+    // weighted source mix — the end-to-end shape of a training-data
+    // preparation job, composed from the scored primitives above so
+    // the whole funnel is one oracle-checked plan.
+    "q_curation_mix" -> ((s, d) => {
+      val dcs = docs(s, d)
+      val q = TextAnalysis.qualityColumns(dcs)
+        .select(col("doc_id"), col("quality"))
+      val drops = Dedup.dropDuplicatesKeepFirst(dcs,
+        Dedup.normPrefix(col("text"), 5)).select(col("doc_id"))
+      val curated = dcs.select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id"))
+        .where(col("quality") >= 0.5)
+        .join(drops, Seq("doc_id"), "left_anti")
+      Sampling.weightedMix(curated, col("source"),
+          col("doc_id").cast("string"), MixRates, defaultRate = 1.0)
+        .select(col("doc_id"), col("source"), col("quality"), col("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))
+    }),
+
     // Model-based CF (MLlib ALS) — the BASELINE.json north-star
     // approach. Iterative solver => no DuckDB oracle; the driver
     // records a rows-only check (seeded, so locally reproducible).
@@ -312,6 +352,74 @@ object ExtQueries {
        |    ON a.b = b2.b AND a.mh = b2.mh AND a.doc_id < b2.doc_id
        |  GROUP BY 1, 2
        |)""".stripMargin
+
+  /** Shared CTE chain for the banded sign-LSH oracles: band buckets →
+    * cap filter → candidate pairs → fixed-point cosine (`bcos`). */
+  private lazy val bandedCosCtes: String = {
+    val bandSelects = (0 until VectorSearch.DefaultBands).map(b =>
+      s"SELECT vec_id, CAST($b AS BIGINT) AS band, " +
+        s"CAST(${VectorSearch.signBandBucketSql("embedding", b,
+          VectorSearch.DefaultBandBits)} AS BIGINT) AS bucket " +
+        "FROM embeddings").mkString(" UNION ALL ")
+    s"""bb AS ($bandSelects),
+       |ok AS (
+       |  SELECT band, bucket FROM bb GROUP BY 1, 2
+       |  HAVING count(*) <= ${VectorSearch.DefaultBucketCap}),
+       |kept AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+       |cand AS (
+       |  SELECT a.vec_id AS v1, b2.vec_id AS v2, count(*) AS bands
+       |  FROM kept a JOIN kept b2
+       |    ON a.band = b2.band AND a.bucket = b2.bucket
+       |   AND a.vec_id < b2.vec_id
+       |  GROUP BY 1, 2),
+       |cpairs AS (
+       |  SELECT c.v1, c.v2, c.bands,
+       |         e1.embedding AS e1, e2.embedding AS e2
+       |  FROM cand c
+       |  JOIN embeddings e1 ON e1.vec_id = c.v1
+       |  JOIN embeddings e2 ON e2.vec_id = c.v2),
+       |terms AS (
+       |  SELECT v1, v2, bands, i,
+       |         CAST(e1[i] AS DOUBLE) AS x, CAST(e2[i] AS DOUBLE) AS y
+       |  FROM cpairs, unnest(range(1, len(e1)+1)) AS t(i)),
+       |dots AS (
+       |  SELECT v1, v2, bands,
+       |         CAST(sum(CAST(floor(x*y*1000000000000.0 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / 1000000000000.0 AS dot,
+       |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / 1000000000000.0 AS nx,
+       |         CAST(sum(CAST(floor(y*y*1000000000000.0 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / 1000000000000.0 AS ny
+       |  FROM terms GROUP BY 1, 2, 3),
+       |bcos AS (
+       |  SELECT v1, v2, bands,
+       |         ${r4("CASE WHEN sqrt(nx)*sqrt(ny) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
+       |  FROM dots)""".stripMargin
+  }
+
+  /** Shared CTE chain for the quality-score oracles (`quals` carries
+    * the final per-doc quality). */
+  private lazy val qualityCtes: String =
+    s"""ws AS (
+       |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(w) AS BIGINT) AS n_words,
+       |         ${TextAnalysis.markerCountSql(Seq("the", "a", "and", "of"))}
+       |           AS n_stop,
+       |         ${r4("CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w)")}
+       |           AS avg_wlen
+       |  FROM ws),
+       |rs AS (
+       |  SELECT *, ${r4("CAST(n_stop AS DOUBLE) / n_words")} AS stop_ratio
+       |  FROM base),
+       |quals AS (
+       |  SELECT *, ${r4("0.3*least(CAST(n_words AS DOUBLE)/50.0, 1.0)" +
+            " + 0.4*(1.0 - stop_ratio)" +
+            " + 0.3*least(avg_wlen/10.0, 1.0)")} AS quality
+       |  FROM rs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -429,25 +537,10 @@ object ExtQueries {
          |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
-         |  FROM documents),
-         |base AS (
-         |  SELECT doc_id, n_chars,
-         |         CAST(len(w) AS BIGINT) AS n_words,
-         |         ${TextAnalysis.markerCountSql(Seq("the", "a", "and", "of"))}
-         |           AS n_stop,
-         |         ${r4("CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w)")}
-         |           AS avg_wlen
-         |  FROM ws),
-         |rs AS (
-         |  SELECT *, ${r4("CAST(n_stop AS DOUBLE) / n_words")} AS stop_ratio
-         |  FROM base)
+      s"""WITH $qualityCtes
          |SELECT doc_id, n_chars, n_words, n_stop, avg_wlen, stop_ratio,
-         |       ${r4("0.3*least(CAST(n_words AS DOUBLE)/50.0, 1.0)" +
-              " + 0.4*(1.0 - stop_ratio)" +
-              " + 0.3*least(avg_wlen/10.0, 1.0)")} AS quality
-         |FROM rs ORDER BY doc_id""".stripMargin,
+         |       quality
+         |FROM quals ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
       val scoreCols = TextAnalysis.Markers.map { case (l, ms) =>
@@ -531,47 +624,50 @@ object ExtQueries {
          |SELECT label, vec_id, cos_sim, rn
          |FROM ranked WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
 
-    "q_embed_near_dup" -> {
-      val bandSelects = (0 until VectorSearch.DefaultBands).map(b =>
-        s"SELECT vec_id, CAST($b AS BIGINT) AS band, " +
-          s"CAST(${VectorSearch.signBandBucketSql("embedding", b,
-            VectorSearch.DefaultBandBits)} AS BIGINT) AS bucket " +
-          "FROM embeddings").mkString(" UNION ALL ")
-      s"""WITH bb AS ($bandSelects),
-         |ok AS (
-         |  SELECT band, bucket FROM bb GROUP BY 1, 2
-         |  HAVING count(*) <= ${VectorSearch.DefaultBucketCap}),
-         |kept AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
-         |cand AS (
-         |  SELECT a.vec_id AS v1, b2.vec_id AS v2, count(*) AS bands
-         |  FROM kept a JOIN kept b2
-         |    ON a.band = b2.band AND a.bucket = b2.bucket
-         |   AND a.vec_id < b2.vec_id
-         |  GROUP BY 1, 2),
-         |cpairs AS (
-         |  SELECT c.v1, c.v2, c.bands,
-         |         e1.embedding AS e1, e2.embedding AS e2
-         |  FROM cand c
-         |  JOIN embeddings e1 ON e1.vec_id = c.v1
-         |  JOIN embeddings e2 ON e2.vec_id = c.v2),
-         |terms AS (
-         |  SELECT v1, v2, bands, i,
-         |         CAST(e1[i] AS DOUBLE) AS x, CAST(e2[i] AS DOUBLE) AS y
-         |  FROM cpairs, unnest(range(1, len(e1)+1)) AS t(i)),
-         |dots AS (
-         |  SELECT v1, v2, bands,
-         |         CAST(sum(CAST(floor(x*y*1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS dot,
-         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS nx,
-         |         CAST(sum(CAST(floor(y*y*1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS ny
-         |  FROM terms GROUP BY 1, 2, 3)
-         |SELECT v1, v2, bands,
-         |       ${r4("CASE WHEN sqrt(nx)*sqrt(ny) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
-         |FROM dots
-         |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin
+    "q_embed_near_dup" ->
+      s"""WITH $bandedCosCtes
+         |SELECT v1, v2, bands, cos_sim FROM bcos
+         |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin,
+
+    // Banded candidates → cosine threshold → recursive min-label
+    // propagation (same shape as the q_dedup_clusters oracle).
+    "q_embed_dedup_clusters" ->
+      s"""WITH RECURSIVE $bandedCosCtes,
+         |edges AS (SELECT v1 AS d1, v2 AS d2 FROM bcos WHERE cos_sim >= 0.0),
+         |sym AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges
+         |  UNION ALL
+         |  SELECT d2 AS src, d1 AS dst FROM edges),
+         |cc AS (
+         |  SELECT vec_id AS node, vec_id AS label FROM embeddings
+         |  UNION
+         |  SELECT sym.dst AS node, cc.label
+         |  FROM cc JOIN sym ON cc.node = sym.src)
+         |SELECT node AS vec_id, min(label) AS cluster_id,
+         |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_keeper
+         |FROM cc GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    "q_curation_mix" -> {
+      val (copiesExpr, _) = Sampling.weightedMixSql(
+        "source", "CAST(doc_id AS VARCHAR)", MixRates, defaultRate = 1.0)
+      s"""WITH $qualityCtes,
+         |$dupSigSql,
+         |k AS (SELECT sig, min(doc_id) AS keeper FROM nsig GROUP BY 1),
+         |drops AS (
+         |  SELECT n.doc_id FROM nsig n JOIN k USING (sig)
+         |  WHERE n.doc_id != k.keeper),
+         |cur AS (
+         |  SELECT d.doc_id, d.source, quals.quality
+         |  FROM documents d JOIN quals ON quals.doc_id = d.doc_id
+         |  WHERE quals.quality >= 0.5
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM drops)),
+         |gated AS (
+         |  SELECT doc_id, source, quality, $copiesExpr AS n_copies FROM cur)
+         |SELECT doc_id, source, quality,
+         |       unnest(generate_series(1, n_copies)) AS copy_id
+         |FROM gated WHERE n_copies > 0
+         |ORDER BY doc_id, copy_id""".stripMargin
     },
 
     // IVF ANN replay: same fixed-point per-term snapping as the Spark

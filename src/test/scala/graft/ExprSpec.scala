@@ -54,6 +54,20 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_hash twins agree on non-ASCII and astral-plane strings") {
+    GraftFunctions.ensureRegistered(spark)
+    // BMP accents/CJK and surrogate-pair emoji: Java charAt counts
+    // UTF-16 units while Spark length()/substring() count code points
+    val uni = Seq("é", "café", "中文abc",
+      "😀", "a😀b", "😀😁xyz",
+      "ab😀").toDF("s")
+    val bad = uni.select(col("s"),
+      call_function("graft_hash", col("s")).as("fast"),
+      PortableHash.h(col("s")).as("composed"))
+      .where(col("fast") =!= col("composed")).collect()
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+
   test("native graft_fixed_dot equals the HOF formula on real embeddings") {
     GraftFunctions.ensureRegistered(spark)
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
