@@ -246,6 +246,24 @@ object Dedup {
     * converged within maxIter — silent wrong labels would poison the
     * downstream drop list.
     */
+  /** Materialization point for iterate-to-fixpoint loops:
+    * `localCheckpoint` by default (fast, truncates the exponential
+    * lineage — see the connectedComponents notes), or a RELIABLE
+    * checkpoint when `spark.graft.checkpoint.dir` is set to a
+    * fault-tolerant path — localCheckpoint blocks live only on
+    * executors and do not survive executor loss, which at cluster
+    * scale turns one lost container into a failed job. */
+  private def materializeIter(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           nodeCol: String = "doc_id",
                           maxIter: Int = 50): DataFrame = {
@@ -288,19 +306,19 @@ object Dedup {
     // truncates the plan to a scan of the materialized result. At
     // 100 TB use reliable checkpoint(dir) instead — localCheckpoint
     // does not survive executor loss.
-    val csym = contracted.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(contracted.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint(true)
-    var labels = reps.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    val csym = materializeIter(
+      contracted.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(contracted.select(col("d2").as("src"), col("d1").as("dst"))))
+    var labels = materializeIter(
+      reps.select(col("node"), col("node").as("label")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val viaNeighbors = csym.join(labels, csym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = materializeIter(
+        labels.unionByName(viaNeighbors)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
       val changed = next.join(
           labels.withColumnRenamed("label", "old"), Seq("node"))
         .where(col("label") =!= col("old")).count()

@@ -94,6 +94,20 @@ object StreamOps {
   case class Ev2(user_id: Long, ts_ms: Long)
   case class SessionBuf(open: List[Long])
 
+  /** Streaming exact dedup — the ingest-time twin of
+    * [[graft.ext.Dedup.dropDuplicatesKeepFirst]]: duplicates of a key
+    * arriving within the watermark horizon are dropped (first
+    * occurrence wins), and key state older than the watermark is
+    * evicted. `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`:
+    * the plain variant keeps every key ever seen, so its state grows
+    * without bound on a 100 TB/day stream — the bounded variant is the
+    * only deployable shape. The batch pass (ext.Dedup) owns the
+    * historical corpus; this gate owns the live feed. */
+  def dedupStream(rows: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Rate-source synthetic event stream: the load-generator twin of
     * the file source (schema-compatible with the events-derived
     * transforms: ts, user_id, event_type, value). Useful for

@@ -72,6 +72,22 @@ class ExtSpec extends SparkSpec {
     assert(cc(99L) === 99L)
   }
 
+  test("connectedComponents honors spark.graft.checkpoint.dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+      val edges = Seq((1L, 2L)).toDF("d1", "d2")
+      val cc = Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+      // reliable checkpoints were actually written under the dir
+      val files = new java.io.File(dir).listFiles()
+      assert(files != null && files.nonEmpty,
+        "reliable checkpoint dir should be populated")
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("portable hash is stable and within [0, M)") {
     val h = docsDF(1L -> "anything").select(
       PortableHash.h(lit("spark")).as("h1"),

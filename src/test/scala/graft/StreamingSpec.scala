@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence, drops in-watermark repeats") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val docs = input.toDF().toDF("ts", "doc_id", "sig")
+    val q = StreamOps.dedupStream(docs, "ts", Seq("sig"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((t(0), 1L, "a"), (t(1), 2L, "a"), (t(2), 3L, "b"))
+      q.processAllAvailable()
+      // a repeat in a LATER batch, still inside the watermark horizon
+      input.addData((t(3), 4L, "a"), (t(4), 5L, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT sig, doc_id FROM dedup_stream")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.keySet === Set("a", "b", "c"))
+      assert(rows("a") === 1L) // first occurrence won, 2 and 4 dropped
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
