@@ -320,6 +320,19 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("copy_id"))
     }),
 
+    // The distributed dictionary-encoding pre-pass as a first-class
+    // op: dense deterministic int ids for arbitrary keys (what ALS —
+    // and any factor/embedding table — needs at 100 TB where raw ids
+    // are strings or exceed int range). zipWithIndex keeps the
+    // assignment distributed; oracle is a plain dense row_number.
+    "q_id_dictionary" -> ((s, d) => {
+      val r = Cache.getOrPersist(s, "ratings", d)(Sources.ratings(s, d))
+      Recommender.dictionary(
+          r.select(concat(lit("u"), col("user_id").cast("string")).as("key")),
+          "key")
+        .orderBy(col("key"))
+    }),
+
     // Model-based CF (MLlib ALS) — the BASELINE.json north-star
     // approach. Iterative solver => no DuckDB oracle; the driver
     // records a rows-only check (seeded, so locally reproducible).
@@ -751,6 +764,15 @@ object ExtQueries {
          |FROM gated WHERE n_copies > 0
          |ORDER BY doc_id, copy_id""".stripMargin
     },
+
+    "q_id_dictionary" ->
+      s"""WITH ${graft.io.Sources.ratingsSql},
+         |keys AS (
+         |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS key
+         |  FROM ratings)
+         |SELECT key,
+         |       CAST(row_number() OVER (ORDER BY key) - 1 AS INTEGER) AS idx
+         |FROM keys ORDER BY key""".stripMargin,
 
     "q_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
