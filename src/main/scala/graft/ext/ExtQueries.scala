@@ -35,6 +35,12 @@ object ExtQueries {
     Cache.getOrPersist(s, "simhash_pairs", d)(
       Dedup.simhashNearDups(Dedup.simhash(docs(s, d))))
 
+  /** Banded sign-LSH pair cosines, shared by the near-dup pair query
+    * and the embedding-cluster resolution query. */
+  private def bandedCosC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "banded_cos", d)(
+      VectorSearch.bandedPairCosine(emb(s, d)))
+
   /** Force the minhash chain (shingle table → LSH candidate pairs). */
   def warmMinhash(spark: SparkSession, dir: String): Unit = {
     shinglesC(spark, dir).count()
@@ -42,9 +48,11 @@ object ExtQueries {
     ()
   }
 
-  /** Force the simhash near-dup pair table. */
+  /** Force the simhash near-dup pair table and the banded-LSH pair
+    * cosines (both small next to the minhash chain — one future). */
   def warmSimhash(spark: SparkSession, dir: String): Unit = {
     simhashPairsC(spark, dir).count()
+    bandedCosC(spark, dir).count()
     ()
   }
 
@@ -225,7 +233,7 @@ object ExtQueries {
     // Multi-band sign-LSH pair search (4 tables × 16 bits, bucket cap):
     // the sub-quadratic scale path — see VectorSearch's banding notes.
     "q_embed_near_dup" -> ((s, d) =>
-      VectorSearch.bandedPairCosine(emb(s, d))
+      bandedCosC(s, d)
         .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
         .limit(100)),
 
@@ -289,11 +297,10 @@ object ExtQueries {
     // exercise thresholding + clustering; a production corpus runs
     // the identical plan with τ≈0.95.
     "q_embed_dedup_clusters" -> ((s, d) => {
-      val e = emb(s, d)
-      val pairs = VectorSearch.bandedPairCosine(e)
+      val pairs = bandedCosC(s, d)
         .where(col("cos_sim") >= 0.0)
         .select(col("v1").as("d1"), col("v2").as("d2"))
-      Dedup.connectedComponents(e.select(col("vec_id")), pairs,
+      Dedup.connectedComponents(emb(s, d).select(col("vec_id")), pairs,
           nodeCol = "vec_id")
         .withColumn("is_keeper",
           (col("vec_id") === col("cluster_id")).cast("long"))
