@@ -105,6 +105,19 @@ object SimQueries {
         .select(col("item_x"), col("item_y"), col("n"), corrCol.as("corr"))
         .orderBy(col("item_x"), col("item_y"))),
 
+    // The DECIMAL(38,0)-accumulating moment path, oracle-checked:
+    // identical values to q_sim_pearson at testdata magnitudes (the
+    // sums fit both representations) but a different physical
+    // aggregation (decimal buffers) — so the 100 TB overflow-safe
+    // variant is plan-exercised under the DuckDB oracle, not just
+    // property-tested (PropertySpec owns the adversarial magnitudes
+    // where LONG cannot even form a product term).
+    "q_sim_pearson_dec" -> ((s, d) =>
+      Moments.asDoubles(Moments.pairMomentsDec(ratingsBucketed(s, d)))
+        .where(col("n") >= 2)
+        .select(col("item_x"), col("item_y"), col("n"), corrCol.as("corr"))
+        .orderBy(col("item_x"), col("item_y"))),
+
     // R12: cosine per pair.
     "q_sim_cosine" -> ((s, d) =>
       Moments.asDoubles(moments(s, d))
@@ -265,6 +278,13 @@ object SimQueries {
          |ORDER BY n DESC, item_x, item_y LIMIT 200""".stripMargin,
 
     "q_sim_pearson" ->
+      s"""WITH $R, $P
+         |SELECT item_x, item_y, n, ${r4(corrSql)} AS corr
+         |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    // DuckDB accumulates BIGINT sums in HUGEINT either way, so the
+    // decimal variant's oracle is the same SQL as q_sim_pearson's.
+    "q_sim_pearson_dec" ->
       s"""WITH $R, $P
          |SELECT item_x, item_y, n, ${r4(corrSql)} AS corr
          |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
