@@ -327,6 +327,20 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("copy_id"))
     }),
 
+    // IVF over a REAL coarse quantizer: 2 rounds of deterministic
+    // fixed-point k-means (8 cells seeded from the lowest vec_ids)
+    // instead of the label centroids q_ann_ivf uses — the production
+    // cell builder, fully replayed by the oracle's generated
+    // round-by-round CTE chain.
+    "q_ann_kmeans" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = VectorSearch.kmeansCells(e, k = 8, iters = 2)
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // The distributed dictionary-encoding pre-pass as a first-class
     // op: dense deterministic int ids for arbitrary keys (what ALS —
     // and any factor/embedding table — needs at 100 TB where raw ids
@@ -416,6 +430,98 @@ object ExtQueries {
        |         ${r4("CASE WHEN sqrt(nx)*sqrt(ny) = 0.0 THEN 0.0 " +
             "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
        |  FROM dots)""".stripMargin
+  }
+
+  /** Generated oracle for q_ann_kmeans: seeds → `iters` rounds of
+    * (cell norms → assignment cosines → argmax → fixed-point means) →
+    * the same IVF probe/scan tail as q_ann_ivf, over the final
+    * centroids. Every round's arithmetic mirrors
+    * [[VectorSearch.kmeansCells]] term for term. */
+  private def kmeansIvfOracle(k: Int, iters: Int): String = {
+    val F12 = "1000000000000.0"
+    def cnorm(r: Int) =
+      s"""cnorm$r AS (
+         |  SELECT cell_id,
+         |         CAST(sum(CAST(floor(cv*cv*$F12 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / $F12 AS cn
+         |  FROM cent$r GROUP BY 1)""".stripMargin
+    def acos(r: Int) =
+      s"""acos$r AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |         ${r4("CASE WHEN sqrt(cn)*sqrt(en) = 0.0 THEN 0.0 " +
+              s"ELSE (CAST(sum(CAST(floor(c.cv*e.v*$F12 + 0.5)" +
+              s" AS BIGINT)) AS DOUBLE)/$F12)" +
+              "/(sqrt(cn)*sqrt(en)) END")} AS cell_cos
+         |  FROM expl e
+         |  JOIN cent$r c ON c.i = e.i
+         |  JOIN cnorm$r ON cnorm$r.cell_id = c.cell_id
+         |  JOIN enorm ON enorm.vec_id = e.vec_id
+         |  GROUP BY e.vec_id, c.cell_id, cn, en)""".stripMargin
+    def assign(r: Int) =
+      s"""assign$r AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cell_cos DESC, cell_id) AS arn
+         |    FROM acos$r) WHERE arn = 1)""".stripMargin
+    def nextCent(r: Int) =
+      s"""cent${r + 1} AS (
+         |  SELECT a.cell_id, e.i,
+         |         (CAST(sum(CAST(floor(e.v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM assign$r a JOIN expl e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (0 until iters).map(r =>
+      Seq(cnorm(r), acos(r), assign(r), nextCent(r)).mkString(",\n"))
+      .mkString(",\n")
+    s"""WITH expl AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+       |enorm AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CAST(floor(v*v*$F12 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / $F12 AS en
+       |  FROM expl GROUP BY 1),
+       |seeds AS (
+       |  SELECT vec_id AS cell_id, embedding FROM embeddings
+       |  ORDER BY vec_id LIMIT $k),
+       |cent0 AS (
+       |  SELECT cell_id, i, CAST(embedding[i] AS DOUBLE) AS cv
+       |  FROM seeds, unnest(range(1, len(embedding)+1)) AS t(i)),
+       |$rounds,
+       |${cnorm(iters)},
+       |${acos(iters)},
+       |${assign(iters)},
+       |probes AS (
+       |  SELECT vec_id AS qid, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cell_cos DESC, cell_id) AS prn
+       |    FROM acos$iters WHERE vec_id % 50 = 0) WHERE prn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM probes p JOIN assign$iters a ON a.cell_id = p.cell_id),
+       |pdots AS (
+       |  SELECT c.qid, c.vec_id,
+       |         CAST(sum(CAST(floor(q.v*e.v*$F12 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / $F12 AS dot
+       |  FROM cand c
+       |  JOIN expl q ON q.vec_id = c.qid
+       |  JOIN expl e ON e.vec_id = c.vec_id AND e.i = q.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.vec_id,
+       |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+       |  FROM pdots d
+       |  JOIN enorm nq ON nq.vec_id = d.qid
+       |  JOIN enorm ne ON ne.vec_id = d.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |                               ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT qid, vec_id, cos_sim, rn
+       |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
   /** Shared CTE chain for the quality-score oracles (`quals` carries
@@ -771,6 +877,8 @@ object ExtQueries {
          |FROM gated WHERE n_copies > 0
          |ORDER BY doc_id, copy_id""".stripMargin
     },
+
+    "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
 
     "q_id_dictionary" ->
       s"""WITH ${graft.io.Sources.ratingsSql},

@@ -148,6 +148,61 @@ object VectorSearch {
       .where(col("rn") <= k)
   }
 
+  /** Deterministic fixed-iteration k-means coarse quantizer — the
+    * production cell builder [[ivfTopK]]'s scaladoc promises (label
+    * centroids are the testdata stand-in). Spark-first shape: each
+    * round is one broadcast-crossed assignment (the same `max_by`
+    * argmax as ivfTopK's build side — partial/final agg, no window)
+    * plus one fixed-point per-dimension mean (the [[labelCentroids]]
+    * formula, grouped by assigned cell instead of label).
+    *
+    * Determinism contract (what makes the DuckDB CTE replay possible):
+    * seeds are the k lowest-id vectors (cell_id = seed vec_id);
+    * assignment ranks the r4-rounded cosine with min-cell_id
+    * tie-break; means snap each member term to 1e-9 units and divide
+    * exact integer sums — so every round is bit-reproducible on any
+    * partitioning. FIXED iterations, no convergence test: a
+    * data-dependent stopping rule would make the oracle's round count
+    * dynamic. Cells that lose all members simply drop out (GROUP BY
+    * emits only non-empty cells) — identically on both engines.
+    *
+    * Scale: cells stay broadcast-sized (k ≈ √N); each round touches
+    * the corpus once (N×k crossed rows reduced map-side); the
+    * per-round `localCheckpoint` is on the k-row centroid frame only,
+    * keeping the loop's lineage flat. */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    var cells = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    for (_ <- 0 until iters) {
+      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+        fixedNormSq(col("centroid")).as("cnrm")))
+      val assigned = emb
+        .withColumn("enrm", fixedNormSq(col("embedding")))
+        .crossJoin(cellsB)
+        .withColumn("cell_cos", Det.r4(cosineCol(
+          fixedDot(col("embedding"), col("centroid")),
+          col("enrm"), col("cnrm"))))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell_id"), col("embedding")),
+          struct(col("cell_cos"), (-col("cell_id")).as("tb"))).as("best"))
+        .select(col("best.cell_id").as("cell_id"),
+          col("best.embedding").as("embedding"))
+      val perPos = assigned
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(((sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+          .cast("long")).cast("double") / count(lit(1))) / lit(1e9)).as("cv"))
+      cells = perPos.groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cells
+  }
+
   // ---------------------------------------------------------------
   // Multi-band sign-LSH near-duplicate search.
   //

@@ -349,6 +349,24 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("max_by"), plan)
   }
 
+  test("kmeansCells learns the cluster directions and is partition-invariant") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.95f, 0.05f)),
+      (5L, Array(0.1f, 0.9f)), (6L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val cells = VectorSearch.kmeansCells(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cells.keySet === Set(1L, 2L)) // seeded from the 2 lowest ids
+    val c1 = cells(1L); val c2 = cells(2L)
+    assert(math.abs(c1(0) - 0.95) < 0.01 && math.abs(c1(1) - 0.05) < 0.01)
+    assert(math.abs(c2(0) - 0.05) < 0.01 && math.abs(c2(1) - 0.95) < 0.01)
+    // bit-identical under a different partitioning (fixed-point means)
+    val again = VectorSearch.kmeansCells(emb.repartition(3), k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again === cells)
+  }
+
   test("multimodal: resize fixes batch shape; features feed ANN end-to-end") {
     val docs = docsDF(1L -> "a b c d e f g h i j k l",
       2L -> "a b c d e f g h i j k m", 3L -> "zz yy xx ww vv uu")
