@@ -75,6 +75,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash minima equal the batch minima across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Dedup
+    // the batch transform IS the streaming transform: band minima are
+    // algebraic (min), so the built-in streaming aggregation maintains
+    // per-doc signatures incrementally — no custom state operator
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Dedup.minhashBandMins(input.toDF().toDF("doc_id", "shingle"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mh_stream").start()
+    try {
+      val batch1 = Seq((1L, "alpha beta gamma"), (1L, "beta gamma delta"),
+        (2L, "zeta eta theta"))
+      val batch2 = Seq((1L, "gamma delta epsilon"), (2L, "eta theta iota"))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // update mode re-emits rows as minima tighten; min over the sink
+      // rows per (doc_id, band) is the final value
+      val streamed = spark.sql(
+        "SELECT doc_id, b, min(mh) FROM mh_stream GROUP BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Dedup.minhashBandMins(
+          (batch1 ++ batch2).toDF("doc_id", "shingle"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
