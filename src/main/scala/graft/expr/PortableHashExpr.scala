@@ -73,12 +73,16 @@ object PortableHashImpl {
 
 /** Session registration for the engine's native SQL functions. */
 object GraftFunctions {
-  private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
+  private val registered = new java.util.HashSet[Int]()
 
   /** Idempotently register the native functions on a session so they
-    * are callable from both `spark.sql` and `call_function`. */
-  def ensureRegistered(spark: SparkSession): Unit =
+    * are callable from both `spark.sql` and `call_function`.
+    *
+    * The whole check-then-register block holds one lock: the warm
+    * chains in `SparkEntry.warmShared` run on concurrent futures, and
+    * a thread that merely lost the `add` race must not proceed to use
+    * `graft_hash` before the winner finished registering it. */
+  def ensureRegistered(spark: SparkSession): Unit = registered.synchronized {
     if (registered.add(System.identityHashCode(spark))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_hash", exprs => PortableHashExpr(exprs.head), "scala_udf")
@@ -86,4 +90,5 @@ object GraftFunctions {
         "graft_fixed_dot",
         exprs => FixedDotExpr(exprs.head, exprs(1)), "scala_udf")
     }
+  }
 }

@@ -107,12 +107,18 @@ object Dedup {
   /** Band buckets above this size are excluded from pair generation:
     * boilerplate-heavy corpora concentrate on a few (b, mh) keys, and
     * a hot bucket goes quadratic WITHIN the bucket — AQE can split the
-    * partition but cannot shrink the pair count. Members of an
-    * over-cap bucket are near-identical under that band's permutation;
-    * exact-hash dedup ([[exactDupGroups]]) owns fully-identical text,
-    * and the remaining bands still pair docs whose other minima land
-    * in small buckets. [[minhashOverCapBuckets]] is the monitoring
-    * surface (log/alert on its count in a deploy). */
+    * partition but cannot shrink the pair count.
+    *
+    * Recall trade-off (be honest about it): members of an over-cap
+    * bucket share only that band's MINIMUM — one hot shingle — not
+    * near-identity, and every dropped bucket also lowers the agreeing-
+    * band count of its pairs, which can push true near-dups below
+    * [[ngramJaccard]] callers' ≥2-band gate. Exact-hash dedup covers
+    * only fully-identical text, not these. In a deploy, route the
+    * members of over-cap buckets to a re-band (different permutations)
+    * or exact-rescore pass rather than assuming they are covered;
+    * [[minhashOverCapBuckets]] is the monitoring surface for sizing
+    * that pass. */
   val MinhashBucketCap = 200
 
   /** (b, mh, sz) for band buckets over the cap. */
