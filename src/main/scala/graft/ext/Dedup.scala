@@ -242,10 +242,10 @@ object Dedup {
     * the (node, label) frame — the same shape GraphX's Pregel lowers
     * to, without leaving the DataFrame world. Rounds needed = graph
     * diameter; near-dup graphs are dense clusters with tiny diameter,
-    * so convergence is fast. The driver-side loop with a convergence
-    * `count()` per round is inherent to iterate-to-fixpoint (per-round
-    * persist keeps lineage flat; at 100 TB add checkpointing every ~5
-    * rounds).
+    * so convergence is fast. The convergence signal rides along inside
+    * the label aggregation itself (see the loop body), so each round
+    * costs one aggregation job plus one shuffle-free scan — not a
+    * separate join job.
     *
     * Input: nodes (nodeCol), edges (d1, d2). Output: (nodeCol,
     * cluster_id = min node id of the component). Throws if not
@@ -255,17 +255,41 @@ object Dedup {
   /** Materialization point for iterate-to-fixpoint loops:
     * `localCheckpoint` by default (fast, truncates the exponential
     * lineage — see the connectedComponents notes), or a RELIABLE
-    * checkpoint when `spark.graft.checkpoint.dir` is set to a
+    * parquet snapshot when `spark.graft.checkpoint.dir` is set to a
     * fault-tolerant path — localCheckpoint blocks live only on
     * executors and do not survive executor loss, which at cluster
-    * scale turns one lost container into a failed job. */
-  private def materializeIter(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.conf.getOption("spark.graft.checkpoint.dir") match {
+    * scale turns one lost container into a failed job.
+    *
+    * Each instance owns one chain of iterates: in reliable mode it
+    * writes iteration N under `<dir>/<name>/iter-N` and deletes
+    * iteration N−1 AFTER N lands (N never reads N−1's files once
+    * materialized — each snapshot is self-contained), so a long
+    * fixpoint run holds at most two snapshots per chain instead of
+    * accumulating one per round. The LAST snapshot is retained — the
+    * caller's result plan still scans it; callers should drop the
+    * whole `<dir>` when finished consuming the result. */
+  private[ext] final class IterMaterializer(name: String,
+      spark: org.apache.spark.sql.SparkSession) {
+    private val base: Option[String] =
+      spark.conf.getOption("spark.graft.checkpoint.dir").map(d => s"$d/$name")
+    private var iter = 0
+    private var prev: Option[String] = None
+
+    private def delete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true); ()
+    }
+
+    def apply(df: DataFrame): DataFrame = base match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        val path = s"$dir/iter-$iter"
+        iter += 1
+        df.write.mode("overwrite").parquet(path)
+        val out = spark.read.parquet(path)
+        prev.foreach(delete)
+        prev = Some(path)
+        out
       case None => df.localCheckpoint(eager = true)
     }
   }
@@ -312,24 +336,43 @@ object Dedup {
     // truncates the plan to a scan of the materialized result. At
     // 100 TB use reliable checkpoint(dir) instead — localCheckpoint
     // does not survive executor loss.
-    val csym = materializeIter(
+    val spark = nodes.sparkSession
+    val matEdges = new IterMaterializer("cc-edges", spark)
+    val matLabels = new IterMaterializer("cc-labels", spark)
+    val csym = matEdges(
       contracted.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(contracted.select(col("d2").as("src"), col("d1").as("dst"))))
-    var labels = materializeIter(
+    var labels = matLabels(
       reps.select(col("node"), col("node").as("label")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val viaNeighbors = csym.join(labels, csym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = materializeIter(
-        labels.unionByName(viaNeighbors)
-          .groupBy(col("node")).agg(min(col("label")).as("label")))
-      val changed = next.join(
-          labels.withColumnRenamed("label", "old"), Seq("node"))
-        .where(col("label") =!= col("old")).count()
-      labels = next
-      done = changed == 0L
+      // Convergence piggybacks on the SAME job that materializes the
+      // next labels — each round is ONE Spark job, not an aggregation
+      // job plus a count job. The node's previous label rides through
+      // the groupBy as `old` (each node has exactly one labels-row, so
+      // max(old) is it; neighbor rows contribute null, which max
+      // ignores), and a `chg` column bumps an accumulator while the
+      // materialization scans the rows. Accumulators over-count on
+      // task retries, but that is safe for THIS predicate: at fixpoint
+      // there are zero label<old rows, so no retry can fake a nonzero
+      // value — and before fixpoint any nonzero is the right answer.
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      val bump = udf { changed: Boolean =>
+        if (changed) acc.add(1L); changed
+      }.asNondeterministic()
+      val next = matLabels(
+        labels.select(col("node"), col("label"), col("label").as("old"))
+          .unionByName(viaNeighbors.select(col("node"), col("label"),
+            lit(null).cast(labels.schema("label").dataType).as("old")))
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+          .withColumn("chg",
+            bump(coalesce(col("label") < col("old"), lit(false)))))
+      labels = next.select(col("node"), col("label"))
+      done = acc.value == 0L
       iter += 1
     }
     contracted.unpersist()

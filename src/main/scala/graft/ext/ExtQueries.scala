@@ -355,12 +355,37 @@ object ExtQueries {
     }),
 
     // Model-based CF (MLlib ALS) — the BASELINE.json north-star
-    // approach. Iterative solver => no DuckDB oracle; the driver
-    // records a rows-only check (seeded, so locally reproducible).
+    // approach. The iterative solver's scores are not replayable in
+    // SQL, so the scored surface is DERIVED-PROPERTY checked instead
+    // of value-checked: the query runs the full fit + recommendTopK
+    // path on the real ratings, then reduces the recommendations to
+    // per-user invariants an oracle CAN state exactly — 5 recs per
+    // user, rn dense 1..5, scores non-increasing in rn (0
+    // violations), every item from the ratings catalog (0 unknown).
+    // Wrong join plumbing, dropped users, unsorted output, or factor
+    // blowups (NaN scores break monotonicity) all flip a column.
+    // The raw scored frame remains the library API
+    // (Recommender.recommendTopK, goldens in ExtSpec).
     "q_als_recommend" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val r = Cache.getOrPersist(s, "ratings", d)(Sources.ratings(s, d))
-      Recommender.recommendTopK(Recommender.fit(r), 5)
-        .orderBy(col("user_id"), col("rn"))
+      val recs = Recommender.recommendTopK(Recommender.fit(r), 5)
+      val items = r.select(col("item_id")).distinct()
+        .withColumn("__known", lit(1))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      recs
+        .join(broadcast(items), Seq("item_id"), "left")
+        .withColumn("prev_score", lag(col("score"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_recs"),
+          min(col("rn")).as("rn_min"),
+          max(col("rn")).as("rn_max"),
+          sum(col("rn")).as("rn_sum"),
+          sum(when(col("score") > col("prev_score"), 1L).otherwise(0L))
+            .as("mono_violations"),
+          sum(when(col("__known").isNull, 1L).otherwise(0L))
+            .as("unknown_items"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -879,6 +904,22 @@ object ExtQueries {
     },
 
     "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
+
+    // Derived-property oracle for the ALS path (see the query's
+    // comment): the properties hold for ANY correct top-5
+    // recommendation output, so the oracle states them as constants
+    // over the exact user set ALS trains on.
+    "q_als_recommend" ->
+      s"""WITH ${graft.io.Sources.ratingsSql},
+         |users AS (SELECT DISTINCT user_id FROM ratings)
+         |SELECT user_id,
+         |       CAST(5 AS BIGINT) AS n_recs,
+         |       CAST(1 AS BIGINT) AS rn_min,
+         |       CAST(5 AS BIGINT) AS rn_max,
+         |       CAST(15 AS BIGINT) AS rn_sum,
+         |       CAST(0 AS BIGINT) AS mono_violations,
+         |       CAST(0 AS BIGINT) AS unknown_items
+         |FROM users ORDER BY user_id""".stripMargin,
 
     "q_id_dictionary" ->
       s"""WITH ${graft.io.Sources.ratingsSql},

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus decode/feature-extract
   * entry points.
   *
-  * The container ships no image/audio codecs, so the decode kernel is
-  * a clearly-marked deterministic STUB ([[decodeFrame]]); everything
-  * around it — schema, batch iteration shape, partition-parallel
-  * execution, metadata extraction as pushdown-friendly Columns — is
-  * the real Spark plumbing a production decoder would drop into.
+  * The decode kernel ([[decodeFrame]]) decodes real image payloads
+  * (PNG/JPEG/BMP/GIF) through the JDK-built-in `javax.imageio` and
+  * falls back to a clearly-marked deterministic fake for payloads the
+  * JDK has no codec for (audio/video containers, and the synthetic
+  * text-as-bytes corpus); everything around it — schema, batch
+  * iteration shape, partition-parallel execution, metadata extraction
+  * as pushdown-friendly Columns — is the real Spark plumbing a
+  * production audio/video decoder would drop into.
   *
   * Scale notes: payload bytes stay columnar (never in a groupBy key or
   * join key); metadata extraction is pure Column work so scans prune
@@ -45,16 +48,52 @@ object Multimodal {
       .withColumn("n_frames",
         floor(col("n_bytes") / lit(FrameBytes.toDouble)).cast("long") + 1)
 
-  /** STUB decode kernel: a real implementation would decode `bytes`
-    * with an image/audio library; this fake derives the same shaped
-    * output deterministically from the payload so the distributed
-    * plumbing is testable. */
+  /** format_id values for payloads [[decodeFrame]] decodes for real
+    * (JDK `javax.imageio` formats); fake-path ids stay in 0..3. */
+  val FormatPng = 10L
+  val FormatJpeg = 11L
+  val FormatBmp = 12L
+  val FormatGif = 13L
+
+  private def sniffImageFormat(bytes: Array[Byte]): Option[Long] = {
+    @inline def b(i: Int) = bytes(i) & 0xff
+    if (bytes.length < 4) None
+    else if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some(FormatPng)
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) Some(FormatJpeg)
+    else if (b(0) == 'B' && b(1) == 'M') Some(FormatBmp)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some(FormatGif)
+    else None
+  }
+
+  /** Decode kernel. Real image payloads (PNG/JPEG/BMP/GIF by magic
+    * bytes) decode through the JDK's `javax.imageio` — actual pixel
+    * dimensions, no external codec needed. Anything else (the
+    * synthetic text-as-bytes corpus, audio/video containers the JDK
+    * can't read) falls back to a clearly-marked deterministic fake so
+    * the distributed plumbing stays testable on any payload; a
+    * production audio/video path would slot an ffmpeg-JNI branch in
+    * front of the fallback. */
   private[ext] def decodeFrame(bytes: Array[Byte]): MediaMeta = {
-    // ??? <- real decoder goes here (e.g. javax.imageio / ffmpeg JNI)
     val n = bytes.length.toLong
-    val b0 = if (bytes.isEmpty) 0L else (bytes(0) & 0xff).toLong
-    MediaMeta(-1L, n, b0 % 4, 64L + n % 640, 64L + (n * 7) % 480,
-      n / FrameBytes + 1)
+    val real = sniffImageFormat(bytes).flatMap { fmt =>
+      // ImageIO.read returns null (or throws) on truncated payloads —
+      // treat both as undecodable and fall through to the fake.
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+          .map(img => MediaMeta(-1L, n, fmt,
+            img.getWidth.toLong, img.getHeight.toLong, 1L))
+      } catch { case _: java.io.IOException => None }
+    }
+    real.getOrElse {
+      // deterministic fake for non-image payloads (shape-compatible
+      // stand-in; see scaladoc)
+      val b0 = if (bytes.isEmpty) 0L else (bytes(0) & 0xff).toLong
+      MediaMeta(-1L, n, b0 % 4, 64L + n % 640, 64L + (n * 7) % 480,
+        n / FrameBytes + 1)
+    }
   }
 
   /** Partition-parallel decode over the binary column: the Scala

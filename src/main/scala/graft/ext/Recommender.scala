@@ -36,8 +36,17 @@ object Recommender {
     * for the solver's maxIter sweeps (ALS re-reads its input when
     * building rating blocks; without the persist every sweep re-derives
     * the upstream lineage — the r1 bench's 30 s ALS tail). */
-  def fit(ratings: DataFrame, rank: Int = 8, maxIter: Int = 5,
+  def fit(ratings0: DataFrame, rank: Int = 8, maxIter: Int = 5,
           regParam: Double = 0.1, seed: Long = 42L): FittedRecommender = {
+    // Null-key policy: DROP, explicitly and on BOTH routes. Without
+    // this, dictionary-routed sides silently dropped null keys (inner
+    // join on the dict) while int-safe sides passed null through the
+    // cast and crashed inside ALS — same input, route-dependent
+    // behavior. A rating with no user or item carries no signal for a
+    // factor model, so drop is the semantic, and doing it up front
+    // makes it route-independent.
+    val ratings = ratings0
+      .where(col("user_id").isNotNull && col("item_id").isNotNull)
     def intSafe(c: String): Boolean = ratings.schema(c).dataType match {
       case ByteType | ShortType | IntegerType => true
       case LongType =>

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * text-file → parse → pipeline path under the DuckDB oracle
   * (`read_csv` over the same files).
   *
-  * Paths are fixed absolutes (not per-sf): the oracle SQL is a static
-  * string. Each (session, sf-dir) writes once; a session that switches
-  * sf dirs re-renders, so the file always reflects the LAST dir a
-  * dialect query ran against — the same single-run assumption the
-  * driver's verify flow makes.
+  * Each sf dir renders into its OWN fixture directory (keyed by the
+  * sf dir's leaf name), so a bench at sf0.1 and a verify at sf0.01
+  * never overwrite each other's files; the oracle SQL templates in
+  * the path for [[OracleSfDir]], the dir the driver's DuckDB verify
+  * runs against. A `_GRAFT_SRC` marker records which full source dir
+  * a fixture was rendered from: a matching marker skips the re-render
+  * (cross-process memoization), a MISMATCHED one — two source dirs
+  * sharing a leaf name — fails loudly instead of silently serving the
+  * other dir's rows.
   *
   * Ratings render through DECIMAL(14,4) so both engines re-parse the
   * identical double (raw double→string formatting is engine-specific —
@@ -30,41 +34,81 @@ import org.apache.spark.sql.functions._
   * oracle (`part-*.txt` glob) are part-count-agnostic.
   */
 object DialectFixtures {
-  val MoviesPath = "/root/repo/target/dialect/movies"
-  val BooksPath = "/root/repo/target/dialect/books"
+  import java.nio.file.{Files, Paths}
 
-  private val written = TrieMap.empty[(Int, String, String), Boolean]
+  /** Fixture base; override with `-Dgraft.fixture.dir=...`. */
+  val BaseDir: String =
+    sys.props.getOrElse("graft.fixture.dir", "/root/repo/target/dialect")
 
-  private def once(spark: SparkSession, dir: String, which: String)
-                  (write: => Unit): Unit = {
-    written.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, which), { write; true })
+  /** The sf dir the driver's DuckDB verify runs against (builder-
+    * prompt contract: verify is always sf0.01) — the oracle SQL
+    * strings template in THIS dir's fixture paths. A verify against
+    * any other dir fails loudly in `read_csv` (missing path) rather
+    * than silently comparing against the wrong rows. */
+  val OracleSfDir = "/root/testdata/sf0.01"
+
+  private def leaf(dir: String): String =
+    Paths.get(dir).normalize().getFileName.toString
+
+  def moviesPath(dir: String): String = s"$BaseDir/${leaf(dir)}/movies"
+  def booksPath(dir: String): String = s"$BaseDir/${leaf(dir)}/books"
+
+  private val written = TrieMap.empty[String, Boolean]
+
+  /** Render-once guard: in-JVM memo on the fixture path, then the
+    * on-disk `_GRAFT_SRC` marker for cross-process reuse. Throws if an
+    * existing fixture was rendered from a DIFFERENT source dir with
+    * the same leaf name. */
+  private def once(path: String, dir: String)(write: => Unit): Unit = {
+    // memo key includes the SOURCE dir: a later call for the same
+    // fixture path from a different dir must reach the marker check
+    // below (and throw), not silently reuse the memo
+    written.getOrElseUpdate(s"$path|$dir", {
+      val marker = Paths.get(path, "_GRAFT_SRC")
+      val existing =
+        if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
+      existing match {
+        case Some(src) if src == dir => () // already rendered from this dir
+        case Some(src) =>
+          throw new IllegalStateException(
+            s"dialect fixture $path was rendered from '$src' but '$dir' " +
+              "was requested — two source dirs share a leaf name; set " +
+              "-Dgraft.fixture.dir to separate them")
+        case None =>
+          write
+          Files.createDirectories(marker.getParent)
+          Files.writeString(marker, dir)
+      }
+      true
+    })
     ()
   }
 
   /** `user|item|rating` pipe dialect; returns the directory path. */
   def writeMovies(spark: SparkSession, dir: String): String = {
-    once(spark, dir, "movies") {
+    val path = moviesPath(dir)
+    once(path, dir) {
       Sources.ratings(spark, dir)
         .select(concat_ws("|",
           col("user_id").cast("string"), col("item_id").cast("string"),
           col("rating").cast("decimal(14,4)").cast("string")).as("value"))
-        .write.mode("overwrite").text(MoviesPath)
+        .write.mode("overwrite").text(path)
     }
-    MoviesPath
+    path
   }
 
   /** `"user";"item";"rating"` quoted semicolon dialect. */
   def writeBooks(spark: SparkSession, dir: String): String = {
-    once(spark, dir, "books") {
+    val path = booksPath(dir)
+    once(path, dir) {
       Sources.ratings(spark, dir)
         .select(concat(
           lit("\""), col("user_id").cast("string"),
           lit("\";\""), col("item_id").cast("string"),
           lit("\";\""), col("rating").cast("decimal(14,4)").cast("string"),
           lit("\"")).as("value"))
-        .write.mode("overwrite").text(BooksPath)
+        .write.mode("overwrite").text(path)
     }
-    BooksPath
+    path
   }
 }

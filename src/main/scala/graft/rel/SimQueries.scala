@@ -64,6 +64,11 @@ object SimQueries {
     ratings(spark, dir).count()
     moments(spark, dir).count()
     maxUserItems(spark, dir)
+    // Dialect fixture renders are one-time per (sf dir) too: billing
+    // them here keeps q_movies_dialect / q_books_dialect timings about
+    // the query, not about whichever run touched the fixture first.
+    graft.io.DialectFixtures.writeMovies(spark, dir)
+    graft.io.DialectFixtures.writeBooks(spark, dir)
     ()
   }
 
@@ -363,7 +368,8 @@ object SimQueries {
       s"""WITH parsed AS (
          |  SELECT user_id, item_id, rating,
          |         CAST(floor(rating*10000 + 0.5) AS BIGINT) AS rating_i
-         |  FROM read_csv('${graft.io.DialectFixtures.MoviesPath}/part-*.txt',
+         |  FROM read_csv('${graft.io.DialectFixtures.moviesPath(
+                       graft.io.DialectFixtures.OracleSfDir)}/part-*.txt',
          |       delim='|', header=false,
          |       columns={'user_id': 'VARCHAR', 'item_id': 'VARCHAR',
          |                'rating': 'DOUBLE'})),
@@ -379,7 +385,8 @@ object SimQueries {
          |  SELECT user_id, item_id,
          |         CAST(floor(CAST(rating AS DOUBLE)*10000 + 0.5) AS BIGINT)
          |           AS rating_i
-         |  FROM read_csv('${graft.io.DialectFixtures.BooksPath}/part-*.txt',
+         |  FROM read_csv('${graft.io.DialectFixtures.booksPath(
+                       graft.io.DialectFixtures.OracleSfDir)}/part-*.txt',
          |       delim=';', quote='"', header=false,
          |       columns={'user_id': 'VARCHAR', 'item_id': 'VARCHAR',
          |                'rating': 'VARCHAR'}))

@@ -72,20 +72,77 @@ class ExtSpec extends SparkSpec {
     assert(cc(99L) === 99L)
   }
 
-  test("connectedComponents honors spark.graft.checkpoint.dir") {
+  test("connectedComponents honors spark.graft.checkpoint.dir " +
+    "and retains only the last snapshot per chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.graft.checkpoint.dir", dir)
     try {
-      val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
-      val edges = Seq((1L, 2L)).toDF("d1", "d2")
+      // multi-round fixpoint (rep chain), so prior-iteration cleanup
+      // actually has something to delete
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("d1", "d2")
       val cc = Dedup.connectedComponents(nodes, edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
-      // reliable checkpoints were actually written under the dir
-      val files = new java.io.File(dir).listFiles()
-      assert(files != null && files.nonEmpty,
-        "reliable checkpoint dir should be populated")
+      assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) === 1L))
+      assert(cc(9L) === 9L)
+      // reliable snapshots were written, and each chain kept ONLY its
+      // last iteration (prior iterations deleted after the next landed)
+      def iterDirs(chain: String): Array[String] = {
+        val fs = new java.io.File(s"$dir/$chain")
+          .listFiles(f => f.getName.startsWith("iter-"))
+        if (fs == null) Array.empty else fs.map(_.getName)
+      }
+      assert(iterDirs("cc-edges").length === 1)
+      assert(iterDirs("cc-labels").length === 1,
+        s"expected one surviving labels snapshot, got " +
+          iterDirs("cc-labels").mkString(","))
     } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
+  test("connectedComponents runs one job per fixpoint round") {
+    // rep-chain graph needing several rounds; count Spark jobs across
+    // the whole call. The convergence signal rides inside the label
+    // materialization job (accumulator), so each round costs ONE job;
+    // the pre-r5 shape (materialize + join-count) ran two, which on
+    // this graph blows past the bound below.
+    val nodes = (1L to 6L).toDF("doc_id")
+    val edges = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // AQE re-plans each shuffle stage as its own job, which would make
+    // the count measure Spark internals instead of the algorithm's
+    // action count — pin it off for the measurement
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cc = Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 6L).forall(cc(_) === 1L))
+      // listener bus is async; wait for the counter to stabilize
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val v = jobs.get()
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      // Measured with this shape: 16 jobs = setup (contraction with
+      // its two node-map broadcasts, init labels) + 5 fixpoint rounds
+      // x ONE materialization job + result broadcast/collect. The
+      // pre-r5 shape added a separate join+count job per round (>=5
+      // more on this graph), which blows the bound.
+      assert(last <= 17, s"expected <=17 jobs, saw $last")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("portable hash is stable and within [0, M)") {
@@ -398,5 +455,56 @@ class ExtSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect()(0)
       .getAs[scala.collection.Seq[Long]]("frame_offsets")
     assert(offs.head === 0L)
+  }
+
+  test("multimodal decode: real PNG/BMP payloads decode via javax.imageio") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(1, 1, 0xffcc00)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png", 37, 21)),
+      (2L, imageBytes("bmp", 12, 48)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val out = Multimodal.decodeAll(rows.toDF("doc_id", "media"))
+      .collect().map(m => m.doc_id -> m).toMap
+    // real decodes: actual pixel dimensions + sniffed format, 1 frame
+    assert(out(1L).width === 37L && out(1L).height === 21L)
+    assert(out(1L).format_id === Multimodal.FormatPng && out(1L).n_frames === 1L)
+    assert(out(2L).width === 12L && out(2L).height === 48L)
+    assert(out(2L).format_id === Multimodal.FormatBmp)
+    // non-image payload: deterministic fallback, same shape
+    val n = rows(2)._2.length.toLong
+    assert(out(3L).n_bytes === n && out(3L).width === 64L + n % 640)
+  }
+
+  test("Recommender.fit drops null-key rows on both routes") {
+    // user_id: long with nulls -> int-safe DIRECT route;
+    // item_id: string with nulls -> DICTIONARY route. Pre-r5 the
+    // direct route crashed inside ALS on the null cast while the dict
+    // route silently dropped — now both drop, explicitly.
+    val r = Seq[(java.lang.Long, String, Double)](
+      (1L, "a", 4.0), (1L, "b", 3.0), (2L, "a", 5.0),
+      (2L, "b", 2.0), (null, "a", 2.0), (1L, null, 1.0))
+      .toDF("user_id", "item_id", "rating")
+    val recs = graft.ext.Recommender
+      .recommendTopK(graft.ext.Recommender.fit(r, rank = 2, maxIter = 1), 1)
+      .collect()
+    assert(recs.map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(recs.forall(row => Set("a", "b").contains(row.getString(1))))
+  }
+
+  test("DialectFixtures fails loudly on a leaf-name collision") {
+    import graft.io.DialectFixtures
+    DialectFixtures.writeMovies(spark, sf001)
+    val imposter = "/tmp/graft-imposter/" +
+      java.nio.file.Paths.get(sf001).getFileName.toString
+    val e = intercept[IllegalStateException](
+      DialectFixtures.writeMovies(spark, imposter))
+    assert(e.getMessage.contains("leaf name"))
   }
 }
