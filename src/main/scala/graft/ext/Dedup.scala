@@ -73,36 +73,51 @@ object Dedup {
       |  FROM ws WHERE len(w) >= 3
       |)""".stripMargin
 
-  /** MinHash signature in long form: (doc_id, b, mh) for b in
-    * 0..Bands-1, mh = min over the doc's shingles of bandHash(h, b).
-    * One aggregation computes all band minima (no band explosion);
-    * stack unpivots the Bands columns afterwards — at that point the
-    * frame is one row per doc. */
-  def minhashBandMins(sh: DataFrame): DataFrame = {
+  /** MinHash band minima in long form for the permutation family
+    * [bandLo, bandLo+nBands): (doc_id, b, mh) with b the ABSOLUTE
+    * band index and mh = min over the doc's shingles of
+    * bandHash(h, b). One aggregation computes all band minima (no
+    * band explosion); stack unpivots the columns afterwards — at that
+    * point the frame is one row per doc. `bandLo = Bands` yields the
+    * disjoint second family [[minhashRescueCandidates]] re-bands hot
+    * docs with. */
+  def minhashBandMinsFrom(sh: DataFrame, bandLo: Int,
+                          nBands: Int): DataFrame = {
     // native single-pass hash expression (codegen'd); bit-identical to
     // PortableHash.h — see graft.expr.PortableHashExpr
     graft.expr.GraftFunctions.ensureRegistered(sh.sparkSession)
     val h = call_function("graft_hash", col("shingle"))
-    val aggs = (0 until Bands).map(b =>
-      min(PortableHash.bandHash(h, b)).as(s"m$b"))
+    val bands = bandLo until (bandLo + nBands)
+    val aggs = bands.map(b => min(PortableHash.bandHash(h, b)).as(s"m$b"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = (0 until Bands)
+    val stackArgs = bands
       .map(b => s"CAST($b AS BIGINT), CAST(m$b AS BIGINT)").mkString(", ")
     sig.select(col("doc_id"),
-      expr(s"stack($Bands, $stackArgs)").as(Seq("b", "mh")))
+      expr(s"stack($nBands, $stackArgs)").as(Seq("b", "mh")))
+  }
+
+  /** Primary-family band minima (bands 0..Bands-1). */
+  def minhashBandMins(sh: DataFrame): DataFrame =
+    minhashBandMinsFrom(sh, 0, Bands)
+
+  /** SQL twin of [[minhashBandMinsFrom]]: CTEs `<sigName>` and
+    * `<outName>` over the shingle CTE `src` (doc_id, shingle). */
+  def bandMinsSqlFrom(src: String, sigName: String, outName: String,
+                      bandLo: Int, nBands: Int): String = {
+    val h = PortableHash.hSql("shingle")
+    val bands = bandLo until (bandLo + nBands)
+    val mins = bands
+      .map(b => s"min(${PortableHash.bandHashSql(h, b)}) AS m$b").mkString(", ")
+    val unions = bands
+      .map(b => s"SELECT doc_id, CAST($b AS BIGINT) AS b, CAST(m$b AS BIGINT) AS mh FROM $sigName")
+      .mkString(" UNION ALL ")
+    s"""$sigName AS (SELECT doc_id, $mins FROM $src GROUP BY 1),
+       |$outName AS ($unions)""".stripMargin
   }
 
   /** SQL twin of [[minhashBandMins]] (CTEs `sig`, `bandmins`). */
-  val minhashBandMinsSql: String = {
-    val h = PortableHash.hSql("shingle")
-    val mins = (0 until Bands)
-      .map(b => s"min(${PortableHash.bandHashSql(h, b)}) AS m$b").mkString(", ")
-    val unions = (0 until Bands)
-      .map(b => s"SELECT doc_id, CAST($b AS BIGINT) AS b, CAST(m$b AS BIGINT) AS mh FROM sig")
-      .mkString(" UNION ALL ")
-    s"""sig AS (SELECT doc_id, $mins FROM shingles GROUP BY 1),
-       |bandmins AS ($unions)""".stripMargin
-  }
+  val minhashBandMinsSql: String =
+    bandMinsSqlFrom("shingles", "sig", "bandmins", 0, Bands)
 
   /** Band buckets above this size are excluded from pair generation:
     * boilerplate-heavy corpora concentrate on a few (b, mh) keys, and
@@ -114,11 +129,10 @@ object Dedup {
     * near-identity, and every dropped bucket also lowers the agreeing-
     * band count of its pairs, which can push true near-dups below
     * [[ngramJaccard]] callers' ≥2-band gate. Exact-hash dedup covers
-    * only fully-identical text, not these. In a deploy, route the
-    * members of over-cap buckets to a re-band (different permutations)
-    * or exact-rescore pass rather than assuming they are covered;
-    * [[minhashOverCapBuckets]] is the monitoring surface for sizing
-    * that pass. */
+    * only fully-identical text, not these. [[minhashRescueCandidates]]
+    * IS that re-band pass (disjoint permutation family over the hot
+    * population); [[minhashOverCapBuckets]] is the monitoring surface
+    * for sizing it. */
   val MinhashBucketCap = 200
 
   /** (b, mh, sz) for band buckets over the cap. */
@@ -142,6 +156,37 @@ object Dedup {
     val b2 = kept.select(col("doc_id").as("d2"), col("b"), col("mh"))
     a.join(b2, Seq("b", "mh")).where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("bands"))
+  }
+
+  /** The rescue pass for over-cap bucket members ([[MinhashBucketCap]]
+    * scaladoc): docs whose primary-family buckets were dropped get
+    * re-banded with the DISJOINT second permutation family (bands
+    * Bands..2*Bands-1) and candidate pairs are regenerated from those
+    * buckets — a hot shingle that saturated a primary bucket lands on
+    * a different minimum under the new permutations, so true near-dup
+    * pairs inside the hot population get a second chance instead of
+    * being silently assumed covered by exact dedup.
+    *
+    * Scale: the rescue population is only the over-cap bucket members
+    * (the monitoring surface's rows), the re-band is one aggregation
+    * over their shingles, and the same cap applies to rescue buckets —
+    * a pathological shingle that stays hot under every permutation is
+    * dropped again rather than going quadratic (route THOSE to an
+    * exact-rescore pass; at that point they are a boilerplate
+    * signature, not near-dup structure). */
+  def minhashRescueCandidates(sh: DataFrame, bandMins: DataFrame,
+                              cap: Int = MinhashBucketCap,
+                              rescueCap: Int = -1): DataFrame = {
+    // rescueCap < 0 means "same as cap"; a larger rescueCap is
+    // legitimate — the rescue population is the hot docs only, so its
+    // buckets can afford a higher quadratic bound than the corpus-wide
+    // primary pass
+    val rc = if (rescueCap < 0) cap else rescueCap
+    val hot = minhashOverCapBuckets(bandMins, cap).select(col("b"), col("mh"))
+    val hotDocs = bandMins.join(hot, Seq("b", "mh"))
+      .select(col("doc_id")).distinct()
+    val hotSh = sh.join(hotDocs, Seq("doc_id"))
+    minhashCandidates(minhashBandMinsFrom(hotSh, Bands, Bands), rc)
   }
 
   /** Exact n-gram Jaccard for candidate pairs (cand: d1, d2):

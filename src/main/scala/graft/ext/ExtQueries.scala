@@ -29,6 +29,10 @@ object ExtQueries {
     Cache.getOrPersist(s, "minhash_cand", d)(
       Dedup.minhashCandidates(Dedup.minhashBandMins(shinglesC(s, d))))
 
+  /** Cap for the rescue-pass query: low enough that the synthetic
+    * corpus has over-cap buckets (see q_minhash_rescue's comment). */
+  private val RescueCap = 15
+
   /** Simhash near-dup pairs, shared by the pair query and the cluster
     * resolution query. */
   private def simhashPairsC(s: SparkSession, d: String) =
@@ -102,6 +106,18 @@ object ExtQueries {
     // MinHash+LSH near-dup candidates (8 portable-hash bands).
     "q_minhash_near_dup" -> ((s, d) =>
       candidatesC(s, d).orderBy(col("d1"), col("d2"))),
+
+    // The over-cap rescue pass end-to-end, at a cap (15) low enough
+    // that the synthetic corpus actually HAS hot buckets (max primary
+    // bucket is 21 at sf0.01; the production cap of 200 is never hit
+    // there, which would make this query a trivial empty-vs-empty
+    // check). See Dedup.minhashRescueCandidates.
+    "q_minhash_rescue" -> ((s, d) => {
+      val sh = shinglesC(s, d)
+      Dedup.minhashRescueCandidates(
+          sh, Dedup.minhashBandMins(sh), cap = RescueCap)
+        .orderBy(col("d1"), col("d2"))
+    }),
 
     // Exact 3-gram Jaccard over the strong (≥2 bands) candidates.
     "q_ngram_jaccard" -> ((s, d) => {
@@ -334,7 +350,11 @@ object ExtQueries {
     // round-by-round CTE chain.
     "q_ann_kmeans" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = VectorSearch.kmeansCells(e, k = 8, iters = 2)
+      // the trained quantizer is a session-shared artifact like the
+      // moment/LSH tables: train once per (session, dir), reuse across
+      // calls (a production deploy persists the codebook, not retrains)
+      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
+        VectorSearch.kmeansCells(e, k = 8, iters = 2))
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
@@ -589,6 +609,34 @@ object ExtQueries {
     "q_minhash_near_dup" ->
       s"""WITH $candSql
          |SELECT d1, d2, bands FROM cand ORDER BY d1, d2""".stripMargin,
+
+    // Full replay of the rescue pass: primary band minima -> hot
+    // buckets (cap 15 to force a non-trivial hot population at
+    // sf0.01) -> hot docs' shingles re-banded with the second
+    // permutation family -> capped candidate pairs.
+    "q_minhash_rescue" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |${Dedup.minhashBandMinsSql},
+         |hot AS (SELECT b, mh FROM bandmins GROUP BY 1, 2
+         |        HAVING count(*) > $RescueCap),
+         |hotdocs AS (
+         |  SELECT DISTINCT bandmins.doc_id
+         |  FROM bandmins JOIN hot USING (b, mh)),
+         |hotsh AS (
+         |  SELECT s.doc_id, s.shingle
+         |  FROM shingles s JOIN hotdocs USING (doc_id)),
+         |${Dedup.bandMinsSqlFrom("hotsh", "rsig", "rbandmins",
+                                  Dedup.Bands, Dedup.Bands)},
+         |rok AS (
+         |  SELECT rbandmins.* FROM rbandmins
+         |  JOIN (SELECT b, mh FROM rbandmins GROUP BY 1, 2
+         |        HAVING count(*) <= $RescueCap) okb
+         |    USING (b, mh)
+         |)
+         |SELECT a.doc_id AS d1, b2.doc_id AS d2, count(*) AS bands
+         |FROM rok a JOIN rok b2
+         |  ON a.b = b2.b AND a.mh = b2.mh AND a.doc_id < b2.doc_id
+         |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $candSql,

@@ -41,6 +41,26 @@ class ExtSpec extends SparkSpec {
     assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
   }
 
+  test("minhash rescue: re-band recovers pairs the hot-bucket drop lost") {
+    // five identical docs saturate EVERY primary band bucket at cap=2,
+    // so the primary pass drops them all and finds nothing
+    val docs = docsDF((1L to 5L).map(i =>
+      i -> "common words repeated across all documents here"): _*)
+    val sh = Dedup.shingles(docs)
+    val bm = Dedup.minhashBandMins(sh)
+    assert(Dedup.minhashCandidates(bm, cap = 2).count() === 0L)
+    // rescue with headroom: the hot docs re-band under the second
+    // permutation family and all C(5,2) pairs come back, agreeing on
+    // all 8 rescue bands
+    val rescued = Dedup.minhashRescueCandidates(sh, bm, cap = 2,
+      rescueCap = 100).collect()
+    assert(rescued.length === 10)
+    assert(rescued.forall(_.getAs[Long]("bands") === Dedup.Bands.toLong))
+    // a population still hot under the rescue permutations is dropped
+    // again (bounded, never quadratic), not silently emitted
+    assert(Dedup.minhashRescueCandidates(sh, bm, cap = 2).count() === 0L)
+  }
+
   test("ngram jaccard: identical docs -> 1.0") {
     val docs = docsDF(
       1L -> "one two three four five six",
