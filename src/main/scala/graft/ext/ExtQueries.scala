@@ -248,6 +248,14 @@ object ExtQueries {
 
     // Multi-band sign-LSH pair search (4 tables × 16 bits, bucket cap):
     // the sub-quadratic scale path — see VectorSearch's banding notes.
+    // int8 scalar quantization of the embedding corpus: per-dim
+    // min/max training + encode + per-vector reconstruction-error
+    // summary (see VectorSearch.scalarQuantize).
+    "q_embed_quantize" -> ((s, d) =>
+      VectorSearch.scalarQuantize(
+          emb(s, d).select(col("vec_id"), col("embedding")))
+        .orderBy(col("vec_id"))),
+
     "q_embed_near_dup" -> ((s, d) =>
       bandedCosC(s, d)
         .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
@@ -827,6 +835,34 @@ object ExtQueries {
       s"""WITH $bandedCosCtes
          |SELECT v1, v2, bands, cos_sim FROM bcos
          |ORDER BY cos_sim DESC, v1, v2 LIMIT 100""".stripMargin,
+
+    // Replays VectorSearch.scalarQuantize step for step: per-dim
+    // min/max -> code -> dequantize -> 1e-9 fixed-point error before
+    // the per-vector sum (summation-order-free). Every double step is
+    // a correctly-rounded IEEE op with matching parenthesization on
+    // both engines.
+    "q_embed_quantize" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM expl GROUP BY 1),
+         |coded AS (
+         |  SELECT e.vec_id, e.v, s.mn, s.mx,
+         |         CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(floor((e.v - s.mn) / (s.mx - s.mn) * 255.0
+         |                               + 0.5) AS BIGINT) END AS code
+         |  FROM expl e JOIN stats s USING (i)),
+         |errs AS (
+         |  SELECT vec_id, code,
+         |         CAST(floor(abs(v - (mn + code / 255.0 * (mx - mn)))
+         |                    * 1000000000.0 + 0.5) AS BIGINT) AS err_fx
+         |  FROM coded)
+         |SELECT vec_id, count(*) AS n_dims,
+         |       CAST(sum(code) AS BIGINT) AS code_sum,
+         |       min(code) AS code_min, max(code) AS code_max,
+         |       CAST(sum(err_fx) AS BIGINT) AS err_fx,
+         |       ${r4("CAST(sum(err_fx) AS DOUBLE) / 1000000000.0")} AS recon_err
+         |FROM errs GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     // Banded candidates → cosine threshold → recursive min-label
     // propagation (same shape as the q_dedup_clusters oracle).

@@ -314,4 +314,43 @@ object VectorSearch {
           fixedDot(col("e1"), col("e2")),
           col("n1"), col("n2"))).as("cos_sim"))
   }
+
+  /** Corpus-trained int8 scalar quantization — the compression leg of
+    * a 100 TB ANN deployment (4 B float dims → 1 B codes; IVF cells
+    * from [[kmeansCells]] pick candidates, SQ codes rank them in cache-
+    * sized memory). Train = one per-DIMENSION min/max aggregation
+    * (dims-sized frame, broadcast back — the corpus shuffles only by
+    * position, never by vector); encode = pure Column arithmetic.
+    *
+    * Output is the per-vector code summary (n_dims, code sum/min/max,
+    * reconstruction error), not the code arrays: the summary is what
+    * a quality gate monitors, and it keeps the surface oracle-
+    * checkable. Determinism: every double step (subtract, divide,
+    * scale) is a correctly-rounded IEEE op, identical on any engine;
+    * the per-dim errors are snapped to 1e-9 fixed-point BEFORE the
+    * per-vector sum so summation order cannot matter. */
+  def scalarQuantize(emb: DataFrame): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "f")))
+      .select(col("vec_id"), col("pos"), col("f").cast("double").as("v"))
+    val stats = dims.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val coded = dims.join(broadcast(stats), Seq("pos"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn"))
+            * lit(255.0) + lit(0.5)).cast("long")))
+      .withColumn("deq",
+        col("mn") + col("code").cast("double") / lit(255.0)
+          * (col("mx") - col("mn")))
+      .withColumn("err_fx",
+        floor(abs(col("v") - col("deq")) * lit(1e9) + lit(0.5)).cast("long"))
+    coded.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"),
+        sum(col("err_fx")).as("err_fx"))
+      .withColumn("recon_err", Det.r4(col("err_fx").cast("double") / lit(1e9)))
+  }
 }

@@ -477,6 +477,28 @@ class ExtSpec extends SparkSpec {
     assert(offs.head === 0L)
   }
 
+  test("scalar quantization: endpoints exact, interior bounded by half-step") {
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.5f)),
+      (3L, Array(0.3f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val q = VectorSearch.scalarQuantize(emb)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // per-dim ranges: dim0 [0,1], dim1 [0.5,1]; range endpoints encode
+    // to 0/255 and reconstruct exactly
+    assert(q(1L).getAs[Long]("code_min") === 0L)   // dim0=0 -> code 0
+    assert(q(1L).getAs[Long]("code_max") === 255L) // dim1=1 -> code 255
+    assert(q(2L).getAs[Long]("err_fx") === 0L)     // both dims at endpoints
+    assert(q.values.forall(r => r.getAs[Long]("n_dims") === 2L))
+    assert(q.values.forall(r => r.getAs[Long]("code_max") <= 255L &&
+      r.getAs[Long]("code_min") >= 0L))
+    // interior value: |v - deq| <= half a quantization step per dim
+    // (range/255/2 = 1/510 ≈ 0.00196 -> fx <= 1_960_785 per dim)
+    assert(q(3L).getAs[Long]("err_fx") > 0L)
+    assert(q(3L).getAs[Long]("err_fx") <= 2L * 1961000L)
+  }
+
   test("multimodal decode: real PNG/BMP payloads decode via javax.imageio") {
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
