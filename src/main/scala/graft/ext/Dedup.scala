@@ -169,7 +169,13 @@ object Dedup {
     *
     * Scale: the rescue population is only the over-cap bucket members
     * (the monitoring surface's rows), the re-band is one aggregation
-    * over their shingles, and the same cap applies to rescue buckets —
+    * over their shingles (referenced three times downstream — cap
+    * filter + both self-join sides — and measured NOT deduped by
+    * exchange reuse, see PLANS.md round 5; the recompute is bounded
+    * by the hot population, which is why it is acceptable HERE but
+    * the corpus-sized `bandMins` input must be materialized by the
+    * caller, as ExtQueries does), and
+    * the same cap applies to rescue buckets —
     * a pathological shingle that stays hot under every permutation is
     * dropped again rather than going quadratic (route THOSE to an
     * exact-rescore pass; at that point they are a boilerplate

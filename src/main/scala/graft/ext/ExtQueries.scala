@@ -25,9 +25,16 @@ object ExtQueries {
   private def shinglesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "shingles", d)(Dedup.shingles(docs(s, d)))
 
+  /** Primary-family band minima, materialized once per session: used
+    * three times per candidate build (cap filter + both self-join
+    * sides) and again by the rescue pass's hot-bucket detection. */
+  private def bandMinsC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "minhash_bandmins", d)(
+      Dedup.minhashBandMins(shinglesC(s, d)))
+
   private def candidatesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_cand", d)(
-      Dedup.minhashCandidates(Dedup.minhashBandMins(shinglesC(s, d))))
+      Dedup.minhashCandidates(bandMinsC(s, d)))
 
   /** Cap for the rescue-pass query: low enough that the synthetic
     * corpus has over-cap buckets (see q_minhash_rescue's comment). */
@@ -112,12 +119,10 @@ object ExtQueries {
     // bucket is 21 at sf0.01; the production cap of 200 is never hit
     // there, which would make this query a trivial empty-vs-empty
     // check). See Dedup.minhashRescueCandidates.
-    "q_minhash_rescue" -> ((s, d) => {
-      val sh = shinglesC(s, d)
+    "q_minhash_rescue" -> ((s, d) =>
       Dedup.minhashRescueCandidates(
-          sh, Dedup.minhashBandMins(sh), cap = RescueCap)
-        .orderBy(col("d1"), col("d2"))
-    }),
+          shinglesC(s, d), bandMinsC(s, d), cap = RescueCap)
+        .orderBy(col("d1"), col("d2"))),
 
     // Exact 3-gram Jaccard over the strong (≥2 bands) candidates.
     "q_ngram_jaccard" -> ((s, d) => {
