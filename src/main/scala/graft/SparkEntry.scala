@@ -40,7 +40,8 @@ object SparkEntry {
     val chains = Seq(
       Future(rel.SimQueries.warm(spark, dir)),
       Future(ext.ExtQueries.warmMinhash(spark, dir)),
-      Future(ext.ExtQueries.warmSimhash(spark, dir)))
+      Future(ext.ExtQueries.warmSimhash(spark, dir)),
+      Future(ext.ExtQueries.warmVectors(spark, dir)))
     chains.foreach(Await.result(_, Duration.Inf))
   }
 

@@ -59,6 +59,16 @@ object ExtQueries {
     ()
   }
 
+  /** Force the trained k-means quantizer (q_ann_kmeans's codebook —
+    * a session-shared artifact like the LSH tables). */
+  def warmVectors(spark: SparkSession, dir: String): Unit = {
+    Cache.getOrPersist(spark, "kmeans_cells_8_2", dir)(
+      VectorSearch.kmeansCells(
+        emb(spark, dir).select(col("vec_id"), col("embedding")),
+        k = 8, iters = 2)).count()
+    ()
+  }
+
   /** Force the simhash near-dup pair table and the banded-LSH pair
     * cosines (both small next to the minhash chain — one future). */
   def warmSimhash(spark: SparkSession, dir: String): Unit = {

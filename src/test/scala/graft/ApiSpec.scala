@@ -9,6 +9,18 @@ import graft.io.Bucketing
   * bucketing (shuffle elimination), salting (semantic no-op). */
 class ApiSpec extends SparkSpec {
 
+  test("every registered query has an oracle (no rows-only entries)") {
+    // The correctness contract: the driver hash-checks exactly the
+    // queries/oracleSql intersection. Since round 5 the sets are
+    // identical — a new query without an oracle (or a typo'd key on
+    // either side) silently downgrades to a rows-only check, which
+    // this guard turns into a test failure instead.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q diff o) === Set.empty, s"queries without oracle: ${q diff o}")
+    assert((o diff q) === Set.empty, s"oracles without query: ${o diff q}")
+  }
+
   test("registerTables makes the inventory SQL-addressable") {
     Graft.registerTables(spark, sf001)
     val n = spark.sql(
