@@ -196,10 +196,16 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs (cand: d1, d2):
-    * |A∩B| / |A∪B| over each doc's distinct shingle set. */
-  def ngramJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    * |A∩B| / |A∪B| over each doc's DISTINCT shingle set — `ds` must
+    * already be distinct (doc_id, shingle). The caller supplies it
+    * (rather than this function distincting internally) because it is
+    * referenced three times below — the size agg and both pair join
+    * sides — and exchange reuse does not fire above an
+    * InMemoryRelation (PLANS.md round 5), so a caller whose shingles
+    * are cached should materialize the distinct set once
+    * (ExtQueries keeps it in the session cache). */
+  def ngramJaccard(cand: DataFrame, ds: DataFrame): DataFrame = {
     import graft.core.Det
-    val ds = sh.distinct()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(ds.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))

@@ -36,6 +36,13 @@ object ExtQueries {
     Cache.getOrPersist(s, "minhash_cand", d)(
       Dedup.minhashCandidates(bandMinsC(s, d)))
 
+  /** Distinct (doc_id, shingle) set, materialized because ngramJaccard
+    * references it three times and exchange reuse does not fire above
+    * the cached shingle frame (PLANS.md round 5). */
+  private def distinctShinglesC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "shingles_distinct", d)(
+      shinglesC(s, d).distinct())
+
   /** Cap for the rescue-pass query: low enough that the synthetic
     * corpus has over-cap buckets (see q_minhash_rescue's comment). */
   private val RescueCap = 15
@@ -138,7 +145,8 @@ object ExtQueries {
     "q_ngram_jaccard" -> ((s, d) => {
       val cand = candidatesC(s, d)
         .where(col("bands") >= 2).select(col("d1"), col("d2"))
-      Dedup.ngramJaccard(cand, shinglesC(s, d)).orderBy(col("d1"), col("d2"))
+      Dedup.ngramJaccard(cand, distinctShinglesC(s, d))
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // SimHash near-dups via 4-bit pigeonhole blocking.

@@ -68,7 +68,7 @@ class ExtSpec extends SparkSpec {
     val sh = Dedup.shingles(docs)
     val cand = Dedup.minhashCandidates(Dedup.minhashBandMins(sh))
       .select(col("d1"), col("d2"))
-    val j = Dedup.ngramJaccard(cand, sh).collect()
+    val j = Dedup.ngramJaccard(cand, sh.distinct()).collect()
     assert(j.length === 1 && j(0).getAs[Double]("jaccard") === 1.0)
   }
 
