@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus decode/feature-extract
   * entry points.
   *
-  * The decode kernel ([[decodeFrame]]) decodes real image payloads
-  * (PNG/JPEG/BMP/GIF) through the JDK-built-in `javax.imageio` and
-  * falls back to a clearly-marked deterministic fake for payloads the
-  * JDK has no codec for (audio/video containers, and the synthetic
-  * text-as-bytes corpus); everything around it — schema, batch
-  * iteration shape, partition-parallel execution, metadata extraction
-  * as pushdown-friendly Columns — is the real Spark plumbing a
-  * production audio/video decoder would drop into.
+  * The decode ([[decodeFrame]]), resize ([[resizeBytes]]) and feature
+  * ([[extractFeatures]]) kernels are REAL for image payloads
+  * (PNG/JPEG/BMP/GIF through the JDK-built-in `javax.imageio`:
+  * actual dimensions, bilinear thumbnail resampling, luminance
+  * histograms) and fall back to clearly-marked deterministic fakes
+  * for payloads the JDK has no codec for (audio/video containers, and
+  * the synthetic text-as-bytes corpus); everything around them —
+  * schema, batch iteration shape, partition-parallel execution,
+  * metadata extraction as pushdown-friendly Columns — is the real
+  * Spark plumbing a production audio/video decoder would drop into.
   *
   * Scale notes: payload bytes stay columnar (never in a groupBy key or
   * join key); metadata extraction is pure Column work so scans prune
@@ -121,27 +123,70 @@ object Multimodal {
   case class MediaResized(doc_id: Long, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, features: Array[Float])
 
-  /** STUB resize kernel: nearest-neighbor stride-sample of the payload
-    * to a fixed length (a real implementation resamples decoded
-    * pixels). Output size is constant per call — the property the
-    * downstream batch shape relies on. */
-  private[ext] def resizeBytes(bytes: Array[Byte], outLen: Int): Array[Byte] = {
-    // ??? <- real decoder+bilinear resample goes here
-    if (bytes.isEmpty) new Array[Byte](outLen)
-    else Array.tabulate(outLen)(i =>
-      bytes(((i.toLong * bytes.length) / outLen).toInt))
-  }
+  private def decodeImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    sniffImageFormat(bytes).flatMap { _ =>
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    }
 
-  /** STUB feature kernel: dim-bin byte histogram, L1-normalized (a
-    * real kernel runs a vision/audio embedding model). Deterministic,
-    * so the distributed path is testable end-to-end. */
-  private[ext] def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real model inference goes here
-    val h = new Array[Float](dim)
-    bytes.foreach(b => h((b & 0xff) % dim) += 1f)
-    val n = math.max(1f, bytes.length.toFloat)
-    h.map(_ / n)
-  }
+  /** Resize kernel. Image payloads get a REAL resample: decode →
+    * bilinear scale to the largest square grid that fits `outLen` →
+    * grayscale pixel bytes, zero-padded to exactly `outLen` (output
+    * size is constant per call — the property the downstream batch
+    * shape relies on). Non-image payloads keep the deterministic
+    * stride-sample fallback. */
+  private[ext] def resizeBytes(bytes: Array[Byte], outLen: Int): Array[Byte] =
+    decodeImage(bytes) match {
+      case Some(img) =>
+        val s = math.max(1, math.sqrt(outLen.toDouble).toInt)
+        val out = new java.awt.image.BufferedImage(
+          s, s, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, s, s, null)
+        g.dispose()
+        val px = out.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        java.util.Arrays.copyOf(px, outLen)
+      case None =>
+        if (bytes.isEmpty) new Array[Byte](outLen)
+        else Array.tabulate(outLen)(i =>
+          bytes(((i.toLong * bytes.length) / outLen).toInt))
+    }
+
+  /** Feature kernel. Image payloads get a REAL visual feature: a
+    * dim-bin luminance histogram over the decoded pixels, L1-
+    * normalized. Non-image payloads keep the deterministic byte-
+    * histogram fallback (a production deploy swaps in an embedding
+    * model here; the histogram keeps the distributed path testable
+    * end-to-end with the same shape). */
+  private[ext] def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) =>
+        val h = new Array[Float](dim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            h(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1f, (img.getWidth * img.getHeight).toFloat)
+        h.map(_ / n)
+      case None =>
+        val h = new Array[Float](dim)
+        bytes.foreach(b => h((b & 0xff) % dim) += 1f)
+        val n = math.max(1f, bytes.length.toFloat)
+        h.map(_ / n)
+    }
 
   /** Partition-parallel resize: same mapPartitions shape as
     * [[decodeAll]] (kernel init once per partition). */

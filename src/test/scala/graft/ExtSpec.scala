@@ -524,6 +524,35 @@ class ExtSpec extends SparkSpec {
     assert(out(3L).n_bytes === n && out(3L).width === 64L + n % 640)
   }
 
+  test("multimodal resize/features are real for image payloads") {
+    def png(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade, shade))
+      g.fillRect(0, 0, 32, 24)
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq((1L, png(20)), (2L, png(235)),
+      (3L, "plain text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val resized = Multimodal.resizeAll(media, outLen = 16)
+      .collect().map(r => r.doc_id -> r.media).toMap
+    assert(resized.values.forall(_.length === 16)) // constant batch shape
+    // a 4x4 grayscale thumbnail of a flat dark image is uniformly
+    // darker than the bright image's
+    assert(resized(1L).map(_ & 0xff).sum < resized(2L).map(_ & 0xff).sum)
+    val feats = Multimodal.featuresAll(media, dim = 8)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    // luminance mass lands in the matching histogram bin: shade 20 ->
+    // bin 0, shade 235 -> bin 7; L1-normalized
+    assert(feats(1L)(0) === 1.0f && feats(2L)(7) === 1.0f)
+    assert(feats.values.forall(f => math.abs(f.sum - 1.0f) < 1e-4))
+  }
+
   test("Recommender.fit drops null-key rows on both routes") {
     // user_id: long with nulls -> int-safe DIRECT route;
     // item_id: string with nulls -> DICTIONARY route. Pre-r5 the
