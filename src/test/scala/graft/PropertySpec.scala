@@ -157,4 +157,37 @@ class PropertySpec extends SparkSpec {
         naive.exceptAll(banded).isEmpty, s"trial $trial W=$W")
     }
   }
+
+  test("scalar quantization: half-step error bound and partition invariance") {
+    import spark.implicits._
+    import graft.ext.VectorSearch
+    for (trial <- 0 until 5) {
+      val r = new scala.util.Random(7000 + trial)
+      val dims = 2 + r.nextInt(4)
+      val n = 3 + r.nextInt(5)
+      val rows = (1 to n).map(i =>
+        (i.toLong, Array.fill(dims)((r.nextDouble() * 4 - 2).toFloat)))
+      val emb = rows.toDF("vec_id", "embedding")
+      val q = VectorSearch.scalarQuantize(emb)
+        .collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+      // per-dim half-step bound: |v - deq| <= (mx-mn)/510 (+1 fx unit
+      // of rounding slack per dim), summed over dims
+      val ranges = (0 until dims).map(d =>
+        rows.map(_._2(d).toDouble).max - rows.map(_._2(d).toDouble).min)
+      val bound = ranges.map(rg => (rg / 510.0 * 1e9).toLong + 1L).sum
+      for ((_, row) <- q) {
+        assert(row.getAs[Long]("n_dims") === dims.toLong)
+        assert(row.getAs[Long]("code_min") >= 0L &&
+          row.getAs[Long]("code_max") <= 255L)
+        assert(row.getAs[Long]("err_fx") <= bound,
+          s"trial $trial err=${row.getAs[Long]("err_fx")} bound=$bound")
+      }
+      // partitioning must not change a single cell: min/max are exact,
+      // per-element codes are pure functions, and error sums are
+      // integer fixed-point
+      val q1 = VectorSearch.scalarQuantize(emb.repartition(7))
+        .collect().map(x => x.getAs[Long]("vec_id") -> x.toSeq).toMap
+      assert(q.view.mapValues(_.toSeq).toMap === q1, s"trial $trial")
+    }
+  }
 }
