@@ -373,11 +373,24 @@ object Dedup {
         least(col("node"), coalesce(col("mn"), col("node"))).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node→rep maps are |nodes|-sized (tiny next to the edge list):
-    // broadcast them so the big edge set is never shuffled here
+    // broadcast them so the big edge set is never shuffled here — but
+    // only below a row-count gate (`spark.graft.cc.broadcastNodes.max`,
+    // default 10M ≈ 160 MB serialized): a forced broadcast of a
+    // billion-node map would OOM the driver, so past the gate the
+    // contraction falls back to shuffle joins on d1/d2 (two passes
+    // over the edge list — the honest cost of graphs whose NODE set
+    // alone exceeds broadcast size). The count also materializes the
+    // l0 persist before the map is read twice.
+    val broadcastMax = nodes.sparkSession.conf
+      .getOption("spark.graft.cc.broadcastNodes.max")
+      .map(_.toLong).getOrElse(10000000L)
+    val fitsBroadcast = l0.count() <= broadcastMax
+    def maybeB(df: DataFrame): DataFrame =
+      if (fitsBroadcast) broadcast(df) else df
     val r1 = l0.select(col("node").as("d1"), col("rep").as("rep1"))
     val r2 = l0.select(col("node").as("d2"), col("rep").as("rep2"))
-    val contracted = e.join(broadcast(r1), Seq("d1"))
-      .join(broadcast(r2), Seq("d2"))
+    val contracted = e.join(maybeB(r1), Seq("d1"))
+      .join(maybeB(r2), Seq("d2"))
       .where(col("rep1") =!= col("rep2"))
       .select(least(col("rep1"), col("rep2")).as("d1"),
         greatest(col("rep1"), col("rep2")).as("d2"))
@@ -439,7 +452,7 @@ object Dedup {
     // l0 stays persisted: unpersisting here would recompute its 2|E|
     // aggregation when the caller materializes the result (it is
     // |nodes| rows — the persist is cheap, the recompute is not)
-    l0.join(broadcast(labels.withColumnRenamed("node", "rep")), Seq("rep"))
+    l0.join(maybeB(labels.withColumnRenamed("node", "rep")), Seq("rep"))
       .select(col("node").as(nodeCol), col("label").as("cluster_id"))
   }
 }

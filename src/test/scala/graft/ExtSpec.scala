@@ -120,6 +120,21 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpoint.dir")
   }
 
+  test("connectedComponents shuffle-join fallback matches the broadcast path") {
+    // gate of 0 forces the non-broadcast contraction (the path a
+    // billion-node graph would take); results must be identical
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    spark.conf.set("spark.graft.cc.broadcastNodes.max", "0")
+    try {
+      val cc = Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) === 1L))
+      assert(cc(10L) === 10L && cc(11L) === 10L && cc(99L) === 99L)
+    } finally spark.conf.unset("spark.graft.cc.broadcastNodes.max")
+  }
+
   test("connectedComponents runs one job per fixpoint round") {
     // rep-chain graph needing several rounds; count Spark jobs across
     // the whole call. The convergence signal rides inside the label
@@ -155,10 +170,11 @@ class ExtSpec extends SparkSpec {
       }
       // Measured with this shape: 16 jobs = setup (contraction with
       // its two node-map broadcasts, init labels) + 5 fixpoint rounds
-      // x ONE materialization job + result broadcast/collect. The
-      // pre-r5 shape added a separate join+count job per round (>=5
-      // more on this graph), which blows the bound.
-      assert(last <= 17, s"expected <=17 jobs, saw $last")
+      // x ONE materialization job + result broadcast/collect, plus one
+      // for the broadcast-gate node count. The pre-r5 shape added a
+      // separate join+count job per round (>=5 more on this graph),
+      // which blows the bound.
+      assert(last <= 18, s"expected <=18 jobs, saw $last")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.sparkContext.removeSparkListener(listener)
