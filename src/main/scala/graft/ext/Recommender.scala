@@ -109,9 +109,20 @@ object Recommender {
     * (user_id, item_id, score, rn). Dictionary-trained sides map the
     * int factor indices back to the ORIGINAL keys (and keep their
     * original type); direct sides normalize to BIGINT as before. The
-    * dict joins are broadcast — dictionaries are O(distinct keys),
-    * tiny next to the recommendation long-form. */
+    * dict joins broadcast only below a row-count gate
+    * (`spark.graft.dict.broadcastMax`, default 10M): dictionaries are
+    * O(distinct keys), usually tiny next to the k-per-user long-form,
+    * but a billion-user dictionary would OOM the driver if force-
+    * broadcast — past the gate the mapping falls back to a shuffle
+    * join (the dicts are persisted by [[fit]], so the count is a
+    * cache scan). */
   def recommendTopK(fitted: FittedRecommender, k: Int): DataFrame = {
+    def maybeB(d: DataFrame): DataFrame = {
+      val max = d.sparkSession.conf
+        .getOption("spark.graft.dict.broadcastMax")
+        .map(_.toLong).getOrElse(10000000L)
+      if (d.count() <= max) broadcast(d) else d
+    }
     val recs = fitted.model.recommendForAllUsers(k)
       .select(col("user").as("__uidx"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))
@@ -121,12 +132,12 @@ object Recommender {
         (col("pos") + 1).cast("long").as("rn"))
     val withU = fitted.userDict match {
       case Some(d) => recs.join(
-        broadcast(d.select(col("user_id"), col("idx").as("__uidx"))), Seq("__uidx"))
+        maybeB(d.select(col("user_id"), col("idx").as("__uidx"))), Seq("__uidx"))
       case None => recs.withColumn("user_id", col("__uidx").cast("long"))
     }
     val withI = fitted.itemDict match {
       case Some(d) => withU.join(
-        broadcast(d.select(col("item_id"), col("idx").as("__iidx"))), Seq("__iidx"))
+        maybeB(d.select(col("item_id"), col("idx").as("__iidx"))), Seq("__iidx"))
       case None => withU.withColumn("item_id", col("__iidx").cast("long"))
     }
     withI.select(col("user_id"), col("item_id"), col("score"), col("rn"))
