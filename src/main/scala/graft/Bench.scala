@@ -63,9 +63,16 @@ object Bench {
          |"queries":${obj(warm, _.toString)},
          |"queries_cold":${obj(cold, _.toString)}}
          |""".stripMargin.replace("\n", "")
-    Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
-    // compact driver line: warm-pass per-query times, 3 decimals
-    val f3 = (v: Double) => f"$v%.3f"
+    // never let a failed file write (read-only checkout, missing dir)
+    // swallow the driver-contract line below — the sweeps already ran
+    try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // compact driver line: warm-pass per-query times, 3 decimals.
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale
+    // (de_DE, fr_FR) would print 12,345 and corrupt the JSON
+    val f3 = (v: Double) =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
       s""","queries":${obj(("_shared_build" -> shared) :: warm, f3)}""" +
       s""","sf":"$sfDir","cold_total":${f3(coldSum)}""" +

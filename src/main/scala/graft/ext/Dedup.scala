@@ -318,17 +318,21 @@ object Dedup {
     * scale turns one lost container into a failed job.
     *
     * Each instance owns one chain of iterates: in reliable mode it
-    * writes iteration N under `<dir>/<name>/iter-N` and deletes
-    * iteration N−1 AFTER N lands (N never reads N−1's files once
-    * materialized — each snapshot is self-contained), so a long
-    * fixpoint run holds at most two snapshots per chain instead of
-    * accumulating one per round. The LAST snapshot is retained — the
-    * caller's result plan still scans it; callers should drop the
-    * whole `<dir>` when finished consuming the result. */
+    * writes iteration N under `<dir>/<name>-<uuid>/iter-N` — the uuid
+    * keeps two runs in the same session (or two concurrent callers)
+    * from overwriting/deleting each other's retained snapshots —
+    * and deletes iteration N−1 AFTER N lands (N never reads N−1's
+    * files once materialized — each snapshot is self-contained), so a
+    * long fixpoint run holds at most two snapshots per chain instead
+    * of accumulating one per round. The LAST snapshot is retained —
+    * the caller's result plan still scans it; callers should drop the
+    * whole `<dir>` when finished consuming the results of every run
+    * that used it. */
   private[ext] final class IterMaterializer(name: String,
       spark: org.apache.spark.sql.SparkSession) {
     private val base: Option[String] =
-      spark.conf.getOption("spark.graft.checkpoint.dir").map(d => s"$d/$name")
+      spark.conf.getOption("spark.graft.checkpoint.dir")
+        .map(d => s"$d/$name-${java.util.UUID.randomUUID()}")
     private var iter = 0
     private var prev: Option[String] = None
 
@@ -381,10 +385,9 @@ object Dedup {
     // over the edge list — the honest cost of graphs whose NODE set
     // alone exceeds broadcast size). The count also materializes the
     // l0 persist before the map is read twice.
-    val broadcastMax = nodes.sparkSession.conf
-      .getOption("spark.graft.cc.broadcastNodes.max")
-      .map(_.toLong).getOrElse(10000000L)
-    val fitsBroadcast = l0.count() <= broadcastMax
+    // one count decides for all three map joins (r1, r2, final labels)
+    val fitsBroadcast = l0.count() <= graft.core.Broadcasts.maxRows(
+      l0, "spark.graft.cc.broadcastNodes.max")
     def maybeB(df: DataFrame): DataFrame =
       if (fitsBroadcast) broadcast(df) else df
     val r1 = l0.select(col("node").as("d1"), col("rep").as("rep1"))

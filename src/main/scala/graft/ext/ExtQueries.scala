@@ -414,18 +414,24 @@ object ExtQueries {
     // user, rn dense 1..5, scores non-increasing in rn (0
     // violations), every item from the ratings catalog (0 unknown).
     // Wrong join plumbing, dropped users, unsorted output, or factor
-    // blowups (NaN scores break monotonicity) all flip a column.
+    // blowups all flip a column. NaN blowups need their OWN counter:
+    // under Spark's ordering NaN > x and NaN > NaN are both false, so
+    // a (NaN, NaN, 3.2, ...) score sequence would sail through the
+    // monotonicity check — nan_scores catches exactly that.
     // The raw scored frame remains the library API
     // (Recommender.recommendTopK, goldens in ExtSpec).
     "q_als_recommend" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val r = Cache.getOrPersist(s, "ratings", d)(Sources.ratings(s, d))
       val recs = Recommender.recommendTopK(Recommender.fit(r), 5)
-      val items = r.select(col("item_id")).distinct()
-        .withColumn("__known", lit(1))
+      // item catalog is O(distinct items) — gate the broadcast like
+      // every other entity-scaled map join
+      val items = graft.core.Broadcasts.gated(
+        r.select(col("item_id")).distinct().withColumn("__known", lit(1)),
+        "spark.graft.dict.broadcastMax")
       val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
       recs
-        .join(broadcast(items), Seq("item_id"), "left")
+        .join(items, Seq("item_id"), "left")
         .withColumn("prev_score", lag(col("score"), 1).over(w))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_recs"),
@@ -434,6 +440,8 @@ object ExtQueries {
           sum(col("rn")).as("rn_sum"),
           sum(when(col("score") > col("prev_score"), 1L).otherwise(0L))
             .as("mono_violations"),
+          sum(when(isnan(col("score")), 1L).otherwise(0L))
+            .as("nan_scores"),
           sum(when(col("__known").isNull, 1L).otherwise(0L))
             .as("unknown_items"))
         .orderBy(col("user_id"))
@@ -1025,6 +1033,7 @@ object ExtQueries {
          |       CAST(5 AS BIGINT) AS rn_max,
          |       CAST(15 AS BIGINT) AS rn_sum,
          |       CAST(0 AS BIGINT) AS mono_violations,
+         |       CAST(0 AS BIGINT) AS nan_scores,
          |       CAST(0 AS BIGINT) AS unknown_items
          |FROM users ORDER BY user_id""".stripMargin,
 

@@ -80,14 +80,18 @@ object Multimodal {
   private[ext] def decodeFrame(bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length.toLong
     val real = sniffImageFormat(bytes).flatMap { fmt =>
-      // ImageIO.read returns null (or throws) on truncated payloads —
-      // treat both as undecodable and fall through to the fake.
+      // ImageIO.read returns null (or throws) on payloads that pass
+      // the magic sniff but aren't valid images — the JDK readers
+      // throw UNCHECKED exceptions (IndexOutOfBounds, NegativeArraySize,
+      // IllegalArgument, CMMException) on corrupt data, not just
+      // IOException, so catch NonFatal: any decode failure means
+      // "undecodable", fall through to the fake.
       try {
         Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes)))
           .map(img => MediaMeta(-1L, n, fmt,
             img.getWidth.toLong, img.getHeight.toLong, 1L))
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
     real.getOrElse {
       // deterministic fake for non-image payloads (shape-compatible
@@ -126,9 +130,10 @@ object Multimodal {
   private def decodeImage(
       bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     sniffImageFormat(bytes).flatMap { _ =>
+      // NonFatal, not just IOException — see decodeFrame's comment
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Resize kernel. Image payloads get a REAL resample: decode →

@@ -117,12 +117,8 @@ object Recommender {
     * join (the dicts are persisted by [[fit]], so the count is a
     * cache scan). */
   def recommendTopK(fitted: FittedRecommender, k: Int): DataFrame = {
-    def maybeB(d: DataFrame): DataFrame = {
-      val max = d.sparkSession.conf
-        .getOption("spark.graft.dict.broadcastMax")
-        .map(_.toLong).getOrElse(10000000L)
-      if (d.count() <= max) broadcast(d) else d
-    }
+    def maybeB(d: DataFrame): DataFrame =
+      graft.core.Broadcasts.gated(d, "spark.graft.dict.broadcastMax")
     val recs = fitted.model.recommendForAllUsers(k)
       .select(col("user").as("__uidx"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))

@@ -59,16 +59,23 @@ object DialectFixtures {
     * on-disk `_GRAFT_SRC` marker for cross-process reuse. Throws if an
     * existing fixture was rendered from a DIFFERENT source dir with
     * the same leaf name. */
+  /** Canonical form used for marker comparison: the same source dir
+    * spelled differently (trailing slash, `//`, relative path) must
+    * compare equal, or a re-run with an equivalent spelling would
+    * throw the collision error. */
+  private def canon(dir: String): String =
+    Paths.get(dir).toAbsolutePath.normalize().toString
+
   private def once(path: String, dir: String)(write: => Unit): Unit = {
     // memo key includes the SOURCE dir: a later call for the same
     // fixture path from a different dir must reach the marker check
     // below (and throw), not silently reuse the memo
-    written.getOrElseUpdate(s"$path|$dir", {
+    written.getOrElseUpdate(s"$path|${canon(dir)}", {
       val marker = Paths.get(path, "_GRAFT_SRC")
       val existing =
         if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
       existing match {
-        case Some(src) if src == dir => () // already rendered from this dir
+        case Some(src) if src == canon(dir) => () // already rendered
         case Some(src) =>
           throw new IllegalStateException(
             s"dialect fixture $path was rendered from '$src' but '$dir' " +
@@ -77,7 +84,7 @@ object DialectFixtures {
         case None =>
           write
           Files.createDirectories(marker.getParent)
-          Files.writeString(marker, dir)
+          Files.writeString(marker, canon(dir))
       }
       true
     })

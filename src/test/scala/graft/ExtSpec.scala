@@ -107,10 +107,14 @@ class ExtSpec extends SparkSpec {
       assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) === 1L))
       assert(cc(9L) === 9L)
       // reliable snapshots were written, and each chain kept ONLY its
-      // last iteration (prior iterations deleted after the next landed)
+      // last iteration (prior iterations deleted after the next
+      // landed); chain dirs carry a per-run uuid suffix
       def iterDirs(chain: String): Array[String] = {
-        val fs = new java.io.File(s"$dir/$chain")
-          .listFiles(f => f.getName.startsWith("iter-"))
+        val chains = new java.io.File(dir)
+          .listFiles(f => f.getName.startsWith(chain + "-"))
+        assert(chains != null && chains.length === 1,
+          s"expected one $chain-* dir")
+        val fs = chains(0).listFiles(f => f.getName.startsWith("iter-"))
         if (fs == null) Array.empty else fs.map(_.getName)
       }
       assert(iterDirs("cc-edges").length === 1)
@@ -527,7 +531,11 @@ class ExtSpec extends SparkSpec {
     val rows = Seq(
       (1L, imageBytes("png", 37, 21)),
       (2L, imageBytes("bmp", 12, 48)),
-      (3L, "not an image at all".getBytes("UTF-8")))
+      (3L, "not an image at all".getBytes("UTF-8")),
+      // passes the 'BM' magic sniff but is NOT a bitmap: the JDK
+      // reader throws an unchecked exception — must fall back to the
+      // deterministic fake, not crash the task
+      (4L, "BMx this text merely starts like a bitmap".getBytes("UTF-8")))
     val out = Multimodal.decodeAll(rows.toDF("doc_id", "media"))
       .collect().map(m => m.doc_id -> m).toMap
     // real decodes: actual pixel dimensions + sniffed format, 1 frame
@@ -538,6 +546,8 @@ class ExtSpec extends SparkSpec {
     // non-image payload: deterministic fallback, same shape
     val n = rows(2)._2.length.toLong
     assert(out(3L).n_bytes === n && out(3L).width === 64L + n % 640)
+    val n4 = rows(3)._2.length.toLong
+    assert(out(4L).n_bytes === n4 && out(4L).width === 64L + n4 % 640)
   }
 
   test("multimodal resize/features are real for image payloads") {
