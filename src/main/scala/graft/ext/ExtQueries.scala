@@ -47,6 +47,13 @@ object ExtQueries {
     * corpus has over-cap buckets (see q_minhash_rescue's comment). */
   private val RescueCap = 15
 
+  /** Rescue candidate pairs, shared by the rescue query and its exact
+    * Jaccard rescore. */
+  private def rescueCandC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "minhash_rescue_cand", d)(
+      Dedup.minhashRescueCandidates(
+        shinglesC(s, d), bandMinsC(s, d), cap = RescueCap))
+
   /** Simhash near-dup pairs, shared by the pair query and the cluster
     * resolution query. */
   private def simhashPairsC(s: SparkSession, d: String) =
@@ -137,9 +144,16 @@ object ExtQueries {
     // there, which would make this query a trivial empty-vs-empty
     // check). See Dedup.minhashRescueCandidates.
     "q_minhash_rescue" -> ((s, d) =>
-      Dedup.minhashRescueCandidates(
-          shinglesC(s, d), bandMinsC(s, d), cap = RescueCap)
-        .orderBy(col("d1"), col("d2"))),
+      rescueCandC(s, d).orderBy(col("d1"), col("d2"))),
+
+    // Rescue candidates with >=2 agreeing rescue bands, re-scored with
+    // exact n-gram Jaccard: the full hot-bucket second-chance chain.
+    "q_rescue_jaccard" -> ((s, d) => {
+      val strong = rescueCandC(s, d)
+        .where(col("bands") >= 2).select(col("d1"), col("d2"))
+      Dedup.ngramJaccard(strong, distinctShinglesC(s, d))
+        .orderBy(col("d1"), col("d2"))
+    }),
 
     // Exact 3-gram Jaccard over the strong (≥2 bands) candidates.
     "q_ngram_jaccard" -> ((s, d) => {
@@ -471,6 +485,35 @@ object ExtQueries {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** Shared CTE chain for the rescue-pass oracles: primary band
+    * minima → hot buckets (cap [[RescueCap]]) → hot shingles re-banded
+    * with the second permutation family → capped candidates `rcand`. */
+  private lazy val rescueCandSql: String =
+    s"""${Dedup.shinglesSql},
+       |${Dedup.minhashBandMinsSql},
+       |hot AS (SELECT b, mh FROM bandmins GROUP BY 1, 2
+       |        HAVING count(*) > $RescueCap),
+       |hotdocs AS (
+       |  SELECT DISTINCT bandmins.doc_id
+       |  FROM bandmins JOIN hot USING (b, mh)),
+       |hotsh AS (
+       |  SELECT s.doc_id, s.shingle
+       |  FROM shingles s JOIN hotdocs USING (doc_id)),
+       |${Dedup.bandMinsSqlFrom("hotsh", "rsig", "rbandmins",
+                                Dedup.Bands, Dedup.Bands)},
+       |rok AS (
+       |  SELECT rbandmins.* FROM rbandmins
+       |  JOIN (SELECT b, mh FROM rbandmins GROUP BY 1, 2
+       |        HAVING count(*) <= $RescueCap) okb
+       |    USING (b, mh)
+       |),
+       |rcand AS (
+       |  SELECT a.doc_id AS d1, b2.doc_id AS d2, count(*) AS bands
+       |  FROM rok a JOIN rok b2
+       |    ON a.b = b2.b AND a.mh = b2.mh AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   /** Shared CTE chain for the banded sign-LSH oracles: band buckets →
     * cap filter → candidate pairs → fixed-point cosine (`bcos`). */
   private lazy val bandedCosCtes: String = {
@@ -654,28 +697,33 @@ object ExtQueries {
     // sf0.01) -> hot docs' shingles re-banded with the second
     // permutation family -> capped candidate pairs.
     "q_minhash_rescue" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |${Dedup.minhashBandMinsSql},
-         |hot AS (SELECT b, mh FROM bandmins GROUP BY 1, 2
-         |        HAVING count(*) > $RescueCap),
-         |hotdocs AS (
-         |  SELECT DISTINCT bandmins.doc_id
-         |  FROM bandmins JOIN hot USING (b, mh)),
-         |hotsh AS (
-         |  SELECT s.doc_id, s.shingle
-         |  FROM shingles s JOIN hotdocs USING (doc_id)),
-         |${Dedup.bandMinsSqlFrom("hotsh", "rsig", "rbandmins",
-                                  Dedup.Bands, Dedup.Bands)},
-         |rok AS (
-         |  SELECT rbandmins.* FROM rbandmins
-         |  JOIN (SELECT b, mh FROM rbandmins GROUP BY 1, 2
-         |        HAVING count(*) <= $RescueCap) okb
-         |    USING (b, mh)
-         |)
-         |SELECT a.doc_id AS d1, b2.doc_id AS d2, count(*) AS bands
-         |FROM rok a JOIN rok b2
-         |  ON a.b = b2.b AND a.mh = b2.mh AND a.doc_id < b2.doc_id
-         |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
+      s"""WITH $rescueCandSql
+         |SELECT d1, d2, bands FROM rcand ORDER BY d1, d2""".stripMargin,
+
+    // Rescue candidates (>=2 agreeing rescue bands) re-scored with
+    // exact n-gram Jaccard — the full "hot bucket -> second chance ->
+    // exact rescore" chain end-to-end.
+    "q_rescue_jaccard" ->
+      s"""WITH $rescueCandSql,
+         |strong AS (SELECT d1, d2 FROM rcand WHERE bands >= 2),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+         |com AS (
+         |  SELECT c.d1, c.d2, count(*) AS common
+         |  FROM strong c
+         |  JOIN ds a  ON a.doc_id = c.d1
+         |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.d1, c.d2, s1.n_sh AS c1, s2.n_sh AS c2,
+         |       CAST(coalesce(com.common, 0) AS BIGINT) AS common,
+         |       ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
+              "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
+         |         AS jaccard
+         |FROM strong c
+         |JOIN sizes s1 ON s1.doc_id = c.d1
+         |JOIN sizes s2 ON s2.doc_id = c.d2
+         |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
+         |ORDER BY c.d1, c.d2""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $candSql,
