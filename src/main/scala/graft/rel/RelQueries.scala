@@ -187,6 +187,33 @@ object RelQueries {
           Det.r4(percentile(col("l_quantity"), lit(0.99))).as("p99_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // The percentile path that actually survives 100 TB: a GK sketch
+    // (approx_percentile, accuracy 100 => rank error <= 0.01) instead
+    // of the exact sort-based percentile. Sketch VALUES are partition-
+    // order dependent, so the oracle-checkable surface is the GK
+    // GUARANTEE, not the value: each approximation must land between
+    // the exact quantiles at p +/- 0.02 (2x the error bound). Any
+    // accuracy regression, merge bug, or broken guarantee flips a
+    // flag; the oracle states the flags as constants.
+    "q_approx_percentile_bounds" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val ps = Seq(0.5, 0.9, 0.99)
+      val lo = ps.map(p => math.max(0.0, p - 0.02))
+      val hi = ps.map(p => math.min(1.0, p + 0.02))
+      val agg = v.agg(
+        expr(s"approx_percentile(v, array(${ps.mkString("D,")}D), 100)")
+          .as("ap"),
+        expr(s"percentile(v, array(${lo.mkString("D,")}D))").as("lo"),
+        expr(s"percentile(v, array(${hi.mkString("D,")}D))").as("hi"))
+      val rows = ps.indices.map(i =>
+        s"CAST(${ps(i)} AS DOUBLE), ap[$i] BETWEEN lo[$i] AND hi[$i]")
+      agg.select(expr(
+          s"stack(${ps.size}, ${rows.mkString(", ")})")
+          .as(Seq("p", "within_bounds")))
+        .orderBy(col("p"))
+    }),
+
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
       t(s, d, "orders")
@@ -480,6 +507,16 @@ object RelQueries {
          |       ${r4("quantile_cont(l_quantity, 0.9)")} AS p90_qty,
          |       ${r4("quantile_cont(l_quantity, 0.99)")} AS p99_qty
          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // Derived-property oracle (like q_als_recommend): the GK sketch's
+    // values are partition-order dependent, its rank-error GUARANTEE
+    // is not — the query emits the bound checks, the oracle states
+    // them as constants.
+    "q_approx_percentile_bounds" ->
+      """SELECT CAST(p AS DOUBLE) AS p, within_bounds
+        |FROM (VALUES (0.5, true), (0.9, true), (0.99, true))
+        |  t(p, within_bounds)
+        |ORDER BY p""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
