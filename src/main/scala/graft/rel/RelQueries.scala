@@ -214,6 +214,27 @@ object RelQueries {
         .orderBy(col("p"))
     }),
 
+    // Count-distinct at 100 TB is HyperLogLog++, not an exact
+    // distinct shuffle. HLL register maxima are order-free, so the
+    // approximation is DETERMINISTIC for a given dataset — but not
+    // replayable in another engine, so (like the GK sketch above) the
+    // checkable surface is the accuracy envelope: within 15% of exact
+    // (3x the rsd=0.05 standard error) on three id columns of very
+    // different cardinality.
+    "q_approx_ndv_bounds" -> ((s, d) => {
+      def check(tbl: String, c: String) =
+        t(s, d, tbl).agg(
+            approx_count_distinct(col(c), 0.05).as("a"),
+            countDistinct(col(c)).as("x"))
+          .select(lit(c).as("col_name"),
+            (abs(col("a") - col("x")).cast("double") /
+              col("x").cast("double") <= 0.15).as("within_15pct"))
+      check("lineitem", "l_partkey")
+        .unionByName(check("lineitem", "l_suppkey"))
+        .unionByName(check("orders", "o_custkey"))
+        .orderBy(col("col_name"))
+    }),
+
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
       t(s, d, "orders")
@@ -517,6 +538,14 @@ object RelQueries {
         |FROM (VALUES (0.5, true), (0.9, true), (0.99, true))
         |  t(p, within_bounds)
         |ORDER BY p""".stripMargin,
+
+    // Derived-property oracle; see the query's comment.
+    "q_approx_ndv_bounds" ->
+      """SELECT col_name, within_15pct
+        |FROM (VALUES ('l_partkey', true), ('l_suppkey', true),
+        |             ('o_custkey', true))
+        |  t(col_name, within_15pct)
+        |ORDER BY col_name""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
