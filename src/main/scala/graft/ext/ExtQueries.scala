@@ -485,6 +485,32 @@ object ExtQueries {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** Exact-Jaccard rescore tail shared by the primary and rescue
+    * candidate oracles: ≥2-band gate over `candCte`, distinct shingle
+    * sets, pair intersection counts, and the final Jaccard projection
+    * (mirrors [[Dedup.ngramJaccard]] term for term). Splice after a
+    * chain that defines `shingles` and `candCte(d1, d2, bands)`. */
+  private def jaccardRescoreSqlFrom(candCte: String): String =
+    s"""strong AS (SELECT d1, d2 FROM $candCte WHERE bands >= 2),
+       |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+       |com AS (
+       |  SELECT c.d1, c.d2, count(*) AS common
+       |  FROM strong c
+       |  JOIN ds a  ON a.doc_id = c.d1
+       |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT c.d1, c.d2, s1.n_sh AS c1, s2.n_sh AS c2,
+       |       CAST(coalesce(com.common, 0) AS BIGINT) AS common,
+       |       ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
+            "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
+       |         AS jaccard
+       |FROM strong c
+       |JOIN sizes s1 ON s1.doc_id = c.d1
+       |JOIN sizes s2 ON s2.doc_id = c.d2
+       |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
+       |ORDER BY c.d1, c.d2""".stripMargin
+
   /** Shared CTE chain for the rescue-pass oracles: primary band
     * minima → hot buckets (cap [[RescueCap]]) → hot shingles re-banded
     * with the second permutation family → capped candidates `rcand`. */
@@ -705,47 +731,11 @@ object ExtQueries {
     // exact rescore" chain end-to-end.
     "q_rescue_jaccard" ->
       s"""WITH $rescueCandSql,
-         |strong AS (SELECT d1, d2 FROM rcand WHERE bands >= 2),
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
-         |com AS (
-         |  SELECT c.d1, c.d2, count(*) AS common
-         |  FROM strong c
-         |  JOIN ds a  ON a.doc_id = c.d1
-         |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT c.d1, c.d2, s1.n_sh AS c1, s2.n_sh AS c2,
-         |       CAST(coalesce(com.common, 0) AS BIGINT) AS common,
-         |       ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
-              "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
-         |         AS jaccard
-         |FROM strong c
-         |JOIN sizes s1 ON s1.doc_id = c.d1
-         |JOIN sizes s2 ON s2.doc_id = c.d2
-         |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
-         |ORDER BY c.d1, c.d2""".stripMargin,
+         |${jaccardRescoreSqlFrom("rcand")}""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $candSql,
-         |strong AS (SELECT d1, d2 FROM cand WHERE bands >= 2),
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
-         |com AS (
-         |  SELECT c.d1, c.d2, count(*) AS common
-         |  FROM strong c
-         |  JOIN ds a  ON a.doc_id = c.d1
-         |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT c.d1, c.d2, s1.n_sh AS c1, s2.n_sh AS c2,
-         |       CAST(coalesce(com.common, 0) AS BIGINT) AS common,
-         |       ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
-              "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
-         |         AS jaccard
-         |FROM strong c
-         |JOIN sizes s1 ON s1.doc_id = c.d1
-         |JOIN sizes s2 ON s2.doc_id = c.d2
-         |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
-         |ORDER BY c.d1, c.d2""".stripMargin,
+         |${jaccardRescoreSqlFrom("cand")}""".stripMargin,
 
     "q_simhash_near_dup" ->
       s"""WITH $simhashPairCtes

@@ -218,9 +218,12 @@ object RelQueries {
     // distinct shuffle. HLL register maxima are order-free, so the
     // approximation is DETERMINISTIC for a given dataset — but not
     // replayable in another engine, so (like the GK sketch above) the
-    // checkable surface is the accuracy envelope: within 15% of exact
-    // (3x the rsd=0.05 standard error) on three id columns of very
-    // different cardinality.
+    // checkable surface is the accuracy envelope. Unlike GK's
+    // worst-case rank bound, the HLL envelope is probabilistic: 20%
+    // = 4x the rsd=0.05 standard error (miss odds ~1e-4 per column on
+    // fresh data; on THIS dataset the flag is deterministic and
+    // observed error is ~2%). A broken sketch or merge is off by far
+    // more than 20%.
     "q_approx_ndv_bounds" -> ((s, d) => {
       def check(tbl: String, c: String) =
         t(s, d, tbl).agg(
@@ -228,7 +231,7 @@ object RelQueries {
             countDistinct(col(c)).as("x"))
           .select(lit(c).as("col_name"),
             (abs(col("a") - col("x")).cast("double") /
-              col("x").cast("double") <= 0.15).as("within_15pct"))
+              col("x").cast("double") <= 0.20).as("within_bounds"))
       check("lineitem", "l_partkey")
         .unionByName(check("lineitem", "l_suppkey"))
         .unionByName(check("orders", "o_custkey"))
@@ -541,10 +544,10 @@ object RelQueries {
 
     // Derived-property oracle; see the query's comment.
     "q_approx_ndv_bounds" ->
-      """SELECT col_name, within_15pct
+      """SELECT col_name, within_bounds
         |FROM (VALUES ('l_partkey', true), ('l_suppkey', true),
         |             ('o_custkey', true))
-        |  t(col_name, within_15pct)
+        |  t(col_name, within_bounds)
         |ORDER BY col_name""".stripMargin,
 
     "q_sort_limit" ->
