@@ -238,6 +238,16 @@ object RelQueries {
         .orderBy(col("col_name"))
     }),
 
+    // Adversarial-skew aggregation: l_returnflag has only 3 values,
+    // so every row funnels into 3 reduce groups — the shape where a
+    // hot key degrades the map-side hash table. The salted two-phase
+    // count (groupBy(key, salt) partial -> groupBy(key) final,
+    // core.Skew) bounds any single reducer at rows/salts and is
+    // semantically identical to the plain count, which IS the oracle.
+    "q_salted_hot_keys" -> ((s, d) =>
+      graft.core.Skew.saltedCount(t(s, d, "lineitem"), "l_returnflag", 16)
+        .orderBy(col("l_returnflag"))),
+
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
       t(s, d, "orders")
@@ -549,6 +559,11 @@ object RelQueries {
         |             ('o_custkey', true))
         |  t(col_name, within_bounds)
         |ORDER BY col_name""".stripMargin,
+
+    // The salted two-phase count is semantically the plain count.
+    "q_salted_hot_keys" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
