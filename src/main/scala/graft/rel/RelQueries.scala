@@ -248,6 +248,20 @@ object RelQueries {
       graft.core.Skew.saltedCount(t(s, d, "lineitem"), "l_returnflag", 16)
         .orderBy(col("l_returnflag"))),
 
+    // Join-side skew mitigation: the fact side gets a per-row salt,
+    // the dim side is replicated once per salt value (core.Skew
+    // saltedJoin — for the hot build keys AQE's skew split cannot
+    // always reach). Semantically the plain join, which is the oracle.
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_suppkey"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.core.Skew.saltedJoin(li, sup, "l_suppkey", 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
       t(s, d, "orders")
@@ -564,6 +578,12 @@ object RelQueries {
     "q_salted_hot_keys" ->
       """SELECT l_returnflag, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // The salted join is semantically the plain join.
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
