@@ -349,6 +349,25 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // The compressed ANN serving path: IVF picks a top-10 shortlist
+    // by exact cosine, then int8-dequantized vectors re-rank it to
+    // top-3 (VectorSearch.sqRerank) — scoring happens against the
+    // 4x-smaller SQ reconstruction, not the full-precision
+    // embeddings. Queries are corpus members, so the quantizer covers
+    // them.
+    "q_ann_sq_rerank" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = VectorSearch.labelCentroids(emb(s, d))
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val shortlist = VectorSearch.ivfTopK(e, cells, queries,
+          "qid", "qvec", 10, 2)
+        .select(col("qid"), col("vec_id"))
+      VectorSearch.sqRerank(shortlist, e, "qid", 3)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // Embedding-dedup end-to-end: banded sign-LSH candidates →
     // cosine threshold → connected components → cluster table with
     // keepers. The full "embedding-cosine near-dup dedup" pipeline a
@@ -510,6 +529,74 @@ object ExtQueries {
        |JOIN sizes s2 ON s2.doc_id = c.d2
        |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
        |ORDER BY c.d1, c.d2""".stripMargin
+
+  /** Shared CTE chain for the IVF oracles: embedding explode,
+    * label centroids, norms, assignment/probe cosines, candidate
+    * scan, exact-cosine scoring and ranking (CTE `ranked`). */
+  private lazy val ivfRankedCtes: String =
+    s"""expl AS (
+         |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |cent AS (
+         |  SELECT CAST(label AS BIGINT) AS cell_id, i,
+         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM expl GROUP BY 1, 2),
+         |cnorm AS (
+         |  SELECT cell_id,
+         |         CAST(sum(CAST(floor(cv*cv*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS cn
+         |  FROM cent GROUP BY 1),
+         |enorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS en
+         |  FROM expl GROUP BY 1),
+         |acos AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |         ${r4("CASE WHEN sqrt(cn)*sqrt(en) = 0.0 THEN 0.0 " +
+              "ELSE (CAST(sum(CAST(floor(c.cv*e.v*1000000000000.0 + 0.5)" +
+              " AS BIGINT)) AS DOUBLE)/1000000000000.0)" +
+              "/(sqrt(cn)*sqrt(en)) END")} AS cell_cos
+         |  FROM expl e
+         |  JOIN cent c ON c.i = e.i
+         |  JOIN cnorm ON cnorm.cell_id = c.cell_id
+         |  JOIN enorm ON enorm.vec_id = e.vec_id
+         |  GROUP BY e.vec_id, c.cell_id, cn, en),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cell_cos DESC, cell_id) AS arn
+         |    FROM acos) WHERE arn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cell_cos DESC, cell_id) AS prn
+         |    FROM acos WHERE vec_id % 50 = 0) WHERE prn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id
+         |  FROM probes p JOIN assign a ON a.cell_id = p.cell_id),
+         |pdots AS (
+         |  SELECT c.qid, c.vec_id,
+         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS dot
+         |  FROM cand c
+         |  JOIN expl q ON q.vec_id = c.qid
+         |  JOIN expl e ON e.vec_id = c.vec_id AND e.i = q.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+         |  FROM pdots d
+         |  JOIN enorm nq ON nq.vec_id = d.qid
+         |  JOIN enorm ne ON ne.vec_id = d.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |                               ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored)""".stripMargin
 
   /** Shared CTE chain for the rescue-pass oracles: primary band
     * minima → hot buckets (cap [[RescueCap]]) → hot shingles re-banded
@@ -979,71 +1066,52 @@ object ExtQueries {
     // the build-side assignment (argmax per vector) and the probe side
     // (top-nProbe per query vector), exactly as ivfTopK computes them.
     "q_ann_ivf" ->
-      s"""WITH expl AS (
-         |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
-         |cent AS (
-         |  SELECT CAST(label AS BIGINT) AS cell_id, i,
-         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
-         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
-         |  FROM expl GROUP BY 1, 2),
-         |cnorm AS (
-         |  SELECT cell_id,
-         |         CAST(sum(CAST(floor(cv*cv*1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS cn
-         |  FROM cent GROUP BY 1),
-         |enorm AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS en
-         |  FROM expl GROUP BY 1),
-         |acos AS (
-         |  SELECT e.vec_id, c.cell_id,
-         |         ${r4("CASE WHEN sqrt(cn)*sqrt(en) = 0.0 THEN 0.0 " +
-              "ELSE (CAST(sum(CAST(floor(c.cv*e.v*1000000000000.0 + 0.5)" +
-              " AS BIGINT)) AS DOUBLE)/1000000000000.0)" +
-              "/(sqrt(cn)*sqrt(en)) END")} AS cell_cos
-         |  FROM expl e
-         |  JOIN cent c ON c.i = e.i
-         |  JOIN cnorm ON cnorm.cell_id = c.cell_id
-         |  JOIN enorm ON enorm.vec_id = e.vec_id
-         |  GROUP BY e.vec_id, c.cell_id, cn, en),
-         |assign AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT vec_id, cell_id,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY cell_cos DESC, cell_id) AS arn
-         |    FROM acos) WHERE arn = 1),
-         |probes AS (
-         |  SELECT vec_id AS qid, cell_id FROM (
-         |    SELECT vec_id, cell_id,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY cell_cos DESC, cell_id) AS prn
-         |    FROM acos WHERE vec_id % 50 = 0) WHERE prn <= 2),
-         |cand AS (
-         |  SELECT p.qid, a.vec_id
-         |  FROM probes p JOIN assign a ON a.cell_id = p.cell_id),
-         |pdots AS (
-         |  SELECT c.qid, c.vec_id,
-         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS dot
-         |  FROM cand c
-         |  JOIN expl q ON q.vec_id = c.qid
-         |  JOIN expl e ON e.vec_id = c.vec_id AND e.i = q.i
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT d.qid, d.vec_id,
-         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
-         |  FROM pdots d
-         |  JOIN enorm nq ON nq.vec_id = d.qid
-         |  JOIN enorm ne ON ne.vec_id = d.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |                               ORDER BY cos_sim DESC, vec_id) AS rn
-         |  FROM scored)
+      s"""WITH $ivfRankedCtes
          |SELECT qid, vec_id, cos_sim, rn
          |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // IVF shortlist (top 10 by exact cosine) re-ranked by cosine over
+    // DEQUANTIZED int8 vectors (VectorSearch.sqRerank): the compressed
+    // serving path, replayed CTE for CTE (quantizer train + encode +
+    // dequantize + fixed-point dot).
+    "q_ann_sq_rerank" ->
+      s"""WITH $ivfRankedCtes,
+         |shortlist AS (
+         |  SELECT qid, vec_id FROM ranked WHERE rn <= 10),
+         |sstats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM expl GROUP BY 1),
+         |deq AS (
+         |  SELECT e.vec_id, e.i,
+         |         s.mn + (CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+         |                      ELSE CAST(floor((e.v - s.mn) / (s.mx - s.mn)
+         |                                      * 255.0 + 0.5) AS BIGINT) END)
+         |           / 255.0 * (s.mx - s.mn) AS dv
+         |  FROM expl e JOIN sstats s USING (i)),
+         |dqnorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(dv*dv*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS dn
+         |  FROM deq GROUP BY 1),
+         |sdots AS (
+         |  SELECT sl.qid, sl.vec_id,
+         |         CAST(sum(CAST(floor(q.dv*v.dv*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+         |  FROM shortlist sl
+         |  JOIN deq q ON q.vec_id = sl.qid
+         |  JOIN deq v ON v.vec_id = sl.vec_id AND v.i = q.i
+         |  GROUP BY 1, 2),
+         |sq_scored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.dn)*sqrt(nv.dn) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.dn)*sqrt(nv.dn)) END")} AS sq_cos
+         |  FROM sdots d
+         |  JOIN dqnorm nq ON nq.vec_id = d.qid
+         |  JOIN dqnorm nv ON nv.vec_id = d.vec_id),
+         |sq_ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |                               ORDER BY sq_cos DESC, vec_id) AS rn
+         |  FROM sq_scored)
+         |SELECT qid, vec_id, sq_cos, rn
+         |FROM sq_ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "q_dataset_mix" -> {
       val (copiesExpr, _) = Sampling.weightedMixSql(

@@ -315,6 +315,54 @@ object VectorSearch {
           col("n1"), col("n2"))).as("cos_sim"))
   }
 
+  /** Dequantized embeddings under the corpus-trained int8 quantizer:
+    * (vec_id, dqvec) where dqvec[i] = mn_i + code/255*(mx_i-mn_i) —
+    * what a compressed ANN serving tier actually scores against
+    * (codes in cache, reconstruction on the fly). Same training agg
+    * as [[scalarQuantize]]. */
+  def sqDequantized(emb: DataFrame): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "f")))
+      .select(col("vec_id"), col("pos"), col("f").cast("double").as("v"))
+    val stats = dims.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    dims.join(broadcast(stats), Seq("pos"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn"))
+            * lit(255.0) + lit(0.5)).cast("long")))
+      .withColumn("dv",
+        col("mn") + col("code").cast("double") / lit(255.0)
+          * (col("mx") - col("mn")))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("dv")))),
+        s => s.getField("dv")).as("dqvec"))
+  }
+
+  /** Re-rank an ANN candidate shortlist (cand: queryKey, vec_id) by
+    * cosine over DEQUANTIZED vectors — the serving pattern where the
+    * IVF index picks candidates and the 4×-smaller SQ codes score
+    * them without touching the full-precision embeddings. Output:
+    * (queryKey, vec_id, sq_cos, rn ≤ k). */
+  def sqRerank(cand: DataFrame, emb: DataFrame, queryKey: String,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val dq = sqDequantized(emb)
+    val qdq = dq.select(col("vec_id").as(queryKey), col("dqvec").as("qdq"))
+    val vdq = dq.select(col("vec_id"), col("dqvec").as("vdq"))
+    val w = Window.partitionBy(col(queryKey))
+      .orderBy(col("sq_cos").desc, col("vec_id"))
+    cand.join(qdq, Seq(queryKey)).join(vdq, Seq("vec_id"))
+      .select(col(queryKey), col("vec_id"),
+        Det.r4(cosineCol(
+          fixedDot(col("qdq"), col("vdq")),
+          fixedNormSq(col("qdq")), fixedNormSq(col("vdq")))).as("sq_cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Corpus-trained int8 scalar quantization — the compression leg of
     * a 100 TB ANN deployment (4 B float dims → 1 B codes; IVF cells
     * from [[kmeansCells]] pick candidates, SQ codes rank them in cache-
