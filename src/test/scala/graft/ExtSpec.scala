@@ -464,6 +464,22 @@ class ExtSpec extends SparkSpec {
     assert(again === cells)
   }
 
+  test("sq rerank orders a shortlist by dequantized cosine") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cand = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("qid", "vec_id")
+    val out = VectorSearch.sqRerank(cand, emb, "qid", 3)
+      .orderBy(col("rn")).collect()
+    // self first, near-duplicate second, orthogonal last
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L))
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    // int8 reconstruction keeps self-similarity within quantization
+    // error of 1.0
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 0.02)
+  }
+
   test("multimodal: resize fixes batch shape; features feed ANN end-to-end") {
     val docs = docsDF(1L -> "a b c d e f g h i j k l",
       2L -> "a b c d e f g h i j k m", 3L -> "zz yy xx ww vv uu")
