@@ -85,6 +85,21 @@ class ExprSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("graft_fixed_dot handles double arrays (dequantized vectors)") {
+    // sqRerank feeds array<double> reconstructions through the native
+    // expression; pin the type path and the exact fixed-point result
+    GraftFunctions.ensureRegistered(spark)
+    val r = Seq((Array(0.25, -1.5, 3.0), Array(2.0, 0.5, -0.125)))
+      .toDF("a", "b")
+      .select(
+        graft.ext.VectorSearch.fixedDot(col("a"), col("b")).as("native"),
+        graft.ext.VectorSearch.fixedDotHof(col("a"), col("b")).as("hof"))
+      .collect()(0)
+    assert(r.getDouble(0) === r.getDouble(1))
+    // all terms exactly representable: 0.5 - 0.75 - 0.375
+    assert(r.getDouble(0) === -0.625)
+  }
+
   test("GraftExtensions injects the native functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force the shared lazy session to exist first
