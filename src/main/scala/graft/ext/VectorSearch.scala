@@ -315,12 +315,13 @@ object VectorSearch {
           col("n1"), col("n2"))).as("cos_sim"))
   }
 
-  /** Dequantized embeddings under the corpus-trained int8 quantizer:
-    * (vec_id, dqvec) where dqvec[i] = mn_i + code/255*(mx_i-mn_i) —
-    * what a compressed ANN serving tier actually scores against
-    * (codes in cache, reconstruction on the fly). Same training agg
-    * as [[scalarQuantize]]. */
-  def sqDequantized(emb: DataFrame): DataFrame = {
+  /** The quantizer's train+encode core, shared by [[scalarQuantize]]
+    * and [[sqDequantized]] so the code/dequantize formulas (which two
+    * SQL oracles mirror term for term) live in exactly one place:
+    * per-dim rows (vec_id, pos, v) with the corpus stats (mn, mx),
+    * int8 `code`, and dequantized `dv` attached. Training state is
+    * the dims-keyed stats frame — O(dims), broadcast back. */
+  private def codedDims(emb: DataFrame): DataFrame = {
     val dims = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "f")))
       .select(col("vec_id"), col("pos"), col("f").cast("double").as("v"))
@@ -334,10 +335,22 @@ object VectorSearch {
       .withColumn("dv",
         col("mn") + col("code").cast("double") / lit(255.0)
           * (col("mx") - col("mn")))
+  }
+
+  /** Dequantized embeddings under the corpus-trained int8 quantizer:
+    * (vec_id, dqvec, dqn) where dqvec[i] = mn_i + code/255*(mx_i-mn_i)
+    * and dqn is the fixed-point squared norm (precomputed once per
+    * vector — consumers score many pairs per vector). This is what a
+    * compressed ANN serving tier actually scores against: codes in
+    * cache, reconstruction on the fly. */
+  def sqDequantized(emb: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    codedDims(emb)
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("dv")))),
         s => s.getField("dv")).as("dqvec"))
+      .withColumn("dqn", fixedNormSq(col("dqvec")))
   }
 
   /** Re-rank an ANN candidate shortlist (cand: queryKey, vec_id) by
@@ -350,15 +363,17 @@ object VectorSearch {
     import org.apache.spark.sql.expressions.Window
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     val dq = sqDequantized(emb)
-    val qdq = dq.select(col("vec_id").as(queryKey), col("dqvec").as("qdq"))
-    val vdq = dq.select(col("vec_id"), col("dqvec").as("vdq"))
+    val qdq = dq.select(col("vec_id").as(queryKey),
+      col("dqvec").as("qdq"), col("dqn").as("qn"))
+    val vdq = dq.select(col("vec_id"),
+      col("dqvec").as("vdq"), col("dqn").as("vn"))
     val w = Window.partitionBy(col(queryKey))
       .orderBy(col("sq_cos").desc, col("vec_id"))
     cand.join(qdq, Seq(queryKey)).join(vdq, Seq("vec_id"))
       .select(col(queryKey), col("vec_id"),
         Det.r4(cosineCol(
           fixedDot(col("qdq"), col("vdq")),
-          fixedNormSq(col("qdq")), fixedNormSq(col("vdq")))).as("sq_cos"))
+          col("qn"), col("vn"))).as("sq_cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
   }
@@ -378,21 +393,9 @@ object VectorSearch {
     * the per-dim errors are snapped to 1e-9 fixed-point BEFORE the
     * per-vector sum so summation order cannot matter. */
   def scalarQuantize(emb: DataFrame): DataFrame = {
-    val dims = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "f")))
-      .select(col("vec_id"), col("pos"), col("f").cast("double").as("v"))
-    val stats = dims.groupBy(col("pos"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val coded = dims.join(broadcast(stats), Seq("pos"))
-      .withColumn("code",
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn"))
-            * lit(255.0) + lit(0.5)).cast("long")))
-      .withColumn("deq",
-        col("mn") + col("code").cast("double") / lit(255.0)
-          * (col("mx") - col("mn")))
+    val coded = codedDims(emb)
       .withColumn("err_fx",
-        floor(abs(col("v") - col("deq")) * lit(1e9) + lit(0.5)).cast("long"))
+        floor(abs(col("v") - col("dv")) * lit(1e9) + lit(0.5)).cast("long"))
     coded.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_dims"),
         sum(col("code")).as("code_sum"),
