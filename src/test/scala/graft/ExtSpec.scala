@@ -619,5 +619,23 @@ class ExtSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       DialectFixtures.writeMovies(spark, imposter))
     assert(e.getMessage.contains("leaf name"))
+    // but a different SPELLING of the same dir is not a collision:
+    // markers compare canonicalized paths (r5 review fix)
+    DialectFixtures.writeMovies(spark, sf001 + "/")
+    DialectFixtures.writeMovies(spark, sf001 + "/../" +
+      java.nio.file.Paths.get(sf001).getFileName.toString)
+  }
+
+  test("recommender dict mapping falls back to shuffle join past the gate") {
+    spark.conf.set("spark.graft.dict.broadcastMax", "0")
+    try {
+      val r = Seq((1L, "a", 4.0), (1L, "b", 3.0), (2L, "a", 5.0),
+        (2L, "b", 2.0)).toDF("user_id", "item_id", "rating")
+      val recs = graft.ext.Recommender
+        .recommendTopK(graft.ext.Recommender.fit(r, rank = 2, maxIter = 1), 1)
+        .collect()
+      assert(recs.map(_.getLong(0)).toSet === Set(1L, 2L))
+      assert(recs.forall(row => Set("a", "b").contains(row.getString(1))))
+    } finally spark.conf.unset("spark.graft.dict.broadcastMax")
   }
 }
