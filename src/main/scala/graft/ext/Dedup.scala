@@ -261,31 +261,110 @@ object Dedup {
        |simhash AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bitsums)""".stripMargin
   }
 
-  /** Near-dup pairs by simhash hamming distance ≤ maxDist, found via
-    * pigeonhole blocking: split the 32 bits into 4 blocks of 8; any
-    * pair within distance 3 agrees on ≥1 whole block, so joining per
-    * block is complete — and sub-quadratic, since the join key is
-    * (block index, block value). */
-  def simhashNearDups(sims: DataFrame, maxDist: Int = 3): DataFrame = {
-    val blockRows = sims.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("blk"))
+  /** Block buckets above this size are excluded from simhash pair
+    * generation — the same within-bucket-quadratic guard as
+    * [[MinhashBucketCap]]: a boilerplate-heavy corpus concentrates one
+    * (blk, bv) value (the sf0.01 synthetic corpus ALREADY does — every
+    * doc's simhash has a zero high byte, so one block-3 bucket holds
+    * the whole corpus) and AQE can split the partition but cannot
+    * shrink the pair count. Dropping a hot bucket loses the pigeonhole
+    * guarantee for pairs whose only agreeing block was the hot one;
+    * [[simhashRescueNearDups]] re-blocks the hot population under a
+    * rotated bit partition to restore it, and
+    * [[simhashOverCapBlocks]] is the monitoring surface for sizing. */
+  val SimhashBlockCap = 200
+
+  /** Rescue partition: rotate the signature right by 4 bits before
+    * blocking. Any disjoint 4-block cover of the 32 bits preserves the
+    * pigeonhole argument (dist ≤ 3 < 4 blocks ⇒ some block equal), and
+    * the rotated cover straddles the primary block boundaries, so a
+    * byte value that concentrated a primary bucket mixes with its
+    * neighbor block's bits and disperses. */
+  val SimhashRescueRotBits = 4
+
+  /** (doc_id, simhash, blk, bv) block rows for the bit partition
+    * rotated right by `rotBits` (0 = the primary partition). Integer
+    * arithmetic only, mirrored verbatim by the SQL twins. */
+  private[ext] def simhashBlockRows(sims: DataFrame, rotBits: Int): DataFrame = {
+    val rot =
+      if (rotBits == 0) col("simhash")
+      else shiftright(col("simhash"), rotBits) +
+        col("simhash").bitwiseAND(lit((1L << rotBits) - 1)) *
+          lit(1L << (SimhashBits - rotBits))
+    sims.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("blk"),
+      rot.as("rot"))
       .withColumn("bv",
-        floor(col("simhash") / pow(lit(SimhashBlockBase.toDouble), col("blk")))
+        floor(col("rot") / pow(lit(SimhashBlockBase.toDouble), col("blk")))
           .cast("long") % SimhashBlockBase)
-    val a = blockRows.select(col("doc_id").as("d1"),
+      .drop("rot")
+  }
+
+  /** (blk, bv, sz) for block buckets over the cap — the monitoring
+    * surface that sizes the rescue pass (the simhash twin of
+    * [[minhashOverCapBuckets]]). */
+  def simhashOverCapBlocks(sims: DataFrame, cap: Int = SimhashBlockCap,
+                           rotBits: Int = 0): DataFrame =
+    simhashBlockRows(sims, rotBits)
+      .groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") > cap)
+
+  /** Capped pair generation shared by the primary and rescue passes:
+    * bucket-size filter BEFORE the self-join (the [[minhashCandidates]]
+    * pattern), then the hamming filter BEFORE the distinct — the bit
+    * ops are a few cycles per candidate, while distinct is a shuffle,
+    * so shrink its input. (filter∘distinct ≡ distinct∘filter here:
+    * hamming is a pure function of the pair.) */
+  private def simhashPairsFromBlocks(blockRows: DataFrame, maxDist: Int,
+                                     cap: Int): DataFrame = {
+    val ok = blockRows.groupBy(col("blk"), col("bv"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") <= cap)
+      .select(col("blk"), col("bv"))
+    val kept = blockRows.join(ok, Seq("blk", "bv"))
+    val a = kept.select(col("doc_id").as("d1"),
       col("simhash").as("h1"), col("blk"), col("bv"))
-    val b = blockRows.select(col("doc_id").as("d2"),
+    val b = kept.select(col("doc_id").as("d2"),
       col("simhash").as("h2"), col("blk"), col("bv"))
-    // hamming filter BEFORE the distinct: the bit ops are a few cycles
-    // per candidate, while distinct is a shuffle — shrink its input.
-    // (filter∘distinct ≡ distinct∘filter here: hamming is a pure
-    // function of the pair.)
     a.join(b, Seq("blk", "bv")).where(col("d1") < col("d2"))
       .withColumn("hamming",
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("h1"), col("h2"), col("hamming"))
       .distinct()
+  }
+
+  /** Near-dup pairs by simhash hamming distance ≤ maxDist, found via
+    * pigeonhole blocking: split the 32 bits into 4 blocks of 8; any
+    * pair within distance 3 agrees on ≥1 whole block, so joining per
+    * block is complete — and sub-quadratic, since the join key is
+    * (block index, block value). Buckets above `cap` are dropped (see
+    * [[SimhashBlockCap]]); route their members through
+    * [[simhashRescueNearDups]]. */
+  def simhashNearDups(sims: DataFrame, maxDist: Int = 3,
+                      cap: Int = SimhashBlockCap): DataFrame =
+    simhashPairsFromBlocks(simhashBlockRows(sims, 0), maxDist, cap)
+
+  /** The rescue pass for over-cap block members: docs whose primary
+    * buckets were dropped are re-blocked under the rotated partition
+    * ([[SimhashRescueRotBits]]) and paired there, with the same cap
+    * applied to rescue buckets — a population that stays concentrated
+    * under BOTH partitions is a boilerplate signature, not near-dup
+    * structure, and is dropped again (visible via
+    * [[simhashOverCapBlocks]] at the rescue rotation) rather than
+    * going quadratic. Scale: the rescue input is only the hot-bucket
+    * membership, and the pair join shuffles on (blk, bv) keys like the
+    * primary pass. */
+  def simhashRescueNearDups(sims: DataFrame, maxDist: Int = 3,
+                            cap: Int = SimhashBlockCap,
+                            rescueCap: Int = -1): DataFrame = {
+    val rc = if (rescueCap < 0) cap else rescueCap
+    val hot = simhashOverCapBlocks(sims, cap).select(col("blk"), col("bv"))
+    val hotDocs = simhashBlockRows(sims, 0).join(hot, Seq("blk", "bv"))
+      .select(col("doc_id")).distinct()
+    val hotSims = sims.join(hotDocs, Seq("doc_id"))
+    simhashPairsFromBlocks(
+      simhashBlockRows(hotSims, SimhashRescueRotBits), maxDist, rc)
   }
 
   /** Connected components over an undirected edge list — the step that

@@ -54,11 +54,25 @@ object ExtQueries {
       Dedup.minhashRescueCandidates(
         shinglesC(s, d), bandMinsC(s, d), cap = RescueCap))
 
-  /** Simhash near-dup pairs, shared by the pair query and the cluster
-    * resolution query. */
+  /** Simhash signatures, shared by the primary pair pass, the rescue
+    * pass (hot-bucket detection + re-block) and the monitoring
+    * surface — one corpus aggregation instead of three. */
+  private def simhashSigsC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "simhash_sigs", d)(
+      Dedup.simhash(docs(s, d)))
+
+  /** Simhash near-dup pairs (primary partition, production cap),
+    * shared by the pair query and the cluster resolution query. */
   private def simhashPairsC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "simhash_pairs", d)(
-      Dedup.simhashNearDups(Dedup.simhash(docs(s, d))))
+      Dedup.simhashNearDups(simhashSigsC(s, d)))
+
+  /** Rescue-pass pairs for members of over-cap simhash blocks (the
+    * sf0.01 corpus trips the production cap for real: one block-3
+    * bucket holds all 500 docs — see Dedup.SimhashBlockCap). */
+  private def simhashRescueC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "simhash_rescue", d)(
+      Dedup.simhashRescueNearDups(simhashSigsC(s, d)))
 
   /** Banded sign-LSH pair cosines, shared by the near-dup pair query
     * and the embedding-cluster resolution query. */
@@ -83,10 +97,13 @@ object ExtQueries {
     ()
   }
 
-  /** Force the simhash near-dup pair table and the banded-LSH pair
-    * cosines (both small next to the minhash chain — one future). */
+  /** Force the simhash signature/pair tables (primary + rescue) and
+    * the banded-LSH pair cosines (all small next to the minhash
+    * chain — one future). */
   def warmSimhash(spark: SparkSession, dir: String): Unit = {
+    simhashSigsC(spark, dir).count()
     simhashPairsC(spark, dir).count()
+    simhashRescueC(spark, dir).count()
     bandedCosC(spark, dir).count()
     ()
   }
@@ -102,22 +119,57 @@ object ExtQueries {
   private val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
 
-  /** Shared CTE chain `simhash → blocks → pairs` for the simhash
-    * oracles (candidate pairs before the hamming filter). */
-  private lazy val simhashPairCtes: String =
-    s"""${Dedup.simhashSql},
-       |blocks AS (
-       |  ${(0 until Dedup.SimhashBlocks).map(b =>
-           s"SELECT doc_id, simhash, $b AS blk, " +
-             s"CAST(floor(simhash / power(${Dedup.SimhashBlockBase}, $b)) AS BIGINT)" +
-             s" % ${Dedup.SimhashBlockBase} AS bv " +
-             "FROM simhash").mkString(" UNION ALL ")}
-       |),
-       |pairs AS (
+  /** Per-block UNION ALL: (doc_id, simhash, blk, bv) from `src`, with
+    * `sigExpr` as the (possibly rotated) signature to block on —
+    * mirrors Dedup.simhashBlockRows term for term. */
+  private def simhashBlocksSql(src: String, sigExpr: String): String =
+    (0 until Dedup.SimhashBlocks).map(b =>
+      s"SELECT doc_id, simhash, $b AS blk, " +
+        s"CAST(floor(($sigExpr) / power(${Dedup.SimhashBlockBase}, $b)) AS BIGINT)" +
+        s" % ${Dedup.SimhashBlockBase} AS bv " +
+        s"FROM $src").mkString(" UNION ALL ")
+
+  /** Capped pair CTEs over a blocks CTE: ok-bucket filter (cap), kept
+    * rows, distinct candidate pairs — Dedup.simhashPairsFromBlocks. */
+  private def simhashCappedPairsSql(blocks: String, cap: Int,
+                                    pfx: String): String =
+    s"""${pfx}okb AS (
+       |  SELECT blk, bv FROM $blocks GROUP BY 1, 2
+       |  HAVING count(*) <= $cap),
+       |${pfx}kept AS (
+       |  SELECT $blocks.* FROM $blocks JOIN ${pfx}okb USING (blk, bv)),
+       |${pfx}pairs AS (
        |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
        |         a.simhash AS h1, b2.simhash AS h2
-       |  FROM blocks a JOIN blocks b2
+       |  FROM ${pfx}kept a JOIN ${pfx}kept b2
        |    ON a.blk = b2.blk AND a.bv = b2.bv AND a.doc_id < b2.doc_id)""".stripMargin
+
+  /** Shared CTE chain for the simhash oracles: signatures → primary
+    * blocks → capped primary pairs (`pairs`), plus the rescue chain —
+    * hot buckets → hot docs → rotated re-block → capped rescue pairs
+    * (`rpairs`). Pairs are pre-hamming-filter; consumers apply it. */
+  private lazy val simhashPairCtes: String = {
+    val rb = Dedup.SimhashRescueRotBits
+    val rotExpr = s"(simhash >> $rb) + " +
+      s"(simhash & ${(1L << rb) - 1}) * ${1L << (Dedup.SimhashBits - rb)}"
+    s"""${Dedup.simhashSql},
+       |blocks AS (
+       |  ${simhashBlocksSql("simhash", "simhash")}
+       |),
+       |${simhashCappedPairsSql("blocks", Dedup.SimhashBlockCap, "")},
+       |hotb AS (
+       |  SELECT blk, bv FROM blocks GROUP BY 1, 2
+       |  HAVING count(*) > ${Dedup.SimhashBlockCap}),
+       |hotdocs AS (
+       |  SELECT DISTINCT blocks.doc_id FROM blocks JOIN hotb USING (blk, bv)),
+       |rsim AS (
+       |  SELECT s.doc_id, s.simhash, $rotExpr AS rot
+       |  FROM simhash s JOIN hotdocs USING (doc_id)),
+       |rblocks AS (
+       |  ${simhashBlocksSql("rsim", "rot")}
+       |),
+       |${simhashCappedPairsSql("rblocks", Dedup.SimhashBlockCap, "r")}""".stripMargin
+  }
 
   private val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
@@ -163,17 +215,30 @@ object ExtQueries {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // SimHash near-dups via 4-bit pigeonhole blocking.
+    // SimHash near-dups via 8-bit pigeonhole blocking, hot blocks
+    // capped at the production cap (which the synthetic corpus trips:
+    // the degenerate block-3 bucket holds all docs).
     "q_simhash_near_dup" -> ((s, d) =>
       simhashPairsC(s, d).orderBy(col("d1"), col("d2"))),
+
+    // The simhash hot-block rescue pass end-to-end: over-cap bucket
+    // members re-blocked under the 4-bit-rotated partition, paired
+    // there under the same cap — the pigeonhole guarantee restored
+    // for the hot population the primary cap dropped.
+    "q_simhash_rescue" -> ((s, d) =>
+      simhashRescueC(s, d).orderBy(col("d1"), col("d2"))),
 
     // Near-dup pairs resolved into duplicate clusters: connected
     // components by iterative min-label propagation; cluster_id is
     // the component's smallest doc_id (= the keep-first keeper).
+    // Edges = capped primary pairs ∪ rescue pairs — the full guarded
+    // chain, not the uncapped quadratic join.
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
           docs(s, d).select(col("doc_id")),
-          simhashPairsC(s, d).select(col("d1"), col("d2")))
+          simhashPairsC(s, d).select(col("d1"), col("d2"))
+            .unionByName(simhashRescueC(s, d).select(col("d1"), col("d2")))
+            .distinct())
         .withColumn("is_keeper",
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy(col("doc_id"))),
@@ -327,6 +392,18 @@ object ExtQueries {
     // Multimodal metadata over the opaque payload column.
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
+
+    // REAL image decode, scored: render a fixture of actual encoded
+    // PNG/JPEG/BMP/GIF payloads (dimensions arithmetic in doc_id),
+    // decode through the partition-parallel javax.imageio kernel, and
+    // let the oracle predict width/height/format from the fixture
+    // constants — the row goes red if the decode ever falls back to
+    // the fake path (whose dims derive from byte length, not pixels).
+    "q_multimodal_decode" -> ((s, d) => {
+      val p = graft.io.MediaFixtures.write(s, d)
+      Multimodal.decodeAll(s.read.parquet(p)).toDF()
+        .orderBy(col("doc_id"))
+    }),
 
     // session_window in batch mode (streaming twin: StreamOps).
     "q_session_window" -> ((s, d) =>
@@ -832,13 +909,26 @@ object ExtQueries {
          |WHERE bit_count(xor(h1, h2)) <= 3
          |ORDER BY d1, d2""".stripMargin,
 
+    // Full replay of the simhash rescue pass: hot primary blocks →
+    // hot docs → rotated re-block → capped rescue pairs → hamming.
+    "q_simhash_rescue" ->
+      s"""WITH $simhashPairCtes
+         |SELECT d1, d2, h1, h2,
+         |       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM rpairs
+         |WHERE bit_count(xor(h1, h2)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+
     // Same pair CTEs + recursive min-label propagation: the recursive
     // member re-derives exactly what the engine's iterate-to-fixpoint
-    // loop computes (min reachable doc_id per component).
+    // loop computes (min reachable doc_id per component). Edges are
+    // the guarded chain: capped primary pairs ∪ rescue pairs.
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          |edges AS (
-         |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3),
+         |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
+         |  UNION
+         |  SELECT d1, d2 FROM rpairs WHERE bit_count(xor(h1, h2)) <= 3),
          |sym AS (
          |  SELECT d1 AS src, d2 AS dst FROM edges
          |  UNION ALL
@@ -1181,6 +1271,20 @@ object ExtQueries {
         |       CAST(floor(octet_length(CAST(text AS BLOB)) / 32.0) + 1
         |            AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The decoded dimensions are INDEPENDENTLY predicted from the
+    // fixture's id→geometry constants; only n_bytes comes from the
+    // parquet (both engines read the same encoded payload bytes).
+    "q_multimodal_decode" ->
+      s"""SELECT doc_id,
+         |       CAST(octet_length(media) AS BIGINT) AS n_bytes,
+         |       CAST(10 + doc_id % 4 AS BIGINT) AS format_id,
+         |       CAST(8 + (doc_id * 3) % 24 AS BIGINT) AS width,
+         |       CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS height,
+         |       CAST(1 AS BIGINT) AS n_frames
+         |FROM read_parquet('${graft.io.MediaFixtures.mediaPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
 
     "q_session_window" ->
       """WITH ev AS (

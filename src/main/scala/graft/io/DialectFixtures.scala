@@ -47,7 +47,7 @@ object DialectFixtures {
     * than silently comparing against the wrong rows. */
   val OracleSfDir = "/root/testdata/sf0.01"
 
-  private def leaf(dir: String): String =
+  private[io] def leaf(dir: String): String =
     Paths.get(dir).normalize().getFileName.toString
 
   def moviesPath(dir: String): String = s"$BaseDir/${leaf(dir)}/movies"
@@ -66,7 +66,7 @@ object DialectFixtures {
   private def canon(dir: String): String =
     Paths.get(dir).toAbsolutePath.normalize().toString
 
-  private def once(path: String, dir: String)(write: => Unit): Unit = {
+  private[io] def once(path: String, dir: String)(write: => Unit): Unit = {
     // memo key includes the SOURCE dir: a later call for the same
     // fixture path from a different dir must reach the marker check
     // below (and throw), not silently reuse the memo

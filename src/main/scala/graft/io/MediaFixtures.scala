@@ -1,0 +1,77 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Real-image fixture for the scored multimodal decode query
+  * (q_multimodal_decode).
+  *
+  * The synthetic testdata has no image payloads, so the real
+  * `javax.imageio` decode path ([[graft.ext.Multimodal.decodeFrame]])
+  * would otherwise only ever exercise its deterministic-fake fallback
+  * in a scored query. This renders a small parquet of REAL encoded
+  * images (PNG/JPEG/BMP/GIF — the four formats the JDK both writes and
+  * reads) whose dimensions are pure arithmetic in `doc_id`, once per
+  * sf dir under the [[DialectFixtures]] marker protocol. The DuckDB
+  * oracle reads the same parquet for `n_bytes` and predicts
+  * format/width/height from the [[widthOf]]/[[heightOf]] constants —
+  * so the CORRECTNESS row goes red if the imageio plumbing breaks and
+  * the decode falls back to the fake (whose dimensions are derived
+  * from byte length, not the encoded pixels).
+  *
+  * Scale note: the fixture is deliberately tiny (the scored surface is
+  * the decode correctness, not decode throughput); the decode itself
+  * runs through the same partition-parallel `mapPartitions` kernel a
+  * 100 TB media table would use.
+  */
+object MediaFixtures {
+  val NDocs = 64
+
+  /** Encoded formats, cycled by doc_id; index i maps to format_id
+    * 10 + i (see [[graft.ext.Multimodal.FormatPng]] etc.). */
+  val Formats = Seq("png", "jpg", "bmp", "gif")
+
+  def widthOf(id: Long): Long = 8L + (id * 3) % 24
+  def heightOf(id: Long): Long = 8L + (id * 5) % 24
+
+  def mediaPath(dir: String): String =
+    s"${DialectFixtures.BaseDir}/${DialectFixtures.leaf(dir)}/media"
+
+  /** Encode one image: a deterministic RGB gradient at the id-derived
+    * dimensions, written with the JDK encoder for the id's format. */
+  private[io] def encode(id: Long): Array[Byte] = {
+    val w = widthOf(id).toInt
+    val h = heightOf(id).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 8 % 256) << 16) | ((y * 8 % 256) << 8)
+          | ((x + y) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val fmt = Formats((id % Formats.length).toInt)
+    if (!javax.imageio.ImageIO.write(img, fmt, out))
+      throw new IllegalStateException(s"no JDK encoder for $fmt")
+    out.toByteArray
+  }
+
+  /** Render the fixture parquet (once per sf dir; marker-protected
+    * against cross-dir collisions like the dialect fixtures) and
+    * return its directory path. */
+  def write(spark: SparkSession, dir: String): String = {
+    val path = mediaPath(dir)
+    DialectFixtures.once(path, dir) {
+      import spark.implicits._
+      (0L until NDocs.toLong).map(id => (id, encode(id)))
+        .toDF("doc_id", "media")
+        .repartition(4)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+}

@@ -80,6 +80,39 @@ class ExtSpec extends SparkSpec {
     assert(nd.length === 1 && nd(0).getAs[Long]("hamming") === 0L)
   }
 
+  test("simhash cap bounds a hot block; rescue re-blocks its members") {
+    // adversarial hot block: 12 identical docs concentrate every block
+    // bucket past cap=5, while a separate identical pair stays in
+    // small buckets
+    val hot = (1L to 12L).map(_ ->
+      "boilerplate header repeated across every document in this corpus")
+    val docs = docsDF(hot :+
+      (20L -> "a genuinely distinct near dup candidate text body") :+
+      (21L -> "a genuinely distinct near dup candidate text body"): _*)
+    val sims = Dedup.simhash(docs)
+    // uncapped: the hot block alone contributes C(12,2)=66 pairs
+    assert(Dedup.simhashNearDups(sims, cap = 1000).count() === 67L)
+    // capped: the hot cluster is excluded BEFORE pairing — candidate
+    // volume collapses from quadratic-in-bucket to the one small pair
+    val primary = Dedup.simhashNearDups(sims, cap = 5).collect()
+    assert(primary.length === 1)
+    assert(primary(0).getAs[Long]("d1") === 20L &&
+      primary(0).getAs[Long]("d2") === 21L)
+    // the monitoring surface reports the hot buckets (one per block)
+    assert(Dedup.simhashOverCapBlocks(sims, cap = 5).count() >= 4L)
+    // rescue with headroom: hot members re-block under the rotated
+    // partition and all 66 cluster pairs come back at hamming 0
+    val rescued = Dedup.simhashRescueNearDups(sims, cap = 5,
+      rescueCap = 100).collect()
+    val clusterPairs = rescued.filter(_.getAs[Long]("d2") <= 12L)
+    assert(clusterPairs.length === 66)
+    assert(clusterPairs.forall(_.getAs[Long]("hamming") === 0L))
+    // a population still hot under the rotated partition is dropped
+    // again (bounded, never quadratic), not silently emitted
+    assert(Dedup.simhashRescueNearDups(sims, cap = 5)
+      .where(col("d2") <= 12L).count() === 0L)
+  }
+
   test("connected components: chains merge, isolates keep their own id") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; isolate 99
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
