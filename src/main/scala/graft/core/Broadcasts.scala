@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions.broadcast
 object Broadcasts {
   val DefaultMaxRows = 10000000L // ~160 MB serialized for two longs
 
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+
   def maxRows(df: DataFrame, confKey: String,
               default: Long = DefaultMaxRows): Long =
     df.sparkSession.conf.getOption(confKey).map(_.toLong).getOrElse(default)
@@ -21,4 +24,21 @@ object Broadcasts {
   def gated(df: DataFrame, confKey: String,
             default: Long = DefaultMaxRows): DataFrame =
     if (df.count() <= maxRows(df, confKey, default)) broadcast(df) else df
+
+  /** [[gated]] with the count memoized per (session, memoKey): for
+    * gate sides that are rebuilt identically on every call (an item
+    * catalog per query execution, a fitted model's dictionaries), the
+    * row count is a property of the underlying data, not the frame
+    * instance — paying a count JOB per call buys nothing. The conf
+    * limit is still read fresh each call; only the count is memoized,
+    * so flipping the conf mid-session still flips the decision. The
+    * caller owns key hygiene: the key must pin down the data (include
+    * the dir / fit instance), or a stale count will gate a different
+    * frame. */
+  def gatedMemo(df: DataFrame, confKey: String, memoKey: String,
+                default: Long = DefaultMaxRows): DataFrame = {
+    val n = countMemo.getOrElseUpdate(
+      (System.identityHashCode(df.sparkSession), memoKey), df.count())
+    if (n <= maxRows(df, confKey, default)) broadcast(df) else df
+  }
 }

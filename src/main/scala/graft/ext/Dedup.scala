@@ -73,28 +73,44 @@ object Dedup {
       |  FROM ws WHERE len(w) >= 3
       |)""".stripMargin
 
-  /** MinHash band minima in long form for the permutation family
-    * [bandLo, bandLo+nBands): (doc_id, b, mh) with b the ABSOLUTE
-    * band index and mh = min over the doc's shingles of
-    * bandHash(h, b). One aggregation computes all band minima (no
-    * band explosion); stack unpivots the columns afterwards — at that
-    * point the frame is one row per doc. `bandLo = Bands` yields the
-    * disjoint second family [[minhashRescueCandidates]] re-bands hot
-    * docs with. */
-  def minhashBandMinsFrom(sh: DataFrame, bandLo: Int,
-                          nBands: Int): DataFrame = {
+  /** (doc_id, h) shingle-hash projection: the ONLY columns the whole
+    * minhash chain (band minima, candidates, rescue) needs. Callers
+    * that cache the chain's input should cache THIS frame, not the
+    * string shingles — at 100 TB the strings dominate the cache (a
+    * 3-word shingle averages ~20 bytes vs one 8-byte long), and only
+    * [[ngramJaccard]]'s exact rescoring ever reads them again. */
+  def shingleHashes(sh: DataFrame): DataFrame = {
     // native single-pass hash expression (codegen'd); bit-identical to
     // PortableHash.h — see graft.expr.PortableHashExpr
     graft.expr.GraftFunctions.ensureRegistered(sh.sparkSession)
-    val h = call_function("graft_hash", col("shingle"))
+    sh.select(col("doc_id"), call_function("graft_hash", col("shingle")).as("h"))
+  }
+
+  /** MinHash band minima in long form for the permutation family
+    * [bandLo, bandLo+nBands): (doc_id, b, mh) with b the ABSOLUTE
+    * band index and mh = min over the doc's shingle hashes of
+    * bandHash(h, b). Input is the [[shingleHashes]] shape (doc_id, h).
+    * One aggregation computes all band minima (no band explosion);
+    * stack unpivots the columns afterwards — at that point the frame
+    * is one row per doc. `bandLo = Bands` yields the disjoint second
+    * family [[minhashRescueCandidates]] re-bands hot docs with. */
+  def minhashBandMinsFromHashes(hashes: DataFrame, bandLo: Int,
+                                nBands: Int): DataFrame = {
+    val h = col("h")
     val bands = bandLo until (bandLo + nBands)
     val aggs = bands.map(b => min(PortableHash.bandHash(h, b)).as(s"m$b"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = hashes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val stackArgs = bands
       .map(b => s"CAST($b AS BIGINT), CAST(m$b AS BIGINT)").mkString(", ")
     sig.select(col("doc_id"),
       expr(s"stack($nBands, $stackArgs)").as(Seq("b", "mh")))
   }
+
+  /** [[minhashBandMinsFromHashes]] over raw (doc_id, shingle) rows —
+    * hashes projected inline (convenience for one-shot callers). */
+  def minhashBandMinsFrom(sh: DataFrame, bandLo: Int,
+                          nBands: Int): DataFrame =
+    minhashBandMinsFromHashes(shingleHashes(sh), bandLo, nBands)
 
   /** Primary-family band minima (bands 0..Bands-1). */
   def minhashBandMins(sh: DataFrame): DataFrame =
@@ -169,7 +185,9 @@ object Dedup {
     *
     * Scale: the rescue population is only the over-cap bucket members
     * (the monitoring surface's rows), the re-band is one aggregation
-    * over their shingles (referenced three times downstream — cap
+    * over their shingle HASHES — `hashes` is the [[shingleHashes]]
+    * shape (doc_id, h); the string shingles are never needed here
+    * (referenced three times downstream — cap
     * filter + both self-join sides — and measured NOT deduped by
     * exchange reuse, see PLANS.md round 5; the recompute is bounded
     * by the hot population, which is why it is acceptable HERE but
@@ -180,7 +198,7 @@ object Dedup {
     * dropped again rather than going quadratic (route THOSE to an
     * exact-rescore pass; at that point they are a boilerplate
     * signature, not near-dup structure). */
-  def minhashRescueCandidates(sh: DataFrame, bandMins: DataFrame,
+  def minhashRescueCandidates(hashes: DataFrame, bandMins: DataFrame,
                               cap: Int = MinhashBucketCap,
                               rescueCap: Int = -1): DataFrame = {
     // rescueCap < 0 means "same as cap"; a larger rescueCap is
@@ -191,8 +209,8 @@ object Dedup {
     val hot = minhashOverCapBuckets(bandMins, cap).select(col("b"), col("mh"))
     val hotDocs = bandMins.join(hot, Seq("b", "mh"))
       .select(col("doc_id")).distinct()
-    val hotSh = sh.join(hotDocs, Seq("doc_id"))
-    minhashCandidates(minhashBandMinsFrom(hotSh, Bands, Bands), rc)
+    val hotH = hashes.join(hotDocs, Seq("doc_id"))
+    minhashCandidates(minhashBandMinsFromHashes(hotH, Bands, Bands), rc)
   }
 
   /** Exact n-gram Jaccard for candidate pairs (cand: d1, d2):

@@ -19,29 +19,37 @@ object ExtQueries {
   private def docs(s: SparkSession, d: String) = Sources.table(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
 
-  /** Shared dedup intermediates, materialized once per session: the
-    * shingle table and the LSH candidate pairs feed both near-dup
-    * queries (see graft.core.Cache for the scale rationale). */
-  private def shinglesC(s: SparkSession, d: String) =
-    Cache.getOrPersist(s, "shingles", d)(Dedup.shingles(docs(s, d)))
+  /** Shared dedup intermediates, materialized once per session. The
+    * corpus-sized cache is the (doc_id, h) HASH projection, not the
+    * string shingles: every minhash stage (band minima, candidates,
+    * rescue re-band) consumes only the 8-byte hash, while a 3-word
+    * shingle string averages ~20+ bytes — at 100 TB the strings would
+    * dominate cache memory for rows only ngramJaccard's exact
+    * rescoring ever reads. The string shingles live ONLY in
+    * [[distinctShinglesC]], sized by the rescoring need. */
+  private def shingleHashesC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "shingle_hashes", d)(
+      Dedup.shingleHashes(Dedup.shingles(docs(s, d))))
 
   /** Primary-family band minima, materialized once per session: used
     * three times per candidate build (cap filter + both self-join
     * sides) and again by the rescue pass's hot-bucket detection. */
   private def bandMinsC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_bandmins", d)(
-      Dedup.minhashBandMins(shinglesC(s, d)))
+      Dedup.minhashBandMinsFromHashes(shingleHashesC(s, d), 0, Dedup.Bands))
 
   private def candidatesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_cand", d)(
       Dedup.minhashCandidates(bandMinsC(s, d)))
 
-  /** Distinct (doc_id, shingle) set, materialized because ngramJaccard
-    * references it three times and exchange reuse does not fire above
-    * the cached shingle frame (PLANS.md round 5). */
+  /** Distinct (doc_id, shingle) STRING set — the one cache that keeps
+    * the strings, because exact Jaccard rescoring compares shingle
+    * sets; materialized because ngramJaccard references it three times
+    * and exchange reuse does not fire above a cached frame (PLANS.md
+    * round 5). */
   private def distinctShinglesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "shingles_distinct", d)(
-      shinglesC(s, d).distinct())
+      Dedup.shingles(docs(s, d)).distinct())
 
   /** Cap for the rescue-pass query: low enough that the synthetic
     * corpus has over-cap buckets (see q_minhash_rescue's comment). */
@@ -52,7 +60,7 @@ object ExtQueries {
   private def rescueCandC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_rescue_cand", d)(
       Dedup.minhashRescueCandidates(
-        shinglesC(s, d), bandMinsC(s, d), cap = RescueCap))
+        shingleHashesC(s, d), bandMinsC(s, d), cap = RescueCap))
 
   /** Simhash signatures, shared by the primary pair pass, the rescue
     * pass (hot-bucket detection + re-block) and the monitoring
@@ -80,9 +88,9 @@ object ExtQueries {
     Cache.getOrPersist(s, "banded_cos", d)(
       VectorSearch.bandedPairCosine(emb(s, d)))
 
-  /** Force the minhash chain (shingle table → LSH candidate pairs). */
+  /** Force the minhash chain (shingle-hash table → LSH candidates). */
   def warmMinhash(spark: SparkSession, dir: String): Unit = {
-    shinglesC(spark, dir).count()
+    shingleHashesC(spark, dir).count()
     candidatesC(spark, dir).count()
     ()
   }
@@ -535,10 +543,13 @@ object ExtQueries {
       val r = Cache.getOrPersist(s, "ratings", d)(Sources.ratings(s, d))
       val recs = Recommender.recommendTopK(Recommender.fit(r), 5)
       // item catalog is O(distinct items) — gate the broadcast like
-      // every other entity-scaled map join
-      val items = graft.core.Broadcasts.gated(
+      // every other entity-scaled map join; the gate count is memoized
+      // per (session, dir) so repeated executions of this query don't
+      // re-pay a distinct-items count job (the catalog is a property
+      // of the ratings dir, not of this call's frame instance)
+      val items = graft.core.Broadcasts.gatedMemo(
         r.select(col("item_id")).distinct().withColumn("__known", lit(1)),
-        "spark.graft.dict.broadcastMax")
+        "spark.graft.dict.broadcastMax", s"als_items:$d")
       val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
       recs
         .join(items, Seq("item_id"), "left")

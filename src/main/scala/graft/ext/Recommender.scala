@@ -117,8 +117,16 @@ object Recommender {
     * join (the dicts are persisted by [[fit]], so the count is a
     * cache scan). */
   def recommendTopK(fitted: FittedRecommender, k: Int): DataFrame = {
-    def maybeB(d: DataFrame): DataFrame =
-      graft.core.Broadcasts.gated(d, "spark.graft.dict.broadcastMax")
+    // memo key = the DICT frame's identity (not the per-call select
+    // projection, which is a fresh instance every call): fit()
+    // persists each dict once, so repeated recommendTopK calls on the
+    // same fit share the key and skip the re-count job; a new fit is
+    // a new instance and counts afresh. Row count is invariant under
+    // the projection, so gating the projection with the dict's count
+    // is exact.
+    def maybeB(dict: DataFrame, proj: DataFrame): DataFrame =
+      graft.core.Broadcasts.gatedMemo(proj, "spark.graft.dict.broadcastMax",
+        s"dict:${System.identityHashCode(dict)}")
     val recs = fitted.model.recommendForAllUsers(k)
       .select(col("user").as("__uidx"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))
@@ -128,12 +136,14 @@ object Recommender {
         (col("pos") + 1).cast("long").as("rn"))
     val withU = fitted.userDict match {
       case Some(d) => recs.join(
-        maybeB(d.select(col("user_id"), col("idx").as("__uidx"))), Seq("__uidx"))
+        maybeB(d, d.select(col("user_id"), col("idx").as("__uidx"))),
+        Seq("__uidx"))
       case None => recs.withColumn("user_id", col("__uidx").cast("long"))
     }
     val withI = fitted.itemDict match {
       case Some(d) => withU.join(
-        maybeB(d.select(col("item_id"), col("idx").as("__iidx"))), Seq("__iidx"))
+        maybeB(d, d.select(col("item_id"), col("idx").as("__iidx"))),
+        Seq("__iidx"))
       case None => withU.withColumn("item_id", col("__iidx").cast("long"))
     }
     withI.select(col("user_id"), col("item_id"), col("score"), col("rn"))

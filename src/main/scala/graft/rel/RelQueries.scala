@@ -201,13 +201,21 @@ object RelQueries {
       val ps = Seq(0.5, 0.9, 0.99)
       val lo = ps.map(p => math.max(0.0, p - 0.02))
       val hi = ps.map(p => math.min(1.0, p + 0.02))
+      // The exact envelope comes from the distributed-sort quantile
+      // path (core.Quantiles), NOT the exact `percentile` aggregate:
+      // l_extendedprice is 97% distinct, so the aggregate's final
+      // value->count map merge rebuilds the whole column on one
+      // reducer thread — the one part of this query that would NOT
+      // survive 100 TB. The sort path keeps every stage parallel; the
+      // envelope constants are memoized per (session, dir) like every
+      // other data-property scalar.
+      val ex = graft.core.Quantiles.exactQuantilesMemo(
+        v, "v", lo ++ hi, s"pctl_env:$d")
       val agg = v.agg(
         expr(s"approx_percentile(v, array(${ps.mkString("D,")}D), 100)")
-          .as("ap"),
-        expr(s"percentile(v, array(${lo.mkString("D,")}D))").as("lo"),
-        expr(s"percentile(v, array(${hi.mkString("D,")}D))").as("hi"))
+          .as("ap"))
       val rows = ps.indices.map(i =>
-        s"CAST(${ps(i)} AS DOUBLE), ap[$i] BETWEEN lo[$i] AND hi[$i]")
+        s"CAST(${ps(i)} AS DOUBLE), ap[$i] BETWEEN ${ex(i)}D AND ${ex(i + ps.size)}D")
       agg.select(expr(
           s"stack(${ps.size}, ${rows.mkString(", ")})")
           .as(Seq("p", "within_bounds")))

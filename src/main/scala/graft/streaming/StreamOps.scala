@@ -108,6 +108,131 @@ object StreamOps {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Per-doc minhash band minima WITHOUT a stateful aggregation:
+    * because a document arrives as ONE row (doc_id, text), its band
+    * minima are a pure column computation — shingle array → hash
+    * array → per-band `array_min` — bit-identical to the batch
+    * [[graft.ext.Dedup.minhashBandMins]] groupBy (same `graft_hash`,
+    * same band transform, min over the same shingle set). Output is
+    * the same long form (doc_id, b, mh).
+    *
+    * This statelessness is what makes a STREAMING dedup gate legal at
+    * all: Structured Streaming rejects joins after aggregations, so a
+    * groupBy-based minima stage could never feed the stream-static
+    * candidate join downstream ([[nearDupGate]]). It is also the
+    * cheaper plan in batch — no shuffle, the minima fuse into the
+    * scan projection. Docs with fewer than n words emit nothing,
+    * matching Dedup.shingles. */
+  def bandMinsWholeDoc(docs: DataFrame, n: Int = 3): DataFrame = {
+    import graft.core.PortableHash
+    import graft.ext.Dedup
+    graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val ws = split(col("text"), " ")
+    val sh = transform(
+      sequence(lit(1), size(ws) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))
+    val hs = transform(sh, s => call_function("graft_hash", s))
+    val mins = (0 until Dedup.Bands).map(b =>
+      array_min(transform(col("hs"),
+        h => PortableHash.bandHash(h, b))).as(s"m$b"))
+    val stackArgs = (0 until Dedup.Bands)
+      .map(b => s"CAST($b AS BIGINT), CAST(m$b AS BIGINT)").mkString(", ")
+    docs.where(size(ws) >= n)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"),
+        expr(s"stack(${Dedup.Bands}, $stackArgs)").as(Seq("b", "mh")))
+  }
+
+  /** The live ingest-time near-dup gate: incoming docs (a STREAM of
+    * whole (doc_id, text) rows) against a STATIC corpus's band minima
+    * (the session-materialized table the batch pipeline maintains).
+    * Stateless per-doc minima → stream-static inner join on the
+    * (b, mh) bucket keys — against the cap-filtered corpus buckets,
+    * the same hot-bucket guard as the batch pass — → streaming
+    * aggregation counting agreeing bands per (doc_id, corpus_doc).
+    * Run it on a batch frame and it IS the batch twin (the scored
+    * query q_stream_dedup_gate; StreamingSpec asserts stream == batch
+    * on the same slice).
+    *
+    * Scale notes: the static side shuffles once per (re)start, the
+    * stream side shuffles only each micro-batch's band rows; state is
+    * bounded by live (doc, corpus_doc) candidate groups — pairs, not
+    * corpus rows. Self-match (a corpus doc re-arriving on the stream)
+    * is dropped by doc_id. */
+  def nearDupGate(docs: DataFrame, corpusBandMins: DataFrame,
+                  cap: Int = graft.ext.Dedup.MinhashBucketCap): DataFrame = {
+    val ok = corpusBandMins.groupBy(col("b"), col("mh"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") <= cap)
+      .select(col("b"), col("mh"))
+    val kept = corpusBandMins.join(ok, Seq("b", "mh"))
+      .select(col("doc_id").as("corpus_doc"), col("b"), col("mh"))
+    bandMinsWholeDoc(docs)
+      .join(kept, Seq("b", "mh"))
+      .where(col("doc_id") =!= col("corpus_doc"))
+      .groupBy(col("doc_id"), col("corpus_doc"))
+      .agg(count(lit(1)).as("bands"))
+  }
+
+  case class DocChunk(doc_id: Long, chunk: String)
+  case class BandMins(doc_id: Long, mins: Array[Long])
+
+  /** Stateful band minima for docs that arrive CHUNKED across rows
+    * (page/line granularity) — the arbitrary-state complement of
+    * [[bandMinsWholeDoc]]: per-doc state holds the running minimum of
+    * each band over all chunks seen so far, updated incrementally via
+    * `flatMapGroupsWithState` (min is commutative/associative, so
+    * chunk arrival order never matters). Emits the doc's current
+    * minima whenever a chunk batch touches it (Update semantics);
+    * docs whose chunks never reach n words emit nothing. Shingles are
+    * computed WITHIN each chunk (chunk boundaries are real boundaries
+    * — a page break is not running text), with the same word-3-gram +
+    * `graft_hash` + band transform arithmetic as the batch chain
+    * (PortableHashImpl is the bit-identical JVM twin of graft_hash).
+    *
+    * In a production stream, pair with an event-time timeout to
+    * finalize + evict doc state past the watermark; state size is
+    * O(live docs × Bands) longs. Works identically on batch Datasets
+    * (the StreamingSpec equality test runs both modes). */
+  def runningBandMins(chunks: Dataset[DocChunk], n: Int = 3): Dataset[BandMins] = {
+    import graft.core.PortableHash
+    import graft.ext.Dedup
+    implicit val encOut = Encoders.product[BandMins]
+    implicit val encL = Encoders.scalaLong
+    val M = PortableHash.M.toLong
+    chunks.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Array[Long], BandMins](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (doc: Long, cs: Iterator[DocChunk], state: GroupState[Array[Long]]) =>
+          val mins = state.getOption.getOrElse(
+            Array.fill(Dedup.Bands)(Long.MaxValue))
+          var touched = false
+          cs.foreach { c =>
+            val ws = c.chunk.split(" ", -1)
+            var i = 0
+            while (i + n <= ws.length) {
+              val h = graft.expr.PortableHashImpl.compute(
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  ws.slice(i, i + n).mkString(" "))).toLong
+              var b = 0
+              while (b < Dedup.Bands) {
+                val bh = (h * (2 * b + 3) + b * 97) % M
+                if (bh < mins(b)) { mins(b) = bh; touched = true }
+                b += 1
+              }
+              i += 1
+            }
+          }
+          if (!touched && state.getOption.isEmpty) Iterator.empty
+          else {
+            state.update(mins)
+            Iterator.single(BandMins(doc, mins.clone()))
+          }
+      }
+  }
+
   /** Rate-source synthetic event stream: the load-generator twin of
     * the file source (schema-compatible with the events-derived
     * transforms: ts, user_id, event_type, value). Useful for

@@ -46,19 +46,19 @@ class ExtSpec extends SparkSpec {
     // so the primary pass drops them all and finds nothing
     val docs = docsDF((1L to 5L).map(i =>
       i -> "common words repeated across all documents here"): _*)
-    val sh = Dedup.shingles(docs)
-    val bm = Dedup.minhashBandMins(sh)
+    val hs = Dedup.shingleHashes(Dedup.shingles(docs))
+    val bm = Dedup.minhashBandMinsFromHashes(hs, 0, Dedup.Bands)
     assert(Dedup.minhashCandidates(bm, cap = 2).count() === 0L)
     // rescue with headroom: the hot docs re-band under the second
     // permutation family and all C(5,2) pairs come back, agreeing on
     // all 8 rescue bands
-    val rescued = Dedup.minhashRescueCandidates(sh, bm, cap = 2,
+    val rescued = Dedup.minhashRescueCandidates(hs, bm, cap = 2,
       rescueCap = 100).collect()
     assert(rescued.length === 10)
     assert(rescued.forall(_.getAs[Long]("bands") === Dedup.Bands.toLong))
     // a population still hot under the rescue permutations is dropped
     // again (bounded, never quadratic), not silently emitted
-    assert(Dedup.minhashRescueCandidates(sh, bm, cap = 2).count() === 0L)
+    assert(Dedup.minhashRescueCandidates(hs, bm, cap = 2).count() === 0L)
   }
 
   test("ngram jaccard: identical docs -> 1.0") {
@@ -216,6 +216,64 @@ class ExtSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  test("Broadcasts.gatedMemo pays the count job once per (session, key)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = (1L to 10L).toDF("k")
+    def hinted(out: org.apache.spark.sql.DataFrame): Boolean =
+      out.queryExecution.analyzed.collectFirst {
+        case h: ResolvedHint => h
+      }.nonEmpty
+    // first call runs the count and populates the memo (not measured)
+    assert(hinted(graft.core.Broadcasts.gatedMemo(
+      df, "spark.graft.test.broadcastMax", "memo-test-1")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // memo hit: same decision, ZERO Spark jobs
+      assert(hinted(graft.core.Broadcasts.gatedMemo(
+        df, "spark.graft.test.broadcastMax", "memo-test-1")))
+      // the conf limit is still read fresh: dropping it below the
+      // memoized count flips the decision without a new count job
+      spark.conf.set("spark.graft.test.broadcastMax", "5")
+      assert(!hinted(graft.core.Broadcasts.gatedMemo(
+        df, "spark.graft.test.broadcastMax", "memo-test-1")))
+      // listener bus is async; wait for the counter to stabilize
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val v = jobs.get()
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      assert(last === 0, s"memo hits must run no jobs, saw $last")
+    } finally {
+      spark.conf.unset("spark.graft.test.broadcastMax")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("Quantiles.exactQuantiles matches the percentile aggregate exactly") {
+    // deterministic pseudo-random doubles incl. duplicates + negatives
+    val vals = (0 until 4001).map(i => ((i * 48271L) % 1003L).toDouble - 500.0)
+    val df = vals.toDF("x").repartition(7)
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val viaSort = graft.core.Quantiles.exactQuantiles(df, "x", ps)
+    val viaAgg = df.agg(
+        expr(s"percentile(x, array(${ps.mkString("D,")}D))"))
+      .collect()(0).getSeq[Double](0)
+    // same p*(n-1) interpolation rule, same doubles -> exact equality
+    assert(viaSort === viaAgg)
+    // empty input -> NaNs, not a crash
+    assert(graft.core.Quantiles.exactQuantiles(
+      df.where(lit(false)), "x", Seq(0.5)).forall(_.isNaN))
   }
 
   test("portable hash is stable and within [0, M)") {
