@@ -223,6 +223,19 @@ object ExtQueries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // The live ingest-time near-dup gate, executed in batch mode — the
+    // same StreamOps.nearDupGate code path a continuously-ingesting
+    // pipeline runs as a stream (StreamingSpec asserts stream == batch
+    // on this construction): a slice of "incoming" docs, STATELESS
+    // per-doc band minima (array_min over shingle hashes — no shuffle,
+    // and the only legal streaming topology: a groupBy minima stage
+    // could not be followed by the candidate join), matched against
+    // the corpus's cap-filtered band-minima buckets.
+    "q_stream_dedup_gate" -> ((s, d) =>
+      StreamOps.nearDupGate(
+        docs(s, d).where(col("doc_id") % 5 === 0), bandMinsC(s, d))
+        .orderBy(col("doc_id"), col("corpus_doc"))),
+
     // SimHash near-dups via 8-bit pigeonhole blocking, hot blocks
     // capped at the production cap (which the synthetic corpus trips:
     // the degenerate block-3 bucket holds all docs).
@@ -911,6 +924,25 @@ object ExtQueries {
     "q_ngram_jaccard" ->
       s"""WITH $candSql,
          |${jaccardRescoreSqlFrom("cand")}""".stripMargin,
+
+    // The ingest gate replayed relationally: the stream side's
+    // stateless whole-doc minima are bit-identical to the groupBy
+    // band minima (same hash, same band transform, min over the same
+    // shingle set), so ONE bandmins CTE serves both sides.
+    "q_stream_dedup_gate" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |${Dedup.minhashBandMinsSql},
+         |okb AS (SELECT b, mh FROM bandmins GROUP BY 1, 2
+         |        HAVING count(*) <= ${Dedup.MinhashBucketCap}),
+         |kept AS (
+         |  SELECT bandmins.doc_id AS corpus_doc, b, mh
+         |  FROM bandmins JOIN okb USING (b, mh)),
+         |qmins AS (SELECT * FROM bandmins WHERE doc_id % 5 = 0)
+         |SELECT q.doc_id AS doc_id, k.corpus_doc, count(*) AS bands
+         |FROM qmins q JOIN kept k USING (b, mh)
+         |WHERE q.doc_id <> k.corpus_doc
+         |GROUP BY 1, 2
+         |ORDER BY doc_id, corpus_doc""".stripMargin,
 
     "q_simhash_near_dup" ->
       s"""WITH $simhashPairCtes

@@ -200,6 +200,8 @@ object StreamOps {
     import graft.ext.Dedup
     implicit val encOut = Encoders.product[BandMins]
     implicit val encL = Encoders.scalaLong
+    implicit val encState: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     val M = PortableHash.M.toLong
     chunks.groupByKey(_.doc_id)
       .flatMapGroupsWithState[Array[Long], BandMins](

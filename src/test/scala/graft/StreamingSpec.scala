@@ -104,6 +104,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("whole-doc band minima are bit-identical to the groupBy minima") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "totally different words in this third document"),
+      (4L, "too short")) // < 3 words after split: emits nothing
+      .toDF("doc_id", "text")
+    val whole = StreamOps.bandMinsWholeDoc(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val grouped = Dedup.minhashBandMins(Dedup.shingles(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole === grouped)
+    assert(!whole.keys.exists(_._1 == 4L))
+  }
+
+  test("streaming near-dup gate equals its batch twin on the same slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Dedup
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "completely unrelated corpus text lives right here today"))
+      .toDF("doc_id", "text")
+    val corpusMins = Dedup.minhashBandMins(Dedup.shingles(corpus))
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // ~10, 11
+      (101L, "nothing in common with anything stored before now"),
+      (10L, "the quick brown fox jumps over the lazy dog")) // self: dropped
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.nearDupGate(
+        input.toDF().toDF("doc_id", "text"), corpusMins)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gate_stream").start()
+    try {
+      input.addData(incoming.take(2): _*); q.processAllAvailable()
+      input.addData(incoming.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, corpus_doc, bands FROM gate_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = StreamOps.nearDupGate(
+          incoming.toDF("doc_id", "text"), corpusMins)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      assert(!streamed.keys.map(_._1).toSet.contains(101L)) // no match
+      assert(!streamed.contains((10L, 10L)))                // self dropped
+      assert(streamed.contains((10L, 11L)))  // near-dup of ANOTHER corpus doc
+      assert(streamed((100L, 10L)) === Dedup.Bands.toLong)  // exact text match
+    } finally q.stop()
+  }
+
+  test("chunked stateful band minima equal the batch minima over chunk union") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Dedup
+    val b1 = Seq(StreamOps.DocChunk(1L, "alpha beta gamma delta"),
+      StreamOps.DocChunk(2L, "one two three four five"))
+    val b2 = Seq(StreamOps.DocChunk(1L, "gamma delta epsilon zeta"),
+      StreamOps.DocChunk(2L, "no"), // < 3 words: no contribution
+      StreamOps.DocChunk(3L, "fresh doc arriving in the second batch"))
+    val input = MemoryStream[StreamOps.DocChunk](spark)
+    val q = StreamOps.runningBandMins(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("chunk_mins").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // minima only tighten, so the final value per (doc, band) is the
+      // min over every update-mode emission
+      val streamed = spark.sql(
+        """SELECT doc_id, b, min(mh) FROM (
+          |  SELECT doc_id, posexplode(mins) AS (b, mh) FROM chunk_mins
+          |) GROUP BY 1, 2""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+      // batch twin: chunk-local shingles unioned per doc through the
+      // SAME groupBy minima the corpus chain uses
+      val batch = Dedup.minhashBandMins(Dedup.shingles(
+          (b1 ++ b2).map(c => (c.doc_id, c.chunk)).toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
