@@ -241,6 +241,21 @@ object Dedup {
           (col("c1") + col("c2") - col("common")).cast("double")))
   }
 
+  /** Benchmark decontamination hits: for every training doc, how many
+    * DISTINCT n-grams it shares with the benchmark set and how many
+    * distinct benchmark docs it collides with. Inputs are distinct
+    * (doc_id, shingle) sets ([[shingles]]`.distinct()`); `bench`
+    * should be broadcast by the caller when small (benchmark suites
+    * are O(thousands of docs) — see ExtQueries' gated broadcast).
+    * Real pipelines raise the shingle n to 8–13, which only shrinks
+    * the collision sets; the join shape is unchanged. */
+  def contaminationHits(train: DataFrame, bench: DataFrame): DataFrame =
+    train.join(bench.select(col("shingle"),
+        col("doc_id").as("bench_doc")), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_hit_shingles"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"))
+
   /** SimHash per doc over word tokens: bit j of the signature is the
     * sign of the tf-weighted sum of bit j across token hashes. */
   def simhash(docs: DataFrame): DataFrame = {

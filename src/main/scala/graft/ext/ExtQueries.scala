@@ -410,6 +410,57 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("copy_id"))
         .orderBy(col("doc_id"), col("copy_id"))),
 
+    // Benchmark decontamination: every training doc sharing >=1 exact
+    // 3-gram with the "benchmark suite" (docs with doc_id % 20 == 0
+    // stand in for a held-out eval set), with how many distinct
+    // n-grams and how many distinct benchmark docs it collides with.
+    // Scale shape: benchmark suites are O(thousands of docs) — tiny
+    // next to the training corpus — so the benchmark shingle set is a
+    // (gated, memoized) broadcast and the corpus-sized side never
+    // shuffles on the join; real pipelines raise n to 8–13, which
+    // only SHRINKS the collision sets.
+    "q_decontaminate" -> ((s, d) => {
+      val ds = distinctShinglesC(s, d)
+      val bench = graft.core.Broadcasts.gatedMemo(
+        ds.where(col("doc_id") % 20 === 0),
+        "spark.graft.decontam.broadcastMax", s"decontam_bench:$d")
+      Dedup.contaminationHits(ds.where(col("doc_id") % 20 =!= 0), bench)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition filter signals: per-doc duplicate-3-gram
+    // fraction and the hottest shingle's multiplicity. Two partial/
+    // final aggregations, never a self-join — the per-(doc, shingle)
+    // counts collapse before the per-doc rollup.
+    "q_repetition_filter" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Temperature-scaled domain mixing weights (the multilingual/
+    // multi-domain training-mix formula): w_i ∝ p_i^(3/4) over each
+    // source's share of corpus chars. Portability: alpha = 3/4 is
+    // computed as sqrt(sqrt(p³)) — sqrt is IEEE correctly-rounded on
+    // both engines, pow() is not; the weight normalizer is a
+    // fixed-point (1e-9) integer sum, so no double addition order can
+    // differ. The two totals ride on a broadcast cross join — the
+    // by-source frame is O(sources).
+    "q_domain_mix_weights" -> ((s, d) => {
+      val bySrc = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val tot = bySrc.agg(sum(col("n_chars")).as("tot"))
+      val p = col("n_chars").cast("double") / col("tot").cast("double")
+      val wraw = sqrt(sqrt(p * p * p))
+      val snapped = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          Det.r4(p).as("p"),
+          floor(wraw * lit(1.0e9) + lit(0.5)).cast("long").as("wfx"))
+      val wtot = snapped.agg(sum(col("wfx")).as("wtot"))
+      snapped.crossJoin(broadcast(wtot))
+        .select(col("source"), col("n_docs"), col("n_chars"), col("p"),
+          Det.r4(col("wfx").cast("double") / col("wtot").cast("double"))
+            .as("w"))
+        .orderBy(col("source"))
+    }),
+
     // Multimodal metadata over the opaque payload column.
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
@@ -1302,6 +1353,52 @@ object ExtQueries {
          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |bench AS (SELECT shingle, doc_id AS bench_doc FROM ds
+         |          WHERE doc_id % 20 = 0),
+         |train AS (SELECT * FROM ds WHERE doc_id % 20 <> 0)
+         |SELECT t.doc_id,
+         |       count(DISTINCT t.shingle) AS n_hit_shingles,
+         |       count(DISTINCT b.bench_doc) AS n_bench_docs
+         |FROM train t JOIN bench b ON b.shingle = t.shingle
+         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
+
+    "q_repetition_filter" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |cnt AS (SELECT doc_id, shingle, count(*) AS c
+         |        FROM shingles GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(sum(c) AS BIGINT) AS n_shingles,
+         |       count(*) AS n_distinct,
+         |       max(c) AS max_rep,
+         |       ${r4("CAST(sum(c) - count(*) AS DOUBLE) / " +
+              "CAST(sum(c) AS DOUBLE)")} AS dup_ratio
+         |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Same arithmetic, spelled out: raw share p goes UNROUNDED into
+    // sqrt(sqrt(p*p*p)); only the emitted columns are r4-rounded.
+    "q_domain_mix_weights" -> {
+      val pe = "(CAST(n_chars AS DOUBLE)/CAST(tot AS DOUBLE))"
+      s"""WITH bysrc AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM bysrc),
+         |snapped AS (
+         |  SELECT source, n_docs, n_chars,
+         |         ${r4(pe)} AS p,
+         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
+         |              + 0.5) AS BIGINT) AS wfx
+         |  FROM bysrc, tot),
+         |wt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
+         |SELECT source, n_docs, n_chars, p,
+         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w
+         |FROM snapped, wt
+         |ORDER BY source""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

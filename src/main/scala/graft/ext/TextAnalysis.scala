@@ -11,6 +11,25 @@ import graft.core.{Det, PortableHash}
   */
 object TextAnalysis {
 
+  /** Gopher-style repetition signals per doc: total / distinct word
+    * n-gram counts, the hottest n-gram's multiplicity, and the
+    * duplicate-n-gram fraction (`dup_ratio`, r4-rounded). Two
+    * partial/final aggregations, never a self-join — the
+    * per-(doc, shingle) counts collapse before the per-doc rollup, so
+    * the shuffled volume is bounded by distinct shingles per doc. */
+  def repetitionSignals(docs: DataFrame, n: Int = 3): DataFrame = {
+    val counts = Dedup.shingles(docs, n)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        col("max_rep"),
+        Det.r4((col("n_shingles") - col("n_distinct")).cast("double") /
+          col("n_shingles").cast("double")).as("dup_ratio"))
+  }
+
   /** Tokenizers: whitespace words and a BPE-ish regex token stream. */
   def wordsCol: Column = split(col("text"), " ")
   val TokenRegex = "[a-z0-9]+"

@@ -260,6 +260,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals: dup ratio and max multiplicity per doc") {
+    val docs = docsDF(
+      1L -> "spam spam spam spam spam",          // 3 shingles, all equal
+      2L -> "all words here are unique tokens")  // 4 shingles, all distinct
+    val r = TextAnalysis.repetitionSignals(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 3L && r(1L).getLong(2) === 1L)
+    assert(r(1L).getLong(3) === 3L)
+    assert(r(1L).getDouble(4) === 0.6667)  // r4(2/3)
+    assert(r(2L).getLong(1) === 4L && r(2L).getLong(2) === 4L)
+    assert(r(2L).getDouble(4) === 0.0)
+  }
+
+  test("contamination hits count distinct shared shingles and bench docs") {
+    val train = Dedup.shingles(docsDF(
+      1L -> "alpha beta gamma delta epsilon",   // shares 'alpha beta gamma'
+      2L -> "nothing shared with benchmarks")).distinct()
+    val bench = Dedup.shingles(docsDF(
+      90L -> "alpha beta gamma unrelated tail",
+      91L -> "alpha beta gamma another suffix")).distinct()
+    val hits = Dedup.contaminationHits(train, bench).collect()
+    assert(hits.length === 1)
+    assert(hits(0).getLong(0) === 1L)
+    assert(hits(0).getAs[Long]("n_hit_shingles") === 1L)  // one shared 3-gram
+    assert(hits(0).getAs[Long]("n_bench_docs") === 2L)    // in both bench docs
+  }
+
   test("Quantiles.exactQuantiles matches the percentile aggregate exactly") {
     // deterministic pseudo-random doubles incl. duplicates + negatives
     val vals = (0 until 4001).map(i => ((i * 48271L) % 1003L).toDouble - 500.0)
