@@ -5,52 +5,75 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
-/** Exact interpolated quantiles via DISTRIBUTED SORT — the shape that
+/** Exact order statistics via DISTRIBUTED SORT — the shape that
   * survives 100 TB. Spark's exact `percentile` aggregate merges a
   * value→count map on a single final reducer; on a mostly-distinct
   * double column (583 k distinct of 600 k lineitem prices at sf0.1)
   * that reducer single-threadedly rebuilds the whole column, and at
   * cluster scale it OOMs outright. A range-partitioned sort keeps
   * every stage parallel, and the rank extraction touches only the
-  * O(|ps|) rows the interpolation needs.
+  * O(needed) rows.
   *
-  * Same linear-interpolation rule as `percentile` / DuckDB's
-  * `quantile_cont`: value(p) = v[lo] + (r−lo)·(v[hi]−v[lo]) with
-  * r = p·(n−1), lo = ⌊r⌋, hi = ⌈r⌉ over the 0-indexed sorted column.
+  * Two read-outs over the same machinery:
+  *  - [[exactQuantiles]]: interpolated quantiles, same p·(n−1) linear
+  *    rule as `percentile` / DuckDB's `quantile_cont`;
+  *  - [[valueAtFraction]]: the EXACT element at rank ⌊f·n⌋ — no
+  *    interpolation, so when the column is already quantized (r4
+  *    scores) the returned threshold is bit-identical to what any
+  *    other engine reads at that rank, which makes value-based cuts
+  *    (`score >= threshold`) engine-portable.
   */
 object Quantiles {
   private val memo = TrieMap.empty[(Int, String), Seq[Double]]
 
-  /** Exact quantiles of `c` in `df` at the given probabilities.
-    * Returns driver-side constants (a scalar fetch, like any
-    * `min/max`-to-literal pattern): three small fully-parallel jobs —
-    * sort, per-partition counts (inside zipWithIndex), indexed
-    * extract. */
-  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Double] = {
+  /** (n, values at the requested 0-based global ranks) of the sorted
+    * column — three small fully-parallel jobs: sort, per-partition
+    * counts (inside zipWithIndex), indexed extract of only the
+    * needed rows. */
+  private def sortedValuesAt(df: DataFrame, c: String,
+                             ranksFor: Long => Set[Long]): (Long, Map[Long, Double]) = {
     val sorted = df.select(col(c).cast("double").as("v"))
       .na.drop().rdd.map(_.getDouble(0))
       .sortBy(identity)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = sorted.count()
-      if (n == 0L) return ps.map(_ => Double.NaN)
-      val need = ps.flatMap { p =>
-        val r = p * (n - 1)
-        Seq(math.floor(r).toLong, math.ceil(r).toLong)
-      }.toSet
-      // zipWithIndex runs one (cheap, cached) pass for partition
-      // offsets; the filter then ships only the needed rows
+      if (n == 0L) return (0L, Map.empty)
+      val need = ranksFor(n)
       val got = sorted.zipWithIndex()
         .filter { case (_, i) => need(i) }
         .map { case (v, i) => (i, v) }
         .collect().toMap
-      ps.map { p =>
-        val r = p * (n - 1)
-        val lo = got(math.floor(r).toLong)
-        val hi = got(math.ceil(r).toLong)
-        lo + (r - math.floor(r)) * (hi - lo)
-      }
+      (n, got)
     } finally { sorted.unpersist(); () }
+  }
+
+  /** Exact interpolated quantiles of `c` at the given probabilities.
+    * Returns driver-side constants (a scalar fetch, like any
+    * `min/max`-to-literal pattern). */
+  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Double] = {
+    val (n, got) = sortedValuesAt(df, c, n => ps.flatMap { p =>
+      val r = p * (n - 1)
+      Seq(math.floor(r).toLong, math.ceil(r).toLong)
+    }.toSet)
+    if (n == 0L) return ps.map(_ => Double.NaN)
+    ps.map { p =>
+      val r = p * (n - 1)
+      val lo = got(math.floor(r).toLong)
+      val hi = got(math.ceil(r).toLong)
+      lo + (r - math.floor(r)) * (hi - lo)
+    }
+  }
+
+  /** The exact element at 0-based rank ⌊f·n⌋ of the sorted column
+    * (clamped to n−1; NaN on empty input). The value is an actual
+    * column element — for quantized columns this is the portable way
+    * to derive a cut threshold. */
+  def valueAtFraction(df: DataFrame, c: String, f: Double): Double = {
+    val (n, got) = sortedValuesAt(df, c,
+      n => Set(math.min(math.floor(f * n).toLong, n - 1)))
+    if (n == 0L) Double.NaN
+    else got(math.min(math.floor(f * n).toLong, n - 1))
   }
 
   /** [[exactQuantiles]] memoized per (session, key): the envelope is a
@@ -62,4 +85,11 @@ object Quantiles {
     memo.getOrElseUpdate(
       (System.identityHashCode(df.sparkSession), memoKey),
       exactQuantiles(df, c, ps))
+
+  /** [[valueAtFraction]] memoized per (session, key). */
+  def valueAtFractionMemo(df: DataFrame, c: String, f: Double,
+                          memoKey: String): Double =
+    memo.getOrElseUpdate(
+      (System.identityHashCode(df.sparkSession), memoKey),
+      Seq(valueAtFraction(df, c, f))).head
 }

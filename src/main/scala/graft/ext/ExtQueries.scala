@@ -428,6 +428,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Percentile-based curation cut: keep the top 90% of docs by
+    // quality score, cutting at the EXACT element at rank ⌊0.1·n⌋
+    // (no interpolation — the threshold is an actual r4-quantized
+    // score, so its bits are engine-portable and the tie policy
+    // `>= threshold` is deterministic). The threshold comes from the
+    // distributed-sort order-statistic path (core.Quantiles), the
+    // survivors from a shuffle-free scalar filter — at 100 TB that is
+    // one sort of the score column plus one scan, vs window-ranking
+    // the whole corpus.
+    "q_quality_cut" -> ((s, d) => {
+      val quals = TextAnalysis.qualityColumns(docs(s, d))
+        .select(col("doc_id"), col("quality"))
+      val thr = graft.core.Quantiles.valueAtFractionMemo(
+        quals, "quality", 0.1, s"quality_p10:$d")
+      quals.where(col("quality") >= lit(thr))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition filter signals: per-doc duplicate-3-gram
     // fraction and the hottest shingle's multiplicity. Two partial/
     // final aggregations, never a self-join — the per-(doc, shingle)
@@ -1365,6 +1383,21 @@ object ExtQueries {
          |       count(DISTINCT b.bench_doc) AS n_bench_docs
          |FROM train t JOIN bench b ON b.shingle = t.shingle
          |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
+
+    // The rank (0-based floor(0.1*n), spelled 1-based here) selects an
+    // ACTUAL quality element as the threshold — same bits both
+    // engines, ties kept by >=.
+    "q_quality_cut" ->
+      s"""WITH $qualityCtes,
+         |ranked AS (
+         |  SELECT doc_id, quality,
+         |         row_number() OVER (ORDER BY quality) AS rk,
+         |         count(*) OVER () AS n
+         |  FROM quals),
+         |thr AS (SELECT quality AS t FROM ranked
+         |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1)
+         |SELECT doc_id, quality FROM quals, thr
+         |WHERE quality >= t ORDER BY doc_id""".stripMargin,
 
     "q_repetition_filter" ->
       s"""WITH ${Dedup.shinglesSql},

@@ -303,6 +303,16 @@ class ExtSpec extends SparkSpec {
       df.where(lit(false)), "x", Seq(0.5)).forall(_.isNaN))
   }
 
+  test("Quantiles.valueAtFraction returns the exact sorted element") {
+    val df = Seq(5.0, 1.0, 3.0, 2.0, 4.0).toDF("x").repartition(3)
+    // sorted: 1,2,3,4,5; floor(f*5) indexes
+    assert(graft.core.Quantiles.valueAtFraction(df, "x", 0.0) === 1.0)
+    assert(graft.core.Quantiles.valueAtFraction(df, "x", 0.4) === 3.0)
+    assert(graft.core.Quantiles.valueAtFraction(df, "x", 0.99) === 5.0)
+    // f=1.0 clamps to the last element instead of indexing past it
+    assert(graft.core.Quantiles.valueAtFraction(df, "x", 1.0) === 5.0)
+  }
+
   test("portable hash is stable and within [0, M)") {
     val h = docsDF(1L -> "anything").select(
       PortableHash.h(lit("spark")).as("h1"),
