@@ -256,6 +256,29 @@ object Dedup {
       .agg(countDistinct(col("shingle")).as("n_hit_shingles"),
         countDistinct(col("bench_doc")).as("n_bench_docs"))
 
+  /** [[contaminationHits]] with a Bloom pre-filter on the corpus side —
+    * the shape for when the benchmark set OUTGROWS broadcast: without
+    * a broadcast join, the exact join shuffles the entire corpus
+    * shingle table on the shingle key; a Bloom filter built over the
+    * benchmark shingles (a distributed build + an O(bits) broadcast)
+    * prunes the overwhelmingly-non-contaminated corpus rows BEFORE
+    * that shuffle. False positives pass the pre-filter and are then
+    * removed by the exact join, so the result is IDENTICAL to
+    * [[contaminationHits]] — which is why the scored query shares its
+    * value oracle. The `mightContain` call is a UDF by necessity
+    * (Spark exposes no Column API over `util.sketch.BloomFilter`;
+    * the optimizer's own runtime bloom filters use the same mechanism
+    * internally). */
+  def contaminationHitsBloom(train: DataFrame, bench: DataFrame,
+                             fpp: Double = 0.01): DataFrame = {
+    val nBench = bench.count()
+    if (nBench == 0L)
+      return contaminationHits(train, bench.limit(0))
+    val bloom = bench.stat.bloomFilter("shingle", nBench, fpp)
+    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
+    contaminationHits(train.where(mightContain(col("shingle"))), bench)
+  }
+
   /** SimHash per doc over word tokens: bit j of the signature is the
     * sign of the tf-weighted sum of bit j across token hashes. */
   def simhash(docs: DataFrame): DataFrame = {

@@ -369,6 +369,14 @@ object ExtQueries {
         .select(col("label"), col("vec_id"), col("cos_sim"), col("rn"))
         .orderBy(col("label"), col("rn"))),
 
+    // Embedding-quality outliers: the 3 members farthest (by cosine)
+    // from their OWN label centroid — mislabeled or degenerate vectors
+    // surface here first. Centroids broadcast, corpus unshuffled.
+    "q_embed_outliers" -> ((s, d) =>
+      VectorSearch.farthestFromCentroid(
+        emb(s, d).select(col("vec_id"), col("label"), col("embedding")), 3)
+        .orderBy(col("label"), col("rn"))),
+
     // Multi-band sign-LSH pair search (4 tables × 16 bits, bucket cap):
     // the sub-quadratic scale path — see VectorSearch's banding notes.
     // int8 scalar quantization of the embedding corpus: per-dim
@@ -425,6 +433,21 @@ object ExtQueries {
         ds.where(col("doc_id") % 20 === 0),
         "spark.graft.decontam.broadcastMax", s"decontam_bench:$d")
       Dedup.contaminationHits(ds.where(col("doc_id") % 20 =!= 0), bench)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The Bloom-prefiltered decontamination path — the shape for a
+    // benchmark set too large to broadcast: a Bloom filter over the
+    // benchmark shingles prunes the corpus side BEFORE the join
+    // shuffle; false positives are removed by the exact join, so the
+    // result (and the oracle) is identical to q_decontaminate. No
+    // broadcast hint here on purpose — this is the non-broadcast
+    // join's escort.
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val ds = distinctShinglesC(s, d)
+      Dedup.contaminationHitsBloom(
+        ds.where(col("doc_id") % 20 =!= 0),
+        ds.where(col("doc_id") % 20 === 0))
         .orderBy(col("doc_id"))
     }),
 
@@ -957,6 +980,18 @@ object ExtQueries {
             " + 0.3*least(avg_wlen/10.0, 1.0)")} AS quality
        |  FROM rs)""".stripMargin
 
+  private lazy val decontamOracleSql: String =
+    s"""WITH ${Dedup.shinglesSql},
+       |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+       |bench AS (SELECT shingle, doc_id AS bench_doc FROM ds
+       |          WHERE doc_id % 20 = 0),
+       |train AS (SELECT * FROM ds WHERE doc_id % 20 <> 0)
+       |SELECT t.doc_id,
+       |       count(DISTINCT t.shingle) AS n_hit_shingles,
+       |       count(DISTINCT b.bench_doc) AS n_bench_docs
+       |FROM train t JOIN bench b ON b.shingle = t.shingle
+       |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $dupSigSql
@@ -1189,6 +1224,46 @@ object ExtQueries {
          |SELECT label, vec_id, cos_sim, rn
          |FROM ranked WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
 
+    // Same fixed-point centroid/norm/dot chain as q_embed_cosine_topk,
+    // but each vector scores against its OWN label's centroid and the
+    // ranking keeps the FARTHEST members (cos ASC).
+    "q_embed_outliers" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |cent AS (
+         |  SELECT label, i,
+         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM expl GROUP BY 1, 2),
+         |cnorm AS (
+         |  SELECT label,
+         |         CAST(sum(CAST(floor(cv*cv*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS cn
+         |  FROM cent GROUP BY 1),
+         |enorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS en
+         |  FROM expl GROUP BY 1),
+         |dots AS (
+         |  SELECT e.label, e.vec_id,
+         |         CAST(sum(CAST(floor(c.cv*e.v*1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS dot
+         |  FROM expl e JOIN cent c ON c.label = e.label AND c.i = e.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.label, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(cn)*sqrt(en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(cn)*sqrt(en)) END")} AS cos_centroid
+         |  FROM dots d JOIN cnorm USING (label) JOIN enorm USING (vec_id)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |                               ORDER BY cos_centroid, vec_id) AS rn
+         |  FROM scored)
+         |SELECT label, vec_id, cos_centroid, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+
     "q_embed_near_dup" ->
       s"""WITH $bandedCosCtes
          |SELECT v1, v2, bands, cos_sim FROM bcos
@@ -1372,17 +1447,12 @@ object ExtQueries {
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
 
-    "q_decontaminate" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |bench AS (SELECT shingle, doc_id AS bench_doc FROM ds
-         |          WHERE doc_id % 20 = 0),
-         |train AS (SELECT * FROM ds WHERE doc_id % 20 <> 0)
-         |SELECT t.doc_id,
-         |       count(DISTINCT t.shingle) AS n_hit_shingles,
-         |       count(DISTINCT b.bench_doc) AS n_bench_docs
-         |FROM train t JOIN bench b ON b.shingle = t.shingle
-         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
+    "q_decontaminate" -> decontamOracleSql,
+
+    // Bit-identical by construction: the Bloom pre-filter only prunes
+    // rows the exact join would drop anyway (FPs survive the filter,
+    // die in the join), so the exact-join oracle is THE oracle.
+    "q_decontaminate_bloom" -> decontamOracleSql,
 
     // The rank (0-based floor(0.1*n), spelled 1-based here) selects an
     // ACTUAL quality element as the threshold — same bits both

@@ -65,6 +65,28 @@ object VectorSearch {
         s => s.getField("cv")).as("centroid"))
   }
 
+  /** The k members FARTHEST from their own label centroid — the
+    * embedding-quality outlier surface (mislabeled / degenerate
+    * vectors sit far from their cluster's mean). Centroids are
+    * O(labels) and ride a broadcast, so the corpus never shuffles; the
+    * per-label window ranks only within a label's members. Rank on
+    * the rounded cosine ASC with vec_id tiebreak (engine-stable). */
+  def farthestFromCentroid(emb: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val cents = labelCentroids(emb)
+      .withColumn("nrm_c", fixedNormSq(col("centroid")))
+    val scored = emb.withColumn("nrm_e", fixedNormSq(col("embedding")))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        Det.r4(cosineCol(fixedDot(col("embedding"), col("centroid")),
+          col("nrm_c"), col("nrm_e"))).as("cos_centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Top-k nearest embeddings per probe row (probeKey, probeVec) by
     * cosine; probes are broadcast. Rank on the rounded cosine with
     * vec_id tiebreak so ordering is engine-stable. */

@@ -303,6 +303,29 @@ class ExtSpec extends SparkSpec {
       df.where(lit(false)), "x", Seq(0.5)).forall(_.isNaN))
   }
 
+  test("bloom-prefiltered contamination equals the exact join, and prunes") {
+    val train = Dedup.shingles(docsDF(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "nothing shared with benchmarks at all",
+      3L -> "more words that are nowhere in the benchmark suite")).distinct()
+    val bench = Dedup.shingles(docsDF(
+      90L -> "alpha beta gamma unrelated tail")).distinct()
+    val exact = Dedup.contaminationHits(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Dedup.contaminationHitsBloom(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed === exact && exact === Set((1L, 1L, 1L)))
+    // the pre-filter really prunes: at fpp=0.01 the 9 non-matching
+    // train shingles cannot ALL be false positives
+    val nBench = bench.count()
+    val bloom = bench.stat.bloomFilter("shingle", nBench, 0.01)
+    val kept = train.collect().map(_.getString(1)).count(bloom.mightContain)
+    assert(kept < train.count())
+    // empty benchmark set: no hits, no crash
+    assert(Dedup.contaminationHitsBloom(
+      train, bench.where(lit(false))).count() === 0L)
+  }
+
   test("Quantiles.valueAtFraction returns the exact sorted element") {
     val df = Seq(5.0, 1.0, 3.0, 2.0, 4.0).toDF("x").repartition(3)
     // sorted: 1,2,3,4,5; floor(f*5) indexes
