@@ -232,6 +232,39 @@ object RelQueries {
     // fresh data; on THIS dataset the flag is deterministic and
     // observed error is ~2%). A broken sketch or merge is off by far
     // more than 20%.
+    // The third sketch of the family (GK percentiles, HLL NDV, and
+    // now Count-Min frequency): heavy-hitter counts at 100 TB come
+    // from a CMS, not an exact groupBy over every key. CMS is a
+    // LINEAR sketch (counters add; merge order cannot matter), so for
+    // a fixed seed the estimate is deterministic — but engine-internal,
+    // so like its siblings the checkable surface is the guarantee:
+    // NEVER an underestimate (hard invariant of min-over-rows), and
+    // over by at most eps*N (w.h.p.; deterministic on this data). The
+    // sketch itself is a ~KB scalar fetched to the driver — exactly
+    // what a production serving layer does with it.
+    "q_approx_freq_bounds" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val eps = 0.001
+      val bytes = li.agg(
+        expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val probes = Seq(1L, 2L, 3L)
+      val exact = li.where(col("l_suppkey").isin(probes: _*))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = li.count()
+      val slack = math.ceil(eps * n).toLong
+      val rows = probes.map { k =>
+        val est = cms.estimateCount(k)
+        val ex = exact.getOrElse(k, 0L)
+        (k, est >= ex && est <= ex + slack)
+      }
+      import s.implicits._
+      rows.toDF("probe_key", "within_bounds").orderBy(col("probe_key"))
+    }),
+
     "q_approx_ndv_bounds" -> ((s, d) => {
       def check(tbl: String, c: String) =
         t(s, d, tbl).agg(
@@ -573,6 +606,14 @@ object RelQueries {
         |FROM (VALUES (0.5, true), (0.9, true), (0.99, true))
         |  t(p, within_bounds)
         |ORDER BY p""".stripMargin,
+
+    // Derived-property oracle (CMS values are engine-internal; the
+    // never-underestimate + eps*N envelope is the checkable surface).
+    "q_approx_freq_bounds" ->
+      """SELECT CAST(probe_key AS BIGINT) AS probe_key, within_bounds
+        |FROM (VALUES (1, true), (2, true), (3, true))
+        |  t(probe_key, within_bounds)
+        |ORDER BY probe_key""".stripMargin,
 
     // Derived-property oracle; see the query's comment.
     "q_approx_ndv_bounds" ->
