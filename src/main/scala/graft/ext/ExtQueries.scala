@@ -436,6 +436,25 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Source-overlap matrix: distinct shared 3-grams per source pair —
+    // the corpus-audit view of cross-source contamination (a crawl
+    // re-ingested under two source labels lights up here first).
+    // Shape: distinct (source, shingle) → self-join on shingle
+    // (s1 < s2) → count distinct shingles per pair. The pair blowup
+    // per shingle is bounded by C(|sources|, 2), not corpus size, and
+    // the join shuffles on the shingle key.
+    "q_source_overlap" -> ((s, d) => {
+      val ss = Dedup.shingles(docs(s, d))
+        .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("shingle")).distinct()
+      ss.select(col("source").as("s1"), col("shingle"))
+        .join(ss.select(col("source").as("s2"), col("shingle")), Seq("shingle"))
+        .where(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(countDistinct(col("shingle")).as("shared_shingles"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // The Bloom-prefiltered decontamination path — the shape for a
     // benchmark set too large to broadcast: a Bloom filter over the
     // benchmark shingles prunes the corpus side BEFORE the join
@@ -1446,6 +1465,16 @@ object ExtQueries {
          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ss AS (SELECT DISTINCT d.source, s.shingle
+         |       FROM shingles s JOIN documents d USING (doc_id))
+         |SELECT a.source AS s1, b.source AS s2,
+         |       count(DISTINCT a.shingle) AS shared_shingles
+         |FROM ss a JOIN ss b
+         |  ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
 
     "q_decontaminate" -> decontamOracleSql,
 

@@ -232,6 +232,29 @@ object RelQueries {
     // fresh data; on THIS dataset the flag is deterministic and
     // observed error is ~2%). A broken sketch or merge is off by far
     // more than 20%.
+    // Data-quality column profile (the Deequ-style validation shape a
+    // pipeline runs before training): per column, non-null / null /
+    // distinct counts + min/max rendered as strings — ALL columns in
+    // ONE scan (a single aggregate computes every metric; stack
+    // unpivots afterwards), not a scan per column.
+    "q_profile_columns" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")))
+      val stackArgs = cols.map(c =>
+        s"'$c', nn_$c, nul_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs)")
+          .as(Seq("col_name", "n_notnull", "n_null", "n_distinct",
+            "min_val", "max_val")))
+        .orderBy(col("col_name"))
+    }),
+
     // The third sketch of the family (GK percentiles, HLL NDV, and
     // now Count-Min frequency): heavy-hitter counts at 100 TB come
     // from a CMS, not an exact groupBy over every key. CMS is a
@@ -606,6 +629,20 @@ object RelQueries {
         |FROM (VALUES (0.5, true), (0.9, true), (0.99, true))
         |  t(p, within_bounds)
         |ORDER BY p""".stripMargin,
+
+    "q_profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |       count($c) AS n_notnull,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_val,
+           |       CAST(max($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // Derived-property oracle (CMS values are engine-internal; the
     // never-underestimate + eps*N envelope is the checkable surface).
