@@ -444,14 +444,20 @@ object ExtQueries {
     // per shingle is bounded by C(|sources|, 2), not corpus size, and
     // the join shuffles on the shingle key.
     "q_source_overlap" -> ((s, d) => {
-      val ss = Dedup.shingles(docs(s, d))
-        .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      // reuses the session-cached distinct shingle set; the doc→source
+      // map is O(docs) and broadcasts. ss is distinct (source,
+      // shingle), so each shared shingle contributes exactly ONE row
+      // per pair — count(*) equals count(DISTINCT) without the extra
+      // dedup shuffle the explicit distinct-count would run.
+      val ss = distinctShinglesC(s, d)
+        .join(broadcast(docs(s, d).select(col("doc_id"), col("source"))),
+          Seq("doc_id"))
         .select(col("source"), col("shingle")).distinct()
       ss.select(col("source").as("s1"), col("shingle"))
         .join(ss.select(col("source").as("s2"), col("shingle")), Seq("shingle"))
         .where(col("s1") < col("s2"))
         .groupBy(col("s1"), col("s2"))
-        .agg(countDistinct(col("shingle")).as("shared_shingles"))
+        .agg(count(lit(1)).as("shared_shingles"))
         .orderBy(col("s1"), col("s2"))
     }),
 
@@ -1466,12 +1472,13 @@ object ExtQueries {
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
 
+    // ss is distinct, so count(*) == count(DISTINCT shingle) per pair.
     "q_source_overlap" ->
       s"""WITH ${Dedup.shinglesSql},
          |ss AS (SELECT DISTINCT d.source, s.shingle
          |       FROM shingles s JOIN documents d USING (doc_id))
          |SELECT a.source AS s1, b.source AS s2,
-         |       count(DISTINCT a.shingle) AS shared_shingles
+         |       count(*) AS shared_shingles
          |FROM ss a JOIN ss b
          |  ON a.shingle = b.shingle AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
