@@ -126,6 +126,33 @@ class ApiSpec extends SparkSpec {
       s"sorted-limit should truncate per partition:\n$plan")
   }
 
+  test("q_profile_columns plans exactly one parquet scan for all metrics") {
+    val df = SparkEntry.queries("q_profile_columns")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"the 20-metric profile must run as ONE scan, saw $scans:\n$plan")
+  }
+
+  test("stream gate's incoming side plans no Exchange below the bucket join") {
+    // the stateless whole-doc minima must fuse into the scan
+    // projection: every operator between the documents scan and the
+    // candidate join is a narrow transform (filter/project/generate)
+    import graft.ext.Dedup
+    import graft.streaming.StreamOps
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val mins = StreamOps.bandMinsWholeDoc(docs)
+    val plan = mins.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"whole-doc band minima must be shuffle-free:\n$plan")
+    assert(mins.count() > 0)
+    // and bit-equal to the groupBy minima over the same corpus (the
+    // property the shared oracle CTE depends on), checked at count
+    // level here (full bit-equality is StreamingSpec's job)
+    assert(mins.count() ===
+      Dedup.minhashBandMins(Dedup.shingles(docs)).count())
+  }
+
   test("dictionary mints dense deterministic int ids for string keys") {
     import spark.implicits._
     val df = Seq("m9", "m1", "m5", "m1", "m9").toDF("item_id")
