@@ -127,6 +127,10 @@ object ExtQueries {
   private val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
 
+  /** q_split_assign bands (shared by query and oracle). */
+  private val SplitBands =
+    Seq("test" -> 1.0, "train" -> 98.0, "val" -> 1.0)
+
   /** Per-block UNION ALL: (doc_id, simhash, blk, bv) from `src`, with
     * `sigExpr` as the (possibly rotated) signature to block on —
     * mirrors Dedup.simhashBlockRows term for term. */
@@ -399,6 +403,16 @@ object ExtQueries {
       Sampling.hashSample(docs(s, d), col("doc_id").cast("string"), 10.0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
+
+    // Deterministic train/val/test split (98/1/1): stable under
+    // re-runs, partitioning and engine; new data never moves existing
+    // rows between splits; per-row gate, no shuffle.
+    "q_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(docs(s, d), col("doc_id").cast("string"),
+          SplitBands)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("split"))),
 
     // Deterministic stratified sample: 20 docs per language by
     // smallest (hash, key) — seeded-reservoir analog.
@@ -1471,6 +1485,15 @@ object ExtQueries {
          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_split_assign" ->
+      s"""WITH assigned AS (
+         |  SELECT *, ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
+              SplitBands)} AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
 
     // ss is distinct, so count(*) == count(DISTINCT shingle) per pair.
     "q_source_overlap" ->

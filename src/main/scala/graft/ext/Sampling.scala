@@ -35,6 +35,49 @@ object Sampling {
     s"${PortableHash.spreadSql(PortableHash.hSql(keyExpr))}" +
       s" < ${math.round(PortableHash.M * pct / 100.0)}"
 
+  /** Deterministic train/val/test split assignment: each row lands in
+    * exactly one named band of the spread-hash ring, by cumulative
+    * percentage. Properties a training pipeline needs and random
+    * splits don't give: stable under re-runs, partitioning and
+    * engine; adding data never moves an EXISTING row between splits
+    * (its hash doesn't change); and it is a per-row gate — no
+    * shuffle, no state. Cuts are integer driver constants shared with
+    * the SQL twin. */
+  def splitAssign(df: DataFrame, key: Column,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    val cuts = splitCuts(splits)
+    val g = PortableHash.spread(PortableHash.h(key))
+    val assigned = cuts.tail.foldLeft(
+      when(g < lit(cuts.head._2), lit(cuts.head._1))) {
+      case (acc, (name, hi)) => acc.when(g < lit(hi), lit(name))
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Cumulative integer cuts on [0, M) for [[splitAssign]] — the last
+    * band is clamped to M so percentages that sum to 100 cover the
+    * whole ring (no unassigned rows from rounding). */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty &&
+      math.abs(splits.map(_._2).sum - 100.0) < 1e-9,
+      "split percentages must sum to 100")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.map(_._1).zip(cum).zipWithIndex.map { case ((n, c), i) =>
+      (n, if (i == splits.size - 1) PortableHash.M.toLong
+          else math.round(PortableHash.M * c / 100.0))
+    }
+  }
+
+  /** SQL twin of [[splitAssign]]'s CASE (DuckDB). */
+  def splitAssignSql(keyExpr: String,
+                     splits: Seq[(String, Double)]): String = {
+    val g = PortableHash.spreadSql(PortableHash.hSql(keyExpr))
+    val whens = splitCuts(splits).map { case (n, hi) =>
+      s"WHEN $g < $hi THEN '$n'"
+    }.mkString(" ")
+    s"CASE $whens END"
+  }
+
   /** Weighted dataset mix — the training-mix primitive ("1.5 epochs of
     * src0, half of src1, a tenth of src2"). Each row gets
     * `floor(rate)` whole copies plus one more when its spread key hash

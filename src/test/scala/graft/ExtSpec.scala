@@ -326,6 +326,29 @@ class ExtSpec extends SparkSpec {
       train, bench.where(lit(false))).count() === 0L)
   }
 
+  test("splitAssign covers every row, is stable, and new data moves nothing") {
+    import graft.ext.Sampling
+    val bands = Seq("test" -> 1.0, "train" -> 98.0, "val" -> 1.0)
+    val small = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.splitAssign(df, col("doc_id").cast("string"), bands)
+        .select(col("doc_id"), col("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small)
+    assert(a.size === 500 && a.values.forall(Set("train", "val", "test")))
+    assert(a.values.count(_ == "train") > 450) // ~98%
+    // re-run + repartition: identical
+    assert(assign(small.repartition(7)) === a)
+    // growing the dataset never moves an existing row's split
+    val grown = (1L to 900L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val b = assign(grown)
+    assert(a.forall { case (k, v) => b(k) == v })
+    // percentages must sum to 100
+    intercept[IllegalArgumentException] {
+      Sampling.splitCuts(Seq("a" -> 50.0, "b" -> 40.0))
+    }
+  }
+
   test("Quantiles.valueAtFraction returns the exact sorted element") {
     val df = Seq(5.0, 1.0, 3.0, 2.0, 4.0).toDF("x").repartition(3)
     // sorted: 1,2,3,4,5; floor(f*5) indexes
