@@ -515,6 +515,35 @@ object ExtQueries {
     "q_repetition_filter" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d)).orderBy(col("doc_id"))),
 
+    // PII scan + redaction: per-doc email/IPv4/long-number match
+    // counts and the redacted text pinned by length + portable hash.
+    // Deterministic PII is planted first (the synthetic corpus has
+    // none), so the oracle exercises the cross-engine regex
+    // machinery, not an all-zeros row set. Pure codegen'd Column
+    // regex — shuffle-free, scan-parallel at any corpus size.
+    "q_pii_redact" -> ((s, d) =>
+      TextAnalysis.piiColumns(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Context-window chunking: fixed-size overlapping char chunks via
+    // generated offsets + explode — fan-out multiplies rows in place,
+    // never shuffles them. Chunk bytes pinned by (len, portable hash).
+    "q_chunk_docs" -> ((s, d) =>
+      Packing.chunkDocs(docs(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Concatenate-and-cut sequence packing: exact global token
+    // offsets via the two-pass distributed prefix sum (range sort +
+    // one partial per partition + broadcast seeds — never a global
+    // single-reducer window), then the first/last capacity-sized
+    // training bin each doc touches. Memoized per (session, dir)
+    // because the prefix-sum pins its sorted RDD (Packing scaladoc).
+    "q_pack_sequences" -> ((s, d) =>
+      Cache.getOrPersist(s, "pack_sequences", d)(
+        Packing.packSequences(docs(s, d),
+          size(split(col("text"), " ")), col("doc_id"))
+          .withColumnRenamed("k", "doc_id"))
+        .orderBy(col("doc_id"))),
+
     // Temperature-scaled domain mixing weights (the multilingual/
     // multi-domain training-mix formula): w_i ∝ p_i^(3/4) over each
     // source's share of corpus chars. Portability: alpha = 3/4 is
@@ -1527,6 +1556,74 @@ object ExtQueries {
          |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1)
          |SELECT doc_id, quality FROM quals, thr
          |WHERE quality >= t ORDER BY doc_id""".stripMargin,
+
+    // Redaction order (email → ip → num) and the 'g' flag mirror the
+    // Column form exactly; counts + (len, hash) pin the redacted
+    // bytes without emitting the corpus.
+    "q_pii_redact" ->
+      s"""WITH enriched AS (
+         |  SELECT doc_id, ${TextAnalysis.piiEnrichSql} AS etext
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, etext,
+         |         regexp_replace(regexp_replace(regexp_replace(etext,
+         |           '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |           '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |           '${TextAnalysis.LongNumRe}', '<NUM>', 'g') AS rtext
+         |  FROM enriched)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(etext,
+         |         '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(etext,
+         |         '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(etext,
+         |         '${TextAnalysis.LongNumRe}')) AS BIGINT) AS n_longnums,
+         |       CAST(length(rtext) AS BIGINT) AS redacted_len,
+         |       CAST(${graft.core.PortableHash.hSql("rtext")} AS BIGINT)
+         |         AS redacted_hash
+         |FROM red ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""WITH starts AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0,
+         |           (length(text)-1)//${Packing.Stride})) AS chunk_id
+         |  FROM documents WHERE length(text) > 0),
+         |chunks AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         substr(text,
+         |           CAST(chunk_id*${Packing.Stride} + 1 AS BIGINT),
+         |           ${Packing.ChunkSize}) AS chunk
+         |  FROM starts)
+         |SELECT doc_id, chunk_id,
+         |       CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |       CAST(${graft.core.PortableHash.hSql("chunk")} AS BIGINT)
+         |         AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // The oracle spells the prefix sum as a global window — fine for
+    // DuckDB at sf, single-reducer at 100 TB, which is exactly why
+    // the Spark side uses the two-pass scan instead (Packing
+    // scaladoc). Values agree because both are THE prefix sum over
+    // the same total order.
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |       tok_offset // ${Packing.BinCapacity} AS bin_first,
+         |       (tok_offset + n_tokens - 1) // ${Packing.BinCapacity}
+         |         AS bin_last,
+         |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
+         |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_repetition_filter" ->
       s"""WITH ${Dedup.shinglesSql},

@@ -86,6 +86,74 @@ object TextAnalysis {
     s"CAST(list_sum([i * ($h) FOR i IN range(1, len(w)+1)]) % 1000000007 AS BIGINT)"
   }
 
+  /** PII patterns, portable across Java regex (Spark) and RE2
+    * (DuckDB): bounded quantifiers, character classes, `\b` — no
+    * lookaround (RE2 has none), no backreferences. Leftmost-greedy
+    * matching agrees between the engines for these shapes. */
+  val EmailRe   = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{7,}"
+
+  /** The synthetic corpus is a word soup with no PII, so the scored
+    * query plants deterministic PII (email / IPv4 / long account
+    * number, keyed off doc_id residues) before scanning — both
+    * engines derive the same enriched text, so the oracle still
+    * checks the REGEX machinery cross-engine, which is the part that
+    * can diverge. Spark Column form and DuckDB SQL twin must stay in
+    * lock-step. */
+  def piiEnrich(text: Column, docId: Column): Column =
+    concat(text,
+      when(docId % 3 === 0,
+        concat(lit(" contact user"), docId.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(docId % 5 === 0,
+        concat(lit(" ip 10."), (docId % 200).cast("string"), lit("."),
+          ((docId * 7) % 200).cast("string"), lit("."),
+          (docId % 250 + 1).cast("string"))).otherwise(lit("")),
+      when(docId % 7 === 0,
+        concat(lit(" acct 4111"),
+          lpad(docId.cast("string"), 12, "0"))).otherwise(lit("")))
+
+  val piiEnrichSql: String =
+    "text ||" +
+      " CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||" +
+      " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||" +
+      " CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' ||" +
+      " CAST(doc_id % 200 AS VARCHAR) || '.' ||" +
+      " CAST((doc_id * 7) % 200 AS VARCHAR) || '.' ||" +
+      " CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END ||" +
+      " CASE WHEN doc_id % 7 = 0 THEN ' acct 4111' ||" +
+      " lpad(CAST(doc_id AS VARCHAR), 12, '0') ELSE '' END"
+
+  /** PII scan + redaction over a text column: per-doc match counts
+    * for each pattern and the redacted text, pinned by length and
+    * portable hash rather than re-emitting the corpus. Pure Column
+    * regex work — codegen'd, shuffle-free, scan-parallel; at 100 TB
+    * this runs at whatever rate the parquet scan runs.
+    *
+    * Redaction order matters and is fixed: emails first (an address
+    * can embed digit runs), then IPv4 (dotted quads would otherwise
+    * be eaten digit-group-wise by the number pass), then bare long
+    * digit runs. Spark `regexp_replace` is global by default; the
+    * DuckDB twin needs the explicit 'g' flag. */
+  def piiColumns(df: DataFrame): DataFrame = {
+    val etext = piiEnrich(col("text"), col("doc_id"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(etext, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+    df.select(col("doc_id"),
+      size(regexp_extract_all(etext, lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(etext, lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(etext, lit(LongNumRe), lit(0)))
+        .cast("long").as("n_longnums"),
+      length(red).cast("long").as("redacted_len"),
+      PortableHash.h(red).cast("long").as("redacted_hash"))
+  }
+
   /** tf-idf: tf = term occurrences within a language's corpus,
     * df = number of distinct docs (globally) containing the term,
     * idf = ln(N/df). Returns one row per (lang, term). */
