@@ -92,6 +92,33 @@ object RelQueries {
       withO.unionAll(noO).orderBy(col("kind"), col("c_custkey"))
     }),
 
+    // Full outer join: daily click vs purchase activity per user —
+    // at the (user, day) grain both one-sided populations are real
+    // (~40% of rows each at sf0.01). USING-column join coalesces the
+    // keys; the side indicator + zero-filled counts exercise the
+    // null semantics outer joins exist for. Both inputs collapse to
+    // per-(user, day) partials BEFORE the join, so the shuffled
+    // volume is the aggregate, not the event stream; full outer
+    // cannot broadcast by definition — a shuffle join on the join
+    // keys is the correct 100 TB plan.
+    "q_join_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def per(typ: String, cnt: String) =
+        ev.where(col("event_type") === typ)
+          .groupBy(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as(cnt))
+      per("click", "n_clicks")
+        .join(per("purchase", "n_buys"), Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+          when(col("n_clicks").isNull, lit("purchase_only"))
+            .when(col("n_buys").isNull, lit("click_only"))
+            .otherwise(lit("both")).as("side"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Ranking windows: rank / dense_rank / ntile within nation.
     "q_rank_dense_ntile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -544,6 +571,26 @@ object RelQueries {
         |SELECT 'without_orders' AS kind, c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY kind, c_custkey""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_buys
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |       COALESCE(c.day, p.day) AS day,
+        |       COALESCE(n_clicks, 0) AS n_clicks,
+        |       COALESCE(n_buys, 0) AS n_buys,
+        |       CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+        |            WHEN p.user_id IS NULL THEN 'click_only'
+        |            ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN p
+        |  ON c.user_id = p.user_id AND c.day = p.day
+        |ORDER BY user_id, day""".stripMargin,
 
     "q_rank_dense_ntile" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,

@@ -96,6 +96,31 @@ object SimQueries {
           (sum(col("rating_i")) / lit(10000.0)).as("rating_sum"))
         .orderBy(col("user_id"))),
 
+    // The typed Dataset surface, scored: per-item rating mean +
+    // population variance through groupByKey + the custom
+    // MomentAggregator (a commutative monoid, so Catalyst
+    // partial-aggregates it like any built-in sum — partial/final,
+    // never a per-key collect). Portability: the aggregator folds
+    // rating_i fixed-point units carried as exact integer doubles
+    // (every partial stays < 2^53), so double addition order cannot
+    // change a bit; the final divisions are spelled identically in
+    // the oracle and IEEE-correctly-rounded on both engines.
+    "q_item_stats_typed" -> ((s, d) => {
+      import s.implicits._
+      val buf = ratings(s, d).select(col("item_id"), col("rating_i"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, ri) => (ri.toDouble, ri.toDouble) }
+        .agg(graft.core.MomentAggregator.toColumn.name("m"))
+        .toDF("item_id", "m")
+      buf.select(col("item_id"), col("m.n").as("n"),
+          Det.r4(col("m.sx") / col("m.n") / lit(10000.0)).as("mean_rating"),
+          Det.r4((col("m.sxx") / col("m.n")
+              - (col("m.sx") / col("m.n")) * (col("m.sx") / col("m.n")))
+            / lit(1.0e8)).as("var_rating"))
+        .orderBy(col("item_id"))
+    }),
+
     // R4: pairwise co-occurrence via the canonicalized self-join.
     "q_pairs_cooccurrence" -> ((s, d) =>
       moments(s, d)
@@ -273,6 +298,21 @@ object SimQueries {
          |SELECT user_id, count(*) AS item_count,
          |       CAST(sum(rating_i) AS DOUBLE)/10000.0 AS rating_sum
          |FROM ratings GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Division spelling mirrors the Column form exactly (left-assoc
+    // sx/n/10000.0; variance as sxx/n - (sx/n)^2) — IEEE parity.
+    "q_item_stats_typed" ->
+      s"""WITH $R,
+         |m AS (
+         |  SELECT item_id, count(*) AS n,
+         |         CAST(sum(rating_i) AS DOUBLE) AS sx,
+         |         CAST(sum(rating_i*rating_i) AS DOUBLE) AS sxx
+         |  FROM ratings GROUP BY 1)
+         |SELECT item_id, n,
+         |       ${graft.rel.Oracle.r4("sx / n / 10000.0")} AS mean_rating,
+         |       ${graft.rel.Oracle.r4(
+              "(sxx / n - (sx / n) * (sx / n)) / 1e8")} AS var_rating
+         |FROM m ORDER BY item_id""".stripMargin,
 
     "q_pairs_cooccurrence" ->
       s"""WITH $R

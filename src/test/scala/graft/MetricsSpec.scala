@@ -25,6 +25,28 @@ class MetricsSpec extends SparkSpec {
           r.getDouble(6))).toMap
   }
 
+  test("typed MomentAggregator path: per-item mean/variance goldens") {
+    import spark.implicits._
+    // toy item A: ratings 4,5,1 → mean 10/3, var = 14 − (10/3)² = 26/9
+    val out = toyRatings.select(col("item_id"), col("rating_i"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, ri) => (ri.toDouble, ri.toDouble) }
+      .agg(graft.core.MomentAggregator.toColumn.name("m"))
+      .toDF("item_id", "m")
+      .select(col("item_id"), col("m.n").as("n"),
+        Det.r4(col("m.sx") / col("m.n") / lit(10000.0)).as("mean"),
+        Det.r4((col("m.sxx") / col("m.n")
+            - (col("m.sx") / col("m.n")) * (col("m.sx") / col("m.n")))
+          / lit(1.0e8)).as("variance"))
+      .orderBy(col("item_id")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out("A") == ((3L, 3.3333, 2.8889)))
+    assert(out("B") == ((3L, 3.0, 0.6667)))   // 3,4,2 → var 2/3
+    assert(out("C") == ((3L, 3.3333, 2.8889))) // 1,5,4 — same as A
+  }
+
   test("appendix-B goldens: corr/cosine/regcorr/normcorr per pair") {
     val m = metricsOnToy
     assert(m(("A", "B")) === ((2L, 1.0, 0.9995, 0.1667, 1.0)))
