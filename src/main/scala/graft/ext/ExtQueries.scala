@@ -1610,7 +1610,8 @@ object ExtQueries {
       s"""WITH t AS (
          |  SELECT doc_id,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents),
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          |c AS (
          |  SELECT doc_id, n_tokens,
          |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id

@@ -84,8 +84,11 @@ object Packing {
   def packSequences(docs: DataFrame, tokens: Column, orderCol: Column,
                     capacity: Int = BinCapacity): DataFrame = {
     val spark = docs.sparkSession
+    // Null keys/token counts are dropped, not crashed on: a NULL has
+    // no position in a token stream (the oracle filters identically).
     val base = docs.select(orderCol.cast("long").as("k"),
       tokens.cast("long").as("n_tokens"))
+      .na.drop(Seq("k", "n_tokens"))
     val sorted = base.rdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
@@ -108,17 +111,12 @@ object Packing {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("n_tokens", LongType),
       StructField("tok_offset", LongType)))
-    val cap = lit(capacity.toLong)
     spark.createDataFrame(rows, schema)
       .select(col("k"), col("n_tokens"), col("tok_offset"),
-        // integral div: offsets stay exact longs, no double rounding
-        (col("tok_offset") - pmod(col("tok_offset"), cap)).divide(cap)
-          .cast("long").as("bin_first"),
-        (col("tok_offset") + col("n_tokens") - lit(1L)).as("_last_tok"))
-      .withColumn("bin_last",
-        ((col("_last_tok") - pmod(col("_last_tok"), cap)) / cap)
-          .cast("long"))
-      .drop("_last_tok")
+        // true integral division (`div` on longs stays in long
+        // arithmetic — no detour through doubles, exact at any offset)
+        expr(s"tok_offset div ${capacity}L").as("bin_first"),
+        expr(s"(tok_offset + n_tokens - 1) div ${capacity}L").as("bin_last"))
       .withColumn("n_bins", col("bin_last") - col("bin_first") + lit(1L))
   }
 }

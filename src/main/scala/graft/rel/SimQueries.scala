@@ -101,10 +101,14 @@ object SimQueries {
     // MomentAggregator (a commutative monoid, so Catalyst
     // partial-aggregates it like any built-in sum — partial/final,
     // never a per-key collect). Portability: the aggregator folds
-    // rating_i fixed-point units carried as exact integer doubles
-    // (every partial stays < 2^53), so double addition order cannot
-    // change a bit; the final divisions are spelled identically in
-    // the oracle and IEEE-correctly-rounded on both engines.
+    // rating_i fixed-point units carried as integer-valued doubles;
+    // the sums are exact (hence order-independent) while every
+    // partial stays < 2^53, which at max rating_i ≈ 5e5 holds up to
+    // ~36 k ratings per item — 24× the densest item here. Past that
+    // envelope the typed path would need a DECIMAL buffer exactly
+    // like the relational q_sim_pearson_dec twin; the final
+    // divisions are spelled identically in the oracle and
+    // IEEE-correctly-rounded on both engines.
     "q_item_stats_typed" -> ((s, d) => {
       import s.implicits._
       val buf = ratings(s, d).select(col("item_id"), col("rating_i"))
