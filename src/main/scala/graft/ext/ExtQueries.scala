@@ -268,6 +268,20 @@ object ExtQueries {
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy(col("doc_id"))),
 
+    // Canonical-document centrality: 3 fixed integer PageRank rounds
+    // over the SAME near-dup edge set q_dedup_clusters clusters —
+    // inside a duplicate cluster the highest-rank member is the hub
+    // the others copy, a better keeper than min-doc_id. All-integer
+    // arithmetic (Scale units, 17/20 damping, truncating div), so
+    // the 3 rounds replay bit-exactly as chained CTEs.
+    "q_graph_rank" -> ((s, d) =>
+      GraphRank.pageRank(
+          docs(s, d).select(col("doc_id")),
+          simhashPairsC(s, d).select(col("d1"), col("d2"))
+            .unionByName(simhashRescueC(s, d).select(col("d1"), col("d2")))
+            .distinct())
+        .orderBy(col("doc_id"))),
+
     // Token counting: whitespace words + regex token stream.
     "q_token_count" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1157,6 +1171,30 @@ object ExtQueries {
          |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_keeper
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Same edge CTEs as q_dedup_clusters; then the integer PageRank
+    // rounds from GraphRank.pageRankSql — no doubles anywhere, so no
+    // rounding discipline is even needed. ORDER BY is qualified
+    // (n.doc_id) — DuckDB binds an unqualified name ambiguously here
+    // (the decontam-oracle trap).
+    "q_graph_rank" ->
+      s"""WITH $simhashPairCtes,
+         |edges AS (
+         |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
+         |  UNION
+         |  SELECT d1, d2 FROM rpairs WHERE bit_count(xor(h1, h2)) <= 3),
+         |sym AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges
+         |  UNION ALL
+         |  SELECT d2 AS src, d1 AS dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+         |nodes AS (SELECT doc_id FROM documents),
+         |${GraphRank.pageRankSql()}
+         |SELECT n.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg, p.pr
+         |FROM nodes n
+         |LEFT JOIN deg d ON d.src = n.doc_id
+         |JOIN pr${GraphRank.Rounds} p ON p.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,

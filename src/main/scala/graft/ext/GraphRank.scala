@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank over a document graph — the
+  * centrality pass a dedup pipeline runs to pick CANONICAL documents:
+  * within a near-dup cluster, the member most connected to the rest
+  * is the best keeper (min-doc_id keepers are arbitrary; centrality
+  * keepers are the hub the cluster duplicates).
+  *
+  * Everything is 64-bit integer arithmetic on purpose:
+  *  - rank mass in [[Scale]] units (1e9 per unit);
+  *  - damping 0.85 as the rational 17/20 — `x*17 div 20`;
+  *  - neighbor contributions as `pr div deg` truncating division.
+  * Truncating integer division is deterministic and means the whole
+  * iteration is bit-for-bit replayable in ANSI SQL (`//` on positive
+  * BIGINTs in DuckDB == `div` in Spark), so a FIXED number of rounds
+  * has an exact chained-CTE oracle — same trick as the k-means
+  * round-by-round replay, without the fixed-point snapping, because
+  * no doubles ever appear.
+  *
+  * Scale shape: each round is one shuffle join (contributions keyed
+  * by source node) plus one aggregation (sum by destination) — the
+  * standard distributed PageRank; rounds are fixed (no convergence
+  * job), and every iterate is materialized through
+  * [[Dedup.IterMaterializer]], so lineage stays flat and the reliable
+  * checkpoint path (spark.graft.checkpoint.dir) applies unchanged.
+  * Overflow envelope: total mass = n·[[Scale]]; a hub's rank is
+  * bounded by total mass, so Long holds to ~9e9 documents at this
+  * Scale — past that, lower Scale or move to DECIMAL like the
+  * pairMomentsDec twin.
+  */
+object GraphRank {
+  /** Fixed-point units per unit of rank mass. */
+  val Scale = 1000000000L
+  /** Damping 0.85 as an exact rational. */
+  val DampNum = 17L
+  val DampDen = 20L
+  /** (1 − d)·Scale — the teleport floor every node keeps. */
+  val Base: Long = Scale - Scale * DampNum / DampDen
+  val Rounds = 3
+
+  /** `rounds` synchronous PageRank iterations over the undirected
+    * graph `edges(d1, d2)` (pairs, each stored once; symmetrized
+    * here). Returns (doc_id, deg, pr) — isolated nodes keep deg 0 and
+    * settle at [[Base]] after the first round. */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+               rounds: Int = Rounds): DataFrame = {
+    val spark = nodes.sparkSession
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val mat = new Dedup.IterMaterializer("pagerank", spark)
+    // Symmetrized edges + degrees are read once per round: material-
+    // ize them up front instead of re-deriving from the pair table.
+    val symM = mat(sym)
+    val degM = mat(deg)
+    var pr = nodes.select(col("doc_id"), lit(Scale).as("pr"))
+    for (_ <- 1 to rounds) {
+      val contrib = symM
+        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(degM, Seq("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("acc"))
+      pr = mat(nodes
+        .join(contrib.withColumnRenamed("dst", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(Base) + expr(
+            s"coalesce(acc, 0L) * $DampNum div $DampDen")).as("pr")))
+    }
+    pr.join(degM.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("pr"))
+  }
+
+  /** The chained-CTE SQL replay of [[pageRank]]: one CTE per round
+    * over `sym(src, dst)` + `deg(src, deg)` + `nodes(doc_id)` CTEs the
+    * caller provides. Emits `pr$rounds(doc_id, pr)`. */
+  def pageRankSql(rounds: Int = Rounds): String = {
+    val r0 = s"pr0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS pr FROM nodes)"
+    val steps = (1 to rounds).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.doc_id,
+         |         CAST($Base + COALESCE(s.acc, 0) * $DampNum // $DampDen
+         |           AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(p.pr // d.deg) AS acc
+         |    FROM sym e
+         |    JOIN pr${i - 1} p ON p.doc_id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) s ON s.doc_id = n.doc_id)""".stripMargin
+    }
+    (r0 +: steps).mkString(",\n")
+  }
+}

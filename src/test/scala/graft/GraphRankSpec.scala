@@ -1,0 +1,35 @@
+package graft
+
+import graft.ext.GraphRank
+
+/** Integer PageRank: hand-computed goldens on a path graph plus the
+  * isolated-node and determinism properties the oracle relies on. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3-round fixed-point PageRank matches hand-computed goldens") {
+    // path 1–2–3, node 4 isolated; Scale 1e9, damping 17/20:
+    //   r1: A/C = .15e9 + (.5e9*17)div20 = 575000000, B = 1850000000
+    //   r2: A/C = 936250000,  B = 1127500000
+    //   r3: A/C = 629187500,  B = 1741625000;  isolated stays at Base
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val out = GraphRank.pageRank(nodes, edges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 629187500L),
+      (2L, 2L, 1741625000L),
+      (3L, 1L, 629187500L),
+      (4L, 0L, GraphRank.Base)))
+  }
+
+  test("rank is partitioning-independent (all-integer arithmetic)") {
+    val nodes = (0L until 40L).toDF("doc_id")
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val a = GraphRank.pageRank(nodes.repartition(1), edges.repartition(1))
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    val b = GraphRank.pageRank(nodes.repartition(7), edges.repartition(5))
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(a == b)
+  }
+}
