@@ -73,6 +73,37 @@ object Dedup {
       |  FROM ws WHERE len(w) >= 3
       |)""".stripMargin
 
+  /** Fixed-length character windows with a stride (the exact-substring
+    * dedup unit of Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better" — suffix-array ExactSubstr, approximated
+    * here by strided windows, the shape a distributed engine can group
+    * on): one row per (doc_id, window string). Documents shorter than
+    * `w` produce no rows. The fanout is computed per-row (`sequence` +
+    * `transform` + `explode`) and never shuffles.
+    *
+    * Grouping downstream is on the RAW window string so the semantics
+    * are exact (no collision caveat); a 100 TB run groups on a 128-bit
+    * hash of the window instead (xxhash64 pair / sha2-128) — same
+    * plan, 8–16 bytes per key instead of `w` chars. */
+  def textWindows(docs: DataFrame, w: Int = 40, stride: Int = 10): DataFrame =
+    docs.where(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), expr(s"(length(text) - $w) div $stride")),
+          i => col("text").substr(i * lit(stride) + 1, lit(w))))
+          .as("wstr"))
+
+  /** SQL twin of [[textWindows]] as a CTE over `documents`: emits
+    * `wins(doc_id, wstr)` (w=40, stride=10). */
+  val textWindowsSql: String =
+    """wspan AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, (length(text)-40)//10)) AS i
+      |  FROM documents WHERE length(text) >= 40),
+      |wins AS (
+      |  SELECT doc_id, substr(text, i*10 + 1, 40) AS wstr FROM wspan)"""
+      .stripMargin
+
   /** (doc_id, h) shingle-hash projection: the ONLY columns the whole
     * minhash chain (band minima, candidates, rescue) needs. Callers
     * that cache the chain's input should cache THIS frame, not the

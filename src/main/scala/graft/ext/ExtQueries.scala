@@ -95,13 +95,28 @@ object ExtQueries {
     ()
   }
 
-  /** Force the trained k-means quantizer (q_ann_kmeans's codebook —
-    * a session-shared artifact like the LSH tables). */
+  /** PQ codebook + code table, session-shared: a production deploy
+    * persists both (they ARE the index); the codebook is O(M·k·dsub)
+    * rows at any corpus size, the codes N×M small integers. */
+  private def pqCentC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "pq_codebook", d)(
+      VectorSearch.pqTrain(emb(s, d).select(col("vec_id"), col("embedding"))))
+
+  private def pqCodesC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "pq_codes", d)(
+      VectorSearch.pqEncode(
+        emb(s, d).select(col("vec_id"), col("embedding")), pqCentC(s, d)))
+
+  /** Force the trained quantizers (q_ann_kmeans's codebook, the PQ
+    * codebook + codes — session-shared artifacts like the LSH
+    * tables). */
   def warmVectors(spark: SparkSession, dir: String): Unit = {
     Cache.getOrPersist(spark, "kmeans_cells_8_2", dir)(
       VectorSearch.kmeansCells(
         emb(spark, dir).select(col("vec_id"), col("embedding")),
         k = 8, iters = 2)).count()
+    pqCentC(spark, dir).count()
+    pqCodesC(spark, dir).count()
     ()
   }
 
@@ -281,6 +296,42 @@ object ExtQueries {
             .unionByName(simhashRescueC(s, d).select(col("d1"), col("d2")))
             .distinct())
         .orderBy(col("doc_id"))),
+
+    // Triangle participation over the minhash near-dup candidate
+    // graph: edges that close triangles are corroborated by two other
+    // detections (likely true near-dups); triangle-free edges are the
+    // LSH false-positive suspects. Degree-ordered orientation keeps
+    // the wedge join O(m^1.5) even inside near-dup cliques — see
+    // GraphRank.triangleCounts.
+    "q_graph_triangles" -> ((s, d) =>
+      GraphRank.triangleCounts(
+          candidatesC(s, d).select(col("d1"), col("d2")))
+        .orderBy(col("doc_id"))),
+
+    // Exact duplicated-substring audit (the ExactSubstr shape of Lee
+    // et al. 2022, strided-window approximation): per doc, how many
+    // 40-char windows (stride 10) also appear in ANOTHER document.
+    // Grouping is on the raw window string — exact semantics, no
+    // hash-collision caveat (production swaps in a 128-bit hash key,
+    // same plan). The per-window doc-count rides a window function
+    // over the (wstr, doc_id) aggregate, so the corpus shuffles once
+    // on wstr and once on doc_id — no join-back of a corpus-sized
+    // dup set.
+    "q_dup_windows" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perDocWin = Dedup.textWindows(docs(s, d))
+        .groupBy(col("wstr"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
+      val marked = perDocWin.withColumn("ndocs",
+        count(lit(1)).over(Window.partitionBy(col("wstr"))))
+      marked.groupBy(col("doc_id"))
+        .agg(sum(col("occ")).as("n_windows"),
+          sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L))
+            .as("n_dup_windows"))
+        .withColumn("dup_frac",
+          Det.r4(col("n_dup_windows") / col("n_windows")))
+        .orderBy(col("doc_id"))
+    }),
 
     // Token counting: whitespace words + regex token stream.
     "q_token_count" -> ((s, d) =>
@@ -697,6 +748,19 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // PQ-ADC ANN: per-subspace codebooks (deterministic fixed-point
+    // L2 k-means over 4×16-dim subvectors), corpus encoded to 4 small
+    // codes per vector, queries scored by asymmetric distance — the
+    // sum of 4 integer table lookups. Distances stay exact 1e-12
+    // fixed-point BIGINTs end-to-end (argmin, ADC, ranking): no
+    // double rounding exists anywhere in this query.
+    "q_ann_pq" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") % 50 === 0)
+      VectorSearch.pqAdcTopK(queries, pqCentC(s, d), pqCodesC(s, d), 3)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // The distributed dictionary-encoding pre-pass as a first-class
     // op: dense deterministic int ids for arbitrary keys (what ALS —
     // and any factor/embedding table — needs at 100 TB where raw ids
@@ -1039,6 +1103,67 @@ object ExtQueries {
        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Generated oracle for q_ann_pq: per-subspace seeds → `iters`
+    * rounds of (exact integer L2 argmin → fixed-point means) → corpus
+    * codes → per-query distance tables → ADC ranking. Mirrors
+    * [[VectorSearch.pqTrain]]/[[VectorSearch.pqAdcTopK]] term for
+    * term; distances are 1e-12-unit BIGINTs on both engines, so no
+    * rounding discipline is needed past the snapping floor. */
+  private def pqAdcOracle(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val F12 = "1000000000000.0"
+    def d2(name: String, centName: String, filter: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.sub, c.cell_id,
+         |         sum(CAST(floor((e.v-c.cv)*(e.v-c.cv)*$F12 + 0.5)
+         |             AS BIGINT)) AS d2
+         |  FROM sexpl e
+         |  JOIN $centName c ON c.sub = e.sub AND c.j = e.j
+         |  $filter
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    def asg(name: String, d2Name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sub, cell_id FROM (
+         |    SELECT vec_id, sub, cell_id,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY d2, cell_id) AS arn
+         |    FROM $d2Name) WHERE arn = 1)""".stripMargin
+    def nextCent(r: Int) =
+      s"""cent${r + 1} AS (
+         |  SELECT a.sub, a.cell_id, e.j,
+         |         (CAST(sum(CAST(floor(e.v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM pasg$r a
+         |  JOIN sexpl e ON e.vec_id = a.vec_id AND e.sub = a.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    val rounds = (0 until iters).map(r =>
+      Seq(d2(s"pd2$r", s"cent$r", ""), asg(s"pasg$r", s"pd2$r"),
+        nextCent(r)).mkString(",\n")).mkString(",\n")
+    s"""WITH sexpl AS (
+       |  SELECT vec_id, (i-1) // $dsub AS sub, (i-1) % $dsub AS j,
+       |         CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+       |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ksub),
+       |cent0 AS (
+       |  SELECT e.sub, s.vec_id AS cell_id, e.j, e.v AS cv
+       |  FROM sexpl e JOIN seeds s ON s.vec_id = e.vec_id),
+       |$rounds,
+       |${d2(s"pd2$iters", s"cent$iters", "")},
+       |${asg("codes", s"pd2$iters")},
+       |${d2("qd2", s"cent$iters", "WHERE e.vec_id % 50 = 0")},
+       |ad AS (
+       |  SELECT t.vec_id AS qid, k.vec_id,
+       |         CAST(sum(t.d2) AS BIGINT) AS adist
+       |  FROM codes k
+       |  JOIN qd2 t ON t.sub = k.sub AND t.cell_id = k.cell_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |                               ORDER BY adist, vec_id) AS rn
+       |  FROM ad)
+       |SELECT qid, vec_id, adist, rn
+       |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Shared CTE chain for the quality-score oracles (`quals` carries
     * the final per-doc quality). */
   private lazy val qualityCtes: String =
@@ -1195,6 +1320,32 @@ object ExtQueries {
          |LEFT JOIN deg d ON d.src = n.doc_id
          |JOIN pr${GraphRank.Rounds} p ON p.doc_id = n.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+
+    // Triangle counts over the minhash candidate graph: candidate
+    // CTE + the degree-ordered-orientation replay.
+    "q_graph_triangles" ->
+      s"""WITH $candSql,
+         |edges AS (SELECT d1, d2 FROM cand),
+         |${GraphRank.triangleCountsSql}
+         |SELECT doc_id, n_triangles FROM tripart ORDER BY doc_id""".stripMargin,
+
+    // Duplicated 40-char windows (stride 10): same strided fanout,
+    // same (wstr, doc_id) aggregate + per-wstr window.
+    "q_dup_windows" ->
+      s"""WITH ${Dedup.textWindowsSql},
+         |g AS (SELECT wstr, doc_id, count(*) AS occ
+         |      FROM wins GROUP BY 1, 2),
+         |m AS (SELECT wstr, doc_id, occ,
+         |             count(*) OVER (PARTITION BY wstr) AS ndocs FROM g),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |         CAST(sum(occ) AS BIGINT) AS n_windows,
+         |         CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END)
+         |              AS BIGINT) AS n_dup_windows
+         |  FROM m GROUP BY 1)
+         |SELECT doc_id, n_windows, n_dup_windows,
+         |       ${r4("CAST(n_dup_windows AS DOUBLE) / n_windows")} AS dup_frac
+         |FROM perdoc ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,
@@ -1508,6 +1659,10 @@ object ExtQueries {
     },
 
     "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
+
+    "q_ann_pq" -> pqAdcOracle(
+      m = VectorSearch.PqSubspaces, dsub = VectorSearch.PqSubDim,
+      ksub = VectorSearch.PqCodes, iters = VectorSearch.PqIters),
 
     // Derived-property oracle for the ALS path (see the query's
     // comment): the properties hold for ANY correct top-5

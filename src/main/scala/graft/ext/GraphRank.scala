@@ -75,6 +75,73 @@ object GraphRank {
         col("pr"))
   }
 
+  /** Per-document triangle participation counts over the undirected
+    * pair graph `edges(d1, d2)` (each pair once, d1 < d2) — the
+    * clustering-coefficient ingredient a dedup-graph audit reads:
+    * near-dup edges that close triangles are corroborated by two
+    * other detections, while triangle-free edges are the likely LSH
+    * false positives.
+    *
+    * Algorithm: degree-ordered orientation. Every edge is directed
+    * from its endpoint that is LOWER in the (degree, doc_id) total
+    * order; a triangle then has exactly one vertex with out-edges to
+    * the other two, so the wedge join u→v, v→w closed by u→w counts
+    * each triangle exactly once — no ×6 overcount, no distinct. The
+    * orientation is the scale guarantee: out-degrees are bounded by
+    * O(√m) on any graph (arboricity bound), so the wedge join's
+    * fan-out is capped even when a near-dup clique makes raw degrees
+    * huge — the standard distributed triangle algorithm (Suri &
+    * Vassilvitskii's MR "last reducer" fix). Both joins shuffle on
+    * vertex keys; nothing is ever all-pairs.
+    *
+    * Ties in the order resolve to the lower doc_id; since `edges`
+    * stores d1 < d2, `deg(d1) <= deg(d2)` orients d1→d2 exactly when
+    * the lexicographic (deg, id) order does — the oracle spells the
+    * same CASE. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("d1"), col("d2"))
+    val deg = e.select(col("d1").as("v"))
+      .unionByName(e.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val fwd = e
+      .join(deg.select(col("v").as("d1"), col("dg").as("dg1")), Seq("d1"))
+      .join(deg.select(col("v").as("d2"), col("dg").as("dg2")), Seq("d2"))
+      .select(
+        when(col("dg1") <= col("dg2"), col("d1")).otherwise(col("d2")).as("u"),
+        when(col("dg1") <= col("dg2"), col("d2")).otherwise(col("d1")).as("w"))
+    val wedge = fwd.select(col("u").as("a"), col("w").as("b"))
+      .join(fwd.select(col("u").as("b"), col("w").as("c")), Seq("b"))
+    val tri = wedge
+      .join(fwd.select(col("u").as("a"), col("w").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** SQL twin of [[triangleCounts]] as chained CTEs over
+    * `edges(d1, d2)`; emits `tripart(doc_id, n_triangles)`. */
+  val triangleCountsSql: String =
+    """tdeg AS (
+      |  SELECT v, count(*) AS dg FROM (
+      |    SELECT d1 AS v FROM edges UNION ALL SELECT d2 AS v FROM edges)
+      |  GROUP BY 1),
+      |fwd AS (
+      |  SELECT CASE WHEN g1.dg <= g2.dg THEN e.d1 ELSE e.d2 END AS u,
+      |         CASE WHEN g1.dg <= g2.dg THEN e.d2 ELSE e.d1 END AS w
+      |  FROM edges e
+      |  JOIN tdeg g1 ON g1.v = e.d1
+      |  JOIN tdeg g2 ON g2.v = e.d2),
+      |tri AS (
+      |  SELECT w1.u AS a, w1.w AS b, w2.w AS c
+      |  FROM fwd w1
+      |  JOIN fwd w2 ON w2.u = w1.w
+      |  JOIN fwd w3 ON w3.u = w1.u AND w3.w = w2.w),
+      |tripart AS (
+      |  SELECT doc_id, count(*) AS n_triangles FROM (
+      |    SELECT a AS doc_id FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)""".stripMargin
+
   /** The chained-CTE SQL replay of [[pageRank]]: one CTE per round
     * over `sym(src, dst)` + `deg(src, deg)` + `nodes(doc_id)` CTEs the
     * caller provides. Emits `pr$rounds(doc_id, pr)`. */

@@ -426,4 +426,114 @@ object VectorSearch {
         sum(col("err_fx")).as("err_fx"))
       .withColumn("recon_err", Det.r4(col("err_fx").cast("double") / lit(1e9)))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) + asymmetric-distance (ADC) search —
+  // the third compression leg (after int8 SQ and IVF): Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+  // The 64-dim vector is split into 4 contiguous 16-dim subvectors;
+  // each subspace gets its own 8-centroid codebook (deterministic
+  // fixed-point L2 k-means), so a vector stores as 4 small codes —
+  // 3 bits each here, 8 bits (256 centroids) in production — instead
+  // of 256 bytes of floats. Query time never reconstructs: the query
+  // precomputes a (subspace × centroid) distance table and scores a
+  // candidate as the SUM of 4 table lookups (asymmetric distance).
+  // ---------------------------------------------------------------
+
+  /** PQ geometry for the scored query: 4 × 16-dim subspaces, 8 codes
+    * per subspace, 1 training round. Pinned constants (not corpus-
+    * sized) because the oracle is a static CTE chain; production uses
+    * 8-bit codebooks (256 centroids) and ~10 rounds. */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqCodes = 8
+  val PqIters = 1
+
+  /** Long-form subvector view: (vec_id, sub, j, v) with `sub` the
+    * subspace index and `j` the dimension within it. */
+  private def subExpl(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("pos", "v")))
+      .select(col("vec_id"),
+        expr(s"pos div $PqSubDim").cast("int").as("sub"),
+        expr(s"pos % $PqSubDim").cast("int").as("j"),
+        col("v"))
+
+  /** Per-subspace squared L2 distance to each codebook centroid, in
+    * exact 1e-12 fixed-point units (BIGINT): every (v−cv)² term is
+    * snapped to an integer before the sum, so the distance is
+    * order-independent and needs NO double rounding anywhere —
+    * distances stay integers end-to-end through argmin and ADC.
+    * `cent` is the (sub, cell_id, j, cv) codebook — broadcast: it has
+    * subspaces×codes×subdim rows (512 here) at ANY corpus size. */
+  private def subDistances(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(broadcast(cent), Seq("sub", "j"))
+      .groupBy(col("vec_id"), col("sub"), col("cell_id"))
+      .agg(sum(floor((col("v") - col("cv")) * (col("v") - col("cv"))
+        * lit(1e12) + lit(0.5)).cast("long")).as("d2"))
+
+  /** Argmin over [[subDistances]]: (vec_id, sub, cell_id) — min_by
+    * over the total-order key (d2, cell_id), so ties are impossible
+    * by construction. */
+  private def subAssign(d2: DataFrame): DataFrame =
+    d2.groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cell_id"), struct(col("d2"), col("cell_id")))
+        .as("cell_id"))
+
+  /** Train the per-subspace codebooks: seeds are the [[PqCodes]]
+    * lowest-id vectors' subvectors (cell_id = seed vec_id, the
+    * [[kmeansCells]] convention), then [[PqIters]] rounds of
+    * assignment (exact integer L2 argmin) + fixed-point 1e-9 means.
+    * Returns the long-form codebook (sub, cell_id, j, cv).
+    *
+    * Scale: each round is one broadcast join over the corpus's
+    * long form plus one per-(sub, cell, j) mean — the corpus is
+    * never shuffled by vector, and the codebook stays O(M·k·dsub)
+    * rows regardless of N. */
+  def pqTrain(emb: DataFrame): DataFrame = {
+    val vecs = subExpl(emb)
+    var cent = subExpl(emb.orderBy(col("vec_id")).limit(PqCodes))
+      .select(col("sub"), col("vec_id").as("cell_id"), col("j"),
+        col("v").as("cv"))
+    for (_ <- 0 until PqIters) {
+      val assign = subAssign(subDistances(vecs, cent))
+      cent = assign.join(vecs, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cell_id"), col("j"))
+        .agg((((sum(floor(col("v") * lit(1e9) + lit(0.5)).cast("long")))
+          .cast("double") / count(lit(1))) / lit(1e9)).as("cv"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Encode the corpus against a trained codebook: (vec_id, sub,
+    * code). N×M rows of small integers — the compressed index a
+    * 100 TB deployment keeps hot (here 4 codes ≈ 2 B vs 256 B of
+    * floats). */
+  def pqEncode(emb: DataFrame, cent: DataFrame): DataFrame =
+    subAssign(subDistances(subExpl(emb), cent))
+      .withColumnRenamed("cell_id", "code")
+
+  /** ADC top-k: each query builds its (sub, centroid) distance table
+    * (nq×M×k rows — broadcast), then every corpus vector scores as
+    * the sum of M integer table lookups against its codes; top-k by
+    * (adist ASC, vec_id). Full-scan ADC here (N-linear, never
+    * quadratic); production composes the same table with an IVF
+    * shortlist exactly like [[sqRerank]] does for SQ codes. */
+  def pqAdcTopK(queries: DataFrame, cent: DataFrame, codes: DataFrame,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dtable = subDistances(subExpl(queries), cent)
+      .select(col("vec_id").as("qid"), col("sub"), col("cell_id"), col("d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(dtable),
+        codes("sub") === dtable("sub") && codes("code") === dtable("cell_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
+  }
 }

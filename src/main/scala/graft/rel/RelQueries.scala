@@ -514,6 +514,78 @@ object RelQueries {
           ((max(col("ts_ms")) - min(col("ts_ms"))) / lit(1000.0))
             .as("duration_sec"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Gap-fill + forward fill (time-series resample): per-customer
+    // daily order revenue with missing days materialized and the last
+    // observed value carried forward. The day axis comes from
+    // `sequence()` over each key's OWN [min, max] span (generated from
+    // one aggregated row per key, so the fanout is computed
+    // distributively and never shuffles); the fill is
+    // `last(_, ignoreNulls)` over a running ROWS frame. At 100 TB the
+    // (key, day) left join co-partitions both sides on the same keys
+    // and the fill window rides the join's partitioning — no extra
+    // exchange beyond the one the join needs.
+    "q_gapfill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perDay = t(s, d, "orders")
+        .where(col("o_custkey") % 100 === 1)
+        .withColumn("day",
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .groupBy(col("o_custkey"), col("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      val days = perDay.groupBy(col("o_custkey"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("o_custkey"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(perDay, Seq("o_custkey", "day"), "left")
+        .select(col("o_custkey"), col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+          when(col("n_orders").isNull, 1L).otherwise(0L).as("is_gap"))
+        .orderBy(col("o_custkey"), col("day"))
+    }),
+
+    // Unpivot (wide→long melt): the four lineitem measures into
+    // (metric, value) rows, then a per-metric profile. Spark's
+    // `unpivot` lowers to an Expand node — ONE scan emits all four
+    // long-form rows per input row, and the partial aggregation folds
+    // them map-side, so the whole melt+profile is a single pass with
+    // one 4-row-group exchange (same shape as q_profile_columns'
+    // stack). No shuffle scales with input width.
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          Det.fsum4(col("value")).as("total"),
+          Det.r4(min(col("value"))).as("min_v"),
+          Det.r4(max(col("value"))).as("max_v"))
+        .orderBy(col("metric"))),
+
+    // Partition-pruned scan over a hive-partitioned layout: events
+    // re-written `partitionBy(event_type)` once per sf dir
+    // (PartitionFixtures), then read back with a partition-key filter.
+    // The filter never reads non-matching partitions — it binds as
+    // `PartitionFilters` on the scan (directory-level pruning;
+    // ApiSpec asserts 2 of 5 partitions selected). The oracle states
+    // the same aggregate against the ORIGINAL events table, so the
+    // whole write→layout→prune→read round trip is value-checked.
+    "q_partition_prune" -> ((s, d) => {
+      val path = graft.io.PartitionFixtures.writeEventsByType(s, d)
+      s.read.parquet(path)
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.fsum2(col("value")).as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -860,6 +932,61 @@ object RelQueries {
         |       CAST(max(ts_ms) - min(ts_ms) AS DOUBLE) / 1000.0
         |         AS duration_sec
         |FROM sessions GROUP BY 1, 2
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // Gap-fill: same per-key generate_series axis + IGNORE NULLS
+    // forward fill. cents stays integral end-to-end (sum of
+    // half-up-floored cents; BIGINT cast because DuckDB promotes
+    // sum(BIGINT) to HUGEINT).
+    "q_gapfill" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 100 = 1 GROUP BY 1, 2),
+        |s AS (SELECT o_custkey, min(day) AS d0, max(day) AS d1
+        |      FROM o GROUP BY 1),
+        |days AS (SELECT o_custkey,
+        |                unnest(generate_series(d0, d1)) AS day FROM s),
+        |j AS (SELECT days.o_custkey, days.day, o.n_orders, o.cents
+        |      FROM days LEFT JOIN o ON o.o_custkey = days.o_custkey
+        |                           AND o.day = days.day)
+        |SELECT o_custkey, day,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       last_value(cents IGNORE NULLS)
+        |         OVER (PARTITION BY o_custkey ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS filled_cents,
+        |       CASE WHEN n_orders IS NULL THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS is_gap
+        |FROM j ORDER BY o_custkey, day""".stripMargin,
+
+    // Unpivot: UNION ALL melt (the engine-neutral spelling of
+    // Spark's Expand lowering).
+    "q_unpivot" ->
+      s"""WITH m AS (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount', l_discount FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_tax', l_tax FROM lineitem)
+         |SELECT metric, count(*) AS n,
+         |       ${fsum4("value")} AS total,
+         |       ${r4("min(value)")} AS min_v,
+         |       ${r4("max(value)")} AS max_v
+         |FROM m GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // Partition prune: the oracle recomputes from the ORIGINAL events
+    // table — equality proves the partitioned write+pruned read round
+    // trip dropped and duplicated nothing.
+    "q_partition_prune" ->
+      s"""SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |       count(*) AS n_events,
+         |       ${fsum2("value")} AS sum_value
+         |FROM events WHERE event_type IN ('click', 'purchase')
+         |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
   )
 }

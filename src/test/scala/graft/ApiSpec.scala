@@ -134,6 +134,29 @@ class ApiSpec extends SparkSpec {
       s"the 20-metric profile must run as ONE scan, saw $scans:\n$plan")
   }
 
+  test("q_partition_prune reads only the matching event_type partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_partition_prune")(spark, sf001)
+    // AdaptiveSparkPlanExec is a leaf node — unwrap to reach the scan
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = root.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+    assert(scan.partitionFilters.map(_.toString)
+        .exists(_.contains("event_type")),
+      s"the type filter must bind as a PartitionFilter, got " +
+        s"${scan.partitionFilters}")
+    // directory-level pruning: 2 of the 5 event_type partitions
+    val parts = scan.selectedPartitions.partitionCount
+    assert(parts == 2, s"expected 2 pruned partitions, scanned $parts")
+    // and no residual data filter on event_type (it never reaches rows)
+    assert(!scan.dataFilters.map(_.toString).exists(_.contains("event_type")))
+  }
+
   test("stream gate's incoming side plans no Exchange below the bucket join") {
     // the stateless whole-doc minima must fuse into the scan
     // projection: every operator between the documents scan and the

@@ -812,4 +812,89 @@ class ExtSpec extends SparkSpec {
       assert(recs.forall(row => Set("a", "b").contains(row.getString(1))))
     } finally spark.conf.unset("spark.graft.dict.broadcastMax")
   }
+
+  test("PQ: identical vectors share codes; ADC ranks own cluster first") {
+    import spark.implicits._
+    // two exact point clouds in 64 dims: ids alternate so the seed
+    // window (8 lowest ids) sees both patterns; values are multiples
+    // of 2^-k so fixed-point means reproduce members exactly
+    val a = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.25f)
+    val b = Array.tabulate(64)(i => if (i % 3 == 0) -1.0f else 0.75f)
+    val emb = (0L until 10L).map(id =>
+        (id, if (id % 2 == 0) a else b))
+      .toDF("vec_id", "embedding")
+    val cent = VectorSearch.pqTrain(emb)
+    // codebook geometry: every subspace has full-dim centroids
+    val bySub = cent.groupBy("sub").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    // codes: all a-copies identical, all b-copies identical, disjoint
+    val codes = VectorSearch.pqEncode(emb, cent).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+    assert((0L until 10L by 2).map(codes).toSet.size == 1)
+    assert((1L until 10L by 2).map(codes).toSet.size == 1)
+    assert(codes(0L) != codes(1L))
+    // ADC from one query per cluster: own cluster fills the top-5
+    // with adist 0 (centroid == the exact member pattern)
+    val out = VectorSearch.pqAdcTopK(
+        emb.where(col("vec_id") < 2), cent, VectorSearch.pqEncode(emb, cent),
+        k = 5)
+      .collect().groupBy(_.getLong(0))
+    for (q <- Seq(0L, 1L)) {
+      val rows = out(q).sortBy(_.getLong(3))
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(3)).toSeq == (1L to 5L))
+      assert(rows.forall(r => r.getLong(1) % 2 == q % 2),
+        s"query $q should retrieve only its own cluster: " +
+          rows.map(_.getLong(1)).toSeq)
+      assert(rows.forall(_.getLong(2) == 0L))
+    }
+  }
+
+  test("textWindows: strided coverage, short-doc drop, cross-doc dups") {
+    import spark.implicits._
+    // 60 chars → i ∈ {0,1,2} → 3 windows at 1, 11, 21; 39 chars → none
+    val a = ("x" * 9 + "A") * 6            // 60 chars
+    val b = "y" * 39                       // below w → no windows
+    val docs = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+    val wins = graft.ext.Dedup.textWindows(docs)
+    val byDoc = wins.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 3L, 3L -> 3L))
+    // every doc-1 window recurs verbatim in doc 3 → all dup'd
+    // (the registered query's aggregation shape, on the toy frame)
+    import org.apache.spark.sql.expressions.Window
+    val perDocWin = wins.groupBy(col("wstr"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    val marked = perDocWin.withColumn("ndocs",
+      count(lit(1)).over(Window.partitionBy(col("wstr"))))
+    val dup = marked.groupBy(col("doc_id"))
+      .agg(sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L)).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == Map(1L -> 3L, 3L -> 3L))
+  }
+
+  test("q_gapfill: contiguous day axis, carried-forward fill, gap flags") {
+    val rows = graft.SparkEntry.queries("q_gapfill")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val days = rs.map(_._2)
+      // the axis is every day in [min, max], exactly once
+      assert(days.toSet == (days.min to days.max).toSet)
+      assert(days.length == days.toSet.size)
+      // endpoints are observations, gaps carry the previous value
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 > 0 && sorted.last._3 > 0)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, prevFill, _), (_, _, n, fill, gap)) =>
+          if (n == 0L) { assert(gap == 1L && fill == prevFill) }
+          else assert(gap == 0L)
+        case _ =>
+      }
+    }
+  }
 }

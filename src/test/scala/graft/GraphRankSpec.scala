@@ -23,6 +23,27 @@ class GraphRankSpec extends SparkSpec {
       (4L, 0L, GraphRank.Base)))
   }
 
+  test("triangleCounts: two shared-edge triangles + a pendant, exactly once") {
+    // triangles (1,2,3) and (2,3,5) share edge 2–3; node 4 is pendant
+    // off 3 and closes nothing → absent from the output
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (2L, 5L),
+      (3L, 4L)).toDF("d1", "d2")
+    val out = GraphRank.triangleCounts(edges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 2L), (5L, 1L)))
+  }
+
+  test("triangleCounts: K4 counts each of the 4 triangles exactly once") {
+    // degree-ordered orientation must not over- or under-count inside
+    // a clique where all degrees tie (order falls back to doc_id)
+    val vs = Seq(10L, 11L, 12L, 13L)
+    val edges = (for { a <- vs; b <- vs if a < b } yield (a, b))
+      .toDF("d1", "d2")
+    val out = GraphRank.triangleCounts(edges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == vs.map(v => (v, 3L)))
+  }
+
   test("rank is partitioning-independent (all-integer arithmetic)") {
     val nodes = (0L until 40L).toDF("doc_id")
     val edges = (0L until 39L).map(i => (i, i + 1)).toDF("d1", "d2")
