@@ -303,10 +303,18 @@ object ExtQueries {
     // LSH false-positive suspects. Degree-ordered orientation keeps
     // the wedge join O(m^1.5) even inside near-dup cliques — see
     // GraphRank.triangleCounts.
-    "q_graph_triangles" -> ((s, d) =>
-      GraphRank.triangleCounts(
-          candidatesC(s, d).select(col("d1"), col("d2")))
-        .orderBy(col("doc_id"))),
+    "q_graph_triangles" -> ((s, d) => {
+      // oriented edge list is a session graph artifact (read 3×;
+      // exchange reuse won't fire above the cached candidates);
+      // build sides ride the conf-gated broadcast — m rows of two
+      // longs broadcasts far past sandbox scale, shuffle past the gate
+      val fwd = Cache.getOrPersist(s, "tri_fwd", d)(
+        GraphRank.orientEdges(candidatesC(s, d).select(col("d1"), col("d2"))))
+      GraphRank.triangleCountsOriented(fwd,
+          f => graft.core.Broadcasts.gatedMemo(f,
+            "spark.graft.graph.broadcastMax", s"tri_fwd:$d"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Exact duplicated-substring audit (the ExactSubstr shape of Lee
     // et al. 2022, strided-window approximation): per doc, how many

@@ -98,21 +98,42 @@ object GraphRank {
     * stores d1 < d2, `deg(d1) <= deg(d2)` orients d1→d2 exactly when
     * the lexicographic (deg, id) order does — the oracle spells the
     * same CASE. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsOriented(orientEdges(edges), identity)
+
+  /** Degree-ordered orientation of `edges(d1, d2)` (d1 < d2): each
+    * edge directed from the endpoint lower in the (degree, doc_id)
+    * total order — emitted as (u, w). Callers that count triangles
+    * over a session-shared graph should materialize this frame once
+    * ([[triangleCountsOriented]] reads it three times, and exchange
+    * reuse does not fire above cached inputs — PLANS.md round 5). */
+  def orientEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("d1"), col("d2"))
     val deg = e.select(col("d1").as("v"))
       .unionByName(e.select(col("d2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-    val fwd = e
-      .join(deg.select(col("v").as("d1"), col("dg").as("dg1")), Seq("d1"))
+    e.join(deg.select(col("v").as("d1"), col("dg").as("dg1")), Seq("d1"))
       .join(deg.select(col("v").as("d2"), col("dg").as("dg2")), Seq("d2"))
       .select(
         when(col("dg1") <= col("dg2"), col("d1")).otherwise(col("d2")).as("u"),
         when(col("dg1") <= col("dg2"), col("d2")).otherwise(col("d1")).as("w"))
+  }
+
+  /** Triangle participation from pre-oriented edges. `gate` wraps the
+    * two BUILD sides of the wedge and closure joins — pass a conf-
+    * gated broadcast ([[graft.core.Broadcasts.gatedMemo]]) so the
+    * m-row oriented list broadcasts while it fits (the wedge stream
+    * then flows with ZERO exchanges into the closure probe) and falls
+    * back to shuffle joins past the gate; the wedge volume itself
+    * (O(m^1.5) worst case) is partial-aggregated before the final
+    * per-doc shuffle either way. */
+  def triangleCountsOriented(fwd: DataFrame,
+                             gate: DataFrame => DataFrame): DataFrame = {
     val wedge = fwd.select(col("u").as("a"), col("w").as("b"))
-      .join(fwd.select(col("u").as("b"), col("w").as("c")), Seq("b"))
+      .join(gate(fwd.select(col("u").as("b"), col("w").as("c"))), Seq("b"))
     val tri = wedge
-      .join(fwd.select(col("u").as("a"), col("w").as("c")), Seq("a", "c"))
+      .join(gate(fwd.select(col("u").as("a"), col("w").as("c"))),
+        Seq("a", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
