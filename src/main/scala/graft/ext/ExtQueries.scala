@@ -55,6 +55,11 @@ object ExtQueries {
     * corpus has over-cap buckets (see q_minhash_rescue's comment). */
   private val RescueCap = 15
 
+  /** Vocab budget for q_oov_rate — below the corpus's 31 distinct
+    * tokens so OOV is a real population; production budgets are
+    * 50k–200k. */
+  private val OovVocabSize = 20
+
   /** Rescue candidate pairs, shared by the rescue query and its exact
     * Jaccard rescore. */
   private def rescueCandC(s: SparkSession, d: String) =
@@ -338,6 +343,29 @@ object ExtQueries {
             .as("n_dup_windows"))
         .withColumn("dup_frac",
           Det.r4(col("n_dup_windows") / col("n_windows")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage / OOV rate: build the top-k corpus vocab
+    // (count desc, token asc — a total order, so the rank-k cut is
+    // deterministic) and score each doc's out-of-vocabulary token
+    // fraction — the tokenizer-coverage check run before committing a
+    // vocab budget. The cut is TakeOrderedAndProject (distributed
+    // partial top-k, no global sort), and the vocab is broadcast by
+    // construction (≤ VocabSize rows). k=20 here because the
+    // synthetic corpus has 31 distinct tokens; production budgets are
+    // 50k–200k and change nothing structurally.
+    "q_oov_rate" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(OovVocabSize)
+        .select(col("token"), lit(1L).as("__v"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_frac", Det.r4(col("n_oov") / col("n_tokens")))
         .orderBy(col("doc_id"))
     }),
 
@@ -1354,6 +1382,24 @@ object ExtQueries {
          |SELECT doc_id, n_windows, n_dup_windows,
          |       ${r4("CAST(n_dup_windows AS DOUBLE) / n_windows")} AS dup_frac
          |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    // OOV rate: same deterministic top-k vocab cut + left-join mark.
+    "q_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |vc AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |vocab AS (SELECT token FROM vc
+         |          ORDER BY cnt DESC, token LIMIT $OovVocabSize),
+         |j AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN vocab v ON v.token = t.token
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       ${r4("CAST(n_oov AS DOUBLE) / n_tokens")} AS oov_frac
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,

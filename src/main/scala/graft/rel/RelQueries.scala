@@ -570,6 +570,73 @@ object RelQueries {
           Det.r4(max(col("value"))).as("max_v"))
         .orderBy(col("metric"))),
 
+    // CDC/upsert compaction: the latest version per key (SCD1 — what
+    // a changelog materializes to). max_by over the (ts, id) total
+    // order runs as a partial/final aggregate — one shuffle of one
+    // row per key, never a window sort over the full history; ties
+    // are impossible because event_id is unique within the order key.
+    "q_cdc_latest" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      ev.groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_id"), col("event_type"), col("ts_ms")),
+            struct(col("ts_ms"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          col("last.ts_ms").as("ts_ms"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Equi-width histogram (the profiling primitive q_profile_columns
+    // doesn't cover): global [min, max] from one scalar aggregate
+    // broadcast back, bins as floor((v−lo)·k/(hi−lo)) capped at k−1.
+    // Every step is a correctly-rounded IEEE op on both engines, so
+    // bin edges are bit-identical; two scans total and the second
+    // groups straight into 20 rows.
+    "q_histogram" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val mm = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("o_totalprice") - col("lo")) * lit(20.0)
+            / (col("hi") - col("lo"))), lit(19.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          Det.fsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("bin"))
+    }),
+
+    // Z-score anomaly gate: per-type mean/std from exact fixed-point
+    // sums (1e-6 units; v and v² snapped per row, so the moments are
+    // order-independent — overflow envelope: |v|≤500 here keeps v²
+    // terms < 2.5e11, Long-safe to ~3.7e7 rows per type at this
+    // scale; past that the moments move to DECIMAL like the
+    // pairMomentsDec twin), outliers = |v−mean| > 3σ. The stats
+    // frame is per-type-sized → broadcast back; two scans, no window.
+    "q_anomaly_zscore" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          (sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1e6)).as("sx"),
+          (sum(floor(col("value") * col("value") * lit(1e6) + lit(0.5))
+            .cast("long")).cast("double") / lit(1e6)).as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("variance",
+          col("sxx") / col("n") - col("mean") * col("mean"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.r4(min(col("mean"))).as("mean_value"),
+          Det.r4(sqrt(min(col("variance")))).as("std_value"),
+          sum(when(abs(col("value") - col("mean"))
+              > lit(3.0) * sqrt(col("variance")), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // Partition-pruned scan over a hive-partitioned layout: events
     // re-written `partitionBy(event_type)` once per sf dir
     // (PartitionFixtures), then read back with a partition-key filter.
@@ -978,6 +1045,54 @@ object RelQueries {
          |       ${r4("min(value)")} AS min_v,
          |       ${r4("max(value)")} AS max_v
          |FROM m GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // CDC latest: row_number replay of the max_by total order.
+    "q_cdc_latest" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts_ms DESC, event_id DESC)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM ev)
+        |SELECT user_id, event_id, event_type, ts_ms, n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Histogram: identical IEEE bin arithmetic.
+    "q_histogram" ->
+      s"""WITH mm AS (
+         |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         |  FROM orders)
+         |SELECT CAST(least(floor((o_totalprice - lo) * 20.0 / (hi - lo)),
+         |                  19.0) AS BIGINT) AS bin,
+         |       count(*) AS n,
+         |       ${fsum2("o_totalprice")} AS sum_price
+         |FROM orders CROSS JOIN mm
+         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Z-score: the same fixed-point moments, mean/variance spelled in
+    // the same association order, 3σ gate on identical doubles.
+    "q_anomaly_zscore" ->
+      s"""WITH ev AS (SELECT event_type, value FROM events),
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(CAST(floor(value*1000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE)/1000000.0 AS sx,
+         |         CAST(sum(CAST(floor(value*value*1000000.0 + 0.5)
+         |              AS BIGINT)) AS DOUBLE)/1000000.0 AS sxx
+         |  FROM ev GROUP BY 1),
+         |st2 AS (SELECT *, sx/n AS mean FROM st),
+         |stats AS (SELECT *, sxx/n - mean*mean AS variance FROM st2)
+         |SELECT e.event_type, count(*) AS n_events,
+         |       ${r4("min(mean)")} AS mean_value,
+         |       ${r4("sqrt(min(variance))")} AS std_value,
+         |       CAST(sum(CASE WHEN abs(e.value - mean) > 3.0*sqrt(variance)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM ev e JOIN stats USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Partition prune: the oracle recomputes from the ORIGINAL events
     // table — equality proves the partitioned write+pruned read round

@@ -125,6 +125,28 @@ object SimQueries {
         .orderBy(col("item_id"))
     }),
 
+    // The typed COGROUP surface, scored: ratings-per-user co-grouped
+    // with orders-per-customer through KeyValueGroupedDataset.cogroup.
+    // Semantically a full-outer aggregate join (one-sided keys emit a
+    // zero on the absent side); physically one shuffle per input on
+    // the key, with each group's iterators consumed streaming — the
+    // counts never buffer a group in memory. This is the API a user
+    // reaches for when per-key logic needs BOTH collections at once
+    // and no SQL join spelling fits; here the logic is deliberately
+    // oracle-stateable so the whole typed path is value-checked.
+    "q_cogroup_activity" -> ((s, d) => {
+      import s.implicits._
+      val rs = ratings(s, d).select(col("user_id")).as[Long]
+        .groupByKey(identity)
+      val os = Sources.table(s, d, "orders").select(col("o_custkey"))
+        .as[Long].groupByKey(identity)
+      rs.cogroup(os) { (k, a, b) =>
+          Iterator((k, a.size.toLong, b.size.toLong))
+        }
+        .toDF("user_id", "n_rated_items", "n_orders")
+        .orderBy(col("user_id"))
+    }),
+
     // R4: pairwise co-occurrence via the canonicalized self-join.
     "q_pairs_cooccurrence" -> ((s, d) =>
       moments(s, d)
@@ -317,6 +339,21 @@ object SimQueries {
          |       ${graft.rel.Oracle.r4(
               "(sxx / n - (sx / n) * (sx / n)) / 1e8")} AS var_rating
          |FROM m ORDER BY item_id""".stripMargin,
+
+    // Cogroup: the full-outer aggregate join it is semantically
+    // equal to (ratings keys ⊆ orders custkeys by construction, so
+    // the orders side supplies the one-sided population).
+    "q_cogroup_activity" ->
+      s"""WITH $R,
+         |ru AS (SELECT user_id, count(*) AS n_rated_items
+         |       FROM ratings GROUP BY 1),
+         |ou AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+         |       FROM orders GROUP BY 1)
+         |SELECT coalesce(ru.user_id, ou.user_id) AS user_id,
+         |       CAST(coalesce(n_rated_items, 0) AS BIGINT) AS n_rated_items,
+         |       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+         |FROM ru FULL OUTER JOIN ou ON ou.user_id = ru.user_id
+         |ORDER BY user_id""".stripMargin,
 
     "q_pairs_cooccurrence" ->
       s"""WITH $R

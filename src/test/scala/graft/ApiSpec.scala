@@ -176,6 +176,43 @@ class ApiSpec extends SparkSpec {
       Dedup.minhashBandMins(Dedup.shingles(docs)).count())
   }
 
+  test("cdc/histogram/zscore/oov/cogroup invariants at sf0.001") {
+    // q_cdc_latest: one row per user, ts is that user's max
+    val ev = graft.io.Sources.events(spark, sf001)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    val maxTs = ev.groupBy("user_id").agg(max(col("ts_ms")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cdc = SparkEntry.queries("q_cdc_latest")(spark, sf001).collect()
+    assert(cdc.map(_.getLong(0)).distinct.length == cdc.length)
+    assert(cdc.forall(r => r.getAs[Long]("ts_ms") == maxTs(r.getLong(0))))
+    // q_histogram: bins within [0,20), counts cover the table
+    val h = SparkEntry.queries("q_histogram")(spark, sf001).collect()
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    assert(h.map(_.getAs[Long]("n")).sum ==
+      graft.io.Sources.table(spark, sf001, "orders").count())
+    // q_anomaly_zscore: sane moments, outliers a strict minority
+    val z = SparkEntry.queries("q_anomaly_zscore")(spark, sf001).collect()
+    assert(z.nonEmpty && z.forall(r => r.getAs[Double]("std_value") >= 0.0 &&
+      r.getAs[Long]("n_outliers") * 10 < r.getAs[Long]("n_events")))
+    // q_oov_rate: oov bounded by tokens and a real population
+    val o = SparkEntry.queries("q_oov_rate")(spark, sf001).collect()
+    assert(o.forall(r => r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens")))
+    assert(o.exists(_.getAs[Long]("n_oov") > 0))
+    // q_cogroup_activity: typed cogroup == untyped full-outer counts
+    val cg = SparkEntry.queries("q_cogroup_activity")(spark, sf001)
+    val rs = graft.io.Sources.ratings(spark, sf001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rated_items"))
+    val os = graft.io.Sources.table(spark, sf001, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val expect = rs.join(os, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_rated_items"), lit(0L)).as("n_rated_items"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    assert(cg.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(cg).count() == 0)
+  }
+
   test("dictionary mints dense deterministic int ids for string keys") {
     import spark.implicits._
     val df = Seq("m9", "m1", "m5", "m1", "m9").toDF("item_id")
