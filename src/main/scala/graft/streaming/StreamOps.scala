@@ -56,6 +56,43 @@ object StreamOps {
       }
   }
 
+  case class EvV(user_id: Long, event_id: Long, event_type: String,
+                 ts_ms: Long)
+  case class Latest(user_id: Long, event_id: Long, event_type: String,
+                    ts_ms: Long, n_events: Long)
+
+  /** Streaming CDC materialization — the live twin of q_cdc_latest:
+    * per-key state holds the current latest version (same (ts, id)
+    * total order as the batch max_by) plus the version count, and
+    * every micro-batch emits the refreshed row in update mode. State
+    * is O(1) per key — the winning row, never the history — which is
+    * what makes a changelog-to-table materialization deployable on an
+    * unbounded stream; pair with an event-time timeout to retire keys
+    * that stop changing. Works identically on a batch Dataset. */
+  def latestVersions(ds: Dataset[EvV]): Dataset[Latest] = {
+    implicit val enc = Encoders.product[Latest]
+    implicit val encL = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvV], state: GroupState[Latest]) =>
+          val next = evs.foldLeft(state.getOption) { (acc, e) =>
+            acc match {
+              case Some(l) =>
+                val newer = e.ts_ms > l.ts_ms ||
+                  (e.ts_ms == l.ts_ms && e.event_id > l.event_id)
+                Some(if (newer)
+                  Latest(uid, e.event_id, e.event_type, e.ts_ms,
+                    l.n_events + 1)
+                else l.copy(n_events = l.n_events + 1))
+              case None =>
+                Some(Latest(uid, e.event_id, e.event_type, e.ts_ms, 1L))
+            }
+          }.get
+          state.update(next)
+          next
+      }
+  }
+
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
                         n_events: Long)
 

@@ -38,6 +38,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming latest-version state equals the batch q_cdc_latest order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamOps.EvV](spark)
+    val q = StreamOps.latestVersions(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest").start()
+    try {
+      // batch 1: two versions for key 1 (later ts wins), one for key 2
+      input.addData(
+        StreamOps.EvV(1L, 10L, "click", 1000L),
+        StreamOps.EvV(1L, 11L, "view", 3000L),
+        StreamOps.EvV(2L, 20L, "signup", 500L))
+      q.processAllAvailable()
+      // batch 2: an OLDER event for key 1 must NOT displace the state;
+      //          a same-ts higher-id event for key 2 MUST (id tiebreak)
+      input.addData(
+        StreamOps.EvV(1L, 12L, "error", 2000L),
+        StreamOps.EvV(2L, 21L, "purchase", 500L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, event_id, event_type, ts_ms, n_events
+          |FROM latest ORDER BY user_id, n_events DESC""".stripMargin)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.head).toMap
+      assert(rows(1L).getLong(1) == 11L && rows(1L).getLong(4) == 3L)
+      assert(rows(1L).getString(2) == "view" && rows(1L).getLong(3) == 3000L)
+      assert(rows(2L).getLong(1) == 21L && rows(2L).getLong(4) == 2L)
+    } finally q.stop()
+  }
+
   test("rate source feeds the shared session aggregation") {
     val q = StreamOps.sessionAgg(StreamOps.rateEvents(spark, 500))
       .writeStream.outputMode("complete")
