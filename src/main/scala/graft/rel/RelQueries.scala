@@ -570,6 +570,45 @@ object RelQueries {
           Det.r4(max(col("value"))).as("max_v"))
         .orderBy(col("metric"))),
 
+    // MapType + the map function family (the one scalar-function
+    // family the inventory lacked): per-priority status→count maps
+    // built with map_from_entries over a SORTED entry array (the sort
+    // pins key order, making size/keys/lookups deterministic), read
+    // back via map_keys / element_at. The collect_list is bounded by
+    // the status domain (3 values) — entries per group are enum-sized,
+    // never row-scaled.
+    "q_map_funcs" -> ((s, d) => {
+      val counts = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+        .select(col("o_orderpriority"),
+          size(col("m")).cast("long").as("n_statuses"),
+          concat_ws(",", map_keys(col("m"))).as("statuses"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Distribution window functions: percent_rank + cume_dist over
+    // acctbal within nation ((rank−1)/(n−1) and rank/n are exact
+    // rational→IEEE divisions, identical on both engines), plus the
+    // quartile check that cume_dist is monotone with ntile.
+    "q_percent_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          Det.r4(percent_rank().over(w)).as("pct_rank"),
+          Det.r4(cume_dist().over(w)).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
     // CDC/upsert compaction: the latest version per key (SCD1 — what
     // a changelog materializes to). max_by over the (ts, id) total
     // order runs as a partial/final aggregate — one shuffle of one
@@ -1045,6 +1084,35 @@ object RelQueries {
          |       ${r4("min(value)")} AS min_v,
          |       ${r4("max(value)")} AS max_v
          |FROM m GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // Map family: the long-form spelling of the same per-priority
+    // status map (sorted keys join = the pinned map_keys order).
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |       count(*) AS n_statuses,
+        |       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+        |         AS statuses,
+        |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN cnt END),
+        |                     0) AS BIGINT) AS n_f,
+        |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN cnt END),
+        |                     0) AS BIGINT) AS n_o,
+        |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN cnt END),
+        |                     0) AS BIGINT) AS n_p
+        |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // Distribution windows: identical rational spellings.
+    "q_percent_rank" ->
+      s"""SELECT c_nationkey, c_custkey,
+         |       ${r4("percent_rank() OVER w")} AS pct_rank,
+         |       ${r4("cume_dist() OVER w")} AS cume,
+         |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         |FROM customer
+         |WINDOW w AS (PARTITION BY c_nationkey
+         |             ORDER BY c_acctbal, c_custkey)
+         |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     // CDC latest: row_number replay of the max_by total order.
     "q_cdc_latest" ->
