@@ -8,7 +8,8 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     args.tail.foreach { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()

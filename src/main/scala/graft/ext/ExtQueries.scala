@@ -16,7 +16,22 @@ object ExtQueries {
 
   import graft.core.Cache
 
-  private def docs(s: SparkSession, d: String) = Sources.table(s, d, "documents")
+  /** The document corpus, spread to the executor width. The sf*
+    * corpus is ONE small parquet file → one input split, so every
+    * explode-heavy consumer (shingles, windows, tokens) would
+    * single-thread its entire fan-out — measured: q_repetition_filter
+    * runs 3.4 s on one core warm, and any co-tenant stall on that one
+    * core balloons it 100×. Redistributing the 5k-row scan costs a
+    * trivial exchange and buys 32-way fan-out parallelism; the gate
+    * makes it a no-op at production scale, where the scan is already
+    * multi-split. Result invariance under partitioning is the repo's
+    * standing determinism contract (order-independent fixed-point
+    * aggregates + total-order output sorts). */
+  private def docs(s: SparkSession, d: String) = {
+    val t = Sources.table(s, d, "documents")
+    val width = s.sparkContext.defaultParallelism
+    if (t.rdd.getNumPartitions < width) t.repartition(width) else t
+  }
   private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
 
   /** Shared dedup intermediates, materialized once per session. The

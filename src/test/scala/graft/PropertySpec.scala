@@ -190,4 +190,28 @@ class PropertySpec extends SparkSpec {
       assert(q.view.mapValues(_.toSeq).toMap === q1, s"trial $trial")
     }
   }
+
+  test("triangleCounts equals brute-force enumeration on random graphs") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val n = 5 + r.nextInt(8)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if r.nextDouble() < 0.45
+      } yield (a.toLong, b.toLong)).toList
+      val es = edges.toSet
+      val expect = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        c <- (b + 1) until n.toLong
+        if es((a, b)) && es((b, c)) && es((a, c))
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.ext.GraphRank.triangleCounts(edges.toDF("d1", "d2"))
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got === expect, s"trial $trial, n=$n, edges=$edges")
+    }
+  }
 }
