@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional trailing query names: dump only those (local iteration;
-    // the driver always runs with exactly two args → full dump)
+    // the driver always runs with exactly two args → full dump).
+    // Unknown names fail fast — a typo would otherwise dump nothing
+    // and exit 0, making the iteration run look complete.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

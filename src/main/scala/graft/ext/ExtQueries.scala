@@ -27,10 +27,18 @@ object ExtQueries {
     * multi-split. Result invariance under partitioning is the repo's
     * standing determinism contract (order-independent fixed-point
     * aggregates + total-order output sorts). */
+  private val docSplitsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Int]
+
   private def docs(s: SparkSession, d: String) = {
     val t = Sources.table(s, d, "documents")
+    // split count is a property of (session, dir) — memoize it so the
+    // gate doesn't re-pay physical planning + file listing per call
+    // (the Broadcasts.countMemo pattern)
+    val splits = docSplitsMemo.getOrElseUpdate(
+      (System.identityHashCode(s), d), t.rdd.getNumPartitions)
     val width = s.sparkContext.defaultParallelism
-    if (t.rdd.getNumPartitions < width) t.repartition(width) else t
+    if (splits < width) t.repartition(width) else t
   }
   private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
 

@@ -638,9 +638,15 @@ object RelQueries {
       val mm = o.agg(min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"))
       o.crossJoin(broadcast(mm))
+        // hi == lo (constant column) divides by zero, and the engines
+        // disagree on where the row lands (Spark floor(NaN)→0, DuckDB
+        // NULL→least skips→19) — pin the degenerate case to bin 0 on
+        // BOTH sides
         .withColumn("bin",
-          least(floor((col("o_totalprice") - col("lo")) * lit(20.0)
-            / (col("hi") - col("lo"))), lit(19.0)).cast("long"))
+          when(col("hi") === col("lo"), 0L)
+            .otherwise(least(floor((col("o_totalprice") - col("lo"))
+              * lit(20.0) / (col("hi") - col("lo"))), lit(19.0))
+              .cast("long")))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           Det.fsum2(col("o_totalprice")).as("sum_price"))
@@ -663,8 +669,14 @@ object RelQueries {
           (sum(floor(col("value") * col("value") * lit(1e6) + lit(0.5))
             .cast("long")).cast("double") / lit(1e6)).as("sxx"))
         .withColumn("mean", col("sx") / col("n"))
+        // the two moments snap INDEPENDENTLY, so sxx/n − mean² can go
+        // a hair negative on degenerate data (all values equal at
+        // sub-1e-6 magnitude) — and the engines disagree on
+        // sqrt(negative) (Spark NaN, DuckDB hard error). Clamp at 0
+        // on BOTH sides.
         .withColumn("variance",
-          col("sxx") / col("n") - col("mean") * col("mean"))
+          greatest(col("sxx") / col("n") - col("mean") * col("mean"),
+            lit(0.0)))
       ev.join(broadcast(stats), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -1134,8 +1146,10 @@ object RelQueries {
       s"""WITH mm AS (
          |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
          |  FROM orders)
-         |SELECT CAST(least(floor((o_totalprice - lo) * 20.0 / (hi - lo)),
-         |                  19.0) AS BIGINT) AS bin,
+         |SELECT CAST(CASE WHEN hi = lo THEN 0
+         |                 ELSE least(floor((o_totalprice - lo) * 20.0
+         |                            / (hi - lo)), 19.0)
+         |            END AS BIGINT) AS bin,
          |       count(*) AS n,
          |       ${fsum2("o_totalprice")} AS sum_price
          |FROM orders CROSS JOIN mm
@@ -1153,7 +1167,8 @@ object RelQueries {
          |              AS BIGINT)) AS DOUBLE)/1000000.0 AS sxx
          |  FROM ev GROUP BY 1),
          |st2 AS (SELECT *, sx/n AS mean FROM st),
-         |stats AS (SELECT *, sxx/n - mean*mean AS variance FROM st2)
+         |stats AS (SELECT *, greatest(sxx/n - mean*mean, 0.0) AS variance
+         |          FROM st2)
          |SELECT e.event_type, count(*) AS n_events,
          |       ${r4("min(mean)")} AS mean_value,
          |       ${r4("sqrt(min(variance))")} AS std_value,
