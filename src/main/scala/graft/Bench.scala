@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Benchmark main. Prints ONE compact JSON line (the driver contract)
   * and writes the FULL result to `BENCH_FULL.json` in the repo root —
@@ -16,11 +16,53 @@ import java.nio.file.{Files, Paths}
   * co-tenant noise postmortem in VERDICT r4: same code swung 2–4×
   * between single-pass runs). `value` = `_shared_build` + warm-pass
   * sum, matching BASELINE.md's accounting.
+  *
+  * Timeout-proof (round-6 postmortem: rc-124 at ~49 min left NO numbers
+  * because the only JSON was printed at process end):
+  *   - every finished query appends a line to `BENCH_PARTIAL.jsonl`;
+  *   - a JVM shutdown hook prints the driver-contract line from whatever
+  *     completed (marked `"partial":true`) if the normal print never ran —
+  *     `timeout(1)` sends SIGTERM, which runs hooks;
+  *   - a wall-clock budget (`SPARK_GRAFT_TIME_BUDGET_SEC`, default 2100 s)
+  *     downgrades gracefully: past 45% after the cold pass, the warm pass
+  *     is skipped and cold numbers are reported (flagged `warm_skipped`);
+  *   - sweeps run cheapest-first (committed BENCH_FULL.json warm times),
+  *     so a kill mid-sweep preserves the most per-query numbers.
   */
 object Bench {
+  @volatile private var finalPrinted = false
+  @volatile private var stopping = false
+  // (pass, name, sec) in completion order; read by the shutdown hook.
+  private val done =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double)]
+  @volatile private var sharedSec = 0.0
+  @volatile private var sfDirG = ""
+
+  private def f3(v: Double): String =
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale
+    // (de_DE, fr_FR) would print 12,345 and corrupt the JSON
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def obj(entries: Seq[(String, Double)], fmt: Double => String) =
+    entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+
+  private def compactLine(
+      queries: Seq[(String, Double)], total: Double, coldSum: Double,
+      flags: String): String =
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+      s""","queries":${obj(("_shared_build" -> sharedSec) +: queries, f3)}""" +
+      s""","sf":"$sfDirG","cold_total":${f3(coldSum)}$flags""" +
+      s""","detail":"BENCH_FULL.json"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirG = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budget =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_SEC", "2100").toDouble
+    val tStart = System.nanoTime()
+    def elapsed = (System.nanoTime() - tStart) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,6 +72,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // If SIGTERM'd (driver timeout), salvage the run: report the latest
+    // completed pass (warm if any warm rows exist, else cold). The
+    // `stopping` flag also halts the sweep loop — post-shutdown queries
+    // would otherwise fail in milliseconds and pollute the record with
+    // bogus near-zero times.
+    val hook = new Thread(() => {
+      stopping = true
+      if (!finalPrinted) {
+        val rows = done.toArray(Array.empty[(String, String, Double)])
+        val warm = rows.collect { case ("warm", n, s) => n -> s }.toSeq
+        val cold = rows.collect { case ("cold", n, s) => n -> s }.toSeq
+        val best = if (warm.nonEmpty) warm else cold
+        val total = sharedSec + best.map(_._2).sum
+        println(compactLine(best, total, cold.map(_._2).sum,
+          s""","partial":true,"pass":"${if (warm.nonEmpty) "warm" else "cold"}""""))
+        System.out.flush()
+      }
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    val partialPath = Paths.get("/root/repo/BENCH_PARTIAL.jsonl")
+    try Files.deleteIfExists(partialPath) catch { case _: Throwable => () }
+    def flush(pass: String, name: String, sec: Double): Unit = {
+      done.add((pass, name, sec))
+      try Files.writeString(partialPath,
+        s"""{"pass":"$pass","query":"$name","sec":${f3(sec)}}""" + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
+
     def loadAvg: Double =
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
@@ -39,44 +112,63 @@ object Bench {
     val tw = System.nanoTime()
     try { SparkEntry.warmShared(spark, sfDir) } catch { case _: Throwable => () }
     val shared = (System.nanoTime() - tw) / 1e9
-    def sweep(): List[(String, Double)] = SparkEntry.queries.toList.map {
-      case (name, fn) =>
+    sharedSec = shared
+
+    // Cheapest-first: a mid-sweep kill preserves the most numbers; order
+    // comes from the previous committed record, absent → registration order.
+    val costOrder: Map[String, Double] = try {
+      val txt = Files.readString(Paths.get("/root/repo/BENCH_FULL.json"))
+      val qobj = """"queries":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(qobj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val ordered = SparkEntry.queries.toList
+      .sortBy { case (name, _) => costOrder.getOrElse(name, 1e9) }
+
+    def sweep(pass: String): List[(String, Double)] = ordered.iterator
+      .takeWhile(_ => !stopping)
+      .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }
-    val cold = sweep()
-    val warm = sweep()
+        val sec = (System.nanoTime() - t0) / 1e9
+        flush(pass, name, sec)
+        name -> sec
+      }.toList
+    val cold = sweep("cold")
+    // Budget gate: past 45% of the wall budget there is no room for a
+    // full second sweep — report cold numbers rather than risk rc 124.
+    val warmSkipped = elapsed > budget * 0.45
+    val warm = if (warmSkipped) cold else sweep("warm")
     val loadEnd = loadAvg
     val coldSum = cold.map(_._2).sum
     val warmSum = warm.map(_._2).sum
     val total = shared + warmSum
 
-    def obj(entries: Seq[(String, Double)], fmt: Double => String): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",
          |"sf":"$sfDir","shared_build_sec":$shared,
          |"cold_pass_sec":$coldSum,"warm_pass_sec":$warmSum,
+         |"warm_skipped":$warmSkipped,
          |"load_avg_start":$load0,"load_avg_end":$loadEnd,
          |"queries":${obj(warm, _.toString)},
          |"queries_cold":${obj(cold, _.toString)}}
          |""".stripMargin.replace("\n", "")
-    // never let a failed file write (read-only checkout, missing dir)
-    // swallow the driver-contract line below — the sweeps already ran
-    try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    // compact driver line: warm-pass per-query times, 3 decimals.
-    // Locale.ROOT: f"%.3f" under a comma-decimal default locale
-    // (de_DE, fr_FR) would print 12,345 and corrupt the JSON
-    val f3 = (v: Double) =>
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
-      s""","queries":${obj(("_shared_build" -> shared) :: warm, f3)}""" +
-      s""","sf":"$sfDir","cold_total":${f3(coldSum)}""" +
-      s""","detail":"BENCH_FULL.json"}""")
-    spark.stop()
+    // If the SIGTERM hook is already salvaging, the sweeps above were
+    // truncated — writing/printing HERE would overwrite BENCH_FULL.json
+    // with a truncated record and emit a SECOND (junk) driver line after
+    // the hook's good partial one (observed in the kill test).
+    if (!stopping) {
+      // never let a failed file write (read-only checkout, missing dir)
+      // swallow the driver-contract line below — the sweeps already ran
+      try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+      // compact driver line: warm-pass per-query times, 3 decimals.
+      val flags = if (warmSkipped) ""","warm_skipped":true""" else ""
+      println(compactLine(warm, total, coldSum, flags))
+      finalPrinted = true
+      spark.stop()
+    }
   }
 }

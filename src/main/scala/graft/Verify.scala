@@ -2,7 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Timeout-proof by construction (the round-6 postmortem: an rc-124 kill
+  * at 80/105 dumped queries left an EMPTY correctness record because
+  * `oracle_sql.json` was written only after the full loop):
+  *   - `oracle_sql.json` is written FIRST — it is static w.r.t. the query
+  *     loop, so a killed run still leaves every already-dumped parquet dir
+  *     comparable by the driver;
+  *   - a per-query `progress.jsonl` line is appended as each dump lands,
+  *     so partial runs are auditable;
+  *   - queries run cheapest-first (by the committed warm-pass times in
+  *     BENCH_FULL.json when parseable, else registration order), so a
+  *     kill at time T preserves the MOST rows possible.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
@@ -24,15 +37,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,6 +52,47 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Cheapest-first ordering: a timeout preserves the most dumped rows.
+    // BENCH_FULL.json's warm-pass "queries" object is flat {"name":sec,...};
+    // absence (fresh checkout, unparseable) degrades to registration order.
+    val costOrder: Map[String, Double] = try {
+      val txt = Files.readString(Paths.get("/root/repo/BENCH_FULL.json"))
+      val qobj = """"queries":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(qobj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val progress = Paths.get(s"$outDir/progress.jsonl")
+    // SIGTERM (driver timeout) → stop dumping instead of appending a
+    // fail-fast "ok":false row per remaining query while Spark's own
+    // shutdown hook tears the context down under us.
+    @volatile var stopping = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => stopping = true))
+    SparkEntry.queries.toList
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy { case (name, _) => costOrder.getOrElse(name, 1e9) }
+      .iterator // lazy: takeWhile must observe `stopping` per element,
+      .takeWhile(_ => !stopping) // not once at construction
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Locale.ROOT: comma-decimal default locales would corrupt the JSON
+        val f3 = String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
+        try Files.writeString(progress,
+          s"""{"query":${q(name)},"ok":$ok,"sec":$f3}""" + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        catch { case _: Throwable => () }
+      }
     spark.stop()
   }
 }

@@ -28,15 +28,19 @@ object ExtQueries {
     * standing determinism contract (order-independent fixed-point
     * aggregates + total-order output sorts). */
   private val docSplitsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Int]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
 
   private def docs(s: SparkSession, d: String) = {
     val t = Sources.table(s, d, "documents")
-    // split count is a property of (session, dir) — memoize it so the
+    // split count is a property of (context, dir) — memoize it so the
     // gate doesn't re-pay physical planning + file listing per call
-    // (the Broadcasts.countMemo pattern)
+    // (the Broadcasts.countMemo pattern). Keyed on applicationId (unique
+    // per context, never reused the way a GC'd session's identity hash
+    // can be); a file layout that CHANGES under a live context is not
+    // re-observed — accepted staleness, same contract as countMemo, and
+    // perf-only either way (results are partitioning-invariant).
     val splits = docSplitsMemo.getOrElseUpdate(
-      (System.identityHashCode(s), d), t.rdd.getNumPartitions)
+      (s.sparkContext.applicationId, d), t.rdd.getNumPartitions)
     val width = s.sparkContext.defaultParallelism
     if (splits < width) t.repartition(width) else t
   }

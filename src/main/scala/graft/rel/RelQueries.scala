@@ -15,6 +15,26 @@ object RelQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Sources.table(s, d, n)
 
+  /** q_map_funcs body, factored out so the spec can feed it a SPARSE
+    * status distribution: the fixtures happen to carry all three
+    * statuses under every priority, which would mask an element_at
+    * that throws on a missing key (see the query's comment). */
+  private[graft] def mapFuncs(orders: DataFrame): DataFrame = {
+    val counts = orders
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+      .select(col("o_orderpriority"),
+        size(col("m")).cast("long").as("n_statuses"),
+        concat_ws(",", map_keys(col("m"))).as("statuses"),
+        coalesce(try_element_at(col("m"), lit("F")), lit(0L)).as("n_f"),
+        coalesce(try_element_at(col("m"), lit("O")), lit(0L)).as("n_o"),
+        coalesce(try_element_at(col("m"), lit("P")), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Scan + filter + project: predicate and column pruning reach parquet.
@@ -574,24 +594,13 @@ object RelQueries {
     // family the inventory lacked): per-priority status→count maps
     // built with map_from_entries over a SORTED entry array (the sort
     // pins key order, making size/keys/lookups deterministic), read
-    // back via map_keys / element_at. The collect_list is bounded by
-    // the status domain (3 values) — entries per group are enum-sized,
-    // never row-scaled.
-    "q_map_funcs" -> ((s, d) => {
-      val counts = t(s, d, "orders")
-        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("cnt"))
-      counts.groupBy(col("o_orderpriority"))
-        .agg(map_from_entries(array_sort(
-          collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
-        .select(col("o_orderpriority"),
-          size(col("m")).cast("long").as("n_statuses"),
-          concat_ws(",", map_keys(col("m"))).as("statuses"),
-          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
-          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
-          coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"))
-        .orderBy(col("o_orderpriority"))
-    }),
+    // back via map_keys / try_element_at (element_at under Spark 4's
+    // default ANSI mode THROWS on a missing key, so a priority group
+    // lacking a status would crash instead of coalescing to 0; the
+    // try_ variant yields NULL, matching DuckDB). The collect_list is
+    // bounded by the status domain (3 values) — entries per group are
+    // enum-sized, never row-scaled.
+    "q_map_funcs" -> ((s, d) => mapFuncs(t(s, d, "orders"))),
 
     // Distribution window functions: percent_rank + cume_dist over
     // acctbal within nation ((rank−1)/(n−1) and rank/n are exact

@@ -213,6 +213,25 @@ class ApiSpec extends SparkSpec {
       expect.exceptAll(cg).count() == 0)
   }
 
+  test("mapFuncs tolerates priorities missing a status (ANSI element_at)") {
+    // The sf fixtures carry all three statuses under every priority, so
+    // a plain element_at (which THROWS on a missing map key under Spark
+    // 4's default ANSI mode) would still pass the driver compare — this
+    // sparse frame is the input shape that crashed pre-fix.
+    import spark.implicits._
+    val sparse = Seq(
+      ("1-URGENT", "F"), ("1-URGENT", "F"), ("1-URGENT", "O"),
+      ("2-HIGH", "P"))
+      .toDF("o_orderpriority", "o_orderstatus")
+    val rows = graft.rel.RelQueries.mapFuncs(sparse).collect()
+    val byPrio = rows.map(r => r.getString(0) -> r).toMap
+    assert(byPrio("1-URGENT").getAs[Long]("n_f") == 2L)
+    assert(byPrio("1-URGENT").getAs[Long]("n_p") == 0L) // missing key → 0
+    assert(byPrio("2-HIGH").getAs[Long]("n_f") == 0L)
+    assert(byPrio("2-HIGH").getAs[Long]("n_p") == 1L)
+    assert(byPrio("2-HIGH").getAs[String]("statuses") == "P")
+  }
+
   test("dictionary mints dense deterministic int ids for string keys") {
     import spark.implicits._
     val df = Seq("m9", "m1", "m5", "m1", "m9").toDF("item_id")
