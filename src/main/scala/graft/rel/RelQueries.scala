@@ -636,6 +636,22 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // The streaming CDC materialization executed in batch mode — the
+    // same StreamOps.latestVersions mapGroupsWithState code path a live
+    // changelog consumer runs incrementally (StreamingSpec asserts
+    // stream == batch on this construction). Scored against the SAME
+    // oracle as q_cdc_latest: per-key O(1) state replaying the (ts, id)
+    // total order must materialize exactly what the batch max_by does.
+    "q_cdc_stream_latest" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[graft.streaming.StreamOps.EvV]
+      graft.streaming.StreamOps.latestVersions(
+          ev.as[graft.streaming.StreamOps.EvV])
+        .toDF().orderBy(col("user_id"))
+    }),
+
     // Equi-width histogram (the profiling primitive q_profile_columns
     // doesn't cover): global [min, max] from one scalar aggregate
     // broadcast back, bins as floor((v−lo)·k/(hi−lo)) capped at k−1.
@@ -715,6 +731,20 @@ object RelQueries {
         .orderBy(col("event_type"), col("day"))
     })
   )
+
+  private val cdcLatestSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts_ms DESC, event_id DESC)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM ev)
+      |SELECT user_id, event_id, event_type, ts_ms, n_events
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -1135,20 +1165,11 @@ object RelQueries {
          |             ORDER BY c_acctbal, c_custkey)
          |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
-    // CDC latest: row_number replay of the max_by total order.
-    "q_cdc_latest" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
-        |  FROM events),
-        |r AS (
-        |  SELECT *,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts_ms DESC, event_id DESC)
-        |           AS rn,
-        |         count(*) OVER (PARTITION BY user_id) AS n_events
-        |  FROM ev)
-        |SELECT user_id, event_id, event_type, ts_ms, n_events
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // CDC latest: row_number replay of the max_by total order. The
+    // streaming materialization (q_cdc_stream_latest) must land on the
+    // identical table, so both keys share one oracle.
+    "q_cdc_latest" -> cdcLatestSql,
+    "q_cdc_stream_latest" -> cdcLatestSql,
 
     // Histogram: identical IEEE bin arithmetic.
     "q_histogram" ->
