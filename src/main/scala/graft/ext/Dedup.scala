@@ -525,7 +525,26 @@ object Dedup {
                           nodeCol: String = "doc_id",
                           maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col("d1"), col("d2"))
+    // Stage-timing trace for perf triage (GRAFT_CC_DEBUG=1): stderr
+    // only, zero cost when unset.
+    val t0 = System.nanoTime()
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def trace(stage: String): Unit = if (dbg)
+      System.err.println(
+        f"[cc] $stage at ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val spark = nodes.sparkSession
+    // Materialize the edge input ONCE, first. Persisting alone is not
+    // enough: a persisted frame keeps its full logical plan, and this
+    // function embeds the edge plan in every declaration that follows
+    // (the contraction aggregate, both sides of the rep join) — with a
+    // deep upstream lineage (the simhash chain in q_dedup_clusters)
+    // Catalyst re-analyzes that whole tree per declaration on the
+    // driver (measured ~0.8 s of pure driver time per pass at sf0.1).
+    // The checkpoint truncates the plan to a scan; the big edge data
+    // is computed once and read three times, same I/O as the persist.
+    val matInput = new IterMaterializer("cc-input", spark)
+    val e = matInput(edges.select(col("d1"), col("d2")))
+    trace("edges materialized")
     // One contraction pass over the FULL graph before iterating: map
     // every node to min(itself, direct neighbors). Near-dup graphs are
     // quasi-cliques, so this collapses almost every component to its
@@ -554,6 +573,7 @@ object Dedup {
     // one count decides for all three map joins (r1, r2, final labels)
     val fitsBroadcast = l0.count() <= graft.core.Broadcasts.maxRows(
       l0, "spark.graft.cc.broadcastNodes.max")
+    trace("l0 contraction counted")
     def maybeB(df: DataFrame): DataFrame =
       if (fitsBroadcast) broadcast(df) else df
     val r1 = l0.select(col("node").as("d1"), col("rep").as("rep1"))
@@ -566,6 +586,7 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val reps = l0.select(col("rep").as("node")).distinct()
+    trace("contracted edges declared")
     // min-label propagation to fixpoint on the contracted graph.
     // Each round ends in localCheckpoint(eager): iterate-to-fixpoint
     // DOUBLES the logical plan per round if only persist()ed — the
@@ -575,14 +596,15 @@ object Dedup {
     // truncates the plan to a scan of the materialized result. At
     // 100 TB use reliable checkpoint(dir) instead — localCheckpoint
     // does not survive executor loss.
-    val spark = nodes.sparkSession
     val matEdges = new IterMaterializer("cc-edges", spark)
     val matLabels = new IterMaterializer("cc-labels", spark)
     val csym = matEdges(
       contracted.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(contracted.select(col("d2").as("src"), col("d1").as("dst"))))
+    trace("csym materialized")
     var labels = matLabels(
       reps.select(col("node"), col("node").as("label")))
+    trace("labels initialized")
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -613,6 +635,7 @@ object Dedup {
       labels = next.select(col("node"), col("label"))
       done = acc.value == 0L
       iter += 1
+      trace(s"round $iter done (changed=${acc.value})")
     }
     contracted.unpersist()
     if (!done)

@@ -114,6 +114,18 @@ object ExtQueries {
     Cache.getOrPersist(s, "simhash_rescue", d)(
       Dedup.simhashRescueNearDups(simhashSigsC(s, d)))
 
+  /** The near-dup edge set (capped primary pairs ∪ rescue pairs,
+    * distinct), session-shared: connected components scans it three
+    * times (contraction aggregate + both sides of the rep join) and
+    * PageRank re-reads it every round — without the cache each scan
+    * re-runs the union+distinct shuffle from the cached pair frames
+    * (measured 2.1 s of q_dedup_clusters' 5.4 s warm at sf0.1). */
+  private def simhashEdgesC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "simhash_edges", d)(
+      simhashPairsC(s, d).select(col("d1"), col("d2"))
+        .unionByName(simhashRescueC(s, d).select(col("d1"), col("d2")))
+        .distinct())
+
   /** Banded sign-LSH pair cosines, shared by the near-dup pair query
     * and the embedding-cluster resolution query. */
   private def bandedCosC(s: SparkSession, d: String) =
@@ -308,9 +320,7 @@ object ExtQueries {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
           docs(s, d).select(col("doc_id")),
-          simhashPairsC(s, d).select(col("d1"), col("d2"))
-            .unionByName(simhashRescueC(s, d).select(col("d1"), col("d2")))
-            .distinct())
+          simhashEdgesC(s, d))
         .withColumn("is_keeper",
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy(col("doc_id"))),
@@ -324,9 +334,7 @@ object ExtQueries {
     "q_graph_rank" -> ((s, d) =>
       GraphRank.pageRank(
           docs(s, d).select(col("doc_id")),
-          simhashPairsC(s, d).select(col("d1"), col("d2"))
-            .unionByName(simhashRescueC(s, d).select(col("d1"), col("d2")))
-            .distinct())
+          simhashEdgesC(s, d))
         .orderBy(col("doc_id"))),
 
     // Triangle participation over the minhash near-dup candidate
@@ -714,6 +722,19 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Frame-sampling plumbing scored: byte offsets of every 2nd
+    // 32-byte frame over the opaque payload column (the video
+    // frame-extraction shape — a real decoder seeks to these
+    // offsets). Offsets explode to scalar rows so the compare is
+    // cell-exact; the generation is per-row sequence/transform,
+    // zero shuffle.
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameOffsets(Multimodal.mediaTable(docs(s, d)), everyK = 2)
+        .select(col("doc_id"), posexplode(col("frame_offsets")))
+        .select(col("doc_id"), col("pos").cast("long").as("frame_id"),
+          col("col").as("frame_offset"))
+        .orderBy(col("doc_id"), col("frame_id"))),
+
     // session_window in batch mode (streaming twin: StreamOps).
     "q_session_window" -> ((s, d) =>
       StreamOps.sessionAgg(Sources.table(s, d, "events"))
@@ -823,6 +844,44 @@ object ExtQueries {
       VectorSearch.pqAdcTopK(queries, pqCentC(s, d), pqCodesC(s, d), 3)
         .orderBy(col("qid"), col("rn"))
     }),
+
+    // ANN recall@k measured against ground truth: the exact
+    // brute-force top-3 per query (topKByCosine over the SAME query
+    // sample) scored against what the 2-probe IVF actually returned.
+    // This is the measurement a production ANN deploy runs — sample
+    // queries, compute exact neighbors for the sample, count
+    // overlap — and it upgrades the ANN family's correctness story
+    // from "matches its own definition" to "finds true neighbors".
+    // Fully deterministic (both sides are oracle-replayed CTE chains),
+    // so per-query n_hits/recall is a cell-exact value oracle, not
+    // just a bound; PropertySpec asserts the aggregate recall floor.
+    "q_ann_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = VectorSearch.labelCentroids(emb(s, d))
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val ivf = VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+        .select(col("qid"), col("vec_id"))
+      exact.join(ivf, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // Token-budget context-window chunking: like q_chunk_docs but cut
+    // on whitespace-token counts (the tokenization q_token_count and
+    // q_pack_sequences already score) — a model's window is a token
+    // budget, and char windows split tokens at the boundary. Same
+    // zero-shuffle explode fan-out; chunk bytes pinned by
+    // (tok_len, chunk_len, portable hash).
+    "q_chunk_tokens" -> ((s, d) =>
+      Packing.chunkTokens(docs(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // The distributed dictionary-encoding pre-pass as a first-class
     // op: dense deterministic int ids for arbitrary keys (what ALS —
@@ -1685,6 +1744,44 @@ object ExtQueries {
          |SELECT qid, vec_id, cos_sim, rn
          |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
+    // Recall@3 of the 2-probe IVF vs exact ground truth: the IVF side
+    // is the identical `ranked` replay as q_ann_ivf; the exact side
+    // brute-forces every (query, vector) pair through the same
+    // fixed-point dot/norm chain and ranks with the same tiebreak.
+    "q_ann_recall" ->
+      s"""WITH $ivfRankedCtes,
+         |ivf AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
+         |edots AS (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+         |  FROM expl q JOIN expl e ON e.i = q.i
+         |  WHERE q.vec_id % 50 = 0
+         |  GROUP BY 1, 2),
+         |escored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+         |  FROM edots d
+         |  JOIN enorm nq ON nq.vec_id = d.qid
+         |  JOIN enorm ne ON ne.vec_id = d.vec_id),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim DESC, vec_id) AS ern
+         |    FROM escored) WHERE ern <= 3),
+         |hits AS (
+         |  SELECT x.qid,
+         |         CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_hits
+         |  FROM exact x
+         |  LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT qid, n_hits,
+         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
+         |FROM hits ORDER BY qid""".stripMargin,
+
     // IVF shortlist (top 10 by exact cosine) re-ranked by cosine over
     // DEQUANTIZED int8 vectors (VectorSearch.sqRerank): the compressed
     // serving path, replayed CTE for CTE (quantizer train + encode +
@@ -1875,6 +1972,35 @@ object ExtQueries {
          |         AS chunk_hash
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Token-budget chunking: list_slice over the same whitespace
+    // split, re-joined so the hash pins the exact chunk bytes.
+    "q_chunk_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE length(text) > 0),
+         |starts AS (
+         |  SELECT doc_id, w,
+         |         unnest(generate_series(0,
+         |           (len(w)-1)//${Packing.TokenStride})) AS chunk_id
+         |  FROM t),
+         |chunks AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         array_to_string(list_slice(w,
+         |           chunk_id*${Packing.TokenStride} + 1,
+         |           chunk_id*${Packing.TokenStride} + ${Packing.TokenBudget}),
+         |           ' ') AS chunk,
+         |         len(list_slice(w,
+         |           chunk_id*${Packing.TokenStride} + 1,
+         |           chunk_id*${Packing.TokenStride} + ${Packing.TokenBudget}))
+         |           AS tok_len
+         |  FROM starts)
+         |SELECT doc_id, chunk_id,
+         |       CAST(tok_len AS BIGINT) AS tok_len,
+         |       CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |       CAST(${graft.core.PortableHash.hSql("chunk")} AS BIGINT)
+         |         AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
     // The oracle spells the prefix sum as a global window — fine for
     // DuckDB at sf, single-reducer at 100 TB, which is exactly why
     // the Spark side uses the two-pass scan instead (Packing
@@ -1959,6 +2085,19 @@ object ExtQueries {
          |FROM read_parquet('${graft.io.MediaFixtures.mediaPath(
                 graft.io.DialectFixtures.OracleSfDir)}/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+
+    // Same every-64-byte offset arithmetic; unnest replays the
+    // sequence fanout.
+    "q_multimodal_frames" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |         octet_length(CAST(text AS BLOB)) AS nb FROM documents),
+         |f AS (
+         |  SELECT doc_id, unnest(generate_series(0, nb // 64)) AS i
+         |  FROM n)
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
+         |       CAST(i * 64 AS BIGINT) AS frame_offset
+         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
 
     "q_session_window" ->
       """WITH ev AS (

@@ -25,6 +25,11 @@ object Packing {
   /** Default packing capacity: tokens per training sequence. */
   val BinCapacity = 1024
 
+  /** Default token-chunk geometry: 64-token windows, 48-token stride
+    * (16-token overlap). */
+  val TokenBudget = 64
+  val TokenStride = 48
+
   /** Split each document into fixed-size overlapping character chunks.
     *
     * Chunk `i` starts at 1-based position `i·stride + 1`; starts are
@@ -55,6 +60,44 @@ object Packing {
         col("c.chunk_id").as("chunk_id"),
         length(col("c.chunk")).cast("long").as("chunk_len"),
         PortableHash.h(col("c.chunk")).cast("long").as("chunk_hash"))
+  }
+
+  /** Split each document into overlapping TOKEN-budget chunks — the
+    * context-window split real pretraining pipelines run ([[chunkDocs]]
+    * cuts on character offsets, which splits tokens at the boundary;
+    * a model's window is a token budget, not a byte budget).
+    *
+    * Tokens are the whitespace words ([[TextAnalysis.wordsCol]] — the
+    * same tokenization `q_token_count` and [[packSequences]] score),
+    * chunk `i` covers tokens `[i·stride+1, i·stride+budget]`, and a
+    * document with n tokens yields `⌊(n−1)/stride⌋ + 1` chunks, the
+    * last possibly short. Same execution shape as [[chunkDocs]]:
+    * per-row split + `transform`+`explode` over generated starts —
+    * zero shuffle, fan-out multiplies rows in place, chunking
+    * parallelism is scan parallelism at any corpus size.
+    *
+    * Output pins the chunk bytes by (token count, char length,
+    * portable hash of the re-joined text) instead of re-emitting the
+    * corpus.
+    */
+  def chunkTokens(docs: DataFrame,
+                  budget: Int = TokenBudget,
+                  stride: Int = TokenStride): DataFrame = {
+    require(budget >= stride, "overlapping chunks need budget >= stride")
+    val ws = split(col("text"), " ")
+    val lastStart = floor((size(ws) - lit(1)) / lit(stride)).cast("int")
+    val chunk = array_join(col("c.cw"), " ")
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lastStart), i =>
+          struct(i.cast("long").as("chunk_id"),
+            slice(ws, i * lit(stride) + lit(1), lit(budget)).as("cw"))))
+          .as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_id").as("chunk_id"),
+        size(col("c.cw")).cast("long").as("tok_len"),
+        length(chunk).cast("long").as("chunk_len"),
+        PortableHash.h(chunk).cast("long").as("chunk_hash"))
   }
 
   /** Exact concatenate-and-cut packing: documents are laid out in

@@ -557,6 +557,26 @@ class ExtSpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("q_ann_recall: recall is measured against true neighbors and " +
+    "clears the corpus floor") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 3L)
+      // recall is exactly the rounded hits/k — no independent arithmetic
+      val exp = math.floor(hits / 3.0 * 10000.0 + 0.5) / 10000.0
+      assert(r.getAs[Double]("recall") === exp)
+    }
+    // the 2-probe IVF on this corpus finds at least one true neighbor
+    // per query and >= 40% overall (measured 0.53 at sf0.001; the
+    // floor leaves headroom for fixture regeneration, not for a
+    // broken probe path, which scores ~0)
+    assert(rows.forall(_.getAs[Long]("n_hits") >= 1L))
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum.toDouble / (3.0 * rows.length)
+    assert(mean >= 0.4, s"mean recall@3 $mean below floor")
+  }
+
   test("banded LSH: over-cap buckets are dropped and surfaced for monitoring") {
     // 300 identical vectors — a degenerate hot bucket in every band
     val hot = spark.range(300).select(col("id").as("vec_id"),

@@ -44,6 +44,42 @@ class PackingSpec extends SparkSpec {
     assert(got.getLong(3) == h.toLong)
   }
 
+  test("chunkTokens: budget is never exceeded, counts and lengths are " +
+    "exact, token stream reconstructs") {
+    // token counts straddle the geometry: < stride, == stride,
+    // stride+1, == budget, budget+1, multi-chunk; budget 8, stride 6
+    val texts = Seq(5, 6, 7, 8, 9, 23).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(k => s"w$k").mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val chunks = Packing.chunkTokens(df, budget = 8, stride = 6)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(chunks.forall(_.getLong(2) <= 8), "a chunk exceeded the budget")
+    val byDoc = chunks.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    for ((id, text) <- texts) {
+      val toks = text.split(" ", -1)
+      val cs = byDoc(id)
+      val expectN = (toks.length - 1) / 6 + 1
+      assert(cs.length == expectN, s"doc $id chunk count")
+      cs.foreach { r =>
+        val i = r.getLong(1).toInt
+        val exp = toks.slice(i * 6, i * 6 + 8)
+        assert(r.getLong(2) == exp.length, s"doc $id chunk $i tok_len")
+        assert(r.getLong(3) == exp.mkString(" ").length, s"doc $id chunk $i len")
+      }
+      // stride-prefixes of all but the last chunk + last chunk = stream
+      val expChunks = (0 until expectN).map(i => toks.slice(i * 6, i * 6 + 8))
+      val rebuilt = expChunks.dropRight(1).flatMap(_.take(6)) ++ expChunks.last
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $id reconstruction")
+    }
+    // hash pins the exact re-joined chunk bytes
+    val expText = (0 until 23).map(k => s"w$k").slice(6, 14).mkString(" ")
+    val h = Seq(expText).toDF("t")
+      .select(graft.core.PortableHash.h($"t")).head().getInt(0)
+    val got = chunks.filter(r => r.getLong(0) == 5L && r.getLong(1) == 1L).head
+    assert(got.getLong(4) == h.toLong)
+  }
+
   test("packSequences: two-pass prefix sum equals the window cumsum " +
     "regardless of input partitioning") {
     import org.apache.spark.sql.expressions.Window
