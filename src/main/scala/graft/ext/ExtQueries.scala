@@ -722,6 +722,18 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode, scored (the WAV analog of
+    // q_multimodal_decode): render a fixture of actual RIFF/WAVE PCM
+    // payloads (rate/channels/samples arithmetic in doc_id), parse
+    // the headers through the partition-parallel javax.sound kernel,
+    // and let the oracle predict every field from the fixture
+    // constants — red if the decode ever falls back to the fake path.
+    "q_multimodal_audio" -> ((s, d) => {
+      val p = graft.io.AudioFixtures.write(s, d)
+      Multimodal.decodeAudioAll(s.read.parquet(p)).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling plumbing scored: byte offsets of every 2nd
     // 32-byte frame over the opaque payload column (the video
     // frame-extraction shape — a real decoder seeks to these
@@ -2085,6 +2097,32 @@ object ExtQueries {
          |FROM read_parquet('${graft.io.MediaFixtures.mediaPath(
                 graft.io.DialectFixtures.OracleSfDir)}/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+
+    // Audio decode: every field except n_bytes is INDEPENDENTLY
+    // predicted from the fixture's id→geometry constants (the
+    // q_multimodal_decode pattern); duration is exact truncating
+    // integer arithmetic on both sides.
+    "q_multimodal_audio" -> {
+      val rates = graft.io.AudioFixtures.Rates
+      val rateCase = rates.zipWithIndex.init
+        .map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString(s"CASE CAST(doc_id % ${rates.length} AS INTEGER) ",
+          " ", s" ELSE ${rates.last} END")
+      s"""WITH a AS (
+         |  SELECT doc_id, octet_length(media) AS nb,
+         |         $rateCase AS rate,
+         |         64 + (doc_id * 37) % 512 AS ns
+         |  FROM read_parquet('${graft.io.AudioFixtures.audioPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet'))
+         |SELECT doc_id,
+         |       CAST(nb AS BIGINT) AS n_bytes,
+         |       CAST(rate AS BIGINT) AS sample_rate,
+         |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+         |       CAST(16 AS BIGINT) AS sample_bits,
+         |       CAST(ns AS BIGINT) AS n_samples,
+         |       CAST(ns * 1000 // rate AS BIGINT) AS duration_ms
+         |FROM a ORDER BY doc_id""".stripMargin
+    },
 
     // Same every-64-byte offset arithmetic; unnest replays the
     // sequence fanout.

@@ -75,3 +75,71 @@ object MediaFixtures {
     path
   }
 }
+
+/** Real-audio fixture for the scored audio decode query
+  * (q_multimodal_audio) — the WAV analog of [[MediaFixtures]].
+  *
+  * The JDK both writes and reads RIFF/WAVE PCM through
+  * `javax.sound.sampled` (no audio device needed to parse a stream),
+  * so the audio decode path can be REAL the way the image path is:
+  * this renders a parquet of actual WAV payloads whose sample rate /
+  * channel count / sample count are pure arithmetic in `doc_id`, and
+  * the oracle predicts those from the constants while reading only
+  * `n_bytes` from the same parquet. The CORRECTNESS row goes red if
+  * the `AudioSystem` plumbing breaks and the decode falls back to the
+  * deterministic fake (whose rate/frames derive from byte length, not
+  * the WAV header).
+  */
+object AudioFixtures {
+  val NDocs = 64
+
+  /** Sample rates cycled by doc_id (all standard PCM rates). */
+  val Rates = Seq(8000, 16000, 22050, 44100)
+
+  def rateOf(id: Long): Long = Rates((id % Rates.length).toInt).toLong
+  def channelsOf(id: Long): Long = 1L + id % 2
+  def samplesOf(id: Long): Long = 64L + (id * 37) % 512
+
+  def audioPath(dir: String): String =
+    s"${DialectFixtures.BaseDir}/${DialectFixtures.leaf(dir)}/audio"
+
+  /** Encode one WAV: deterministic 16-bit little-endian PCM at the
+    * id-derived geometry, written with the JDK WAVE encoder.
+    * (private[graft]: ExtSpec round-trips it through the decode.) */
+  private[graft] def encode(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val ch = channelsOf(id).toInt
+    val nS = samplesOf(id).toInt
+    val data = new Array[Byte](nS * 2 * ch)
+    var k = 0
+    while (k < nS * ch) {
+      // deterministic sawtooth; content is irrelevant to the metadata
+      // decode, it just has to be stable bytes
+      val v = (((id * 131 + k * 37) % 65536) - 32768).toInt
+      data(2 * k) = (v & 0xff).toByte
+      data(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(rateOf(id).toFloat, 16, ch,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nS.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Render the fixture parquet (marker-protected, once per sf dir). */
+  def write(spark: SparkSession, dir: String): String = {
+    val path = audioPath(dir)
+    DialectFixtures.once(path, dir) {
+      import spark.implicits._
+      (0L until NDocs.toLong).map(id => (id, encode(id)))
+        .toDF("doc_id", "media")
+        .repartition(4)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+}

@@ -760,6 +760,31 @@ class ExtSpec extends SparkSpec {
     assert(out(4L).n_bytes === n4 && out(4L).width === 64L + n4 % 640)
   }
 
+  test("audio decode is real for WAV payloads and falls back " +
+    "deterministically otherwise") {
+    // real WAV roundtrip through the fixture encoder: header fields,
+    // not byte-length arithmetic, must come back
+    val ids = Seq(0L, 1L, 5L, 10L)
+    val rows = ids.map(id => (id, graft.io.AudioFixtures.encode(id))) :+
+      (99L, "definitely not a RIFF container".getBytes("UTF-8"))
+    val out = Multimodal.decodeAudioAll(rows.toDF("doc_id", "media"))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- ids) {
+      val m = out(id)
+      assert(m.sample_rate === graft.io.AudioFixtures.rateOf(id))
+      assert(m.channels === graft.io.AudioFixtures.channelsOf(id))
+      assert(m.sample_bits === 16L)
+      assert(m.n_samples === graft.io.AudioFixtures.samplesOf(id))
+      assert(m.duration_ms ===
+        graft.io.AudioFixtures.samplesOf(id) * 1000L /
+          graft.io.AudioFixtures.rateOf(id))
+    }
+    // non-audio payload: the fake path, whose rate can never collide
+    // with a real header's (8000..8006 vs the standard rates)
+    val n = rows.last._2.length.toLong
+    assert(out(99L).n_bytes === n && out(99L).sample_rate === 8000L + n % 7)
+  }
+
   test("multimodal resize/features are real for image payloads") {
     def png(shade: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
