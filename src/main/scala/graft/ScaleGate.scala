@@ -1,0 +1,113 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale gate: catch superlinear constants that sf0.1 hides.
+  *
+  * The driver ships no sf1 data, so this derives one: the sf0.1
+  * documents/embeddings tables replicated `factor`× with remapped ids
+  * (written once under `target/scale<factor>/` — never into the
+  * read-only testdata). Replica text is prefixed with a replica token
+  * and embeddings get a tiny per-replica dimension-0 offset, so
+  * replicas are distinct rows but keep the corpus's dup/cluster
+  * structure — which also makes the near-dup family a deliberately
+  * ADVERSARIAL stress: every document gains ~factor near-identical
+  * cross-copies, exactly the hot-bucket shape the LSH caps and rescue
+  * passes exist for. A capped pipeline should grow ~linearly in rows;
+  * an uncapped one goes quadratic and the gate exposes it.
+  *
+  * Usage: `runMain graft.ScaleGate [baseDir] [factor]` — times each
+  * gate query twice (cold, warm) on the base dir and the replica dir
+  * in ONE session each, prints per-query JSON lines with the
+  * warm-over-warm ratio. Findings are recorded in PLANS.md.
+  */
+object ScaleGate {
+  /** Document/embedding-family queries where a hidden quadratic would
+    * hurt most at 100 TB; q_token_count is the ~pure-scan baseline the
+    * others' ratios read against. (q_ann_recall is deliberately absent:
+    * its exact-ground-truth side is queries×corpus by construction —
+    * a measurement harness, not a serving path.) */
+  val Gate: Seq[String] = Seq(
+    "q_token_count", "q_repetition_filter", "q_dup_windows",
+    "q_minhash_near_dup", "q_tfidf_top_terms", "q_dedup_clusters",
+    "q_graph_rank", "q_graph_triangles", "q_embed_near_dup", "q_ann_ivf")
+
+  private def exists(p: String): Boolean = new java.io.File(p).exists()
+
+  /** Replicate documents+embeddings `factor`× with disjoint id spaces. */
+  def buildReplica(spark: SparkSession, base: String, out: String,
+                   factor: Int): Unit = {
+    if (exists(s"$out/_GATE_OK")) return
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val reps = spark.range(factor.toLong).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDoc).as("doc_id"),
+        concat(lit("r"), col("rep"), lit(" "), col("text")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    emb.crossJoin(reps)
+      .select((col("vec_id") + col("rep") * nVec).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(i === 0, v + col("rep").cast("float") * lit(0.001f))
+            .otherwise(v)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_GATE_OK"))
+    ()
+  }
+
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val out = s"/root/repo/target/scale$factor"
+    def session(): SparkSession = {
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val build = session()
+    buildReplica(build, base, out, factor)
+    // fresh session per dir: session caches (Cache.getOrPersist) key on
+    // (session, dir), so one long session would hold both corpora in
+    // memory and distort the second sweep
+    build.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    def sweep(dir: String): Map[String, Double] = {
+      val s = session()
+      val times = Gate.map { q =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(s, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // cold: codegen + cache fills, discarded
+        q -> once()
+      }.toMap
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      times
+    }
+    val tBase = sweep(base)
+    val tRep = sweep(out)
+    Gate.foreach { q =>
+      val ratio = tRep(q) / math.max(tBase(q), 1e-9)
+      println(s"""{"query":"$q","base_sec":${f2(tBase(q))},""" +
+        s""""x${factor}_sec":${f2(tRep(q))},"ratio":${f2(ratio)}}""")
+    }
+    println(s"""{"gate":"scale$factor","base_total":${f2(tBase.values.sum)},""" +
+      s""""x${factor}_total":${f2(tRep.values.sum)},""" +
+      s""""ratio":${f2(tRep.values.sum / tBase.values.sum)}}""")
+  }
+}
