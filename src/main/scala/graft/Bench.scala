@@ -73,21 +73,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // If SIGTERM'd (driver timeout), salvage the run: report the latest
-    // completed pass (warm if any warm rows exist, else cold). The
-    // `stopping` flag also halts the sweep loop — post-shutdown queries
-    // would otherwise fail in milliseconds and pollute the record with
-    // bogus near-zero times.
+    // If SIGTERM'd (driver timeout), salvage the run. A warm pass killed
+    // 2 queries in must NOT report shared + 2 warm times as the total —
+    // that understates the run and reads as a bogus speedup. Merge the
+    // passes per-query: warm time where the warm pass reached the query,
+    // that query's cold time otherwise, so the partial total stays
+    // comparable to a full run. The `stopping` flag also halts the sweep
+    // loop — post-shutdown queries would otherwise fail in milliseconds
+    // and pollute the record with bogus near-zero times.
     val hook = new Thread(() => {
       stopping = true
       if (!finalPrinted) {
         val rows = done.toArray(Array.empty[(String, String, Double)])
         val warm = rows.collect { case ("warm", n, s) => n -> s }.toSeq
         val cold = rows.collect { case ("cold", n, s) => n -> s }.toSeq
-        val best = if (warm.nonEmpty) warm else cold
-        val total = sharedSec + best.map(_._2).sum
-        println(compactLine(best, total, cold.map(_._2).sum,
-          s""","partial":true,"pass":"${if (warm.nonEmpty) "warm" else "cold"}""""))
+        val warmByName = warm.toMap
+        val merged =
+          if (warm.isEmpty) cold
+          else cold.map { case (n, s) => n -> warmByName.getOrElse(n, s) }
+        val total = sharedSec + merged.map(_._2).sum
+        val pass = if (warm.isEmpty) "cold"
+                   else if (warmByName.size < cold.size) "merged" else "warm"
+        println(compactLine(merged, total, cold.map(_._2).sum,
+          s""","partial":true,"pass":"$pass""""))
         System.out.flush()
       }
     })
@@ -96,6 +104,9 @@ object Bench {
     val partialPath = Paths.get("/root/repo/BENCH_PARTIAL.jsonl")
     try Files.deleteIfExists(partialPath) catch { case _: Throwable => () }
     def flush(pass: String, name: String, sec: Double): Unit = {
+      // A query in flight at SIGTERM fails when Spark tears down; its
+      // truncated elapsed time is not a measurement — drop it.
+      if (stopping) return
       done.add((pass, name, sec))
       try Files.writeString(partialPath,
         s"""{"pass":"$pass","query":"$name","sec":${f3(sec)}}""" + "\n",
@@ -166,8 +177,10 @@ object Bench {
         System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
       // compact driver line: warm-pass per-query times, 3 decimals.
       val flags = if (warmSkipped) ""","warm_skipped":true""" else ""
-      println(compactLine(warm, total, coldSum, flags))
+      // mark BEFORE printing: a SIGTERM between println and the flag
+      // assignment would make the hook emit a second driver line
       finalPrinted = true
+      println(compactLine(warm, total, coldSum, flags))
       spark.stop()
     }
   }

@@ -63,6 +63,10 @@ object Verify {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty[String, Double] }
     val progress = Paths.get(s"$outDir/progress.jsonl")
+    // A rerun into a pre-existing outDir must not mix stale rows from a
+    // prior run into the partial-run audit trail (Bench already deletes
+    // BENCH_PARTIAL.jsonl first; mirror that here).
+    try Files.deleteIfExists(progress) catch { case _: Throwable => () }
     // SIGTERM (driver timeout) → stop dumping instead of appending a
     // fail-fast "ok":false row per remaining query while Spark's own
     // shutdown hook tears the context down under us.

@@ -14,7 +14,7 @@ object Broadcasts {
   val DefaultMaxRows = 10000000L // ~160 MB serialized for two longs
 
   private val countMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
   def maxRows(df: DataFrame, confKey: String,
               default: Long = DefaultMaxRows): Long =
@@ -38,7 +38,7 @@ object Broadcasts {
   def gatedMemo(df: DataFrame, confKey: String, memoKey: String,
                 default: Long = DefaultMaxRows): DataFrame = {
     val n = countMemo.getOrElseUpdate(
-      (System.identityHashCode(df.sparkSession), memoKey), df.count())
+      (Cache.sessionKey(df.sparkSession), memoKey), df.count())
     if (n <= maxRows(df, confKey, default)) broadcast(df) else df
   }
 }

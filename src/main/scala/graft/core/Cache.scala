@@ -19,12 +19,18 @@ import org.apache.spark.storage.StorageLevel
   * of OOMing.
   */
 object Cache {
-  private val store = TrieMap.empty[(Int, String), DataFrame]
+  private val store = TrieMap.empty[(String, String), DataFrame]
+
+  /** Session memo key: applicationId is unique per SparkContext and is
+    * never reused the way a GC'd session's identity hash can be — the
+    * uniform key for every session-scoped memo in the engine. */
+  def sessionKey(spark: SparkSession): String =
+    spark.sparkContext.applicationId
 
   def getOrPersist(spark: SparkSession, name: String, dir: String)
                   (build: => DataFrame): DataFrame =
     store.getOrElseUpdate(
-      (System.identityHashCode(spark), s"$name:$dir"), {
+      (sessionKey(spark), s"$name:$dir"), {
         val df = build
         df.persist(StorageLevel.MEMORY_AND_DISK)
         df

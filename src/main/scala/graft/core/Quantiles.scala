@@ -24,7 +24,7 @@ import org.apache.spark.storage.StorageLevel
   *    (`score >= threshold`) engine-portable.
   */
 object Quantiles {
-  private val memo = TrieMap.empty[(Int, String), Seq[Double]]
+  private val memo = TrieMap.empty[(String, String), Seq[Double]]
 
   /** (n, values at the requested 0-based global ranks) of the sorted
     * column — three small fully-parallel jobs: sort, per-partition
@@ -83,13 +83,13 @@ object Quantiles {
   def exactQuantilesMemo(df: DataFrame, c: String, ps: Seq[Double],
                          memoKey: String): Seq[Double] =
     memo.getOrElseUpdate(
-      (System.identityHashCode(df.sparkSession), memoKey),
+      (Cache.sessionKey(df.sparkSession), memoKey),
       exactQuantiles(df, c, ps))
 
   /** [[valueAtFraction]] memoized per (session, key). */
   def valueAtFractionMemo(df: DataFrame, c: String, f: Double,
                           memoKey: String): Double =
     memo.getOrElseUpdate(
-      (System.identityHashCode(df.sparkSession), memoKey),
+      (Cache.sessionKey(df.sparkSession), memoKey),
       Seq(valueAtFraction(df, c, f))).head
 }

@@ -73,22 +73,22 @@ object PortableHashImpl {
 
 /** Session registration for the engine's native SQL functions. */
 object GraftFunctions {
-  private val registered = new java.util.HashSet[Int]()
 
   /** Idempotently register the native functions on a session so they
     * are callable from both `spark.sql` and `call_function`.
     *
-    * The whole check-then-register block holds one lock: the warm
-    * chains in `SparkEntry.warmShared` run on concurrent futures, and
-    * a thread that merely lost the `add` race must not proceed to use
-    * `graft_hash` before the winner finished registering it. */
-  def ensureRegistered(spark: SparkSession): Unit = registered.synchronized {
-    if (registered.add(System.identityHashCode(spark))) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_hash", exprs => PortableHashExpr(exprs.head), "scala_udf")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_fixed_dot",
-        exprs => FixedDotExpr(exprs.head, exprs(1)), "scala_udf")
-    }
+    * `createOrReplaceTempFunction` is itself idempotent (a registry
+    * put), so no per-session guard set is kept — a set keyed on the
+    * session's identity hash could skip registration for a fresh
+    * session that reused a GC'd session's hash. The lock still
+    * matters: the warm chains in `SparkEntry.warmShared` run on
+    * concurrent futures, and a thread must not proceed to use
+    * `graft_hash` before a concurrent registration finished. */
+  def ensureRegistered(spark: SparkSession): Unit = this.synchronized {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash", exprs => PortableHashExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fixed_dot",
+      exprs => FixedDotExpr(exprs.head, exprs(1)), "scala_udf")
   }
 }

@@ -22,10 +22,15 @@ import org.apache.spark.storage.StorageLevel
 object Recommender {
 
   /** A fitted model plus the id dictionaries used (None on each side
-    * whose raw keys were int-safe and trained directly). */
+    * whose raw keys were int-safe and trained directly). `fitId` is a
+    * process-unique tag for memo keys — unlike an identity hash it is
+    * never reused after a fit is GC'd. */
   case class FittedRecommender(model: ALSModel,
                                userDict: Option[DataFrame],
-                               itemDict: Option[DataFrame])
+                               itemDict: Option[DataFrame],
+                               fitId: Long = fitCounter.incrementAndGet())
+
+  private val fitCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Fit ALS on a ratings frame (user_id, item_id, rating). ALS's
     * factor indexing is int-based, and the reference accepts arbitrary
@@ -117,16 +122,16 @@ object Recommender {
     * join (the dicts are persisted by [[fit]], so the count is a
     * cache scan). */
   def recommendTopK(fitted: FittedRecommender, k: Int): DataFrame = {
-    // memo key = the DICT frame's identity (not the per-call select
-    // projection, which is a fresh instance every call): fit()
-    // persists each dict once, so repeated recommendTopK calls on the
-    // same fit share the key and skip the re-count job; a new fit is
-    // a new instance and counts afresh. Row count is invariant under
-    // the projection, so gating the projection with the dict's count
-    // is exact.
-    def maybeB(dict: DataFrame, proj: DataFrame): DataFrame =
+    // memo key = the FIT's process-unique id + which side (not the
+    // per-call select projection, which is a fresh instance every
+    // call): fit() persists each dict once, so repeated recommendTopK
+    // calls on the same fit share the key and skip the re-count job; a
+    // new fit is a new id and counts afresh. Row count is invariant
+    // under the projection, so gating the projection with the dict's
+    // count is exact.
+    def maybeB(side: String, proj: DataFrame): DataFrame =
       graft.core.Broadcasts.gatedMemo(proj, "spark.graft.dict.broadcastMax",
-        s"dict:${System.identityHashCode(dict)}")
+        s"dict:${fitted.fitId}:$side")
     val recs = fitted.model.recommendForAllUsers(k)
       .select(col("user").as("__uidx"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))
@@ -136,13 +141,13 @@ object Recommender {
         (col("pos") + 1).cast("long").as("rn"))
     val withU = fitted.userDict match {
       case Some(d) => recs.join(
-        maybeB(d, d.select(col("user_id"), col("idx").as("__uidx"))),
+        maybeB("user", d.select(col("user_id"), col("idx").as("__uidx"))),
         Seq("__uidx"))
       case None => recs.withColumn("user_id", col("__uidx").cast("long"))
     }
     val withI = fitted.itemDict match {
       case Some(d) => withU.join(
-        maybeB(d, d.select(col("item_id"), col("idx").as("__iidx"))),
+        maybeB("item", d.select(col("item_id"), col("idx").as("__iidx"))),
         Seq("__iidx"))
       case None => withU.withColumn("item_id", col("__iidx").cast("long"))
     }

@@ -26,7 +26,7 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  private val memo = TrieMap.empty[(Int, String), String]
+  private val memo = TrieMap.empty[(String, String), String]
 
   /** One-time bucketed materialization of a shared intermediate,
     * memoized per (session, name, dir) like [[graft.core.Cache]] — but
@@ -42,12 +42,13 @@ object Bucketing {
   def materializeOnce(spark: SparkSession, name: String, dir: String,
                       by: String, sortCols: Seq[String] = Nil)
                      (build: => DataFrame): DataFrame = {
+    val sessionKey = graft.core.Cache.sessionKey(spark)
     val table = memo.getOrElseUpdate(
-      (System.identityHashCode(spark), s"$name:$dir"),
+      (sessionKey, s"$name:$dir"),
       try {
         val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
         val t = s"graft_${name}_" +
-          Integer.toHexString(System.identityHashCode(spark)) + "_" +
+          sessionKey.replaceAll("[^A-Za-z0-9]", "").toLowerCase + "_" +
           Integer.toHexString(dir.hashCode)
         // the in-memory catalog forgets tables between JVMs but the
         // warehouse dir persists — clear any stale location first
