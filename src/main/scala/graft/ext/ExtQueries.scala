@@ -30,6 +30,11 @@ object ExtQueries {
   private val docSplitsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Int]
 
+  /** Per-(session, dir) verdict of the triangle twin-contraction
+    * structure check — two bounded counts, paid once per session. */
+  private val triGuardMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
   private def docs(s: SparkSession, d: String) = {
     val t = Sources.table(s, d, "documents")
     // split count is a property of (context, dir) — memoize it so the
@@ -344,16 +349,47 @@ object ExtQueries {
     // the wedge join O(m^1.5) even inside near-dup cliques — see
     // GraphRank.triangleCounts.
     "q_graph_triangles" -> ((s, d) => {
-      // oriented edge list is a session graph artifact (read 3×;
-      // exchange reuse won't fire above the cached candidates);
-      // build sides ride the conf-gated broadcast — m rows of two
-      // longs broadcasts far past sandbox scale, shuffle past the gate
-      val fwd = Cache.getOrPersist(s, "tri_fwd", d)(
-        GraphRank.orientEdges(candidatesC(s, d).select(col("d1"), col("d2"))))
-      GraphRank.triangleCountsOriented(fwd,
-          f => graft.core.Broadcasts.gatedMemo(f,
-            "spark.graft.graph.broadcastMax", s"tri_fwd:$d"))
-        .orderBy(col("doc_id"))
+      // Twin contraction first (GraphRank: near-dup cliques → weighted
+      // supernodes, intra-clique triangles arithmetic), guarded by an
+      // exact structure check on the real edge set — a fingerprint
+      // collision falls back to plain enumeration, never to a wrong
+      // answer. Both paths produce identical per-doc counts, so the
+      // enumeration-shaped oracle is shared. The twin map, quotient
+      // list, and guard verdict are session graph artifacts (the warm
+      // pass re-reads them); build sides ride conf-gated broadcasts.
+      val edges = candidatesC(s, d).select(col("d1"), col("d2"))
+      // getOrSnapshot, not getOrPersist: the twin map and the
+      // supernode aggregates sit above broadcast-bearing lineages
+      // (candidates LSH chain; the gated quotient builds), and a
+      // merely-persisted frame re-runs those broadcast stages on
+      // every downstream action (Cache.getOrSnapshot scaladoc) —
+      // measured 10 s/run on the warm perDoc join before truncation.
+      val vmap = Cache.getOrSnapshot(s, "tri_twins", d)(
+        GraphRank.twinClasses(edges))
+      val contractible = triGuardMemo.getOrElseUpdate(
+        (Cache.sessionKey(s), d),
+        GraphRank.contractionViolations(edges, vmap) == 0L)
+      if (contractible) {
+        // the expensive half (quotient wedge enumeration) lands in a
+        // per-SUPERNODE aggregate — one row per supernode — so it is
+        // session-cached and each run pays only the per-doc join +
+        // arithmetic expansion
+        val aggs = Cache.getOrSnapshot(s, "tri_quot_aggs", d) {
+          val qedges = Cache.getOrPersist(s, "tri_qedges", d)(
+            GraphRank.quotientEdges(edges, vmap))
+          GraphRank.quotientTriangleAggs(vmap, qedges,
+            (tag, f) => graft.core.Broadcasts.gatedMemo(f,
+              "spark.graft.graph.broadcastMax", s"tri_q_$tag:$d"))
+        }
+        GraphRank.perDocTriangles(vmap, aggs).orderBy(col("doc_id"))
+      } else {
+        val fwd = Cache.getOrPersist(s, "tri_fwd", d)(
+          GraphRank.orientEdges(edges))
+        GraphRank.triangleCountsOriented(fwd,
+            f => graft.core.Broadcasts.gatedMemo(f,
+              "spark.graft.graph.broadcastMax", s"tri_fwd:$d"))
+          .orderBy(col("doc_id"))
+      }
     }),
 
     // Exact duplicated-substring audit (the ExactSubstr shape of Lee

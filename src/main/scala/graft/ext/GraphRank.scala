@@ -138,6 +138,180 @@ object GraphRank {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  // ---------------------------------------------------------------
+  // Twin contraction — the 100 TB guard for triangle counting.
+  //
+  // Near-dup clusters are cliques, and triangle OUTPUT grows
+  // cubically in clique size: a replica family of k exact/near-exact
+  // copies contributes C(k,3) triangle rows even though they carry
+  // zero information beyond "k mutual duplicates". The scale-safe
+  // plan contracts TRUE-TWIN classes — vertices with identical
+  // closed neighborhoods N(v)∪{v} — to weighted supernodes first:
+  // a k-clique of twins becomes ONE node with multiplicity k, its
+  // intra-clique triangles become arithmetic (C(k−1,2) per member),
+  // and the wedge join runs on the (much smaller) quotient graph.
+  //
+  // Twins are found by a deterministic power-sum fingerprint of the
+  // closed neighborhood (size + Σm, Σm² mod P, Σm³ mod P of
+  // m = id mod P — order-free, so one aggregation, no sorted
+  // adjacency arrays that would themselves be quadratic on a hot
+  // clique). The fingerprint only GROUPS; correctness never rests on
+  // it: [[contractionViolations]] verifies from the actual edge set
+  // that every class is a clique and every adjacent class pair is
+  // complete-bipartite. Under that (checked) structure the per-doc
+  // formula below is an exact identity with plain enumeration —
+  // which is why q_graph_triangles keeps its original
+  // enumeration-shaped DuckDB oracle unchanged — and a fingerprint
+  // collision degrades to the uncontracted path, never to a wrong
+  // answer. An over-split fingerprint (true twins landing in
+  // different classes) is always safe: subsets of a twin class still
+  // satisfy both checked properties.
+  // ---------------------------------------------------------------
+
+  /** Fingerprint modulus (shared with [[graft.core.PortableHash]] —
+    * small enough that m³ stays in a Long). */
+  private val FpMod: Long = graft.core.PortableHash.M.toLong
+
+  /** Twin-class map (v, gid, k) over the undirected edge set
+    * `edges(d1, d2)`: gid = smallest member of v's fingerprint class,
+    * k = class size. Only vertices with ≥1 edge appear (isolated
+    * nodes have no triangles). One O(m) aggregation + one class-level
+    * aggregation — no adjacency lists are ever materialized. */
+  def twinClasses(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("d1"), col("d2"))
+    val sym = e.select(col("d1").as("v"), col("d2").as("n"))
+      .unionByName(e.select(col("d2").as("v"), col("d1").as("n")))
+    // closed neighborhood: the self row makes adjacent twins (who
+    // see each other but not themselves) fingerprint-equal.
+    val closed = sym.unionByName(
+      sym.select(col("v")).distinct().select(col("v"), col("v").as("n")))
+    val fp = closed
+      .withColumn("m", pmod(col("n").cast("long"), lit(FpMod)))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("csz"),
+        sum(col("m")).as("s1"),
+        sum(expr(s"m * m % $FpMod")).as("s2"),
+        sum(expr(s"m * m % $FpMod * m % $FpMod")).as("s3"))
+    val cls = fp.groupBy(col("csz"), col("s1"), col("s2"), col("s3"))
+      .agg(min(col("v")).as("gid"), count(lit(1)).as("k"))
+    fp.join(cls, Seq("csz", "s1", "s2", "s3"))
+      .select(col("v"), col("gid"), col("k"))
+  }
+
+  /** Count of twin-class structure violations in the ACTUAL edge set:
+    * classes of size k whose intra-class edge count ≠ C(k,2) (not a
+    * clique), plus adjacent class pairs whose cross-edge count ≠
+    * k₁·k₂ (not complete-bipartite). 0 ⇔ the contraction identity
+    * holds exactly. One tagged pass over the edges. */
+  def contractionViolations(edges: DataFrame, vmap: DataFrame): Long = {
+    val tagged = edges
+      .join(vmap.select(col("v").as("d1"), col("gid").as("g1"),
+        col("k").as("k1")), Seq("d1"))
+      .join(vmap.select(col("v").as("d2"), col("gid").as("g2"),
+        col("k").as("k2")), Seq("d2"))
+    val classes = vmap.select(col("gid"), col("k")).distinct()
+    val intraCnt = tagged.where(col("g1") === col("g2"))
+      .groupBy(col("g1").as("gid")).agg(count(lit(1)).as("cnt"))
+    // classes with k>1 and NO intra edges are also violations — start
+    // from the class list, not the observed-edge groups
+    val intraViol = classes.where(col("k") > 1)
+      .join(intraCnt, Seq("gid"), "left")
+      .where(coalesce(col("cnt"), lit(0L)) =!= expr("k * (k - 1) div 2"))
+    val interViol = tagged.where(col("g1") =!= col("g2"))
+      .select(least(col("g1"), col("g2")).as("ga"),
+        greatest(col("g1"), col("g2")).as("gb"),
+        when(col("g1") < col("g2"), col("k1")).otherwise(col("k2")).as("ka"),
+        when(col("g1") < col("g2"), col("k2")).otherwise(col("k1")).as("kb"))
+      .groupBy(col("ga"), col("gb"), col("ka"), col("kb"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") =!= col("ka") * col("kb"))
+    intraViol.count() + interViol.count()
+  }
+
+  /** Quotient edge list (d1, d2), d1 < d2, one row per adjacent
+    * supernode pair. */
+  def quotientEdges(edges: DataFrame, vmap: DataFrame): DataFrame =
+    edges
+      .join(vmap.select(col("v").as("d1"), col("gid").as("g1")), Seq("d1"))
+      .join(vmap.select(col("v").as("d2"), col("gid").as("g2")), Seq("d2"))
+      .where(col("g1") =!= col("g2"))
+      .select(least(col("g1"), col("g2")).as("d1"),
+        greatest(col("g1"), col("g2")).as("d2"))
+      .distinct()
+
+  /** Per-SUPERNODE triangle aggregates (gid, na, nb, tq) — the
+    * expensive half of the contracted count (the quotient wedge
+    * enumeration), one output row per supernode, so callers cache it
+    * per session and the per-run work shrinks to [[perDocTriangles]]'
+    * join + arithmetic. `gate(tag, df)` wraps each small build side
+    * (oriented quotient list, class-size map) in a conf-gated
+    * broadcast keyed by tag.
+    *
+    *   na(g) = Σ_{h∈N(g)} k_h      nb(g) = Σ_{h∈N(g)} C(k_h, 2)
+    *   tq(g) = Σ_{quot tri (g,h₁,h₂)} k_h₁·k_h₂
+    */
+  def quotientTriangleAggs(vmap: DataFrame, qedges: DataFrame,
+      gate: (String, DataFrame) => DataFrame): DataFrame = {
+    val sizes = vmap.select(col("gid"), col("k")).distinct()
+    val fwd = orientEdges(qedges)
+    val wedge = fwd.select(col("u").as("a"), col("w").as("b"))
+      .join(gate("fwd", fwd.select(col("u").as("b"), col("w").as("c"))),
+        Seq("b"))
+    val tri = wedge
+      .join(gate("fwd", fwd.select(col("u").as("a"), col("w").as("c"))),
+        Seq("a", "c"))
+    val triK = tri
+      .join(gate("sz", sizes.select(col("gid").as("a"), col("k").as("ka"))),
+        Seq("a"))
+      .join(gate("sz", sizes.select(col("gid").as("b"), col("k").as("kb"))),
+        Seq("b"))
+      .join(gate("sz", sizes.select(col("gid").as("c"), col("k").as("kc"))),
+        Seq("c"))
+    val quotTri = triK.select(explode(array(
+        struct(col("a").as("gid"), (col("kb") * col("kc")).as("tw")),
+        struct(col("b").as("gid"), (col("ka") * col("kc")).as("tw")),
+        struct(col("c").as("gid"), (col("ka") * col("kb")).as("tw"))))
+        .as("x"))
+      .select(col("x.gid").as("gid"), col("x.tw").as("tw"))
+      .groupBy(col("gid")).agg(sum(col("tw")).as("tq"))
+    val symQ = qedges.select(col("d1").as("g"), col("d2").as("h"))
+      .unionByName(qedges.select(col("d2").as("g"), col("d1").as("h")))
+    val nbr = symQ
+      .join(gate("sz", sizes.select(col("gid").as("h"), col("k").as("kh"))),
+        Seq("h"))
+      .groupBy(col("g").as("gid"))
+      .agg(sum(col("kh")).as("na"),
+        sum(expr("kh * (kh - 1) div 2")).as("nb"))
+    nbr.join(quotTri, Seq("gid"), "outer")
+      .select(col("gid"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("tq"), lit(0L)).as("tq"))
+  }
+
+  /** Per-document triangle counts from the supernode aggregates —
+    * exact under the [[contractionViolations]]-checked structure. For
+    * a member v of class g (size k) with quotient neighbors N(g):
+    *
+    *   n_tri(v) = C(k−1, 2)                      // both others in g
+    *            + (k−1) · Σ_{h∈N(g)} k_h          // one in g, one out
+    *            + Σ_{h∈N(g)} C(k_h, 2)            // two in one h
+    *            + Σ_{(h₁,h₂) tri with g} k_h₁·k_h₂ // two different h
+    */
+  def perDocTriangles(vmap: DataFrame, aggs: DataFrame): DataFrame =
+    vmap.join(aggs, Seq("gid"), "left")
+      .select(col("v").as("doc_id"),
+        (expr("(k - 1) * (k - 2) div 2")
+          + (col("k") - 1) * coalesce(col("na"), lit(0L))
+          + coalesce(col("nb"), lit(0L))
+          + coalesce(col("tq"), lit(0L))).as("n_triangles"))
+      .where(col("n_triangles") > 0)
+
+  /** Contracted-path triangle counts in one call (tests; production
+    * call sites cache [[quotientTriangleAggs]] per session). */
+  def triangleCountsContracted(vmap: DataFrame, qedges: DataFrame,
+      gate: (String, DataFrame) => DataFrame): DataFrame =
+    perDocTriangles(vmap, quotientTriangleAggs(vmap, qedges, gate))
+
   /** SQL twin of [[triangleCounts]] as chained CTEs over
     * `edges(d1, d2)`; emits `tripart(doc_id, n_triangles)`. */
   val triangleCountsSql: String =

@@ -44,6 +44,59 @@ class GraphRankSpec extends SparkSpec {
     assert(out == vs.map(v => (v, 3L)))
   }
 
+  /** Contracted-path harness: twin map + guard + quotient formula,
+    * compared against plain enumeration on the same edge set. */
+  private def contractedCounts(edges: org.apache.spark.sql.DataFrame) = {
+    val vmap = GraphRank.twinClasses(edges)
+    assert(GraphRank.contractionViolations(edges, vmap) == 0L)
+    GraphRank.triangleCountsContracted(vmap,
+      GraphRank.quotientEdges(edges, vmap), (_, f) => f)
+  }
+
+  private def asPairs(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("twin contraction: clique families reproduce plain enumeration") {
+    // two disjoint replica families (5-clique {1..5}, 3-clique
+    // {10,11,12}) — each a true twin class — plus a hub vertex 20
+    // adjacent to ALL members of both families (cross-supernode
+    // wedges must close through it), and a pendant 30–20 that closes
+    // nothing.
+    val fam1 = Seq(1L, 2L, 3L, 4L, 5L)
+    val fam2 = Seq(10L, 11L, 12L)
+    val intra = (for { a <- fam1; b <- fam1 if a < b } yield (a, b)) ++
+      (for { a <- fam2; b <- fam2 if a < b } yield (a, b))
+    val hub = (fam1 ++ fam2).map(v => (v, 20L))
+    val edges = (intra ++ hub :+ (20L, 30L)).toDF("d1", "d2")
+    assert(asPairs(contractedCounts(edges)) ==
+      asPairs(GraphRank.triangleCounts(edges)))
+    // the quotient graph really contracted: 3 supernodes + hub + pendant
+    assert(GraphRank.twinClasses(edges)
+      .select("gid").distinct().count() == 4L)
+  }
+
+  test("twin contraction: twin-free graph degrades to enumeration") {
+    // the shared-edge triangle graph from above has no twins at all —
+    // every class is a singleton and the formula reduces to the plain
+    // quotient enumeration
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (2L, 5L),
+      (3L, 4L)).toDF("d1", "d2")
+    assert(asPairs(contractedCounts(edges)) ==
+      Seq((1L, 1L), (2L, 2L), (3L, 2L), (5L, 1L)))
+  }
+
+  test("twin contraction: guard counts broken-clique merges") {
+    // two vertices with equal closed-neighborhood fingerprints CANNOT
+    // be produced without a hash collision, so exercise the guard
+    // directly: hand it a vmap that wrongly merges 1 and 4 (not
+    // adjacent, different neighborhoods) and expect violations.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val badVmap = Seq((1L, 1L, 2L), (4L, 1L, 2L), (2L, 2L, 1L),
+      (3L, 3L, 1L)).toDF("v", "gid", "k")
+    assert(GraphRank.contractionViolations(edges, badVmap) > 0L)
+  }
+
   test("rank is partitioning-independent (all-integer arithmetic)") {
     val nodes = (0L until 40L).toDF("doc_id")
     val edges = (0L until 39L).map(i => (i, i + 1)).toDF("d1", "d2")
