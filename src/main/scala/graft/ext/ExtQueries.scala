@@ -931,6 +931,64 @@ object ExtQueries {
       Packing.chunkTokens(docs(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Corpus-trained subword (BPE) token counts — the real
+    // token-denomination for training budgets (whitespace counts run
+    // 2–3× off on code/CJK). The merge table is learned ONCE per
+    // (session, dir) from the capped word-frequency table (driver
+    // loop over ≤VocabCap rows — bounded by the cap, not the corpus)
+    // and applied as a pure Column fold (chained codegen'd replaces)
+    // — zero shuffle, scan-parallel at any size. The oracle REPLAYS
+    // the whole learn loop as materialized CTEs and the application
+    // as one replace CTE per merge (Bpe scaladoc), so the check is
+    // cell-exact end-to-end, learned table included.
+    "q_bpe_tokens" -> ((s, d) => {
+      val m = Bpe.mergesMemo(docs(s, d), d)
+      docs(s, d).select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_ws"),
+        Bpe.docBpeCol(col("text"), m).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-budget context-window chunking: the token stream is cut at
+    // multiples of BpeBudget SUBWORD tokens (concatenate-and-cut, the
+    // pretraining shape — a word straddling a cut belongs to the
+    // chunk where it starts), and each (doc, chunk) reports its word
+    // and subword mass. The within-doc offset is a per-doc window —
+    // partitioned by doc_id, so at 100 TB it shuffles by doc and
+    // never funnels through one reducer (docs bound the partition,
+    // not the corpus).
+    "q_chunk_bpe" -> ((s, d) => {
+      val m = Bpe.mergesMemo(docs(s, d), d)
+      val words = docs(s, d).select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), w => w =!= "")))
+        .withColumnRenamed("col", "w")
+        .withColumn("c", Bpe.wordBpeCol(col("w"), m))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Long.MinValue, -1)
+      words
+        .withColumn("off", coalesce(sum(col("c")).over(win), lit(0L)))
+        .withColumn("chunk_id", expr(s"off div ${Bpe.BpeBudget}L"))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("c")).as("n_bpe"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Sequence packing denominated in BPE tokens — q_pack_sequences'
+    // two-pass distributed prefix sum (never a global single-reducer
+    // window), with the per-doc token mass swapped from whitespace
+    // words to learned subwords. Memoized like q_pack_sequences
+    // because the prefix sum pins its sorted RDD.
+    "q_pack_bpe" -> ((s, d) => {
+      val m = Bpe.mergesMemo(docs(s, d), d)
+      Cache.getOrPersist(s, "pack_bpe", d)(
+        Packing.packSequences(docs(s, d),
+          Bpe.docBpeCol(col("text"), m), col("doc_id"))
+          .withColumnRenamed("k", "doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The distributed dictionary-encoding pre-pass as a first-class
     // op: dense deterministic int ids for arbitrary keys (what ALS —
     // and any factor/embedding table — needs at 100 TB where raw ids
@@ -2048,6 +2106,93 @@ object ExtQueries {
          |       CAST(${graft.core.PortableHash.hSql("chunk")} AS BIGINT)
          |         AS chunk_hash
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Full BPE replay: the learn loop (capped vocab seed + per-merge
+    // pair-count/argmax/merge CTEs, AS MATERIALIZED so DuckDB doesn't
+    // re-inline the chain exponentially) feeds the apply chain (one
+    // replace CTE per learned merge over the per-doc word list), and
+    // the subword count is the `]`-count of the folded string — the
+    // exact twin of Bpe.docBpeCol. LEFT JOIN keeps any doc whose
+    // word list is empty at n_bpe = 0 (the Spark side's aggregate
+    // over an empty array).
+    "q_bpe_tokens" ->
+      s"""WITH ${Bpe.learnCtesSql()},
+         |wsrc AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
+         |perword AS (
+         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |         CAST(sum(c) AS BIGINT) AS n_bpe
+         |  FROM perword GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(p.n_ws, 0) AS n_ws,
+         |       COALESCE(p.n_bpe, 0) AS n_bpe
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same learned table; the chunk cut is a per-doc window over the
+    // word-position order (exclusive running subword sum div budget).
+    "q_chunk_bpe" ->
+      s"""WITH ${Bpe.learnCtesSql()},
+         |wl AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |    x -> x <> '') AS ws
+         |  FROM documents),
+         |wp AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+         |  FROM wl),
+         |wsrc AS (SELECT doc_id, pos, ws[pos] AS w FROM wp),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id", "pos"))},
+         |perword AS (
+         |  SELECT doc_id, pos, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |off AS (
+         |  SELECT doc_id, c,
+         |         CAST(COALESCE(sum(c) OVER (PARTITION BY doc_id
+         |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM perword)
+         |SELECT doc_id, o // ${Bpe.BpeBudget} AS chunk_id,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(c) AS BIGINT) AS n_bpe
+         |FROM off GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q_pack_sequences' oracle with the token mass swapped to the
+    // replayed BPE counts (global-window prefix sum — single-reducer
+    // is fine for DuckDB at sf; the Spark side is the two-pass scan).
+    "q_pack_bpe" ->
+      s"""WITH ${Bpe.learnCtesSql()},
+         |wsrc AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
+         |perword AS (
+         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |t AS (
+         |  SELECT d.doc_id,
+         |         CAST(COALESCE(sum(p.c), 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN perword p USING (doc_id)
+         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |       tok_offset // ${Packing.BinCapacity} AS bin_first,
+         |       (tok_offset + n_tokens - 1) // ${Packing.BinCapacity}
+         |         AS bin_last,
+         |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
+         |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // The oracle spells the prefix sum as a global window — fine for
     // DuckDB at sf, single-reducer at 100 TB, which is exactly why

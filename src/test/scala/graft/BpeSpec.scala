@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+/** BPE learn + apply: the Sennrich loop's determinism and the
+  * Column-fold application's parity with a driver-side re-application
+  * of the same merge table. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The classic Sennrich corpus: word frequencies low×5, lower×2,
+    * newest×6, widest×3, flattened to documents. */
+  private def sennrichDocs = Seq(
+    (1L, Seq.fill(5)("low").mkString(" ")),
+    (2L, Seq.fill(2)("lower").mkString(" ")),
+    (3L, Seq.fill(6)("newest").mkString(" ")),
+    (4L, Seq.fill(3)("widest").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  /** Driver-side reference: seed chars + </w>, fold the merge table
+    * with the same left-to-right non-overlapping semantics. */
+  private def refCount(w: String, merges: Seq[(String, String)]): Long = {
+    var syms = w.map(_.toString).toVector :+ "</w>"
+    for ((a, b) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length.toLong
+  }
+
+  test("learnMerges: first merges follow frequency order, deterministically") {
+    val m = Bpe.learnMerges(sennrichDocs, numMerges = 8)
+    // newest×6 dominates: (e,s) count 6+3=9 wins first (tie-broken
+    // against nothing — it is the unique max: s,t = 9 too? s+t: 6+3=9;
+    // e,s: 9. Tie → lexicographic (a,b): ("e","s") < ("s","t")).
+    assert(m.head == ("e", "s"))
+    assert(m.length == 8)
+    // re-learning is bit-identical (pure function of the corpus)
+    assert(Bpe.learnMerges(sennrichDocs, numMerges = 8) == m)
+  }
+
+  test("tokenizeCol/countCol match a driver-side fold for every corpus word") {
+    val m = Bpe.learnMerges(sennrichDocs)
+    val words = Seq("low", "lower", "newest", "widest", "lowest", "wide")
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.wordBpeCol(col("w"), m).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == refCount(w, m), s"word '$w'")
+    }
+    // fully-merged frequent words collapse to one symbol
+    assert(got("newest") == 1L)
+    assert(got("low") == 1L)
+  }
+
+  test("docBpeCol sums word counts; empty/whitespace text counts 0") {
+    val m = Bpe.learnMerges(sennrichDocs)
+    val docs = Seq((1L, "low lower low"), (2L, ""), (3L, "  "),
+      (4L, "newest widest")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Bpe.docBpeCol(col("text"), m))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == refCount("low", m) * 2 + refCount("lower", m))
+    assert(got(2L) == 0L)
+    assert(got(3L) == 0L)
+    assert(got(4L) == refCount("newest", m) + refCount("widest", m))
+  }
+
+  test("merge count caps at available pairs without diverging") {
+    // single 2-char word: seed [a][b][</w>] has 2 pairs; asking for
+    // 10 merges must stop after exhausting them, not loop or throw
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, numMerges = 10)
+    assert(m.length <= 3)
+    val n = docs.select(Bpe.docBpeCol(col("text"), m)).head().getLong(0)
+    assert(n == 1L) // fully merged to [ab</w>]
+  }
+}
