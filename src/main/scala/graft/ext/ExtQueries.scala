@@ -770,18 +770,19 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Frame-sampling plumbing scored: byte offsets of every 2nd
-    // 32-byte frame over the opaque payload column (the video
-    // frame-extraction shape — a real decoder seeks to these
-    // offsets). Offsets explode to scalar rows so the compare is
-    // cell-exact; the generation is per-row sequence/transform,
-    // zero shuffle.
-    "q_multimodal_frames" -> ((s, d) =>
-      Multimodal.frameOffsets(Multimodal.mediaTable(docs(s, d)), everyK = 2)
-        .select(col("doc_id"), posexplode(col("frame_offsets")))
-        .select(col("doc_id"), col("pos").cast("long").as("frame_id"),
-          col("col").as("frame_offset"))
-        .orderBy(col("doc_id"), col("frame_id"))),
+    // REAL multi-frame inventory, scored (the video analog of
+    // q_multimodal_decode): render a fixture of actual animated-GIF
+    // containers (frame count / dims / per-frame delays arithmetic in
+    // doc_id and frame_id), walk the sequence with the partition-
+    // parallel javax.imageio kernel, and let the oracle predict every
+    // frame row from the fixture constants — a broken parser emits no
+    // rows (there is deliberately no fallback), so breakage is red,
+    // never silently fake.
+    "q_multimodal_frames" -> ((s, d) => {
+      val p = graft.io.VideoFixtures.write(s, d)
+      Multimodal.frameInventory(s.read.parquet(p)).toDF()
+        .orderBy(col("doc_id"), col("frame_id"))
+    }),
 
     // session_window in batch mode (streaming twin: StreamOps).
     "q_session_window" -> ((s, d) =>
@@ -2305,17 +2306,26 @@ object ExtQueries {
          |FROM a ORDER BY doc_id""".stripMargin
     },
 
-    // Same every-64-byte offset arithmetic; unnest replays the
-    // sequence fanout.
+    // Every frame row is INDEPENDENTLY predicted from the fixture's
+    // (doc_id, frame_id) → geometry constants; only doc_id/n_bytes
+    // come from the shared parquet (both engines see the same
+    // container bytes). A parse failure on the Spark side emits no
+    // rows → row-count red.
     "q_multimodal_frames" ->
-      s"""WITH n AS (
-         |  SELECT doc_id,
-         |         octet_length(CAST(text AS BLOB)) AS nb FROM documents),
+      s"""WITH v AS (
+         |  SELECT doc_id, octet_length(media) AS nb
+         |  FROM read_parquet('${graft.io.VideoFixtures.videoPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
          |f AS (
-         |  SELECT doc_id, unnest(generate_series(0, nb // 64)) AS i
-         |  FROM n)
-         |SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
-         |       CAST(i * 64 AS BIGINT) AS frame_offset
+         |  SELECT doc_id, nb,
+         |         unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT)))
+         |           AS frame_id
+         |  FROM v)
+         |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+         |       CAST(nb AS BIGINT) AS n_bytes,
+         |       CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS width,
+         |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
+         |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
 
     "q_session_window" ->

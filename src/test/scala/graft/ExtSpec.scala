@@ -701,10 +701,25 @@ class ExtSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect()
       .map(m => (m.doc_id, m.n_bytes, m.width, m.height))
     assert(viaColumns.toSeq === viaDecode.toSeq)
-    val offs = Multimodal.frameOffsets(Multimodal.mediaTable(docs), 1)
-      .orderBy(col("doc_id")).collect()(0)
-      .getAs[scala.collection.Seq[Long]]("frame_offsets")
-    assert(offs.head === 0L)
+  }
+
+  test("multimodal: animated-GIF frame inventory round-trips the fixture") {
+    import graft.io.VideoFixtures
+    val ids = Seq(0L, 3L, 7L) // 2, 5, 4 frames respectively
+    val media = ids.map(id => (id, VideoFixtures.encode(id)))
+      .toDF("doc_id", "media")
+    val got = Multimodal.frameInventory(media)
+      .orderBy(col("doc_id"), col("frame_id")).collect()
+    val want = for {
+      id <- ids
+      f <- 0L until VideoFixtures.framesOf(id)
+    } yield (id, f, VideoFixtures.widthOf(id), VideoFixtures.heightOf(id),
+      VideoFixtures.delayOf(id, f))
+    assert(got.map(x =>
+      (x.doc_id, x.frame_id, x.width, x.height, x.delay_cs)).toSeq === want)
+    // a non-media payload parses to NOTHING, never to fake rows
+    val junk = Seq((9L, "not a gif".getBytes("UTF-8"))).toDF("doc_id", "media")
+    assert(Multimodal.frameInventory(junk).count() === 0L)
   }
 
   test("scalar quantization: endpoints exact, interior bounded by half-step") {
