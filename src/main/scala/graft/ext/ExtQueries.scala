@@ -496,6 +496,55 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM scoring (the model-based quality signal production
+    // curation runs next to q_quality_score's rules): per-doc average
+    // bigram negative log2-probability under a Laplace-smoothed
+    // corpus bigram model. True log-domain perplexity shape, but NO
+    // ln() crosses the oracle boundary — the log is an integer
+    // mantissa/exponent decomposition against a shared 128-entry
+    // scaled-log table (LmScore scaladoc). Count tables are session
+    // artifacts; their join sides ride gated broadcasts (shuffle
+    // joins on the n-gram key past the gate — the distributed
+    // LM-counts join).
+    "q_lm_score" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val docBg = Cache.getOrPersist(s, "lm_doc_bigrams", d)(
+        docs(s, d).where(size(ws) >= 2).select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ws) - 1), i =>
+            struct(element_at(ws, i).as("w1"),
+              concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))
+                .as("bg")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg")))
+      val bgCounts = Cache.getOrPersist(s, "lm_bigram_counts", d)(
+        docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12")))
+      val ugCounts = Cache.getOrPersist(s, "lm_unigram_counts", d)(
+        docs(s, d).select(explode(split(col("text"), " ")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+      val vocab = ugCounts.agg(count(lit(1)).as("v"))
+      def gate(tag: String, f: DataFrame) = graft.core.Broadcasts
+        .gatedMemo(f, "spark.graft.lm.broadcastMax", s"lm_$tag:$d")
+      docBg
+        .join(gate("bg", bgCounts), Seq("bg"))
+        .join(gate("ug", ugCounts), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("pfx", greatest(
+          expr(s"((c12 + 1) * ${LmScore.PScale}L) div (c1 + v)"), lit(1L)))
+        .withColumn("e", length(conv(col("pfx"), 10, 2)).cast("long"))
+        .withColumn("m",
+          expr(s"(pfx * ${LmScore.MScale}L) div " +
+            "shiftleft(1L, CAST(e - 1 AS INT))"))
+        .withColumn("nl2", lit(LmScore.L9Fx)
+          - (col("e") - 1) * lit(LmScore.LogScale)
+          - element_at(typedLit(LmScore.Log2Table),
+              (col("m") - lit(LmScore.MScale - 1)).cast("int")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nl2")).as("sum_nl2fx"))
+        .withColumn("avg_nl2fx", expr("sum_nl2fx div n_bigrams"))
+        .withColumn("avg_bits", Det.r4(
+          col("avg_nl2fx").cast("double") / lit(LmScore.LogScale.toDouble)))
+        .orderBy(col("doc_id"))
+    }),
+
     // Marker-based language scoring + argmax prediction.
     "q_lang_id" -> ((s, d) => {
       val ws = TextAnalysis.wordsCol
@@ -1645,6 +1694,52 @@ object ExtQueries {
          |SELECT doc_id, n_chars, n_words, n_stop, avg_wlen, stop_ratio,
          |       quality
          |FROM quals ORDER BY doc_id""".stripMargin,
+
+    // Integer replay of the LmScore pipeline: same Laplace smoothing,
+    // same fixed-point probability, same bit-length/mantissa log
+    // decomposition against the SAME embedded table — log2 never
+    // computed by either engine at query time. Parallel unnests zip
+    // (w1 with its bigram), matching the Spark struct explode.
+    "q_lm_score" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |docbg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)), i -> w[i]))
+         |           AS w1,
+         |         unnest(list_transform(range(1, len(w)),
+         |           i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM ws WHERE len(w) >= 2),
+         |bgc AS (SELECT bg, count(*) AS c12 FROM docbg GROUP BY 1),
+         |ugc AS (
+         |  SELECT w1, count(*) AS c1 FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+         |  GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM ugc),
+         |j AS (
+         |  SELECT d.doc_id,
+         |         GREATEST(((b.c12 + 1) * ${LmScore.PScale}) // (u.c1 + vv.v),
+         |                  1) AS pfx
+         |  FROM docbg d JOIN bgc b USING (bg) JOIN ugc u USING (w1)
+         |  CROSS JOIN vv),
+         |se AS (SELECT doc_id, pfx, length(bin(pfx)) AS e FROM j),
+         |nl AS (
+         |  SELECT doc_id,
+         |         ${LmScore.L9Fx} - (e - 1) * ${LmScore.LogScale}
+         |           - (${LmScore.log2TableSql}[
+         |               CAST((pfx * ${LmScore.MScale})
+         |                 // (CAST(1 AS BIGINT) << (e - 1))
+         |                 AS INTEGER) - ${LmScore.MScale - 1}]) AS nl2
+         |  FROM se),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(nl2) AS BIGINT) AS sum_nl2fx
+         |  FROM nl GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_nl2fx,
+         |       sum_nl2fx // n_bigrams AS avg_nl2fx,
+         |       ${r4(s"CAST(sum_nl2fx // n_bigrams AS DOUBLE) / " +
+                s"${LmScore.LogScale}.0")} AS avg_bits
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
       val scoreCols = TextAnalysis.Markers.map { case (l, ms) =>
