@@ -28,16 +28,30 @@ object Sources {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 cannot read natively (PARQUET_TYPE_ILLEGAL). Read nanos
-    * as LONG and truncate to microseconds (integer div — the values,
-    * ~1.7e18, exceed double precision) — the same floor DuckDB's
-    * `epoch_us` applies, so event-time semantics agree with oracles. */
+  /** events.parquet has shipped `ts` as parquet TIMESTAMP(NANOS) in
+    * some rounds (Spark 4 cannot read it natively —
+    * PARQUET_TYPE_ILLEGAL) and TIMESTAMP(MICROS, ntz) in others, so
+    * the reader adapts to the file's actual type instead of assuming
+    * one encoding. All paths land on session-tz TimestampType at
+    * microsecond precision, the same floor DuckDB applies, so
+    * event-time semantics agree with oracles either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Land `ts` on TimestampType(µs) whatever the parquet encoding:
+    * nanos-as-LONG → integer-div to µs (the values, ~1.7e18, exceed
+    * double precision — must stay integral); TIMESTAMP_NTZ → cast,
+    * which under the UTC session zone is a wall-clock identity. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Reference movies dialect: `user|item|rating`, no quoting.
     * Mirrors `moviesSimilarities.py ≈L58–66 (group_by_user_rating)` [R]. */

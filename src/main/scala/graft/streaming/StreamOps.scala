@@ -291,16 +291,17 @@ object StreamOps {
     * harness; a production run swaps source/sink + trigger). */
   def sessionizeStream(spark: SparkSession, dir: String,
                        queryName: String): StreamingQuery = {
-    // events.ts is parquet TIMESTAMP(NANOS): read nanos as LONG and
-    // truncate to µs, same as the batch reader (graft.io.Sources).
+    // events.ts encoding varies by testdata round (TIMESTAMP(NANOS)
+    // vs TIMESTAMP_NTZ micros): normalize exactly like the batch
+    // reader (graft.io.Sources.normalizeEventTs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a directory: stream the sf dir,
     // glob-filtered down to the events table
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.io.Sources.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val q = events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
