@@ -168,8 +168,13 @@ object SimQueries {
     // variant is plan-exercised under the DuckDB oracle, not just
     // property-tested (PropertySpec owns the adversarial magnitudes
     // where LONG cannot even form a product term).
+    // Decimal moments are memoized like the LONG pair_moments: the
+    // bucketed self-join + DECIMAL(38,0) agg costs ~3.4 s warm at
+    // sf0.1 when rebuilt per action, and it is just as much a shared
+    // materialized intermediate as its LONG twin.
     "q_sim_pearson_dec" -> ((s, d) =>
-      Moments.asDoubles(Moments.pairMomentsDec(ratingsBucketed(s, d)))
+      Moments.asDoubles(Cache.getOrPersist(s, "pair_moments_dec", d)(
+          Moments.pairMomentsDec(ratingsBucketed(s, d))))
         .where(col("n") >= 2)
         .select(col("item_x"), col("item_y"), col("n"), corrCol.as("corr"))
         .orderBy(col("item_x"), col("item_y"))),
