@@ -49,6 +49,46 @@ object Sinks {
       .orc(path)
   }
 
+  /** Parquet sink with an explicit row-group size — the knob that
+    * decides SCAN parallelism at 100 TB. Spark assigns read splits by
+    * `spark.sql.files.maxPartitionBytes` (default 128 MB), but a split
+    * can only start at a row-group boundary: a file written as one
+    * giant row group serializes every reader on that file no matter
+    * how many executors are idle, while ~128 MB row groups let a
+    * 1000-executor scan fan out across every group. (All driver
+    * testdata is single-row-group — fine at sf0.1, the wrong layout
+    * for the engine's OWN outputs at scale, which is why the sinks
+    * set it explicitly instead of inheriting parquet-mr's default.)
+    * `rowGroupBytes` also bounds the writer's buffering memory per
+    * open file. Page size scales down with tiny test row groups so
+    * parquet-mr's "page per group" floor doesn't quietly merge them. */
+  def writeParquetRowGrouped(df: DataFrame, path: String,
+                             rowGroupBytes: Long = 128L << 20): Unit =
+    df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .option("parquet.page.size",
+        math.max(1024L, rowGroupBytes / 8).toString)
+      .parquet(path)
+
+  /** Row groups of the single data file at `path` (footer read only —
+    * no data pages touched): the write-side assertion surface for
+    * [[writeParquetRowGrouped]]. */
+  def parquetRowGroups(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory)
+        dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      else Array(dir)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toURI),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size finally r.close()
+    }.sum
+  }
+
   /** Compact a parquet directory into ~targetMB files — the
     * small-files remedy (every file costs a task + namenode entry; a
     * 100 TB table accreted from streaming micro-batches degrades every

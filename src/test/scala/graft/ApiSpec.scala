@@ -284,4 +284,35 @@ class ApiSpec extends SparkSpec {
       .toDF("user_id", "item_id", "rating")
       .withColumn("rating_i", floor(col("rating") * 10000 + 0.5).cast("long"))
   }
+
+  test("row-grouped sink: one file, many row groups, parallel read-back") {
+    // The 100 TB layout rule (PLANS.md): a read split can only start
+    // at a row-group boundary, so the engine's own outputs must write
+    // bounded row groups or a single fat file serializes every
+    // downstream scan. Tiny sizes here (64 KB groups on the sf0.001
+    // documents table) exercise the same knob 128 MB does at scale.
+    val out = "/tmp/graft-rowgroup-sink"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .coalesce(1) // one writer task → exactly one data file
+    graft.io.Sinks.writeParquetRowGrouped(docs, out, rowGroupBytes = 64L << 10)
+    assert(graft.io.Sinks.parquetRowGroups(spark, out) > 1,
+      "single-file write must produce multiple row groups")
+    // a reader capped at the row-group size fans out across groups
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // half the row-group size, so the ~65 KB two-group file yields
+      // multiple splits; floored at openCostInBytes (default 4 MB) —
+      // at real scale row groups are >> that, here it shrinks with it
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (32L << 10).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", (32L << 10).toString)
+      val back = spark.read.parquet(out)
+      assert(back.rdd.getNumPartitions > 1,
+        "read-back of ONE multi-row-group file must split into >1 partitions")
+      assert(back.count() === docs.count())
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
 }
