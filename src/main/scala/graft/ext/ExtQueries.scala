@@ -952,6 +952,30 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // The COMPOSED production ANN serving stack (IVF-PQ, the FAISS
+    // IndexIVFPQ shape): IVF prunes the corpus to a 10-candidate
+    // shortlist per query by exact cosine over the probed cells, then
+    // PQ codes re-rank the shortlist by asymmetric distance — exactly
+    // how a billion-vector index serves (coarse quantizer for
+    // pruning, compressed codes for scoring, full vectors never
+    // touched at query time). Shortlist and distance tables
+    // broadcast; the corpus-sized codes table is scanned, not
+    // shuffled.
+    "q_ann_ivf_pq" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = VectorSearch.labelCentroids(emb(s, d))
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val shortlist = VectorSearch.ivfTopK(e, cells, queries,
+          "qid", "qvec", 10, 2)
+        .select(col("qid"), col("vec_id"))
+      VectorSearch.pqAdcRerank(shortlist,
+          e.where(col("vec_id") % 50 === 0),
+          pqCentC(s, d), pqCodesC(s, d), "qid", 3)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ANN recall@k measured against ground truth: the exact
     // brute-force top-3 per query (topKByCosine over the SAME query
     // sample) scored against what the 2-probe IVF actually returned.
@@ -1402,7 +1426,28 @@ object ExtQueries {
     * [[VectorSearch.pqTrain]]/[[VectorSearch.pqAdcTopK]] term for
     * term; distances are 1e-12-unit BIGINTs on both engines, so no
     * rounding discipline is needed past the snapping floor. */
-  private def pqAdcOracle(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+  private def pqAdcOracle(m: Int, dsub: Int, ksub: Int, iters: Int): String =
+    s"""WITH ${pqChainCtes(dsub, ksub, iters)},
+       |ad AS (
+       |  SELECT t.vec_id AS qid, k.vec_id,
+       |         CAST(sum(t.d2) AS BIGINT) AS adist
+       |  FROM codes k
+       |  JOIN qd2 t ON t.sub = k.sub AND t.cell_id = k.cell_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |                               ORDER BY adist, vec_id) AS rn
+       |  FROM ad)
+       |SELECT qid, vec_id, adist, rn
+       |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** The PQ training/encoding CTE chain shared by the full-scan ADC
+    * oracle and the IVF-PQ composition: subvector explode → seeds →
+    * `iters` k-means rounds → corpus `codes` (vec_id, sub, cell_id) →
+    * per-query distance tables `qd2`. Mirrors
+    * [[VectorSearch.pqTrain]]/[[VectorSearch.pqEncode]] term for
+    * term. */
+  private def pqChainCtes(dsub: Int, ksub: Int, iters: Int): String = {
     val F12 = "1000000000000.0"
     def d2(name: String, centName: String, filter: String) =
       s"""$name AS (
@@ -1431,7 +1476,7 @@ object ExtQueries {
     val rounds = (0 until iters).map(r =>
       Seq(d2(s"pd2$r", s"cent$r", ""), asg(s"pasg$r", s"pd2$r"),
         nextCent(r)).mkString(",\n")).mkString(",\n")
-    s"""WITH sexpl AS (
+    s"""sexpl AS (
        |  SELECT vec_id, (i-1) // $dsub AS sub, (i-1) % $dsub AS j,
        |         CAST(embedding[i] AS DOUBLE) AS v
        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
@@ -1442,19 +1487,7 @@ object ExtQueries {
        |$rounds,
        |${d2(s"pd2$iters", s"cent$iters", "")},
        |${asg("codes", s"pd2$iters")},
-       |${d2("qd2", s"cent$iters", "WHERE e.vec_id % 50 = 0")},
-       |ad AS (
-       |  SELECT t.vec_id AS qid, k.vec_id,
-       |         CAST(sum(t.d2) AS BIGINT) AS adist
-       |  FROM codes k
-       |  JOIN qd2 t ON t.sub = k.sub AND t.cell_id = k.cell_id
-       |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY qid
-       |                               ORDER BY adist, vec_id) AS rn
-       |  FROM ad)
-       |SELECT qid, vec_id, adist, rn
-       |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+       |${d2("qd2", s"cent$iters", "WHERE e.vec_id % 50 = 0")}""".stripMargin
   }
 
   /** Shared CTE chain for the quality-score oracles (`quals` carries
@@ -2058,6 +2091,31 @@ object ExtQueries {
     "q_ann_pq" -> pqAdcOracle(
       m = VectorSearch.PqSubspaces, dsub = VectorSearch.PqSubDim,
       ksub = VectorSearch.PqCodes, iters = VectorSearch.PqIters),
+
+    // IVF-PQ composition: the IVF replay (identical `ranked` chain as
+    // q_ann_ivf) cut to a 10-candidate shortlist, re-scored by the PQ
+    // replay's codes/distance tables (identical chain as q_ann_pq) —
+    // CTE names are disjoint by construction (expl/cent/… vs
+    // sexpl/cent0/…), so the two replays compose verbatim.
+    "q_ann_ivf_pq" ->
+      s"""WITH $ivfRankedCtes,
+         |shortlist AS (SELECT qid, vec_id FROM ranked WHERE rn <= 10),
+         |${pqChainCtes(dsub = VectorSearch.PqSubDim,
+              ksub = VectorSearch.PqCodes, iters = VectorSearch.PqIters)},
+         |adr AS (
+         |  SELECT sl.qid, sl.vec_id,
+         |         CAST(sum(t.d2) AS BIGINT) AS adist
+         |  FROM shortlist sl
+         |  JOIN codes k ON k.vec_id = sl.vec_id
+         |  JOIN qd2 t ON t.vec_id = sl.qid AND t.sub = k.sub
+         |            AND t.cell_id = k.cell_id
+         |  GROUP BY 1, 2),
+         |reranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |                               ORDER BY adist, vec_id) AS rn
+         |  FROM adr)
+         |SELECT qid, vec_id, adist, rn
+         |FROM reranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     // Derived-property oracle for the ALS path (see the query's
     // comment): the properties hold for ANY correct top-5

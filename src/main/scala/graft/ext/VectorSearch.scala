@@ -536,4 +536,33 @@ object VectorSearch {
       .where(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
   }
+
+  /** ADC re-rank of an ANN candidate shortlist — the full production
+    * serving composition: IVF prunes the corpus to a per-query
+    * shortlist, then the PQ codes (M small ints per vector) score it
+    * by asymmetric distance without ever touching the full-precision
+    * corpus vectors. 100 TB shape: the shortlist (nq×shortlistK rows)
+    * broadcasts against the codes table, so the compressed index —
+    * the only corpus-sized input — is scanned in place, never
+    * shuffled; the per-query distance tables are nq×M×ksub integers,
+    * broadcast like [[pqAdcTopK]]'s. Distances stay exact 1e-12-unit
+    * BIGINTs, same as the full-scan path. */
+  def pqAdcRerank(cand: DataFrame, queries: DataFrame, cent: DataFrame,
+                  codes: DataFrame, queryKey: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dtable = subDistances(subExpl(queries), cent)
+      .select(col("vec_id").as("tqid"), col("sub"),
+        col("cell_id"), col("d2"))
+    val w = Window.partitionBy(col(queryKey))
+      .orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(dtable),
+        col(queryKey) === col("tqid") && codes("sub") === dtable("sub") &&
+          codes("code") === dtable("cell_id"))
+      .groupBy(col(queryKey), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(queryKey), col("vec_id"), col("adist"), col("rn"))
+  }
 }

@@ -912,6 +912,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ rerank: results come from the shortlist, ADC-ordered") {
+    // the composed serving stack at sf0.001: every reranked row must
+    // be an IVF shortlist member, ranks contiguous from 1, and adist
+    // non-decreasing in rn per query (the ADC ordering contract)
+    val out = graft.SparkEntry.queries("q_ann_ivf_pq")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cells = VectorSearch.labelCentroids(emb)
+      .select(col("label").cast("long").as("cell_id"), col("centroid"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val shortlist = VectorSearch.ivfTopK(
+        emb.select(col("vec_id"), col("embedding")), cells, queries,
+        "qid", "qvec", 10, 2)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length))
+      assert(sorted.length <= 3)
+      sorted.foreach(r =>
+        assert(shortlist.contains((qid, r.getLong(1))),
+          s"($qid, ${r.getLong(1)}) not in the IVF shortlist"))
+      val dists = sorted.map(_.getLong(2))
+      assert(dists.zip(dists.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("textWindows: strided coverage, short-doc drop, cross-doc dups") {
     import spark.implicits._
     // 60 chars → i ∈ {0,1,2} → 3 windows at 1, 11, 21; 39 chars → none
