@@ -30,7 +30,11 @@ object ScaleGate {
   val Gate: Seq[String] = Seq(
     "q_token_count", "q_repetition_filter", "q_dup_windows",
     "q_minhash_near_dup", "q_tfidf_top_terms", "q_dedup_clusters",
-    "q_graph_rank", "q_graph_triangles", "q_embed_near_dup", "q_ann_ivf")
+    "q_graph_rank", "q_graph_triangles", "q_embed_near_dup", "q_ann_ivf",
+    // round-8 additions: the BPE apply path, the bigram-LM join, and
+    // the composed IVF-PQ serving stack (queries scale with the
+    // corpus here — both sides of the ratio grow 10×)
+    "q_chunk_bpe", "q_lm_score", "q_ann_ivf_pq")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 
