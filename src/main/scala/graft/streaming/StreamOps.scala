@@ -312,4 +312,28 @@ object StreamOps {
     q.processAllAvailable()
     q
   }
+
+  /** Streaming ANN serving over a static PQ index: each micro-batch
+    * of arriving query vectors (vec_id, embedding) is answered by the
+    * SAME batch ADC plan the scored inventory runs
+    * ([[graft.ext.VectorSearch.pqAdcTopK]]), so stream and batch
+    * answers are bit-identical by construction — StreamingSpec
+    * asserts it. `foreachBatch` is the sanctioned idiom here, not a
+    * stateful operator: top-k ranking is WITHIN-query semantics — a
+    * query is answered once, against the index as of its batch —
+    * never cross-batch state, and foreachBatch re-opens the full
+    * batch API (ranking windows) per micro-batch. The index tables
+    * (codebook + codes) are the static side: persisted once, reused
+    * across every batch; per-batch work is bounded by the batch's
+    * query count × corpus codes, exactly the batch serving cost.
+    * `sink` receives each answered batch (a production deploy writes
+    * to its serving store; the spec collects). */
+  def annServeStream(queries: DataFrame, cent: DataFrame,
+                     codes: DataFrame, k: Int)
+                    (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.ext.VectorSearch.pqAdcTopK(batch.toDF(), cent, codes, k))
+      }
+      .start()
 }

@@ -17,6 +17,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving answers each query batch same as batch ADC") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.VectorSearch
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = VectorSearch.pqTrain(emb).persist()
+    val codes = VectorSearch.pqEncode(emb, cent).persist()
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .as[(Long, Array[Float])].collect()
+    assert(queries.length >= 2)
+    val (b1, b2) = queries.splitAt(queries.length / 2)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val q = StreamOps.annServeStream(
+        input.toDS().toDF("vec_id", "embedding"), cent, codes, 3) { out =>
+      got.synchronized {
+        got ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val batch = VectorSearch.pqAdcTopK(
+          emb.where(col("vec_id") % 100 === 0), cent, codes, 3)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // every arriving query answered exactly once, bit-identical to
+      // the batch ADC over the same query set
+      assert(got.toSet === batch)
+      assert(got.size === batch.size)
+    } finally { q.stop(); cent.unpersist(); codes.unpersist() }
+  }
+
   test("stateful running totals accumulate across incremental batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
