@@ -976,6 +976,35 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // Recall@3 of the composed IVF-PQ stack vs exact ground truth —
+    // the acceptance measurement for the COMPRESSED serving path
+    // (q_ann_recall measures the uncompressed IVF; this measures what
+    // the PQ codes additionally cost on this corpus). Deterministic
+    // on both sides, so per-query n_hits/recall is a cell-exact value
+    // oracle.
+    "q_ann_ivf_pq_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = VectorSearch.labelCentroids(emb(s, d))
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val shortlist = VectorSearch.ivfTopK(e, cells, queries,
+          "qid", "qvec", 10, 2)
+        .select(col("qid"), col("vec_id"))
+      val served = VectorSearch.pqAdcRerank(shortlist,
+          e.where(col("vec_id") % 50 === 0),
+          pqCentC(s, d), pqCodesC(s, d), "qid", 3)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+        .select(col("qid"), col("vec_id"))
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // ANN recall@k measured against ground truth: the exact
     // brute-force top-3 per query (topKByCosine over the SAME query
     // sample) scored against what the 2-probe IVF actually returned.
@@ -1253,6 +1282,68 @@ object ExtQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |                               ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM scored)""".stripMargin
+
+  /** Exact ground-truth side shared by the recall oracles: every
+    * (query, corpus) pair through the same fixed-point dot/norm chain
+    * as the serving paths, ranked to top-3 — defines `exact`.
+    * References `expl`/`enorm` from [[ivfRankedCtes]]. */
+  private lazy val exactTop3Ctes: String =
+    s"""edots AS (
+       |  SELECT q.vec_id AS qid, e.vec_id,
+       |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
+       |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+       |  FROM expl q JOIN expl e ON e.i = q.i
+       |  WHERE q.vec_id % 50 = 0
+       |  GROUP BY 1, 2),
+       |escored AS (
+       |  SELECT d.qid, d.vec_id,
+       |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+       |  FROM edots d
+       |  JOIN enorm nq ON nq.vec_id = d.qid
+       |  JOIN enorm ne ON ne.vec_id = d.vec_id),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos_sim DESC, vec_id) AS ern
+       |    FROM escored) WHERE ern <= 3)""".stripMargin
+
+  /** Recall tail shared by the recall oracles: `exact` LEFT JOIN the
+    * named served-results CTE → per-query n_hits + recall@3. */
+  private def recallTail(served: String): String =
+    s"""hits AS (
+       |  SELECT x.qid,
+       |         CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
+       |              AS BIGINT) AS n_hits
+       |  FROM exact x
+       |  LEFT JOIN $served i ON i.qid = x.qid AND i.vec_id = x.vec_id
+       |  GROUP BY 1)
+       |SELECT qid, n_hits,
+       |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
+       |FROM hits ORDER BY qid""".stripMargin
+
+  /** Full IVF→PQ serving replay shared by q_ann_ivf_pq and its recall
+    * twin: IVF ranked chain → 10-candidate `shortlist` → PQ chain →
+    * ADC re-scores → `reranked`. CTE names of the two replays are
+    * disjoint by construction. */
+  private lazy val ivfPqCtes: String =
+    s"""$ivfRankedCtes,
+       |shortlist AS (SELECT qid, vec_id FROM ranked WHERE rn <= 10),
+       |${pqChainCtes(dsub = VectorSearch.PqSubDim,
+            ksub = VectorSearch.PqCodes, iters = VectorSearch.PqIters)},
+       |adr AS (
+       |  SELECT sl.qid, sl.vec_id,
+       |         CAST(sum(t.d2) AS BIGINT) AS adist
+       |  FROM shortlist sl
+       |  JOIN codes k ON k.vec_id = sl.vec_id
+       |  JOIN qd2 t ON t.vec_id = sl.qid AND t.sub = k.sub
+       |            AND t.cell_id = k.cell_id
+       |  GROUP BY 1, 2),
+       |reranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |                               ORDER BY adist, vec_id) AS rn
+       |  FROM adr)""".stripMargin
 
   /** Shared CTE chain for the rescue-pass oracles: primary band
     * minima → hot buckets (cap [[RescueCap]]) → hot shingles re-banded
@@ -2001,36 +2092,20 @@ object ExtQueries {
     "q_ann_recall" ->
       s"""WITH $ivfRankedCtes,
          |ivf AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
-         |edots AS (
-         |  SELECT q.vec_id AS qid, e.vec_id,
-         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-         |  FROM expl q JOIN expl e ON e.i = q.i
-         |  WHERE q.vec_id % 50 = 0
-         |  GROUP BY 1, 2),
-         |escored AS (
-         |  SELECT d.qid, d.vec_id,
-         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
-         |  FROM edots d
-         |  JOIN enorm nq ON nq.vec_id = d.qid
-         |  JOIN enorm ne ON ne.vec_id = d.vec_id),
-         |exact AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT qid, vec_id,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY cos_sim DESC, vec_id) AS ern
-         |    FROM escored) WHERE ern <= 3),
-         |hits AS (
-         |  SELECT x.qid,
-         |         CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
-         |              AS BIGINT) AS n_hits
-         |  FROM exact x
-         |  LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
-         |  GROUP BY 1)
-         |SELECT qid, n_hits,
-         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
-         |FROM hits ORDER BY qid""".stripMargin,
+         |$exactTop3Ctes,
+         |${recallTail("ivf")}""".stripMargin,
+
+    // Recall@3 of the COMPOSED IVF-PQ stack vs exact ground truth —
+    // the acceptance measurement for the compressed serving path
+    // (compression must cost bounded recall, and this query measures
+    // exactly what it costs on this corpus). Same exact side and
+    // recall tail as q_ann_recall; the served side is the full
+    // IVF-shortlist → ADC-rerank replay.
+    "q_ann_ivf_pq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |served AS (SELECT qid, vec_id FROM reranked WHERE rn <= 3),
+         |$exactTop3Ctes,
+         |${recallTail("served")}""".stripMargin,
 
     // IVF shortlist (top 10 by exact cosine) re-ranked by cosine over
     // DEQUANTIZED int8 vectors (VectorSearch.sqRerank): the compressed
@@ -2098,22 +2173,7 @@ object ExtQueries {
     // CTE names are disjoint by construction (expl/cent/… vs
     // sexpl/cent0/…), so the two replays compose verbatim.
     "q_ann_ivf_pq" ->
-      s"""WITH $ivfRankedCtes,
-         |shortlist AS (SELECT qid, vec_id FROM ranked WHERE rn <= 10),
-         |${pqChainCtes(dsub = VectorSearch.PqSubDim,
-              ksub = VectorSearch.PqCodes, iters = VectorSearch.PqIters)},
-         |adr AS (
-         |  SELECT sl.qid, sl.vec_id,
-         |         CAST(sum(t.d2) AS BIGINT) AS adist
-         |  FROM shortlist sl
-         |  JOIN codes k ON k.vec_id = sl.vec_id
-         |  JOIN qd2 t ON t.vec_id = sl.qid AND t.sub = k.sub
-         |            AND t.cell_id = k.cell_id
-         |  GROUP BY 1, 2),
-         |reranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |                               ORDER BY adist, vec_id) AS rn
-         |  FROM adr)
+      s"""WITH $ivfPqCtes
          |SELECT qid, vec_id, adist, rn
          |FROM reranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 

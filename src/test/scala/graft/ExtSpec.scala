@@ -577,6 +577,24 @@ class ExtSpec extends SparkSpec {
     assert(mean >= 0.4, s"mean recall@3 $mean below floor")
   }
 
+  test("q_ann_ivf_pq_recall: compression costs bounded recall, not all of it") {
+    val rows = SparkEntry.queries("q_ann_ivf_pq_recall")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 3L)
+      val exp = math.floor(hits / 3.0 * 10000.0 + 0.5) / 10000.0
+      assert(r.getAs[Double]("recall") === exp)
+    }
+    // the 4×8-code PQ is deliberately coarse and the synthetic
+    // embeddings near-random — the compressed path must still beat a
+    // broken one (~0; random top-3 of 500 is ~0.006) by a wide margin
+    // (measured 0.43 at sf0.01). Floor at 0.2.
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum.toDouble / (3.0 * rows.length)
+    assert(mean >= 0.2, s"mean IVF-PQ recall@3 $mean below floor")
+  }
+
   test("banded LSH: over-cap buckets are dropped and surfaced for monitoring") {
     // 300 identical vectors — a degenerate hot bucket in every band
     val hot = spark.range(300).select(col("id").as("vec_id"),
