@@ -257,6 +257,39 @@ object ExtQueries {
       Dedup.exactDupGroups(docs(s, d), Dedup.normPrefix(col("text"), 5))
         .orderBy(col("sig"))),
 
+    // The dataset card: per-(source, lang) release summary a training
+    // corpus ships with — doc/char/token totals, mean quality, and
+    // exact-dup exposure. Duplicate signatures are counted CORPUS-wide
+    // (dup groups cross source/lang boundaries) and attributed to each
+    // doc's stratum; quality means ride the fixed-point integer sum so
+    // no double addition order can differ. One pass over documents +
+    // an O(distinct sigs) count join — the card costs two shuffles at
+    // any corpus size.
+    "q_dataset_card" -> ((s, d) => {
+      val dc = docs(s, d)
+      val q = TextAnalysis.qualityColumns(dc)
+        .select(col("doc_id"), col("n_words"), col("quality"))
+      val sig = dc.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), Dedup.normPrefix(col("text"), 5).as("sig"))
+      val sigCounts = sig.groupBy(col("sig")).agg(count(lit(1)).as("sc"))
+      sig.join(sigCounts, Seq("sig"))
+        .join(q, Seq("doc_id"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(col("n_words")).as("n_words_total"),
+          sum(floor(col("quality") * 10000 + 0.5).cast("long")).as("qfx"),
+          sum(when(col("sc") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_chars_total"), col("n_words_total"),
+          Det.r4(col("qfx").cast("double") / lit(10000.0) /
+            col("n_docs").cast("double")).as("quality_mean"),
+          col("n_dup_docs"),
+          Det.r4(col("n_dup_docs").cast("double") /
+            col("n_docs").cast("double")).as("dup_pct"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Keep-first policy: which docs a dedup pass would drop.
     "q_dedup_keep_first" -> ((s, d) =>
       Dedup.dropDuplicatesKeepFirst(docs(s, d), Dedup.normPrefix(col("text"), 5))
@@ -1622,6 +1655,32 @@ object ExtQueries {
          |SELECT sig, count(*) AS cnt, min(doc_id) AS min_doc,
          |       max(doc_id) AS max_doc
          |FROM nsig GROUP BY 1 HAVING count(*) > 1 ORDER BY sig""".stripMargin,
+
+    // Per-stratum card: quality CTEs per doc + corpus-wide dup-sig
+    // counts, aggregated with the same fixed-point quality sum as the
+    // Spark side.
+    "q_dataset_card" ->
+      s"""WITH $qualityCtes,
+         |$dupSigSql,
+         |sc AS (SELECT sig, count(*) AS sc FROM nsig GROUP BY 1),
+         |per AS (
+         |  SELECT d.source, d.lang, q.doc_id, d.n_chars, q.n_words,
+         |         q.quality,
+         |         CASE WHEN sc.sc > 1 THEN 1 ELSE 0 END AS isdup
+         |  FROM documents d
+         |  JOIN quals q ON q.doc_id = d.doc_id
+         |  JOIN nsig ON nsig.doc_id = d.doc_id
+         |  JOIN sc ON sc.sig = nsig.sig)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words_total,
+         |       ${r4("CAST(sum(CAST(floor(quality*10000.0 + 0.5) AS BIGINT))" +
+              " AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)")}
+         |         AS quality_mean,
+         |       CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+         |       ${r4("CAST(sum(isdup) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS dup_pct
+         |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_keep_first" ->
       s"""WITH $dupSigSql,
