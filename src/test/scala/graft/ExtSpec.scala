@@ -157,6 +157,36 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpoint.dir")
   }
 
+  test("Cache.getOrSnapshot: reliable parquet snapshot truncates lineage " +
+    "and memoizes the build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      var builds = 0
+      def build() = { builds += 1
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+          .groupBy(col("id")).agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")) }
+      val snap = graft.core.Cache.getOrSnapshot(spark, "snap_test", dir)(build())
+      val again = graft.core.Cache.getOrSnapshot(spark, "snap_test", dir)(build())
+      assert(builds === 1, "second call must hit the memo, not rebuild")
+      assert(snap eq again)
+      assert(snap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === Map(1L -> 1L, 2L -> 1L))
+      // the returned frame's physical plan is a bare file scan — no
+      // aggregate/exchange from the build survives in its lineage
+      val plan = snap.queryExecution.executedPlan.toString
+      assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+        s"expected a parquet scan plan, got:\n$plan")
+      assert(!plan.contains("HashAggregate"),
+        "build-side aggregate must not survive in the snapshot's plan")
+      // and the snapshot actually lives under the configured dir
+      val files = new java.io.File(dir)
+        .listFiles(f => f.getName.startsWith("cache-snap_test-"))
+      assert(files != null && files.nonEmpty)
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("connectedComponents shuffle-join fallback matches the broadcast path") {
     // gate of 0 forces the non-broadcast contraction (the path a
     // billion-node graph would take); results must be identical
