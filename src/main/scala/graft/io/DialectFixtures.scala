@@ -104,6 +104,30 @@ object DialectFixtures {
     path
   }
 
+  def corruptPath(dir: String): String = s"$BaseDir/${leaf(dir)}/corrupt"
+
+  /** The movies pipe dialect with DETERMINISTIC corruption: rows
+    * whose user_id % 97 == 0 render a non-numeric rating
+    * (`x`-prefixed). Field counts stay correct everywhere — the
+    * corruption is strictly a type failure, the one malformation
+    * Spark's PERMISSIVE CSV reader and DuckDB's TRY_CAST classify
+    * identically (token-count semantics differ between engines, so a
+    * fixture must not rely on them). Both the scored query and the
+    * oracle can predict bad rows from user_id alone. */
+  def writeCorrupt(spark: SparkSession, dir: String): String = {
+    val path = corruptPath(dir)
+    once(path, dir) {
+      val dec = col("rating").cast("decimal(14,4)").cast("string")
+      Sources.ratings(spark, dir)
+        .select(concat_ws("|",
+          col("user_id").cast("string"), col("item_id").cast("string"),
+          when(col("user_id") % 97 === 0, concat(lit("x"), dec))
+            .otherwise(dec)).as("value"))
+        .write.mode("overwrite").text(path)
+    }
+    path
+  }
+
   /** `"user";"item";"rating"` quoted semicolon dialect. */
   def writeBooks(spark: SparkSession, dir: String): String = {
     val path = booksPath(dir)

@@ -260,6 +260,31 @@ object SimQueries {
         .orderBy(col("item_x"), col("item_y"))
     }),
 
+    // Malformed-input audit — the PERMISSIVE parse path every real
+    // ingest runs in front of the dialect adapters. The fixture
+    // deterministically corrupts the rating field (user_id % 97 == 0
+    // → non-numeric) with field counts intact, so Spark's PERMISSIVE
+    // _corrupt_record and DuckDB's TRY_CAST classify every row
+    // identically (token-count malformation semantics differ between
+    // engines; type failure does not). Emits the audit a pipeline
+    // alarms on: good/bad counts and the exact good-row rating mass —
+    // scan-parallel, one partial/final agg, no shuffle of row data.
+    "q_parse_errors" -> ((s, d) => {
+      val path = graft.io.DialectFixtures.writeCorrupt(s, d)
+      s.read
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("user_id STRING, item_id STRING, rating DOUBLE, _bad STRING")
+        .csv(path)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("_bad").isNull, Det.fx4(col("rating")))
+            .otherwise(0L)).as("rating_i_sum"))
+    }),
+
     // R1 end-to-end, books dialect: `"user";"item";"rating"` quoted
     // Book-Crossing lines through the quote-stripping adapter into the
     // R3 user-postings aggregation — every parsed row lands in an
@@ -473,6 +498,24 @@ object SimQueries {
          |$P
          |SELECT item_x, item_y, n, ${r4(corrSql)} AS corr
          |FROM pairs WHERE n >= 2 ORDER BY item_x, item_y""".stripMargin,
+
+    "q_parse_errors" ->
+      s"""WITH raw AS (
+         |  SELECT TRY_CAST(rating AS DOUBLE) AS r
+         |  FROM read_csv('${graft.io.DialectFixtures.corruptPath(
+                       graft.io.DialectFixtures.OracleSfDir)}/part-*.txt',
+         |       delim='|', header=false,
+         |       columns={'user_id': 'VARCHAR', 'item_id': 'VARCHAR',
+         |                'rating': 'VARCHAR'}))
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_good,
+         |       CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_bad,
+         |       CAST(sum(CASE WHEN r IS NOT NULL
+         |                     THEN CAST(floor(r*10000 + 0.5) AS BIGINT)
+         |                     ELSE 0 END) AS BIGINT) AS rating_i_sum
+         |FROM raw""".stripMargin,
 
     "q_books_dialect" ->
       s"""WITH parsed AS (
