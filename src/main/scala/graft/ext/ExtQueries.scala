@@ -586,6 +586,60 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 lexical retrieval — the sparse half of a retrieval stack
+    // (the ANN family is the dense half): score every document
+    // against a deterministic query (the corpus's 5 highest-df terms,
+    // ties lexical) with Lucene's BM25 (k1=1.2, b=0.75, the
+    // log((N+1)/(df+0.5)) idf variant, always positive). No ln()
+    // crosses the oracle boundary: idf rides the LmScore bit-length/
+    // mantissa log2 decomposition (integer in, integer out), the tf
+    // saturation is IEEE-exact double arithmetic spelled identically
+    // in both engines, and each (doc, term) contribution snaps to a
+    // 2^20-unit BIGINT before the per-doc sum, so addition order
+    // never matters. Scale shape: postings ⨝ broadcast 5-term query
+    // ⨝ doc-length join — linear in matching postings; top-10 via
+    // TakeOrderedAndProject, never a global sort.
+    "q_bm25_retrieval" -> ((s, d) => {
+      val tf = Cache.getOrPersist(s, "bm25_tf", d)(
+        docs(s, d).select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      val stats = dlen.agg(count(lit(1)).as("nn"), sum(col("len")).as("tot"))
+        .select(col("nn"), expr("(tot * 1000) div nn").as("avgfx"))
+      val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = dfT.orderBy(col("df").desc, col("w")).limit(5)
+      val qidf = qterms.crossJoin(broadcast(stats))
+        .withColumn("xfx",
+          expr(s"((nn + 1) * 2 * ${LmScore.PScale}L) div (2 * df + 1)"))
+        .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
+        .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
+          "shiftleft(1L, CAST(e - 1 AS INT))"))
+        .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
+          + element_at(typedLit(LmScore.Log2Table),
+              (col("m") - lit(LmScore.MScale - 1)).cast("int"))
+          - lit(LmScore.L9Fx))
+        .select(col("w"), col("idf_fx"))
+      tf.join(broadcast(qidf), Seq("w"))
+        .join(dlen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tfpart",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len").cast("double") /
+                (col("avgfx").cast("double") / lit(1000.0)))))
+        .withColumn("cfx",
+          floor(col("idf_fx").cast("double") * col("tfpart") + lit(0.5))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_qterms"), sum(col("cfx")).as("score_fx"))
+        .orderBy(col("score_fx").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_qterms"), col("score_fx"),
+          Det.r4(col("score_fx").cast("double") /
+            lit(LmScore.LogScale.toDouble)).as("score"))
+        .orderBy(col("score_fx").desc, col("doc_id"))
+    }),
+
     // Marker-based language scoring + argmax prediction.
     "q_lang_id" -> ((s, d) => {
       val ws = TextAnalysis.wordsCol
@@ -1938,6 +1992,61 @@ object ExtQueries {
          |       ${r4(s"CAST(sum_nl2fx // n_bigrams AS DOUBLE) / " +
                 s"${LmScore.LogScale}.0")} AS avg_bits
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay: same top-df query terms, same integer idf
+    // decomposition against the SAME embedded log table, same
+    // double-spelled tf saturation, per-contribution snapping before
+    // the BIGINT sum.
+    "q_bm25_retrieval" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |dlen AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+         |  FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |         (CAST(sum(len) AS BIGINT) * 1000)
+         |           // CAST(count(*) AS BIGINT) AS avgfx
+         |  FROM dlen),
+         |dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |qterms AS (SELECT w, df FROM dfx ORDER BY df DESC, w LIMIT 5),
+         |qx AS (
+         |  SELECT q.w,
+         |         ((s.nn + 1) * 2 * ${LmScore.PScale}) // (2 * q.df + 1)
+         |           AS xfx
+         |  FROM qterms q CROSS JOIN stats s),
+         |qe AS (SELECT w, xfx, length(bin(xfx)) AS e FROM qx),
+         |qidf AS (
+         |  SELECT w,
+         |         (e - 1) * ${LmScore.LogScale}
+         |           + (${LmScore.log2TableSql}[
+         |               CAST((xfx * ${LmScore.MScale})
+         |                 // (CAST(1 AS BIGINT) << (e - 1))
+         |                 AS INTEGER) - ${LmScore.MScale - 1}])
+         |           - ${LmScore.L9Fx} AS idf_fx
+         |  FROM qe),
+         |contrib AS (
+         |  SELECT t.doc_id,
+         |         CAST(floor(CAST(i.idf_fx AS DOUBLE) *
+         |           (CAST(t.tf AS DOUBLE) * 2.2 /
+         |             (CAST(t.tf AS DOUBLE) + 1.2 *
+         |               (0.25 + 0.75 * CAST(l.len AS DOUBLE) /
+         |                 (CAST(s.avgfx AS DOUBLE) / 1000.0)))) + 0.5)
+         |           AS BIGINT) AS cfx
+         |  FROM tf t JOIN qidf i USING (w) JOIN dlen l USING (doc_id)
+         |  CROSS JOIN stats s),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qterms,
+         |         CAST(sum(cfx) AS BIGINT) AS score_fx
+         |  FROM contrib GROUP BY 1)
+         |SELECT doc_id, n_qterms, score_fx,
+         |       ${r4(s"CAST(score_fx AS DOUBLE) / ${LmScore.LogScale}.0")}
+         |         AS score
+         |FROM agg ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_lang_id" -> {
       val scoreCols = TextAnalysis.Markers.map { case (l, ms) =>
