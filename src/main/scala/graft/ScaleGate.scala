@@ -34,7 +34,10 @@ object ScaleGate {
     // round-8 additions: the BPE apply path, the bigram-LM join, and
     // the composed IVF-PQ serving stack (queries scale with the
     // corpus here — both sides of the ratio grow 10×)
-    "q_chunk_bpe", "q_lm_score", "q_ann_ivf_pq")
+    "q_chunk_bpe", "q_lm_score", "q_ann_ivf_pq",
+    // round-8 continuation: the postings-build + broadcast-query
+    // retrieval and the corpus-wide card aggregation
+    "q_bm25_retrieval", "q_dataset_card")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 
