@@ -39,6 +39,16 @@ object ScaleGate {
     // retrieval and the corpus-wide card aggregation
     "q_bm25_retrieval", "q_dataset_card")
 
+  /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
+    * fixpoint/model artifacts): their warm run is a bare snapshot scan
+    * by construction, so the gate must grade the BUILD (first run) or
+    * a superlinear regression in the underlying iteration would hide
+    * behind the memo. For everything else the warm run is the honest
+    * number (shared INTERMEDIATES are legitimately amortized; the
+    * per-query work still executes every run). */
+  val Materialized: Set[String] =
+    Set("q_dedup_clusters", "q_graph_rank", "q_graph_triangles")
+
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 
   /** Replicate documents+embeddings `factor`× with disjoint id spaces. */
@@ -99,8 +109,11 @@ object ScaleGate {
           SparkEntry.queries(q)(s, dir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        once() // cold: codegen + cache fills, discarded
-        q -> once()
+        val first = once() // cold: codegen + cache fills
+        val warm = once()
+        // materialized results: the warm pass scans a snapshot —
+        // grade the build, or the memo hides the iteration's scaling
+        q -> (if (Materialized(q)) first else warm)
       }.toMap
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

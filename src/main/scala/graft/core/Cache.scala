@@ -64,8 +64,23 @@ object Cache {
           case Some(base) =>
             val path = s"$base/cache-$name-${java.util.UUID.randomUUID()}"
             df.write.mode("overwrite").parquet(path)
+            // session-lifecycle artifact: without cleanup, every
+            // session with the conf set leaks one dir per memo key
+            // and a long-lived host's checkpoint dir grows without
+            // bound. Best-effort delete at JVM exit — a production
+            // deployment instead manages the dir with a TTL policy.
+            deleteOnExit(path)
             spark.read.parquet(path)
           case None => df.localCheckpoint(eager = true)
         }
       })
+
+  private def deleteOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(new java.io.File(path)) catch { case _: Throwable => () }
+    }))
 }

@@ -156,6 +156,24 @@ object ExtQueries {
       VectorSearch.pqEncode(
         emb(s, d).select(col("vec_id"), col("embedding")), pqCentC(s, d)))
 
+  /** IVF side of the composed IVF-PQ stack, session-shared: the
+    * 10-candidate exact-cosine shortlist (label-centroid cells,
+    * 2 probes, %50 query sample) that BOTH the serving query and its
+    * recall twin consume — one IVF corpus assignment per session, and
+    * the serving parameters exist in exactly one place so the recall
+    * measurement can never silently measure a different stack than
+    * the one served. */
+  private def ivfPqShortlistC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "ivfpq_shortlist", d) {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = VectorSearch.labelCentroids(emb(s, d))
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 10, 2)
+        .select(col("qid"), col("vec_id"))
+    }
+
   /** Force the trained quantizers (q_ann_kmeans's codebook, the PQ
     * codebook + codes — session-shared artifacts like the LSH
     * tables). */
@@ -610,8 +628,12 @@ object ExtQueries {
       val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val qterms = dfT.orderBy(col("df").desc, col("w")).limit(5)
       val qidf = qterms.crossJoin(broadcast(stats))
+        // DECIMAL(38,0) intermediate: (nn+1)·2·1e9 passes 2^63 at
+        // ~4.6e9 docs; the RATIO (xfx) stays BIGINT-sized for any
+        // real (N, df), only the product needs headroom
         .withColumn("xfx",
-          expr(s"((nn + 1) * 2 * ${LmScore.PScale}L) div (2 * df + 1)"))
+          expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
+            s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
         .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
         .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
           "shiftleft(1L, CAST(e - 1 AS INT))"))
@@ -1048,20 +1070,12 @@ object ExtQueries {
     // touched at query time). Shortlist and distance tables
     // broadcast; the corpus-sized codes table is scanned, not
     // shuffled.
-    "q_ann_ivf_pq" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = VectorSearch.labelCentroids(emb(s, d))
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val shortlist = VectorSearch.ivfTopK(e, cells, queries,
-          "qid", "qvec", 10, 2)
-        .select(col("qid"), col("vec_id"))
-      VectorSearch.pqAdcRerank(shortlist,
-          e.where(col("vec_id") % 50 === 0),
+    "q_ann_ivf_pq" -> ((s, d) =>
+      VectorSearch.pqAdcRerank(ivfPqShortlistC(s, d),
+          emb(s, d).select(col("vec_id"), col("embedding"))
+            .where(col("vec_id") % 50 === 0),
           pqCentC(s, d), pqCodesC(s, d), "qid", 3)
-        .orderBy(col("qid"), col("rn"))
-    }),
+        .orderBy(col("qid"), col("rn"))),
 
     // Recall@3 of the composed IVF-PQ stack vs exact ground truth —
     // the acceptance measurement for the COMPRESSED serving path
@@ -1071,14 +1085,11 @@ object ExtQueries {
     // oracle.
     "q_ann_ivf_pq_recall" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = VectorSearch.labelCentroids(emb(s, d))
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val shortlist = VectorSearch.ivfTopK(e, cells, queries,
-          "qid", "qvec", 10, 2)
-        .select(col("qid"), col("vec_id"))
-      val served = VectorSearch.pqAdcRerank(shortlist,
+      // the SAME session-shared shortlist + rerank the serving query
+      // runs — the recall twin measures the served stack, not a copy
+      val served = VectorSearch.pqAdcRerank(ivfPqShortlistC(s, d),
           e.where(col("vec_id") % 50 === 0),
           pqCentC(s, d), pqCodesC(s, d), "qid", 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
@@ -2016,8 +2027,9 @@ object ExtQueries {
          |qterms AS (SELECT w, df FROM dfx ORDER BY df DESC, w LIMIT 5),
          |qx AS (
          |  SELECT q.w,
-         |         ((s.nn + 1) * 2 * ${LmScore.PScale}) // (2 * q.df + 1)
-         |           AS xfx
+         |         CAST((CAST((s.nn + 1) * 2 AS HUGEINT)
+         |               * ${LmScore.PScale}) // (2 * q.df + 1)
+         |           AS BIGINT) AS xfx
          |  FROM qterms q CROSS JOIN stats s),
          |qe AS (SELECT w, xfx, length(bin(xfx)) AS e FROM qx),
          |qidf AS (

@@ -523,18 +523,35 @@ object VectorSearch {
     * shortlist exactly like [[sqRerank]] does for SQ codes. */
   def pqAdcTopK(queries: DataFrame, cent: DataFrame, codes: DataFrame,
                 k: Int): DataFrame = {
+    val dtable = queryDistTable(queries, cent)
+    adcRankTail(
+      codes.join(broadcast(dtable),
+          codes("sub") === dtable("sub") && codes("code") === dtable("cell_id"))
+        .withColumnRenamed("tqid", "qid")
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2")).as("adist")),
+      "qid", k)
+  }
+
+  /** Per-query (sub, centroid) distance tables — nq×M×ksub integer
+    * rows, the broadcast side of every ADC consumer. */
+  private def queryDistTable(queries: DataFrame, cent: DataFrame): DataFrame =
+    subDistances(subExpl(queries), cent)
+      .select(col("vec_id").as("tqid"), col("sub"),
+        col("cell_id"), col("d2"))
+
+  /** Shared ADC ranking tail: top-k per query by (adist ASC, vec_id)
+    * — ONE implementation of the tie-break both serving paths (and
+    * their oracle CTEs) must match. */
+  private def adcRankTail(scored: DataFrame, keyCol: String,
+                          k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dtable = subDistances(subExpl(queries), cent)
-      .select(col("vec_id").as("qid"), col("sub"), col("cell_id"), col("d2"))
-    val w = Window.partitionBy(col("qid"))
+    val w = Window.partitionBy(col(keyCol))
       .orderBy(col("adist"), col("vec_id"))
-    codes.join(broadcast(dtable),
-        codes("sub") === dtable("sub") && codes("code") === dtable("cell_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("d2")).as("adist"))
+    scored
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
+      .select(col(keyCol), col("vec_id"), col("adist"), col("rn"))
   }
 
   /** ADC re-rank of an ANN candidate shortlist — the full production
@@ -549,20 +566,14 @@ object VectorSearch {
     * BIGINTs, same as the full-scan path. */
   def pqAdcRerank(cand: DataFrame, queries: DataFrame, cent: DataFrame,
                   codes: DataFrame, queryKey: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dtable = subDistances(subExpl(queries), cent)
-      .select(col("vec_id").as("tqid"), col("sub"),
-        col("cell_id"), col("d2"))
-    val w = Window.partitionBy(col(queryKey))
-      .orderBy(col("adist"), col("vec_id"))
-    codes.join(broadcast(cand), Seq("vec_id"))
-      .join(broadcast(dtable),
-        col(queryKey) === col("tqid") && codes("sub") === dtable("sub") &&
-          codes("code") === dtable("cell_id"))
-      .groupBy(col(queryKey), col("vec_id"))
-      .agg(sum(col("d2")).as("adist"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
-      .select(col(queryKey), col("vec_id"), col("adist"), col("rn"))
+    val dtable = queryDistTable(queries, cent)
+    adcRankTail(
+      codes.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(dtable),
+          col(queryKey) === col("tqid") && codes("sub") === dtable("sub") &&
+            codes("code") === dtable("cell_id"))
+        .groupBy(col(queryKey), col("vec_id"))
+        .agg(sum(col("d2")).as("adist")),
+      queryKey, k)
   }
 }

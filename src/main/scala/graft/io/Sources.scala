@@ -50,7 +50,13 @@ object Sources {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // fail loudly HERE, not with an unrelated analysis error (or
+        // silently wrong event-time semantics) further down the plan
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported encoding $other — expected " +
+            "TIMESTAMP(NANOS) read as LONG, TIMESTAMP_NTZ, or TIMESTAMP")
     }
 
   /** Reference movies dialect: `user|item|rating`, no quoting.

@@ -291,7 +291,8 @@ class ApiSpec extends SparkSpec {
     // bounded row groups or a single fat file serializes every
     // downstream scan. Tiny sizes here (64 KB groups on the sf0.001
     // documents table) exercise the same knob 128 MB does at scale.
-    val out = "/tmp/graft-rowgroup-sink"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-rowgroup-sink").toString
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .coalesce(1) // one writer task → exactly one data file
     graft.io.Sinks.writeParquetRowGrouped(docs, out, rowGroupBytes = 64L << 10)

@@ -47,9 +47,13 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       // every arriving query answered exactly once, bit-identical to
-      // the batch ADC over the same query set
-      assert(got.toSet === batch)
-      assert(got.size === batch.size)
+      // the batch ADC over the same query set (read under the same
+      // lock the sink writes under — visibility must not depend on
+      // processAllAvailable's internal synchronization)
+      got.synchronized {
+        assert(got.toSet === batch)
+        assert(got.size === batch.size)
+      }
     } finally { q.stop(); cent.unpersist(); codes.unpersist() }
   }
 
