@@ -164,7 +164,10 @@ object ExtQueries {
     * measurement can never silently measure a different stack than
     * the one served. */
   private def ivfPqShortlistC(s: SparkSession, d: String) =
-    Cache.getOrPersist(s, "ivfpq_shortlist", d) {
+    // getOrSnapshot, not getOrPersist: the shortlist's build plan
+    // carries the broadcast cells — a persisted frame re-runs those
+    // broadcast stages on every downstream action (Cache scaladoc)
+    Cache.getOrSnapshot(s, "ivfpq_shortlist", d) {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val cells = VectorSearch.labelCentroids(emb(s, d))
         .select(col("label").cast("long").as("cell_id"), col("centroid"))
@@ -618,30 +621,37 @@ object ExtQueries {
     // ⨝ doc-length join — linear in matching postings; top-10 via
     // TakeOrderedAndProject, never a global sort.
     "q_bm25_retrieval" -> ((s, d) => {
+      // postings, doc lengths, and the 5-term idf table are the
+      // INDEX — session artifacts like the PQ codebook; per-query
+      // work is the joins + contribution sum below
       val tf = Cache.getOrPersist(s, "bm25_tf", d)(
         docs(s, d).select(col("doc_id"),
             explode(split(col("text"), " ")).as("w"))
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
-      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      val dlen = Cache.getOrPersist(s, "bm25_dlen", d)(
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
       val stats = dlen.agg(count(lit(1)).as("nn"), sum(col("len")).as("tot"))
         .select(col("nn"), expr("(tot * 1000) div nn").as("avgfx"))
-      val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val qterms = dfT.orderBy(col("df").desc, col("w")).limit(5)
-      val qidf = qterms.crossJoin(broadcast(stats))
-        // DECIMAL(38,0) intermediate: (nn+1)·2·1e9 passes 2^63 at
-        // ~4.6e9 docs; the RATIO (xfx) stays BIGINT-sized for any
-        // real (N, df), only the product needs headroom
-        .withColumn("xfx",
-          expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
-            s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
-        .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
-        .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
-          "shiftleft(1L, CAST(e - 1 AS INT))"))
-        .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
-          + element_at(typedLit(LmScore.Log2Table),
-              (col("m") - lit(LmScore.MScale - 1)).cast("int"))
-          - lit(LmScore.L9Fx))
-        .select(col("w"), col("idf_fx"))
+      // snapshot (not persist): the 5-row idf table sits above the
+      // broadcast(stats) lineage and a df agg over the postings
+      val qidf = Cache.getOrSnapshot(s, "bm25_qidf", d)(
+        tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("w")).limit(5)
+          .crossJoin(broadcast(stats))
+          // DECIMAL(38,0) intermediate: (nn+1)·2·1e9 passes 2^63 at
+          // ~4.6e9 docs; the RATIO (xfx) stays BIGINT-sized for any
+          // real (N, df), only the product needs headroom
+          .withColumn("xfx",
+            expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
+              s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
+          .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
+          .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
+            "shiftleft(1L, CAST(e - 1 AS INT))"))
+          .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
+            + element_at(typedLit(LmScore.Log2Table),
+                (col("m") - lit(LmScore.MScale - 1)).cast("int"))
+            - lit(LmScore.L9Fx))
+          .select(col("w"), col("idf_fx")))
       tf.join(broadcast(qidf), Seq("w"))
         .join(dlen, Seq("doc_id"))
         .crossJoin(broadcast(stats))
