@@ -987,18 +987,13 @@ object ExtQueries {
     // 4x-smaller SQ reconstruction, not the full-precision
     // embeddings. Queries are corpus members, so the quantizer covers
     // them.
-    "q_ann_sq_rerank" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = VectorSearch.labelCentroids(emb(s, d))
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val shortlist = VectorSearch.ivfTopK(e, cells, queries,
-          "qid", "qvec", 10, 2)
-        .select(col("qid"), col("vec_id"))
-      VectorSearch.sqRerank(shortlist, e, "qid", 3)
-        .orderBy(col("qid"), col("rn"))
-    }),
+    "q_ann_sq_rerank" -> ((s, d) =>
+      // same session-shared IVF shortlist as the PQ composition —
+      // the two compressed rerank paths serve the identical
+      // shortlist, differing only in the scoring representation
+      VectorSearch.sqRerank(ivfPqShortlistC(s, d),
+          emb(s, d).select(col("vec_id"), col("embedding")), "qid", 3)
+        .orderBy(col("qid"), col("rn"))),
 
     // Embedding-dedup end-to-end: banded sign-LSH candidates →
     // cosine threshold → connected components → cluster table with
