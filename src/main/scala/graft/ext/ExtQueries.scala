@@ -1204,6 +1204,59 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility (subword tokens per whitespace word) by
+    // language — THE acceptance metric for a tokenizer on a
+    // multilingual corpus: fertility far above ~1.3–2 on a language
+    // means its text burns the training budget on fragment tokens
+    // (the reason production tokenizers are re-trained when a corpus
+    // adds CJK/code). Per-doc counts are exact longs; the ratio is
+    // one double division per GROUP, so the r4 round is portable.
+    // Same zero-shuffle scan shape as q_bpe_tokens + one partial/
+    // final agg over |langs| groups.
+    "q_bpe_fertility" -> ((s, d) => {
+      val m = Bpe.mergesMemo(docs(s, d), d)
+      docs(s, d).select(col("lang"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_ws"),
+          Bpe.docBpeCol(col("text"), m).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"),
+          Det.r4(sum(col("n_bpe")).cast("double") /
+            sum(col("n_ws")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
+    // Padding-waste accounting per source: what fraction of the
+    // training budget pays for pad tokens if each doc is its own
+    // padded sequence (naive) vs concatenate-and-cut packing
+    // (q_pack_sequences' discipline) — the measurement that justifies
+    // a packing pass before training (naive waste on short-doc web
+    // corpora is routinely 30–60%). Pure integer arithmetic per row +
+    // one partial/final agg over |sources| groups; the only doubles
+    // are the two final per-group divisions (r4-portable).
+    "q_pack_efficiency" -> ((s, d) => {
+      val b = Packing.BinCapacity
+      docs(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("naive_padded",
+          expr(s"(n_tok + ${b - 1}) DIV $b * $b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("naive_padded")).as("naive_padded"))
+        .withColumn("packed_padded",
+          expr(s"(n_tokens + ${b - 1}) DIV $b * $b"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("naive_padded"), col("packed_padded"),
+          Det.r4((col("naive_padded") - col("n_tokens")).cast("double") /
+            col("naive_padded").cast("double")).as("naive_waste"),
+          Det.r4((col("packed_padded") - col("n_tokens")).cast("double") /
+            col("packed_padded").cast("double")).as("packed_waste"))
+        .orderBy(col("source"))
+    }),
+
     // The distributed dictionary-encoding pre-pass as a first-class
     // op: dense deterministic int ids for arbitrary keys (what ALS —
     // and any factor/embedding table — needs at 100 TB where raw ids
@@ -2607,6 +2660,58 @@ object ExtQueries {
          |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
          |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same learned merge chain as q_bpe_tokens; the per-lang ratio is
+    // one double division over exact integer sums.
+    "q_bpe_fertility" ->
+      s"""WITH ${Bpe.learnCtesSql()},
+         |wsrc AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
+         |perword AS (
+         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |         CAST(sum(c) AS BIGINT) AS n_bpe
+         |  FROM perword GROUP BY 1),
+         |j AS (
+         |  SELECT d.lang, COALESCE(p.n_ws, 0) AS n_ws,
+         |         COALESCE(p.n_bpe, 0) AS n_bpe
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_ws) AS BIGINT) AS n_words,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |       ${r4("CAST(sum(n_bpe) AS DOUBLE) / " +
+              "CAST(sum(n_ws) AS DOUBLE)")} AS fertility
+         |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // q_pack_sequences' token definition (unfiltered whitespace
+    // split, like the Spark side); integer ceil via (x + B-1) // B.
+    "q_pack_efficiency" -> {
+      val b = Packing.BinCapacity
+      s"""WITH t AS (
+         |  SELECT source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(((n_tok + ${b - 1}) // $b) * $b) AS BIGINT)
+         |           AS naive_padded
+         |  FROM t GROUP BY 1),
+         |p AS (
+         |  SELECT *, ((n_tokens + ${b - 1}) // $b) * $b AS packed_padded
+         |  FROM g)
+         |SELECT source, n_docs, n_tokens, naive_padded, packed_padded,
+         |       ${r4("CAST(naive_padded - n_tokens AS DOUBLE) / " +
+              "CAST(naive_padded AS DOUBLE)")} AS naive_waste,
+         |       ${r4("CAST(packed_padded - n_tokens AS DOUBLE) / " +
+              "CAST(packed_padded AS DOUBLE)")} AS packed_waste
+         |FROM p ORDER BY source""".stripMargin
+    },
 
     // The oracle spells the prefix sum as a global window — fine for
     // DuckDB at sf, single-reducer at 100 TB, which is exactly why

@@ -223,6 +223,36 @@ object RelQueries {
         .orderBy(col("segment"), col("priority"))
     }),
 
+    // Arbitrary GROUPING SETS — the shape rollup/cube can't express:
+    // a detail set over (segment, priority), an INDEPENDENT marginal
+    // over order status, and a grand total, in one pass. Spark plans
+    // this as one Expand over the scan (each input row fans to one
+    // row per set, each pre-aggregated map-side), so the grouped
+    // breadth costs ~|sets|× the single-grouping agg, never |sets|
+    // scans — the property that makes multi-marginal dataset cards
+    // viable at 100 TB. grouping() flags disambiguate a grouped-out
+    // NULL from data NULL, same contract as q_agg_cube.
+    "q_grouping_sets" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")),
+            Seq.empty[org.apache.spark.sql.Column]),
+          col("c_mktsegment"), col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.fsum2(col("o_totalprice")).as("sum_price"),
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"))
+        .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          col("n_orders"), col("sum_price"),
+          col("g_seg"), col("g_pri"), col("g_status"))
+        .orderBy(col("segment"), col("priority"), col("status"))
+    }),
+
     // Exact interpolated percentiles (same p·(n−1) linear rule as
     // DuckDB's quantile_cont; integral inputs → identical doubles).
     "q_percentiles" -> ((s, d) =>
@@ -888,6 +918,20 @@ object RelQueries {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY CUBE (c_mktsegment, o_orderpriority)
          |ORDER BY segment, priority""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
+         |       coalesce(o_orderpriority, '(all)') AS priority,
+         |       coalesce(o_orderstatus, '(all)') AS status,
+         |       count(*) AS n_orders,
+         |       ${fsum2("o_totalprice")} AS sum_price,
+         |       CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+         |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+         |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+         |                        (o_orderstatus), ())
+         |ORDER BY segment, priority, status""".stripMargin,
 
     "q_percentiles" ->
       s"""SELECT l_returnflag, count(*) AS n,
