@@ -212,6 +212,14 @@ object ExtQueries {
   private val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
 
+  /** q_split_leakage document-frequency cap: shingles in more docs
+    * than this are boilerplate, not leakage evidence — and excluding
+    * them bounds the leakage join's per-shingle fan-out. 5 at sf0.01
+    * actually excludes shingles (observed DF reaches 7), so the cap
+    * path is exercised; production runs use the same order (GPT-3's
+    * audit dropped 13-grams above tiny DF for the same reason). */
+  private val LeakDfCap = 5
+
   /** q_split_assign bands (shared by query and oracle). */
   private val SplitBands =
     Seq("test" -> 1.0, "train" -> 98.0, "val" -> 1.0)
@@ -315,6 +323,37 @@ object ExtQueries {
     "q_dedup_keep_first" -> ((s, d) =>
       Dedup.dropDuplicatesKeepFirst(docs(s, d), Dedup.normPrefix(col("text"), 5))
         .orderBy(col("doc_id"))),
+
+    // Incremental dedup — the snapshot-ingest triage every living
+    // corpus runs: an incoming batch (docs with doc_id % 10 == 7
+    // stand in for the new crawl) is classified per doc against the
+    // existing corpus as dup_of_base (signature already in the base,
+    // evidence = lowest base doc), dup_in_batch (new to the base but
+    // an earlier batch doc has it first), or new. Same normalized
+    // signature as q_dedup_exact, so the two agree on what "exact
+    // dup" means. Shape at 100 TB: the base reduces to one (sig,
+    // min_doc) row per signature (partial/final min — the base's
+    // history never shuffles), the batch takes one per-sig window
+    // over BATCH rows only, and the classifying join shuffles on sig.
+    "q_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sig = docs(s, d).select(col("doc_id"),
+        sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+      val inc = sig.where(col("doc_id") % 10 === 7)
+        .withColumn("first_batch",
+          min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+      val base = sig.where(col("doc_id") % 10 =!= 7)
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("base_doc"))
+      inc.join(base, Seq("sig"), "left")
+        .select(col("doc_id"),
+          when(col("base_doc").isNotNull, lit("dup_of_base"))
+            .when(col("doc_id") =!= col("first_batch"), lit("dup_in_batch"))
+            .otherwise(lit("new")).as("status"),
+          when(col("base_doc").isNotNull, col("base_doc"))
+            .when(col("doc_id") =!= col("first_batch"), col("first_batch"))
+            .otherwise(lit(-1L)).as("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
 
     // MinHash+LSH near-dup candidates (8 portable-hash bands).
     "q_minhash_near_dup" -> ((s, d) =>
@@ -836,6 +875,37 @@ object ExtQueries {
         ds.where(col("doc_id") % 20 =!= 0),
         ds.where(col("doc_id") % 20 === 0))
         .orderBy(col("doc_id"))
+    }),
+
+    // Train/test split leakage audit — decontamination's INTERNAL
+    // twin: q_decontaminate screens against an external benchmark;
+    // this reports holdout (test/val) docs that share rare 3-grams
+    // with the TRAIN split of the same corpus, the overlap that
+    // silently inflates held-out eval (GPT-3's appendix-C n-gram
+    // audit, run split-vs-split). Split membership is the SAME
+    // per-row hash gate as q_split_assign — no doc list is shipped
+    // anywhere. Shingles with document frequency > LeakDfCap are
+    // excluded: boilerplate n-grams are not leakage evidence, and the
+    // cap bounds the shingle join's fan-out (≤ cap train rows per
+    // shingle), which is what keeps this linear at 100 TB.
+    "q_split_leakage" -> ((s, d) => {
+      val ds = distinctShinglesC(s, d)
+      val kept = ds.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") <= LeakDfCap)
+        .select(col("shingle"))
+      val tagged = Sampling.splitAssign(ds, col("doc_id").cast("string"),
+        SplitBands)
+      val train = tagged.where(col("split") === "train")
+        .join(kept, Seq("shingle"))
+        .select(col("shingle"), col("doc_id").as("train_doc"))
+      val holdout = tagged.where(col("split") =!= "train")
+        .select(col("split"), col("shingle"), col("doc_id"))
+      holdout.join(train, Seq("shingle"))
+        .groupBy(col("split"), col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("train_doc")).as("n_train_docs"))
+        .orderBy(col("split"), col("doc_id"))
     }),
 
     // Percentile-based curation cut: keep the top 90% of docs by
@@ -1812,6 +1882,27 @@ object ExtQueries {
          |FROM nsig n JOIN k USING (sig)
          |WHERE n.doc_id != k.keeper ORDER BY n.doc_id""".stripMargin,
 
+    // base-wins precedence: a doc duplicated in base AND batch is
+    // dup_of_base (the base evidence is what blocks ingest).
+    "q_incremental_dedup" ->
+      s"""WITH $dupSigSql,
+         |inc AS (
+         |  SELECT doc_id, sig,
+         |         min(doc_id) OVER (PARTITION BY sig) AS first_batch
+         |  FROM nsig WHERE doc_id % 10 = 7),
+         |base AS (
+         |  SELECT sig, min(doc_id) AS base_doc
+         |  FROM nsig WHERE doc_id % 10 <> 7 GROUP BY 1)
+         |SELECT i.doc_id,
+         |       CASE WHEN b.base_doc IS NOT NULL THEN 'dup_of_base'
+         |            WHEN i.doc_id <> i.first_batch THEN 'dup_in_batch'
+         |            ELSE 'new' END AS status,
+         |       CASE WHEN b.base_doc IS NOT NULL THEN b.base_doc
+         |            WHEN i.doc_id <> i.first_batch THEN i.first_batch
+         |            ELSE -1 END AS dup_of
+         |FROM inc i LEFT JOIN base b USING (sig)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_minhash_near_dup" ->
       s"""WITH $candSql
          |SELECT d1, d2, bands FROM cand ORDER BY d1, d2""".stripMargin,
@@ -2485,6 +2576,31 @@ object ExtQueries {
     // rows the exact join would drop anyway (FPs survive the filter,
     // die in the join), so the exact-join oracle is THE oracle.
     "q_decontaminate_bloom" -> decontamOracleSql,
+
+    // ds is distinct (doc_id, shingle) on both sides, so the HAVING
+    // count is the true document frequency.
+    "q_split_leakage" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |kept AS (SELECT shingle FROM ds
+         |         GROUP BY 1 HAVING count(*) <= $LeakDfCap),
+         |tagged AS (
+         |  SELECT doc_id, shingle,
+         |         ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
+              SplitBands)} AS split
+         |  FROM ds),
+         |train AS (
+         |  SELECT t.shingle, t.doc_id AS train_doc
+         |  FROM tagged t JOIN kept USING (shingle)
+         |  WHERE split = 'train'),
+         |holdout AS (
+         |  SELECT split, shingle, doc_id FROM tagged
+         |  WHERE split <> 'train')
+         |SELECT split, doc_id,
+         |       count(DISTINCT shingle) AS n_shared_shingles,
+         |       count(DISTINCT train_doc) AS n_train_docs
+         |FROM holdout JOIN train USING (shingle)
+         |GROUP BY 1, 2 ORDER BY split, doc_id""".stripMargin,
 
     // The rank (0-based floor(0.1*n), spelled 1-based here) selects an
     // ACTUAL quality element as the threshold — same bits both
