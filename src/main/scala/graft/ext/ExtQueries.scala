@@ -212,6 +212,22 @@ object ExtQueries {
   private val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
 
+  /** q_semdedup cosine threshold: below the synthetic embeddings'
+    * natural pair-cosine ceiling (~0.51 max within-cell pair at
+    * sf0.01) so a REAL but partial dup population exists — ~20% of
+    * vectors flag, 80% survive (production paraphrase dedup runs
+    * τ≈0.95 on real embeddings). */
+  private val SemTau = 0.35
+
+  /** q_semdedup cell-membership cap (the LSH bucket-cap policy
+    * applied to k-means cells): over-cap cells skip pair generation
+    * and their members are flagged, bounding the within-cell
+    * quadratic term no matter how skewed the clustering. 65 sits
+    * inside the sf0.01 cell-size range (53–71), so BOTH branches are
+    * exercised — the RescueCap=15 convention; production caps are
+    * ~10× the k ≈ N/m target cell size. */
+  private val SemCellCap = 65
+
   /** q_split_leakage document-frequency cap: shingles in more docs
     * than this are boilerplate, not leakage evidence — and excluding
     * them bounds the leakage join's per-shingle fan-out. 5 at sf0.01
@@ -1105,6 +1121,24 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("copy_id"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
+    // within-k-means-cluster pairwise cosine — the embedding-space
+    // dedup that catches paraphrases exact/minhash dedup misses. The
+    // trained quantizer is the SAME session artifact q_ann_kmeans
+    // serves from ("kmeans_cells_8_2"), so dedup and retrieval agree
+    // on the partition of the space. τ here sits below the synthetic
+    // corpus's natural cosine ceiling (~0.45 max pair) so real dup
+    // populations exist; a production run sets τ≈0.95 on the
+    // identical plan. See VectorSearch.semDedup for the k ≈ N/m and
+    // over-cap scale contract.
+    "q_semdedup" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
+        VectorSearch.kmeansCells(e, k = 8, iters = 2))
+      VectorSearch.semDedup(e, cells, SemTau, SemCellCap)
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF over a REAL coarse quantizer: 2 rounds of deterministic
     // fixed-point k-means (8 cells seeded from the lowest vec_ids)
     // instead of the label centroids q_ann_ivf uses — the production
@@ -1645,12 +1679,15 @@ object ExtQueries {
        |  FROM dots)""".stripMargin
   }
 
-  /** Generated oracle for q_ann_kmeans: seeds → `iters` rounds of
-    * (cell norms → assignment cosines → argmax → fixed-point means) →
-    * the same IVF probe/scan tail as q_ann_ivf, over the final
-    * centroids. Every round's arithmetic mirrors
+  /** The k-means train + final-assignment CTE chain, shared by the
+    * q_ann_kmeans and q_semdedup oracles (NOTES round-8 lesson: big
+    * CTE replays compose when factored with disjoint names): seeds →
+    * `iters` rounds of (cell norms → assignment cosines → argmax →
+    * fixed-point means) → `assign{iters}` = every vector's final
+    * cell. Exposes `expl`, `enorm`, `acos{iters}`, `assign{iters}`
+    * for tails. Every round's arithmetic mirrors
     * [[VectorSearch.kmeansCells]] term for term. */
-  private def kmeansIvfOracle(k: Int, iters: Int): String = {
+  private def kmeansAssignCtes(k: Int, iters: Int): String = {
     val F12 = "1000000000000.0"
     def cnorm(r: Int) =
       s"""cnorm$r AS (
@@ -1687,7 +1724,7 @@ object ExtQueries {
     val rounds = (0 until iters).map(r =>
       Seq(cnorm(r), acos(r), assign(r), nextCent(r)).mkString(",\n"))
       .mkString(",\n")
-    s"""WITH expl AS (
+    s"""expl AS (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
        |enorm AS (
@@ -1704,7 +1741,65 @@ object ExtQueries {
        |$rounds,
        |${cnorm(iters)},
        |${acos(iters)},
-       |${assign(iters)},
+       |${assign(iters)}""".stripMargin
+  }
+
+  /** Generated oracle for q_semdedup: [[kmeansAssignCtes]] + the
+    * within-cell pair/cosine/keeper tail, mirroring
+    * [[VectorSearch.semDedup]] term for term. */
+  private def semDedupOracle(k: Int, iters: Int, tau: Double,
+                             cap: Int): String = {
+    val F12 = "1000000000000.0"
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+       |okc AS (
+       |  SELECT cell_id FROM assign$iters
+       |  GROUP BY 1 HAVING count(*) <= $cap),
+       |pairs AS (
+       |  SELECT a1.cell_id, a1.vec_id AS v1, a2.vec_id AS v2
+       |  FROM assign$iters a1
+       |  JOIN assign$iters a2 ON a2.cell_id = a1.cell_id
+       |   AND a1.vec_id < a2.vec_id
+       |  JOIN okc ON okc.cell_id = a1.cell_id),
+       |pdots AS (
+       |  SELECT p.v1, p.v2,
+       |         CAST(sum(CAST(floor(e1.v*e2.v*$F12 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / $F12 AS dot
+       |  FROM pairs p
+       |  JOIN expl e1 ON e1.vec_id = p.v1
+       |  JOIN expl e2 ON e2.vec_id = p.v2 AND e2.i = e1.i
+       |  GROUP BY 1, 2),
+       |pcos AS (
+       |  SELECT v1, v2,
+       |         ${r4("CASE WHEN sqrt(n1.en)*sqrt(n2.en) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(n1.en)*sqrt(n2.en)) END")} AS cos_sim
+       |  FROM pdots
+       |  JOIN enorm n1 ON n1.vec_id = v1
+       |  JOIN enorm n2 ON n2.vec_id = v2),
+       |prior AS (
+       |  SELECT v2 AS vec_id,
+       |         CAST(sum(CASE WHEN cos_sim >= $tau THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_prior,
+       |         max(cos_sim) AS max_prior_cos
+       |  FROM pcos GROUP BY 1)
+       |SELECT a.vec_id, a.cell_id,
+       |       COALESCE(p.n_prior, 0) AS n_prior,
+       |       COALESCE(p.max_prior_cos, -2.0) AS max_prior_cos,
+       |       CASE WHEN COALESCE(p.n_prior, 0) > 0 THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS is_dup,
+       |       CASE WHEN okc.cell_id IS NULL THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS over_cap
+       |FROM assign$iters a
+       |LEFT JOIN prior p USING (vec_id)
+       |LEFT JOIN okc ON okc.cell_id = a.cell_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Generated oracle for q_ann_kmeans: [[kmeansAssignCtes]] + the
+    * same IVF probe/scan tail as q_ann_ivf over the final
+    * centroids. */
+  private def kmeansIvfOracle(k: Int, iters: Int): String = {
+    val F12 = "1000000000000.0"
+    s"""WITH ${kmeansAssignCtes(k, iters)},
        |probes AS (
        |  SELECT vec_id AS qid, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -2491,6 +2586,9 @@ object ExtQueries {
     },
 
     "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
+
+    "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
+      tau = SemTau, cap = SemCellCap),
 
     "q_ann_pq" -> pqAdcOracle(
       m = VectorSearch.PqSubspaces, dsub = VectorSearch.PqSubDim,

@@ -126,26 +126,7 @@ object VectorSearch {
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     val cellsB = broadcast(cells.select(col("cell_id"),
       col("centroid"), fixedNormSq(col("centroid")).as("cnrm")))
-    // build: nearest cell per vector via max_by aggregation — argmax
-    // with partial/final (map-side combine) aggregation and no sort.
-    // The previous row_number() window forced a full shuffle+sort of
-    // the N×C crossed frame just to pick one row per vector (the r1
-    // scale-killer); max_by reduces each partition's N×C slice to N
-    // rows before the exchange. Ties break to the smallest cell_id
-    // (the -cell_id struct field), mirroring the oracle's
-    // `ORDER BY cell_cos DESC, cell_id`.
-    val assigned = emb
-      .withColumn("enrm", fixedNormSq(col("embedding")))
-      .crossJoin(cellsB)
-      .withColumn("cell_cos", Det.r4(cosineCol(
-        fixedDot(col("embedding"), col("centroid")),
-        col("enrm"), col("cnrm"))))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cell_id"), col("embedding"), col("enrm")),
-        struct(col("cell_cos"), (-col("cell_id")).as("tb"))).as("best"))
-      .select(col("best.cell_id").as("cell_id"), col("vec_id"),
-        col("best.embedding").as("embedding"), col("best.enrm").as("enrm"))
+    val assigned = assignCells(emb, cellsB)
     // probe: nProbe nearest cells per query
     val pw = Window.partitionBy(col(queryKey))
       .orderBy(col("cell_cos").desc, col("cell_id"))
@@ -168,6 +149,82 @@ object VectorSearch {
           col("qnrm"), col("enrm"))).as("cos_sim"))
       .withColumn("rn", row_number().over(sw).cast("long"))
       .where(col("rn") <= k)
+  }
+
+  /** Nearest-cell assignment of every corpus vector — the IVF build
+    * side, shared by [[ivfTopK]] and [[semDedup]]. Argmax via max_by
+    * aggregation: partial/final (map-side combine) and no sort. A
+    * row_number() window here would force a full shuffle+sort of the
+    * N×C crossed frame just to pick one row per vector (the r1
+    * scale-killer); max_by reduces each partition's N×C slice to N
+    * rows before the exchange. Ties break to the smallest cell_id
+    * (the -cell_id struct field), mirroring the oracle's
+    * `ORDER BY cell_cos DESC, cell_id`. `cellsB` must already carry
+    * (cell_id, centroid, cnrm) and be broadcast-sized. */
+  def assignCells(emb: DataFrame, cellsB: DataFrame): DataFrame =
+    emb
+      .withColumn("enrm", fixedNormSq(col("embedding")))
+      .crossJoin(cellsB)
+      .withColumn("cell_cos", Det.r4(cosineCol(
+        fixedDot(col("embedding"), col("centroid")),
+        col("enrm"), col("cnrm"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cell_id"), col("embedding"), col("enrm")),
+        struct(col("cell_cos"), (-col("cell_id")).as("tb"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("vec_id"),
+        col("best.embedding").as("embedding"), col("best.enrm").as("enrm"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * by clustering embeddings with k-means and comparing pairs ONLY
+    * within a cluster — the trick that turns all-pairs cosine dedup
+    * into |cells| independent quadratic problems of bounded size. A
+    * vector is a duplicate when some LOWER-id cluster-mate is within
+    * cosine `tau` (keep-first, the repo's standing keeper policy; the
+    * paper keeps the member farthest from the centroid — same pair
+    * set, different keeper choice).
+    *
+    * Scale contract: production sizes k ≈ N/m so mean cell size m
+    * stays fixed as the corpus grows (the paper uses 50k clusters for
+    * 100M embeddings); cells that still exceed `cap` members (mode
+    * collapse, all-zero vectors) are EXCLUDED from pair generation
+    * and flagged `over_cap` — the same hot-bucket policy as the LSH
+    * band caps. The within-cell self-join shuffles on cell_id only;
+    * nothing in the plan is quadratic in the corpus. */
+  def semDedup(emb: DataFrame, cells: DataFrame, tau: Double,
+               cap: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val cellsB = broadcast(cells.select(col("cell_id"),
+      col("centroid"), fixedNormSq(col("centroid")).as("cnrm")))
+    val assigned = assignCells(emb, cellsB)
+    // cell sizes are O(|cells|) — broadcast the under-cap cell list
+    val okc = broadcast(assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("csz"))
+      .where(col("csz") <= cap)
+      .select(col("cell_id"), lit(1L).as("ok")))
+    val a1 = assigned.select(col("cell_id"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("enrm").as("n1"))
+    val a2 = assigned.select(col("cell_id"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("enrm").as("n2"))
+    val pcos = a1.join(a2, Seq("cell_id")).where(col("v1") < col("v2"))
+      .join(okc.select(col("cell_id")), Seq("cell_id"))
+      .select(col("v1"), col("v2"),
+        Det.r4(cosineCol(fixedDot(col("e1"), col("e2")),
+          col("n1"), col("n2"))).as("cos_sim"))
+    val prior = pcos.groupBy(col("v2").as("vec_id"))
+      .agg(sum(when(col("cos_sim") >= lit(tau), lit(1L)).otherwise(lit(0L)))
+        .as("n_prior"),
+        max(col("cos_sim")).as("max_prior_cos"))
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(prior, Seq("vec_id"), "left")
+      .join(okc, Seq("cell_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        // -2.0 sentinel: below any true cosine, so "no lower-id
+        // cell-mate scored" is distinguishable from a real -1.0
+        coalesce(col("max_prior_cos"), lit(-2.0)).as("max_prior_cos"),
+        (coalesce(col("n_prior"), lit(0L)) > 0).cast("long").as("is_dup"),
+        col("ok").isNull.cast("long").as("over_cap"))
   }
 
   /** Deterministic fixed-iteration k-means coarse quantizer — the

@@ -706,6 +706,34 @@ class ExtSpec extends SparkSpec {
     assert(again === cells)
   }
 
+  test("semDedup: keep-first within cells, over-cap cells excluded") {
+    val u = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val mix = Array(1.0f, 1.0f, 0.0f, 0.0f) // cos 0.7071 to both axes
+    val emb = Seq(
+      0L -> u, 1L -> u, 2L -> mix, // cell 0 (tie → smaller cell_id)
+      3L -> w, 4L -> w, 5L -> w, 6L -> w) // cell 1, over cap
+      .toDF("vec_id", "embedding")
+    val cells = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val out = VectorSearch.semDedup(emb, cells, tau = 0.9, cap = 3)
+      .orderBy(col("vec_id")).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 1L, 1L))
+    // only v1 is a dup: identical to lower-id cell-mate v0
+    assert(out.map(r => r.getLong(4)).toSeq === Seq(0, 1, 0, 0, 0, 0, 0))
+    assert(out(1).getDouble(3) === 1.0)
+    // v2's best lower-id cosine is below tau → kept, score reported
+    assert(out(2).getDouble(3) === 0.7071)
+    // cell 1 (4 members > cap 3): excluded from pairing, flagged —
+    // its identical copies are NOT marked dups by this pass
+    assert(out.map(_.getLong(5)).toSeq === Seq(0, 0, 0, 1, 1, 1, 1))
+    assert(out.drop(3).forall(_.getLong(2) == 0L))
+    // v0 has no lower-id mate: sentinel max
+    assert(out(0).getDouble(3) === -2.0)
+  }
+
   test("sq rerank orders a shortlist by dequantized cosine") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
