@@ -212,6 +212,12 @@ object ExtQueries {
   private val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
 
+  /** q_pmi_bigrams min bigram count: PMI explodes on rare pairs
+    * (c12=1 pairs of rare words dominate any top-k), so collocation
+    * extraction floors the pair count first — the standard Church &
+    * Hanks guard. */
+  private val PmiMinCount = 5
+
   /** q_semdedup cosine threshold: below the synthetic embeddings'
     * natural pair-cosine ceiling (~0.51 max within-cell pair at
     * sf0.01) so a REAL but partial dup population exists — ~20% of
@@ -659,6 +665,80 @@ object ExtQueries {
         .withColumn("avg_nl2fx", expr("sum_nl2fx div n_bigrams"))
         .withColumn("avg_bits", Det.r4(
           col("avg_nl2fx").cast("double") / lit(LmScore.LogScale.toDouble)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PMI collocation mining (Church & Hanks 1990) over the SAME
+    // session LM count tables q_lm_score builds: pmi(w1,w2) =
+    // log2(c12·W²/(B·c1·c2)) as a sum/difference of six integer
+    // fixed-point log2s (LmScore.log2FxCol — no ln() crosses the
+    // oracle boundary, no division enters the log). The min-count
+    // floor drops the rare-pair PMI explosion every collocation
+    // extractor guards against. Top-20 by exact integer score →
+    // TakeOrderedAndProject, never a global sort; count tables join
+    // behind the same broadcast gates as q_lm_score.
+    "q_pmi_bigrams" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val docBg = Cache.getOrPersist(s, "lm_doc_bigrams", d)(
+        docs(s, d).where(size(ws) >= 2).select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ws) - 1), i =>
+            struct(element_at(ws, i).as("w1"),
+              concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))
+                .as("bg")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg")))
+      val bgCounts = Cache.getOrPersist(s, "lm_bigram_counts", d)(
+        docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12")))
+      val ugCounts = Cache.getOrPersist(s, "lm_unigram_counts", d)(
+        docs(s, d).select(explode(split(col("text"), " ")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+      def gate(tag: String, f: DataFrame) = graft.core.Broadcasts
+        .gatedMemo(f, "spark.graft.lm.broadcastMax", s"lm_$tag:$d")
+      val totals = broadcast(
+        ugCounts.agg(sum(col("c1")).as("wtot"))
+          .crossJoin(bgCounts.agg(sum(col("c12")).as("btot"))))
+      val lg = LmScore.log2FxCol _
+      bgCounts.where(col("c12") >= lit(PmiMinCount))
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .withColumn("w2", element_at(split(col("bg"), " "), 2))
+        .join(gate("ug", ugCounts), Seq("w1"))
+        .join(gate("ug2", ugCounts.select(col("w1").as("w2"),
+          col("c1").as("c2"))), Seq("w2"))
+        .crossJoin(totals)
+        .withColumn("pmi_fx",
+          lg(col("c12")) + lit(2L) * lg(col("wtot"))
+            - lg(col("btot")) - lg(col("c1")) - lg(col("c2")))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          col("pmi_fx"),
+          Det.r4(col("pmi_fx").cast("double") /
+            lit(LmScore.LogScale.toDouble)).as("pmi_bits"))
+        .orderBy(col("pmi_fx").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // Per-doc token-distribution entropy — the repetition signal in
+    // log space (Gopher's symbol-entropy cousin): H = log2(n) −
+    // (Σ c_w·log2fx(c_w)) div n over the doc's term frequencies, all
+    // integer until the final r4 render. Low entropy = the doc
+    // re-uses few tokens (boilerplate, keyword stuffing); paired with
+    // q_repetition_filter's n-gram view it completes the repetition
+    // family. Reuses the session BM25 postings (doc, w, tf) — one
+    // per-doc partial/final agg, zero cross-doc joins, linear at any
+    // corpus size.
+    "q_token_entropy" -> ((s, d) => {
+      val tf = Cache.getOrPersist(s, "bm25_tf", d)(
+        docs(s, d).select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("tf") * LmScore.log2FxCol(col("tf"))).as("sum_clg"))
+        .withColumn("ent_fx",
+          LmScore.log2FxCol(col("n_tokens")) - expr("sum_clg div n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("ent_fx"),
+          Det.r4(col("ent_fx").cast("double") /
+            lit(LmScore.LogScale.toDouble)).as("ent_bits"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2247,6 +2327,72 @@ object ExtQueries {
          |       ${r4(s"CAST(sum_nl2fx // n_bigrams AS DOUBLE) / " +
                 s"${LmScore.LogScale}.0")} AS avg_bits
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Six integer log2s against the SAME embedded table; exact-int
+    // ordering makes the top-20 deterministic on both engines.
+    "q_pmi_bigrams" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |docbg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)),
+         |           i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM ws WHERE len(w) >= 2),
+         |bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+         |        FROM docbg GROUP BY 1),
+         |ugc AS (
+         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM ugc) AS wtot,
+         |         (SELECT CAST(sum(c12) AS BIGINT) FROM bgc) AS btot),
+         |f AS (
+         |  SELECT string_split(bg, ' ')[1] AS w1,
+         |         string_split(bg, ' ')[2] AS w2, c12
+         |  FROM bgc WHERE c12 >= $PmiMinCount),
+         |j AS (
+         |  SELECT f.w1, f.w2, f.c12, u1.c1 AS c1, u2.c1 AS c2,
+         |         tot.wtot, tot.btot
+         |  FROM f JOIN ugc u1 ON u1.w1 = f.w1
+         |         JOIN ugc u2 ON u2.w1 = f.w2
+         |  CROSS JOIN tot),
+         |p AS (
+         |  SELECT w1, w2, c12, c1, c2,
+         |         CAST(${LmScore.log2FxSql("c12")}
+         |           + 2 * ${LmScore.log2FxSql("wtot")}
+         |           - ${LmScore.log2FxSql("btot")}
+         |           - ${LmScore.log2FxSql("c1")}
+         |           - ${LmScore.log2FxSql("c2")} AS BIGINT) AS pmi_fx
+         |  FROM j)
+         |SELECT w1, w2, c12, c1, c2, pmi_fx,
+         |       ${r4(s"CAST(pmi_fx AS DOUBLE) / ${LmScore.LogScale}.0")}
+         |         AS pmi_bits
+         |FROM p ORDER BY pmi_fx DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Same tf CTE as q_bm25_retrieval; all-integer until the final
+    // r4 render.
+    "q_token_entropy" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(sum(tf * ${LmScore.log2FxSql("tf")}) AS BIGINT)
+         |           AS sum_clg
+         |  FROM tf GROUP BY 1),
+         |e AS (
+         |  SELECT doc_id, n_tokens, n_distinct,
+         |         CAST(${LmScore.log2FxSql("n_tokens")}
+         |           - (sum_clg // n_tokens) AS BIGINT) AS ent_fx
+         |  FROM agg)
+         |SELECT doc_id, n_tokens, n_distinct, ent_fx,
+         |       ${r4(s"CAST(ent_fx AS DOUBLE) / ${LmScore.LogScale}.0")}
+         |         AS ent_bits
+         |FROM e ORDER BY doc_id""".stripMargin,
 
     // BM25 replay: same top-df query terms, same integer idf
     // decomposition against the SAME embedded log table, same

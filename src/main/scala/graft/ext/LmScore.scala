@@ -1,5 +1,8 @@
 package graft.ext
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Bigram-LM quality scoring constants — the KenLM-shaped "how
   * predictable is this document under a corpus n-gram model" signal
   * that production curation stacks run next to the rule-based
@@ -54,4 +57,28 @@ object LmScore {
   /** The table as a DuckDB list literal (1-based indexing at call
     * sites: `[...][m - (MScale-1)]`). */
   def log2TableSql: String = Log2Table.mkString("[", ", ", "]")
+
+  /** ⌊2²⁰·log2(n)⌋ of a POSITIVE integer column — the q_lm_score
+    * decomposition without the probability division: e =
+    * bit-length(n), m = (n·512) >> (e−1) ∈ [512, 1023], result =
+    * (e−1)·2²⁰ + T[m−512]. Same table, same quantization error bound
+    * (< 2⁻⁸ bits). The mantissa shift uses shiftright with a COLUMN
+    * bit count (call_function — the functions.shiftright overload
+    * only takes literal bits). */
+  def log2FxCol(n: Column): Column = {
+    val e = length(conv(n, 10, 2)).cast("long")
+    val m = call_function("shiftright", n * lit(MScale),
+      (e - lit(1L)).cast("int"))
+    (e - lit(1L)) * lit(LogScale) +
+      element_at(typedLit(Log2Table), (m - lit(MScale - 1)).cast("int"))
+  }
+
+  /** SQL twin of [[log2FxCol]] over a positive-integer expression.
+    * Embeds the table literal per call (a few KB — the existing
+    * oracles already embed it repeatedly). */
+  def log2FxSql(c: String): String =
+    s"((length(bin($c)) - 1) * $LogScale + " +
+      s"$log2TableSql[CAST((($c) * $MScale) // " +
+      s"(CAST(1 AS BIGINT) << (length(bin($c)) - 1)) AS INTEGER)" +
+      s" - ${MScale - 1}])"
 }

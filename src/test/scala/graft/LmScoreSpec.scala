@@ -41,6 +41,25 @@ class LmScoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("positive-integer log2fx tracks log2(n) within 2^-8") {
+    // the q_pmi_bigrams / q_token_entropy variant: log2 of a count,
+    // no probability division in front
+    def lg(n: Long): Long = {
+      val e = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val m = (n * LmScore.MScale) >> (e - 1)
+      (e - 1).toLong * LmScore.LogScale +
+        LmScore.Log2Table((m - LmScore.MScale).toInt)
+    }
+    Seq(1L, 2L, 3L, 7L, 100L, 512L, 513L, 999983L, (1L << 40) + 17)
+      .foreach { n =>
+        val want = StrictMath.log(n.toDouble) / StrictMath.log(2.0)
+        val got = lg(n).toDouble / LmScore.LogScale
+        assert(got <= want + 1e-9 && got > want - 1.0 / 256.0,
+          s"n=$n got=$got want=$want")
+      }
+    assert(lg(1L) == 0L)
+  }
+
   test("bit-length via binary-string length matches the intrinsic") {
     // the engines compute e as length(conv/bin(pfx)) — same integer
     Seq(1L, 2L, 3L, 127L, 128L, 1000000000L).foreach { x =>
