@@ -341,6 +341,33 @@ object ExtQueries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // JSONL sink→source roundtrip — the corpus interchange format
+    // (one JSON object per line, splittable, schema-on-read). The
+    // corpus is written as JSONL with full write parallelism, read
+    // back with an EXPLICIT schema (schema inference would cost a
+    // whole extra pass over 100 TB — production pins the schema), and
+    // summarized per stratum with a per-row text hash folded into the
+    // aggregate — one mangled byte, lost row, or re-typed column
+    // anywhere in the write→parse path moves a cell. The oracle runs
+    // the same summary over the PARQUET table: roundtrip fidelity IS
+    // the check.
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = graft.io.DialectFixtures.writeDocsJsonl(s, d)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(path)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(PortableHash.spread(PortableHash.h(col("text"))))
+            .as("text_hash_sum"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Keep-first policy: which docs a dedup pass would drop.
     "q_dedup_keep_first" -> ((s, d) =>
       Dedup.dropDuplicatesKeepFirst(docs(s, d), Dedup.normPrefix(col("text"), 5))
@@ -2049,6 +2076,17 @@ object ExtQueries {
          |       ${r4("CAST(sum(isdup) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
          |         AS dup_pct
          |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The parquet-side summary: if the engine's JSONL write→read
+    // path preserved every row and byte, the two sides agree.
+    "q_jsonl_roundtrip" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     "q_dedup_keep_first" ->
       s"""WITH $dupSigSql,

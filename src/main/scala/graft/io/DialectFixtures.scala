@@ -104,6 +104,23 @@ object DialectFixtures {
     path
   }
 
+  def docsJsonlPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_jsonl"
+
+  /** The document corpus rendered as JSON Lines — the interchange
+    * format web-scale text corpora actually ship in (one JSON object
+    * per line; Spark's json source/sink is splittable line-wise, so a
+    * 100 TB JSONL dump scans with full parallelism). Written with
+    * full write parallelism like the ratings dialects. */
+  def writeDocsJsonl(spark: SparkSession, dir: String): String = {
+    val path = docsJsonlPath(dir)
+    once(path, dir) {
+      Sources.table(spark, dir, "documents")
+        .write.mode("overwrite").json(path)
+    }
+    path
+  }
+
   def corruptPath(dir: String): String = s"$BaseDir/${leaf(dir)}/corrupt"
 
   /** The movies pipe dialect with DETERMINISTIC corruption: rows
