@@ -37,7 +37,13 @@ object ScaleGate {
     "q_chunk_bpe", "q_lm_score", "q_ann_ivf_pq",
     // round-8 continuation: the postings-build + broadcast-query
     // retrieval and the corpus-wide card aggregation
-    "q_bm25_retrieval", "q_dataset_card")
+    "q_bm25_retrieval", "q_dataset_card",
+    // round-8 slice 3: the within-cell pair family (SemDeDup's cell
+    // cap must bound the quadratic term as cells densify), the
+    // rare-shingle leakage join (DF cap bounds fan-out), the
+    // signature-join ingest triage, and the postings entropy agg
+    "q_semdedup", "q_split_leakage", "q_incremental_dedup",
+    "q_token_entropy")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

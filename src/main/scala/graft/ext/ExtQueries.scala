@@ -1242,7 +1242,13 @@ object ExtQueries {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
         VectorSearch.kmeansCells(e, k = 8, iters = 2))
-      VectorSearch.semDedup(e, cells, SemTau, SemCellCap)
+      // the assignment is referenced four times by the dedup plan —
+      // materialize it per session or the N×k argmax runs four times
+      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
+        VectorSearch.assignCells(e, broadcast(cells.select(col("cell_id"),
+          col("centroid"),
+          VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))))
+      VectorSearch.semDedupFromAssigned(assigned, SemTau, SemCellCap)
         .orderBy(col("vec_id"))
     }),
 

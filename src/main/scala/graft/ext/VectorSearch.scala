@@ -196,7 +196,17 @@ object VectorSearch {
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     val cellsB = broadcast(cells.select(col("cell_id"),
       col("centroid"), fixedNormSq(col("centroid")).as("cnrm")))
-    val assigned = assignCells(emb, cellsB)
+    semDedupFromAssigned(assignCells(emb, cellsB), tau, cap)
+  }
+
+  /** [[semDedup]] over a pre-computed (and ideally MATERIALIZED)
+    * [[assignCells]] frame. The dedup plan references the assignment
+    * four times (both pair sides, the cell-size count, the final
+    * projection) — un-materialized, that is four N×k assignment
+    * passes over the corpus; the scored query persists it per
+    * session like the other corpus-sized intermediates. */
+  def semDedupFromAssigned(assigned: DataFrame, tau: Double,
+                           cap: Int): DataFrame = {
     // cell sizes are O(|cells|) — broadcast the under-cap cell list
     val okc = broadcast(assigned.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("csz"))
