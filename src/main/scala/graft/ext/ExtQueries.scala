@@ -341,6 +341,27 @@ object ExtQueries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // The streaming ingest gate executed in batch — the same
+    // initialState flatMapGroupsWithState code path a live crawl
+    // consumer runs (state bootstrapped from the base corpus, no
+    // history replay), scored against the SAME oracle as
+    // q_incremental_dedup: the O(1)-per-signature state machine must
+    // classify exactly what the batch join does.
+    "q_stream_incremental_dedup" -> ((s, d) => {
+      import graft.streaming.StreamOps.{DocSig, SigSeen}
+      implicit val encD = org.apache.spark.sql.Encoders.product[DocSig]
+      implicit val encS = org.apache.spark.sql.Encoders.product[SigSeen]
+      val sig = docs(s, d).select(col("doc_id"),
+        sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+      val incoming = sig.where(col("doc_id") % 10 === 7).as[DocSig]
+      val baseSigs = sig.where(col("doc_id") % 10 =!= 7)
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("first_doc"))
+        .select(col("sig"), col("first_doc"), lit(true).as("from_base"))
+        .as[SigSeen]
+      StreamOps.ingestDedupGate(incoming, baseSigs)
+        .toDF().orderBy(col("doc_id"))
+    }),
+
     // JSONL sink→source roundtrip — the corpus interchange format
     // (one JSON object per line, splittable, schema-on-read). The
     // corpus is written as JSONL with full write parallelism, read
@@ -1546,6 +1567,26 @@ object ExtQueries {
   private val dupSigSql =
     s"nsig AS (SELECT doc_id, sha256($normSqlExpr) AS sig FROM documents)"
 
+  /** Shared by q_incremental_dedup and its streaming twin. */
+  private lazy val incrementalDedupSql: String =
+    s"""WITH $dupSigSql,
+       |inc AS (
+       |  SELECT doc_id, sig,
+       |         min(doc_id) OVER (PARTITION BY sig) AS first_batch
+       |  FROM nsig WHERE doc_id % 10 = 7),
+       |base AS (
+       |  SELECT sig, min(doc_id) AS base_doc
+       |  FROM nsig WHERE doc_id % 10 <> 7 GROUP BY 1)
+       |SELECT i.doc_id,
+       |       CASE WHEN b.base_doc IS NOT NULL THEN 'dup_of_base'
+       |            WHEN i.doc_id <> i.first_batch THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN b.base_doc IS NOT NULL THEN b.base_doc
+       |            WHEN i.doc_id <> i.first_batch THEN i.first_batch
+       |            ELSE -1 END AS dup_of
+       |FROM inc i LEFT JOIN base b USING (sig)
+       |ORDER BY doc_id""".stripMargin
+
   private val candSql =
     s"""${Dedup.shinglesSql},
        |${Dedup.minhashBandMinsSql},
@@ -2103,24 +2144,11 @@ object ExtQueries {
 
     // base-wins precedence: a doc duplicated in base AND batch is
     // dup_of_base (the base evidence is what blocks ingest).
-    "q_incremental_dedup" ->
-      s"""WITH $dupSigSql,
-         |inc AS (
-         |  SELECT doc_id, sig,
-         |         min(doc_id) OVER (PARTITION BY sig) AS first_batch
-         |  FROM nsig WHERE doc_id % 10 = 7),
-         |base AS (
-         |  SELECT sig, min(doc_id) AS base_doc
-         |  FROM nsig WHERE doc_id % 10 <> 7 GROUP BY 1)
-         |SELECT i.doc_id,
-         |       CASE WHEN b.base_doc IS NOT NULL THEN 'dup_of_base'
-         |            WHEN i.doc_id <> i.first_batch THEN 'dup_in_batch'
-         |            ELSE 'new' END AS status,
-         |       CASE WHEN b.base_doc IS NOT NULL THEN b.base_doc
-         |            WHEN i.doc_id <> i.first_batch THEN i.first_batch
-         |            ELSE -1 END AS dup_of
-         |FROM inc i LEFT JOIN base b USING (sig)
-         |ORDER BY doc_id""".stripMargin,
+    "q_incremental_dedup" -> incrementalDedupSql,
+
+    // Shared SQL constant with q_incremental_dedup — the streaming
+    // state machine and the batch join can never drift apart.
+    "q_stream_incremental_dedup" -> incrementalDedupSql,
 
     "q_minhash_near_dup" ->
       s"""WITH $candSql

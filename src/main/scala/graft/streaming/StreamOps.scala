@@ -131,6 +131,52 @@ object StreamOps {
   case class Ev2(user_id: Long, ts_ms: Long)
   case class SessionBuf(open: List[Long])
 
+  case class DocSig(doc_id: Long, sig: String)
+  case class SigSeen(sig: String, first_doc: Long, from_base: Boolean)
+  case class IngestVerdict(doc_id: Long, status: String, dup_of: Long)
+
+  /** Streaming ingest-dedup gate — the live twin of
+    * q_incremental_dedup: per-signature state is BOOTSTRAPPED from
+    * the existing corpus (the `initialState` variant of
+    * flatMapGroupsWithState — the mechanism for deploying a stateful
+    * stream against history without replaying it), then each arriving
+    * doc is classified dup_of_base / dup_in_batch / new and the first
+    * batch occurrence claims the signature. State is O(1) per
+    * signature — (first_doc, from_base), never the doc bodies; pair
+    * with an event-time timeout to retire signatures in a bounded
+    * deployment. Docs within one invocation process in doc_id order
+    * (the batch stand-in for arrival order), so a micro-batch
+    * boundary never changes a verdict. Works identically on a batch
+    * Dataset, which is how the scored query runs it under the SAME
+    * oracle as q_incremental_dedup. */
+  def ingestDedupGate(incoming: Dataset[DocSig],
+                      baseSigs: Dataset[SigSeen]): Dataset[IngestVerdict] = {
+    implicit val encV = Encoders.product[IngestVerdict]
+    implicit val encS = Encoders.product[SigSeen]
+    implicit val encK = Encoders.STRING
+    incoming.groupByKey(_.sig)
+      .flatMapGroupsWithState[SigSeen, IngestVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout(),
+        baseSigs.groupByKey(_.sig)) {
+        (sig: String, docs: Iterator[DocSig], state: GroupState[SigSeen]) =>
+          var seen = state.getOption
+          val out = docs.toArray.sortBy(_.doc_id).map { d =>
+            seen match {
+              case Some(s) =>
+                IngestVerdict(d.doc_id,
+                  if (s.from_base) "dup_of_base" else "dup_in_batch",
+                  s.first_doc)
+              case None =>
+                seen = Some(SigSeen(sig, d.doc_id, from_base = false))
+                IngestVerdict(d.doc_id, "new", -1L)
+            }
+          }
+          seen.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time twin of
     * [[graft.ext.Dedup.dropDuplicatesKeepFirst]]: duplicates of a key
     * arriving within the watermark horizon are dropped (first

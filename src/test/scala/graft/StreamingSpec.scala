@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest gate: bootstrapped state classifies across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamOps.{DocSig, SigSeen, IngestVerdict}
+    // base corpus knows sig "a" (first doc 100)
+    val base = Seq(SigSeen("a", 100L, from_base = true)).toDS()
+    val input = MemoryStream[DocSig](spark)
+    val q = StreamOps.ingestDedupGate(input.toDS(), base)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest").start()
+    try {
+      // batch 1: a dup-of-base, a new sig (7 claims "b")
+      input.addData(DocSig(7L, "b"), DocSig(3L, "a"))
+      q.processAllAvailable()
+      // batch 2: "b" again (dup_in_batch of 7 — state crossed the
+      // micro-batch boundary), "a" again, and a fresh "c"
+      input.addData(DocSig(12L, "b"), DocSig(15L, "a"), DocSig(20L, "c"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ingest").as[IngestVerdict]
+        .collect().map(v => v.doc_id -> ((v.status, v.dup_of))).toMap
+      assert(got === Map(
+        3L -> ("dup_of_base", 100L), 7L -> ("new", -1L),
+        12L -> ("dup_in_batch", 7L), 15L -> ("dup_of_base", 100L),
+        20L -> ("new", -1L)))
+    } finally q.stop()
+  }
+
   test("streaming latest-version state equals the batch q_cdc_latest order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
