@@ -212,6 +212,12 @@ object ExtQueries {
   private val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
 
+  /** q_lsh_recall ground-truth Jaccard threshold: the sf corpus is
+    * cleanly bimodal (observed: 25 pairs ≥ 0.5, everything else
+    * < 0.1 at sf0.01), so 0.3 selects exactly the true near-dup
+    * population either mode would. */
+  private val LshRecallThresh = 0.3
+
   /** q_pmi_bigrams min bigram count: PMI explodes on rare pairs
     * (c12=1 pairs of rare words dominate any top-k), so collocation
     * extraction floors the pair count first — the standard Church &
@@ -362,6 +368,17 @@ object ExtQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    // The SQL front-end as a scored surface: Graft.registerTables
+    // makes the corpus SQL-addressable, and the query text below runs
+    // VERBATIM on both engines — the Spark side executes the literal
+    // oracle string through spark.sql. This is the portability
+    // contract a SQL-first user gets: the dialect-shared subset
+    // (ANSI aggregates, CAST, GROUP/ORDER BY) behaves identically.
+    "q_sql_surface" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlSurfaceSql)
+    }),
+
     // JSONL sink→source roundtrip — the corpus interchange format
     // (one JSON object per line, splittable, schema-on-read). The
     // corpus is written as JSONL with full write parallelism, read
@@ -451,6 +468,47 @@ object ExtQueries {
       val cand = candidatesC(s, d)
         .where(col("bands") >= 2).select(col("d1"), col("d2"))
       Dedup.ngramJaccard(cand, distinctShinglesC(s, d))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // LSH recall acceptance — q_ann_recall's twin for the TEXT dedup
+    // stack: ground truth is every pair with exact n-gram Jaccard ≥
+    // threshold (computed independently of any LSH table via the
+    // shared-shingle join — pairs sharing nothing have Jaccard 0 and
+    // can't reach any positive threshold), and each true pair reports
+    // whether the capped primary banding and/or the rescue pass
+    // surfaced it. THE number a production dedup deploy signs off on:
+    // caps and band counts are recall trades, and this measures what
+    // they actually cost on the corpus. The truth side is
+    // quadratic-in-near-dups by construction (a measurement harness,
+    // like q_ann_recall's exact side — deliberately not in the scale
+    // gate); the measured chains are the production-capped ones.
+    "q_lsh_recall" -> ((s, d) => {
+      val ds = distinctShinglesC(s, d)
+      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val truth = ds.select(col("doc_id").as("d1"), col("shingle"))
+        .join(ds.select(col("doc_id").as("d2"), col("shingle")),
+          Seq("shingle"))
+        .where(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("c1")),
+          Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("c2")),
+          Seq("d2"))
+        .withColumn("jaccard", Det.r4(col("common").cast("double") /
+          (col("c1") + col("c2") - col("common")).cast("double")))
+        .where(col("jaccard") >= lit(LshRecallThresh))
+      val prim = candidatesC(s, d)
+        .select(col("d1"), col("d2"), lit(1L).as("hp"))
+      val resc = rescueCandC(s, d)
+        .select(col("d1"), col("d2"), lit(1L).as("hr"))
+      truth.join(prim, Seq("d1", "d2"), "left")
+        .join(resc, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"), col("jaccard"),
+          coalesce(col("hp"), lit(0L)).as("hit_primary"),
+          coalesce(col("hr"), lit(0L)).as("hit_rescue"),
+          greatest(coalesce(col("hp"), lit(0L)),
+            coalesce(col("hr"), lit(0L))).as("hit"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -1567,6 +1625,17 @@ object ExtQueries {
   private val dupSigSql =
     s"nsig AS (SELECT doc_id, sha256($normSqlExpr) AS sig FROM documents)"
 
+  /** One ANSI SQL text, two engines — q_sql_surface executes THIS
+    * string via spark.sql and the driver executes it via DuckDB. */
+  private val SqlSurfaceSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM documents
+      |WHERE n_chars >= 100
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** Shared by q_incremental_dedup and its streaming twin. */
   private lazy val incrementalDedupSql: String =
     s"""WITH $dupSigSql,
@@ -1762,10 +1831,12 @@ object ExtQueries {
   /** Shared CTE chain for the rescue-pass oracles: primary band
     * minima → hot buckets (cap [[RescueCap]]) → hot shingles re-banded
     * with the second permutation family → capped candidates `rcand`. */
-  private lazy val rescueCandSql: String =
-    s"""${Dedup.shinglesSql},
-       |${Dedup.minhashBandMinsSql},
-       |hot AS (SELECT b, mh FROM bandmins GROUP BY 1, 2
+  /** Rescue chain MINUS the shingles/bandmins heads, so it can splice
+    * after [[candSql]] (which defines the same heads) — the
+    * q_lsh_recall oracle needs primary AND rescue candidates in one
+    * WITH chain. */
+  private lazy val rescueTailSql: String =
+    s"""hot AS (SELECT b, mh FROM bandmins GROUP BY 1, 2
        |        HAVING count(*) > $RescueCap),
        |hotdocs AS (
        |  SELECT DISTINCT bandmins.doc_id
@@ -1787,6 +1858,11 @@ object ExtQueries {
        |    ON a.b = b2.b AND a.mh = b2.mh AND a.doc_id < b2.doc_id
        |  GROUP BY 1, 2
        |)""".stripMargin
+
+  private lazy val rescueCandSql: String =
+    s"""${Dedup.shinglesSql},
+       |${Dedup.minhashBandMinsSql},
+       |$rescueTailSql""".stripMargin
 
   /** Shared CTE chain for the banded sign-LSH oracles: band buckets →
     * cap filter → candidate pairs → fixed-point cosine (`bcos`). */
@@ -2124,6 +2200,9 @@ object ExtQueries {
          |         AS dup_pct
          |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // The LITERAL string the Spark side executes.
+    "q_sql_surface" -> SqlSurfaceSql,
+
     // The parquet-side summary: if the engine's JSONL write→read
     // path preserved every row and byte, the two sides agree.
     "q_jsonl_roundtrip" ->
@@ -2158,6 +2237,39 @@ object ExtQueries {
     // buckets (cap 15 to force a non-trivial hot population at
     // sf0.01) -> hot docs' shingles re-banded with the second
     // permutation family -> capped candidate pairs.
+    // Primary (cand) + rescue (rcand) chains share one shingles/
+    // bandmins head; truth pairs from the independent shared-shingle
+    // join over the same distinct sets.
+    "q_lsh_recall" ->
+      s"""WITH $candSql,
+         |$rescueTailSql,
+         |ds2 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sizes2 AS (SELECT doc_id, count(*) AS n_sh FROM ds2 GROUP BY 1),
+         |tcom AS (
+         |  SELECT a.doc_id AS d1, b2.doc_id AS d2, count(*) AS common
+         |  FROM ds2 a JOIN ds2 b2
+         |    ON b2.shingle = a.shingle AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT d1, d2,
+         |         ${r4("CAST(common AS DOUBLE) / " +
+              "CAST(s1.n_sh + s2.n_sh - common AS DOUBLE)")} AS jaccard
+         |  FROM tcom
+         |  JOIN sizes2 s1 ON s1.doc_id = d1
+         |  JOIN sizes2 s2 ON s2.doc_id = d2),
+         |tkept AS (SELECT * FROM truth WHERE jaccard >= $LshRecallThresh)
+         |SELECT t.d1, t.d2, t.jaccard,
+         |       CAST(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END
+         |            AS BIGINT) AS hit_primary,
+         |       CAST(CASE WHEN rc.d1 IS NOT NULL THEN 1 ELSE 0 END
+         |            AS BIGINT) AS hit_rescue,
+         |       CAST(CASE WHEN c.d1 IS NOT NULL OR rc.d1 IS NOT NULL
+         |            THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |FROM tkept t
+         |LEFT JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2
+         |LEFT JOIN rcand rc ON rc.d1 = t.d1 AND rc.d2 = t.d2
+         |ORDER BY t.d1, t.d2""".stripMargin,
+
     "q_minhash_rescue" ->
       s"""WITH $rescueCandSql
          |SELECT d1, d2, bands FROM rcand ORDER BY d1, d2""".stripMargin,
