@@ -1307,6 +1307,33 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("copy_id"))
     }),
 
+    // Embedding-table QA — the health check an index build runs
+    // BEFORE spending cluster-days on IVF/PQ training: per-dimension
+    // mean/min/max and exact-zero counts expose collapsed dimensions
+    // (mean pinned, zero spread), dead dimensions (all zero), and
+    // truncated uploads. One explode + one partial/final agg over
+    // |dims| groups — linear, no joins; values snap to 1e-9 units
+    // before summing so the means are addition-order-proof.
+    "q_embed_stats" -> ((s, d) =>
+      emb(s, d).select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .withColumn("vfx",
+          floor(col("v").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vfx")).as("sum_fx"),
+          min(col("vfx")).as("min_fx"),
+          max(col("vfx")).as("max_fx"),
+          sum(when(col("vfx") === 0, lit(1L)).otherwise(lit(0L)))
+            .as("n_zero"))
+        .select((col("i") + 1).cast("long").as("dim"), col("n"),
+          Det.r4(col("sum_fx").cast("double") / col("n") / lit(1e9))
+            .as("mean"),
+          Det.r4(col("min_fx").cast("double") / lit(1e9)).as("min_v"),
+          Det.r4(col("max_fx").cast("double") / lit(1e9)).as("max_v"),
+          col("n_zero"))
+        .orderBy(col("dim"))),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
     // within-k-means-cluster pairwise cosine — the embedding-space
     // dedup that catches paraphrases exact/minhash dedup misses. The
@@ -2919,6 +2946,21 @@ object ExtQueries {
 
     "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
       tau = SemTau, cap = SemCellCap),
+
+    "q_embed_stats" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000000.0
+         |              + 0.5) AS BIGINT) AS vfx
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i))
+         |SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+         |       ${r4("CAST(sum(vfx) AS DOUBLE)/count(*)/1000000000.0")}
+         |         AS mean,
+         |       ${r4("CAST(min(vfx) AS DOUBLE)/1000000000.0")} AS min_v,
+         |       ${r4("CAST(max(vfx) AS DOUBLE)/1000000000.0")} AS max_v,
+         |       CAST(sum(CASE WHEN vfx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_zero
+         |FROM expl GROUP BY 1 ORDER BY dim""".stripMargin,
 
     "q_ann_pq" -> pqAdcOracle(
       m = VectorSearch.PqSubspaces, dsub = VectorSearch.PqSubDim,

@@ -682,6 +682,53 @@ object RelQueries {
         .toDF().orderBy(col("user_id"))
     }),
 
+    // Ordered funnel analysis (view → click → purchase): each stage's
+    // entry event is the EARLIEST qualifying event strictly after the
+    // previous stage's (total (ts, event_id) order — ties can't
+    // wobble the funnel). Spark-first shape: per-stage argmin via
+    // struct-min aggregation (partial/final, map-side combined) plus
+    // a user-keyed join per stage — never a per-user sort window, so
+    // at 100 TB each stage is one key-partitioned agg over only that
+    // stage's events (the event_type filter prunes first).
+    "q_events_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      def after(t0: org.apache.spark.sql.Column,
+                id0: org.apache.spark.sql.Column) =
+        col("ts_us") > t0 || (col("ts_us") === t0 && col("event_id") > id0)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts_us").as("view_us"),
+          col("m.event_id").as("view_id"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .where(after(col("view_us"), col("view_id")))
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts_us").as("click_us"),
+          col("m.event_id").as("click_id"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(after(col("click_us"), col("click_id")))
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts_us").as("purchase_us"))
+      ev.select(col("user_id")).distinct()
+        .join(v.select(col("user_id"), col("view_us")), Seq("user_id"), "left")
+        .join(c.select(col("user_id"), col("click_us")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("view_us"), lit(-1L)).as("view_us"),
+          coalesce(col("click_us"), lit(-1L)).as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"),
+          when(col("purchase_us").isNotNull, 3L)
+            .when(col("click_us").isNotNull, 2L)
+            .when(col("view_us").isNotNull, 1L)
+            .otherwise(0L).as("funnel_stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // Equi-width histogram (the profiling primitive q_profile_columns
     // doesn't cover): global [min, max] from one scalar aggregate
     // broadcast back, bins as floor((v−lo)·k/(hi−lo)) capped at k−1.
@@ -1214,6 +1261,54 @@ object RelQueries {
     // identical table, so both keys share one oracle.
     "q_cdc_latest" -> cdcLatestSql,
     "q_cdc_stream_latest" -> cdcLatestSql,
+
+    // The oracle spells each stage argmin as a ranked window — the
+    // spelling the engine must NOT use at scale (see the query's
+    // struct-min shape); values agree because both respect the same
+    // (ts_us, event_id) total order.
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, ts_us AS view_us, event_id AS view_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_us, event_id) AS rn
+        |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+        |c AS (
+        |  SELECT user_id, ts_us AS click_us, event_id AS click_id FROM (
+        |    SELECT e.user_id, e.ts_us, e.event_id,
+        |           row_number() OVER (PARTITION BY e.user_id
+        |                              ORDER BY e.ts_us, e.event_id) AS rn
+        |    FROM ev e JOIN v ON v.user_id = e.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts_us > v.view_us
+        |           OR (e.ts_us = v.view_us AND e.event_id > v.view_id)))
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, ts_us AS purchase_us FROM (
+        |    SELECT e.user_id, e.ts_us,
+        |           row_number() OVER (PARTITION BY e.user_id
+        |                              ORDER BY e.ts_us, e.event_id) AS rn
+        |    FROM ev e JOIN c ON c.user_id = e.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts_us > c.click_us
+        |           OR (e.ts_us = c.click_us AND e.event_id > c.click_id)))
+        |  WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |       COALESCE(v.view_us, -1) AS view_us,
+        |       COALESCE(c.click_us, -1) AS click_us,
+        |       COALESCE(p.purchase_us, -1) AS purchase_us,
+        |       CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+        |                 WHEN c.click_us IS NOT NULL THEN 2
+        |                 WHEN v.view_us IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS funnel_stage
+        |FROM u
+        |LEFT JOIN v ON v.user_id = u.user_id
+        |LEFT JOIN c ON c.user_id = u.user_id
+        |LEFT JOIN p ON p.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
 
     // Histogram: identical IEEE bin arithmetic.
     "q_histogram" ->
