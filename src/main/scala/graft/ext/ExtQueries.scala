@@ -1535,6 +1535,21 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The learned BPE merge table itself, scored as a query — the
+    // tokenizer artifact a corpus release SHIPS (the merges.txt file
+    // of a Sennrich tokenizer). Every downstream token count is only
+    // as reproducible as this table, so the table is value-checked
+    // directly: rank order and both symbol columns, against the
+    // oracle's replayed learn loop (each b{i} argmax CTE).
+    "q_bpe_vocab" -> ((s, d) => {
+      val m = Bpe.mergesMemo(docs(s, d), d)
+      val rows = m.zipWithIndex.map { case ((a, b), i) =>
+        (i + 1L, a, b)
+      }
+      import s.implicits._
+      rows.toDF("rank", "a", "b").orderBy(col("rank"))
+    }),
+
     // Tokenizer fertility (subword tokens per whitespace word) by
     // language — THE acceptance metric for a tokenizer on a
     // multilingual corpus: fertility far above ~1.3–2 on a language
@@ -3254,6 +3269,14 @@ object ExtQueries {
          |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
          |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The replayed learn loop's per-step argmaxes, in merge order.
+    "q_bpe_vocab" ->
+      s"""WITH ${Bpe.learnCtesSql()}
+         |${(0 until Bpe.NumMerges).map(i =>
+              s"SELECT CAST(${i + 1} AS BIGINT) AS rank, a, b FROM b$i")
+              .mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY rank""".stripMargin,
 
     // Same learned merge chain as q_bpe_tokens; the per-lang ratio is
     // one double division over exact integer sums.

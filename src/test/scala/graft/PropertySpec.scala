@@ -191,6 +191,82 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semDedup agrees with brute force and is partition-invariant") {
+    import spark.implicits._
+    import graft.ext.VectorSearch
+    for (trial <- 0 until 3) {
+      val r = new scala.util.Random(9100 + trial)
+      val dims = 4
+      val n = 6 + r.nextInt(6)
+      // values on a 1/64 grid keep cosines exactly representable
+      val rows = (0 until n).map(i =>
+        (i.toLong, Array.fill(dims)((r.nextInt(129) - 64) / 64.0f)))
+      val emb = rows.toDF("vec_id", "embedding")
+      val cells = Seq(
+        (0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0)))
+        .toDF("cell_id", "centroid")
+      val tau = 0.5
+      val out = VectorSearch.semDedup(emb, cells, tau, cap = 1000)
+        .collect().map(x => x.getAs[Long]("vec_id") -> x.toSeq).toMap
+      // brute-force twin on the driver: same assignment rule (r4
+      // cosine argmax, min-cell tie), same keep-first policy
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        def fx(x: Double) = math.floor(x * 1e12 + 0.5)
+        val dot = a.zip(b).map { case (x, y) => fx(x * y) }.sum / 1e12
+        val na = a.map(x => fx(x * x)).sum / 1e12
+        val nb = b.map(x => fx(x * x)).sum / 1e12
+        val d = math.sqrt(na) * math.sqrt(nb)
+        val c = if (d == 0.0) 0.0 else dot / d
+        math.floor(c * 10000.0 + 0.5) / 10000.0
+      }
+      val cellVecs = Map(0L -> Array(1.0, 0.0, 0.0, 0.0),
+        1L -> Array(0.0, 1.0, 0.0, 0.0))
+      val assign = rows.map { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        id -> cellVecs.keys.toSeq.sorted
+          .maxBy(c => (cos(vd, cellVecs(c)), -c))
+      }.toMap
+      for ((id, v) <- rows) {
+        val mates = rows.filter { case (j, _) =>
+          j < id && assign(j) == assign(id) }
+        val cosines = mates.map { case (_, w) =>
+          cos(v.map(_.toDouble), w.map(_.toDouble)) }
+        val nPrior = cosines.count(_ >= tau).toLong
+        val row = out(id)
+        assert(row(2) === nPrior, s"trial $trial vec $id n_prior")
+        assert(row(4) === (if (nPrior > 0) 1L else 0L),
+          s"trial $trial vec $id is_dup")
+        if (cosines.nonEmpty)
+          assert(row(3) === cosines.max, s"trial $trial vec $id max")
+      }
+      // partitioning must not move a verdict
+      val out2 = VectorSearch.semDedup(emb.repartition(5), cells, tau,
+        cap = 1000).collect().map(x => x.getAs[Long]("vec_id") -> x.toSeq)
+        .toMap
+      assert(out === out2, s"trial $trial")
+    }
+  }
+
+  test("pack efficiency: packed never exceeds naive, both cover tokens") {
+    // the q_pack_efficiency arithmetic as invariants over the real
+    // corpus: per source, n_tokens <= packed_padded <= naive_padded,
+    // both multiples of the bin, and waste fractions in [0, 1)
+    val out = graft.SparkEntry.queries("q_pack_efficiency")(spark, sf001)
+      .collect()
+    assert(out.nonEmpty)
+    val b = graft.ext.Packing.BinCapacity
+    out.foreach { r =>
+      val (tok, naive, packed) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("naive_padded"), r.getAs[Long]("packed_padded"))
+      assert(tok <= packed && packed <= naive)
+      assert(naive % b == 0 && packed % b == 0)
+      assert(r.getAs[Double]("naive_waste") >= 0.0 &&
+        r.getAs[Double]("naive_waste") < 1.0)
+      assert(r.getAs[Double]("packed_waste") >= 0.0 &&
+        r.getAs[Double]("packed_waste") <= r.getAs[Double]("naive_waste"))
+    }
+  }
+
   test("triangleCounts equals brute-force enumeration on random graphs") {
     import spark.implicits._
     val r = new scala.util.Random(7)
