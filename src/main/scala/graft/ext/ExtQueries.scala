@@ -1665,6 +1665,125 @@ object ExtQueries {
           sum(when(col("__known").isNull, 1L).otherwise(0L))
             .as("unknown_items"))
         .orderBy(col("user_id"))
+    }),
+
+    // kNN label classification over the embedding table — the model-
+    // inference shape the ANN family serves: every 50th vector is a
+    // held-out probe classified by the majority label of its 3 exact
+    // nearest neighbors (leave-one-out: self excluded). Vote tie-break
+    // is (count desc, nearest-neighbor rank asc, label asc) — total
+    // order, so the prediction is replayable cell-exact. Same
+    // broadcast-probes × corpus-scan plan as topKByCosine: the corpus
+    // never shuffles, scoring is the codegen'd fixed-dot expression,
+    // and per-probe ranking windows run on |corpus| rows per probe —
+    // at 100 TB the probe batch stays the broadcast side and the scan
+    // parallelizes over corpus splits.
+    "q_knn_classify" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("true_label"))
+        .withColumn("nrm_q", VectorSearch.fixedNormSq(col("qvec")))
+      val scored = e
+        .withColumn("nrm_e", VectorSearch.fixedNormSq(col("embedding")))
+        .crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+          Det.r4(VectorSearch.cosineCol(
+            VectorSearch.fixedDot(col("qvec"), col("embedding")),
+            col("nrm_q"), col("nrm_e"))).as("cos_sim"))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val votes = scored
+        .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 3)
+        .groupBy(col("qid"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("n_votes"), min(col("rn")).as("best_rn"))
+      val wVote = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("best_rn"), col("label"))
+      votes.withColumn("vr", row_number().over(wVote))
+        .where(col("vr") === 1)
+        .select(col("qid"), col("label").as("pred_label"),
+          col("true_label"),
+          (col("label") === col("true_label")).cast("long").as("correct"))
+        .orderBy(col("qid"))
+    }),
+
+    // Cross-source exact-duplicate matrix — the provenance audit a
+    // multi-source corpus runs before mixing: for every normalized
+    // signature, how many duplicate PAIRS live within each source and
+    // across each source pair. Shape at 100 TB: one (sig, source)
+    // partial/final count (map-side combined), then a self-join on
+    // sig over only the counted rows — the corpus text never joins,
+    // and within-group pair counts are arithmetic (n·(n−1)/2 via
+    // shiftright), never enumerated.
+    "q_cross_source_dups" -> ((s, d) => {
+      val bySrc = docs(s, d)
+        .select(col("source"),
+          sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+        .groupBy(col("sig"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val a = bySrc.select(col("sig"), col("source").as("source_a"),
+        col("n").as("n_a"))
+      val b = bySrc.select(col("sig"), col("source").as("source_b"),
+        col("n").as("n_b"))
+      a.join(b, Seq("sig"))
+        .where(col("source_a") <= col("source_b"))
+        .withColumn("pairs",
+          when(col("source_a") === col("source_b"),
+            shiftright(col("n_a") * (col("n_a") - lit(1L)), 1))
+            .otherwise(col("n_a") * col("n_b")))
+        .where(col("pairs") > 0)
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("pairs")).as("dup_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Deterministic weighted sampling without replacement (the
+    // exponential-clock / Efraimidis–Spirakis shape with the portable
+    // spread hash as the uniform draw): key = ⌊u·2²⁰ / weight⌋, take
+    // the 5 SMALLEST keys per language — longer documents draw
+    // proportionally more often. Integer division end-to-end, so both
+    // engines rank identical keys; per-row keys need no shuffle and
+    // the per-stratum top-k is the same partial WindowGroupLimit
+    // shape as q_topk_neighbors — no global sort at any scale.
+    "q_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pr_num", PortableHash.spread(
+          PortableHash.h(col("doc_id").cast("string"))) * lit(1048576L))
+        .withColumn("priority", expr("pr_num div n_chars"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("priority"), col("doc_id"))
+      keyed.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+          col("priority"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // ORC sink→source roundtrip — the hive-ecosystem columnar
+    // interchange format, written once per sf dir with full write
+    // parallelism and read back through Spark's stripe-splittable ORC
+    // scan. Summarized per language with the same folded per-row text
+    // hash as the JSONL roundtrip; the oracle runs the summary over
+    // the PARQUET table, so one mangled byte, lost row, or re-typed
+    // column anywhere in the ORC write→read path moves a cell.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val path = graft.io.DialectFixtures.writeDocsOrc(s, d)
+      s.read.orc(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(PortableHash.spread(PortableHash.h(col("text"))))
+            .as("text_hash_sum"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3482,6 +3601,108 @@ object ExtQueries {
         |       max(ts_us) + 1800000000 AS end_us,
         |       count(*) AS n_events
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, start_us""".stripMargin
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // Self-contained exact-kNN replay (k-prefixed CTEs, disjoint from
+    // the ANN chains): fixed-point dots/norms, leave-one-out top-3,
+    // majority vote with the (count desc, best rank, label) tie order.
+    "q_knn_classify" ->
+      s"""WITH kexpl AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+         |         CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |knorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS en
+         |  FROM kexpl GROUP BY 1),
+         |kdots AS (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS dot
+         |  FROM kexpl q JOIN kexpl e ON e.i = q.i
+         |  WHERE q.vec_id % 50 = 0 AND e.vec_id != q.vec_id
+         |  GROUP BY 1, 2),
+         |kscored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+         |  FROM kdots d
+         |  JOIN knorm nq ON nq.vec_id = d.qid
+         |  JOIN knorm ne ON ne.vec_id = d.vec_id),
+         |ktop AS (
+         |  SELECT qid, vec_id, rn FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim DESC, vec_id) AS rn
+         |    FROM kscored) WHERE rn <= 3),
+         |kvotes AS (
+         |  SELECT t.qid, CAST(lab.label AS BIGINT) AS label,
+         |         count(*) AS n_votes, min(t.rn) AS best_rn
+         |  FROM ktop t JOIN embeddings lab ON lab.vec_id = t.vec_id
+         |  GROUP BY 1, 2),
+         |kpred AS (
+         |  SELECT qid, label AS pred_label FROM (
+         |    SELECT qid, label,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY n_votes DESC, best_rn,
+         |                                       label) AS vr
+         |    FROM kvotes) WHERE vr = 1)
+         |SELECT p.qid, p.pred_label,
+         |       CAST(q.label AS BIGINT) AS true_label,
+         |       CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END
+         |            AS BIGINT) AS correct
+         |FROM kpred p JOIN embeddings q ON q.vec_id = p.qid
+         |ORDER BY p.qid""".stripMargin,
+
+    // Shares the normalized-signature constant with q_dedup_exact, so
+    // the matrix and the dedup pass agree on what "exact dup" means.
+    "q_cross_source_dups" ->
+      s"""WITH $dupSigSql,
+         |ssig AS (
+         |  SELECT n.sig, d.source
+         |  FROM nsig n JOIN documents d USING (doc_id)),
+         |bysrc AS (
+         |  SELECT sig, source, count(*) AS n FROM ssig GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CASE WHEN a.source = b.source
+         |              THEN (a.n * (a.n - 1)) // 2
+         |              ELSE a.n * b.n END AS pairs
+         |  FROM bysrc a JOIN bysrc b
+         |    ON a.sig = b.sig AND a.source <= b.source)
+         |SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS dup_pairs
+         |FROM p WHERE pairs > 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same integer priority key — // is DuckDB's integer division,
+    // mirroring Spark's `div` truncation (operands non-negative).
+    "q_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         (${PortableHash.spreadSql(PortableHash.hSql(
+                "CAST(doc_id AS VARCHAR)"))} * 1048576) // n_chars
+         |           AS priority
+         |  FROM documents)
+         |SELECT lang, rk, doc_id, n_chars, CAST(priority AS BIGINT)
+         |         AS priority
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |                                   ORDER BY priority, doc_id) AS rk
+         |      FROM keyed)
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    // The parquet-side summary: if the engine's ORC write→read path
+    // preserved every row and byte, the two sides agree.
+    "q_orc_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM documents
+         |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

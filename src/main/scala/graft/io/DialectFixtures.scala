@@ -121,6 +121,23 @@ object DialectFixtures {
     path
   }
 
+  def docsOrcPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_orc"
+
+  /** The document corpus rendered as ORC — the second columnar
+    * interchange format (hive-ecosystem corpora ship ORC where the
+    * lakehouse world ships parquet). Spark's orc source/sink is
+    * splittable by stripe, so the roundtrip check exercises a real
+    * alternative scan path, not a re-skinned parquet read. */
+  def writeDocsOrc(spark: SparkSession, dir: String): String = {
+    val path = docsOrcPath(dir)
+    once(path, dir) {
+      Sources.table(spark, dir, "documents")
+        .write.mode("overwrite").orc(path)
+    }
+    path
+  }
+
   def corruptPath(dir: String): String = s"$BaseDir/${leaf(dir)}/corrupt"
 
   /** The movies pipe dialect with DETERMINISTIC corruption: rows

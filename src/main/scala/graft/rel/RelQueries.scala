@@ -806,6 +806,109 @@ object RelQueries {
         .agg(count(lit(1)).as("n_events"),
           Det.fsum2(col("value")).as("sum_value"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Gaps-and-islands interval merge: each event claims a 5-minute
+    // activity interval [ts, ts+5min); overlapping intervals per user
+    // coalesce into islands, reported as per-user coverage (island
+    // count, total covered ms, longest island). The merge is the
+    // classic cumulative-max formulation — one window pass partitioned
+    // by user — so at 100 TB it is a single hash-partitioned sort per
+    // user key, never a self-join over intervals (the O(n²) trap) and
+    // never a driver-side sweep. Total (st, event_id) order makes
+    // island boundaries tie-stable.
+    "q_interval_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(300000L))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val prevMax = max(col("en"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = ev
+        .withColumn("new_island",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("island_id",
+          sum(col("new_island"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island_id"))
+        .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"))
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_en") - col("i_st")).as("covered_ms"),
+          max(col("i_en") - col("i_st")).as("max_island_ms"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Blocked fuzzy (edit-distance) self-join — the entity-resolution
+    // shape: dedupe the NAME DICTIONARY first (distinct names ≪ rows,
+    // with per-name multiplicities), block on the head noun so
+    // candidate pairs never cross blocks, score survivors with
+    // levenshtein ≤ 3, then report row-pair multiplicities from the
+    // dictionary counts. At 100 TB the all-pairs name comparison is
+    // the killer; dictionary-first + blocking keeps the quadratic
+    // term at (distinct names per block)², independent of row count,
+    // and the edit-distance UDF-free (codegen'd built-in) on the
+    // dictionary only — never on the fact table.
+    "q_fuzzy_join" -> ((s, d) => {
+      val names = t(s, d, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+        .withColumn("noun", split(col("p_name"), " ").getItem(1))
+      val a = names.select(col("noun"), col("p_name").as("name_a"),
+        col("n_parts").as("n_a"))
+      val b = names.select(col("noun"), col("p_name").as("name_b"),
+        col("n_parts").as("n_b"))
+      a.join(b, Seq("noun"))
+        .where(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .where(col("dist") <= 3)
+        .select(col("noun"), col("name_a"), col("name_b"),
+          col("dist").cast("long").as("dist"),
+          (col("n_a") * col("n_b")).as("pair_count"))
+        .orderBy(col("noun"), col("name_a"), col("name_b"))
+    }),
+
+    // Partition-skew diagnostics: replay the engine's hash
+    // partitioning of lineitem on l_orderkey into 32 shuffle buckets
+    // (the portable spread hash stands in for Murmur3 so the oracle
+    // can replay bucket assignment) and report per-bucket row counts
+    // plus each bucket's share — the numbers a capacity plan reads
+    // before picking spark.sql.shuffle.partitions / salting a key.
+    // One partial/final agg: the diagnostic never shuffles the data
+    // it diagnoses, only 32 counter rows; the share window runs over
+    // those 32 rows, not the data.
+    "q_skew_diagnose" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.core.PortableHash
+      val bucket = PortableHash.spread(
+        PortableHash.h(col("l_orderkey").cast("string"))) % lit(32L)
+      t(s, d, "lineitem")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("pct", Det.r4(col("n_rows") * lit(100.0) /
+          sum(col("n_rows")).over(Window.partitionBy())))
+        .orderBy(col("bucket"))
+    }),
+
+    // Running per-user totals via mapGroupsWithState — the
+    // arbitrary-state streaming surface (q_cdc_stream_latest's
+    // sibling, accumulate-forever instead of latest-wins) executed in
+    // batch and scored against the plain groupBy oracle. Values snap
+    // to integer cents BEFORE the stateful fold: batch
+    // mapGroupsWithState hands each group's rows in shuffle order, so
+    // only a commutative integer state is bit-stable (the Double
+    // variant stays a spec-level demo). State is O(1) per key.
+    "q_stream_user_totals" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("value_c"))
+      implicit val enc = org.apache.spark.sql.Encoders
+        .product[graft.streaming.StreamOps.EvFx]
+      graft.streaming.StreamOps.runningUserTotalsFx(
+          ev.as[graft.streaming.StreamOps.EvFx])
+        .toDF().orderBy(col("user_id"))
     })
   )
 
@@ -1354,6 +1457,72 @@ object RelQueries {
          |       count(*) AS n_events,
          |       ${fsum2("value")} AS sum_value
          |FROM events WHERE event_type IN ('click', 'purchase')
-         |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+         |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    // Same cumulative-max island formulation (ANSI windows).
+    "q_interval_coverage" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS st,
+        |         epoch_ms(ts) + 300000 AS en
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, st, en,
+        |         CASE WHEN max(en) OVER wprev IS NULL
+        |                OR st > max(en) OVER wprev
+        |              THEN 1 ELSE 0 END AS new_island
+        |  FROM ev
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY st, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND 1 PRECEDING)),
+        |numbered AS (
+        |  SELECT user_id, st, en,
+        |         sum(new_island) OVER (PARTITION BY user_id
+        |                               ORDER BY st, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND CURRENT ROW) AS island_id
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT user_id, island_id,
+        |         min(st) AS i_st, max(en) AS i_en
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |       CAST(sum(i_en - i_st) AS BIGINT) AS covered_ms,
+        |       CAST(max(i_en - i_st) AS BIGINT) AS max_island_ms
+        |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Same dictionary-first blocked fuzzy join; DuckDB's levenshtein
+    // is the same classic unit-cost edit distance as Spark's.
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_parts,
+        |         split_part(p_name, ' ', 2) AS noun
+        |  FROM part GROUP BY 1, 3)
+        |SELECT a.noun, a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |       CAST(a.n_parts * b.n_parts AS BIGINT) AS pair_count
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY a.noun, name_a, name_b""".stripMargin,
+
+    "q_skew_diagnose" -> {
+      import graft.core.PortableHash
+      val bucket = s"(${PortableHash.spreadSql(
+        PortableHash.hSql("CAST(l_orderkey AS VARCHAR)"))} % 32)"
+      s"""WITH b AS (
+         |  SELECT $bucket AS bucket, count(*) AS n_rows
+         |  FROM lineitem GROUP BY 1)
+         |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
+         |       ${r4("n_rows * 100.0 / sum(n_rows) OVER ()")} AS pct
+         |FROM b ORDER BY bucket""".stripMargin
+    },
+
+    // The stateful running-totals materialization must land exactly on
+    // the batch aggregate (integer cents are order-independent).
+    "q_stream_user_totals" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

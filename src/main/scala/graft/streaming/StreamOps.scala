@@ -56,6 +56,30 @@ object StreamOps {
       }
   }
 
+  case class EvFx(user_id: Long, value_c: Long)
+  case class UserTotalFx(user_id: Long, n: Long, sum_value_c: Long)
+
+  /** Fixed-point twin of [[runningUserTotals]], for the SCORED
+    * inventory (q_stream_user_totals): batch `mapGroupsWithState`
+    * hands each group's rows in shuffle order, so a Double fold is
+    * run-order-dependent — integer cents make the running state
+    * commutative and the materialization bit-exact against the batch
+    * groupBy oracle at any partitioning. State is O(1) per key (the
+    * running pair), the deployable shape for an unbounded stream. */
+  def runningUserTotalsFx(ds: Dataset[EvFx]): Dataset[UserTotalFx] = {
+    implicit val enc = Encoders.product[UserTotalFx]
+    implicit val encL = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvFx], state: GroupState[UserTotalFx]) =>
+          val prev = state.getOption.getOrElse(UserTotalFx(uid, 0L, 0L))
+          val next = evs.foldLeft(prev)((a, e) =>
+            UserTotalFx(uid, a.n + 1, a.sum_value_c + e.value_c))
+          state.update(next)
+          next
+      }
+  }
+
   case class EvV(user_id: Long, event_id: Long, event_type: String,
                  ts_ms: Long)
   case class Latest(user_id: Long, event_id: Long, event_type: String,

@@ -213,6 +213,44 @@ class ApiSpec extends SparkSpec {
       expect.exceptAll(cg).count() == 0)
   }
 
+  test("interval/fuzzy/skew invariants at sf0.001") {
+    // q_interval_coverage: islands cover ≥ pad each, longest ≤ total,
+    // and total per user never exceeds events·pad (intervals can only
+    // merge, not grow)
+    val ev = graft.io.Sources.events(spark, sf001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ic = SparkEntry.queries("q_interval_coverage")(spark, sf001)
+      .collect()
+    assert(ic.nonEmpty &&
+      ic.map(_.getLong(0)).distinct.length == ic.length)
+    ic.foreach { r =>
+      val (u, nIsl, cov, mx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nIsl >= 1 && cov >= nIsl * 300000L)
+      assert(mx >= 300000L && mx <= cov)
+      assert(cov <= ev(u) * 300000L)
+    }
+    // q_fuzzy_join: blocking holds (pairs share the noun), distance
+    // within threshold, canonical ordering
+    val fj = SparkEntry.queries("q_fuzzy_join")(spark, sf001).collect()
+    assert(fj.nonEmpty)
+    fj.foreach { r =>
+      val (noun, a, b, dist) = (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))
+      assert(a.split(" ")(1) == noun && b.split(" ")(1) == noun)
+      assert(a < b && dist >= 1 && dist <= 3)
+      assert(r.getLong(4) >= 1L)
+    }
+    // q_skew_diagnose: buckets within [0,32), counts cover the table,
+    // shares sum to ~100
+    val sd = SparkEntry.queries("q_skew_diagnose")(spark, sf001).collect()
+    assert(sd.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 32))
+    assert(sd.map(_.getAs[Long]("n_rows")).sum ==
+      graft.io.Sources.table(spark, sf001, "lineitem").count())
+    assert(math.abs(sd.map(_.getAs[Double]("pct")).sum - 100.0) < 0.1)
+  }
+
   test("mapFuncs tolerates priorities missing a status (ANSI element_at)") {
     // The sf fixtures carry all three statuses under every priority, so
     // a plain element_at (which THROWS on a missing map key under Spark

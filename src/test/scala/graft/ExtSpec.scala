@@ -1061,4 +1061,50 @@ class ExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_knn_classify: one prediction per probe, drawn from neighbor labels") {
+    val rows = graft.SparkEntry.queries("q_knn_classify")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // one row per probe, probes are the %50 sample
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (qid, pred, _, correct) =>
+      assert(qid % 50 == 0)
+      assert(pred >= 0)
+      assert(correct == 0L || correct == 1L)
+    }
+    // correct flag is consistent with the label pair
+    rows.foreach { case (_, pred, truth, correct) =>
+      assert((pred == truth) == (correct == 1L))
+    }
+  }
+
+  test("q_weighted_sample: ≤5 per stratum, priorities nondecreasing in rank") {
+    val rows = graft.SparkEntry.queries("q_weighted_sample")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= 5)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      // rank order IS priority order (ties broken by doc_id)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq)
+    }
+  }
+
+  test("q_cross_source_dups: matrix total equals the per-sig pair count") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val matrix = graft.SparkEntry.queries("q_cross_source_dups")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // independent ground truth: total C(n,2) over normalized signatures
+    val sigs = docs
+      .groupBy(sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val expectTotal = sigs.map(n => n * (n - 1) / 2).sum
+    assert(matrix.map(_._3).sum == expectTotal)
+    matrix.foreach { case (a, b, n) => assert(a <= b && n > 0) }
+  }
 }

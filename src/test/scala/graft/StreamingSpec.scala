@@ -78,6 +78,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fixed-point running totals: incremental stream lands on the " +
+      "batch aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamOps.EvFx](spark)
+    val q = StreamOps.runningUserTotalsFx(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals_fx").start()
+    try {
+      input.addData(StreamOps.EvFx(1L, 250L), StreamOps.EvFx(1L, 75L),
+        StreamOps.EvFx(2L, 199L))
+      q.processAllAvailable()
+      input.addData(StreamOps.EvFx(1L, 1L), StreamOps.EvFx(2L, 1L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, max(n) AS n, max(sum_value_c) AS s
+          |FROM totals_fx GROUP BY 1 ORDER BY 1""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === Seq((1L, 3L, 326L), (2L, 2L, 200L)))
+    } finally q.stop()
+  }
+
   test("ingest gate: bootstrapped state classifies across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
