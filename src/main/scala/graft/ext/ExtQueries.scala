@@ -517,6 +517,77 @@ object ExtQueries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // LSH precision — q_lsh_recall's complement, the other half of
+    // the acceptance pair: of the pairs the capped banding SURFACED,
+    // how many are true near-dups (exact Jaccard ≥ threshold),
+    // stratified by agreeing-band count. Rising precision with band
+    // count is the signature of a healthy banding table; a flat curve
+    // means the hash family is broken. Reuses the session-cached
+    // candidates + distinct shingles; the exact rescore touches only
+    // candidate pairs, never all pairs.
+    "q_lsh_precision" -> ((s, d) => {
+      val cand = candidatesC(s, d)
+      Dedup.ngramJaccard(cand.select(col("d1"), col("d2")),
+          distinctShinglesC(s, d))
+        .join(cand.select(col("d1"), col("d2"), col("bands")),
+          Seq("d1", "d2"))
+        .groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("jaccard") >= lit(LshRecallThresh), 1L)
+            .otherwise(0L)).as("n_true"))
+        .select(col("bands"), col("n_cand"), col("n_true"),
+          Det.r4(col("n_true").cast("double") / col("n_cand").cast("double"))
+            .as("precision"))
+        .orderBy(col("bands"))
+    }),
+
+    // Recall@3 of the SQ-rerank serving path vs exact ground truth —
+    // completes the recall triptych (IVF 0.77, IVF-PQ 0.43, and now
+    // the int8-SQ path): every compressed serving variant carries its
+    // own acceptance measurement. Same shared IVF shortlist and exact
+    // side as the siblings, so the three numbers are comparable by
+    // construction.
+    "q_ann_sq_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val served = VectorSearch.sqRerank(ivfPqShortlistC(s, d), e, "qid", 3)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+        .select(col("qid"), col("vec_id"))
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // Vocabulary growth (Heaps' law read-out) over 3-gram shingle
+    // types: new distinct types per 50-doc ingest bucket + the
+    // cumulative curve — the corpus statistic that sizes tokenizer
+    // vocabularies and n-gram LM tables. (Unigram types saturate in
+    // the first bucket on this synthetic corpus — 31 tokens — so the
+    // scored curve runs on the 3-gram type space, which keeps
+    // growing.) Each type reduces to its FIRST document
+    // (partial/final min over the session-cached distinct shingle
+    // set — the type stream never shuffles twice), buckets aggregate
+    // those firsts, and the cumulative sum runs over REPORT rows
+    // only (corpus/50 rows; pick the bucket width so the report
+    // stays a report — the window is deliberately not over data).
+    "q_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = distinctShinglesC(s, d)
+        .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      firstSeen
+        .groupBy(expr("first_doc div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+        .withColumn("cum_types",
+          sum(col("new_types")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("bucket"))
+    }),
+
     // The live ingest-time near-dup gate, executed in batch mode — the
     // same StreamOps.nearDupGate code path a continuously-ingesting
     // pipeline runs as a stream (StreamingSpec asserts stream == batch
@@ -1765,6 +1836,55 @@ object ExtQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Snapshot reconciliation (table diff): v2 is a deterministic
+    // derivation of the corpus (drops, edits, late additions — the
+    // transforms both engines replay verbatim), and the diff is ONE
+    // full-outer join on the key classifying each row added / removed
+    // / changed / unchanged, rolled up per source. At 100 TB this is
+    // the shape data reconciliation must take: one key-partitioned
+    // join, text compared in place, no row ever leaves its partition
+    // twice. (With both snapshots on disk, bucketed layout makes the
+    // join exchange-free — io.Bucketing.)
+    "q_table_diff" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      val v2 = v1.where(col("doc_id") % 31 =!= 5)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") % 23 === 7)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("source"), col("text")))
+      v1.select(col("doc_id"), col("source").as("src1"),
+          col("text").as("t1"))
+        .join(v2.select(col("doc_id"), col("source").as("src2"),
+          col("text").as("t2")), Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src1"), col("src2")).as("source"),
+          when(col("t1").isNull, lit("added"))
+            .when(col("t2").isNull, lit("removed"))
+            .when(col("t1") =!= col("t2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    }),
+
+    // Degree distribution of the minhash candidate graph — the
+    // monitoring read-out that catches LSH bucket explosions before
+    // they hit the pair stage (a hot shingle shows up as a heavy
+    // right tail here). Reuses the session-cached candidate pairs;
+    // two partial/final aggs over edge endpoints, nothing rescans
+    // the corpus.
+    "q_graph_degrees" -> ((s, d) => {
+      val cand = candidatesC(s, d).select(col("d1"), col("d2"))
+      cand.select(col("d1").as("doc_id"))
+        .unionAll(cand.select(col("d2").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("degree"))
+    }),
+
     // ORC sink→source roundtrip — the hive-ecosystem columnar
     // interchange format, written once per sf dir with full write
     // parallelism and read back through Spark's stripe-splittable ORC
@@ -1866,6 +1986,47 @@ object ExtQueries {
        |JOIN sizes s2 ON s2.doc_id = c.d2
        |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
        |ORDER BY c.d1, c.d2""".stripMargin
+
+  /** SQ-rerank chain shared by q_ann_sq_rerank and q_ann_sq_recall
+    * (references `ranked`/`expl` from [[ivfRankedCtes]]): IVF top-10
+    * shortlist, per-dim quantizer stats, int8 dequantization, norms,
+    * fixed-point dots, cosine scoring, ranking (final CTE
+    * `sq_ranked`). */
+  private lazy val sqChainCtes: String =
+    s"""shortlist AS (
+       |  SELECT qid, vec_id FROM ranked WHERE rn <= 10),
+       |sstats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM expl GROUP BY 1),
+       |deq AS (
+       |  SELECT e.vec_id, e.i,
+       |         s.mn + (CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+       |                      ELSE CAST(floor((e.v - s.mn) / (s.mx - s.mn)
+       |                                      * 255.0 + 0.5) AS BIGINT) END)
+       |           / 255.0 * (s.mx - s.mn) AS dv
+       |  FROM expl e JOIN sstats s USING (i)),
+       |dqnorm AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CAST(floor(dv*dv*1000000000000.0 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / 1000000000000.0 AS dn
+       |  FROM deq GROUP BY 1),
+       |sdots AS (
+       |  SELECT sl.qid, sl.vec_id,
+       |         CAST(sum(CAST(floor(q.dv*v.dv*1000000000000.0 + 0.5)
+       |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+       |  FROM shortlist sl
+       |  JOIN deq q ON q.vec_id = sl.qid
+       |  JOIN deq v ON v.vec_id = sl.vec_id AND v.i = q.i
+       |  GROUP BY 1, 2),
+       |sq_scored AS (
+       |  SELECT d.qid, d.vec_id,
+       |         ${r4("CASE WHEN sqrt(nq.dn)*sqrt(nv.dn) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(nq.dn)*sqrt(nv.dn)) END")} AS sq_cos
+       |  FROM sdots d
+       |  JOIN dqnorm nq ON nq.vec_id = d.qid
+       |  JOIN dqnorm nv ON nv.vec_id = d.vec_id),
+       |sq_ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |                               ORDER BY sq_cos DESC, vec_id) AS rn
+       |  FROM sq_scored)""".stripMargin
 
   /** Shared CTE chain for the IVF oracles: embedding explode,
     * label centroids, norms, assignment/probe cosines, candidate
@@ -3033,45 +3194,24 @@ object ExtQueries {
     // IVF shortlist (top 10 by exact cosine) re-ranked by cosine over
     // DEQUANTIZED int8 vectors (VectorSearch.sqRerank): the compressed
     // serving path, replayed CTE for CTE (quantizer train + encode +
-    // dequantize + fixed-point dot).
+    // dequantize + fixed-point dot). Chain shared with the recall
+    // twin via [[sqChainCtes]].
     "q_ann_sq_rerank" ->
       s"""WITH $ivfRankedCtes,
-         |shortlist AS (
-         |  SELECT qid, vec_id FROM ranked WHERE rn <= 10),
-         |sstats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM expl GROUP BY 1),
-         |deq AS (
-         |  SELECT e.vec_id, e.i,
-         |         s.mn + (CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
-         |                      ELSE CAST(floor((e.v - s.mn) / (s.mx - s.mn)
-         |                                      * 255.0 + 0.5) AS BIGINT) END)
-         |           / 255.0 * (s.mx - s.mn) AS dv
-         |  FROM expl e JOIN sstats s USING (i)),
-         |dqnorm AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CAST(floor(dv*dv*1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS dn
-         |  FROM deq GROUP BY 1),
-         |sdots AS (
-         |  SELECT sl.qid, sl.vec_id,
-         |         CAST(sum(CAST(floor(q.dv*v.dv*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-         |  FROM shortlist sl
-         |  JOIN deq q ON q.vec_id = sl.qid
-         |  JOIN deq v ON v.vec_id = sl.vec_id AND v.i = q.i
-         |  GROUP BY 1, 2),
-         |sq_scored AS (
-         |  SELECT d.qid, d.vec_id,
-         |         ${r4("CASE WHEN sqrt(nq.dn)*sqrt(nv.dn) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(nq.dn)*sqrt(nv.dn)) END")} AS sq_cos
-         |  FROM sdots d
-         |  JOIN dqnorm nq ON nq.vec_id = d.qid
-         |  JOIN dqnorm nv ON nv.vec_id = d.vec_id),
-         |sq_ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |                               ORDER BY sq_cos DESC, vec_id) AS rn
-         |  FROM sq_scored)
+         |$sqChainCtes
          |SELECT qid, vec_id, sq_cos, rn
          |FROM sq_ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // Recall@3 of the SQ path: same served chain as q_ann_sq_rerank
+    // (shared sqChainCtes — the measurement can never drift from the
+    // serving path), same exact side and tail as the IVF/PQ recall
+    // twins.
+    "q_ann_sq_recall" ->
+      s"""WITH $ivfRankedCtes,
+         |$sqChainCtes,
+         |served AS (SELECT qid, vec_id FROM sq_ranked WHERE rn <= 3),
+         |$exactTop3Ctes,
+         |${recallTail("served")}""".stripMargin,
 
     "q_dataset_mix" -> {
       val (copiesExpr, _) = Sampling.weightedMixSql(
@@ -3692,6 +3832,81 @@ object ExtQueries {
          |                                   ORDER BY priority, doc_id) AS rk
          |      FROM keyed)
          |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    // All candidate pairs exact-rescored, stratified by band count —
+    // precision per stratum from the same candSql chain the recall
+    // oracle replays.
+    "q_lsh_precision" ->
+      s"""WITH $candSql,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+         |com AS (
+         |  SELECT c.d1, c.d2, count(*) AS common
+         |  FROM cand c
+         |  JOIN ds a  ON a.doc_id = c.d1
+         |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT c.bands,
+         |         ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
+              "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
+         |           AS jaccard
+         |  FROM cand c
+         |  JOIN sizes s1 ON s1.doc_id = c.d1
+         |  JOIN sizes s2 ON s2.doc_id = c.d2
+         |  LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2)
+         |SELECT bands, count(*) AS n_cand,
+         |       CAST(sum(CASE WHEN jaccard >= $LshRecallThresh THEN 1
+         |                     ELSE 0 END) AS BIGINT) AS n_true,
+         |       ${r4("CAST(sum(CASE WHEN jaccard >= " + LshRecallThresh +
+              " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS precision
+         |FROM jac GROUP BY 1 ORDER BY bands""".stripMargin,
+
+    "q_vocab_growth" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |fs AS (
+         |  SELECT shingle, min(doc_id) AS first_doc
+         |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles)
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT first_doc // 50 AS bucket, count(*) AS new_types
+         |  FROM fs GROUP BY 1)
+         |SELECT bucket, new_types,
+         |       CAST(sum(new_types) OVER (ORDER BY bucket
+         |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                                 AND CURRENT ROW) AS BIGINT)
+         |         AS cum_types
+         |FROM b ORDER BY bucket""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 17 = 3 THEN text || ' [rev2]'
+        |              ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 31 != 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM v1
+        |  WHERE doc_id % 23 = 7),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text != b.text THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source, status, count(*) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+    "q_graph_degrees" ->
+      s"""WITH $candSql,
+         |ends AS (
+         |  SELECT d1 AS doc_id FROM cand
+         |  UNION ALL SELECT d2 FROM cand),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
+         |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc,
+         |       max(doc_id) AS max_doc
+         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
 
     // The parquet-side summary: if the engine's ORC write→read path
     // preserved every row and byte, the two sides agree.

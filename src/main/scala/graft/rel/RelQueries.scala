@@ -892,6 +892,211 @@ object RelQueries {
         .orderBy(col("bucket"))
     }),
 
+    // TPC-H-Q3-shaped shipping priority: segment-filtered customers ⋈
+    // date-filtered orders ⋈ date-filtered lineitem, revenue per
+    // order, top-10. The filters sit ON THE SCANS (predicate pushdown
+    // reaches parquet on all three tables), the dimension join keys
+    // are pruned columns only, and the top-10 runs as
+    // TakeOrderedAndProject over the aggregated frame — never a
+    // global sort of order revenues.
+    "q_ship_priority" -> ((s, d) => {
+      val cut = "1998-06-01 00:00:00"
+      val c = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = t(s, d, "orders")
+        .where(expr(s"o_orderdate < TIMESTAMP_NTZ '$cut'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, d, "lineitem")
+        .where(expr(s"l_shipdate > TIMESTAMP_NTZ '$cut'"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(Det.fsum4(col("rev")).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Linear marketing attribution: each purchase splits its value
+    // equally across the user's clicks in the prior 7 days. The
+    // touch join runs through TemporalJoin.bandJoin — an equi-join on
+    // (user, 7-day bucket), hash-partitionable, never a theta join —
+    // and credit division is integer cents (`div`), so the split
+    // replays exactly. Purchases with no touch keep credit 0.
+    "q_attribution_linear" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("tms"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("value_c"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("tms"), col("value_c"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("tms"))
+      val touches = graft.core.TemporalJoin
+        .bandJoin(clicks, purchases, Seq("user_id"), "tms", "tms",
+          604800000L)
+        .groupBy(col("b_event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_touches"))
+      purchases.join(touches, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("value_c"),
+          coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+          when(col("n_touches").isNull, 0L)
+            .otherwise(expr("value_c div n_touches")).as("credit_c"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Closed sessions via flatMapGroupsWithState — the zero-or-many-
+    // outputs stateful shape (mapGroupsWithState can't express it):
+    // per-user state buffers the open run, every gap-delimited run
+    // except the last is emitted as a closed session. Executed in
+    // batch and scored against the window-formulated oracle MINUS
+    // each user's final (still-open) session — exactly what the
+    // operator guarantees a live stream will have emitted so far.
+    "q_stream_closed_sessions" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      implicit val enc = org.apache.spark.sql.Encoders
+        .product[graft.streaming.StreamOps.Ev2]
+      graft.streaming.StreamOps.closedSessions(
+          ev.as[graft.streaming.StreamOps.Ev2])
+        .toDF().orderBy(col("user_id"), col("start_ms"))
+    }),
+
+    // Hopping (sliding) event-time windows — the third window shape
+    // beside tumbling (q_tumbling_window_counts) and session
+    // (q_session_window): 1-hour windows every 30 minutes, so each
+    // event lands in exactly width/slide = 2 windows. Spark's `window`
+    // with a slide does the fan-out inside the grouping expression
+    // (Expand, in place, zero extra shuffle); the oracle replays it as
+    // an explicit 2-offset unnest. Same partial/final agg shape as
+    // tumbling at any scale.
+    "q_sliding_window_counts" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.fsum4(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Watermark-sizing audit: how out-of-order is the stream, keyed
+    // the way the stateful operators key it (per user)? Lateness of
+    // an event = how far the user's already-ingested maximum event
+    // time (arrival order = event_id, the ingest sequence) is ahead
+    // of this event's time. The per-type rollup is what picks a
+    // `withWatermark` delay: n beyond 10 min = rows a 10-min
+    // watermark would drop. One per-user-partitioned running-max
+    // window — never a global sort — then a partial/final agg.
+    "q_late_events" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("tms"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("late_ms",
+          greatest(coalesce(max(col("tms")).over(w) - col("tms"), lit(0L)),
+            lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_ms") > 600000L, 1L).otherwise(0L))
+            .as("n_late_10m"),
+          max(col("late_ms")).as("max_late_ms"),
+          sum(col("late_ms")).as("sum_late_ms"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Cohort retention: users bucketed by first-activity week, cells
+    // count distinct users active at each week offset — the
+    // engagement matrix every growth dashboard reads. Shape at
+    // 100 TB: first-week is a per-user partial/final min (history
+    // never windows), the join is user-keyed, and the distinct runs
+    // on (cohort, offset, user) — already near the output size.
+    "q_user_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 604800000").as("wk"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, Seq("user_id"))
+        .select(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("week_offset"), col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
+    // RFM segmentation over orders: recency / frequency / monetary
+    // per customer, scored into quartiles AGAINST BROADCAST VALUE
+    // THRESHOLDS from the distributed order-statistic path
+    // (Quantiles.valueAtFraction — the q_quality_cut discipline),
+    // never a global ntile window (an empty-partition ranking window
+    // single-threads the whole customer table; thresholds keep every
+    // stage parallel and make scores a per-row comparison). Quartile
+    // fractions 0.25/0.5/0.75 are exact binary, so ⌊f·n⌋ is integer-
+    // replayable on the oracle side. Monetary snaps to integer cents
+    // before summing (order-independent).
+    "q_rfm_segments" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        // o_orderdate is TIMESTAMP_NTZ in parquet; cast through
+        // session-UTC timestamp for unix_millis
+        .agg(max(expr("unix_millis(cast(o_orderdate as timestamp))"))
+          .as("last_ms"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("mon_c"))
+      val gmax = per.agg(max(col("last_ms")).as("gmax"))
+      val m = per.crossJoin(broadcast(gmax))
+        .withColumn("recency_days", expr("(gmax - last_ms) div 86400000"))
+      def thr(c: String) = Seq(0.25, 0.5, 0.75).map(f =>
+        graft.core.Quantiles.valueAtFractionMemo(m, c, f, s"rfm:$c:$f:$d"))
+      def bucket(c: String) = thr(c).map(t =>
+        when(col(c).cast("double") >= lit(t), 1L).otherwise(0L))
+        .reduce(_ + _)
+      m.select(col("o_custkey"), col("recency_days"), col("freq"),
+          col("mon_c"),
+          (lit(4L) - bucket("recency_days")).as("r_score"),
+          (lit(1L) + bucket("freq")).as("f_score"),
+          (lit(1L) + bucket("mon_c")).as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("mon_c")).as("mon_c_sum"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }),
+
+    // Time-in-state accounting from a changelog (the SCD2 read-out):
+    // each event opens a state version valid until the user's next
+    // event (lead over the (ts, event_id) total order; the open
+    // version closes at the user's last observation, contributing 0).
+    // Per user: version count + milliseconds spent in each event-type
+    // state, statuses pinned as columns (no discovery pass). One
+    // per-user window + one agg — the warehouse-dimension build that
+    // never joins history to itself.
+    "q_state_durations" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+          col("event_type"), unix_millis(col("ts")).as("tms"))
+        .withColumn("dur_ms",
+          coalesce(lead(col("tms"), 1).over(w) - col("tms"), lit(0L)))
+      def inState(st: String) =
+        sum(when(col("event_type") === st, col("dur_ms")).otherwise(0L))
+          .as(s"${st}_ms")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"), inState("click"),
+          inState("view"), inState("purchase"), inState("signup"),
+          inState("error"))
+        .orderBy(col("user_id"))
+    }),
+
     // Running per-user totals via mapGroupsWithState — the
     // arbitrary-state streaming surface (q_cdc_stream_latest's
     // sibling, accumulate-forever instead of latest-wins) executed in
@@ -1516,6 +1721,178 @@ object RelQueries {
          |       ${r4("n_rows * 100.0 / sum(n_rows) OVER ()")} AS pct
          |FROM b ORDER BY bucket""".stripMargin
     },
+
+    "q_ship_priority" ->
+      s"""SELECT l_orderkey,
+         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         |       o_orderpriority,
+         |       ${fsum4("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,
+        |         CAST(floor(value*100.0 + 0.5) AS BIGINT) AS value_c
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, tms, value_c FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tms FROM ev WHERE event_type = 'click'),
+        |tch AS (
+        |  SELECT p.event_id, count(*) AS n
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |   AND c.tms <= p.tms AND p.tms - c.tms <= 604800000
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id, p.value_c,
+        |       coalesce(t.n, 0) AS n_touches,
+        |       CASE WHEN t.n IS NULL THEN 0
+        |            ELSE p.value_c // t.n END AS credit_c
+        |FROM p LEFT JOIN tch t ON t.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    // closedSessions continues a run while gap < 30 min, so a NEW
+    // session opens at gap >= 30 min (note: q_sessionize's boundary
+    // is strictly >); each user's last session is open, not emitted.
+    "q_stream_closed_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_ms,
+        |         CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                OR ts_ms - lag(ts_ms) OVER w >= 1800000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |sessions AS (
+        |  SELECT user_id, ts_ms,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_ms
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts_ms) AS start_ms,
+        |         max(ts_ms) AS end_ms, count(*) AS n_events
+        |  FROM sessions GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+        |SELECT a.user_id, a.start_ms, a.end_ms, a.n_events
+        |FROM agg a JOIN last l
+        |  ON l.user_id = a.user_id AND a.sid != l.last_sid
+        |ORDER BY a.user_id, a.start_ms""".stripMargin,
+
+    // Explicit 2-offset replay of the hop fan-out: an event's covering
+    // window starts are (⌊t/hop⌋−k)·hop for k ∈ {0,1} (width = 2·hop).
+    "q_sliding_window_counts" ->
+      s"""WITH ev AS (
+         |  SELECT epoch_ms(ts) AS tms, event_type, value FROM events),
+         |w AS (
+         |  SELECT ((tms // 1800000) - off) * 1800000 AS ws,
+         |         event_type, value
+         |  FROM ev, unnest([0, 1]) AS t(off))
+         |SELECT strftime(make_timestamp(ws * 1000),
+         |                '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       event_type, count(*) AS n,
+         |       ${fsum4("value")} AS sum_value
+         |FROM w GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_late_events" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+        |  FROM events),
+        |late AS (
+        |  SELECT event_type,
+        |         greatest(coalesce(max(tms) OVER w - tms, 0), 0) AS late_ms
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN late_ms > 600000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_late_10m,
+        |       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+        |       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
+        |FROM late GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_user_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
+        |  FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+        |SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
+        |       count(*) AS n_users
+        |FROM ev e JOIN first f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    // Quartile thresholds replayed as order statistics: the value at
+    // 0-based rank min(⌊f·n⌋, n−1) — 0.25/0.5/0.75 are exact binary,
+    // so ⌊f·n⌋ = (n·k)//4 in integer arithmetic on both engines.
+    "q_rfm_segments" -> {
+      def thrCte(src: String, ranked: String, out: String) =
+        s"""$ranked AS (
+           |  SELECT $src AS v,
+           |         row_number() OVER (ORDER BY $src) - 1 AS rk FROM m),
+           |$out AS (SELECT
+           |  ${(1 to 3).map(k =>
+              s"max(CASE WHEN rk = least((SELECT (n*$k)//4 FROM n), " +
+                s"(SELECT n-1 FROM n)) THEN v END) AS t$k")
+              .mkString(",\n  ")}
+           |  FROM $ranked)""".stripMargin
+      def bucket(c: String, t: String) =
+        s"((CASE WHEN $c >= $t.t1 THEN 1 ELSE 0 END) + " +
+          s"(CASE WHEN $c >= $t.t2 THEN 1 ELSE 0 END) + " +
+          s"(CASE WHEN $c >= $t.t3 THEN 1 ELSE 0 END))"
+      s"""WITH per AS (
+         |  SELECT o_custkey, max(epoch_ms(o_orderdate)) AS last_ms,
+         |         count(*) AS freq,
+         |         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+         |              AS BIGINT) AS mon_c
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT max(last_ms) AS gmax FROM per),
+         |m AS (SELECT p.*, (g.gmax - p.last_ms) // 86400000 AS recency_days
+         |      FROM per p, g),
+         |n AS (SELECT count(*) AS n FROM m),
+         |${thrCte("recency_days", "rr", "tr")},
+         |${thrCte("freq", "rf", "tf")},
+         |${thrCte("mon_c", "rm", "tm")},
+         |scored AS (
+         |  SELECT m.mon_c,
+         |         CAST(4 - ${bucket("recency_days", "tr")} AS BIGINT)
+         |           AS r_score,
+         |         CAST(1 + ${bucket("freq", "tf")} AS BIGINT) AS f_score,
+         |         CAST(1 + ${bucket("mon_c", "tm")} AS BIGINT) AS m_score
+         |  FROM m, tr, tf, tm)
+         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+         |       CAST(sum(mon_c) AS BIGINT) AS mon_c_sum
+         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+
+    "q_state_durations" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+        |  FROM events),
+        |led AS (
+        |  SELECT user_id, event_type,
+        |         coalesce(lead(tms) OVER (PARTITION BY user_id
+        |                                  ORDER BY tms, event_id) - tms,
+        |                  0) AS dur_ms
+        |  FROM ev)
+        |SELECT user_id, count(*) AS n_versions,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN dur_ms
+        |                     ELSE 0 END) AS BIGINT) AS click_ms,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN dur_ms
+        |                     ELSE 0 END) AS BIGINT) AS view_ms,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN dur_ms
+        |                     ELSE 0 END) AS BIGINT) AS purchase_ms,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN dur_ms
+        |                     ELSE 0 END) AS BIGINT) AS signup_ms,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN dur_ms
+        |                     ELSE 0 END) AS BIGINT) AS error_ms
+        |FROM led GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // The stateful running-totals materialization must land exactly on
     // the batch aggregate (integer cents are order-independent).

@@ -251,6 +251,92 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(sd.map(_.getAs[Double]("pct")).sum - 100.0) < 0.1)
   }
 
+  test("ship-priority/attribution/closed-session invariants at sf0.001") {
+    // q_ship_priority: top-10, revenue non-increasing, plan ends in
+    // TakeOrderedAndProject (no global sort)
+    val sp = SparkEntry.queries("q_ship_priority")(spark, sf001)
+    val spRows = sp.collect()
+    assert(spRows.length <= 10)
+    val revs = spRows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.drop(1)).forall { case (a, b) => a >= b })
+    assert(sp.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    // q_attribution_linear: credit only with touches, and the split
+    // never over-credits the purchase
+    val at = SparkEntry.queries("q_attribution_linear")(spark, sf001)
+      .collect()
+    assert(at.nonEmpty)
+    at.foreach { r =>
+      val (v, n, c) = (r.getAs[Long]("value_c"),
+        r.getAs[Long]("n_touches"), r.getAs[Long]("credit_c"))
+      if (n == 0L) assert(c == 0L)
+      else { assert(c == v / n); assert(c * n <= v) }
+    }
+    // q_stream_closed_sessions: emitted sessions are closed — each
+    // user's last emitted session ends before the user's final event
+    val cs = SparkEntry.queries("q_stream_closed_sessions")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(cs.nonEmpty)
+    assert(cs.forall { case (_, st, en, n) => st <= en && n >= 1 })
+    val lastTs = graft.io.Sources.events(spark, sf001)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"))
+      .groupBy("user_id").agg(max(col("tms")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cs.groupBy(_._1).foreach { case (u, ss) =>
+      assert(ss.map(_._3).max < lastTs(u))
+    }
+  }
+
+  test("sliding/late/retention/rfm/state-duration invariants at sf0.001") {
+    val nEvents = graft.io.Sources.events(spark, sf001).count()
+    // hop fan-out: width/slide = 2 windows per event, so window counts
+    // sum to exactly 2× the table
+    val sw = SparkEntry.queries("q_sliding_window_counts")(spark, sf001)
+      .collect()
+    assert(sw.map(_.getAs[Long]("n")).sum == 2 * nEvents)
+    // late-events: per-type counts cover the table; late is a subset
+    val le = SparkEntry.queries("q_late_events")(spark, sf001).collect()
+    assert(le.map(_.getAs[Long]("n_events")).sum == nEvents)
+    assert(le.forall(r =>
+      r.getAs[Long]("n_late_10m") <= r.getAs[Long]("n_events") &&
+      r.getAs[Long]("max_late_ms") <= r.getAs[Long]("sum_late_ms")))
+    // retention: offsets non-negative; the offset-0 cell holds the
+    // whole cohort (every user is active in their first week)
+    val ret = SparkEntry.queries("q_user_retention")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ret.forall(_._2 >= 0))
+    ret.groupBy(_._1).foreach { case (_, cells) =>
+      val at0 = cells.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      assert(cells.forall(_._3 <= at0))
+    }
+    // rfm: quartile scores in [1,4], customer counts cover the table
+    val rfm = SparkEntry.queries("q_rfm_segments")(spark, sf001).collect()
+    assert(rfm.forall(r => (1 to 3).forall(i =>
+      r.getLong(i - 1) >= 1 && r.getLong(i - 1) <= 4)))
+    assert(rfm.map(_.getAs[Long]("n_customers")).sum ==
+      graft.io.Sources.table(spark, sf001, "orders")
+        .select(col("o_custkey")).distinct().count())
+    // state durations: per user, state times sum to the user's
+    // observed span and versions count the user's events
+    val span = graft.io.Sources.events(spark, sf001)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"))
+      .groupBy("user_id")
+      .agg((max(col("tms")) - min(col("tms"))).as("span"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val stv = SparkEntry.queries("q_state_durations")(spark, sf001)
+      .collect()
+    assert(stv.nonEmpty)
+    stv.foreach { r =>
+      val (sp, n) = span(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert((2 to 6).map(r.getLong(_)).sum == sp)
+    }
+  }
+
   test("mapFuncs tolerates priorities missing a status (ANSI element_at)") {
     // The sf fixtures carry all three statuses under every priority, so
     // a plain element_at (which THROWS on a missing map key under Spark

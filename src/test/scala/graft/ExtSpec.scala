@@ -1107,4 +1107,64 @@ class ExtSpec extends SparkSpec {
     assert(matrix.map(_._3).sum == expectTotal)
     matrix.foreach { case (a, b, n) => assert(a <= b && n > 0) }
   }
+
+  test("q_table_diff status totals match the deterministic v2 derivation") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val byStatus = graft.SparkEntry.queries("q_table_diff")(spark, sf001)
+      .collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byStatus.getOrElse("removed", 0L) == ids.count(_ % 31 == 5))
+    assert(byStatus.getOrElse("added", 0L) == ids.count(_ % 23 == 7))
+    assert(byStatus.getOrElse("changed", 0L) ==
+      ids.count(i => i % 17 == 3 && i % 31 != 5))
+    val total = byStatus.values.sum
+    // every v1 row lands in exactly one status; added rows on top
+    assert(total == ids.length + ids.count(_ % 23 == 7))
+  }
+
+  test("lsh precision / sq recall / vocab growth invariants at sf0.001") {
+    // q_lsh_precision: strata cover every candidate pair exactly once
+    val pr = graft.SparkEntry.queries("q_lsh_precision")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val nCand = graft.SparkEntry.queries("q_minhash_near_dup")(spark, sf001)
+      .count()
+    assert(pr.map(_._2).sum == nCand)
+    pr.foreach { case (bands, n, t, p) =>
+      assert(bands >= 1 && t <= n && p >= 0.0 && p <= 1.0)
+    }
+    // q_ann_sq_recall: per-query hits bounded by k
+    val rc = graft.SparkEntry.queries("q_ann_sq_recall")(spark, sf001)
+      .collect()
+    assert(rc.nonEmpty)
+    rc.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 3)
+      val re = r.getAs[Double]("recall")
+      assert(re >= 0.0 && re <= 1.0)
+    }
+    // q_vocab_growth: cumulative curve is nondecreasing and ends at
+    // the distinct-type count
+    val vg = graft.SparkEntry.queries("q_vocab_growth")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(vg.length > 1)
+    vg.sliding(2).foreach {
+      case Array((_, _, c1), (_, n2, c2)) => assert(c2 == c1 + n2)
+      case _ =>
+    }
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val nTypes = Dedup.shingles(docs).select(col("shingle"))
+      .distinct().count()
+    assert(vg.last._3 == nTypes)
+  }
+
+  test("q_graph_degrees: handshake lemma over the candidate graph") {
+    val deg = graft.SparkEntry.queries("q_graph_degrees")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nEdges = graft.SparkEntry.queries("q_minhash_near_dup")(spark, sf001)
+      .count()
+    assert(deg.map { case (d, n) => d * n }.sum == 2 * nEdges)
+    assert(deg.forall(_._1 >= 1))
+  }
 }
