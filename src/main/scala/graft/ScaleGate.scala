@@ -43,7 +43,16 @@ object ScaleGate {
     // rare-shingle leakage join (DF cap bounds fan-out), the
     // signature-join ingest triage, and the postings entropy agg
     "q_semdedup", "q_split_leakage", "q_incremental_dedup",
-    "q_token_entropy")
+    "q_token_entropy",
+    // round-8 slices 4-7: the full-outer reconciliation join, the
+    // sig-grouped pair matrix (arithmetic pair counts must keep it
+    // linear), the candidate-precision rescore (bounded by the
+    // banding caps), and the type-space first-seen aggregation.
+    // (q_knn_classify is deliberately absent like q_ann_recall: its
+    // brute-force exact side is probes×corpus BY CONSTRUCTION — the
+    // scale path for serving is the IVF/PQ family.)
+    "q_table_diff", "q_cross_source_dups", "q_lsh_precision",
+    "q_vocab_growth")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

@@ -517,6 +517,99 @@ object ExtQueries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // Robust per-language length outliers (median + MAD, the
+    // modified-z gate): median char length and median absolute
+    // deviation per language, then |x − med| > 2·MAD flags (2, not the
+    // textbook 3: the synthetic length distribution is tight enough
+    // that 3·MAD flags nothing — the gate must exercise a real flag
+    // population). Robust
+    // stats survive the heavy tails that wreck the 3σ z-score gate
+    // (q_anomaly_zscore's complement). Exact `percentile` here is
+    // scale-safe BECAUSE n_chars has a bounded value domain — the
+    // merged value→count map stays small (the Quantiles scaladoc
+    // trap applies to mostly-distinct doubles, not bounded ints);
+    // per-lang stats broadcast back, the corpus never re-shuffles.
+    "q_mad_outliers" -> ((s, d) => {
+      val med = docs(s, d).groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.5)).as("med"),
+          count(lit(1)).as("n_docs"))
+      val dev = docs(s, d).join(broadcast(med), Seq("lang"))
+        .withColumn("adev",
+          abs(col("n_chars").cast("double") - col("med")))
+      val mad = dev.groupBy(col("lang"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(min(col("n_docs")).as("n_docs"),
+          Det.r4(min(col("med"))).as("median_chars"),
+          Det.r4(min(col("mad"))).as("mad_chars"),
+          sum(when(col("adev") > lit(2.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("lang"))
+    }),
+
+    // Embedding drift between splits — the QA check a train/eval
+    // split ships with: per-label centroid distance between the
+    // train (80%) and holdout (20%) halves of a deterministic hash
+    // split. Large drift = the split is not exchangeable for that
+    // label (leakage or skew). All centroid arithmetic is the ivf
+    // fixed-point discipline (1e-9-unit sums, 1e-12-unit squared
+    // diffs — integer sums are order-independent), so the distance
+    // replays cell-exact.
+    "q_embed_centroid_drift" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"), col("embedding"),
+        when(col("vec_id") % 10 < 8, lit("train")).otherwise(lit("holdout"))
+          .as("split"))
+      val dims = e.select(col("label"), col("split"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      val cent = dims.groupBy(col("label"), col("split"), col("i"))
+        .agg(((sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+          .cast("long")).cast("double") / count(lit(1))) / lit(1e9))
+          .as("cv"))
+      val n = e.groupBy(col("label"), col("split"))
+        .agg(count(lit(1)).as("n"))
+      val a = cent.where(col("split") === "train")
+        .select(col("label"), col("i"), col("cv").as("ca"))
+      val b = cent.where(col("split") === "holdout")
+        .select(col("label"), col("i"), col("cv").as("cb"))
+      val ss = a.join(b, Seq("label", "i"))
+        .groupBy(col("label"))
+        .agg((sum(floor((col("ca") - col("cb")) * (col("ca") - col("cb"))
+          * lit(1e12) + lit(0.5)).cast("long")).cast("double") / lit(1e12))
+          .as("ss"))
+      ss.join(n.where(col("split") === "train")
+            .select(col("label"), col("n").as("n_train")), Seq("label"))
+        .join(n.where(col("split") === "holdout")
+          .select(col("label"), col("n").as("n_holdout")), Seq("label"))
+        .select(col("label"), col("n_train"), col("n_holdout"),
+          Det.r4(sqrt(col("ss"))).as("drift"))
+        .orderBy(col("label"))
+    }),
+
+    // Duplicate-status × quality-band cross-tab — the corpus-health
+    // composition question ("are my duplicates the low-quality
+    // docs?") answered by joining two already-scored paths: the
+    // normalized exact-dup signature and the Gopher-style quality
+    // score, banded to deciles. One doc-keyed join, enum-sized
+    // output.
+    "q_dup_quality_xtab" -> ((s, d) => {
+      val q = TextAnalysis.qualityColumns(docs(s, d))
+        .select(col("doc_id"), col("n_chars"),
+          least(floor(col("quality") * lit(10)), lit(9.0)).cast("long")
+            .as("q_band"))
+      val sig = docs(s, d).select(col("doc_id"),
+        sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+      val marked = sig
+        .join(sig.groupBy(col("sig")).agg(count(lit(1)).as("cnt")),
+          Seq("sig"))
+        .select(col("doc_id"), (col("cnt") > 1).cast("long").as("is_dup"))
+      q.join(marked, Seq("doc_id"))
+        .groupBy(col("is_dup"), col("q_band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("is_dup"), col("q_band"))
+    }),
+
     // LSH precision — q_lsh_recall's complement, the other half of
     // the acceptance pair: of the pairs the capped banding SURFACED,
     // how many are true near-dups (exact Jaccard ≥ threshold),
@@ -3832,6 +3925,81 @@ object ExtQueries {
          |                                   ORDER BY priority, doc_id) AS rk
          |      FROM keyed)
          |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT lang, quantile_cont(n_chars, 0.5) AS med,
+         |         count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |dev AS (
+         |  SELECT d.lang, m.med, m.n_docs,
+         |         abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+         |  FROM documents d JOIN med m USING (lang)),
+         |mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+         |        FROM dev GROUP BY 1)
+         |SELECT dev.lang, CAST(min(n_docs) AS BIGINT) AS n_docs,
+         |       ${r4("min(med)")} AS median_chars,
+         |       ${r4("min(mad.mad)")} AS mad_chars,
+         |       CAST(sum(CASE WHEN adev > 2.0*mad.mad THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_outliers
+         |FROM dev JOIN mad USING (lang)
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // cd-prefixed CTEs (disjoint from the ANN chains); same 1e-9 /
+    // 1e-12 fixed-point discipline as the centroid oracles.
+    "q_embed_centroid_drift" ->
+      s"""WITH cde AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         CASE WHEN vec_id % 10 < 8 THEN 'train'
+         |              ELSE 'holdout' END AS split,
+         |         i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |cdc AS (
+         |  SELECT label, split, i,
+         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM cde GROUP BY 1, 2, 3),
+         |cdn AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |         CASE WHEN vec_id % 10 < 8 THEN 'train'
+         |              ELSE 'holdout' END AS split,
+         |         count(*) AS n
+         |  FROM embeddings GROUP BY 1, 2),
+         |cdd AS (
+         |  SELECT a.label,
+         |         CAST(sum(CAST(floor((a.cv-b.cv)*(a.cv-b.cv)
+         |                             *1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS ss
+         |  FROM cdc a JOIN cdc b ON a.label = b.label AND a.i = b.i
+         |  WHERE a.split = 'train' AND b.split = 'holdout'
+         |  GROUP BY 1)
+         |SELECT d.label, nt.n AS n_train, nh.n AS n_holdout,
+         |       ${r4("sqrt(ss)")} AS drift
+         |FROM cdd d
+         |JOIN cdn nt ON nt.label = d.label AND nt.split = 'train'
+         |JOIN cdn nh ON nh.label = d.label AND nh.split = 'holdout'
+         |ORDER BY d.label""".stripMargin,
+
+    // Composes the quality CTEs with the shared dup-signature
+    // constant — the two scored paths agree on both definitions.
+    "q_dup_quality_xtab" ->
+      s"""WITH $qualityCtes,
+         |$dupSigSql,
+         |dcnt AS (SELECT sig, count(*) AS cnt FROM nsig GROUP BY 1),
+         |m AS (
+         |  SELECT n.doc_id,
+         |         CAST(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END AS BIGINT)
+         |           AS is_dup
+         |  FROM nsig n JOIN dcnt d USING (sig)),
+         |x AS (
+         |  SELECT m.is_dup,
+         |         CAST(least(floor(q.quality * 10), 9.0) AS BIGINT)
+         |           AS q_band,
+         |         q.n_chars
+         |  FROM quals q JOIN m ON m.doc_id = q.doc_id)
+         |SELECT is_dup, q_band, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // All candidate pairs exact-rescored, stratified by band count —
     // precision per stratum from the same candSql chain the recall

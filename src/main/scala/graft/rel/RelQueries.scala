@@ -892,6 +892,33 @@ object RelQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Event-type transition matrix (first-order Markov counts): per
+    // user, each consecutive event pair over the (ts, event_id) total
+    // order contributes one (from → to) transition; per-from
+    // probabilities from a broadcast totals join (the from-state
+    // vocabulary is enum-sized — never a window over the data). One
+    // per-user lead window + two partial/final aggs at any scale.
+    "q_event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val counts = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          Det.r4(col("n").cast("double") / col("tot").cast("double"))
+            .as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // TPC-H-Q3-shaped shipping priority: segment-filtered customers ⋈
     // date-filtered orders ⋈ date-filtered lineitem, revenue per
     // order, top-10. The filters sit ON THE SCANS (predicate pushdown
@@ -1721,6 +1748,27 @@ object RelQueries {
          |       ${r4("n_rows * 100.0 / sum(n_rows) OVER ()")} AS pct
          |FROM b ORDER BY bucket""".stripMargin
     },
+
+    "q_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY tms, event_id) AS to_type
+        |  FROM ev),
+        |counts AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM counts GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       floor((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))*10000
+        |             + 0.5)/10000.0 AS p
+        |FROM counts c JOIN totals t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_ship_priority" ->
       s"""SELECT l_orderkey,

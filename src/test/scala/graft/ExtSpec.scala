@@ -1123,6 +1123,50 @@ class ExtSpec extends SparkSpec {
     assert(total == ids.length + ids.count(_ % 23 == 7))
   }
 
+  test("transitions/mad/drift/xtab invariants at sf0.001") {
+    val sf = sf001
+    // transitions: each user contributes (n_events - 1) pairs and
+    // per-from probabilities sum to ~1 (r4 rounding per cell)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val tr = graft.SparkEntry.queries("q_event_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(tr.map(_._3).sum == nEvents - nUsers)
+    tr.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < rs.length * 1e-4 + 1e-9)
+    }
+    // mad outliers: strata cover the corpus, outliers a minority
+    val docsN = spark.read.parquet(s"$sf/documents.parquet").count()
+    val mo = graft.SparkEntry.queries("q_mad_outliers")(spark, sf)
+      .collect()
+    assert(mo.map(_.getAs[Long]("n_docs")).sum == docsN)
+    mo.foreach { r =>
+      assert(r.getAs[Double]("mad_chars") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_docs"))
+    }
+    // centroid drift: split sizes per label cover the table
+    val embCounts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy(col("label").cast("long").as("l")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dr = graft.SparkEntry.queries("q_embed_centroid_drift")(spark, sf)
+      .collect()
+    assert(dr.nonEmpty)
+    dr.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == embCounts(r.getLong(0)))
+      assert(r.getAs[Double]("drift") >= 0.0)
+    }
+    // dup × quality cross-tab: cells cover the corpus once
+    val xt = graft.SparkEntry.queries("q_dup_quality_xtab")(spark, sf)
+      .collect()
+    assert(xt.map(_.getAs[Long]("n_docs")).sum == docsN)
+    xt.foreach { r =>
+      assert(r.getLong(0) == 0L || r.getLong(0) == 1L)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 9L)
+    }
+  }
+
   test("lsh precision / sq recall / vocab growth invariants at sf0.001") {
     // q_lsh_precision: strata cover every candidate pair exactly once
     val pr = graft.SparkEntry.queries("q_lsh_precision")(spark, sf001)
