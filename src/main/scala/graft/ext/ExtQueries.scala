@@ -379,6 +379,42 @@ object ExtQueries {
       s.sql(SqlSurfaceSql)
     }),
 
+    // The window-function half of the literal SQL surface: one ANSI
+    // text with a named WINDOW clause, ranking + offset functions,
+    // executed verbatim by spark.sql AND by the oracle engine — the
+    // dialect-portable window subset scored as-is. (CASTs pin the
+    // BIGINT output types both engines agree on.)
+    "q_sql_window_surface" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlWindowSurfaceSql)
+    }),
+
+    // CSV sink→source roundtrip — the third interchange format
+    // (JSONL, ORC, now quoted CSV). The fixture embeds a comma in
+    // the `tag` column so quoting is genuinely on the path; read
+    // back with an EXPLICIT schema (positional, header skipped) and
+    // summarized with folded per-row hashes of BOTH the text and the
+    // quoted tag — a quoting/escaping bug anywhere moves a cell.
+    "q_csv_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = graft.io.DialectFixtures.writeDocsCsv(s, d)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType), StructField("tag", StringType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(PortableHash.spread(PortableHash.h(col("text"))))
+            .as("text_hash_sum"),
+          sum(PortableHash.spread(PortableHash.h(col("tag"))))
+            .as("tag_hash_sum"))
+        .orderBy(col("lang"))
+    }),
+
+
     // JSONL sink→source roundtrip — the corpus interchange format
     // (one JSON object per line, splittable, schema-on-read). The
     // corpus is written as JSONL with full write parallelism, read
@@ -2007,6 +2043,20 @@ object ExtQueries {
   private val dupSigSql =
     s"nsig AS (SELECT doc_id, sha256($normSqlExpr) AS sig FROM documents)"
 
+  /** The window-function literal (q_sql_window_surface): named WINDOW
+    * clause, ranking + offset functions, CAST-pinned BIGINT outputs —
+    * one ANSI text, two engines, verbatim. */
+  private val SqlWindowSurfaceSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(row_number() OVER w AS BIGINT) AS rn,
+      |       CAST(rank() OVER w2 AS BIGINT) AS rnk,
+      |       coalesce(lag(o_orderkey) OVER w, -1) AS prev_key
+      |FROM orders
+      |WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+      |       w2 AS (PARTITION BY o_custkey
+      |              ORDER BY o_orderpriority, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** One ANSI SQL text, two engines — q_sql_surface executes THIS
     * string via spark.sql and the driver executes it via DuckDB. */
   private val SqlSurfaceSql: String =
@@ -2625,6 +2675,22 @@ object ExtQueries {
 
     // The LITERAL string the Spark side executes.
     "q_sql_surface" -> SqlSurfaceSql,
+    "q_sql_window_surface" -> SqlWindowSurfaceSql,
+
+    // The parquet-side summary with the tag expression recomputed —
+    // if the CSV write→quote→parse path preserved every field, the
+    // two sides agree (the embedded comma in tag is the trap).
+    "q_csv_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("source || ',' || lang"))}) AS BIGINT)
+         |         AS tag_hash_sum
+         |FROM documents
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // The parquet-side summary: if the engine's JSONL write→read
     // path preserved every row and byte, the two sides agree.

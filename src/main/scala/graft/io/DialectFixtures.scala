@@ -138,6 +138,25 @@ object DialectFixtures {
     path
   }
 
+  def docsCsvPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_csv"
+
+  /** The document corpus rendered as quoted CSV — the third
+    * interchange format beside JSONL and ORC. The extra `tag` column
+    * embeds a comma (`source,lang`) so the quote/escape machinery is
+    * genuinely exercised: an unquoted writer or a naive
+    * split-on-comma reader shifts every subsequent field and the
+    * roundtrip summary moves. */
+  def writeDocsCsv(spark: SparkSession, dir: String): String = {
+    val path = docsCsvPath(dir)
+    once(path, dir) {
+      Sources.table(spark, dir, "documents")
+        .withColumn("tag", concat_ws(",", col("source"), col("lang")))
+        .write.mode("overwrite").option("header", "true").csv(path)
+    }
+    path
+  }
+
   def corruptPath(dir: String): String = s"$BaseDir/${leaf(dir)}/corrupt"
 
   /** The movies pipe dialect with DETERMINISTIC corruption: rows

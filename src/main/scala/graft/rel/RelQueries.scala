@@ -979,6 +979,34 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // First-touch attribution — q_attribution_linear's argmin
+    // sibling: the EARLIEST click in the purchase's prior-7-day
+    // window gets full credit (struct-min aggregation over the same
+    // banded touch join — partial/final, map-side combined, never a
+    // per-purchase sort window).
+    "q_attribution_first_touch" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("tms"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("value_c"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("tms"), col("value_c"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("tms"))
+      val firsts = graft.core.TemporalJoin
+        .bandJoin(clicks, purchases, Seq("user_id"), "tms", "tms",
+          604800000L)
+        .groupBy(col("b_event_id").as("event_id"))
+        .agg(min(struct(col("a_tms"), col("a_click_id"))).as("m"))
+        .select(col("event_id"), col("m.a_tms").as("click_ms"),
+          col("m.a_click_id").as("click_id"))
+      purchases.join(firsts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("value_c"),
+          coalesce(col("click_id"), lit(-1L)).as("first_click_id"),
+          coalesce(col("tms") - col("click_ms"), lit(-1L)).as("gap_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // Closed sessions via flatMapGroupsWithState — the zero-or-many-
     // outputs stateful shape (mapGroupsWithState can't express it):
     // per-user state buffers the open run, every gap-delimited run
@@ -1802,6 +1830,28 @@ object RelQueries {
         |       CASE WHEN t.n IS NULL THEN 0
         |            ELSE p.value_c // t.n END AS credit_c
         |FROM p LEFT JOIN tch t ON t.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_attribution_first_touch" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,
+        |         CAST(floor(value*100.0 + 0.5) AS BIGINT) AS value_c
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, tms, value_c FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, tms FROM ev
+        |      WHERE event_type = 'click'),
+        |ft AS (
+        |  SELECT p.event_id, c.tms AS click_ms, c.click_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.tms, c.click_id) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |   AND c.tms <= p.tms AND p.tms - c.tms <= 604800000)
+        |SELECT p.event_id, p.user_id, p.value_c,
+        |       coalesce(f.click_id, -1) AS first_click_id,
+        |       coalesce(p.tms - f.click_ms, -1) AS gap_ms
+        |FROM p LEFT JOIN (SELECT * FROM ft WHERE rn = 1) f
+        |  ON f.event_id = p.event_id
         |ORDER BY p.event_id""".stripMargin,
 
     // closedSessions continues a run while gap < 30 min, so a NEW

@@ -288,6 +288,35 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("csv-quoting / window-surface / first-touch invariants at sf0.001") {
+    // the CSV fixture really writes quoted fields (the tag column
+    // embeds a comma — an unquoted writer would shift fields)
+    val path = graft.io.DialectFixtures.writeDocsCsv(spark, sf001)
+    val raw = spark.read.text(path).limit(200).collect().map(_.getString(0))
+    assert(raw.exists(_.contains("\"")))
+    // window surface: one row per order, rn dense per customer
+    val ws = SparkEntry.queries("q_sql_window_surface")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ws.length ==
+      graft.io.Sources.table(spark, sf001, "orders").count())
+    ws.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // first-touch agrees with linear attribution on WHICH purchases
+    // have any touch, and its gap sits inside the 7-day band
+    val lin = SparkEntry.queries("q_attribution_linear")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_touches")).toMap
+    val ft = SparkEntry.queries("q_attribution_first_touch")(spark, sf001)
+      .collect()
+    assert(ft.nonEmpty && ft.length == lin.size)
+    ft.foreach { r =>
+      val (id, click, gap) = (r.getLong(0),
+        r.getAs[Long]("first_click_id"), r.getAs[Long]("gap_ms"))
+      assert((click == -1L) == (lin(id) == 0L))
+      if (click != -1L) assert(gap >= 0L && gap <= 604800000L)
+    }
+  }
+
   test("sliding/late/retention/rfm/state-duration invariants at sf0.001") {
     val nEvents = graft.io.Sources.events(spark, sf001).count()
     // hop fan-out: width/slide = 2 windows per event, so window counts
