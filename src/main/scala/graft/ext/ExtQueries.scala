@@ -1965,6 +1965,32 @@ object ExtQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Incremental materialized-view maintenance: the stored base
+    // aggregate (partial sums per stratum over the standing corpus)
+    // merges with the delta batch's partials by UNION + re-aggregate
+    // — the base's ROWS are never rescanned, only its agg table (one
+    // row per stratum). The oracle computes the same summary over
+    // the full table directly: equality proves merge(base, delta) ==
+    // recompute(all), the invariant that makes MV upkeep safe. Every
+    // aggregate here is decomposable (counts/sums); the repo's
+    // fixed-point discipline is what keeps them mergeable without
+    // drift.
+    "q_mv_merge" -> ((s, d) => {
+      def partials(df: DataFrame) = df
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          sum(PortableHash.spread(PortableHash.h(col("text"))))
+            .as("text_hash_sum"))
+      val base = partials(docs(s, d).where(col("doc_id") % 10 =!= 7))
+      val delta = partials(docs(s, d).where(col("doc_id") % 10 === 7))
+      base.unionByName(delta)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("text_hash_sum")).as("text_hash_sum"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Snapshot reconciliation (table diff): v2 is a deterministic
     // derivation of the corpus (drops, edits, late additions — the
     // transforms both engines replay verbatim), and the diff is ONE
@@ -4111,6 +4137,16 @@ object ExtQueries {
          |                                 AND CURRENT ROW) AS BIGINT)
          |         AS cum_types
          |FROM b ORDER BY bucket""".stripMargin,
+
+    // The direct full-table summary — equality with the engine's
+    // base+delta merge IS the MV-maintenance invariant.
+    "q_mv_merge" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     "q_table_diff" ->
       """WITH v1 AS (SELECT doc_id, source, text FROM documents),

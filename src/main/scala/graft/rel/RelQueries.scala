@@ -892,6 +892,78 @@ object RelQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Data-quality constraint suite (the Deequ / Great Expectations
+    // shape): each declared constraint — range, primary-key
+    // uniqueness, referential integrity, pattern, positivity,
+    // derived-column consistency — evaluates as ONE aggregation (or
+    // one anti-join count) and the report is their union: fixed rows,
+    // one pass per table scan, nothing data-sized crosses the driver.
+    // The fixture suite deliberately mixes passing checks with a
+    // failing one (the lineitem PK has real duplicates), so the
+    // report shape carries both verdicts.
+    "q_dq_report" -> ((s, d) => {
+      def row(name: String, checked: org.apache.spark.sql.Column,
+              viol: org.apache.spark.sql.Column, df: DataFrame) =
+        df.agg(checked.cast("long").as("n_checked"),
+            viol.cast("long").as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"),
+            (col("n_violations") === 0L).cast("long").as("passed"))
+      val li = t(s, d, "lineitem")
+      // RI as a null-marked left join: one aggregation yields both
+      // the checked total and the orphan count (never a driver-side
+      // count action in plan construction)
+      val ri = t(s, d, "orders").select(col("o_custkey"))
+        .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey"))
+          .distinct().withColumn("__known", lit(1)),
+          Seq("o_custkey"), "left")
+      row("customer.name_pattern", count(lit(1)),
+          sum(when(col("c_name").startsWith("Customer#"), 0L)
+            .otherwise(1L)), t(s, d, "customer"))
+        .unionByName(row("documents.n_chars_consistent", count(lit(1)),
+          sum(when(col("n_chars") === length(col("text")).cast("long"), 0L)
+            .otherwise(1L)), t(s, d, "documents")))
+        .unionByName(row("events.value_positive", count(lit(1)),
+          sum(when(col("value") > 0.0, 0L).otherwise(1L)),
+          t(s, d, "events")))
+        .unionByName(row("lineitem.pk_unique", count(lit(1)),
+          count(lit(1)) - countDistinct(col("l_orderkey"),
+            col("l_linenumber")), li))
+        .unionByName(row("lineitem.quantity_in_1_50", count(lit(1)),
+          sum(when(col("l_quantity").between(1.0, 50.0), 0L)
+            .otherwise(1L)), li))
+        .unionByName(row("orders.custkey_in_customer", count(lit(1)),
+          sum(when(col("__known").isNull, 1L).otherwise(0L)), ri))
+        .orderBy(col("check_name"))
+    }),
+
+    // Z-order (Morton) layout statistics — the multi-dimensional
+    // file-skipping key: interleave the low 8 bits of two dimensions
+    // (customer bucket × order day) and report per-z-range row
+    // counts and min/max spans on BOTH dimensions. Sorting a write
+    // by zval gives every file a tight min/max envelope on each
+    // dimension simultaneously — the layout that makes two-column
+    // predicates prune files. The interleave is pure shift/mask
+    // arithmetic (identical text on both engines); stats are one
+    // partial/final agg over 32 report buckets.
+    "q_zorder_stats" -> ((s, d) => {
+      val zExpr = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      t(s, d, "orders")
+        .selectExpr("o_custkey",
+          "CAST(o_custkey % 256 AS BIGINT) AS xb",
+          "CAST((unix_millis(cast(o_orderdate as timestamp)) " +
+            "div 86400000) % 256 AS BIGINT) AS yb")
+        .selectExpr("o_custkey", "xb", "yb", s"($zExpr) AS zval")
+        .groupBy(expr("zval div 2048").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_custkeys"),
+          (max(col("xb")) - min(col("xb"))).as("x_span"),
+          (max(col("yb")) - min(col("yb"))).as("y_span"))
+        .orderBy(col("z_bucket"))
+    }),
+
     // Event-type transition matrix (first-order Markov counts): per
     // user, each consecutive event pair over the (ts, event_id) total
     // order contributes one (from → to) transition; per-from
@@ -1775,6 +1847,62 @@ object RelQueries {
          |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
          |       ${r4("n_rows * 100.0 / sum(n_rows) OVER ()")} AS pct
          |FROM b ORDER BY bucket""".stripMargin
+    },
+
+    "q_dq_report" ->
+      """WITH raw AS (
+        |  SELECT 'customer.name_pattern' AS check_name,
+        |         count(*) AS n_checked,
+        |         CAST(sum(CASE WHEN c_name LIKE 'Customer#%' THEN 0
+        |                       ELSE 1 END) AS BIGINT) AS n_violations
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'documents.n_chars_consistent', count(*),
+        |         CAST(sum(CASE WHEN n_chars = length(text) THEN 0
+        |                       ELSE 1 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events.value_positive', count(*),
+        |         CAST(sum(CASE WHEN value > 0.0 THEN 0 ELSE 1 END)
+        |              AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem.pk_unique', count(*),
+        |         count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.quantity_in_1_50', count(*),
+        |         CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0
+        |                       THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.custkey_in_customer', count(*),
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON c.c_custkey = o.o_custkey)
+        |SELECT check_name, n_checked, n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS passed
+        |FROM raw ORDER BY check_name""".stripMargin,
+
+    "q_zorder_stats" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_custkey,
+         |         CAST(o_custkey % 256 AS BIGINT) AS xb,
+         |         CAST((epoch_ms(o_orderdate) // 86400000) % 256
+         |              AS BIGINT) AS yb
+         |  FROM orders),
+         |z AS (SELECT o_custkey, xb, yb, ($zExpr) AS zval FROM b)
+         |SELECT zval // 2048 AS z_bucket, count(*) AS n_rows,
+         |       count(DISTINCT o_custkey) AS n_custkeys,
+         |       max(xb) - min(xb) AS x_span,
+         |       max(yb) - min(yb) AS y_span
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
     },
 
     "q_event_transitions" ->

@@ -288,6 +288,42 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("dq-report / zorder / mv-merge invariants at sf0.001") {
+    // dq: the PK check must FAIL (lineitem has real (orderkey,
+    // linenumber) duplicates), every other fixture check passes,
+    // and checked-counts match the tables
+    val dq = SparkEntry.queries("q_dq_report")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(dq.size == 6)
+    val (liN, pkViol, pkPass) = dq("lineitem.pk_unique")
+    assert(liN == graft.io.Sources.table(spark, sf001, "lineitem").count())
+    assert(pkViol > 0 && pkPass == 0L)
+    (dq - "lineitem.pk_unique").foreach { case (name, (_, v, p)) =>
+      assert(v == 0L && p == 1L, name)
+    }
+    // z-order: buckets cover all orders, spans bounded by the 8-bit
+    // dimension domain
+    val zo = SparkEntry.queries("q_zorder_stats")(spark, sf001).collect()
+    assert(zo.map(_.getAs[Long]("n_rows")).sum ==
+      graft.io.Sources.table(spark, sf001, "orders").count())
+    zo.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 32)
+      assert(r.getAs[Long]("x_span") <= 255 &&
+        r.getAs[Long]("y_span") <= 255)
+    }
+    // mv merge: base+delta partials land exactly on the direct agg
+    val merged = SparkEntry.queries("q_mv_merge")(spark, sf001)
+    val direct = spark.read.parquet(s"$sf001/documents.parquet")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(graft.core.PortableHash.spread(
+          graft.core.PortableHash.h(col("text")))).as("text_hash_sum"))
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
+
   test("csv-quoting / window-surface / first-touch invariants at sf0.001") {
     // the CSV fixture really writes quoted fields (the tag column
     // embeds a comma — an unquoted writer would shift fields)
