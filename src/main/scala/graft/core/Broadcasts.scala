@@ -35,6 +35,14 @@ object Broadcasts {
     * caller owns key hygiene: the key must pin down the data (include
     * the dir / fit instance), or a stale count will gate a different
     * frame. */
+  /** The bare memoized count (same memo as [[gatedMemo]]): for
+    * queries that need a dictionary's cardinality as a scalar (a
+    * modulus for hash-probing, a gate bound) without paying a count
+    * job per declaration. Same key-hygiene contract. */
+  def countOnce(df: DataFrame, memoKey: String): Long =
+    countMemo.getOrElseUpdate(
+      (Cache.sessionKey(df.sparkSession), memoKey), df.count())
+
   def gatedMemo(df: DataFrame, confKey: String, memoKey: String,
                 default: Long = DefaultMaxRows): DataFrame = {
     val n = countMemo.getOrElseUpdate(

@@ -1965,6 +1965,26 @@ object ExtQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Feature hashing (the HashingVectorizer / hashing-trick shape):
+    // every token maps to one of 16 buckets via the portable spread
+    // hash, per-doc bucket counts pivot to a FIXED 16-column feature
+    // vector — no vocabulary pass, no dictionary state, the property
+    // that makes the trick streaming- and scale-safe. Explode fans
+    // out in place; the pivot value list is pinned (no discovery
+    // scan).
+    "q_feature_hashing" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val bucketed = toks.withColumn("bucket",
+        PortableHash.spread(PortableHash.h(col("token"))) % lit(16L))
+      val piv = bucketed.groupBy(col("doc_id"))
+        .pivot("bucket", (0 until 16).map(_.toLong))
+        .agg(count(lit(1)))
+      val cols = col("doc_id") +: (0 until 16).map(i =>
+        coalesce(col(i.toString), lit(0L)).as(s"f$i"))
+      piv.select(cols: _*).orderBy(col("doc_id"))
+    }),
+
     // Incremental materialized-view maintenance: the stored base
     // aggregate (partial sums per stratum over the standing corpus)
     // merges with the delta batch's partials by UNION + re-aggregate
@@ -4137,6 +4157,19 @@ object ExtQueries {
          |                                 AND CURRENT ROW) AS BIGINT)
          |         AS cum_types
          |FROM b ORDER BY bucket""".stripMargin,
+
+    "q_feature_hashing" -> {
+      val b = PortableHash.spreadSql(PortableHash.hSql("token"))
+      val cells = (0 until 16).map(i =>
+        s"CAST(count(*) FILTER (($b) % 16 = $i) AS BIGINT) AS f$i")
+          .mkString(",\n       ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents)
+         |SELECT doc_id,
+         |       $cells
+         |FROM toks GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
 
     // The direct full-table summary — equality with the engine's
     // base+delta merge IS the MV-maintenance invariant.

@@ -892,6 +892,64 @@ object RelQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Top session paths (sequence mining, first cut): sessionize as
+    // in q_sessionize, render each session's event-type sequence as
+    // a path string via a SORTED collect (struct sort on the (ts, id)
+    // total order makes the collect order-independent), count path
+    // frequencies, top-10. The per-session collect is bounded by
+    // session length — state the size contract: paths are capped by
+    // the session, never the user history.
+    "q_session_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val sessions = ev
+        .withColumn("new_session",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L
+            || lag(col("ts_ms"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val paths = sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
+    // Deterministic negative sampling (recommender training pairs):
+    // K hash probes per user into the DENSE ITEM DICTIONARY — the
+    // O(users·K) shape — never a users×items cross join (the 1e15
+    // trap at production scale). Probe k draws item index
+    // spread(h(user:k)) mod |dict|; collisions with true
+    // interactions drop via anti-join (bounded per user). The
+    // dictionary is entity-sized and broadcast under the standing
+    // gate; its cardinality is a memoized scalar (one count per
+    // session, not per declaration).
+    "q_negative_sampling" -> ((s, d) => {
+      import graft.core.{Broadcasts, PortableHash}
+      val inter = Sources.ratings(s, d)
+        .select(col("user_id"), col("item_id")).distinct()
+      val dict = graft.ext.Recommender.dictionary(inter, "item_id")
+      val nItems = Broadcasts.countOnce(dict, s"neg_dict:$d")
+      val probes = inter.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(2L))).as("k"))
+      val cand = probes.withColumn("idx",
+          (PortableHash.spread(PortableHash.h(concat(
+            col("user_id").cast("string"), lit(":"),
+            col("k").cast("string")))) % lit(nItems)).cast("int"))
+        .join(Broadcasts.gatedMemo(dict, "spark.graft.dict.broadcastMax",
+          s"neg_dict_frame:$d"), Seq("idx"))
+      cand.join(inter, Seq("user_id", "item_id"), "left_anti")
+        .select(col("user_id"), col("k"), col("item_id"))
+        .orderBy(col("user_id"), col("k"))
+    }),
+
     // Data-quality constraint suite (the Deequ / Great Expectations
     // shape): each declared constraint — range, primary-key
     // uniqueness, referential integrity, pattern, positivity,
@@ -1847,6 +1905,65 @@ object RelQueries {
          |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
          |       ${r4("n_rows * 100.0 / sum(n_rows) OVER ()")} AS pct
          |FROM b ORDER BY bucket""".stripMargin
+    },
+
+    // Same boundary as q_sessionize (> 30 min opens a session);
+    // string_agg with an explicit ORDER BY mirrors the engine's
+    // sorted-struct collect.
+    "q_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |         CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
+        |                OR lag(ts_ms) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_type, ts_ms, event_id,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_ms, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY ts_ms, event_id)
+        |           AS path
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT path, count(*) AS n
+        |FROM paths GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q_negative_sampling" -> {
+      import graft.core.PortableHash
+      val probe = PortableHash.spreadSql(PortableHash.hSql(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)"))
+      s"""WITH ${graft.io.Sources.ratingsSql},
+         |inter AS (SELECT DISTINCT user_id, item_id FROM ratings),
+         |dict AS (
+         |  SELECT item_id,
+         |         CAST(row_number() OVER (ORDER BY item_id) - 1
+         |              AS INTEGER) AS idx
+         |  FROM (SELECT DISTINCT item_id FROM inter)),
+         |nd AS (SELECT count(*) AS n FROM dict),
+         |probes AS (
+         |  SELECT user_id, k
+         |  FROM (SELECT DISTINCT user_id FROM inter),
+         |       unnest([0, 1, 2]) AS t(k)),
+         |cand AS (
+         |  SELECT p.user_id, CAST(p.k AS BIGINT) AS k, d.item_id
+         |  FROM probes p
+         |  JOIN dict d
+         |    ON d.idx = CAST(($probe) % (SELECT n FROM nd) AS INTEGER))
+         |SELECT c.user_id, c.k, c.item_id
+         |FROM cand c
+         |LEFT JOIN inter i
+         |  ON i.user_id = c.user_id AND i.item_id = c.item_id
+         |WHERE i.item_id IS NULL
+         |ORDER BY c.user_id, c.k""".stripMargin
     },
 
     "q_dq_report" ->

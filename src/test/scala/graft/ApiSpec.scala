@@ -288,6 +288,42 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("feature-hash / session-paths / negative-sampling invariants " +
+      "at sf0.001") {
+    // feature hashing: the 16 bucket counts partition each doc's
+    // token stream exactly
+    val fh = SparkEntry.queries("q_feature_hashing")(spark, sf001)
+      .collect()
+    val tokCounts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fh.length == tokCounts.size)
+    fh.foreach { r =>
+      assert((1 to 16).map(r.getLong(_)).sum == tokCounts(r.getLong(0)))
+    }
+    // session paths: top-10, ordered by count desc
+    val sp = SparkEntry.queries("q_session_paths")(spark, sf001)
+      .collect().map(_.getAs[Long]("n"))
+    assert(sp.length == 10 &&
+      sp.zip(sp.drop(1)).forall { case (a, b) => a >= b })
+    // negative sampling: never a true interaction, ≤3 probes per
+    // user, items from the catalog
+    val inter = graft.io.Sources.ratings(spark, sf001)
+      .select(col("user_id"), col("item_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val items = inter.map(_._2)
+    val ns = SparkEntry.queries("q_negative_sampling")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ns.nonEmpty)
+    ns.foreach { case (u, k, it) =>
+      assert(!inter.contains((u, it)))
+      assert(items.contains(it))
+      assert(k >= 0 && k <= 2)
+    }
+    ns.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 3) }
+  }
+
   test("dq-report / zorder / mv-merge invariants at sf0.001") {
     // dq: the PK check must FAIL (lineitem has real (orderkey,
     // linenumber) duplicates), every other fixture check passes,
