@@ -1965,6 +1965,44 @@ object ExtQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Consensus dedup table: the signature families' verdicts unioned
+    // per pair with method flags — exact (normalized sha) and strong
+    // minhash (≥2 agreeing bands) here; a pair flagged by BOTH
+    // methods is corroborated, single-method pairs route to review.
+    // Full-outer on the pair key over two already-small pair sets —
+    // the corpus never joins. (Simhash's blocked partition has a
+    // different recall envelope and stays its own scored family.)
+    "q_dedup_consensus" -> ((s, d) => {
+      val sig = docs(s, d).select(col("doc_id"),
+        sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+      val exact = sig.as("a")
+        .join(sig.as("b"), col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          lit(1L).as("m_exact"))
+      val mh = candidatesC(s, d).where(col("bands") >= 2)
+        .select(col("d1"), col("d2"), lit(1L).as("m_minhash"))
+      exact.join(mh, Seq("d1", "d2"), "full_outer")
+        .select(col("d1"), col("d2"),
+          coalesce(col("m_exact"), lit(0L)).as("m_exact"),
+          coalesce(col("m_minhash"), lit(0L)).as("m_minhash"))
+        .withColumn("n_methods", col("m_exact") + col("m_minhash"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Boilerplate n-gram monitor: the top-20 shingles by document
+    // frequency with their cap verdict — the read-out that TUNES the
+    // DF caps (split-leakage, source-overlap) before they silently
+    // drop signal. Partial/final count over the cached distinct
+    // shingle set; top-k as TakeOrderedAndProject.
+    "q_boilerplate_ngrams" -> ((s, d) =>
+      distinctShinglesC(s, d)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .select(col("shingle"), col("df"),
+          (col("df") > LeakDfCap).cast("long").as("over_cap"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)),
+
     // Feature hashing (the HashingVectorizer / hashing-trick shape):
     // every token maps to one of 16 buckets via the portable spread
     // hash, per-doc bucket counts pivot to a FIXED 16-column feature
@@ -4157,6 +4195,34 @@ object ExtQueries {
          |                                 AND CURRENT ROW) AS BIGINT)
          |         AS cum_types
          |FROM b ORDER BY bucket""".stripMargin,
+
+    "q_dedup_consensus" ->
+      s"""WITH $dupSigSql,
+         |$candSql,
+         |ex AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM nsig a JOIN nsig b
+         |    ON a.sig = b.sig AND a.doc_id < b.doc_id),
+         |mh AS (SELECT d1, d2 FROM cand WHERE bands >= 2)
+         |SELECT coalesce(e.d1, m.d1) AS d1, coalesce(e.d2, m.d2) AS d2,
+         |       CAST(CASE WHEN e.d1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |         AS m_exact,
+         |       CAST(CASE WHEN m.d1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |         AS m_minhash,
+         |       CAST((CASE WHEN e.d1 IS NULL THEN 0 ELSE 1 END) +
+         |            (CASE WHEN m.d1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_methods
+         |FROM ex e FULL OUTER JOIN mh m ON m.d1 = e.d1 AND m.d2 = e.d2
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_boilerplate_ngrams" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |dfs AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1)
+         |SELECT shingle, df,
+         |       CAST(CASE WHEN df > $LeakDfCap THEN 1 ELSE 0 END AS BIGINT)
+         |         AS over_cap
+         |FROM dfs ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
 
     "q_feature_hashing" -> {
       val b = PortableHash.spreadSql(PortableHash.hSql("token"))

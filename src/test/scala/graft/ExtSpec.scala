@@ -1123,6 +1123,28 @@ class ExtSpec extends SparkSpec {
     assert(total == ids.length + ids.count(_ % 23 == 7))
   }
 
+  test("consensus / boilerplate invariants at sf0.001") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cons = graft.SparkEntry.queries("q_dedup_consensus")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(cons.nonEmpty)
+    cons.foreach { case (d1, d2, ex, mh, n) =>
+      assert(d1 < d2 && n == ex + mh && n >= 1)
+      assert(ex == 0L || ex == 1L); assert(mh == 0L || mh == 1L)
+    }
+    // the exact flags reproduce the per-sig pair count exactly
+    val sigs = docs
+      .groupBy(sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    assert(cons.count(_._3 == 1L) == sigs.map(n => n * (n - 1) / 2).sum)
+    val bp = graft.SparkEntry.queries("q_boilerplate_ngrams")(spark, sf001)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(bp.length == 20)
+    assert(bp.zip(bp.drop(1)).forall { case ((a, _), (b, _)) => a >= b })
+    bp.foreach { case (df, oc) => assert(oc == (if (df > 5) 1L else 0L)) }
+  }
+
   test("transitions/mad/drift/xtab invariants at sf0.001") {
     val sf = sf001
     // transitions: each user contributes (n_events - 1) pairs and
