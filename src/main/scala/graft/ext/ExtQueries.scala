@@ -2015,12 +2015,16 @@ object ExtQueries {
         explode(split(col("text"), " ")).as("token"))
       val bucketed = toks.withColumn("bucket",
         PortableHash.spread(PortableHash.h(col("token"))) % lit(16L))
-      val piv = bucketed.groupBy(col("doc_id"))
-        .pivot("bucket", (0 until 16).map(_.toLong))
-        .agg(count(lit(1)))
-      val cols = col("doc_id") +: (0 until 16).map(i =>
-        coalesce(col(i.toString), lit(0L)).as(s"f$i"))
-      piv.select(cols: _*).orderBy(col("doc_id"))
+      // conditional aggregation, not Dataset.pivot: pivot plans TWO
+      // aggregate exchanges (groupBy(doc,bucket) then the pivot agg);
+      // the pinned-bucket conditional sums do it in ONE partial/final
+      // agg on doc_id — the same plan the oracle's FILTER form states
+      val feats = (0 until 16).map(i =>
+        sum(when(col("bucket") === i.toLong, 1L).otherwise(0L))
+          .as(s"f$i"))
+      bucketed.groupBy(col("doc_id"))
+        .agg(feats.head, feats.tail: _*)
+        .orderBy(col("doc_id"))
     }),
 
     // Incremental materialized-view maintenance: the stored base
