@@ -38,7 +38,7 @@ object SimQueries {
 
   /** In-memory ratings for point consumers — re-reads the bucketed
     * table (cheap scan) so the view's lineitem⋈orders agg runs once. */
-  private def ratings(spark: SparkSession, dir: String): DataFrame =
+  private[rel] def ratings(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrPersist(spark, "ratings", dir)(ratingsBucketed(spark, dir))
 
   private def moments(spark: SparkSession, dir: String): DataFrame =
