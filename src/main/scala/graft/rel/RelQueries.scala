@@ -818,27 +818,13 @@ object RelQueries {
     // never a driver-side sweep. Total (st, event_id) order makes
     // island boundaries tie-stable.
     "q_interval_coverage" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"),
           unix_millis(col("ts")).as("st"))
         .withColumn("en", col("st") + lit(300000L))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("st"), col("event_id"))
-      val prevMax = max(col("en"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-      val islands = ev
-        .withColumn("new_island",
-          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
-        .withColumn("island_id",
-          sum(col("new_island"))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("user_id"), col("island_id"))
-        .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"))
-      islands.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_islands"),
-          sum(col("i_en") - col("i_st")).as("covered_ms"),
-          max(col("i_en") - col("i_st")).as("max_island_ms"))
+      graft.core.Intervals.coveragePerKey(
+          graft.core.Intervals.mergePerKey(
+            ev, "user_id", "st", "en", "event_id"), "user_id")
         .orderBy(col("user_id"))
     }),
 

@@ -287,7 +287,41 @@ class PropertySpec extends SparkSpec {
         if (edges.isEmpty) Map.empty[Long, Long]
         else graft.ext.GraphRank.triangleCounts(edges.toDF("d1", "d2"))
           .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-      assert(got === expect, s"trial $trial, n=$n, edges=$edges")
+      assert(got === expect, s"trial $trial, n=$n, edges=$expect")
+    }
+  }
+
+  test("Intervals.mergePerKey matches a brute-force sweep on random " +
+      "interval sets") {
+    import spark.implicits._
+    val r = new scala.util.Random(20260814)
+    for (trial <- 1 to 12) {
+      // random intervals over a few keys, heavy tie/overlap density
+      val rows = (0 until (10 + r.nextInt(40))).map { i =>
+        val key = (r.nextInt(3) + 1).toLong
+        val st = r.nextInt(40).toLong
+        (key, st, st + 1 + r.nextInt(10), i.toLong)
+      }
+      // reference: per-key sorted sweep merging st <= runningMax
+      val expect = rows.groupBy(_._1).view.mapValues { rs =>
+        val sorted = rs.sortBy(x => (x._2, x._4))
+        val islands = sorted.foldLeft(List.empty[(Long, Long)]) {
+          case ((s0, e0) :: tail, (_, st, en, _)) if st <= e0 =>
+            (s0, math.max(e0, en)) :: tail
+          case (acc, (_, st, en, _)) => (st, en) :: acc
+        }.reverse
+        (islands.size.toLong,
+          islands.map { case (a, b) => b - a }.sum,
+          islands.map { case (a, b) => b - a }.max)
+      }.toMap
+      val got = graft.core.Intervals.coveragePerKey(
+          graft.core.Intervals.mergePerKey(
+            rows.toDF("user_id", "st", "en", "tie"),
+            "user_id", "st", "en", "tie"), "user_id")
+        .collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+          x.getLong(3)))).toMap
+      assert(got === expect, s"trial $trial: $rows")
     }
   }
 }
