@@ -878,6 +878,71 @@ object RelQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Exact-integer OLS trend: per event type, the least-squares
+    // slope/intercept of daily counts over the day index. Every OLS
+    // moment (n, Σx, Σy, Σxy, Σxx) is an INTEGER sum over the daily
+    // table — exact, order-independent, partial/final-aggregable —
+    // and only the final ratio touches doubles (same IEEE division
+    // both engines). Two aggs: data → daily counts (report-sized),
+    // days → moments. The regression aggregate every metrics
+    // dashboard runs, expressed scale-shaped.
+    "q_trend_slope" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val d0 = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"))
+      val xy = daily.join(d0, Seq("event_type"))
+        .select(col("event_type"), (col("day") - col("d0")).as("x"),
+          col("y"))
+      val m = xy.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val den = (col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      m.select(col("event_type"), col("n_days"),
+          Det.r4((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den).as("slope"),
+          Det.r4((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / den).as("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Gini coefficient of per-user spend — the inequality statistic,
+    // computed with the SCALE-CORRECT ranking: the global value order
+    // comes from a distributed sort + zipWithIndex (the id-dictionary
+    // discipline), never a row_number window over an empty partition
+    // (which would single-thread every user through one task). Rank
+    // products sum in DECIMAL(38,0) so the rank-weighted total is
+    // exact at any population size; only the closed-form ratio
+    // touches doubles.
+    "q_gini_value" -> ((s, d) => {
+      import s.implicits._
+      val totals = t(s, d, "events").groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("v"))
+      val ranked = totals
+        .select(col("user_id"), col("v"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (u, v) => (v, u) }
+        .zipWithIndex()
+        .map { case ((u, v), i) => (u, v, i + 1L) }
+        .toDF("user_id", "v", "rk")
+      ranked.agg(count(lit(1)).as("n_users"),
+          sum(col("v")).as("total_c"),
+          sum(col("rk").cast("decimal(38,0)") *
+            col("v").cast("decimal(38,0)")).as("rv"))
+        .select(col("n_users"), col("total_c").cast("long").as("total_c"),
+          Det.r4(lit(2.0) * col("rv").cast("double") /
+            (col("n_users").cast("double") * col("total_c").cast("double"))
+            - (col("n_users") + lit(1)).cast("double") /
+              col("n_users").cast("double")).as("gini"))
+    }),
+
     // Top session paths (sequence mining, first cut): sessionize as
     // in q_sessionize, render each session's event-type sequence as
     // a path string via a SORTED collect (struct sort on the (ts, id)
@@ -1900,6 +1965,49 @@ object RelQueries {
          |       ${r4("n_rows * 100.0 / sum(n_rows) OVER ()")} AS pct
          |FROM b ORDER BY bucket""".stripMargin
     },
+
+    "q_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+        |xy AS (
+        |  SELECT daily.event_type, daily.day - d0.d0 AS x, y
+        |  FROM daily JOIN d0 USING (event_type)),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*y) AS BIGINT) AS sxy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT event_type, n_days,
+        |       floor((CAST(n_days*sxy - sx*sy AS DOUBLE)
+        |              / CAST(n_days*sxx - sx*sx AS DOUBLE))*10000
+        |             + 0.5)/10000.0 AS slope,
+        |       floor((CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |              / CAST(n_days*sxx - sx*sx AS DOUBLE))*10000
+        |             + 0.5)/10000.0 AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_gini_value" ->
+      """WITH totals AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, user_id) AS rk
+        |  FROM totals)
+        |SELECT count(*) AS n_users, CAST(sum(v) AS BIGINT) AS total_c,
+        |       floor(((2.0 * CAST(sum(CAST(rk AS HUGEINT) * v) AS DOUBLE))
+        |              / (CAST(count(*) AS DOUBLE)
+        |                 * CAST(sum(v) AS DOUBLE))
+        |              - CAST(count(*) + 1 AS DOUBLE)
+        |                / CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000.0
+        |         AS gini
+        |FROM ranked""".stripMargin,
 
     // Same boundary as q_sessionize (> 30 min opens a session);
     // string_agg with an explicit ORDER BY mirrors the engine's

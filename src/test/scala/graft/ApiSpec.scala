@@ -288,6 +288,47 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("trend-slope / gini invariants at sf0.001") {
+    // independent OLS recompute from raw daily counts
+    val daily = graft.io.Sources.events(spark, sf001)
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).view.mapValues { rs =>
+      val d0 = rs.map(_._2).min
+      val xs = rs.map(r => (r._2 - d0).toDouble)
+      val ys = rs.map(_._3.toDouble)
+      val (n, sx, sy) = (rs.length.toDouble, xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }.toMap
+    val ts = SparkEntry.queries("q_trend_slope")(spark, sf001).collect()
+    assert(ts.length == expect.size)
+    ts.foreach { r =>
+      assert(math.abs(r.getAs[Double]("slope") -
+        expect(r.getString(0))) < 1e-3)
+    }
+    // gini: single row, coefficient in [0, 1), matches a brute-force
+    // sorted recompute
+    val totals = graft.io.Sources.events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = totals.sortBy(t => (t._2, t._1)).map(_._2)
+    val n = sorted.length.toDouble
+    val tot = sorted.map(_.toDouble).sum
+    val rv = sorted.zipWithIndex.map { case (v, i) =>
+      (i + 1) * v.toDouble }.sum
+    val expectG = 2.0 * rv / (n * tot) - (n + 1) / n
+    val g = SparkEntry.queries("q_gini_value")(spark, sf001).collect()
+    assert(g.length == 1)
+    val gini = g(0).getAs[Double]("gini")
+    assert(gini >= 0.0 && gini < 1.0)
+    assert(math.abs(gini - expectG) < 1e-3)
+  }
+
   test("feature-hash / session-paths / negative-sampling invariants " +
       "at sf0.001") {
     // feature hashing: the 16 bucket counts partition each doc's
