@@ -64,4 +64,41 @@ class TemporalJoinSpec extends SparkSpec {
     val rr = range.collect()
     assert(rr.nonEmpty && rr.forall(_.getLong(3) <= 600000L))
   }
+
+  test("asof and bandJoin match brute force on seeded random data") {
+    import spark.implicits._
+    val r = new scala.util.Random(77)
+    for (trial <- 1 to 6) {
+      // dense random timelines over 3 keys, many exact ties
+      val W = 30L
+      val lefts = (0 until 25).map(i =>
+        (i.toLong, s"k${r.nextInt(3)}", r.nextInt(80).toLong))
+      val rights = (0 until 25).map(i =>
+        (100L + i, s"k${r.nextInt(3)}", r.nextInt(80).toLong))
+      // asof reference: per left row, max-(rts, rid) right at or before
+      val expectAsof = lefts.map { case (lid, k, lts) =>
+        val cands = rights.filter(x => x._2 == k && x._3 <= lts)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(x => (x._3, x._1))._1))
+      }.toMap
+      val gotAsof = TemporalJoin.asof(
+          lefts.toDF("lid", "key", "lts"), rights.toDF("rid", "key", "rts"),
+          "key", leftTs = "lts", rightTs = "rts",
+          payload = Seq("rid"), tieBreak = "rid")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      assert(gotAsof === expectAsof, s"asof trial $trial")
+      // band reference: 0 <= b.ts - a.ts <= W pairs
+      val all = lefts ++ rights
+      val expectBand = (for {
+        (aid, ak, ats) <- all; (bid, bk, bts) <- all
+        if ak == bk && bts >= ats && bts - ats <= W
+      } yield (aid, bid)).toSet
+      val gotBand = TemporalJoin.bandJoin(
+          all.toDF("id", "k", "ts"), all.toDF("id", "k", "ts"),
+          Seq("k"), "ts", "ts", W)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(gotBand === expectBand, s"band trial $trial")
+    }
+  }
 }
