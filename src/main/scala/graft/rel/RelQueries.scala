@@ -878,6 +878,35 @@ object RelQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Point-in-interval (containment) join: is each purchase inside
+    // one of the user's CLICK-activity islands (merged ±5-min click
+    // intervals via core.Intervals)? Islands are disjoint by
+    // construction (a new island opens only strictly past the
+    // running max end), so each point matches at most one interval
+    // and the left join is row-preserving. The join is user-keyed —
+    // the equi key bounds the fan-out and carries the shuffle; the
+    // range predicate rides along as the join filter (for unkeyed
+    // interval joins, bucket the intervals like TemporalJoin.bandJoin
+    // — same discipline, interval replicated per covered bucket).
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("tms"))
+      val islands = graft.core.Intervals.mergePerKey(
+        ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("tms").as("st"))
+          .withColumn("en", col("st") + lit(300000L)),
+        "user_id", "st", "en", "event_id")
+      val purchases = ev.where(col("event_type") === "purchase")
+      purchases.as("p").join(islands.as("i"),
+          col("p.user_id") === col("i.user_id") &&
+            col("p.tms") >= col("i.i_st") &&
+            col("p.tms") <= col("i.i_en"), "left")
+        .select(col("p.event_id"), col("p.user_id"),
+          coalesce(col("i.i_st"), lit(-1L)).as("session_start"),
+          col("i.i_st").isNotNull.cast("long").as("in_click_session"))
+        .orderBy(col("p.event_id"))
+    }),
+
     // Exact-integer OLS trend: per event type, the least-squares
     // slope/intercept of daily counts over the day index. Every OLS
     // moment (n, Σx, Σy, Σxy, Σxx) is an INTEGER sum over the daily
@@ -1965,6 +1994,42 @@ object RelQueries {
          |       ${r4("n_rows * 100.0 / sum(n_rows) OVER ()")} AS pct
          |FROM b ORDER BY bucket""".stripMargin
     },
+
+    "q_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, tms AS st, tms + 300000 AS en
+        |  FROM ev WHERE event_type = 'click'),
+        |flagged AS (
+        |  SELECT user_id, event_id, st, en,
+        |         CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w
+        |              THEN 1 ELSE 0 END AS new_island
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY st, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING)),
+        |numbered AS (
+        |  SELECT user_id, st, en,
+        |         sum(new_island) OVER (PARTITION BY user_id
+        |                               ORDER BY st, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND CURRENT ROW) AS island_id
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT user_id, min(st) AS i_st, max(en) AS i_en
+        |  FROM numbered GROUP BY user_id, island_id),
+        |p AS (SELECT user_id, event_id, tms FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       coalesce(i.i_st, -1) AS session_start,
+        |       CAST(CASE WHEN i.i_st IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS in_click_session
+        |FROM p LEFT JOIN islands i
+        |  ON i.user_id = p.user_id
+        | AND p.tms >= i.i_st AND p.tms <= i.i_en
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_trend_slope" ->
       """WITH daily AS (

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, unix_millis, window}
 import graft.streaming.StreamOps
 
 /** Structured Streaming smoke: the same session aggregation that the
@@ -75,6 +75,41 @@ class StreamingSpec extends SparkSpec {
           |ORDER BY n DESC LIMIT 1""".stripMargin).collect()(0)
       assert(last.getLong(0) === 3L)      // state carried across batches
       assert(last.getDouble(1) === 10.0)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling agg drops rows later than the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val q = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("ws"), col("n"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wm_agg").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    try {
+      // batch 1 advances event time to 120 min → watermark 110 min
+      input.addData((t(60), 1L), (t(65), 2L), (t(120), 3L))
+      q.processAllAvailable()
+      // batch 2: a row at 30 min is BEYOND the watermark (30 < 110)
+      // and must be dropped; 115 min is late-but-allowed and counts
+      input.addData((t(30), 4L), (t(115), 5L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT ws, max(n) AS n FROM wm_agg GROUP BY 1 ORDER BY 1""")
+        .collect().map(r => r.getLong(0) / 60000L -> r.getLong(1)).toMap
+      // [60,120): 60 + 65 from batch 1, plus 115 — out-of-order
+      // (arrives after the 120-min row) but ABOVE the 110-min
+      // watermark, so it still counts
+      assert(got(60L) == 3L)
+      assert(got(120L) == 1L)   // [120,180): the 120-min row only
+      // the 30-min row is beyond the watermark: its [0,60) window
+      // never materializes — THE drop the watermark promises
+      assert(!got.contains(0L))
     } finally q.stop()
   }
 
