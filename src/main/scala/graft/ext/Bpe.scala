@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   *    re-enable an earlier one, because any pair containing a new
   *    symbol was necessarily learned later), count symbols as `]`
   *    occurrences. Whole-stage-codegen'd, zero shuffle, scan-parallel
-  *    at any corpus size. (A production tokenizer swaps in a
-  *    mapPartitions trie for constant-factor speed; the replace chain
-  *    is the Column-native form whose DuckDB twin is exact.)
+  *    at any corpus size. The replace chain is the Column-native form
+  *    whose DuckDB twin is exact — but its cost is O(merges × text)
+  *    per row, so at a production 50k-merge table it is not a plan.
+  *    [[BpeTokenizer]] is the production application path: a
+  *    rank-indexed mapPartitions kernel whose per-word cost is
+  *    O(applied merges), independent of merge-table size, proven
+  *    token-for-token equal to the chain (BpeSpec). The oracle
+  *    contract stays on the chain (its SQL twin is exact); the kernel
+  *    is the deploy surface.
   *
   * Oracle replay: learning is a fixed number of
   * count-pairs → argmax → merge steps, each SQL-expressible, so the
@@ -190,4 +196,125 @@ object Bpe {
   /** `]`-count of the tok column, as SQL. */
   def countSql(tok: String): String =
     s"CAST(length($tok) - length(replace($tok, ']', '')) AS BIGINT)"
+
+  // ------------------------------------------------------------------
+  // Production application kernel (mapPartitions, rank-indexed).
+  // ------------------------------------------------------------------
+
+  /** Per-document BPE token counts through [[BpeTokenizer]] — the
+    * partition-parallel production path (one rank-index per executor,
+    * rows stream, zero shuffle before the caller's aggregation; the
+    * [[graft.ext.Multimodal]] kernel shape). Null texts are skipped —
+    * callers that must preserve them join the result back. Output:
+    * (doc_id, n_bpe), bit-equal to `docBpeCol` per row (BpeSpec). */
+  def docBpeCounts(docs: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = new BpeTokenizer(merges)
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) => (id, tok.countText(text)) }
+      }
+      .toDF("doc_id", "n_bpe")
+  }
+}
+
+/** Rank-indexed BPE merge application — the production tokenizer the
+  * replace-chain Column fold stands in for at oracle time.
+  *
+  * Semantics contract: EXACTLY the chain's — merges applied in rank
+  * order, each pass replacing non-overlapping occurrences
+  * left-to-right. The kernel never walks the merge table per word;
+  * instead it keeps the ranks of the pairs PRESENT in the word in an
+  * ordered set and processes them ascending, re-scanning (adjacent
+  * pairs only, ranks > the one just applied) after each applied
+  * merge. Skipping an absent rank equals the chain's identity
+  * `replace`; a merge of rank r' can only ever be added with rank
+  * > r' after an applied merge, matching the chain's
+  * already-passed-that-rank behavior — so outputs are token-for-token
+  * identical by construction (and asserted corpus-wide in BpeSpec).
+  *
+  * Cost: O(word · applied merges) with O(present ranks) ordered-set
+  * overhead — independent of merge-table size, which is the whole
+  * point: at 50k production merges the chain pays 50k `replace`
+  * passes per row, the kernel pays only for merges that fire (bounded
+  * by word length). A trie buys nothing here — trie matching fits
+  * maximal-munch tokenizers (WordPiece); BPE application is ordered
+  * merge replay, and the rank index is its natural structure.
+  *
+  * Serialization: the instance ships to executors once per task-set;
+  * the rank map is built on construction (driver) and is
+  * merge-table-sized, the same envelope as the chain's plan literals.
+  */
+final class BpeTokenizer(merges: Seq[(String, String)])
+    extends Serializable {
+  private val mergeArr: Array[(String, String)] = merges.toArray
+  private val ranks: java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer]()
+    var i = 0
+    while (i < mergeArr.length) { m.put(mergeArr(i), i); i += 1 }
+    m
+  }
+
+  /** Tokenize one word into its final symbol sequence (always ends
+    * with the `</w>` marker symbol or a merged symbol containing it). */
+  def tokenize(word: String): Array[String] = {
+    var syms = new Array[String](word.length + 1)
+    var i = 0
+    // seed: one symbol per char — the `[c]` symbols of seedCol
+    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    syms(word.length) = "</w>"
+    val pending = new java.util.TreeSet[Integer]()
+    def scan(minExclusive: Int): Unit = {
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.get((syms(j), syms(j + 1)))
+        if (r != null && r > minExclusive) pending.add(r)
+        j += 1
+      }
+    }
+    scan(-1)
+    while (!pending.isEmpty) {
+      val r = pending.pollFirst()
+      val (a, b) = mergeArr(r)
+      // merge non-overlapping occurrences left-to-right, in place
+      var read = 0
+      var write = 0
+      var changed = false
+      while (read < syms.length) {
+        if (read < syms.length - 1 && syms(read) == a && syms(read + 1) == b) {
+          syms(write) = a + b; read += 2; changed = true
+        } else { syms(write) = syms(read); read += 1 }
+        write += 1
+      }
+      if (changed) {
+        syms = java.util.Arrays.copyOf(syms, write)
+        scan(r)
+      }
+    }
+    syms
+  }
+
+  /** The bracketed-token rendering of [[tokenize]] — the exact string
+    * `Bpe.tokenizeCol` produces for the same word (BpeSpec asserts). */
+  def tokenizeBracketed(word: String): String =
+    tokenize(word).mkString("[", "][", "]")
+
+  /** BPE token count of a whitespace-tokenized text — the kernel twin
+    * of `Bpe.docBpeCol` (empty words skipped identically). */
+  def countText(text: String): Long = {
+    var total = 0L
+    var start = 0
+    val n = text.length
+    while (start < n) {
+      var end = start
+      while (end < n && text.charAt(end) != ' ') end += 1
+      if (end > start) total += tokenize(text.substring(start, end)).length
+      start = end + 1
+    }
+    total
+  }
 }

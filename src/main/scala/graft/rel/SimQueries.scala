@@ -41,9 +41,22 @@ object SimQueries {
   private[rel] def ratings(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrPersist(spark, "ratings", dir)(ratingsBucketed(spark, dir))
 
+  /** The fused LONG+DECIMAL moment table (Moments.pairMomentsBoth):
+    * one self-join + one groupBy serves both the LONG family (7
+    * similarity queries) and the DECIMAL overflow-audit twin. Before
+    * the fuse, q_sim_pearson_dec's cold path re-ran the entire pair
+    * explosion a second time just to change the accumulator type —
+    * ~106 s of the sf0.1 cold bench for columns the same aggregate
+    * emits for free. */
+  private def momentsBoth(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrPersist(spark, "pair_moments_both", dir)(
+      Moments.pairMomentsBoth(ratingsBucketed(spark, dir)))
+
   private def moments(spark: SparkSession, dir: String): DataFrame =
-    Cache.getOrPersist(spark, "pair_moments", dir)(
-      Moments.pairMoments(ratingsBucketed(spark, dir)))
+    Moments.longView(momentsBoth(spark, dir))
+
+  private def momentsDec(spark: SparkSession, dir: String): DataFrame =
+    Moments.decView(momentsBoth(spark, dir))
 
   /** Largest per-user posting-list size, memoized per (session, dir):
     * the runtime guard for the vectorFromMoments rewrite. */
@@ -168,13 +181,13 @@ object SimQueries {
     // variant is plan-exercised under the DuckDB oracle, not just
     // property-tested (PropertySpec owns the adversarial magnitudes
     // where LONG cannot even form a product term).
-    // Decimal moments are memoized like the LONG pair_moments: the
-    // bucketed self-join + DECIMAL(38,0) agg costs ~3.4 s warm at
-    // sf0.1 when rebuilt per action, and it is just as much a shared
-    // materialized intermediate as its LONG twin.
+    // Decimal moments ride the SAME fused aggregate as the LONG
+    // family (Moments.pairMomentsBoth) — the decimal columns are a
+    // projection of the shared cache, so this query costs a column
+    // prune, not a second C(n,2) pass (the r8 verdict's 106 s cold
+    // build item).
     "q_sim_pearson_dec" -> ((s, d) =>
-      Moments.asDoubles(Cache.getOrPersist(s, "pair_moments_dec", d)(
-          Moments.pairMomentsDec(ratingsBucketed(s, d))))
+      Moments.asDoubles(momentsDec(s, d))
         .where(col("n") >= 2)
         .select(col("item_x"), col("item_y"), col("n"), corrCol.as("corr"))
         .orderBy(col("item_x"), col("item_y"))),

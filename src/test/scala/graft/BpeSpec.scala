@@ -72,6 +72,66 @@ class BpeSpec extends SparkSpec {
     assert(got(4L) == refCount("newest", m) + refCount("widest", m))
   }
 
+  test("BpeTokenizer: token-for-token equal to the replace chain, corpus-wide") {
+    // the kernel's contract: EXACT bracketed-string equality with the
+    // Column fold for every distinct word in the real corpus (plus
+    // adversarial shapes the synthetic corpus lacks). ASCII contract
+    // as documented on the learn loop.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val m = Bpe.mergesMemo(docs, sf001)
+    val tok = new graft.ext.BpeTokenizer(m)
+    val words = docs.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+    val chain = words
+      .select(col("w"), Bpe.tokenizeCol(col("w"), m).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(chain.nonEmpty)
+    chain.foreach { case (w, expected) =>
+      assert(tok.tokenizeBracketed(w) == expected, s"word '$w'")
+    }
+    // shapes outside the corpus: unseen chars, repeats, 1-char words
+    Seq("low", "lower", "zzz", "ababab", "x", "lowlow").foreach { w =>
+      val expected = Seq(w).toDF("w")
+        .select(Bpe.tokenizeCol(col("w"), m)).head().getString(0)
+      assert(tok.tokenizeBracketed(w) == expected, s"word '$w'")
+    }
+  }
+
+  test("docBpeCounts kernel == docBpeCol per document over the corpus") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val m = Bpe.mergesMemo(docs, sf001)
+    val colSide = docs.where(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Bpe.docBpeCol(col("text"), m).as("n_bpe"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernelSide = Bpe.docBpeCounts(docs, m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernelSide.nonEmpty)
+    assert(kernelSide == colSide)
+  }
+
+  test("BpeTokenizer == chain under a deep merge table (randomized words)") {
+    // the kernel exists for big merge tables; exercise rank chains far
+    // deeper than the corpus's 24 (re-enabled-pair edge cases scale
+    // with table depth). Deterministic seed — reproducible.
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 300).map(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString)
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, numMerges = 100, vocabCap = 500)
+    assert(m.length >= 50, s"expected a deep table, got ${m.length}")
+    val tok = new graft.ext.BpeTokenizer(m)
+    words.distinct.toDF("w")
+      .select(col("w"), Bpe.tokenizeCol(col("w"), m).as("t"))
+      .collect().foreach { r =>
+        assert(tok.tokenizeBracketed(r.getString(0)) == r.getString(1),
+          s"word '${r.getString(0)}'")
+      }
+  }
+
   test("merge count caps at available pairs without diverging") {
     // single 2-char word: seed [a][b][</w>] has 2 pairs; asking for
     // 10 merges must stop after exhausting them, not loop or throw
