@@ -52,7 +52,11 @@ object ScaleGate {
     // brute-force exact side is probes×corpus BY CONSTRUCTION — the
     // scale path for serving is the IVF/PQ family.)
     "q_table_diff", "q_cross_source_dups", "q_lsh_precision",
-    "q_vocab_growth")
+    "q_vocab_growth",
+    // round-9: the remaining BPE-apply rows (VERDICT r8 #7) — the
+    // replace chain is scan-parallel by construction, the gate proves
+    // the constant holds as the corpus densifies
+    "q_bpe_tokens", "q_pack_bpe")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

@@ -162,6 +162,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest gate survives a checkpoint restart: no loss, no dupes") {
+    // The deployment property the stream==batch equivalences don't
+    // cover: kill the gate between micro-batches, restart from the
+    // file checkpoint, and the final table must equal the batch twin.
+    // Three runs over one source dir + one checkpoint: run 1 claims
+    // sigs, run 2 (new files only visible after restart) classifies
+    // dups of run-1 claims — provable ONLY if the
+    // flatMapGroupsWithState state was recovered from the checkpoint,
+    // since run 2's input alone never saw those claims (and
+    // initialState is applied only on a fresh start, so recovery is
+    // what carries it) — and run 3 restarts with nothing pending to
+    // prove the sink's exactly-once commit log admits no replays.
+    import spark.implicits._
+    import StreamOps.{DocSig, SigSeen, IngestVerdict}
+    import java.io.File
+    val tmp = java.nio.file.Files.createTempDirectory("gate_ckpt").toFile
+    val srcDir = new File(tmp, "src"); srcDir.mkdirs()
+    val outDir = new File(tmp, "out").getAbsolutePath
+    val ckptDir = new File(tmp, "ckpt").getAbsolutePath
+    val base = Seq(SigSeen("a", 100L, from_base = true)).toDS()
+    val schema = org.apache.spark.sql.Encoders.product[DocSig].schema
+
+    def addFile(tag: String, docs: Seq[DocSig]): Unit = {
+      val stage = new File(tmp, s"stage_$tag")
+      docs.toDS().coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new File(srcDir, s"$tag.parquet").toPath)
+      ()
+    }
+    def runOnce(): Unit = {
+      val incoming = spark.readStream.schema(schema)
+        .parquet(srcDir.getAbsolutePath).as[DocSig]
+      val q = StreamOps.ingestDedupGate(incoming, base)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val batch1 = Seq(DocSig(7L, "b"), DocSig(3L, "a"))
+    val batch2 = Seq(DocSig(12L, "b"), DocSig(15L, "a"), DocSig(20L, "c"))
+    addFile("f1", batch1)
+    runOnce() // run 1: 7 claims "b", 3 is dup_of_base
+    addFile("f2", batch2)
+    runOnce() // run 2: restart — 12 must resolve against RECOVERED state
+    runOnce() // run 3: restart with nothing pending — must add nothing
+
+    val got = spark.read.parquet(outDir).as[IngestVerdict].collect()
+    assert(got.length == 5, s"loss or dupes: ${got.toSeq}") // 5 docs in, 5 verdicts out
+    val gotMap = got.map(v => v.doc_id -> ((v.status, v.dup_of))).toMap
+    // equals the batch twin over the full input
+    val batchTwin = StreamOps.ingestDedupGate((batch1 ++ batch2).toDS(), base)
+      .collect().map(v => v.doc_id -> ((v.status, v.dup_of))).toMap
+    assert(gotMap === batchTwin)
+    assert(gotMap(12L) === (("dup_in_batch", 7L))) // the recovered-state proof
+  }
+
   test("streaming latest-version state equals the batch q_cdc_latest order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
