@@ -240,6 +240,13 @@ object ExtQueries {
     * ~10× the k ≈ N/m target cell size. */
   private val SemCellCap = 65
 
+  /** q_semdedup sub-split width: over-cap cells split into ksub
+    * sub-cells (one deterministic k-means iteration scoped to the
+    * cell) before the rescue dedup pass. At sf0.01 the over-cap cells
+    * (66–71 members) split into sub-cells well under the 65 cap, so
+    * the rescued branch carries real verdicts. */
+  private val SemSubK = 4
+
   /** q_split_leakage document-frequency cap: shingles in more docs
     * than this are boilerplate, not leakage evidence — and excluding
     * them bounds the leakage join's per-shingle fan-out. 5 at sf0.01
@@ -1562,7 +1569,12 @@ object ExtQueries {
         VectorSearch.assignCells(e, broadcast(cells.select(col("cell_id"),
           col("centroid"),
           VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))))
-      VectorSearch.semDedupFromAssigned(assigned, SemTau, SemCellCap)
+      // over-cap cells get the sub-split rescue (one deterministic
+      // k-means split within the cell, dedup in sub-cells that fit
+      // the cap) — the minhash-rescue discipline applied to the
+      // semantic family; `rescued` marks verdicts from the split.
+      VectorSearch.semDedupWithRescue(assigned, SemTau, SemCellCap,
+          ksub = SemSubK)
         .orderBy(col("vec_id"))
     }),
 
@@ -2536,11 +2548,43 @@ object ExtQueries {
   }
 
   /** Generated oracle for q_semdedup: [[kmeansAssignCtes]] + the
-    * within-cell pair/cosine/keeper tail, mirroring
-    * [[VectorSearch.semDedup]] term for term. */
+    * within-cell pair/cosine/keeper tail + the hot-cell sub-split
+    * rescue chain (u-prefixed CTEs — one k-means iteration scoped to
+    * each over-cap cell, then the same pair/prior tail within
+    * sub-cells that fit the cap), mirroring
+    * [[VectorSearch.semDedupWithRescue]] term for term. */
   private def semDedupOracle(k: Int, iters: Int, tau: Double,
-                             cap: Int): String = {
+                             cap: Int, ksub: Int): String = {
     val F12 = "1000000000000.0"
+    val F9 = "1000000000.0"
+    // one sub-assignment round r over sub-centroids ucent{r}: norms,
+    // member×sub-centroid cosines (same-cell only), argmax — the
+    // kmeansAssignCtes round shape with a (cell_id, sub_id) key
+    def subRound(r: Int) =
+      s"""ucn$r AS (
+         |  SELECT cell_id, sub_id,
+         |         CAST(sum(CAST(floor(cv*cv*$F12 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / $F12 AS cn
+         |  FROM ucent$r GROUP BY 1, 2),
+         |uacos$r AS (
+         |  SELECT h.vec_id, c.cell_id, c.sub_id,
+         |         ${r4("CASE WHEN sqrt(cn)*sqrt(en) = 0.0 THEN 0.0 " +
+              s"ELSE (CAST(sum(CAST(floor(c.cv*e.v*$F12 + 0.5)" +
+              s" AS BIGINT)) AS DOUBLE)/$F12)" +
+              "/(sqrt(cn)*sqrt(en)) END")} AS sub_cos
+         |  FROM uhot h
+         |  JOIN expl e ON e.vec_id = h.vec_id
+         |  JOIN ucent$r c ON c.cell_id = h.cell_id AND c.i = e.i
+         |  JOIN ucn$r ON ucn$r.cell_id = c.cell_id
+         |   AND ucn$r.sub_id = c.sub_id
+         |  JOIN enorm ON enorm.vec_id = h.vec_id
+         |  GROUP BY h.vec_id, c.cell_id, c.sub_id, cn, en),
+         |uassign$r AS MATERIALIZED (
+         |  SELECT vec_id, cell_id, sub_id FROM (
+         |    SELECT vec_id, cell_id, sub_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sub_cos DESC, sub_id) AS arn
+         |    FROM uacos$r) WHERE arn = 1)""".stripMargin
     s"""WITH ${kmeansAssignCtes(k, iters)},
        |okc AS (
        |  SELECT cell_id FROM assign$iters
@@ -2571,17 +2615,88 @@ object ExtQueries {
        |         CAST(sum(CASE WHEN cos_sim >= $tau THEN 1 ELSE 0 END)
        |              AS BIGINT) AS n_prior,
        |         max(cos_sim) AS max_prior_cos
-       |  FROM pcos GROUP BY 1)
+       |  FROM pcos GROUP BY 1),
+       |uhot AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell_id FROM assign$iters a
+       |  JOIN (SELECT cell_id FROM assign$iters
+       |        GROUP BY 1 HAVING count(*) > $cap) hc
+       |    ON hc.cell_id = a.cell_id),
+       |useed AS (
+       |  SELECT cell_id, vec_id AS sub_id FROM (
+       |    SELECT cell_id, vec_id,
+       |           row_number() OVER (PARTITION BY cell_id
+       |                              ORDER BY vec_id) AS srn
+       |    FROM uhot) WHERE srn <= $ksub),
+       |ucent0 AS MATERIALIZED (
+       |  SELECT s.cell_id, s.sub_id, e.i, e.v AS cv
+       |  FROM useed s JOIN expl e ON e.vec_id = s.sub_id),
+       |${subRound(0)},
+       |ucent1 AS MATERIALIZED (
+       |  SELECT a.cell_id, a.sub_id, e.i,
+       |         (CAST(sum(CAST(floor(e.v*$F9 + 0.5) AS BIGINT))
+       |               AS DOUBLE) / count(*)) / $F9 AS cv
+       |  FROM uassign0 a JOIN expl e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2, 3),
+       |${subRound(1)},
+       |usok AS (
+       |  SELECT cell_id, sub_id FROM uassign1
+       |  GROUP BY 1, 2 HAVING count(*) <= $cap),
+       |upairs AS (
+       |  SELECT a1.vec_id AS v1, a2.vec_id AS v2
+       |  FROM uassign1 a1
+       |  JOIN uassign1 a2 ON a2.cell_id = a1.cell_id
+       |   AND a2.sub_id = a1.sub_id AND a1.vec_id < a2.vec_id
+       |  JOIN usok ON usok.cell_id = a1.cell_id
+       |   AND usok.sub_id = a1.sub_id),
+       |updots AS (
+       |  SELECT p.v1, p.v2,
+       |         CAST(sum(CAST(floor(e1.v*e2.v*$F12 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / $F12 AS dot
+       |  FROM upairs p
+       |  JOIN expl e1 ON e1.vec_id = p.v1
+       |  JOIN expl e2 ON e2.vec_id = p.v2 AND e2.i = e1.i
+       |  GROUP BY 1, 2),
+       |upcos AS (
+       |  SELECT v1, v2,
+       |         ${r4("CASE WHEN sqrt(n1.en)*sqrt(n2.en) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(n1.en)*sqrt(n2.en)) END")} AS cos_sim
+       |  FROM updots
+       |  JOIN enorm n1 ON n1.vec_id = v1
+       |  JOIN enorm n2 ON n2.vec_id = v2),
+       |uprior AS (
+       |  SELECT v2 AS vec_id,
+       |         CAST(sum(CASE WHEN cos_sim >= $tau THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_prior,
+       |         max(cos_sim) AS max_prior_cos
+       |  FROM upcos GROUP BY 1),
+       |uresc AS (
+       |  SELECT a.vec_id,
+       |         COALESCE(up.n_prior, 0) AS n_prior,
+       |         COALESCE(up.max_prior_cos, -2.0) AS max_prior_cos,
+       |         CASE WHEN usok.cell_id IS NOT NULL THEN 1 ELSE 0 END
+       |           AS rescued
+       |  FROM uassign1 a
+       |  LEFT JOIN uprior up ON up.vec_id = a.vec_id
+       |  LEFT JOIN usok ON usok.cell_id = a.cell_id
+       |   AND usok.sub_id = a.sub_id)
        |SELECT a.vec_id, a.cell_id,
-       |       COALESCE(p.n_prior, 0) AS n_prior,
-       |       COALESCE(p.max_prior_cos, -2.0) AS max_prior_cos,
-       |       CASE WHEN COALESCE(p.n_prior, 0) > 0 THEN CAST(1 AS BIGINT)
-       |            ELSE CAST(0 AS BIGINT) END AS is_dup,
+       |       CAST(CASE WHEN r.rescued = 1 THEN r.n_prior
+       |                 ELSE COALESCE(p.n_prior, 0) END AS BIGINT)
+       |         AS n_prior,
+       |       CASE WHEN r.rescued = 1 THEN r.max_prior_cos
+       |            ELSE COALESCE(p.max_prior_cos, -2.0) END
+       |         AS max_prior_cos,
+       |       CAST(CASE WHEN r.rescued = 1 THEN
+       |                   CASE WHEN r.n_prior > 0 THEN 1 ELSE 0 END
+       |                 WHEN COALESCE(p.n_prior, 0) > 0 THEN 1
+       |                 ELSE 0 END AS BIGINT) AS is_dup,
        |       CASE WHEN okc.cell_id IS NULL THEN CAST(1 AS BIGINT)
-       |            ELSE CAST(0 AS BIGINT) END AS over_cap
+       |            ELSE CAST(0 AS BIGINT) END AS over_cap,
+       |       CAST(COALESCE(r.rescued, 0) AS BIGINT) AS rescued
        |FROM assign$iters a
        |LEFT JOIN prior p USING (vec_id)
        |LEFT JOIN okc ON okc.cell_id = a.cell_id
+       |LEFT JOIN uresc r ON r.vec_id = a.vec_id
        |ORDER BY vec_id""".stripMargin
   }
 
@@ -3474,7 +3589,7 @@ object ExtQueries {
     "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
 
     "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
-      tau = SemTau, cap = SemCellCap),
+      tau = SemTau, cap = SemCellCap, ksub = SemSubK),
 
     "q_embed_stats" ->
       s"""WITH expl AS (

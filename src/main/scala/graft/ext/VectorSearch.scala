@@ -237,6 +237,129 @@ object VectorSearch {
         col("ok").isNull.cast("long").as("over_cap"))
   }
 
+  /** Hot-cell rescue for [[semDedupFromAssigned]] — the second-chance
+    * pass the minhash/simhash families already have
+    * ([[Dedup]]'s rescue discipline): members of OVER-CAP cells get
+    * one extra deterministic k-means split (seeds = the `ksub`
+    * lowest vec_ids of the cell, one assignment round, one
+    * fixed-point mean, one re-assignment — exactly one
+    * [[kmeansCells]] iteration scoped to the cell), then dedup runs
+    * within sub-cells that now fit the cap. A boilerplate-heavy
+    * corpus concentrates exactly where dedup matters most; without
+    * this, those rows exit the pipeline unjudged.
+    *
+    * Output (hot-cell members only): vec_id, cell_id, sub_id,
+    * n_prior, max_prior_cos, is_dup, rescued — `rescued`=0 marks
+    * members of sub-cells STILL over the cap (sentinel verdicts, the
+    * residual monitoring surface; a deploy recurses or routes them to
+    * exact dedup).
+    *
+    * Scale: the hot population is the over-cap residue, not the
+    * corpus; seeds and sub-centroids are O(hot_cells·ksub) —
+    * broadcast; the per-cell ranking window sorts only hot members
+    * within their cell; pair generation stays cap-bounded per
+    * sub-cell. Determinism: same seed/tie-break/fixed-point
+    * discipline as [[kmeansCells]], so the DuckDB CTE replay is
+    * exact. */
+  def semDedupSubSplit(assigned: DataFrame, tau: Double, cap: Int,
+                       ksub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hotCells = broadcast(assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("csz"))
+      .where(col("csz") > cap)
+      .select(col("cell_id")))
+    val hot = assigned.join(hotCells, Seq("cell_id"))
+    val sw = Window.partitionBy(col("cell_id")).orderBy(col("vec_id"))
+    val seeds = hot
+      .withColumn("srn", row_number().over(sw))
+      .where(col("srn") <= ksub)
+      .select(col("cell_id"), col("vec_id").as("sub_id"),
+        transform(col("embedding"), _.cast("double")).as("scent"))
+    def withNorm(cent: DataFrame): DataFrame =
+      cent.withColumn("scnorm", fixedNormSq(col("scent")))
+    // assign each hot member to its nearest same-cell sub-centroid —
+    // the max_by argmax shape of assignCells, tie to smallest sub_id
+    def assignTo(cent: DataFrame): DataFrame =
+      hot.join(broadcast(cent), Seq("cell_id"))
+        .withColumn("sub_cos", Det.r4(cosineCol(
+          fixedDot(col("embedding"), col("scent")),
+          col("enrm"), col("scnorm"))))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("cell_id"), col("sub_id"), col("embedding"),
+            col("enrm")),
+          struct(col("sub_cos"), (-col("sub_id")).as("tb"))).as("best"))
+        .select(col("best.cell_id").as("cell_id"),
+          col("best.sub_id").as("sub_id"), col("vec_id"),
+          col("best.embedding").as("embedding"),
+          col("best.enrm").as("enrm"))
+    val a0 = assignTo(withNorm(seeds))
+    // one fixed-point mean round (the kmeansCells per-pos formula)
+    val perPos = a0
+      .select(col("cell_id"), col("sub_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell_id"), col("sub_id"), col("pos"))
+      .agg(((sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+        .cast("long")).cast("double") / count(lit(1))) / lit(1e9)).as("cv"))
+    val cent1 = perPos.groupBy(col("cell_id"), col("sub_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("scent"))
+    val a1 = assignTo(withNorm(cent1))
+    // dedup within sub-cells that fit the cap
+    val sok = broadcast(a1.groupBy(col("cell_id"), col("sub_id"))
+      .agg(count(lit(1)).as("ssz"))
+      .where(col("ssz") <= cap)
+      .select(col("cell_id"), col("sub_id"), lit(1L).as("sok")))
+    val p1 = a1.select(col("cell_id"), col("sub_id"),
+      col("vec_id").as("v1"), col("embedding").as("e1"), col("enrm").as("n1"))
+    val p2 = a1.select(col("cell_id"), col("sub_id"),
+      col("vec_id").as("v2"), col("embedding").as("e2"), col("enrm").as("n2"))
+    val pcos = p1.join(p2, Seq("cell_id", "sub_id"))
+      .where(col("v1") < col("v2"))
+      .join(sok.select(col("cell_id"), col("sub_id")), Seq("cell_id", "sub_id"))
+      .select(col("v1"), col("v2"),
+        Det.r4(cosineCol(fixedDot(col("e1"), col("e2")),
+          col("n1"), col("n2"))).as("cos_sim"))
+    val prior = pcos.groupBy(col("v2").as("vec_id"))
+      .agg(sum(when(col("cos_sim") >= lit(tau), lit(1L)).otherwise(lit(0L)))
+        .as("n_prior"),
+        max(col("cos_sim")).as("max_prior_cos"))
+    a1.select(col("vec_id"), col("cell_id"), col("sub_id"))
+      .join(prior, Seq("vec_id"), "left")
+      .join(sok, Seq("cell_id", "sub_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("sub_id"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        coalesce(col("max_prior_cos"), lit(-2.0)).as("max_prior_cos"),
+        (coalesce(col("n_prior"), lit(0L)) > 0).cast("long").as("is_dup"),
+        col("sok").isNotNull.cast("long").as("rescued"))
+  }
+
+  /** [[semDedupFromAssigned]] + [[semDedupSubSplit]] composed: the
+    * base verdicts with over-cap rows REPLACED by their sub-split
+    * verdicts where the split succeeded. Schema = the base columns +
+    * `rescued` (1 = verdict came from the sub-split; `over_cap` keeps
+    * meaning "the PRIMARY cell was over cap", so over_cap=1 ∧
+    * rescued=0 is the still-unjudged residue a deploy monitors). */
+  def semDedupWithRescue(assigned: DataFrame, tau: Double, cap: Int,
+                         ksub: Int): DataFrame = {
+    val base = semDedupFromAssigned(assigned, tau, cap)
+    val resc = semDedupSubSplit(assigned, tau, cap, ksub)
+      .select(col("vec_id"), col("n_prior").as("r_np"),
+        col("max_prior_cos").as("r_mpc"), col("is_dup").as("r_dup"),
+        col("rescued"))
+    base.join(resc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        when(col("rescued") === 1L, col("r_np"))
+          .otherwise(col("n_prior")).as("n_prior"),
+        when(col("rescued") === 1L, col("r_mpc"))
+          .otherwise(col("max_prior_cos")).as("max_prior_cos"),
+        when(col("rescued") === 1L, col("r_dup"))
+          .otherwise(col("is_dup")).as("is_dup"),
+        col("over_cap"),
+        coalesce(col("rescued"), lit(0L)).as("rescued"))
+  }
+
   /** Deterministic fixed-iteration k-means coarse quantizer — the
     * production cell builder [[ivfTopK]]'s scaladoc promises (label
     * centroids are the testdata stand-in). Spark-first shape: each

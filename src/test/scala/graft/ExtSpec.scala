@@ -734,6 +734,50 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getDouble(3) === -2.0)
   }
 
+  test("semDedup rescue: sub-split judges over-cap cells, residue stays flagged") {
+    val u = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val x = Array(0.0f, 0.5f, 1.0f, 0.0f) // cos>0 only to cell 1's axis
+    val y = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    val mix = Array(1.0f, 1.0f, 0.0f, 0.0f)
+    val emb = Seq(
+      0L -> u, 1L -> u, 2L -> mix, // cell 0: under cap, base verdicts
+      3L -> w, 4L -> x, 5L -> w, 6L -> x, // cell 1: over cap, SPLITTABLE
+      7L -> y, 8L -> y, 9L -> y, 10L -> y) // cell 2: over cap, degenerate
+      .toDF("vec_id", "embedding")
+    val cells = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val assigned = VectorSearch.assignCells(emb, broadcast(
+      cells.select(col("cell_id"), col("centroid"),
+        VectorSearch.fixedNormSq(col("centroid")).as("cnrm"))))
+    val out = VectorSearch.semDedupWithRescue(assigned, tau = 0.9,
+        cap = 3, ksub = 2)
+      .orderBy(col("vec_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L to 10L))
+    // over_cap marks the PRIMARY cell unchanged by the rescue
+    assert(out.map(_.getLong(5)).toSeq ===
+      Seq(0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1))
+    // cell 1 splits on its two seed directions (seeds 3=w, 4=x) into
+    // sub-cells {3,5} and {4,6}, both under cap → rescued verdicts;
+    // cell 2's members are identical, the split cannot separate them
+    // (all tie to the lower seed) → sub-cell of 4 stays over cap →
+    // rescued=0, sentinel verdicts survive as the monitored residue
+    assert(out.map(_.getLong(6)).toSeq ===
+      Seq(0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0))
+    // rescued dups: 5 dups 3 (cos 1.0), 6 dups 4; seeds stay keepers
+    assert(out.map(_.getLong(4)).toSeq ===
+      Seq(0, 1, 0, 0, 0, 1, 1, 0, 0, 0, 0))
+    assert(out(5).getDouble(3) === 1.0) // v5's prior = v3, identical
+    assert(out(3).getDouble(3) === -2.0) // v3: no lower-id sub-mate
+    // residue keeps sentinels exactly like the pre-rescue exclusion
+    assert(out.drop(7).forall(r =>
+      r.getLong(2) == 0L && r.getDouble(3) == -2.0 && r.getLong(4) == 0L))
+  }
+
   test("sq rerank orders a shortlist by dequantized cosine") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
