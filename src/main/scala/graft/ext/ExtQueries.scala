@@ -454,6 +454,33 @@ object ExtQueries {
       Dedup.dropDuplicatesKeepFirst(docs(s, d), Dedup.normPrefix(col("text"), 5))
         .orderBy(col("doc_id"))),
 
+    // Keep-BEST policy — the keeper choice a curation pipeline
+    // actually wants: within each exact-dup group, keep the
+    // highest-QUALITY member (q_quality_score's rubric; doc_id breaks
+    // ties), not merely the first-seen. Argmax via max_by over the
+    // (quality, -doc_id) struct — partial/final agg, no per-group
+    // sort — then one join back classifies the drops. Same normalized
+    // signature as q_dedup_exact, so all three keeper queries agree
+    // on what "duplicate" means.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val q = TextAnalysis.qualityColumns(docs(s, d))
+        .select(col("doc_id"), col("quality"))
+      val sigs = docs(s, d)
+        .select(col("doc_id"),
+          sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
+        .join(q, Seq("doc_id"))
+      val keepers = sigs.groupBy(col("sig"))
+        .agg(max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("tb"))).as("k"))
+        .select(col("sig"), col("k.doc_id").as("keeper"),
+          col("k.quality").as("keeper_quality"))
+      sigs.join(keepers, Seq("sig"))
+        .where(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), col("quality"), col("keeper"),
+          col("keeper_quality"), col("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup — the snapshot-ingest triage every living
     // corpus runs: an incoming batch (docs with doc_id % 10 == 7
     // stand in for the new crawl) is classified per doc against the
@@ -2065,6 +2092,38 @@ object ExtQueries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // MV maintenance under RETRACTIONS — the CDC half q_mv_merge
+    // doesn't cover: deletes arrive as NEGATED partials (sign −1) and
+    // inserts as positive ones, merged into the stored summary by the
+    // same union + re-aggregate; groups whose merged count hits zero
+    // drop out (the HAVING — a retraction subtlety recompute gets for
+    // free but merge must state). Equality with the oracle's direct
+    // recompute over the post-change corpus proves merge(base,
+    // +inserts, −deletes) == recompute(v2) for every decomposable
+    // aggregate in the summary — the invariant that lets a 100 TB MV
+    // absorb a delete feed without ever rescanning the base rows.
+    "q_mv_retract" -> ((s, d) => {
+      def partials(df: DataFrame, sgn: Long) = df
+        .groupBy(col("source"), col("lang"))
+        .agg((count(lit(1)) * lit(sgn)).as("n_docs"),
+          (sum(col("n_chars")) * lit(sgn)).as("n_chars"),
+          (sum(PortableHash.spread(PortableHash.h(col("text"))))
+            * lit(sgn)).as("text_hash_sum"))
+      val base = partials(docs(s, d), 1L)
+      val dels = partials(docs(s, d).where(col("doc_id") % 13 === 2), -1L)
+      val ins = partials(docs(s, d).where(col("doc_id") % 10 === 7)
+        .select(col("source"), col("lang"),
+          concat(col("text"), lit(" [ins]")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long")), 1L)
+      base.unionByName(dels).unionByName(ins)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("text_hash_sum")).as("text_hash_sum"))
+        .where(col("n_docs") > 0)
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Snapshot reconciliation (table diff): v2 is a deterministic
     // derivation of the corpus (drops, edits, late additions — the
     // transforms both engines replay verbatim), and the diff is ONE
@@ -2912,6 +2971,26 @@ object ExtQueries {
          |SELECT n.doc_id, k.keeper, n.sig
          |FROM nsig n JOIN k USING (sig)
          |WHERE n.doc_id != k.keeper ORDER BY n.doc_id""".stripMargin,
+
+    // Keeper = argmax (quality, -doc_id) per signature group —
+    // qualityCtes and dupSigSql compose (disjoint CTE names, the
+    // q_dataset_card precedent).
+    "q_dedup_keep_best" ->
+      s"""WITH $qualityCtes,
+         |$dupSigSql,
+         |jq AS (
+         |  SELECT n.doc_id, n.sig, q.quality
+         |  FROM nsig n JOIN quals q USING (doc_id)),
+         |k AS (
+         |  SELECT sig, doc_id AS keeper, quality AS keeper_quality
+         |  FROM (
+         |    SELECT sig, doc_id, quality,
+         |           row_number() OVER (PARTITION BY sig
+         |                              ORDER BY quality DESC, doc_id) AS rn
+         |    FROM jq) WHERE rn = 1)
+         |SELECT j.doc_id, j.quality, k.keeper, k.keeper_quality, j.sig
+         |FROM jq j JOIN k USING (sig)
+         |WHERE j.doc_id != k.keeper ORDER BY j.doc_id""".stripMargin,
 
     // base-wins precedence: a doc duplicated in base AND batch is
     // dup_of_base (the base evidence is what blocks ingest).
@@ -4365,6 +4444,25 @@ object ExtQueries {
                   PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
          |FROM documents
          |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+
+    // Direct recompute over the post-change corpus (survivors + the
+    // derived inserts) — equality with the engine's signed-partial
+    // merge IS the retraction invariant.
+    "q_mv_retract" ->
+      s"""WITH v2 AS (
+         |  SELECT source, lang, text, n_chars FROM documents
+         |  WHERE doc_id % 13 <> 2
+         |  UNION ALL
+         |  SELECT source, lang, text || ' [ins]' AS text,
+         |         CAST(length(text || ' [ins]') AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 10 = 7)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM v2
+         |GROUP BY 1, 2 HAVING count(*) > 0
+         |ORDER BY source, lang""".stripMargin,
 
     "q_table_diff" ->
       """WITH v1 AS (SELECT doc_id, source, text FROM documents),

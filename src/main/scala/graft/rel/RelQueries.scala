@@ -208,6 +208,40 @@ object RelQueries {
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     }),
 
+    // Point-in-time-correct training-set assembly — the leakage-safe
+    // feature/label join every supervised pipeline over event data
+    // needs: features aggregate ONLY orders strictly before the
+    // cutoff day (one partial/final agg over the past slice), the
+    // label is existence of an order in the [cutoff, cutoff+90d)
+    // horizon (a distinct key set), and the two meet in one
+    // key-partitioned left join — no row can leak across the cutoff
+    // because the slices are disjoint BY PLAN, not by discipline.
+    // Money stays exact cents; dates ride the portable epoch-day
+    // integer (the q_window_range idiom).
+    "q_pit_training_set" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("day",
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .withColumn("cents",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      val past = o.where(col("day") < PitCutDay)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders_past"),
+          sum(col("cents")).as("cents_past"),
+          max(col("day")).as("last_day"))
+        .withColumn("recency_days", lit(PitCutDay) - col("last_day"))
+      val fut = o
+        .where(col("day") >= PitCutDay &&
+          col("day") < PitCutDay + PitHorizonDays)
+        .select(col("o_custkey")).distinct()
+        .withColumn("lbl", lit(1L))
+      past.join(fut, Seq("o_custkey"), "left")
+        .select(col("o_custkey").as("custkey"), col("n_orders_past"),
+          col("cents_past"), col("recency_days"),
+          coalesce(col("lbl"), lit(0L)).as("label"))
+        .orderBy(col("custkey"))
+    }),
+
     // CUBE grouping sets with grouping() indicators.
     "q_agg_cube" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -1390,6 +1424,12 @@ object RelQueries {
     })
   )
 
+  /** q_pit_training_set cutoff: epoch day 9282 = 1995-06-01; label
+    * horizon 90 days. Mid-corpus so both past and future slices are
+    * dense at every sf. */
+  private val PitCutDay = 9282L
+  private val PitHorizonDays = 90L
+
   private val cdcLatestSql =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
@@ -1405,6 +1445,26 @@ object RelQueries {
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_pit_training_set" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,
+         |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |past AS (
+         |  SELECT o_custkey, count(*) AS n_orders_past,
+         |         CAST(sum(cents) AS BIGINT) AS cents_past,
+         |         CAST($PitCutDay - max(day) AS BIGINT) AS recency_days
+         |  FROM o WHERE day < $PitCutDay GROUP BY 1),
+         |fut AS (SELECT DISTINCT o_custkey FROM o
+         |        WHERE day >= $PitCutDay
+         |          AND day < ${PitCutDay + PitHorizonDays})
+         |SELECT p.o_custkey AS custkey, p.n_orders_past, p.cents_past,
+         |       p.recency_days,
+         |       CAST(CASE WHEN f.o_custkey IS NULL THEN 0 ELSE 1 END
+         |            AS BIGINT) AS label
+         |FROM past p LEFT JOIN fut f ON f.o_custkey = p.o_custkey
+         |ORDER BY custkey""".stripMargin,
+
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30

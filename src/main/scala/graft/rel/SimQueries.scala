@@ -85,6 +85,9 @@ object SimQueries {
     ()
   }
 
+  /** q_recsys_rmse holdout gate: spread-hash < 20% of the ring. */
+  private val RmseTestCut = 200000L
+
   /** Rounded metric columns over an asDoubles moment frame. */
   private def corrCol = Det.r4(S.correlation(
     col("nd"), col("sxyd"), col("sxd"), col("syd"), col("sxxd"), col("syyd")))
@@ -352,6 +355,61 @@ object SimQueries {
         .orderBy(col("item_x"), col("rn"))
     }),
 
+    // Recommender EVALUATION — the half of a recsys deployment the
+    // reference never shipped: hold out a deterministic 20% of
+    // (user, item) cells via the spread-hash gate (no shuffle, stable
+    // under re-runs and partitioning), fit the classic bias baseline
+    // μ + b_u + b_i on the train split only, and score RMSE/MAE on
+    // the holdout — with cold-start fallback to μ (the COALESCE) and
+    // cold counts reported, exactly what a production eval monitors.
+    // Determinism: biases are single IEEE division chains spelled
+    // identically in the oracle; per-row squared/absolute errors snap
+    // to 1e-8 fixed-point BEFORE the sum, so aggregation order cannot
+    // shift a bit. Scale: two broadcast-sized bias tables (users,
+    // items) joined to the holdout — one shuffle-free scan pass plus
+    // the two groupBys; nothing quadratic, nothing driver-side.
+    "q_recsys_rmse" -> ((s, d) => {
+      import graft.core.PortableHash
+      val key = concat(col("user_id").cast("string"), lit("|"),
+        col("item_id").cast("string"))
+      val r = ratings(s, d).withColumn("is_test",
+        (PortableHash.spread(PortableHash.h(key)) < lit(RmseTestCut))
+          .cast("long"))
+      val train = r.where(col("is_test") === 0)
+      val test = r.where(col("is_test") === 1)
+      val g = train.agg(sum(col("rating_i")).as("gs"),
+        count(lit(1)).as("gn"))
+      val mu = col("gs").cast("double") / col("gn") / lit(10000.0)
+      val ub = train.groupBy(col("user_id"))
+        .agg(sum(col("rating_i")).as("us"), count(lit(1)).as("un"))
+      val ib = train.groupBy(col("item_id"))
+        .agg(sum(col("rating_i")).as("is"), count(lit(1)).as("in"))
+      val scored = test
+        .crossJoin(broadcast(g))
+        .join(broadcast(ub), Seq("user_id"), "left")
+        .join(broadcast(ib), Seq("item_id"), "left")
+        .withColumn("bu", when(col("us").isNotNull,
+          col("us").cast("double") / col("un") / lit(10000.0) - mu))
+        .withColumn("bi", when(col("is").isNotNull,
+          col("is").cast("double") / col("in") / lit(10000.0) - mu))
+        .withColumn("pred",
+          mu + coalesce(col("bu"), lit(0.0)) + coalesce(col("bi"), lit(0.0)))
+        .withColumn("err",
+          col("rating_i").cast("double") / lit(10000.0) - col("pred"))
+        .withColumn("e2fx",
+          floor(col("err") * col("err") * lit(1e8) + lit(0.5)).cast("long"))
+        .withColumn("eafx",
+          floor(abs(col("err")) * lit(1e8) + lit(0.5)).cast("long"))
+      scored.agg(
+        count(lit(1)).as("n_test"),
+        sum(col("bu").isNull.cast("long")).as("n_cold_user"),
+        sum(col("bi").isNull.cast("long")).as("n_cold_item"),
+        Det.r4(sqrt(sum(col("e2fx")).cast("double") / count(lit(1))
+          / lit(1e8))).as("rmse"),
+        Det.r4(sum(col("eafx")).cast("double") / count(lit(1))
+          / lit(1e8)).as("mae"))
+    }),
+
     // R6/R7 as the capability the reference named but never shipped:
     // true per-item top-k neighbors.
     "q_topk_neighbors" -> ((s, d) => {
@@ -365,6 +423,54 @@ object SimQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Bias-baseline holdout eval. Every division chain is spelled
+    // exactly as the Column form (left-assoc sums-cast-double / count
+    // / 10000.0); per-row errors snap to 1e-8 fixed point before the
+    // final aggregation on both engines.
+    "q_recsys_rmse" -> {
+      val keySql = "CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR)"
+      val gateSql = graft.core.PortableHash.spreadSql(
+        graft.core.PortableHash.hSql(keySql))
+      s"""WITH $R,
+         |gated AS (
+         |  SELECT *, CASE WHEN $gateSql < $RmseTestCut THEN 1 ELSE 0 END
+         |           AS is_test
+         |  FROM ratings),
+         |g AS (SELECT CAST(sum(rating_i) AS DOUBLE) AS gs, count(*) AS gn
+         |      FROM gated WHERE is_test = 0),
+         |ub AS (SELECT user_id, CAST(sum(rating_i) AS DOUBLE) AS us,
+         |              count(*) AS un
+         |       FROM gated WHERE is_test = 0 GROUP BY 1),
+         |ib AS (SELECT item_id, CAST(sum(rating_i) AS DOUBLE) AS isum,
+         |              count(*) AS inn
+         |       FROM gated WHERE is_test = 0 GROUP BY 1),
+         |scored AS (
+         |  SELECT CASE WHEN ub.user_id IS NULL THEN 1 ELSE 0 END AS cold_u,
+         |         CASE WHEN ib.item_id IS NULL THEN 1 ELSE 0 END AS cold_i,
+         |         CAST(t.rating_i AS DOUBLE)/10000.0 -
+         |           (gs/gn/10000.0
+         |            + COALESCE(us/un/10000.0 - gs/gn/10000.0, 0.0)
+         |            + COALESCE(isum/inn/10000.0 - gs/gn/10000.0, 0.0))
+         |           AS err
+         |  FROM gated t CROSS JOIN g
+         |  LEFT JOIN ub ON ub.user_id = t.user_id
+         |  LEFT JOIN ib ON ib.item_id = t.item_id
+         |  WHERE t.is_test = 1),
+         |fx AS (
+         |  SELECT cold_u, cold_i,
+         |         CAST(floor(err*err*100000000.0 + 0.5) AS BIGINT) AS e2fx,
+         |         CAST(floor(abs(err)*100000000.0 + 0.5) AS BIGINT) AS eafx
+         |  FROM scored)
+         |SELECT count(*) AS n_test,
+         |       CAST(sum(cold_u) AS BIGINT) AS n_cold_user,
+         |       CAST(sum(cold_i) AS BIGINT) AS n_cold_item,
+         |       ${r4("sqrt(CAST(sum(e2fx) AS DOUBLE)/count(*)/100000000.0)")}
+         |         AS rmse,
+         |       ${r4("CAST(sum(eafx) AS DOUBLE)/count(*)/100000000.0")}
+         |         AS mae
+         |FROM fx""".stripMargin
+    },
+
     "q_parse_ratings" ->
       s"""WITH $R
          |SELECT user_id, item_id, rating FROM ratings

@@ -342,6 +342,34 @@ object StreamOps {
       }
   }
 
+  /** Stream-STREAM banded inner join — the two-live-feeds shape
+    * (ingest-time click↔purchase attribution) that neither
+    * stream-static joins nor the stateful operators express: BOTH
+    * sides buffer rows in state until the other side's matches can no
+    * longer arrive. The watermarks plus the band predicate are what
+    * make that state BOUNDED — Spark derives, from `pts ∈ [cts,
+    * cts+band]`, exactly how long each side must be retained, and
+    * evicts past it; an un-banded stream-stream join would hold both
+    * feeds forever. Inputs: clicks(user_id, click_id, cts),
+    * purchases(user_id, purchase_id, pts). Runs identically on batch
+    * frames (the q_attribution_* family's touch-join semantics), which
+    * is how StreamingSpec proves stream == batch. */
+  def touchJoinStream(clicks: DataFrame, purchases: DataFrame,
+                      band: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("cts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("purchase_id"), col("pts"))
+      .withWatermark("pts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr(s"INTERVAL $band"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_millis(col("cts")).as("cts_ms"),
+        unix_millis(col("pts")).as("pts_ms"))
+  }
+
   /** Rate-source synthetic event stream: the load-generator twin of
     * the file source (schema-compatible with the events-derived
     * transforms: ts, user_id, event_type, value). Useful for

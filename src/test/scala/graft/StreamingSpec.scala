@@ -222,6 +222,48 @@ class StreamingSpec extends SparkSpec {
     assert(gotMap(12L) === (("dup_in_batch", 7L))) // the recovered-state proof
   }
 
+  test("stream-stream banded join equals its batch twin across micro-batches") {
+    // both feeds arrive incrementally and OUT OF STEP (a click's
+    // purchase lands two micro-batches later) — the state buffering
+    // is what bridges them; batch-mode execution of the same op is
+    // the ground truth.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val clicks = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(90)), (2L, 12L, ts(5)))
+    val purchases = Seq(
+      (1L, 100L, ts(30)),  // joins click 10 (within 1h)
+      (1L, 101L, ts(95)),  // joins click 11 only (click 10 is >1h old)
+      (2L, 102L, ts(70)),  // outside click 12's band — no match
+      (3L, 103L, ts(10)))  // no click for user 3
+    val ci = MemoryStream[(Long, Long, Timestamp)](spark)
+    val pi = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = StreamOps.touchJoinStream(
+      ci.toDF().toDF("user_id", "click_id", "cts"),
+      pi.toDF().toDF("user_id", "purchase_id", "pts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      ci.addData(clicks(0), clicks(2)) // batch 1: early clicks only
+      q.processAllAvailable()
+      pi.addData(purchases(0), purchases(3)) // batch 2: purchases arrive later
+      q.processAllAvailable()
+      ci.addData(clicks(1)) // batch 3: the late click...
+      pi.addData(purchases(1), purchases(2)) // ...and its purchase together
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamOps.touchJoinStream(
+          clicks.toDF("user_id", "click_id", "cts"),
+          purchases.toDF("user_id", "purchase_id", "pts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === batch)
+      assert(got === Set((1L, 10L, 100L), (1L, 11L, 101L)))
+    } finally q.stop()
+  }
+
   test("streaming latest-version state equals the batch q_cdc_latest order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
