@@ -272,6 +272,20 @@ object Dedup {
           (col("c1") + col("c2") - col("common")).cast("double")))
   }
 
+  /** [[ngramJaccard]] plus CONTAINMENT (|A∩B| / min(|A|,|B|)) — the
+    * asymmetric complement Jaccard misses: a short doc fully embedded
+    * in a long one scores near-zero Jaccard (the union is dominated
+    * by the long doc) but containment 1.0. Quote-heavy and
+    * boilerplate-wrapped corpora are exactly this shape, so a dedup
+    * deploy reads both columns before choosing its drop rule. Same
+    * join plan as the Jaccard rescore — one extra projection. */
+  def ngramContainment(cand: DataFrame, ds: DataFrame): DataFrame = {
+    import graft.core.Det
+    ngramJaccard(cand, ds).withColumn("containment", Det.r4(
+      col("common").cast("double") /
+        least(col("c1"), col("c2")).cast("double")))
+  }
+
   /** Benchmark decontamination hits: for every training doc, how many
     * DISTINCT n-grams it shares with the benchmark set and how many
     * distinct benchmark docs it collides with. Inputs are distinct

@@ -314,6 +314,29 @@ object ExtQueries {
   private val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
 
+  /** Shared by q_bpe_tokens (replace chain) and q_bpe_tokens_kernel
+    * (rank-indexed kernel): the subword count is the `]`-count of the
+    * folded string — the exact twin of Bpe.docBpeCol. LEFT JOIN keeps
+    * any doc whose word list is empty at n_bpe = 0. */
+  private lazy val bpeTokensOracleSql: String =
+    s"""WITH ${Bpe.learnCtesSql()},
+       |wsrc AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    x -> x <> '')) AS w
+       |  FROM documents),
+       |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
+       |perword AS (
+       |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
+       |  FROM t${Bpe.NumMerges}),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |         CAST(sum(c) AS BIGINT) AS n_bpe
+       |  FROM perword GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(p.n_ws, 0) AS n_ws,
+       |       COALESCE(p.n_bpe, 0) AS n_bpe
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: sha2 groups over prefix-normalized text.
@@ -539,6 +562,38 @@ object ExtQueries {
         .where(col("bands") >= 2).select(col("d1"), col("d2"))
       Dedup.ngramJaccard(cand, distinctShinglesC(s, d))
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Containment rescoring — the asymmetric near-dup signal (short
+    // doc embedded in a long one: Jaccard ~0, containment ~1) a drop
+    // rule reads NEXT to Jaccard on quote/boilerplate-wrapped
+    // corpora. Same candidate set and join plan as q_ngram_jaccard.
+    "q_minhash_containment" -> ((s, d) => {
+      val cand = candidatesC(s, d)
+        .where(col("bands") >= 2).select(col("d1"), col("d2"))
+      Dedup.ngramContainment(cand, distinctShinglesC(s, d))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // The τ-tuning read-out a semantic-dedup deploy decides with: for
+    // each candidate threshold, how many banded pairs qualify and how
+    // many docs a keep-first pass would drop. Pairs are the capped
+    // banded candidates (bounded, never N²) crossed with a 10-row
+    // threshold axis — the sweep costs one pass over the pair table.
+    "q_dedup_threshold_sweep" -> ((s, d) => {
+      val taus = s.range(0, 10).select(col("id").as("i"))
+      val pairs = bandedCosC(s, d)
+      val hits = taus.join(pairs,
+          pairs("cos_sim") >= taus("i").cast("double") * lit(0.05))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("v2")).as("n_dropped_docs"))
+      taus.join(hits, Seq("i"), "left")
+        .select((col("i") * 5).as("tau_pct"),
+          Det.r4(col("i").cast("double") * lit(0.05)).as("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped_docs"), lit(0L)).as("n_dropped_docs"))
+        .orderBy(col("tau_pct"))
     }),
 
     // LSH recall acceptance — q_ann_recall's twin for the TEXT dedup
@@ -1735,6 +1790,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The PRODUCTION BPE application path, oracle-checked: the
+    // rank-indexed mapPartitions kernel (BpeTokenizer — per-word cost
+    // independent of merge-table size) scored against the SAME oracle
+    // text as q_bpe_tokens' replace chain. Equality of the two scored
+    // queries is the strongest form of the kernel==chain contract:
+    // both are cell-exact against one DuckDB replay.
+    "q_bpe_tokens_kernel" -> ((s, d) => {
+      val m = Bpe.mergesMemo(docs(s, d), d)
+      val counts = Bpe.docBpeCounts(docs(s, d), m)
+      docs(s, d).select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_ws"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ws"),
+          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE-budget context-window chunking: the token stream is cut at
     // multiples of BpeBudget SUBWORD tokens (concatenate-and-cut, the
     // pretraining shape — a word straddling a cut belongs to the
@@ -2268,7 +2341,13 @@ object ExtQueries {
     * sets, pair intersection counts, and the final Jaccard projection
     * (mirrors [[Dedup.ngramJaccard]] term for term). Splice after a
     * chain that defines `shingles` and `candCte(d1, d2, bands)`. */
-  private def jaccardRescoreSqlFrom(candCte: String): String =
+  private def jaccardRescoreSqlFrom(candCte: String,
+                                    withContainment: Boolean = false): String = {
+    val containCol =
+      if (withContainment)
+        ",\n       " + r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
+          "CAST(least(s1.n_sh, s2.n_sh) AS DOUBLE)") + "\n         AS containment"
+      else ""
     s"""strong AS (SELECT d1, d2 FROM $candCte WHERE bands >= 2),
        |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
@@ -2282,12 +2361,13 @@ object ExtQueries {
        |       CAST(coalesce(com.common, 0) AS BIGINT) AS common,
        |       ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
             "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
-       |         AS jaccard
+       |         AS jaccard$containCol
        |FROM strong c
        |JOIN sizes s1 ON s1.doc_id = c.d1
        |JOIN sizes s2 ON s2.doc_id = c.d2
        |LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2
        |ORDER BY c.d1, c.d2""".stripMargin
+  }
 
   /** SQ-rerank chain shared by q_ann_sq_rerank and q_ann_sq_recall
     * (references `ranked`/`expl` from [[ivfRankedCtes]]): IVF top-10
@@ -3055,6 +3135,27 @@ object ExtQueries {
     "q_ngram_jaccard" ->
       s"""WITH $candSql,
          |${jaccardRescoreSqlFrom("cand")}""".stripMargin,
+
+    "q_minhash_containment" ->
+      s"""WITH $candSql,
+         |${jaccardRescoreSqlFrom("cand", withContainment = true)}""".stripMargin,
+
+    "q_dedup_threshold_sweep" ->
+      s"""WITH $bandedCosCtes,
+         |taus AS (SELECT unnest(range(0, 10)) AS i),
+         |hits AS (
+         |  SELECT t.i, count(*) AS n_pairs,
+         |         count(DISTINCT b.v2) AS n_dropped_docs
+         |  FROM taus t JOIN bcos b ON b.cos_sim >= t.i * 0.05
+         |  GROUP BY 1),
+         |sweep AS (
+         |  SELECT CAST(t.i * 5 AS BIGINT) AS tau_pct,
+         |         ${r4("t.i * 0.05")} AS tau,
+         |         CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |         CAST(coalesce(h.n_dropped_docs, 0) AS BIGINT)
+         |           AS n_dropped_docs
+         |  FROM taus t LEFT JOIN hits h ON h.i = t.i)
+         |SELECT * FROM sweep ORDER BY tau_pct""".stripMargin,
 
     // The ingest gate replayed relationally: the stream side's
     // stateless whole-doc minima are bit-identical to the groupBy
@@ -3891,24 +3992,11 @@ object ExtQueries {
     // exact twin of Bpe.docBpeCol. LEFT JOIN keeps any doc whose
     // word list is empty at n_bpe = 0 (the Spark side's aggregate
     // over an empty array).
-    "q_bpe_tokens" ->
-      s"""WITH ${Bpe.learnCtesSql()},
-         |wsrc AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-         |    x -> x <> '')) AS w
-         |  FROM documents),
-         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
-         |perword AS (
-         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
-         |  FROM t${Bpe.NumMerges}),
-         |perdoc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
-         |         CAST(sum(c) AS BIGINT) AS n_bpe
-         |  FROM perword GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(p.n_ws, 0) AS n_ws,
-         |       COALESCE(p.n_bpe, 0) AS n_bpe
-         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q_bpe_tokens" -> bpeTokensOracleSql,
+
+    // One oracle text, two engine paths (replace chain vs the
+    // rank-indexed kernel) — the kernel==chain contract, scored.
+    "q_bpe_tokens_kernel" -> bpeTokensOracleSql,
 
     // Same learned table; the chunk cut is a per-doc window over the
     // word-position order (exclusive running subword sum div budget).
