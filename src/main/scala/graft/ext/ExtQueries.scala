@@ -1631,6 +1631,20 @@ object ExtQueries {
           col("n_zero"))
         .orderBy(col("dim"))),
 
+    // Top principal direction by deterministic power iteration on the
+    // centered embeddings (2 fixed rounds from the e_1 seed) — the
+    // collapse/whitening QA read-out; see VectorSearch.topDirection
+    // for the fixed-point round discipline that makes the full
+    // iterate-normalize loop oracle-replayable.
+    "q_embed_pca_power" -> ((s, d) =>
+      // result memoized per session: the power loop persists its
+      // centered long form internally, so rebuild-per-action would
+      // stack persisted copies
+      Cache.getOrPersist(s, "pca_power_2", d)(
+        VectorSearch.topDirection(
+          emb(s, d).select(col("vec_id"), col("embedding")), iters = 2))
+        .orderBy(col("dim"))),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
     // within-k-means-cluster pairwise cosine — the embedding-space
     // dedup that catches paraphrases exact/minhash dedup misses. The
@@ -2684,6 +2698,48 @@ object ExtQueries {
        |${cnorm(iters)},
        |${acos(iters)},
        |${assign(iters)}""".stripMargin
+  }
+
+  /** Generated oracle for q_embed_pca_power: centered long form →
+    * `iters` power rounds (project, accumulate, normalize — each
+    * fixed-point-snapped exactly as [[VectorSearch.topDirection]]). */
+  private def pcaPowerOracle(iters: Int): String = {
+    val F12 = "1000000000000.0"
+    val F9 = "1000000000.0"
+    val rounds = (0 until iters).map { r =>
+      s"""ps$r AS (
+         |  SELECT c.vec_id,
+         |         CAST(sum(CAST(floor(c.cv*v.vi*$F12 + 0.5) AS BIGINT))
+         |              AS DOUBLE)/$F12 AS s
+         |  FROM cexp c JOIN pv$r v USING (i) GROUP BY 1),
+         |pw$r AS (
+         |  SELECT c.i,
+         |         CAST(sum(CAST(floor(c.cv*ps$r.s*$F9 + 0.5) AS BIGINT))
+         |              AS DOUBLE)/$F9 AS w
+         |  FROM cexp c JOIN ps$r USING (vec_id) GROUP BY 1),
+         |pn$r AS (
+         |  SELECT sqrt(CAST(sum(CAST(floor(w*w*$F12 + 0.5) AS BIGINT))
+         |              AS DOUBLE)/$F12) AS nr FROM pw$r),
+         |pv${r + 1} AS MATERIALIZED (
+         |  SELECT i, w / nr AS vi FROM pw$r CROSS JOIN pn$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH expl AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+       |mexp AS MATERIALIZED (
+       |  SELECT i, (CAST(sum(CAST(floor(v*$F9 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / count(*)) / $F9 AS m
+       |  FROM expl GROUP BY 1),
+       |cexp AS MATERIALIZED (
+       |  SELECT e.vec_id, e.i, e.v - m AS cv
+       |  FROM expl e JOIN mexp USING (i)),
+       |pv0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS vi
+       |        FROM mexp),
+       |$rounds
+       |SELECT CAST(p.i AS BIGINT) AS dim, ${r4("m")} AS mean_v,
+       |       ${r4("vi")} AS pc1
+       |FROM pv$iters p JOIN mexp ON mexp.i = p.i
+       |ORDER BY dim""".stripMargin
   }
 
   /** Generated oracle for q_semdedup: [[kmeansAssignCtes]] + the
@@ -3770,6 +3826,8 @@ object ExtQueries {
 
     "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
       tau = SemTau, cap = SemCellCap, ksub = SemSubK),
+
+    "q_embed_pca_power" -> pcaPowerOracle(iters = 2),
 
     "q_embed_stats" ->
       s"""WITH expl AS (

@@ -415,6 +415,59 @@ object VectorSearch {
     cells
   }
 
+  /** Top principal direction of the embedding cloud via deterministic
+    * fixed-iteration POWER ITERATION on the centered data — the
+    * embedding-QA/dimensionality read-out (a collapsed corpus shows a
+    * dominant direction carrying most variance; whitening and OPQ-
+    * style rotations start from exactly this computation). Each round
+    * is two corpus passes expressed as aggregations: s_x = (x−m)·v
+    * per vector (1e-12 per-term snap, exact sum), then w_i = Σ_x
+    * (x−m)_i·s_x (1e-9 snap), then v' = w/‖w‖ — every double step a
+    * correctly-rounded IEEE op, every sum over snapped integers, so
+    * the whole loop replays bit-exact as a DuckDB CTE chain (the
+    * kmeansCells discipline). FIXED iterations and a FIXED seed
+    * (e_1): a convergence test or random init would unfix the oracle;
+    * the result is the documented `iters`-step approximant, not a
+    * claimed eigenvector.
+    *
+    * Scale: state per round is the 64-row direction frame
+    * (localCheckpoint keeps lineage flat); the corpus long-form joins
+    * s on vec_id (co-partitioned at write time at 100 TB) and never
+    * materializes anything quadratic. Output: (dim, mean_v, pc1). */
+  def topDirection(emb: DataFrame, iters: Int = 2): DataFrame = {
+    val expl = emb
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("v"))
+    val mean = expl.groupBy(col("i"))
+      .agg(((sum(floor(col("v") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1))) / lit(1e9)).as("m"))
+    val cexp = expl.join(broadcast(mean), Seq("i"))
+      .select(col("vec_id"), col("i"), (col("v") - col("m")).as("cv"))
+      .persist()
+    var v = mean.select(col("i"),
+      when(col("i") === 1, lit(1.0)).otherwise(lit(0.0)).as("vi"))
+    for (_ <- 0 until iters) {
+      val s = cexp.join(broadcast(v), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg((sum(floor(col("cv") * col("vi") * lit(1e12) + lit(0.5))
+          .cast("long")).cast("double") / lit(1e12)).as("s"))
+      val w = cexp.join(s, Seq("vec_id"))
+        .groupBy(col("i"))
+        .agg((sum(floor(col("cv") * col("s") * lit(1e9) + lit(0.5))
+          .cast("long")).cast("double") / lit(1e9)).as("w"))
+      val n = w.agg(sqrt(sum(floor(col("w") * col("w") * lit(1e12)
+        + lit(0.5)).cast("long")).cast("double") / lit(1e12)).as("nr"))
+      v = w.crossJoin(broadcast(n))
+        .select(col("i"), (col("w") / col("nr")).as("vi"))
+        .localCheckpoint(true)
+    }
+    v.join(broadcast(mean), Seq("i"))
+      .select(col("i").cast("long").as("dim"),
+        Det.r4(col("m")).as("mean_v"), Det.r4(col("vi")).as("pc1"))
+  }
+
   // ---------------------------------------------------------------
   // Multi-band sign-LSH near-duplicate search.
   //
