@@ -2721,7 +2721,8 @@ object ExtQueries {
          |  SELECT sqrt(CAST(sum(CAST(floor(w*w*$F12 + 0.5) AS BIGINT))
          |              AS DOUBLE)/$F12) AS nr FROM pw$r),
          |pv${r + 1} AS MATERIALIZED (
-         |  SELECT i, w / nr AS vi FROM pw$r CROSS JOIN pn$r)""".stripMargin
+         |  SELECT i, CASE WHEN nr = 0.0 THEN 0.0 ELSE w / nr END AS vi
+         |  FROM pw$r CROSS JOIN pn$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH expl AS (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
@@ -2733,8 +2734,8 @@ object ExtQueries {
        |cexp AS MATERIALIZED (
        |  SELECT e.vec_id, e.i, e.v - m AS cv
        |  FROM expl e JOIN mexp USING (i)),
-       |pv0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS vi
-       |        FROM mexp),
+       |pdc AS (SELECT CAST(count(*) AS DOUBLE) AS dcnt FROM mexp),
+       |pv0 AS (SELECT i, 1.0 / sqrt(dcnt) AS vi FROM mexp CROSS JOIN pdc),
        |$rounds
        |SELECT CAST(p.i AS BIGINT) AS dim, ${r4("m")} AS mean_v,
        |       ${r4("vi")} AS pc1

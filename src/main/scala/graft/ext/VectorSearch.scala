@@ -425,10 +425,15 @@ object VectorSearch {
     * (x−m)_i·s_x (1e-9 snap), then v' = w/‖w‖ — every double step a
     * correctly-rounded IEEE op, every sum over snapped integers, so
     * the whole loop replays bit-exact as a DuckDB CTE chain (the
-    * kmeansCells discipline). FIXED iterations and a FIXED seed
-    * (e_1): a convergence test or random init would unfix the oracle;
-    * the result is the documented `iters`-step approximant, not a
-    * claimed eigenvector.
+    * kmeansCells discipline). FIXED iterations and a FIXED seed: a
+    * convergence test or random init would unfix the oracle; the
+    * result is the documented `iters`-step approximant, not a claimed
+    * eigenvector. The seed is the uniform direction 1/√d — an axis
+    * seed (e_1) zeroes out whenever that axis has no variance (a
+    * constant dimension: padding, a dead feature), which a real
+    * corpus absolutely can have; a zero normalizer is still guarded
+    * (emits the zero direction rather than dividing by zero, the
+    * honest report for degenerate data).
     *
     * Scale: state per round is the 64-row direction frame
     * (localCheckpoint keeps lineage flat); the corpus long-form joins
@@ -446,8 +451,10 @@ object VectorSearch {
     val cexp = expl.join(broadcast(mean), Seq("i"))
       .select(col("vec_id"), col("i"), (col("v") - col("m")).as("cv"))
       .persist()
-    var v = mean.select(col("i"),
-      when(col("i") === 1, lit(1.0)).otherwise(lit(0.0)).as("vi"))
+    val dcnt = mean.agg(count(lit(1)).as("dcnt"))
+    var v = mean.crossJoin(broadcast(dcnt))
+      .select(col("i"),
+        (lit(1.0) / sqrt(col("dcnt").cast("double"))).as("vi"))
     for (_ <- 0 until iters) {
       val s = cexp.join(broadcast(v), Seq("i"))
         .groupBy(col("vec_id"))
@@ -460,7 +467,9 @@ object VectorSearch {
       val n = w.agg(sqrt(sum(floor(col("w") * col("w") * lit(1e12)
         + lit(0.5)).cast("long")).cast("double") / lit(1e12)).as("nr"))
       v = w.crossJoin(broadcast(n))
-        .select(col("i"), (col("w") / col("nr")).as("vi"))
+        .select(col("i"),
+          when(col("nr") === 0.0, lit(0.0))
+            .otherwise(col("w") / col("nr")).as("vi"))
         .localCheckpoint(true)
     }
     v.join(broadcast(mean), Seq("i"))

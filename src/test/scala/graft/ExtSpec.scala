@@ -778,6 +778,49 @@ class ExtSpec extends SparkSpec {
       r.getLong(2) == 0L && r.getDouble(3) == -2.0 && r.getLong(4) == 0L))
   }
 
+  test("topDirection: unit norm, determinism, and a planted dominant axis") {
+    // plant variance along axis 2: the 2-round power approximant from
+    // the e_1 seed must land (up to sign) on e_2 for this clean cloud
+    val emb = (0 until 20).map { k =>
+      val v = Array.fill(4)(0.0f)
+      v(1) = (k - 10).toFloat // dominant spread on axis 2
+      v(2) = 0.1f * (k % 3)   // small noise on axis 3
+      (k.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = VectorSearch.topDirection(emb, iters = 2)
+      .orderBy(col("dim")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val pc = out.map(_.getDouble(2))
+    // unit norm within r4 rounding
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-3)
+    // dominant axis wins
+    assert(math.abs(pc(1)) > 0.99)
+    // bit-determinism across rebuilds
+    val again = VectorSearch.topDirection(emb, iters = 2)
+      .orderBy(col("dim")).collect().map(_.getDouble(2))
+    assert(again.toSeq === pc.toSeq)
+  }
+
+  test("ngramContainment: subset pair scores 1.0 while jaccard stays low") {
+    val docs = docsDF(
+      1L -> "a b c d",                          // 2 shingles, both in doc 2
+      2L -> "a b c d e f g h i j k l m n o p") // 14 shingles
+    val ds = Dedup.shingles(docs).distinct().persist()
+    val cand = Seq((1L, 2L)).toDF("d1", "d2")
+    val row = Dedup.ngramContainment(cand, ds).collect().head
+    assert(row.getAs[Long]("common") === 2L)
+    assert(row.getAs[Double]("containment") === 1.0)
+    assert(row.getAs[Double]("jaccard") < 0.2)
+    // containment >= jaccard always (min <= union)
+    val corpus = docsDF(1L -> "a b c d", 2L -> "a b c d e f",
+      3L -> "x y z w v u")
+    val ds2 = Dedup.shingles(corpus).distinct().persist()
+    val all = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("d1", "d2")
+    Dedup.ngramContainment(all, ds2).collect().foreach { r =>
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard"))
+    }
+  }
+
   test("sq rerank orders a shortlist by dequantized cosine") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
