@@ -342,6 +342,45 @@ object StreamOps {
       }
   }
 
+  case class DocMeta(source: String, lang: String, n_chars: Long,
+                     text: String)
+  case class StratumSummary(source: String, lang: String, n_docs: Long,
+                            n_chars: Long, text_hash_sum: Long)
+
+  /** Streaming materialized-view upkeep — the live twin of
+    * q_mv_merge/q_mv_retract's batch maintenance: per-(source, lang)
+    * state holds the running decomposable summary (doc count, char
+    * sum, portable text-hash sum) and every micro-batch emits the
+    * refreshed stratum rows in update mode. State is O(strata), never
+    * O(docs) — the property that lets a release card stay current
+    * against an unbounded ingest feed without ever rescanning the
+    * corpus. The hash rides [[graft.expr.PortableHashImpl]], the
+    * bit-identical JVM twin of the Column/SQL forms, so the streamed
+    * summary lands on exactly the batch aggregate (StreamingSpec).
+    * Works identically on a batch Dataset. */
+  def runningSummary(ds: Dataset[DocMeta]): Dataset[StratumSummary] = {
+    implicit val enc = Encoders.product[StratumSummary]
+    implicit val encK = Encoders.product[(String, String)]
+    val M = graft.core.PortableHash.M.toLong
+    ds.groupByKey(d => (d.source, d.lang))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (k: (String, String), docs: Iterator[DocMeta],
+         state: GroupState[StratumSummary]) =>
+          val prev = state.getOption
+            .getOrElse(StratumSummary(k._1, k._2, 0L, 0L, 0L))
+          val next = docs.foldLeft(prev) { (a, dm) =>
+            val h = graft.expr.PortableHashImpl.compute(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(dm.text)).toLong
+            a.copy(n_docs = a.n_docs + 1,
+              n_chars = a.n_chars + dm.n_chars,
+              text_hash_sum = a.text_hash_sum + (h * 48271L) % M)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Stream-STREAM banded inner join — the two-live-feeds shape
     * (ingest-time click↔purchase attribution) that neither
     * stream-static joins nor the stateful operators express: BOTH

@@ -222,6 +222,49 @@ class StreamingSpec extends SparkSpec {
     assert(gotMap(12L) === (("dup_in_batch", 7L))) // the recovered-state proof
   }
 
+  test("streaming MV upkeep lands on the batch stratum summary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamOps.{DocMeta, StratumSummary}
+    val docs = Seq(
+      DocMeta("web", "en", 10L, "alpha beta"),
+      DocMeta("web", "en", 7L, "gamma"),
+      DocMeta("web", "de", 4L, "delta"),
+      DocMeta("book", "en", 12L, "epsilon zeta"),
+      DocMeta("web", "en", 3L, "eta"))
+    val input = MemoryStream[DocMeta](spark)
+    val q = StreamOps.runningSummary(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mvstream").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      // last emission per stratum = the running state
+      val got = spark.sql("SELECT * FROM mvstream").as[StratumSummary]
+        .collect().groupBy(s => (s.source, s.lang))
+        .map { case (k, rows) => k -> rows.maxBy(_.n_docs) }
+      // batch ground truth through the Column-side hash — also
+      // re-proves the JVM/Column hash twins compose identically
+      import graft.core.PortableHash
+      val batch = docs.toDF()
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(col("n_chars")).as("n_chars"),
+          org.apache.spark.sql.functions.sum(
+            PortableHash.spread(PortableHash.h(col("text"))))
+            .as("text_hash_sum"))
+        .as[StratumSummary].collect()
+        .map(s => (s.source, s.lang) -> s).toMap
+      assert(got.keySet === batch.keySet)
+      got.foreach { case (k, s) =>
+        assert((s.n_docs, s.n_chars, s.text_hash_sum) ===
+          ((batch(k).n_docs, batch(k).n_chars, batch(k).text_hash_sum)), k)
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream banded join equals its batch twin across micro-batches") {
     // both feeds arrive incrementally and OUT OF STEP (a click's
     // purchase lands two micro-batches later) — the state buffering
