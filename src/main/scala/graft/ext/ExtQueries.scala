@@ -409,6 +409,18 @@ object ExtQueries {
       s.sql(SqlSurfaceSql)
     }),
 
+    // The correlated-subquery third of the literal SQL surface:
+    // orders costing more than 2× their own customer's average, as
+    // ONE ANSI text with a correlated scalar subquery — Catalyst
+    // rewrites it to an aggregate + join (RewriteCorrelatedScalar-
+    // Subquery), DuckDB plans its own decorrelation, and both must
+    // land on identical rows. Money in exact cents; the avg division
+    // spelled once, IEEE on both engines.
+    "q_sql_correlated" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlCorrelatedSql)
+    }),
+
     // The window-function half of the literal SQL surface: one ANSI
     // text with a named WINDOW clause, ranking + offset functions,
     // executed verbatim by spark.sql AND by the oracle engine — the
@@ -2303,6 +2315,21 @@ object ExtQueries {
       |              ORDER BY o_orderpriority, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** The correlated-scalar-subquery literal (q_sql_correlated) — one
+    * ANSI text, two engines, two independent decorrelations that must
+    * agree row for row. */
+  private val SqlCorrelatedSql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, cents
+      |FROM oc o
+      |WHERE cents > (SELECT 2.0 * (CAST(sum(o2.cents) AS DOUBLE)
+      |                             / count(*))
+      |               FROM oc o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** One ANSI SQL text, two engines — q_sql_surface executes THIS
     * string via spark.sql and the driver executes it via DuckDB. */
   private val SqlSurfaceSql: String =
@@ -3075,6 +3102,7 @@ object ExtQueries {
     // The LITERAL string the Spark side executes.
     "q_sql_surface" -> SqlSurfaceSql,
     "q_sql_window_surface" -> SqlWindowSurfaceSql,
+    "q_sql_correlated" -> SqlCorrelatedSql,
 
     // The parquet-side summary with the tag expression recomputed —
     // if the CSV write→quote→parse path preserved every field, the

@@ -208,6 +208,40 @@ object RelQueries {
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     }),
 
+    // TPC-H Q5 shape (local supplier volume): the 6-way star join
+    // with the correlated twist — supplier and customer must share a
+    // nation — that forces a real join-order decision. Plan the star
+    // the way a 100 TB run must: region/nation/supplier/customer ride
+    // explicit broadcast()s (the only corpus-sized exchange is
+    // lineitem⋈orders on orderkey), the region filter prunes BEFORE
+    // the broadcast, and revenue is summed in exact cents (floor of
+    // the IEEE product — identical bits on both engines, vs a
+    // double-sum whose order neither engine pins).
+    "q_local_supplier_volume" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+        .withColumn("day",
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .where(col("day") >= Q5StartDay && col("day") < Q5StartDay + 365)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val su = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").where(col("r_name") === "ASIA")
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey")
+          && su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents).as("revenue_cents"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
     // Point-in-time-correct training-set assembly — the leakage-safe
     // feature/label join every supervised pipeline over event data
     // needs: features aggregate ONLY orders strictly before the
@@ -1430,6 +1464,10 @@ object RelQueries {
   private val PitCutDay = 9282L
   private val PitHorizonDays = 90L
 
+  /** q_local_supplier_volume order-date window start: epoch day 9131
+    * = 1995-01-01 (the fixture's first order date), one year wide. */
+  private val Q5StartDay = 9131L
+
   private val cdcLatestSql =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
@@ -1445,6 +1483,24 @@ object RelQueries {
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_local_supplier_volume" ->
+      s"""SELECT n_name,
+         |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+         |                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |         AS revenue_cents,
+         |       count(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |             AND s_nationkey = c_nationkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND epoch_ms(o_orderdate) // 86400000 >= $Q5StartDay
+         |  AND epoch_ms(o_orderdate) // 86400000 < ${Q5StartDay + 365}
+         |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
     "q_pit_training_set" ->
       s"""WITH o AS (
          |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,

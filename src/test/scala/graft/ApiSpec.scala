@@ -251,6 +251,22 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(sd.map(_.getAs[Double]("pct")).sum - 100.0) < 0.1)
   }
 
+  test("q_local_supplier_volume plans the star with broadcast dims") {
+    // 4 dims broadcast (customer, supplier, nation, region); the only
+    // join shuffle candidate is lineitem⋈orders — the Q5 plan a
+    // 1000-executor run needs
+    val q = SparkEntry.queries("q_local_supplier_volume")(spark, sf001)
+    val plan = q.queryExecution.executedPlan.toString
+    // at sf0.001 even orders broadcasts (size-based), so >= 4; the
+    // invariant is that NO dim join ever becomes a shuffle join
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, plan:\n$plan")
+    val nShuffleJoin = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(nShuffleJoin <= 1, s"star dims must not shuffle, plan:\n$plan")
+    assert(q.collect().nonEmpty)
+  }
+
   test("ship-priority/attribution/closed-session invariants at sf0.001") {
     // q_ship_priority: top-10, revenue non-increasing, plan ends in
     // TakeOrderedAndProject (no global sort)
