@@ -115,6 +115,23 @@ class ApiSpec extends SparkSpec {
       assert(exchanges == 1,
         s"self-join side should be exchange-free, only the pair group-by shuffles:\n$plan")
       assert(m.count() > 0 && again.count() == bucketed.count())
+      // the FUSED build (both moment families in one aggregate) must
+      // keep exactly the same exchange profile — extra columns, zero
+      // extra shuffle — and its projections must agree with the
+      // standalone builders
+      val both = graft.core.Moments.pairMomentsBoth(bucketed)
+      val planB = both.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(planB).length == 1,
+        s"fused build must add no exchange:\n$planB")
+      val longSum = graft.core.Moments.longView(both)
+        .agg(org.apache.spark.sql.functions.sum("sxy")).head().getLong(0)
+      val plainSum = m
+        .agg(org.apache.spark.sql.functions.sum("sxy")).head().getLong(0)
+      assert(longSum == plainSum)
+      val decSum = graft.core.Moments.decView(both)
+        .agg(org.apache.spark.sql.functions.sum("sxy")).head()
+        .getDecimal(0)
+      assert(decSum.longValueExact() == plainSum)
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
