@@ -896,6 +896,46 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // INTERVAL-OVERLAP join (two interval SETS, not point-in-interval
+    // like q_interval_join): per-user click islands × weekly promo
+    // windows. The scale shape is the day-bucket join — each interval
+    // explodes to its covered buckets, pairs meet on the bucket key,
+    // and the `bucket == max(start buckets)` guard emits each
+    // overlapping pair EXACTLY once (no distinct shuffle) — versus
+    // the oracle's naive theta join, which is quadratic and only
+    // DuckDB-affordable at test scale. Explode factor is bounded by
+    // interval length / bucket width, so the plan stays linear in
+    // covered time.
+    "q_interval_overlap_join" -> ((s, d) => {
+      val B = 86400000L // 1-day buckets
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(300000L))
+      val islands = graft.core.Intervals.mergePerKey(
+        ev, "user_id", "st", "en", "event_id")
+      val base = ev.agg(
+        expr(s"(min(st) div $B) * $B").as("b0"))
+      val promos = s.range(0, 10).select(col("id").as("promo_id"))
+        .crossJoin(broadcast(base))
+        .select(col("promo_id"),
+          (col("b0") + col("promo_id") * lit(604800000L)).as("p_st"))
+        .withColumn("p_en", col("p_st") + lit(172800000L))
+      val aB = islands.withColumn("bucket",
+        explode(sequence(expr(s"i_st div $B"), expr(s"i_en div $B"))))
+      val pB = promos.withColumn("bucket",
+        explode(sequence(expr(s"p_st div $B"), expr(s"p_en div $B"))))
+      aB.join(pB, Seq("bucket"))
+        .where(col("i_st") <= col("p_en") && col("p_st") <= col("i_en"))
+        .where(col("bucket") ===
+          greatest(expr(s"i_st div $B"), expr(s"p_st div $B")))
+        .select(col("user_id"), col("island_id"), col("promo_id"),
+          greatest(col("i_st"), col("p_st")).as("ov_st"),
+          least(col("i_en"), col("p_en")).as("ov_en"))
+        .withColumn("overlap_ms", col("ov_en") - col("ov_st"))
+        .orderBy(col("user_id"), col("island_id"), col("promo_id"))
+    }),
+
     // Blocked fuzzy (edit-distance) self-join — the entity-resolution
     // shape: dedupe the NAME DICTIONARY first (distinct names ≪ rows,
     // with per-name multiplicities), block on the head noun so
@@ -1467,6 +1507,36 @@ object RelQueries {
   /** q_local_supplier_volume order-date window start: epoch day 9131
     * = 1995-01-01 (the fixture's first order date), one year wide. */
   private val Q5StartDay = 9131L
+
+  /** The merged click-island chain (ev → flagged → numbered →
+    * islands), shared by q_interval_coverage and
+    * q_interval_overlap_join — one SQL constant so the two can never
+    * disagree on what an island is. */
+  private val islandsCtes: String =
+    """ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS st,
+      |         epoch_ms(ts) + 300000 AS en
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, st, en,
+      |         CASE WHEN max(en) OVER wprev IS NULL
+      |                OR st > max(en) OVER wprev
+      |              THEN 1 ELSE 0 END AS new_island
+      |  FROM ev
+      |  WINDOW wprev AS (PARTITION BY user_id ORDER BY st, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND 1 PRECEDING)),
+      |numbered AS (
+      |  SELECT user_id, st, en,
+      |         sum(new_island) OVER (PARTITION BY user_id
+      |                               ORDER BY st, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING
+      |                               AND CURRENT ROW) AS island_id
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT user_id, island_id,
+      |         min(st) AS i_st, max(en) AS i_en
+      |  FROM numbered GROUP BY 1, 2)""".stripMargin
 
   private val cdcLatestSql =
     """WITH ev AS (
@@ -2055,34 +2125,30 @@ object RelQueries {
 
     // Same cumulative-max island formulation (ANSI windows).
     "q_interval_coverage" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS st,
-        |         epoch_ms(ts) + 300000 AS en
-        |  FROM events),
-        |flagged AS (
-        |  SELECT user_id, event_id, st, en,
-        |         CASE WHEN max(en) OVER wprev IS NULL
-        |                OR st > max(en) OVER wprev
-        |              THEN 1 ELSE 0 END AS new_island
-        |  FROM ev
-        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY st, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING
-        |                   AND 1 PRECEDING)),
-        |numbered AS (
-        |  SELECT user_id, st, en,
-        |         sum(new_island) OVER (PARTITION BY user_id
-        |                               ORDER BY st, event_id
-        |                               ROWS BETWEEN UNBOUNDED PRECEDING
-        |                               AND CURRENT ROW) AS island_id
-        |  FROM flagged),
-        |islands AS (
-        |  SELECT user_id, island_id,
-        |         min(st) AS i_st, max(en) AS i_en
-        |  FROM numbered GROUP BY 1, 2)
+      s"""WITH $islandsCtes
         |SELECT user_id, count(*) AS n_islands,
         |       CAST(sum(i_en - i_st) AS BIGINT) AS covered_ms,
         |       CAST(max(i_en - i_st) AS BIGINT) AS max_island_ms
         |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // The deliberately NAIVE theta-join spelling — what the engine's
+    // bucket-join must equal.
+    "q_interval_overlap_join" ->
+      s"""WITH $islandsCtes,
+        |base AS (SELECT (min(st) // 86400000) * 86400000 AS b0 FROM ev),
+        |pw AS (
+        |  SELECT promo_id, b0 + promo_id*604800000 AS p_st,
+        |         b0 + promo_id*604800000 + 172800000 AS p_en
+        |  FROM (SELECT unnest(range(0, 10)) AS promo_id) CROSS JOIN base)
+        |SELECT i.user_id, CAST(i.island_id AS BIGINT) AS island_id,
+        |       p.promo_id,
+        |       greatest(i.i_st, p.p_st) AS ov_st,
+        |       least(i.i_en, p.p_en) AS ov_en,
+        |       CAST(least(i.i_en, p.p_en) - greatest(i.i_st, p.p_st)
+        |            AS BIGINT) AS overlap_ms
+        |FROM islands i JOIN pw p
+        |  ON i.i_st <= p.p_en AND p.p_st <= i.i_en
+        |ORDER BY user_id, island_id, promo_id""".stripMargin,
 
     // Same dictionary-first blocked fuzzy join; DuckDB's levenshtein
     // is the same classic unit-cost edit distance as Spark's.
