@@ -43,7 +43,28 @@ object TemporalJoin {
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
-           payload: Seq[String], tieBreak: String): DataFrame = {
+           payload: Seq[String], tieBreak: String): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, payload, tieBreak,
+      forward = false)
+
+  /** FORWARD as-of join: for each `left` row, the EARLIEST `right`
+    * row with the same key and `right.ts ≥ left.ts` — the "next
+    * event after" lookup (next maintenance slot, next price tick,
+    * next session start). Identical plan shape to [[asof]]: the scan
+    * direction of the one window pass flips, nothing else — so the
+    * 100 TB cost model (one key shuffle, per-key sort, zero blowup)
+    * carries over verbatim. Ties on timestamp resolve to the
+    * greatest `tieBreak`, same as backward. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  payload: Seq[String], tieBreak: String): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, payload, tieBreak,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       payload: Seq[String], tieBreak: String,
+                       forward: Boolean): DataFrame = {
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
@@ -54,12 +75,14 @@ object TemporalJoin {
     // unionByName fills the side-specific columns with nulls; the
     // window then carries the latest non-null right payload forward.
     // Frame order (ts, side, tie): right rows sort before left rows at
-    // equal ts (≤ semantics), tied right rows resolve by tieBreak, and
-    // left rows contribute only nulls so their relative order is
-    // irrelevant under ignoreNulls.
+    // equal ts (≤/≥ inclusive semantics), tied right rows resolve by
+    // tieBreak, and left rows contribute only nulls so their relative
+    // order is irrelevant under ignoreNulls. Forward mode scans ts
+    // DESCENDING, so "last seen right row" is the smallest ts ≥ left.
     val u = l.unionByName(r, allowMissingColumns = true)
+    val tsOrd = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .orderBy(tsOrd, col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(u) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))

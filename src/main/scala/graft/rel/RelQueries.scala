@@ -577,6 +577,26 @@ object RelQueries {
     // Backward as-of join (TemporalJoin.asof): each purchase event
     // picks up the user's most recent click at or before it — one
     // window pass over the unioned sides, no per-row probe.
+    // FORWARD as-of: for each purchase, the NEXT click at-or-after —
+    // the other half of the as-of pair (same one-window plan, scan
+    // direction flipped; see TemporalJoin.asofForward).
+    "q_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_ms").as("click_ms"))
+      graft.core.TemporalJoin.asofForward(purchases, clicks, "user_id",
+          leftTs = "ts_ms", rightTs = "click_ms",
+          payload = Seq("click_id", "click_ms"), tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_ms") - col("ts_ms"), lit(-1L)).as("gap_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
         col("event_type"), unix_millis(col("ts")).as("ts_ms"))
@@ -1887,6 +1907,33 @@ object RelQueries {
 
     // Same union+window formulation as the engine (ANSI; DuckDB's
     // native ASOF JOIN would leave right-timestamp ties unspecified).
+    // Same union+window spelling, ts DESCENDING — the forward scan.
+    "q_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, ts_ms, 1 AS side, event_id,
+        |         NULL::BIGINT AS click_id, NULL::BIGINT AS click_ms
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_ms, 0 AS side, event_id,
+        |         event_id AS click_id, ts_ms AS click_ms
+        |  FROM ev WHERE event_type = 'click'),
+        |filled AS (
+        |  SELECT user_id, ts_ms, side, event_id,
+        |         last_value(click_id IGNORE NULLS) OVER w AS click_id,
+        |         last_value(click_ms IGNORE NULLS) OVER w AS click_ms
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_ms DESC, side, click_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |       coalesce(click_id, -1) AS click_id,
+        |       coalesce(click_ms - ts_ms, -1) AS gap_ms
+        |FROM filled WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
+
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms

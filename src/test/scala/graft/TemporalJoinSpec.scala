@@ -28,6 +28,44 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out(5L).isEmpty)          // k2 has no right rows at all
   }
 
+  test("asofForward picks the earliest right row at or after each left row") {
+    import spark.implicits._
+    val left = Seq((1L, "k1", 5L), (2L, "k1", 20L), (3L, "k1", 30L),
+      (4L, "k1", 50L), (5L, "k2", 100L))
+      .toDF("lid", "key", "lts")
+    val right = Seq((101L, "k1", 10L), (102L, "k1", 20L), (103L, "k1", 20L),
+      (104L, "k1", 40L), (105L, "k3", 1L))
+      .toDF("rid", "key", "rts")
+    val out = TemporalJoin.asofForward(left, right, "key",
+        leftTs = "lts", rightTs = "rts",
+        payload = Seq("rid"), tieBreak = "rid")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(101L))   // t=5: next right is t=10
+    assert(out(2L).contains(103L))   // t=20: >= includes ties, max rid wins
+    assert(out(3L).contains(104L))   // t=30: next is t=40
+    assert(out(4L).isEmpty)          // t=50: nothing after
+    assert(out(5L).isEmpty)          // k2 has no right rows
+    // randomized equivalence against brute force (ties included)
+    val r = new scala.util.Random(78)
+    for (trial <- 1 to 4) {
+      val lefts = (0 until 25).map(i =>
+        (i.toLong, s"k${r.nextInt(3)}", r.nextInt(80).toLong))
+      val rights = (0 until 25).map(i =>
+        (100L + i, s"k${r.nextInt(3)}", r.nextInt(80).toLong))
+      val expect = lefts.map { case (lid, k, lts) =>
+        val cands = rights.filter(x => x._2 == k && x._3 >= lts)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy(x => (x._3, -x._1))._1))
+      }.toMap
+      val got = TemporalJoin.asofForward(
+          lefts.toDF("lid", "key", "lts"), rights.toDF("rid", "key", "rts"),
+          "key", leftTs = "lts", rightTs = "rts",
+          payload = Seq("rid"), tieBreak = "rid")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      assert(got === expect, s"asofForward trial $trial")
+    }
+  }
+
   test("bandJoin matches the naive theta join on events-shaped data") {
     import spark.implicits._
     // timestamps straddle bucket boundaries of W=100 deliberately
