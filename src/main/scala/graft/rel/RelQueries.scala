@@ -276,6 +276,42 @@ object RelQueries {
         .orderBy(col("custkey"))
     }),
 
+    // Column-correlation profile: the 4×4 numeric Pearson matrix over
+    // lineitem (quantity, price, discount, tax) in ONE scan — the
+    // feature-redundancy / optimizer-stats read-out. All 15 moment
+    // sums (4 sums, 4 squares, 6 cross products, 1 count) ride a
+    // single partial/final aggregate over exact fixed-point integers
+    // accumulated in DECIMAL(38,0) (cents² × 10⁸ rows passes 2^63 —
+    // the pairMomentsDec envelope), cast to DOUBLE only inside the
+    // final 6-row correlation projection of the one aggregate row.
+    "q_column_corr" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        floor(col("l_quantity") + 0.5).cast("long").as("cq"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cp"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("cd"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("ct"))
+      val cs = Seq("cq", "cp", "cd", "ct")
+      def d19(c: String) = col(c).cast("decimal(19,0)")
+      val pairs = for { i <- cs.indices; j <- i + 1 until cs.length }
+        yield (cs(i), cs(j))
+      val aggs = count(lit(1)).cast("double").as("n") +:
+        (cs.map(c => sum(d19(c)).cast("double").as(s"s_$c")) ++
+          cs.map(c => sum(d19(c) * d19(c)).cast("double").as(s"ss_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(d19(a) * d19(b)).cast("double").as(s"sp_${a}_$b") })
+      val m = li.agg(aggs.head, aggs.tail: _*)
+      pairs.map { case (a, b) =>
+        m.select(lit(s"${a}_$b").as("pair"),
+          col("n").as("nd"), col(s"sp_${a}_$b").as("sxyd"),
+          col(s"s_$a").as("sxd"), col(s"s_$b").as("syd"),
+          col(s"ss_$a").as("sxxd"), col(s"ss_$b").as("syyd"))
+      }.reduce(_ unionByName _)
+        .select(col("pair"), Det.r4(graft.core.Similarity.correlation(
+          col("nd"), col("sxyd"), col("sxd"), col("syd"),
+          col("sxxd"), col("syyd"))).as("corr"))
+        .orderBy(col("pair"))
+    }),
+
     // CUBE grouping sets with grouping() indicators.
     "q_agg_cube" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -1573,6 +1609,36 @@ object RelQueries {
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_column_corr" -> {
+      val cs = Seq("cq", "cp", "cd", "ct")
+      val pairs = for { i <- cs.indices; j <- i + 1 until cs.length }
+        yield (cs(i), cs(j))
+      val sums = (cs.map(c => s"CAST(sum($c) AS DOUBLE) AS s_$c") ++
+        cs.map(c => s"CAST(sum($c*$c) AS DOUBLE) AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum($a*$b) AS DOUBLE) AS sp_${a}_$b" }).mkString(",\n       ")
+      val arms = pairs.map { case (a, b) =>
+        s"SELECT '${a}_$b' AS pair, n AS nd, sp_${a}_$b AS sxyd, " +
+          s"s_$a AS sxd, s_$b AS syd, ss_$a AS sxxd, ss_$b AS syyd FROM m"
+      }.mkString("\n  UNION ALL ")
+      val corrSql = graft.core.Similarity.Sql.corr(
+        "nd", "sxyd", "sxd", "syd", "sxxd", "syyd")
+      s"""WITH src AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS cq,
+         |         CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cp,
+         |         CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS cd,
+         |         CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS ct
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |       $sums
+         |  FROM src),
+         |u AS (
+         |  $arms)
+         |SELECT pair, ${r4(corrSql)} AS corr
+         |FROM u ORDER BY pair""".stripMargin
+    },
+
     "q_local_supplier_volume" ->
       s"""SELECT n_name,
          |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
