@@ -1309,6 +1309,24 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy(col("split"))),
 
+    // The RELEASE MANIFEST — what a dataset freeze actually ships:
+    // per split (the q_split_assign bands), doc/char/token totals and
+    // a content fingerprint (sum of per-doc text hashes — any changed
+    // or reordered-in or dropped row moves it). One scan, partial/
+    // final agg; the fingerprint makes two builds of "the same"
+    // release byte-comparable without diffing corpora.
+    "q_release_manifest" -> ((s, d) =>
+      Sampling.splitAssign(docs(s, d), col("doc_id").cast("string"),
+          SplitBands)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long")).as("n_tokens"),
+          sum(PortableHash.spread(PortableHash.h(col("text"))))
+            .as("content_fingerprint"))
+        .orderBy(col("split"))),
+
     // Deterministic stratified sample: 20 docs per language by
     // smallest (hash, key) — seeded-reservoir analog.
     "q_stratified_sample" -> ((s, d) =>
@@ -3930,6 +3948,20 @@ object ExtQueries {
          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_release_manifest" ->
+      s"""WITH assigned AS (
+         |  SELECT *, ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
+              SplitBands)} AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(len(list_filter(string_split(text, ' '),
+         |                x -> x <> ''))) AS BIGINT) AS n_tokens,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT)
+         |         AS content_fingerprint
+         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q_split_assign" ->
       s"""WITH assigned AS (
