@@ -56,7 +56,13 @@ object ScaleGate {
     // round-9: the remaining BPE-apply rows (VERDICT r8 #7) — the
     // replace chain is scan-parallel by construction, the gate proves
     // the constant holds as the corpus densifies
-    "q_bpe_tokens", "q_pack_bpe")
+    "q_bpe_tokens", "q_pack_bpe",
+    // round-9 additions: the kernel BPE path, the containment
+    // rescore (shares the capped candidate set), the threshold sweep
+    // (pairs × 10-row axis), and the power-iteration direction (two
+    // corpus passes per round)
+    "q_bpe_tokens_kernel", "q_minhash_containment",
+    "q_dedup_threshold_sweep", "q_embed_pca_power")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
@@ -66,7 +72,8 @@ object ScaleGate {
     * number (shared INTERMEDIATES are legitimately amortized; the
     * per-query work still executes every run). */
   val Materialized: Set[String] =
-    Set("q_dedup_clusters", "q_graph_rank", "q_graph_triangles")
+    Set("q_dedup_clusters", "q_graph_rank", "q_graph_triangles",
+      "q_embed_pca_power")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 
