@@ -1079,6 +1079,43 @@ object RelQueries {
     // both engines). Two aggs: data → daily counts (report-sized),
     // days → moments. The regression aggregate every metrics
     // dashboard runs, expressed scale-shaped.
+    // Theil–Sen robust slope — the median-of-pairwise-slopes
+    // estimator next to q_trend_slope's OLS: one wild outlier day
+    // moves OLS arbitrarily, Theil–Sen not at all (breakdown 29%).
+    // Pairs are quadratic in DAYS PER TYPE — a bounded time axis,
+    // never the corpus — so the within-type pair window is small by
+    // construction at any data scale. Lower median picked by rank
+    // over the (slope, day_i, day_j) total order: a deterministic
+    // ELEMENT, so the emitted double is portable without averaging
+    // discipline.
+    "q_theilsen_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("y").as("yi"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("y").as("yj"))
+      val pairs = a.join(b, Seq("event_type"))
+        .where(col("di") < col("dj"))
+        .select(col("event_type"), col("di"), col("dj"),
+          ((col("yj") - col("yi")).cast("double") /
+            (col("dj") - col("di")).cast("double")).as("slope"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("di"), col("dj"))
+      pairs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_pairs", count(lit(1))
+          .over(Window.partitionBy(col("event_type"))))
+        .where(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("event_type"), col("n_pairs"),
+          Det.r4(col("slope")).as("ts_slope"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_trend_slope" -> ((s, d) => {
       val daily = t(s, d, "events")
         .select(col("event_type"),
@@ -1638,6 +1675,28 @@ object RelQueries {
          |SELECT pair, ${r4(corrSql)} AS corr
          |FROM u ORDER BY pair""".stripMargin
     },
+
+    "q_theilsen_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.day AS di, b.day AS dj,
+        |         CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+        |           AS slope
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.day < b.day),
+        |ranked AS (
+        |  SELECT event_type, slope,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY slope, di, dj) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM pairs)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       floor(slope*10000 + 0.5)/10000.0 AS ts_slope
+        |FROM ranked WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     "q_local_supplier_volume" ->
       s"""SELECT n_name,
