@@ -2,7 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Det
+import graft.core.{Det, PortableHash}
 import graft.io.Sources
 
 /** Relational breadth queries (SURVEY.md §2.3): scans, aggregations,
@@ -1079,6 +1079,42 @@ object RelQueries {
     // both engines). Two aggs: data → daily counts (report-sized),
     // days → moments. The regression aggregate every metrics
     // dashboard runs, expressed scale-shaped.
+    // Experiment read-out: deterministic A/B assignment (spread-hash
+    // parity of the user key — the same gate discipline as
+    // q_split_assign, so arms are stable under re-runs and new data
+    // never reassigns a user), purchase-conversion per arm from exact
+    // counts, and the two-proportion z statistic spelled once in IEEE
+    // doubles. One distinct-user aggregation + one 2-row reduce; at
+    // 100 TB the per-user conversion flag is a partial/final max —
+    // nothing here is more than two shuffles.
+    "q_abtest_lift" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm",
+          (PortableHash.spread(
+            PortableHash.h(col("user_id").cast("string"))) % 2L)
+            .as("arm"))
+      val arms = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val row = arms.where(col("arm") === 0L)
+        .select(col("n").as("n_a"), col("conv").as("conv_a"))
+        .crossJoin(arms.where(col("arm") === 1L)
+          .select(col("n").as("n_b"), col("conv").as("conv_b")))
+      val rateA = col("conv_a").cast("double") / col("n_a")
+      val rateB = col("conv_b").cast("double") / col("n_b")
+      val p = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val den = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      row.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        Det.r4(rateA).as("rate_a"), Det.r4(rateB).as("rate_b"),
+        Det.r4(rateB - rateA).as("lift"),
+        Det.r4(when(den === 0.0, lit(0.0))
+          .otherwise((rateB - rateA) / den)).as("z_stat"))
+    }),
+
     // Theil–Sen robust slope — the median-of-pairwise-slopes
     // estimator next to q_trend_slope's OLS: one wild outlier day
     // moves OLS arbitrarily, Theil–Sen not at all (breakdown 29%).
@@ -1674,6 +1710,37 @@ object RelQueries {
          |  $arms)
          |SELECT pair, ${r4(corrSql)} AS corr
          |FROM u ORDER BY pair""".stripMargin
+    },
+
+    "q_abtest_lift" -> {
+      val gate = graft.core.PortableHash.spreadSql(
+        graft.core.PortableHash.hSql("CAST(user_id AS VARCHAR)"))
+      val rateA = "CAST(conv_a AS DOUBLE) / n_a"
+      val rateB = "CAST(conv_b AS DOUBLE) / n_b"
+      val p = "CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)"
+      val den = s"sqrt(($p) * (1.0 - ($p)) * (1.0 / n_a + 1.0 / n_b))"
+      s"""WITH users AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS converted
+         |  FROM events GROUP BY 1),
+         |armed AS (SELECT *, ($gate) % 2 AS arm FROM users),
+         |arms AS (
+         |  SELECT arm, count(*) AS n,
+         |         CAST(sum(converted) AS BIGINT) AS conv
+         |  FROM armed GROUP BY 1),
+         |r AS (
+         |  SELECT a.n AS n_a, a.conv AS conv_a,
+         |         b.n AS n_b, b.conv AS conv_b
+         |  FROM (SELECT * FROM arms WHERE arm = 0) a
+         |  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |       ${r4(rateA)} AS rate_a,
+         |       ${r4(rateB)} AS rate_b,
+         |       ${r4(s"($rateB) - ($rateA)")} AS lift,
+         |       ${r4(s"CASE WHEN $den = 0.0 THEN 0.0 " +
+              s"ELSE (($rateB) - ($rateA)) / ($den) END")} AS z_stat
+         |FROM r""".stripMargin
     },
 
     "q_theilsen_slope" ->
