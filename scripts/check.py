@@ -31,6 +31,9 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check.py <sfdir> <outdir> [--json out.json] "
+                     "[query ...] (--json needs a path)")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sfdir, outdir = args[0], args[1]

@@ -248,6 +248,16 @@ object Bpe {
   * Serialization: the instance ships to executors once per task-set;
   * the rank map is built on construction (driver) and is
   * merge-table-sized, the same envelope as the chain's plan literals.
+  *
+  * Domain contract (inherited from the CHAIN, not introduced here):
+  * words must not contain `[`, `]`, or line terminators — the chain's
+  * bracketed rendering is itself malformed on those (a literal `]`
+  * corrupts `countCol`'s `]`-count and `(.)` skips newlines), so both
+  * paths exclude them; a production ingest normalizes or routes such
+  * tokens to byte-fallback BEFORE tokenization. Supplementary-plane
+  * characters ARE in-domain: seeding is per CODE POINT (matching the
+  * chain's `(.)` regex), not per UTF-16 unit — BpeSpec pins an astral
+  * word to prove it.
   */
 final class BpeTokenizer(merges: Seq[(String, String)])
     extends Serializable {
@@ -262,11 +272,20 @@ final class BpeTokenizer(merges: Seq[(String, String)])
   /** Tokenize one word into its final symbol sequence (always ends
     * with the `</w>` marker symbol or a merged symbol containing it). */
   def tokenize(word: String): Array[String] = {
+    // seed: one symbol per CODE POINT (the `(.)` regex of seedCol
+    // matches code points — charAt would split surrogate pairs)
     var syms = new Array[String](word.length + 1)
+    var nSyms = 0
     var i = 0
-    // seed: one symbol per char — the `[c]` symbols of seedCol
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
-    syms(word.length) = "</w>"
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms(nSyms) = word.substring(i, i + w)
+      nSyms += 1
+      i += w
+    }
+    syms(nSyms) = "</w>"
+    syms = java.util.Arrays.copyOf(syms, nSyms + 1)
     val pending = new java.util.TreeSet[Integer]()
     def scan(minExclusive: Int): Unit = {
       var j = 0

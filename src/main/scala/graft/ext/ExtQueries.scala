@@ -1662,7 +1662,8 @@ object ExtQueries {
         .orderBy(col("dim"))),
 
     // Top principal direction by deterministic power iteration on the
-    // centered embeddings (2 fixed rounds from the e_1 seed) — the
+    // centered embeddings (2 fixed rounds from the uniform 1/√d seed
+    // — an axis seed zeroes out on a constant dimension) — the
     // collapse/whitening QA read-out; see VectorSearch.topDirection
     // for the fixed-point round discipline that makes the full
     // iterate-normalize loop oracle-replayable.

@@ -472,6 +472,10 @@ object VectorSearch {
             .otherwise(col("w") / col("nr")).as("vi"))
         .localCheckpoint(true)
     }
+    // every round's v is an EAGER checkpoint, so nothing downstream
+    // reads cexp again — release the corpus-sized cache now instead
+    // of leaking one copy per call for the session lifetime
+    cexp.unpersist()
     v.join(broadcast(mean), Seq("i"))
       .select(col("i").cast("long").as("dim"),
         Det.r4(col("m")).as("mean_v"), Det.r4(col("vi")).as("pc1"))

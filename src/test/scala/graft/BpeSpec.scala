@@ -90,8 +90,11 @@ class BpeSpec extends SparkSpec {
     chain.foreach { case (w, expected) =>
       assert(tok.tokenizeBracketed(w) == expected, s"word '$w'")
     }
-    // shapes outside the corpus: unseen chars, repeats, 1-char words
-    Seq("low", "lower", "zzz", "ababab", "x", "lowlow").foreach { w =>
+    // shapes outside the corpus: unseen chars, repeats, 1-char words,
+    // and a supplementary-plane char (seeding must be per CODE POINT
+    // like the chain's `(.)` — charAt would split the surrogate pair)
+    Seq("low", "lower", "zzz", "ababab", "x", "lowlow",
+      "lo😀w").foreach { w =>
       val expected = Seq(w).toDF("w")
         .select(Bpe.tokenizeCol(col("w"), m)).head().getString(0)
       assert(tok.tokenizeBracketed(w) == expected, s"word '$w'")
