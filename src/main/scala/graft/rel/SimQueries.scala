@@ -370,20 +370,36 @@ object SimQueries {
     // the two groupBys; nothing quadratic, nothing driver-side.
     "q_recsys_rmse" -> ((s, d) => {
       import graft.core.PortableHash
-      val key = concat(col("user_id").cast("string"), lit("|"),
-        col("item_id").cast("string"))
+      // integer cell key — the (user, item) gate needs no string
+      // materialization: a Lehmer mix of the two ids is exactly as
+      // deterministic and saves a concat+hash pass over every rating
+      val cellKey = (col("user_id") * lit(131071L) + col("item_id")) %
+        lit(PortableHash.M.toLong)
       val r = ratings(s, d).withColumn("is_test",
-        (PortableHash.spread(PortableHash.h(key)) < lit(RmseTestCut))
-          .cast("long"))
+        (PortableHash.spread(cellKey) < lit(RmseTestCut)).cast("long"))
       val train = r.where(col("is_test") === 0)
       val test = r.where(col("is_test") === 1)
-      val g = train.agg(sum(col("rating_i")).as("gs"),
-        count(lit(1)).as("gn"))
+      // all three bias tables (global μ, per-user, per-item) in ONE
+      // Expand pass via grouping sets instead of three train scans —
+      // user/item ids are never null in the ratings view, so a null
+      // key marks the aggregated-away dimension unambiguously
+      val sets = train.groupingSets(
+          Seq(Seq.empty[org.apache.spark.sql.Column],
+            Seq(col("user_id")), Seq(col("item_id"))),
+          col("user_id"), col("item_id"))
+        .agg(sum(col("rating_i")).as("s"), count(lit(1)).as("c"))
+        // materialize the one Expand pass: exchange reuse does not
+        // fire above the persisted ratings cache (PLANS round 5), so
+        // un-checkpointed, the three filters below would each re-run
+        // the aggregate. The sets frame is O(users+items) rows.
+        .localCheckpoint(true)
+      val g = sets.where(col("user_id").isNull && col("item_id").isNull)
+        .select(col("s").as("gs"), col("c").as("gn"))
       val mu = col("gs").cast("double") / col("gn") / lit(10000.0)
-      val ub = train.groupBy(col("user_id"))
-        .agg(sum(col("rating_i")).as("us"), count(lit(1)).as("un"))
-      val ib = train.groupBy(col("item_id"))
-        .agg(sum(col("rating_i")).as("is"), count(lit(1)).as("in"))
+      val ub = sets.where(col("user_id").isNotNull)
+        .select(col("user_id"), col("s").as("us"), col("c").as("un"))
+      val ib = sets.where(col("item_id").isNotNull)
+        .select(col("item_id"), col("s").as("is"), col("c").as("in"))
       val scored = test
         .crossJoin(broadcast(g))
         .join(broadcast(ub), Seq("user_id"), "left")
@@ -428,9 +444,8 @@ object SimQueries {
     // / 10000.0); per-row errors snap to 1e-8 fixed point before the
     // final aggregation on both engines.
     "q_recsys_rmse" -> {
-      val keySql = "CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR)"
       val gateSql = graft.core.PortableHash.spreadSql(
-        graft.core.PortableHash.hSql(keySql))
+        s"((user_id * 131071 + item_id) % ${graft.core.PortableHash.M})")
       s"""WITH $R,
          |gated AS (
          |  SELECT *, CASE WHEN $gateSql < $RmseTestCut THEN 1 ELSE 0 END
