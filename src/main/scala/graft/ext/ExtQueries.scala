@@ -1723,6 +1723,31 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // FILTERED vector search — ANN with a metadata predicate (each
+    // query retrieves only corpus vectors sharing ITS OWN label): the
+    // index (cells + assignment) is built once, unfiltered — the
+    // session artifacts q_ann_kmeans/q_semdedup already share — and
+    // the predicate prunes the candidate rows at scan time, exactly
+    // where an inverted-list serving tier applies its filter. The
+    // second feature every real vector deployment needs after top-k.
+    "q_ann_filtered" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
+        VectorSearch.kmeansCells(e, k = 8, iters = 2))
+      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
+          VectorSearch.assignCells(e, cellsB))
+        .join(emb(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("q_label"))
+      VectorSearch.ivfTopKFromAssigned(assigned, cellsB, queries,
+          "qid", "qvec", k = 3, nProbe = 2,
+          scanFilter = col("label") === col("q_label"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // PQ-ADC ANN: per-subspace codebooks (deterministic fixed-point
     // L2 k-means over 4×16-dim subvectors), corpus encoded to 4 small
     // codes per vector, queries scored by asymmetric distance — the
@@ -2945,8 +2970,15 @@ object ExtQueries {
   /** Generated oracle for q_ann_kmeans: [[kmeansAssignCtes]] + the
     * same IVF probe/scan tail as q_ann_ivf over the final
     * centroids. */
-  private def kmeansIvfOracle(k: Int, iters: Int): String = {
+  private def kmeansIvfOracle(k: Int, iters: Int,
+                              labelFiltered: Boolean = false): String = {
     val F12 = "1000000000000.0"
+    val candJoin =
+      if (labelFiltered)
+        """|  JOIN embeddings le ON le.vec_id = a.vec_id
+           |  JOIN embeddings qe ON qe.vec_id = p.qid
+           |   AND le.label = qe.label""".stripMargin
+      else ""
     s"""WITH ${kmeansAssignCtes(k, iters)},
        |probes AS (
        |  SELECT vec_id AS qid, cell_id FROM (
@@ -2956,7 +2988,8 @@ object ExtQueries {
        |    FROM acos$iters WHERE vec_id % 50 = 0) WHERE prn <= 2),
        |cand AS (
        |  SELECT p.qid, a.vec_id
-       |  FROM probes p JOIN assign$iters a ON a.cell_id = p.cell_id),
+       |  FROM probes p JOIN assign$iters a ON a.cell_id = p.cell_id
+       |$candJoin),
        |pdots AS (
        |  SELECT c.qid, c.vec_id,
        |         CAST(sum(CAST(floor(q.v*e.v*$F12 + 0.5) AS BIGINT))
@@ -3871,6 +3904,9 @@ object ExtQueries {
     },
 
     "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
+
+    "q_ann_filtered" -> kmeansIvfOracle(k = 8, iters = 2,
+      labelFiltered = true),
 
     "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
       tau = SemTau, cap = SemCellCap, ksub = SemSubK),

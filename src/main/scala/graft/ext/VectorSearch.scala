@@ -151,6 +151,47 @@ object VectorSearch {
       .where(col("rn") <= k)
   }
 
+  /** IVF serving over a PRE-BUILT (ideally session-materialized)
+    * [[assignCells]] frame, with an optional scan-time predicate —
+    * the FILTERED vector search shape (every real vector deployment's
+    * second feature: "nearest neighbors WHERE lang = query's lang").
+    * The filter applies to the candidate rows AFTER the probe join,
+    * exactly where an inverted-list scan applies its metadata
+    * predicate — the index is built once, unfiltered; queries carry
+    * their own constraint columns and `scanFilter` may reference both
+    * sides. At 100 TB the assignment table stores the filter columns
+    * alongside the codes so the predicate prunes before any distance
+    * math — mirror that by joining the metadata into `assigned`
+    * before calling. */
+  def ivfTopKFromAssigned(assigned: DataFrame, cellsB: DataFrame,
+                          queries: DataFrame, queryKey: String,
+                          queryVec: String, k: Int, nProbe: Int,
+                          scanFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.ensureRegistered(assigned.sparkSession)
+    val pw = Window.partitionBy(col(queryKey))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val probes = queries
+      .withColumn("qnrm", fixedNormSq(col(queryVec)))
+      .crossJoin(cellsB)
+      .withColumn("cell_cos", Det.r4(cosineCol(
+        fixedDot(col(queryVec), col("centroid")),
+        col("qnrm"), col("cnrm"))))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= nProbe)
+      .drop("centroid", "cnrm", "cell_cos", "prn")
+    val sw = Window.partitionBy(col(queryKey))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell_id"))
+      .where(scanFilter)
+      .select(col(queryKey), col("vec_id"),
+        Det.r4(cosineCol(
+          fixedDot(col(queryVec), col("embedding")),
+          col("qnrm"), col("enrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(sw).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Nearest-cell assignment of every corpus vector — the IVF build
     * side, shared by [[ivfTopK]] and [[semDedup]]. Argmax via max_by
     * aggregation: partial/final (map-side combine) and no sort. A
