@@ -421,6 +421,16 @@ object ExtQueries {
       s.sql(SqlCorrelatedSql)
     }),
 
+    // The LATERAL quarter of the literal SQL surface: a correlated
+    // top-N-per-group via LATERAL (... ORDER BY ... LIMIT 2) — the
+    // spelling analysts reach for before window functions. Both
+    // engines parse the identical text; Spark rewrites it to a
+    // ranked-window plan, DuckDB to its own dependent join.
+    "q_sql_lateral" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlLateralSql)
+    }),
+
     // The window-function half of the literal SQL surface: one ANSI
     // text with a named WINDOW clause, ranking + offset functions,
     // executed verbatim by spark.sql AND by the oracle engine — the
@@ -2359,6 +2369,22 @@ object ExtQueries {
       |              ORDER BY o_orderpriority, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** The LATERAL top-N-per-group literal (q_sql_lateral) — one ANSI
+    * text, two engines, two independent dependent-join rewrites. */
+  private val SqlLateralSql: String =
+    """SELECT c_custkey, t.o_orderkey, t.cents
+      |FROM customer,
+      |LATERAL (
+      |  SELECT o_orderkey,
+      |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY cents DESC, o_orderkey
+      |  LIMIT 2
+      |) t
+      |WHERE c_custkey % 50 = 0
+      |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin
+
   /** The correlated-scalar-subquery literal (q_sql_correlated) — one
     * ANSI text, two engines, two independent decorrelations that must
     * agree row for row. */
@@ -3155,6 +3181,7 @@ object ExtQueries {
     "q_sql_surface" -> SqlSurfaceSql,
     "q_sql_window_surface" -> SqlWindowSurfaceSql,
     "q_sql_correlated" -> SqlCorrelatedSql,
+    "q_sql_lateral" -> SqlLateralSql,
 
     // The parquet-side summary with the tag expression recomputed —
     // if the CSV write→quote→parse path preserved every field, the
