@@ -1758,6 +1758,52 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // Recall@3 of the filtered serve vs the filtered exact truth —
+    // the acceptance number for q_ann_filtered, same discipline as
+    // the IVF/IVF-PQ/SQ recall triptych.
+    "q_ann_filtered_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        col("label"))
+      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
+        VectorSearch.kmeansCells(
+          e.select(col("vec_id"), col("embedding")), k = 8, iters = 2))
+      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
+          VectorSearch.assignCells(
+            e.select(col("vec_id"), col("embedding")), cellsB))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("q_label"))
+      val served = VectorSearch.ivfTopKFromAssigned(assigned, cellsB,
+          queries, "qid", "qvec", k = 3, nProbe = 2,
+          scanFilter = col("label") === col("q_label"))
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val eN = e.withColumn("enrm",
+        VectorSearch.fixedNormSq(col("embedding")))
+      val qN = queries.withColumn("qnrm",
+        VectorSearch.fixedNormSq(col("qvec")))
+      val scoredEx = eN.crossJoin(broadcast(qN))
+        .where(col("label") === col("q_label"))
+        .select(col("qid"), col("vec_id"),
+          Det.r4(VectorSearch.cosineCol(
+            VectorSearch.fixedDot(col("qvec"), col("embedding")),
+            col("qnrm"), col("enrm"))).as("cos_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val exact = scoredEx.withColumn("ern", row_number().over(w))
+        .where(col("ern") <= 3).select(col("qid"), col("vec_id"))
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // PQ-ADC ANN: per-subspace codebooks (deterministic fixed-point
     // L2 k-means over 4×16-dim subvectors), corpus encoded to 4 small
     // codes per vector, queries scored by asymmetric distance — the
@@ -2996,8 +3042,13 @@ object ExtQueries {
   /** Generated oracle for q_ann_kmeans: [[kmeansAssignCtes]] + the
     * same IVF probe/scan tail as q_ann_ivf over the final
     * centroids. */
-  private def kmeansIvfOracle(k: Int, iters: Int,
-                              labelFiltered: Boolean = false): String = {
+  /** The kmeans-IVF serving chain (probes → cand → scored → ranked),
+    * optionally label-filtered at the cand stage — shared by
+    * q_ann_kmeans, q_ann_filtered, and the filtered-recall oracle.
+    * References [[kmeansAssignCtes]]'s `expl`/`enorm`/`acos`/`assign`.
+    */
+  private def kmeansIvfChain(k: Int, iters: Int,
+                             labelFiltered: Boolean): String = {
     val F12 = "1000000000000.0"
     val candJoin =
       if (labelFiltered)
@@ -3005,7 +3056,7 @@ object ExtQueries {
            |  JOIN embeddings qe ON qe.vec_id = p.qid
            |   AND le.label = qe.label""".stripMargin
       else ""
-    s"""WITH ${kmeansAssignCtes(k, iters)},
+    s"""${kmeansAssignCtes(k, iters)},
        |probes AS (
        |  SELECT vec_id AS qid, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -3034,10 +3085,44 @@ object ExtQueries {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |                               ORDER BY cos_sim DESC, vec_id) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private def kmeansIvfOracle(k: Int, iters: Int,
+                              labelFiltered: Boolean = false): String =
+    s"""WITH ${kmeansIvfChain(k, iters, labelFiltered)}
        |SELECT qid, vec_id, cos_sim, rn
        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
-  }
+
+  /** Label-filtered exact top-3 — the ground-truth side of
+    * q_ann_filtered_recall (exactTop3Ctes with the same label
+    * constraint the served side applies). References `expl`/`enorm`.
+    */
+  private lazy val exactTop3FilteredCtes: String =
+    s"""edots AS (
+       |  SELECT q.vec_id AS qid, e.vec_id,
+       |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
+       |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+       |  FROM expl q
+       |  JOIN expl e ON e.i = q.i
+       |  JOIN embeddings le ON le.vec_id = e.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+       |   AND le.label = qe.label
+       |  WHERE q.vec_id % 50 = 0
+       |  GROUP BY 1, 2),
+       |escored AS (
+       |  SELECT d.qid, d.vec_id,
+       |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+       |  FROM edots d
+       |  JOIN enorm nq ON nq.vec_id = d.qid
+       |  JOIN enorm ne ON ne.vec_id = d.vec_id),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos_sim DESC, vec_id) AS ern
+       |    FROM escored) WHERE ern <= 3)""".stripMargin
 
   /** Generated oracle for q_ann_pq: per-subspace seeds → `iters`
     * rounds of (exact integer L2 argmin → fixed-point means) → corpus
@@ -3934,6 +4019,17 @@ object ExtQueries {
 
     "q_ann_filtered" -> kmeansIvfOracle(k = 8, iters = 2,
       labelFiltered = true),
+
+    // Acceptance pair for the filtered path: recall@3 of the filtered
+    // IVF serve vs the filtered exact ground truth — the same
+    // discipline every other serving variant carries (IVF, IVF-PQ,
+    // SQ). Both sides share the kmeans chain's expl/enorm and apply
+    // the IDENTICAL label constraint.
+    "q_ann_filtered_recall" ->
+      s"""WITH ${kmeansIvfChain(k = 8, iters = 2, labelFiltered = true)},
+         |fserved AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
+         |$exactTop3FilteredCtes,
+         |${recallTail("fserved")}""".stripMargin,
 
     "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
       tau = SemTau, cap = SemCellCap, ksub = SemSubK),
