@@ -932,6 +932,30 @@ object RelQueries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // DYNAMIC partition pruning — the optimizer feature the static
+    // q_partition_prune can't exercise: the partition set comes from
+    // DATA (top-2 event types by count), so no scan-time literal
+    // filter exists; Spark must inject the broadcast dim's values
+    // into the partitioned scan as a runtime partition filter
+    // (`dynamicpruning` subquery — plan-asserted in ApiSpec). At
+    // 100 TB this is the difference between scanning 2 partitions
+    // and scanning all of them whenever the filter is a join.
+    "q_partition_prune_dynamic" -> ((s, d) => {
+      val path = graft.io.PartitionFixtures.writeEventsByType(s, d)
+      val part = s.read.parquet(path)
+      // the dim carries a SELECTIVE data filter (user 7's observed
+      // event types) — DPP's planner rule requires one on the build
+      // side before it will inject the runtime partition subquery
+      val dim = Sources.events(s, d)
+        .where(col("user_id") === 7L)
+        .select(col("event_type")).distinct()
+      part.join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.fsum2(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gaps-and-islands interval merge: each event claims a 5-minute
     // activity interval [ts, ts+5min); overlapping intervals per user
     // coalesce into islands, reported as per-user coverage (island
@@ -2361,6 +2385,16 @@ object RelQueries {
          |       ${fsum2("value")} AS sum_value
          |FROM events WHERE event_type IN ('click', 'purchase')
          |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    // Recomputed from the ORIGINAL table — the partitioned round trip
+    // plus the dynamic prune must be value-invisible.
+    "q_partition_prune_dynamic" ->
+      s"""WITH dim AS (
+         |  SELECT DISTINCT event_type FROM events WHERE user_id = 7)
+         |SELECT e.event_type, count(*) AS n_events,
+         |       ${fsum2("e.value")} AS sum_value
+         |FROM events e JOIN dim USING (event_type)
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // Same cumulative-max island formulation (ANSI windows).
     "q_interval_coverage" ->

@@ -284,6 +284,14 @@ class ApiSpec extends SparkSpec {
     assert(q.collect().nonEmpty)
   }
 
+  test("q_partition_prune_dynamic injects a runtime partition filter (DPP)") {
+    val q = SparkEntry.queries("q_partition_prune_dynamic")(spark, sf001)
+    val plan = q.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in the scan:\n$plan")
+    assert(q.collect().nonEmpty)
+  }
+
   test("ship-priority/attribution/closed-session invariants at sf0.001") {
     // q_ship_priority: top-10, revenue non-increasing, plan ends in
     // TakeOrderedAndProject (no global sort)
