@@ -1319,6 +1319,42 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy(col("split"))),
 
+    // Distribution-drift monitor: exact length octiles of the two
+    // hash-split halves, compared element-wise — the KS-shaped check
+    // a pipeline runs before trusting a split (or a new crawl batch)
+    // to be exchangeable. Eighths, not deciles: k/8 is exact binary,
+    // so rank = (n·k) div 8 replays identically everywhere (the RFM
+    // quartile lesson; 0.1·n in IEEE is NOT (n)//10). Quantiles come
+    // from per-(split, value) counts + a cumulative window over the
+    // bounded VALUE axis — scale-safe where a per-split row ranking
+    // would single-thread each split — and every emitted number is an
+    // integer: no double crosses the oracle boundary at all.
+    "q_quantile_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gate = PortableHash.spread(
+        PortableHash.h(col("doc_id").cast("string")))
+      val gated = docs(s, d).select(col("n_chars"),
+        when(gate < lit(500000L), lit("train")).otherwise(lit("hold"))
+          .as("split"))
+      val counts = gated.groupBy(col("split"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("split")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c"))
+          .over(Window.partitionBy(col("split"))))
+      val ks = s.range(1, 8).select(col("id").as("k"))
+      val picks = cum.join(ks, col("cum") >= expr("(n * k) div 8") + 1)
+        .groupBy(col("split"), col("k"))
+        .agg(min(col("n_chars")).as("v"))
+      picks.groupBy(col("k"))
+        .agg(max(when(col("split") === "train", col("v"))).as("train_v"),
+          max(when(col("split") === "hold", col("v"))).as("hold_v"))
+        .withColumn("abs_diff", abs(col("train_v") - col("hold_v")))
+        .orderBy(col("k"))
+    }),
+
     // The RELEASE MANIFEST — what a dataset freeze actually ships:
     // per split (the q_split_assign bands), doc/char/token totals and
     // a content fingerprint (sum of per-doc text hashes — any changed
@@ -4108,6 +4144,36 @@ object ExtQueries {
          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    // Element-at-rank replay: row_number over each split's sorted
+    // lengths, picked at (n·k)//8 — the value at a rank is tie-order
+    // independent, so the window's tie behavior cannot matter.
+    "q_quantile_drift" -> {
+      val gate = PortableHash.spreadSql(
+        PortableHash.hSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH gated AS (
+         |  SELECT n_chars,
+         |         CASE WHEN $gate < 500000 THEN 'train' ELSE 'hold' END
+         |           AS split
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT split, n_chars,
+         |         row_number() OVER (PARTITION BY split
+         |                            ORDER BY n_chars) - 1 AS r,
+         |         count(*) OVER (PARTITION BY split) AS n
+         |  FROM gated),
+         |ks AS (SELECT unnest(range(1, 8)) AS k),
+         |p AS (
+         |  SELECT ks.k, r.split, r.n_chars
+         |  FROM ks JOIN ranked r ON r.r = (r.n * ks.k) // 8)
+         |SELECT k,
+         |       max(CASE WHEN split = 'train' THEN n_chars END) AS train_v,
+         |       max(CASE WHEN split = 'hold' THEN n_chars END) AS hold_v,
+         |       abs(max(CASE WHEN split = 'train' THEN n_chars END) -
+         |           max(CASE WHEN split = 'hold' THEN n_chars END))
+         |         AS abs_diff
+         |FROM p GROUP BY 1 ORDER BY k""".stripMargin
+    },
 
     "q_release_manifest" ->
       s"""WITH assigned AS (
