@@ -1319,6 +1319,29 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy(col("split"))),
 
+    // Marginal-novelty read-out: how much NEW content an incoming
+    // crawl batch (the standing doc_id%10==7 convention) adds against
+    // the base corpus, per document — the data-value metric a crawl
+    // budget is allocated by (a batch that is 95% seen shingles is
+    // not worth its ingest cost). One anti-join-shaped left join on
+    // the shingle key over the shared distinct-shingle cache; at
+    // 100 TB the base side reduces to its distinct shingle set once
+    // and both sides shuffle only on the shingle hash.
+    "q_ngram_novelty" -> ((s, d) => {
+      val ds = distinctShinglesC(s, d)
+      val batch = ds.where(col("doc_id") % 10 === 7)
+      val base = ds.where(col("doc_id") % 10 =!= 7)
+        .select(col("shingle")).distinct()
+        .withColumn("seen", lit(1L))
+      batch.join(base, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", Det.r4(
+          col("n_novel").cast("double") / col("n_shingles")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Distribution-drift monitor: exact length octiles of the two
     // hash-split halves, compared element-wise — the KS-shaped check
     // a pipeline runs before trusting a split (or a new crawl batch)
@@ -4144,6 +4167,19 @@ object ExtQueries {
          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM ranked WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |base AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 10 <> 7),
+         |b AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 10 = 7)
+         |SELECT b.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN base.shingle IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       ${r4("CAST(sum(CASE WHEN base.shingle IS NULL THEN 1 " +
+              "ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty
+         |FROM b LEFT JOIN base ON base.shingle = b.shingle
+         |GROUP BY 1 ORDER BY b.doc_id""".stripMargin,
 
     // Element-at-rank replay: row_number over each split's sorted
     // lengths, picked at (n·k)//8 — the value at a rank is tie-order
