@@ -1648,6 +1648,99 @@ object RelQueries {
       graft.streaming.StreamOps.runningUserTotalsFx(
           ev.as[graft.streaming.StreamOps.EvFx])
         .toDF().orderBy(col("user_id"))
+    }),
+
+    // Rolling 7-day distinct users per day — the trailing-window
+    // COUNT(DISTINCT) that no window frame can express (distinct is
+    // not decomposable over frames). The scalable shape: dedupe to
+    // (user, day) FIRST (the only pass that touches raw events; at
+    // 100 TB this collapses billions of rows to |users|·|days|), then
+    // a BOUNDED fan-out — each pair contributes to exactly the 7
+    // target days [d, d+6] via explode(sequence(...)) — and a
+    // partial-agg'd countDistinct per target day. Fan-out is 7×
+    // regardless of scale; contrast a days×events range join, which
+    // rescans the corpus per day. The left_semi against observed days
+    // keeps the day axis data-derived (no trailing phantom days).
+    "q_rolling_distinct" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("d0"),
+          col("user_id"))
+        .distinct()
+      val days = ud.select(col("d0").as("day")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("d0"), col("d0") + lit(6L))).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .orderBy(col("day"))
+    }),
+
+    // The same rolling-distinct read-out via MERGEABLE HLL sketches —
+    // the shape that survives when even (user, day) is too wide to
+    // re-aggregate per window: one sketch per day built in a single
+    // pass over events (partial-agg'd like any sum), then the 7-day
+    // union merges the ~KB sketches, never the raw rows. A day's
+    // sketch is built ONCE and reused by all 7 windows it feeds — the
+    // pre-aggregated-sketch pattern (Datasketches HLL; Heule et al.
+    // HLL++): any window, any grouping rollup, from the same partials.
+    // Estimates are engine-internal, so the checkable surface is the
+    // acceptance read-out vs the exact twin (lgK=12 → ~1.6% rel.
+    // error; 5% gate), per day — the q_ann_recall discipline: serving
+    // path and measurement in one plan, sharing the day axis.
+    "q_rolling_hll" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("d0"),
+          col("user_id"))
+      val perDay = ev.groupBy(col("d0"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val days = perDay.select(col("d0").as("day"))
+      val approx = perDay
+        .select(explode(sequence(col("d0"), col("d0") + lit(6L)))
+          .as("day"), col("sk"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
+      val exact = ev.distinct()
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d0") + lit(6L))).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("x"))
+      approx.join(exact, Seq("day"))
+        .select(col("day"),
+          (abs(col("a") - col("x")).cast("double") /
+            col("x").cast("double") <= lit(0.05)).as("within_bounds"))
+        .orderBy(col("day"))
+    }),
+
+    // Misra–Gries heavy hitters (core.HeavyHitters): the bounded-
+    // memory frequent-items pass for long-tail key spaces where the
+    // exact groupBy is the expensive thing (here that groupBy IS the
+    // acceptance measurement, like q_ann_recall's exact side — the
+    // product at 100 TB is the ≤ k·P-row summary). Key space is a
+    // head/tail mixture carved from events: rows of users ≡ 0 (mod 4)
+    // keep their event_type (5 hot keys, ~500 rows each), the rest
+    // key by user id (~110 tail keys, ~70 rows each) — tail evictions
+    // are real at k=49. The mergeable-summaries guarantee (Agarwal et
+    // al.): after the partition merge tree, true − n/(k+1) ≤ est ≤
+    // true, so every key above n/(k+1) = n div 50 is present and
+    // in-envelope; the oracle replays the exact heavy set and expects
+    // all-true — presence AND both bounds, per key.
+    "q_heavy_hitters" -> ((s, d) => {
+      val keyed = t(s, d, "events")
+        .select(when(col("user_id") % 4 === 0, col("event_type"))
+          .otherwise(concat(lit("u"), col("user_id"))).as("k"))
+      val mg = graft.core.HeavyHitters.summarize(keyed, "k", 49)
+      val total = keyed.agg(count(lit(1)).as("n"))
+      keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") > expr("n div 50"))
+        .join(mg, Seq("k"), "left")
+        .select(col("k").as("probe_key"),
+          (col("est").isNotNull && col("est") <= col("cnt") &&
+            col("cnt") - col("est") <= expr("n div 50"))
+            .as("within_bounds"))
+        .orderBy(col("probe_key"))
     })
   )
 
@@ -2865,6 +2958,38 @@ object RelQueries {
       """SELECT user_id, count(*) AS n,
         |       CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
         |            AS BIGINT) AS sum_value_c
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Trailing-window distinct: the oracle may afford the days×pairs
+    // range join the engine avoids (sf0.01 is small); both sides dedupe
+    // to (user, day) first so the distinct semantics line up exactly.
+    "q_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS d0,
+        |                   user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT d0 AS day FROM ud)
+        |SELECT days.day AS day, count(DISTINCT ud.user_id) AS users_7d
+        |FROM days JOIN ud ON ud.d0 BETWEEN days.day - 6 AND days.day
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Derived-property oracle (sketch estimates are engine-internal);
+    // the day axis is data-derived, so the acceptance read-out must
+    // cover every observed day with an in-envelope estimate.
+    "q_rolling_hll" ->
+      """SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+        |       true AS within_bounds
+        |FROM events ORDER BY day""".stripMargin,
+
+    // Data-derived property oracle: the exact heavy set (cnt > n//50)
+    // replayed in SQL, each key expected present and in-envelope.
+    "q_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 4 = 0 THEN event_type
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events),
+        |c AS (SELECT k, count(*) AS cnt FROM keyed GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM keyed)
+        |SELECT k AS probe_key, true AS within_bounds
+        |FROM c, n WHERE cnt > n // 50 ORDER BY probe_key""".stripMargin
   )
 }
