@@ -1741,6 +1741,100 @@ object RelQueries {
             col("cnt") - col("est") <= expr("n div 50"))
             .as("within_bounds"))
         .orderBy(col("probe_key"))
+    }),
+
+    // Sketch-partial REUSE across rollup levels: per-(type, day) HLL
+    // partials built in ONE pass over events, then unioned two ways —
+    // per type (across days) and globally — without rescanning rows.
+    // This is the property that makes sketch columns a storage format
+    // at 100 TB (store partials at the finest grain; answer every
+    // coarser distinct-rollup by merging ~KB sketches), and it is
+    // exactly what exact countDistinct CANNOT do: distinct counts are
+    // not decomposable, so each exact rollup level is its own shuffle
+    // of raw keys. Acceptance read-out per level vs the exact twin
+    // (the q_rolling_hll discipline); '_all' is the grand-total row.
+    "q_hll_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      val parts = ev.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val byType = parts.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
+      val global = parts
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
+        .select(lit("_all").as("event_type"), col("a"))
+      val exactT = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("x"))
+      val exactG = ev.agg(countDistinct(col("user_id")).as("x"))
+        .select(lit("_all").as("event_type"), col("x"))
+      byType.unionByName(global)
+        .join(exactT.unionByName(exactG), Seq("event_type"))
+        .select(col("event_type").as("level_key"),
+          (abs(col("a") - col("x")).cast("double") /
+            col("x").cast("double") <= lit(0.05)).as("within_bounds"))
+        .orderBy(col("level_key"))
+    }),
+
+    // Chi-square independence test, event_type × day-of-week bucket —
+    // the contingency read-out a feature-drift monitor runs per batch.
+    // One groupBy over events produces the 35-cell table; every later
+    // frame is O(cells). Cross-engine determinism: observed counts and
+    // margins are exact BIGINTs, each expected value r·c/n is ONE IEEE
+    // division of exact integers, each cell term a fixed IEEE op
+    // sequence, and the cell terms cross the sum through Det.fsum4's
+    // fixed-point path so summation order cannot matter. Cramér's V
+    // derives from the already-deterministic χ² scalar.
+    "q_chisq_independence" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .select(col("event_type").as("et"),
+          expr("(unix_millis(ts) div 86400000) % 7").as("dow"))
+        .groupBy(col("et"), col("dow")).agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("et")).agg(sum(col("o")).as("r"))
+      val ct = obs.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      val e = col("r") * col("c") / col("n")
+      obs.join(rt, Seq("et")).join(ct, Seq("dow"))
+        .crossJoin(broadcast(tot))
+        .select(col("et"), col("dow"), col("o"), col("r"), col("c"),
+          col("n"), ((col("o") - e) * (col("o") - e) / e).as("term"))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("et")).as("net"),
+          countDistinct(col("dow")).as("ndow"),
+          Det.fsum4(col("term")).as("chi2"), max(col("n")).as("n"))
+        .select(col("n_cells"),
+          ((col("net") - 1) * (col("ndow") - 1)).as("dof"),
+          col("chi2"),
+          Det.r4(sqrt(col("chi2") /
+            (col("n") * least(col("net") - 1, col("ndow") - 1))))
+            .as("cramers_v"))
+    }),
+
+    // Trimmed mean per event_type (drop the bottom/top decile by exact
+    // rank, average the middle 80%) — the robust location estimate
+    // that survives the value column's outlier tail. Ranks come from
+    // ONE per-group window over the unique (value_c, event_id) tie
+    // order, so the kept set is identical in both engines; values snap
+    // to integer cents before any sum (order-independent), and the
+    // mean is a single IEEE division r4'd at the boundary. One shuffle
+    // (the window), one agg — no per-group quantile probes.
+    "q_trimmed_mean" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value_c"), col("event_id"))
+      val wn = Window.partitionBy(col("event_type"))
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("value_c"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      ev.where(col("rn") > expr("n div 10") &&
+          col("rn") <= col("n") - expr("n div 10"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          Det.r4(sum(col("value_c")).cast("double") /
+            (count(lit(1)) * lit(100.0))).as("trimmed_mean"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2990,6 +3084,60 @@ object RelQueries {
         |c AS (SELECT k, count(*) AS cnt FROM keyed GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM keyed)
         |SELECT k AS probe_key, true AS within_bounds
-        |FROM c, n WHERE cnt > n // 50 ORDER BY probe_key""".stripMargin
+        |FROM c, n WHERE cnt > n // 50 ORDER BY probe_key""".stripMargin,
+
+    // Derived-property oracle (sketch estimates engine-internal): one
+    // in-envelope row per rollup level, levels data-derived.
+    "q_hll_rollup" ->
+      """SELECT level_key, true AS within_bounds FROM (
+        |  SELECT DISTINCT event_type AS level_key FROM events
+        |  UNION ALL SELECT '_all')
+        |ORDER BY level_key""".stripMargin,
+
+    // Margins cast to BIGINT (DuckDB sum -> HUGEINT); each expected
+    // value and cell term then replays the engine's exact IEEE ops,
+    // and the fsum4 twin makes the 35-term sum order-independent.
+    "q_chisq_independence" -> {
+      val term = "(o - r*c/n)*(o - r*c/n)/(r*c/n)"
+      s"""WITH obs AS (
+         |  SELECT event_type AS et, (epoch_ms(ts) // 86400000) % 7 AS dow,
+         |         count(*) AS o
+         |  FROM events GROUP BY 1, 2),
+         |rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+         |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+         |cells AS (
+         |  SELECT o, r, c, n, $term AS term
+         |  FROM obs JOIN rt USING (et) JOIN ct USING (dow), nn),
+         |agg AS (
+         |  SELECT count(*) AS n_cells,
+         |         (SELECT count(DISTINCT et) FROM obs) AS net,
+         |         (SELECT count(DISTINCT dow) FROM obs) AS ndow,
+         |         ${Oracle.fsum4("term")} AS chi2,
+         |         max(n) AS n
+         |  FROM cells)
+         |SELECT n_cells, CAST((net - 1) * (ndow - 1) AS BIGINT) AS dof, chi2,
+         |       ${Oracle.r4("sqrt(chi2 / (n * least(net - 1, ndow - 1)))")}
+         |         AS cramers_v
+         |FROM agg""".stripMargin
+    },
+
+    "q_trimmed_mean" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, value_c,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value_c, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev)
+        |SELECT event_type, count(*) AS n_kept,
+        |       floor((CAST(sum(value_c) AS DOUBLE) / (count(*) * 100.0))
+        |             *10000 + 0.5)/10000.0 AS trimmed_mean
+        |FROM ranked
+        |WHERE rn > n // 10 AND rn <= n - n // 10
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }
