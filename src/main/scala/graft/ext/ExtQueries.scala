@@ -1628,6 +1628,36 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("frame_id"))
     }),
 
+    // Perceptual-hash image near-dup, scored CELL-EXACT end to end:
+    // real PNGs (PhashFixtures: block-constant grids whose levels are
+    // arithmetic in id) → javax.imageio decode → integer dHash-64 →
+    // 4×16-bit banded candidate join (hamming ≤ 3 ⇒ some band equal,
+    // the simhash pigeonhole on image hashes) → popcount rescore.
+    // The oracle replays every hash bit from the grid FORMULA, never
+    // the bytes — so a wrong grayscale weight, block bound, or decode
+    // fallback shifts a bit and lands red. Scale shape: hashes are
+    // one scan-parallel kernel pass; candidates are band-equality
+    // joins (never all pairs); the rescore is a popcount on the
+    // already-joined longs. 100 TB adds the bucket caps the
+    // minhash/simhash family already carries.
+    "q_image_phash" -> ((s, d) => {
+      val p = graft.io.PhashFixtures.write(s, d)
+      val hashes = Multimodal.dhashAll(s.read.parquet(p)).toDF()
+        .select(col("doc_id").as("img_id"), col("dhash"))
+      val bands = hashes.select(col("img_id"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv",
+          expr("shiftright(dhash, band * 16) & 65535"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+          expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy(col("img_a"), col("img_b"))
+    }),
+
     // session_window in batch mode (streaming twin: StreamOps).
     "q_session_window" -> ((s, d) =>
       StreamOps.sessionAgg(Sources.table(s, d, "events"))
@@ -4631,6 +4661,46 @@ object ExtQueries {
          |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
          |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Every dHash bit is INDEPENDENTLY replayed from the fixture's
+    // block-level FORMULA (PhashFixtures.levelOf): a dHash bit is
+    // "right block mean > left block mean" and the blocks are
+    // constant, so the comparison IS the formula. The banded
+    // candidate restriction and the hamming rescore replay in SQL
+    // over those bits — the engine's pixel path (PNG decode, integer
+    // luminance, box means, bit packing, band join, popcount) must
+    // land on identical pairs cell-for-cell.
+    "q_image_phash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+        |grid AS (
+        |  SELECT id, v, bx, by,
+        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+        |          + by*29) % 192
+        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+        |  FROM ids, vs, bxs, bys),
+        |bits AS (
+        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
+        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
+        |   AND g2.bx = g1.bx + 1
+        |  WHERE g1.bx < 8),
+        |pb AS (
+        |  SELECT a.img AS ia, b.img AS ib, a.pos // 16 AS band,
+        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS bd
+        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.img < b.img
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT ia, ib, CAST(sum(bd) AS BIGINT) AS hamming,
+        |         max(CASE WHEN bd = 0 THEN 1 ELSE 0 END) AS sb
+        |  FROM pb GROUP BY 1, 2)
+        |SELECT CAST(ia AS BIGINT) AS img_a, CAST(ib AS BIGINT) AS img_b,
+        |       hamming
+        |FROM pairs WHERE sb = 1 AND hamming <= 3
+        |ORDER BY img_a, img_b""".stripMargin,
 
     "q_session_window" ->
       """WITH ev AS (

@@ -209,6 +209,63 @@ object Multimodal {
     }
   }
 
+  case class MediaHash(doc_id: Long, dhash: Long)
+
+  /** Difference-hash (dHash-64) kernel: decode → integer luminance →
+    * exact box means over a 9×8 grid → one bit per horizontally
+    * adjacent block pair ("right mean > left mean"), packed LSB-first
+    * as bit (by·8 + bx). All-integer arithmetic (luminance is the
+    * exact (299r+587g+114b)/1000; block sums divide by the true block
+    * pixel count), so the hash is bit-identical on any JVM — no
+    * resampling library in the loop. Undecodable payloads emit NO
+    * hash (the frameInventory discipline: absence is the visible
+    * failure mode, never a fake).
+    * (private[graft]: ExtSpec checks bit-for-bit formula equality.) */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val by = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val bx = math.min(8, x * 9 / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          sums(by)(bx) += lum
+          cnts(by)(bx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          val l = sums(by)(bx) / math.max(1L, cnts(by)(bx))
+          val r = sums(by)(bx + 1) / math.max(1L, cnts(by)(bx + 1))
+          if (r > l) hash |= 1L << (by * 8 + bx)
+          bx += 1
+        }
+        by += 1
+      }
+      hash
+    }
+
+  /** Partition-parallel dHash over the binary column — the content-
+    * hash step of multimodal dedup; same kernel shape as
+    * [[decodeAll]]. */
+  def dhashAll(media: DataFrame): Dataset[MediaHash] = {
+    implicit val encIn = Encoders.product[MediaRecord]
+    implicit val encOut = Encoders.product[MediaHash]
+    media.as[MediaRecord].mapPartitions(
+      _.flatMap(r => dHash64(r.media).map(MediaHash(r.doc_id, _))))
+  }
+
   case class MediaResized(doc_id: Long, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, features: Array[Float])
 

@@ -246,3 +246,75 @@ object VideoFixtures {
     path
   }
 }
+
+/** Block-constant image fixture for the scored perceptual-hash
+  * near-dup query (q_image_phash) — the DEDUP member of the
+  * multimodal family ([[MediaFixtures]] scores decode,
+  * [[VideoFixtures]] frame walks; this scores content hashing).
+  *
+  * Each base id renders three REAL PNGs built from a 9×8 grid of
+  * constant-gray blocks whose levels are pure arithmetic in
+  * (id, bx, by): variant 0 the base grid, variant 1 a +8 brightness
+  * shift (every inter-block comparison is preserved — the classic
+  * perceptual-hash invariance), variant 2 a horizontal mirror of the
+  * grid (its own comparison pattern). Because a dHash bit is exactly
+  * "right block mean > left block mean" and block means of constant
+  * blocks are the constants themselves, the ENTIRE downstream answer
+  * — every 64-bit hash, every banded candidate pair, every hamming
+  * distance — is replayable from this formula in SQL, while the
+  * engine side must earn it through real PNG encode → javax.imageio
+  * decode → integer luminance → box means. Any pixel-path breakage
+  * (wrong decode, wrong grayscale weights, off-by-one block bounds)
+  * lands cell-visibly red.
+  *
+  * Levels stay in [0, 191] so the +8 shift never clips at 255.
+  */
+object PhashFixtures {
+  val NDocs = 48
+  /** Block side in pixels: images are 9·Cell × 8·Cell, so integer box
+    * means are exact (no partial blocks). */
+  val Cell = 4
+
+  /** The grid level formula the oracle replays. */
+  def levelOf(id: Long, v: Long, bx: Long, by: Long): Int = {
+    val x = if (v == 2L) 8L - bx else bx
+    ((id * 7 + x * 13 + by * 29) % 192 + (if (v == 1L) 8L else 0L)).toInt
+  }
+
+  def phashPath(dir: String): String =
+    s"${DialectFixtures.BaseDir}/${DialectFixtures.leaf(dir)}/phash"
+
+  /** (private[graft]: ExtSpec round-trips it through the dHash.) */
+  private[graft] def encode(id: Long, v: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9 * Cell, 8 * Cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8 * Cell) {
+      var x = 0
+      while (x < 9 * Cell) {
+        val g = levelOf(id, v, x / Cell, y / Cell)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("no JDK PNG encoder")
+    out.toByteArray
+  }
+
+  /** Render the fixture parquet: img_id = id*3 + variant. */
+  def write(spark: SparkSession, dir: String): String = {
+    val path = phashPath(dir)
+    DialectFixtures.once(path, dir) {
+      import spark.implicits._
+      (for { id <- 0L until NDocs.toLong; v <- 0L to 2L }
+        yield (id * 3 + v, encode(id, v)))
+        .toDF("doc_id", "media")
+        .repartition(4)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+}

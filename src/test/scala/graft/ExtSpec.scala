@@ -1320,4 +1320,26 @@ class ExtSpec extends SparkSpec {
     assert(deg.map { case (d, n) => d * n }.sum == 2 * nEdges)
     assert(deg.forall(_._1 >= 1))
   }
+
+  test("dHash64: brightness-invariant, mirror-sensitive, formula-exact") {
+    import graft.io.PhashFixtures
+    val base = Multimodal.dHash64(PhashFixtures.encode(5L, 0L)).get
+    val bright = Multimodal.dHash64(PhashFixtures.encode(5L, 1L)).get
+    val mirror = Multimodal.dHash64(PhashFixtures.encode(5L, 2L)).get
+    // uniform +8 shift preserves every inter-block comparison
+    assert(base === bright)
+    // the mirrored grid has its own comparison pattern
+    assert(base !== mirror)
+    // each bit equals the generation formula's comparison
+    (0 until 8).foreach { by =>
+      (0 until 8).foreach { bx =>
+        val expected = PhashFixtures.levelOf(5L, 0L, bx + 1L, by.toLong) >
+          PhashFixtures.levelOf(5L, 0L, bx.toLong, by.toLong)
+        assert(((base >> (by * 8 + bx)) & 1L) === (if (expected) 1L else 0L),
+          s"bit ($bx,$by)")
+      }
+    }
+    // undecodable payloads emit no hash — no fallback
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+  }
 }
