@@ -1640,6 +1640,20 @@ object ExtQueries {
     // joins (never all pairs); the rescore is a popcount on the
     // already-joined longs. 100 TB adds the bucket caps the
     // minhash/simhash family already carries.
+    // Audio content fingerprint, scored CELL-EXACT: the WAV fixture's
+    // PCM samples are a sawtooth that is pure arithmetic in
+    // (doc_id, sample index), so the energy-envelope bits (adjacent
+    // eighth-range mean-|amplitude| comparisons) replay in SQL from
+    // the formula while the engine must earn them through real
+    // javax.sound PCM decode. The audio analog of q_image_phash's
+    // pixel-path discipline — a header-only parse can't fake it, the
+    // DATA bytes feed the answer.
+    "q_audio_fingerprint" -> ((s, d) => {
+      val p = graft.io.AudioFixtures.write(s, d)
+      Multimodal.audioFpAll(s.read.parquet(p)).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     "q_image_phash" -> ((s, d) => {
       val p = graft.io.PhashFixtures.write(s, d)
       val hashes = Multimodal.dhashAll(s.read.parquet(p)).toDF()
@@ -4661,6 +4675,36 @@ object ExtQueries {
          |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
          |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Every fingerprint bit is INDEPENDENTLY replayed from the WAV
+    // fixture's sawtooth FORMULA (AudioFixtures.encode: value j of
+    // doc id is ((id*131 + j*37) % 65536) - 32768, nS*ch values);
+    // the engine side must reproduce it from the decoded PCM bytes.
+    "q_audio_fingerprint" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, 64 + (doc_id * 37) % 512 AS ns,
+         |         1 + doc_id % 2 AS ch
+         |  FROM read_parquet('${graft.io.AudioFixtures.audioPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
+         |idx AS (
+         |  SELECT doc_id, ns * ch AS nv,
+         |         unnest(generate_series(0, ns * ch - 1)) AS j
+         |  FROM a),
+         |sm AS (
+         |  SELECT doc_id, j * 8 // nv AS chunk,
+         |         abs((doc_id * 131 + j * 37) % 65536 - 32768) AS av
+         |  FROM idx),
+         |cm AS (
+         |  SELECT doc_id, chunk,
+         |         CAST(sum(av) AS BIGINT) // count(*) AS m
+         |  FROM sm GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT c1.doc_id, c1.chunk AS i,
+         |         CASE WHEN c2.m > c1.m THEN 1 ELSE 0 END AS bit
+         |  FROM cm c1 JOIN cm c2
+         |    ON c2.doc_id = c1.doc_id AND c2.chunk = c1.chunk + 1)
+         |SELECT doc_id, CAST(sum(bit * (1 << i)) AS BIGINT) AS fingerprint
+         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Every dHash bit is INDEPENDENTLY replayed from the fixture's
     // block-level FORMULA (PhashFixtures.levelOf): a dHash bit is

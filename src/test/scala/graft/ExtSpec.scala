@@ -1342,4 +1342,23 @@ class ExtSpec extends SparkSpec {
     // undecodable payloads emit no hash — no fallback
     assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
   }
+
+  test("audioFingerprint: formula-exact over decoded PCM, no fallback") {
+    import graft.io.AudioFixtures
+    val id = 7L
+    val got = Multimodal.audioFingerprint(AudioFixtures.encode(id)).get
+    // replay the kernel's arithmetic straight from the sawtooth formula
+    val nv = (AudioFixtures.samplesOf(id) * AudioFixtures.channelsOf(id)).toInt
+    val sums = new Array[Long](8); val cnts = new Array[Long](8)
+    (0 until nv).foreach { j =>
+      val v = ((id * 131 + j * 37) % 65536) - 32768
+      val c = (j * 8 / nv).toInt
+      sums(c) += math.abs(v); cnts(c) += 1
+    }
+    val want = (0 until 7).map { i =>
+      if (sums(i + 1) / cnts(i + 1) > sums(i) / cnts(i)) 1L << i else 0L
+    }.sum
+    assert(got === want)
+    assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
+  }
 }
