@@ -431,6 +431,15 @@ object ExtQueries {
       s.sql(SqlLateralSql)
     }),
 
+    // The three-valued-logic corner of the literal SQL surface: NOT
+    // IN vs NOT EXISTS against a NULL-bearing set (see
+    // SqlNullSemanticsSql). Both engines execute the identical text;
+    // an engine that "fixes" NOT IN's UNKNOWN into FALSE lands red.
+    "q_sql_null_semantics" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlNullSemanticsSql)
+    }),
+
     // The window-function half of the literal SQL surface: one ANSI
     // text with a named WINDOW clause, ranking + offset functions,
     // executed verbatim by spark.sql AND by the oracle engine — the
@@ -2549,6 +2558,29 @@ object ExtQueries {
       |               FROM oc o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** The three-valued-logic corner of the literal SQL surface
+    * (q_sql_null_semantics): NOT IN against a set CONTAINING NULL is
+    * never true for a non-member (x <> NULL is UNKNOWN), so the
+    * NOT IN count collapses to 0 while the NOT EXISTS spelling — the
+    * null-safe anti-join — counts real non-members, and IN stays
+    * positive for members. The classic silent-wrong-answer trap when
+    * porting between engines; scored here as one text both engines
+    * must agree on, with a sentinel customer key (3·max, never an
+    * order key) proving the non-member side. */
+  private val SqlNullSemanticsSql: String =
+    """WITH s AS (SELECT nullif(o_custkey, 1) AS k FROM orders),
+      |probe AS (SELECT c_custkey AS ck FROM customer
+      |          UNION ALL
+      |          SELECT 3 * max(c_custkey) FROM customer)
+      |SELECT
+      |  (SELECT count(*) FROM probe WHERE ck NOT IN (SELECT k FROM s))
+      |    AS n_not_in,
+      |  (SELECT count(*) FROM probe p
+      |   WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = p.ck))
+      |    AS n_not_exists,
+      |  (SELECT count(*) FROM probe WHERE ck IN (SELECT k FROM s))
+      |    AS n_in""".stripMargin
+
   /** One ANSI SQL text, two engines — q_sql_surface executes THIS
     * string via spark.sql and the driver executes it via DuckDB. */
   private val SqlSurfaceSql: String =
@@ -3369,6 +3401,7 @@ object ExtQueries {
     "q_sql_surface" -> SqlSurfaceSql,
     "q_sql_window_surface" -> SqlWindowSurfaceSql,
     "q_sql_correlated" -> SqlCorrelatedSql,
+    "q_sql_null_semantics" -> SqlNullSemanticsSql,
     "q_sql_lateral" -> SqlLateralSql,
 
     // The parquet-side summary with the tag expression recomputed —
