@@ -292,6 +292,34 @@ class ApiSpec extends SparkSpec {
     assert(q.collect().nonEmpty)
   }
 
+  test("rolling/sketch/phash family: no cartesian, bounded shapes") {
+    // q_rolling_distinct: the 7× fan-out joins the observed-day set
+    // via LEFT SEMI and nothing in the family may plan a cartesian —
+    // the structural guarantees the 100-TB argument rests on
+    val rd = SparkEntry.queries("q_rolling_distinct")(spark, sf001)
+    val rdPlan = rd.queryExecution.executedPlan.toString
+    assert(!rdPlan.contains("CartesianProduct"), rdPlan)
+    assert(rdPlan.contains("LeftSemi"), rdPlan)
+    assert(rd.collect().nonEmpty)
+    // q_rolling_hll rides the same fan-out; its acceptance join is
+    // day-keyed, never a cross
+    val rh = SparkEntry.queries("q_rolling_hll")(spark, sf001)
+    assert(!rh.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    assert(rh.collect().forall(_.getBoolean(1)))
+    // q_image_phash: candidates come from band-equality joins only
+    val ph = SparkEntry.queries("q_image_phash")(spark, sf001)
+    assert(!ph.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    // every identical-content pair (id*3 vs id*3+1, hamming 0) found
+    val pairs = ph.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0L until graft.io.PhashFixtures.NDocs.toLong).foreach { id =>
+      assert(pairs.exists(p => p._1 == id * 3 && p._2 == id * 3 + 1 &&
+        p._3 == 0L), s"missing copy pair for id $id")
+    }
+  }
+
   test("ship-priority/attribution/closed-session invariants at sf0.001") {
     // q_ship_priority: top-10, revenue non-increasing, plan ends in
     // TakeOrderedAndProject (no global sort)
