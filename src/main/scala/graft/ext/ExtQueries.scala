@@ -1649,6 +1649,33 @@ object ExtQueries {
     // joins (never all pairs); the rescore is a popcount on the
     // already-joined longs. 100 TB adds the bucket caps the
     // minhash/simhash family already carries.
+    // Streaming MULTIMODAL ingest gate: the incremental-dedup
+    // flatMapGroupsWithState gate (StreamOps.ingestDedupGate) keyed
+    // by IMAGE CONTENT — dHash-64 signatures from the real decode
+    // kernel. Base corpus = the original images (variant 0), reduced
+    // to keep-first (sig, first_doc) state; the incoming batch is the
+    // copies and mirrors. A brightness-shifted copy hashes identically
+    // → dup_of_base against its original; mirrors are new unless the
+    // formula says they collide. The oracle replays hashes AND gate
+    // semantics (base-hit beats in-batch, first-arrival-wins by
+    // doc_id) from the grid formula — streaming state logic and the
+    // pixel path scored together, cell-exact. Scale: state is
+    // O(distinct signatures), the image bytes never enter the gate.
+    "q_stream_phash_gate" -> ((s, d) => {
+      val p = graft.io.PhashFixtures.write(s, d)
+      val hashed = Multimodal.dhashAll(s.read.parquet(p)).toDF()
+        .select(col("doc_id"), expr("lpad(bin(dhash), 64, '0')").as("sig"))
+      import s.implicits._
+      val base = hashed.where(col("doc_id") % 3 === 0)
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("first_doc"))
+        .select(col("sig"), col("first_doc"), lit(true).as("from_base"))
+        .as[StreamOps.SigSeen]
+      val incoming = hashed.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("sig")).as[StreamOps.DocSig]
+      StreamOps.ingestDedupGate(incoming, base)
+        .toDF().orderBy(col("doc_id"))
+    }),
+
     // Audio content fingerprint, scored CELL-EXACT: the WAV fixture's
     // PCM samples are a sawtooth that is pure arithmetic in
     // (doc_id, sample index), so the energy-envelope bits (adjacent
@@ -4708,6 +4735,48 @@ object ExtQueries {
          |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
          |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // The gate replay: hashes from the grid FORMULA (the q_image_phash
+    // bits, MSB-first as the engine's lpad(bin())), then the gate's
+    // exact semantics in SQL — base hit beats in-batch duplicate,
+    // first arrival (min doc_id) wins within a signature.
+    "q_stream_phash_gate" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+        |grid AS (
+        |  SELECT id, v, bx, by,
+        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+        |          + by*29) % 192
+        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+        |  FROM ids, vs, bxs, bys),
+        |bits AS (
+        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
+        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
+        |   AND g2.bx = g1.bx + 1
+        |  WHERE g1.bx < 8),
+        |sigs AS (
+        |  SELECT img, string_agg(CAST(bit AS VARCHAR), '' ORDER BY pos DESC)
+        |           AS sig
+        |  FROM bits GROUP BY 1),
+        |base AS (SELECT sig, min(img) AS first_doc
+        |         FROM sigs WHERE img % 3 = 0 GROUP BY 1),
+        |inc AS (SELECT img, sig FROM sigs WHERE img % 3 <> 0),
+        |w AS (
+        |  SELECT inc.img, b.first_doc,
+        |         min(inc.img) OVER (PARTITION BY inc.sig ORDER BY inc.img
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING
+        |                            AND 1 PRECEDING) AS prev_img
+        |  FROM inc LEFT JOIN base b USING (sig))
+        |SELECT img AS doc_id,
+        |       CASE WHEN first_doc IS NOT NULL THEN 'dup_of_base'
+        |            WHEN prev_img IS NOT NULL THEN 'dup_in_batch'
+        |            ELSE 'new' END AS status,
+        |       CAST(coalesce(first_doc, prev_img, -1) AS BIGINT) AS dup_of
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // Every fingerprint bit is INDEPENDENTLY replayed from the WAV
     // fixture's sawtooth FORMULA (AudioFixtures.encode: value j of

@@ -1810,6 +1810,64 @@ object RelQueries {
             .as("cramers_v"))
     }),
 
+    // Spearman rank correlation per return flag — the robust
+    // (monotone-invariant) complement of q_column_corr's Pearson
+    // matrix. Ties get average ranks kept EXACT as doubled integers
+    // (2·rank + tie_count − 1: first+last of the tie run), so the
+    // whole moment ledger is integer until one final scalar formula;
+    // correlation is shift/scale-invariant, so doubling changes
+    // nothing. Cross products ride DECIMAL(38,0) (n·Σxy overflows a
+    // long at sf0.1's group sizes); one IEEE sqrt/divide r4'd at the
+    // boundary. Two rank-window shuffles, one agg — no per-group
+    // quantile probes, no double accumulations.
+    "q_spearman_corr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+        col("l_quantity").as("va"), col("l_extendedprice").as("vb"))
+      def r2x(v: String) =
+        lit(2L) * rank().over(Window.partitionBy(col("g")).orderBy(col(v))) +
+          count(lit(1)).over(Window.partitionBy(col("g"), col(v))) - lit(1L)
+      val ranked = li.select(col("g"), r2x("va").as("ra"), r2x("vb").as("rb"))
+      val m = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"),
+        sum(col("ra") * col("rb")).as("sab"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      m.select(col("g"), col("n"), Det.r4(
+          (d38(col("n")) * d38(col("sab")) - d38(col("sa")) * d38(col("sb")))
+            .cast("double") /
+          sqrt((d38(col("n")) * d38(col("saa")) -
+                d38(col("sa")) * d38(col("sa"))).cast("double") *
+               (d38(col("n")) * d38(col("sbb")) -
+                d38(col("sb")) * d38(col("sb"))).cast("double")))
+          .as("spearman"))
+        .orderBy(col("g"))
+    }),
+
+    // Equi-depth (quantile) binning of order totals: 8 near-equal-
+    // population bins from the 7 exact octile cut points (k/8 is
+    // exact binary, so index = (n·k) div 8 replays identically — the
+    // q_quantile_drift discipline), cuts BROADCAST as value
+    // thresholds so bucketing is a per-row comparison and every stage
+    // stays parallel (never a global ntile window). Per-bin
+    // depth/min/max/sum read-out in exact cents — the feature-binning
+    // artifact an ML pipeline freezes next to the model.
+    "q_equidepth_bins" -> ((s, d) => {
+      val oc = t(s, d, "orders")
+        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("c"))
+      val cuts = (1 to 7).map(k => graft.core.Quantiles
+        .valueAtFractionMemo(oc, "c", k / 8.0, s"eqd:$k:$d").toLong)
+      val bin = cuts.map(cut =>
+        when(col("c") >= lit(cut), 1L).otherwise(0L)).reduce(_ + _)
+      oc.select(col("c"), bin.as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"), min(col("c")).as("min_c"),
+          max(col("c")).as("max_c"), sum(col("c")).as("sum_c"))
+        .orderBy(col("bin"))
+    }),
+
     // Trimmed mean per event_type (drop the bottom/top decile by exact
     // rank, average the middle 80%) — the robust location estimate
     // that survives the value column's outlier tail. Ranks come from
@@ -3121,6 +3179,55 @@ object RelQueries {
          |         AS cramers_v
          |FROM agg""".stripMargin
     },
+
+    // Doubled average ranks are exact integers; HUGEINT is DuckDB's
+    // DECIMAL(38,0) stand-in for the cross products; the final
+    // formula is the same fixed IEEE op sequence.
+    "q_spearman_corr" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g, l_quantity AS va, l_extendedprice AS vb
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g,
+        |         2*rank() OVER (PARTITION BY g ORDER BY va)
+        |           + count(*) OVER (PARTITION BY g, va) - 1 AS ra,
+        |         2*rank() OVER (PARTITION BY g ORDER BY vb)
+        |           + count(*) OVER (PARTITION BY g, vb) - 1 AS rb
+        |  FROM li),
+        |m AS (
+        |  SELECT g, count(*) AS n,
+        |         CAST(sum(ra) AS HUGEINT) AS sa,
+        |         CAST(sum(rb) AS HUGEINT) AS sb,
+        |         CAST(sum(ra*ra) AS HUGEINT) AS saa,
+        |         CAST(sum(rb*rb) AS HUGEINT) AS sbb,
+        |         CAST(sum(ra*rb) AS HUGEINT) AS sab
+        |  FROM r GROUP BY 1)
+        |SELECT g, n,
+        |       floor((CAST(n*sab - sa*sb AS DOUBLE) /
+        |              sqrt(CAST(n*saa - sa*sa AS DOUBLE)
+        |                   * CAST(n*sbb - sb*sb AS DOUBLE)))*10000 + 0.5)
+        |         /10000.0 AS spearman
+        |FROM m ORDER BY g""".stripMargin,
+
+    // Octile cut points by exact rank ((n·k) div 8 into the sorted
+    // cents), then the same >=-threshold bucketing.
+    "q_equidepth_bins" ->
+      """WITH oc AS (
+        |  SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |nn AS (SELECT count(*) AS n FROM oc),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c) - 1 AS idx FROM oc),
+        |cuts AS (
+        |  SELECT k, (SELECT c FROM ranked, nn WHERE idx = (n*k) // 8) AS cut
+        |  FROM (SELECT unnest(generate_series(1, 7)) AS k)),
+        |b AS (
+        |  SELECT c, (SELECT count(*) FROM cuts WHERE c >= cut) AS bin
+        |  FROM oc)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
+        |       min(c) AS min_c, max(c) AS max_c,
+        |       CAST(sum(c) AS BIGINT) AS sum_c
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_trimmed_mean" ->
       """WITH ev AS (
