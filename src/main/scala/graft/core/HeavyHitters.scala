@@ -39,23 +39,27 @@ object HeavyHitters {
     * eviction destroys k+1 units of count mass out of the n total, so
     * there are ≤ n/(k+1) evictions and the amortized cost stays O(1)
     * per row. Exposed for the spec. */
+  /** One MG arrival against a counter table — the k-counter step
+    * shared by the flat and grouped kernels. */
+  private def mgStep(counts: scala.collection.mutable.HashMap[String, Long],
+                     key: String, k: Int): Unit =
+    counts.get(key) match {
+      case Some(c) => counts.update(key, c + 1L)
+      case None if counts.size < k => counts.update(key, 1L)
+      case None =>
+        // decrement-all: every live counter loses 1; zeros drop out,
+        // and the arriving key's +1 cancels against its own -1
+        val dead = counts.iterator
+          .flatMap { case (ky, c) =>
+            if (c == 1L) Some(ky) else { counts.update(ky, c - 1L); None } }
+          .toList
+        dead.foreach(counts.remove)
+    }
+
   private[graft] def mgPartition(it: Iterator[String], k: Int)
       : Iterator[(String, Long)] = {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    it.foreach { key =>
-      counts.get(key) match {
-        case Some(c) => counts.update(key, c + 1L)
-        case None if counts.size < k => counts.update(key, 1L)
-        case None =>
-          // decrement-all: every live counter loses 1; zeros drop out,
-          // and the arriving key's +1 cancels against its own -1
-          val dead = counts.iterator
-            .flatMap { case (ky, c) =>
-              if (c == 1L) Some(ky) else { counts.update(ky, c - 1L); None } }
-            .toList
-          dead.foreach(counts.remove)
-      }
-    }
+    it.foreach(mgStep(counts, _, k))
     counts.iterator.map { case (ky, c) => (ky, c) }
   }
 
@@ -69,6 +73,35 @@ object HeavyHitters {
       .mapPartitions(it => mgPartition(it, k))
       .toDF(keyCol, "est_part")
       .groupBy(col(keyCol))
+      .agg(sum(col("est_part")).as("est"))
+  }
+
+  /** Grouped MG summaries: an independent k-counter table PER GROUP
+    * inside each partition (state ≤ groups-in-partition × k), partials
+    * exact-summed per (group, key). The per-group envelope is the flat
+    * one: within group g, est ∈ [true − n_g/(k+1), true]. The enabler
+    * for window fan-out reuse (q_trending_items): per-day partials are
+    * built ONCE and any sliding window merges them by summation, the
+    * same mergeability that powers [[summarize]]'s partition combine —
+    * day errors add to exactly the window envelope. */
+  def summarizeByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    val s: SparkSession = df.sparkSession
+    import s.implicits._
+    df.select(col(groupCol).cast("long"), col(keyCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val byGroup = scala.collection.mutable
+          .HashMap.empty[Long, scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, key) =>
+          mgStep(byGroup.getOrElseUpdate(g,
+            scala.collection.mutable.HashMap.empty[String, Long]), key, k)
+        }
+        byGroup.iterator.flatMap { case (g, m) =>
+          m.iterator.map { case (ky, c) => (g, ky, c) } }
+      }
+      .toDF(groupCol, keyCol, "est_part")
+      .groupBy(col(groupCol), col(keyCol))
       .agg(sum(col("est_part")).as("est"))
   }
 }

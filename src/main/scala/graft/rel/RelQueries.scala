@@ -1743,6 +1743,46 @@ object RelQueries {
         .orderBy(col("probe_key"))
     }),
 
+    // Trending items: heavy hitters per TRAILING 7-day window from
+    // per-day Misra–Gries partials — the sliding-window composition
+    // of q_heavy_hitters and q_rolling_distinct's fan-out. Each day's
+    // k-counter partials are built ONCE (grouped kernel, state ≤
+    // days×k per partition) and every window merges them by exact
+    // summation; per-day MG errors ADD to exactly the window envelope
+    // (Σ n_day/(k+1) = n_w/(k+1) — the mergeable-summaries bound
+    // again), so every key above n_w div 50 in a window is present
+    // and in-envelope with k=49. The raw-row exact side here is the
+    // acceptance measurement; the product at 100 TB is the per-day
+    // partial table any window can replay without touching rows.
+    "q_trending_items" -> ((s, d) => {
+      val keyed = t(s, d, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          when(col("user_id") % 4 === 0, col("event_type"))
+            .otherwise(concat(lit("u"), col("user_id"))).as("k"))
+      val days = keyed.select(col("day")).distinct()
+        .select(col("day").as("wday"))
+      def fan(df: DataFrame) = df
+        .select(col("*"), explode(sequence(col("day"), col("day") + lit(6L)))
+          .as("wday"))
+        .join(days, Seq("wday"), "left_semi")
+      val mgWin = fan(graft.core.HeavyHitters
+          .summarizeByGroup(keyed, "day", "k", 49))
+        .groupBy(col("wday"), col("k")).agg(sum(col("est")).as("est"))
+      val exactWin = fan(keyed.groupBy(col("day"), col("k"))
+          .agg(count(lit(1)).as("c")))
+        .groupBy(col("wday"), col("k")).agg(sum(col("c")).as("cnt"))
+      val nWin = fan(keyed.groupBy(col("day")).agg(count(lit(1)).as("nd")))
+        .groupBy(col("wday")).agg(sum(col("nd")).as("n"))
+      exactWin.join(nWin, Seq("wday"))
+        .where(col("cnt") > expr("n div 50"))
+        .join(mgWin, Seq("wday", "k"), "left")
+        .select(col("wday").as("day"), col("k").as("probe_key"),
+          (col("est").isNotNull && col("est") <= col("cnt") &&
+            col("cnt") - col("est") <= expr("n div 50"))
+            .as("within_bounds"))
+        .orderBy(col("day"), col("probe_key"))
+    }),
+
     // Sketch-partial REUSE across rollup levels: per-(type, day) HLL
     // partials built in ONE pass over events, then unioned two ways —
     // per type (across days) and globally — without rescanning rows.
@@ -3143,6 +3183,29 @@ object RelQueries {
         |n AS (SELECT count(*) AS n FROM keyed)
         |SELECT k AS probe_key, true AS within_bounds
         |FROM c, n WHERE cnt > n // 50 ORDER BY probe_key""".stripMargin,
+
+    // Data-derived property oracle: the exact heavy set of every
+    // trailing 7-day window, each key expected present + in-envelope.
+    "q_trending_items" ->
+      """WITH keyed AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |         CASE WHEN user_id % 4 = 0 THEN event_type
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM keyed),
+        |ed AS (SELECT day, k, count(*) AS c FROM keyed GROUP BY 1, 2),
+        |win AS (
+        |  SELECT d.day AS wday, ed.k, CAST(sum(ed.c) AS BIGINT) AS cnt
+        |  FROM days d JOIN ed ON ed.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2),
+        |nw AS (
+        |  SELECT d.day AS wday, CAST(sum(ed.c) AS BIGINT) AS n
+        |  FROM days d JOIN ed ON ed.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT wday AS day, k AS probe_key, true AS within_bounds
+        |FROM win JOIN nw USING (wday)
+        |WHERE cnt > n // 50
+        |ORDER BY day, probe_key""".stripMargin,
 
     // Derived-property oracle (sketch estimates engine-internal): one
     // in-envelope row per rollup level, levels data-derived.

@@ -43,6 +43,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(truth("hot") - est("hot") <= n / (k + 1))
   }
 
+  test("summarizeByGroup: per-group envelope survives window summation") {
+    import spark.implicits._
+    // 3 days, each with a majority key + its own tail; window = all 3
+    val rows = (0 until 3).flatMap { day =>
+      Seq.fill(60)((day.toLong, "hot")) ++
+        (1 to 30).map(i => (day.toLong, s"d${day}_$i"))
+    }
+    val df = rows.toDF("day", "k").repartition(4)
+    val k = 6
+    val partials = HeavyHitters.summarizeByGroup(df, "day", "k", k)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // per-group: never overestimates, group envelope n_g/(k+1)
+    val truth = rows.groupBy(identity).map { case (gk, v) => gk -> v.size.toLong }
+    partials.foreach { case (gk, e) => assert(e <= truth(gk), s"$gk over") }
+    (0L until 3L).foreach { day =>
+      val nG = rows.count(_._1 == day)
+      assert(truth((day, "hot")) - partials.getOrElse((day, "hot"), 0L)
+        <= nG / (k + 1))
+    }
+    // summed over the 3-day window the errors ADD to the window bound
+    val n = rows.size
+    val winEst = partials.collect { case ((_, ky), e) if ky == "hot" => e }.sum
+    val winTrue = truth.collect { case ((_, ky), c) if ky == "hot" => c }.sum
+    assert(winEst <= winTrue && winTrue - winEst <= n / (k + 1))
+  }
+
   test("rolling 7-day fan-out equals the naive per-day distinct") {
     import spark.implicits._
     val pairs = Seq( // (day, user): day 10 sees u1..u3; day 13 u3,u4; day 20 u1
