@@ -1872,6 +1872,37 @@ object ExtQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // INCREMENTAL index upkeep — the operational property every
+    // production ANN deployment needs: new vectors (the 10% delta
+    // slice) join the index by ASSIGNMENT against the frozen
+    // base-trained quantizer, never by rebuild. Because assignment is
+    // per-row deterministic, union(assign(base), assign(delta)) is
+    // cell-identical to one-shot assignment of the full corpus under
+    // the same centroids — which is exactly what the oracle replays
+    // (cent over the base slice, serving over everything). Corpus
+    // codes are append-only; at 100 TB the delta pass touches only
+    // arriving rows + the broadcast codebook. (Quantizer staleness is
+    // the accepted cost — the acceptance pair for that is the recall
+    // family.)
+    "q_ann_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = e.where(col("vec_id") % 10 =!= 9)
+      val delta = e.where(col("vec_id") % 10 === 9)
+      val cells = VectorSearch.labelCentroids(base)
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+      val assigned = VectorSearch.assignCells(
+          base.select(col("vec_id"), col("embedding")), cellsB)
+        .unionByName(VectorSearch.assignCells(
+          delta.select(col("vec_id"), col("embedding")), cellsB))
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.ivfTopKFromAssigned(assigned, cellsB, queries,
+          "qid", "qvec", k = 3, nProbe = 2)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // FILTERED vector search — ANN with a metadata predicate (each
     // query retrieves only corpus vectors sharing ITS OWN label): the
     // index (cells + assignment) is built once, unfiltered — the
@@ -2732,7 +2763,11 @@ object ExtQueries {
   /** Shared CTE chain for the IVF oracles: embedding explode,
     * label centroids, norms, assignment/probe cosines, candidate
     * scan, exact-cosine scoring and ranking (CTE `ranked`). */
-  private lazy val ivfRankedCtes: String =
+  /** The IVF serving replay, with the centroid-training population
+    * parameterizable (`centWhere`): q_ann_ivf trains on the full
+    * corpus (`true`); q_ann_incremental freezes the quantizer on the
+    * base slice while assignment/serving cover base+delta. */
+  private def ivfRankedCtesCent(centWhere: String): String =
     s"""expl AS (
          |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
          |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
@@ -2740,7 +2775,7 @@ object ExtQueries {
          |  SELECT CAST(label AS BIGINT) AS cell_id, i,
          |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
          |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
-         |  FROM expl GROUP BY 1, 2),
+         |  FROM expl WHERE $centWhere GROUP BY 1, 2),
          |cnorm AS (
          |  SELECT cell_id,
          |         CAST(sum(CAST(floor(cv*cv*1000000000000.0 + 0.5) AS BIGINT))
@@ -2796,6 +2831,8 @@ object ExtQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |                               ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM scored)""".stripMargin
+
+  private lazy val ivfRankedCtes: String = ivfRankedCtesCent("true")
 
   /** Exact ground-truth side shared by the recall oracles: every
     * (query, corpus) pair through the same fixed-point dot/norm chain
@@ -4120,6 +4157,15 @@ object ExtQueries {
     // (top-nProbe per query vector), exactly as ivfTopK computes them.
     "q_ann_ivf" ->
       s"""WITH $ivfRankedCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // The same serving replay with the quantizer TRAINED ON THE BASE
+    // slice only (vec_id % 10 <> 9) — assignment and serving still
+    // cover the full corpus, which is precisely the incremental
+    // append's semantics.
+    "q_ann_incremental" ->
+      s"""WITH ${ivfRankedCtesCent("vec_id % 10 <> 9")}
          |SELECT qid, vec_id, cos_sim, rn
          |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
