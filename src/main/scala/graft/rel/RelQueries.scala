@@ -1850,6 +1850,51 @@ object RelQueries {
             .as("cramers_v"))
     }),
 
+    // Right-to-erasure audit: cascade a customer delete list through
+    // the star (customers → their orders → those orders' lineitems)
+    // and report per-table before/deleted/after plus the
+    // ORPHANS-AFTER count that proves referential closure — the
+    // compliance artifact a deletion job must emit. Pure key
+    // semi/anti joins: the delete list is broadcast-sized, fact
+    // tables are touched once each, and nothing rescans to audit
+    // (the orphan checks reuse the same deleted-key sets). At 100 TB
+    // the delete list stays a broadcast and each cascade level is one
+    // semi-join pass.
+    "q_delete_propagation" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val delC = cust.where(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"))
+      val delO = ord.join(broadcast(delC),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val delOKeys = delO.select(col("o_orderkey"))
+      val keptO = ord.join(broadcast(delC),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val keptLi = li.join(delOKeys,
+        li("l_orderkey") === delOKeys("o_orderkey"), "left_anti")
+      def stats(name: String, before: DataFrame, deleted: DataFrame,
+                orphans: DataFrame) =
+        before.agg(count(lit(1)).as("n_before"))
+          .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans_after")))
+          .select(lit(name).as("table_name"), col("n_before"),
+            col("n_deleted"),
+            (col("n_before") - col("n_deleted")).as("n_after"),
+            col("n_orphans_after"))
+      val none = cust.limit(0)
+      stats("customer", cust, delC, none)
+        .unionByName(stats("orders", ord, delO,
+          keptO.join(broadcast(delC),
+            col("o_custkey") === col("c_custkey"), "left_semi")))
+        .unionByName(stats("lineitem", li,
+          li.join(delOKeys, li("l_orderkey") === delOKeys("o_orderkey"),
+            "left_semi"),
+          keptLi.join(delOKeys,
+            keptLi("l_orderkey") === delOKeys("o_orderkey"), "left_semi")))
+        .orderBy(col("table_name"))
+    }),
+
     // Spearman rank correlation per return flag — the robust
     // (monotone-invariant) complement of q_column_corr's Pearson
     // matrix. Ties get average ranks kept EXACT as doubled integers
@@ -3242,6 +3287,42 @@ object RelQueries {
          |         AS cramers_v
          |FROM agg""".stripMargin
     },
+
+    // The cascade replayed as plain counts; orphans-after are 0 by
+    // construction on both sides — the audit's point is that the
+    // ENGINE must prove it, not assume it.
+    "q_delete_propagation" ->
+      """WITH delc AS (SELECT c_custkey FROM customer
+        |              WHERE c_custkey % 50 = 0),
+        |delo AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM delc))
+        |SELECT 'customer' AS table_name,
+        |       (SELECT count(*) FROM customer) AS n_before,
+        |       (SELECT count(*) FROM delc) AS n_deleted,
+        |       (SELECT count(*) FROM customer)
+        |         - (SELECT count(*) FROM delc) AS n_after,
+        |       CAST(0 AS BIGINT) AS n_orphans_after
+        |UNION ALL
+        |SELECT 'lineitem',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+        |       (SELECT count(*) FROM lineitem)
+        |         - (SELECT count(*) FROM lineitem
+        |            WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)
+        |          AND l_orderkey IN (SELECT o_orderkey FROM delo))
+        |UNION ALL
+        |SELECT 'orders',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM delo),
+        |       (SELECT count(*) FROM orders)
+        |         - (SELECT count(*) FROM delo),
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)
+        |          AND o_custkey IN (SELECT c_custkey FROM delc))
+        |ORDER BY table_name""".stripMargin,
 
     // Doubled average ranks are exact integers; HUGEINT is DuckDB's
     // DECIMAL(38,0) stand-in for the cross products; the final
