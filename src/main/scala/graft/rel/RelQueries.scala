@@ -1743,6 +1743,37 @@ object RelQueries {
         .orderBy(col("probe_key"))
     }),
 
+    // EWMA trend per event type — the exponentially-weighted daily
+    // read-out a monitoring pipeline smooths with. Half-life = 1 day
+    // (α = 1/2) makes every weight an exact power of two, so the
+    // whole ledger is INTEGER: daily cents × 2^(13−lag) summed over
+    // the bounded 14-day fan-out (the q_rolling_distinct shape), one
+    // IEEE division at the end. No recursion, no running state, no
+    // double accumulation — any engine, any partitioning, same bits.
+    // Weights renormalize over the days actually present (both
+    // engines derive the same denominator from the same rows).
+    "q_ewma_trend" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vc")).as("v"))
+      val days = daily.select(col("day").as("wday")).distinct()
+      daily.select(col("event_type"), col("day"), col("v"),
+          explode(sequence(col("day"), col("day") + lit(13L))).as("wday"))
+        .join(days, Seq("wday"), "left_semi")
+        .withColumn("w",
+          expr("shiftleft(1L, cast(13 - (wday - day) as int))"))
+        .groupBy(col("event_type"), col("wday"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
+        .select(col("event_type"), col("wday").as("day"), col("n_days"),
+          Det.r4(col("num").cast("double") / col("den").cast("double") /
+            lit(100.0)).as("ewma"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Trending items: heavy hitters per TRAILING 7-day window from
     // per-day Misra–Gries partials — the sliding-window composition
     // of q_heavy_hitters and q_rolling_distinct's fan-out. Each day's
@@ -3228,6 +3259,25 @@ object RelQueries {
         |n AS (SELECT count(*) AS n FROM keyed)
         |SELECT k AS probe_key, true AS within_bounds
         |FROM c, n WHERE cnt > n // 50 ORDER BY probe_key""".stripMargin,
+
+    // Integer dyadic weights replay exactly; one IEEE division + r4.
+    "q_ewma_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day AS wday FROM daily),
+        |fan AS (
+        |  SELECT d.event_type, d.v, w.wday,
+        |         1 << (13 - (w.wday - d.day)) AS w
+        |  FROM daily d JOIN days w
+        |    ON w.wday BETWEEN d.day AND d.day + 13)
+        |SELECT event_type, wday AS day, count(*) AS n_days,
+        |       floor((CAST(sum(v*w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+        |              / 100.0)*10000 + 0.5)/10000.0 AS ewma
+        |FROM fan GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
 
     // Data-derived property oracle: the exact heavy set of every
     // trailing 7-day window, each key expected present + in-envelope.
