@@ -1676,6 +1676,36 @@ object ExtQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    // Image near-dup CLUSTERS: the q_image_phash candidate edges
+    // (banded, hamming ≤ 3) run through the SAME contraction-first
+    // min-label connected components as the text dedup family
+    // (Dedup.connectedComponents), keeper = min img_id — closing the
+    // image-dedup loop pairs → clusters → keeper exactly as
+    // q_dedup_clusters does for documents. The oracle replays edges
+    // from the grid formula and clusters them with the recursive
+    // min-label CTE — cluster assignments are cell-exact.
+    "q_image_phash_clusters" -> ((s, d) => {
+      val p = graft.io.PhashFixtures.write(s, d)
+      val hashes = Multimodal.dhashAll(s.read.parquet(p)).toDF()
+        .select(col("doc_id").as("img_id"), col("dhash"))
+      val bands = hashes.select(col("img_id"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("shiftright(dhash, band * 16) & 65535"))
+      val edges = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("d1"), col("b.img_id").as("d2"),
+          expr("bit_count(a.dhash ^ b.dhash)").as("hd"))
+        .distinct()
+        .where(col("hd") <= 3)
+        .select(col("d1"), col("d2"))
+      Dedup.connectedComponents(
+          hashes.select(col("img_id").as("doc_id")), edges)
+        .withColumn("is_keeper",
+          (col("doc_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Audio content fingerprint, scored CELL-EXACT: the WAV fixture's
     // PCM samples are a sawtooth that is pure arithmetic in
     // (doc_id, sample index), so the energy-envelope bits (adjacent
@@ -4781,6 +4811,54 @@ object ExtQueries {
          |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
          |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Formula edges + the recursive min-label CC replay (the
+    // q_dedup_clusters oracle pattern over the phash edge set).
+    "q_image_phash_clusters" ->
+      """WITH RECURSIVE ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+        |grid AS (
+        |  SELECT id, v, bx, by,
+        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+        |          + by*29) % 192
+        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+        |  FROM ids, vs, bxs, bys),
+        |bits AS (
+        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
+        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
+        |   AND g2.bx = g1.bx + 1
+        |  WHERE g1.bx < 8),
+        |pb AS (
+        |  SELECT a.img AS ia, b.img AS ib, a.pos // 16 AS band,
+        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS bd
+        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.img < b.img
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT ia, ib, sum(bd) AS hamming,
+        |         max(CASE WHEN bd = 0 THEN 1 ELSE 0 END) AS sb
+        |  FROM pb GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT ia AS d1, ib AS d2 FROM pairs
+        |  WHERE sb = 1 AND hamming <= 3),
+        |sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM edges
+        |  UNION ALL
+        |  SELECT d2 AS src, d1 AS dst FROM edges),
+        |imgs AS (SELECT unnest(generate_series(0, 143)) AS img),
+        |cc AS (
+        |  SELECT img AS node, img AS label FROM imgs
+        |  UNION
+        |  SELECT sym.dst AS node, cc.label
+        |  FROM cc JOIN sym ON cc.node = sym.src)
+        |SELECT CAST(node AS BIGINT) AS doc_id,
+        |       CAST(min(label) AS BIGINT) AS cluster_id,
+        |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_keeper
+        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // The gate replay: hashes from the grid FORMULA (the q_image_phash
     // bits, MSB-first as the engine's lpad(bin())), then the gate's
