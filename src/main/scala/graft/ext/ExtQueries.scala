@@ -337,6 +337,42 @@ object ExtQueries {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+
+  /** Per-probe exact-3-NN prediction (qid, pred_label, true_label,
+    * correct) — the shared chain behind q_knn_classify and
+    * q_label_noise. */
+  private def knnPerProbe(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("true_label"))
+        .withColumn("nrm_q", VectorSearch.fixedNormSq(col("qvec")))
+      val scored = e
+        .withColumn("nrm_e", VectorSearch.fixedNormSq(col("embedding")))
+        .crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+          Det.r4(VectorSearch.cosineCol(
+            VectorSearch.fixedDot(col("qvec"), col("embedding")),
+            col("nrm_q"), col("nrm_e"))).as("cos_sim"))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val votes = scored
+        .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 3)
+        .groupBy(col("qid"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("n_votes"), min(col("rn")).as("best_rn"))
+      val wVote = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("best_rn"), col("label"))
+      votes.withColumn("vr", row_number().over(wVote))
+        .where(col("vr") === 1)
+        .select(col("qid"), col("label").as("pred_label"),
+          col("true_label"),
+          (col("label") === col("true_label")).cast("long").as("correct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: sha2 groups over prefix-normalized text.
@@ -2316,38 +2352,25 @@ object ExtQueries {
     // and per-probe ranking windows run on |corpus| rows per probe —
     // at 100 TB the probe batch stays the broadcast side and the scan
     // parallelizes over corpus splits.
-    "q_knn_classify" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.expr.GraftFunctions.ensureRegistered(s)
-      val e = emb(s, d).select(col("vec_id"), col("embedding"),
-        col("label").cast("long").as("label"))
-      val probes = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("true_label"))
-        .withColumn("nrm_q", VectorSearch.fixedNormSq(col("qvec")))
-      val scored = e
-        .withColumn("nrm_e", VectorSearch.fixedNormSq(col("embedding")))
-        .crossJoin(broadcast(probes))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
-          Det.r4(VectorSearch.cosineCol(
-            VectorSearch.fixedDot(col("qvec"), col("embedding")),
-            col("nrm_q"), col("nrm_e"))).as("cos_sim"))
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      val votes = scored
-        .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 3)
-        .groupBy(col("qid"), col("true_label"), col("label"))
-        .agg(count(lit(1)).as("n_votes"), min(col("rn")).as("best_rn"))
-      val wVote = Window.partitionBy(col("qid"))
-        .orderBy(col("n_votes").desc, col("best_rn"), col("label"))
-      votes.withColumn("vr", row_number().over(wVote))
-        .where(col("vr") === 1)
-        .select(col("qid"), col("label").as("pred_label"),
-          col("true_label"),
-          (col("label") === col("true_label")).cast("long").as("correct"))
-        .orderBy(col("qid"))
-    }),
+    "q_knn_classify" -> ((s, d) =>
+      knnPerProbe(s, d).orderBy(col("qid"))),
+
+    // Label-noise screen: per-label share of probes whose 3-NN
+    // majority vote disagrees with their own label — the mislabel
+    // triage a curation pass runs before training (Northcutt et al.'s
+    // confident-learning signal, here with the exact-kNN judge). The
+    // per-probe chain IS q_knn_classify (one definition, two scored
+    // surfaces); the probes×corpus exact side is measurement by
+    // construction, like the recall family.
+    "q_label_noise" -> ((s, d) =>
+      knnPerProbe(s, d)
+        .groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(lit(1L) - col("correct")).as("n_disagree"))
+        .select(col("true_label"), col("n_probes"), col("n_disagree"),
+          Det.r4(col("n_disagree").cast("double") /
+            col("n_probes").cast("double")).as("noise_rate"))
+        .orderBy(col("true_label"))),
 
     // Cross-source exact-duplicate matrix — the provenance audit a
     // multi-source corpus runs before mixing: for every normalized
@@ -3457,6 +3480,53 @@ object ExtQueries {
        |       count(DISTINCT b.bench_doc) AS n_bench_docs
        |FROM train t JOIN bench b ON b.shingle = t.shingle
        |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
+
+  /** The exact-3-NN prediction chain (kexpl→kpred), shared by the
+    * q_knn_classify and q_label_noise oracles. */
+  private lazy val knnPredCtes: String =
+    s"""kexpl AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+         |         CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |knorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS en
+         |  FROM kexpl GROUP BY 1),
+         |kdots AS (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS dot
+         |  FROM kexpl q JOIN kexpl e ON e.i = q.i
+         |  WHERE q.vec_id % 50 = 0 AND e.vec_id != q.vec_id
+         |  GROUP BY 1, 2),
+         |kscored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+         |  FROM kdots d
+         |  JOIN knorm nq ON nq.vec_id = d.qid
+         |  JOIN knorm ne ON ne.vec_id = d.vec_id),
+         |ktop AS (
+         |  SELECT qid, vec_id, rn FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim DESC, vec_id) AS rn
+         |    FROM kscored) WHERE rn <= 3),
+         |kvotes AS (
+         |  SELECT t.qid, CAST(lab.label AS BIGINT) AS label,
+         |         count(*) AS n_votes, min(t.rn) AS best_rn
+         |  FROM ktop t JOIN embeddings lab ON lab.vec_id = t.vec_id
+         |  GROUP BY 1, 2),
+         |kpred AS (
+         |  SELECT qid, label AS pred_label FROM (
+         |    SELECT qid, label,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY n_votes DESC, best_rn,
+         |                                       label) AS vr
+         |    FROM kvotes) WHERE vr = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -4997,55 +5067,28 @@ object ExtQueries {
     // the ANN chains): fixed-point dots/norms, leave-one-out top-3,
     // majority vote with the (count desc, best rank, label) tie order.
     "q_knn_classify" ->
-      s"""WITH kexpl AS (
-         |  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
-         |         CAST(embedding[i] AS DOUBLE) AS v
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
-         |knorm AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE)
-         |           / 1000000000000.0 AS en
-         |  FROM kexpl GROUP BY 1),
-         |kdots AS (
-         |  SELECT q.vec_id AS qid, e.vec_id,
-         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE)
-         |           / 1000000000000.0 AS dot
-         |  FROM kexpl q JOIN kexpl e ON e.i = q.i
-         |  WHERE q.vec_id % 50 = 0 AND e.vec_id != q.vec_id
-         |  GROUP BY 1, 2),
-         |kscored AS (
-         |  SELECT d.qid, d.vec_id,
-         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
-         |  FROM kdots d
-         |  JOIN knorm nq ON nq.vec_id = d.qid
-         |  JOIN knorm ne ON ne.vec_id = d.vec_id),
-         |ktop AS (
-         |  SELECT qid, vec_id, rn FROM (
-         |    SELECT qid, vec_id,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY cos_sim DESC, vec_id) AS rn
-         |    FROM kscored) WHERE rn <= 3),
-         |kvotes AS (
-         |  SELECT t.qid, CAST(lab.label AS BIGINT) AS label,
-         |         count(*) AS n_votes, min(t.rn) AS best_rn
-         |  FROM ktop t JOIN embeddings lab ON lab.vec_id = t.vec_id
-         |  GROUP BY 1, 2),
-         |kpred AS (
-         |  SELECT qid, label AS pred_label FROM (
-         |    SELECT qid, label,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY n_votes DESC, best_rn,
-         |                                       label) AS vr
-         |    FROM kvotes) WHERE vr = 1)
+      s"""WITH $knnPredCtes
          |SELECT p.qid, p.pred_label,
          |       CAST(q.label AS BIGINT) AS true_label,
          |       CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END
          |            AS BIGINT) AS correct
          |FROM kpred p JOIN embeddings q ON q.vec_id = p.qid
          |ORDER BY p.qid""".stripMargin,
+
+    // Per-label aggregation of the SAME kpred chain — prediction and
+    // noise screen cannot drift.
+    "q_label_noise" ->
+      s"""WITH $knnPredCtes,
+         |per AS (
+         |  SELECT CAST(q.label AS BIGINT) AS true_label,
+         |         CASE WHEN p.pred_label = q.label THEN 0 ELSE 1 END AS dis
+         |  FROM kpred p JOIN embeddings q ON q.vec_id = p.qid)
+         |SELECT true_label, count(*) AS n_probes,
+         |       CAST(sum(dis) AS BIGINT) AS n_disagree,
+         |       floor((CAST(sum(dis) AS DOUBLE) / count(*))*10000 + 0.5)
+         |         /10000.0 AS noise_rate
+         |FROM per GROUP BY 1 ORDER BY true_label""".stripMargin,
+
 
     // Shares the normalized-signature constant with q_dedup_exact, so
     // the matrix and the dedup pass agree on what "exact dup" means.
