@@ -1735,8 +1735,11 @@ object ExtQueries {
         .distinct()
         .where(col("hd") <= 3)
         .select(col("d1"), col("d2"))
-      Dedup.connectedComponents(
-          hashes.select(col("img_id").as("doc_id")), edges)
+      // snapshot-memoized like q_dedup_clusters: the CC fixpoint is a
+      // session artifact; its warm cost is a snapshot scan
+      Cache.getOrSnapshot(s, "phash_cc_clusters", d)(
+          Dedup.connectedComponents(
+            hashes.select(col("img_id").as("doc_id")), edges))
         .withColumn("is_keeper",
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy(col("doc_id"))
