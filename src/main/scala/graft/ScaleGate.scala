@@ -62,7 +62,14 @@ object ScaleGate {
     // (pairs × 10-row axis), and the power-iteration direction (two
     // corpus passes per round)
     "q_bpe_tokens_kernel", "q_minhash_containment",
-    "q_dedup_threshold_sweep", "q_embed_pca_power")
+    "q_dedup_threshold_sweep", "q_embed_pca_power",
+    // round-9 closing: the events family gets MEASURED scale evidence
+    // (buildReplica now replicates events on the same day axis, so
+    // windows/days densify 10×): the bounded rolling fan-outs, the
+    // sketch-merge read-outs, the per-day MG partial pipeline, the
+    // EWMA ledger, and the sessionization window
+    "q_rolling_distinct", "q_rolling_hll", "q_trending_items",
+    "q_heavy_hitters", "q_ewma_trend", "q_sessionize")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
@@ -80,7 +87,9 @@ object ScaleGate {
   /** Replicate documents+embeddings `factor`× with disjoint id spaces. */
   def buildReplica(spark: SparkSession, base: String, out: String,
                    factor: Int): Unit = {
-    if (exists(s"$out/_GATE_OK")) return
+    // v2 marker: replicas built before the events table joined the
+    // gate lack events.parquet and must rebuild once
+    if (exists(s"$out/_GATE_OK_V2")) return
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val reps = spark.range(factor.toLong).select(col("id").as("rep"))
@@ -99,7 +108,21 @@ object ScaleGate {
             .otherwise(v)).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_GATE_OK"))
+    // events: replicas keep the SAME day axis (so rolling windows and
+    // trending keys DENSIFY factor× — the adversarial direction: more
+    // rows AND more distinct users per window/day) while event ids and
+    // user ids move to disjoint ranges per replica.
+    val ev = graft.io.Sources.events(spark, base)
+    val nEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val nUs = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+    ev.crossJoin(reps)
+      .select((col("event_id") + col("rep") * nEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * nUs).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$out/_GATE_OK_V2"))
     ()
   }
 

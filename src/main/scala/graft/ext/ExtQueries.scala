@@ -476,6 +476,14 @@ object ExtQueries {
       s.sql(SqlNullSemanticsSql)
     }),
 
+    // The GROUPING()-marker corner of the literal SQL surface (see
+    // SqlGroupingSql — rolled-up NULL vs data NULL, null order
+    // pinned).
+    "q_sql_grouping" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlGroupingSql)
+    }),
+
     // The window-function half of the literal SQL surface: one ANSI
     // text with a named WINDOW clause, ranking + offset functions,
     // executed verbatim by spark.sql AND by the oracle engine — the
@@ -2695,6 +2703,28 @@ object ExtQueries {
       |  (SELECT count(*) FROM probe WHERE ck IN (SELECT k FROM s))
       |    AS n_in""".stripMargin
 
+  /** The GROUPING()-marker corner of the literal SQL surface
+    * (q_sql_grouping): GROUPING SETS with grouping() flags
+    * distinguishing "NULL because rolled up" from "NULL in the data"
+    * — the disambiguation every BI layer on top of a lakehouse relies
+    * on. NULLS FIRST is pinned explicitly: Spark's default null order
+    * is NULLS FIRST ascending, DuckDB's is NULLS LAST, so an unpinned
+    * ORDER BY over the rolled-up rows would shuffle the emitted order
+    * between engines even with identical rows. */
+  private val SqlGroupingSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+      |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+      |            AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderpriority), ())
+      |ORDER BY g_pri, g_st,
+      |         o_orderpriority NULLS FIRST,
+      |         o_orderstatus NULLS FIRST""".stripMargin
+
   /** One ANSI SQL text, two engines — q_sql_surface executes THIS
     * string via spark.sql and the driver executes it via DuckDB. */
   private val SqlSurfaceSql: String =
@@ -3569,6 +3599,7 @@ object ExtQueries {
     "q_sql_window_surface" -> SqlWindowSurfaceSql,
     "q_sql_correlated" -> SqlCorrelatedSql,
     "q_sql_null_semantics" -> SqlNullSemanticsSql,
+    "q_sql_grouping" -> SqlGroupingSql,
     "q_sql_lateral" -> SqlLateralSql,
 
     // The parquet-side summary with the tag expression recomputed —
