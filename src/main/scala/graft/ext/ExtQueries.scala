@@ -484,6 +484,13 @@ object ExtQueries {
       s.sql(SqlGroupingSql)
     }),
 
+    // The recursive-CTE corner of the literal SQL surface (Spark 4's
+    // UnionLoop): one ANSI text executed verbatim by both engines.
+    "q_sql_recursive" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlRecursiveSql)
+    }),
+
     // The window-function half of the literal SQL surface: one ANSI
     // text with a named WINDOW clause, ranking + offset functions,
     // executed verbatim by spark.sql AND by the oracle engine — the
@@ -1050,6 +1057,48 @@ object ExtQueries {
     // Quality scoring: length/stopword/word-shape bands.
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityColumns(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Gopher-style rule filter (Rae et al. 2021, App. A): the word-
+    // level subset of the published heuristics, each emitted as its
+    // own 0/1 flag plus the AND verdict, so a curator sees WHICH rule
+    // cut a document, not just that one did. Rule shapes are the
+    // paper's — word-count band, mean-word-length band, junk-word
+    // ratio cap, distinct-stopword floor — with the stopword list and
+    // two thresholds calibrated to the corpus's language profile
+    // (engine config, like every deployed Gopher variant): this
+    // corpus's only function words are {the, a}, its mean word length
+    // sits in [3.7, 5.3], and short-word mass is the junk signal a
+    // punctuation-free word soup actually carries. All four rules are
+    // integer inequalities over per-doc counts (the [4,10] word-length
+    // band is spelled 4·n_words ≤ Σlen ≤ 10·n_words; the 5% short-
+    // word cap is 20·n_short ≤ n_words): one scan, no doubles across
+    // the oracle boundary, every flag whole-stage-codegen'd scalar
+    // math — the shape that runs at scan speed on 100 TB.
+    "q_gopher_rules" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val stopKinds = Seq("the", "a").map(w =>
+          when(array_contains(ws, w), 1L).otherwise(0L))
+        .reduce(_ + _)
+      docs(s, d).select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          (col("n_chars") - size(ws).cast("long") + 1L).as("sum_wlen"),
+          size(filter(ws, w => length(w) <= 2)).cast("long").as("n_short"),
+          stopKinds.as("n_stop_kinds"))
+        .select(col("doc_id"), col("n_words"), col("n_short"),
+          col("n_stop_kinds"),
+          when(col("n_words") >= 50 && col("n_words") <= 100000, 1L)
+            .otherwise(0L).as("r_wordcount"),
+          when(col("sum_wlen") >= col("n_words") * 4 &&
+               col("sum_wlen") <= col("n_words") * 10, 1L)
+            .otherwise(0L).as("r_wlen"),
+          when(col("n_short") * 20 <= col("n_words"), 1L)
+            .otherwise(0L).as("r_short"),
+          when(col("n_stop_kinds") >= 2, 1L).otherwise(0L).as("r_stop"))
+        .withColumn("keep",
+          col("r_wordcount") * col("r_wlen") * col("r_short") *
+            col("r_stop"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Corpus bigram counts: top-10 per language by frequency — the
     // language-model-counts shape (explode adjacent pairs, count,
@@ -2725,6 +2774,48 @@ object ExtQueries {
       |         o_orderpriority NULLS FIRST,
       |         o_orderstatus NULLS FIRST""".stripMargin
 
+  /** The recursive-CTE corner of the literal SQL surface
+    * (q_sql_recursive): a month-spine generated by WITH RECURSIVE —
+    * Spark 4 plans the recursion as UnionLoop (anchor + iterated
+    * step, depth = month span, bounded by
+    * spark.sql.cteRecursionLevelLimit), DuckDB as its recursive-CTE
+    * operator — left-joined to the monthly order rollup so empty
+    * months surface as explicit zero rows (the gapfill shape, but
+    * driven by the SQL-standard recursion instead of sequence()).
+    * The spine recurses on an INTEGER month index (year·12+month−1)
+    * rather than DATE arithmetic: date+INTERVAL lands in different
+    * types across engines (Spark DATE, DuckDB TIMESTAMP), while the
+    * integer axis keeps every emitted column BIGINT. Recursion depth
+    * is O(calendar span) — ~tens of iterations regardless of fact
+    * volume, each a constant-size step; the 100-TB work lives
+    * entirely in the ordinary monthly GROUP BY. */
+  private val SqlRecursiveSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(min(year(o_orderdate)*12 + month(o_orderdate) - 1)
+      |              AS BIGINT) AS lo,
+      |         CAST(max(year(o_orderdate)*12 + month(o_orderdate) - 1)
+      |              AS BIGINT) AS hi
+      |  FROM orders),
+      |months AS (
+      |  SELECT lo AS k FROM bounds
+      |  UNION ALL
+      |  SELECT k + 1 FROM months WHERE k < (SELECT hi FROM bounds)),
+      |agg AS (
+      |  SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) - 1
+      |              AS BIGINT) AS k,
+      |         count(*) AS n_orders,
+      |         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT months.k AS month_idx,
+      |       CAST(floor(months.k / 12.0) AS BIGINT) AS yr,
+      |       months.k - CAST(floor(months.k / 12.0) AS BIGINT) * 12 + 1
+      |         AS mth,
+      |       coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+      |       coalesce(cents, CAST(0 AS BIGINT)) AS cents
+      |FROM months LEFT JOIN agg ON months.k = agg.k
+      |ORDER BY months.k""".stripMargin
+
   /** One ANSI SQL text, two engines — q_sql_surface executes THIS
     * string via spark.sql and the driver executes it via DuckDB. */
   private val SqlSurfaceSql: String =
@@ -3600,6 +3691,7 @@ object ExtQueries {
     "q_sql_correlated" -> SqlCorrelatedSql,
     "q_sql_null_semantics" -> SqlNullSemanticsSql,
     "q_sql_grouping" -> SqlGroupingSql,
+    "q_sql_recursive" -> SqlRecursiveSql,
     "q_sql_lateral" -> SqlLateralSql,
 
     // The parquet-side summary with the tag expression recomputed —
@@ -3920,6 +4012,44 @@ object ExtQueries {
          |SELECT doc_id, n_chars, n_words, n_stop, avg_wlen, stop_ratio,
          |       quality
          |FROM quals ORDER BY doc_id""".stripMargin,
+
+    // Gopher rule flags: pure integer inequalities over per-doc word
+    // counts — the oracle replays each rule from the raw text with
+    // list primitives, no doubles anywhere.
+    "q_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws, n_chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(ws) AS BIGINT) AS n_words,
+        |         n_chars - CAST(len(ws) AS BIGINT) + 1 AS sum_wlen,
+        |         CAST(len(list_filter(ws, x -> len(x) <= 2)) AS BIGINT)
+        |           AS n_short,
+        |         CAST(list_contains(ws, 'the') AS BIGINT)
+        |           + CAST(list_contains(ws, 'a') AS BIGINT)
+        |           AS n_stop_kinds
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, n_words, n_short, n_stop_kinds,
+        |    CASE WHEN n_words BETWEEN 50 AND 100000
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |      AS r_wordcount,
+        |    CASE WHEN sum_wlen >= n_words * 4
+        |          AND sum_wlen <= n_words * 10
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |      AS r_wlen,
+        |    CASE WHEN n_short * 20 <= n_words
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |      AS r_short,
+        |    CASE WHEN n_stop_kinds >= 2
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |      AS r_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, n_short, n_stop_kinds,
+        |       r_wordcount, r_wlen, r_short, r_stop,
+        |       r_wordcount * r_wlen * r_short * r_stop AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Integer replay of the LmScore pipeline: same Laplace smoothing,
     // same fixed-point probability, same bit-length/mantissa log

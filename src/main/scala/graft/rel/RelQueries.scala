@@ -806,6 +806,44 @@ object RelQueries {
         .toDF().orderBy(col("user_id"))
     }),
 
+    // Slowly-changing-dimension Type-2 build from the same changelog:
+    // collapse no-op updates (consecutive equal states under the
+    // (ts, event_id) total order), then stamp each surviving change
+    // with [valid_from, valid_to) and an is_current flag — the
+    // dimension-versioning table every warehouse keeps next to its
+    // CDC feed. Both windows share ONE partitioning (user_id), so the
+    // whole build is a single exchange followed by two sort-free
+    // window passes over the same partitions; at 100 TB it scales as
+    // one shuffle of the changelog, and the %20 key gate stands in
+    // for the per-entity routing a production feed would partition by.
+    // valid_to of the open version is the classic 9999-12-31 sentinel
+    // (epoch-micros) rather than NULL so the column stays a plain
+    // BIGINT on both engines.
+    "q_scd2_build" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val changes = ev
+        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .where(col("prev_state").isNull ||
+          col("prev_state") =!= col("event_type"))
+      changes
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts_us"), 1).over(w),
+            lit(253402300799000000L)))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          col("ts_us").as("valid_from"), col("valid_to"),
+          when(col("valid_to") === 253402300799000000L, 1L)
+            .otherwise(0L).as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // Ordered funnel analysis (view → click → purchase): each stage's
     // entry event is the EARLIEST qualifying event strictly after the
     // previous stage's (total (ts, event_id) order — ties can't
@@ -2652,6 +2690,36 @@ object RelQueries {
     // identical table, so both keys share one oracle.
     "q_cdc_latest" -> cdcLatestSql,
     "q_cdc_stream_latest" -> cdcLatestSql,
+
+    // SCD2: the oracle replays the same two-window construction; the
+    // second window re-ranks over the CHANGE rows only (both engines
+    // evaluate the window after the no-op filter), and the open
+    // version's valid_to is the 9999-12-31T23:59:59Z epoch-micros
+    // sentinel so every column stays BIGINT.
+    "q_scd2_build" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id % 20 = 3),
+        |chg AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, ts_us,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_us, event_id)
+        |             AS prev_state
+        |    FROM ev)
+        |  WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       event_type AS state,
+        |       ts_us AS valid_from,
+        |       coalesce(lead(ts_us) OVER w,
+        |                CAST(253402300799000000 AS BIGINT)) AS valid_to,
+        |       CASE WHEN lead(ts_us) OVER w IS NULL
+        |            THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     // The oracle spells each stage argmin as a ranked window — the
     // spelling the engine must NOT use at scale (see the query's
