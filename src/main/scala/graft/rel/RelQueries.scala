@@ -844,6 +844,25 @@ object RelQueries {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // The streaming SCD2 maintenance executed in batch mode — the
+    // same StreamOps.scd2Versions flatMapGroupsWithState path a live
+    // CDC consumer runs incrementally (StreamingSpec asserts
+    // stream == batch). Scored against the batch build's CLOSED rows
+    // (is_current = 0): O(1) open-version state replaying the
+    // (ts, event_id) total order must close exactly the versions the
+    // batch lag/lead windows do.
+    "q_stream_scd2" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[graft.streaming.StreamOps.EvS]
+      graft.streaming.StreamOps.scd2Versions(
+          ev.as[graft.streaming.StreamOps.EvS])
+        .toDF().orderBy(col("user_id"), col("version"))
+    }),
+
     // Ordered funnel analysis (view → click → purchase): each stage's
     // entry event is the EARLIEST qualifying event strictly after the
     // previous stage's (total (ts, event_id) order — ties can't
@@ -2719,6 +2738,33 @@ object RelQueries {
         |            ELSE CAST(0 AS BIGINT) END AS is_current
         |FROM chg
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // Streaming SCD2: exactly the batch build's closed rows — the
+    // lead() window defines valid_to, and rows whose lead is NULL
+    // (the open version) stay in operator state, not in the stream.
+    "q_stream_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id % 20 = 3),
+        |chg AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, ts_us,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_us, event_id)
+        |             AS prev_state
+        |    FROM ev)
+        |  WHERE prev_state IS NULL OR prev_state <> event_type),
+        |ver AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER w AS BIGINT) AS version,
+        |         event_type AS state,
+        |         ts_us AS valid_from,
+        |         lead(ts_us) OVER w AS valid_to
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, version, state, valid_from, valid_to
+        |FROM ver WHERE valid_to IS NOT NULL
         |ORDER BY user_id, version""".stripMargin,
 
     // The oracle spells each stage argmin as a ranked window — the

@@ -117,6 +117,53 @@ object StreamOps {
       }
   }
 
+  case class EvS(user_id: Long, event_id: Long, event_type: String,
+                 ts_us: Long)
+  case class Scd2State(state: String, version: Long, valid_from: Long)
+  case class Scd2Row(user_id: Long, version: Long, state: String,
+                     valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD Type-2 maintenance — the live twin of
+    * q_scd2_build: per-key state is the OPEN dimension version only
+    * (state string, version counter, valid_from — O(1), never the
+    * history), and each change CLOSES the previous version, which is
+    * emitted append-only with its final [valid_from, valid_to).
+    * No-op updates (same state) collapse exactly like the batch
+    * build's lag-filter. The open version stays in state — it is the
+    * "current" table a serving layer reads — so the emitted stream is
+    * precisely the batch build's `is_current = 0` rows. Assumes
+    * per-key in-order delivery across micro-batches (the CDC
+    * contract); within a batch the group iterator is sorted on the
+    * same (ts, event_id) total order the batch build uses. */
+  def scd2Versions(ds: Dataset[EvS]): Dataset[Scd2Row] = {
+    implicit val enc = Encoders.product[Scd2Row]
+    implicit val encL = Encoders.scalaLong
+    implicit val encState = Encoders.product[Scd2State]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvS], st: GroupState[Scd2State]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val closed = scala.collection.mutable.ListBuffer.empty[Scd2Row]
+          var cur = st.getOption
+          sorted.foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(Scd2State(e.event_type, 1L, e.ts_us))
+              case Some(c) if c.state != e.event_type =>
+                closed += Scd2Row(uid, c.version, c.state,
+                  c.valid_from, e.ts_us)
+                cur = Some(Scd2State(e.event_type, c.version + 1L,
+                  e.ts_us))
+              case Some(_) => () // no-op update: same state, no version
+            }
+          }
+          cur.foreach(st.update)
+          closed.iterator
+      }
+  }
+
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
                         n_events: Long)
 

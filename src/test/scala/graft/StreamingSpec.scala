@@ -338,6 +338,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closes versions incrementally, equal to the " +
+    "batch build's closed rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamOps.EvS](spark)
+    val q = StreamOps.scd2Versions(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2").start()
+    try {
+      // batch 1: key 1 opens A, no-op A repeat, changes to B (closes
+      // v1); key 2 opens X
+      input.addData(
+        StreamOps.EvS(1L, 10L, "A", 1000L),
+        StreamOps.EvS(1L, 11L, "A", 2000L),
+        StreamOps.EvS(1L, 12L, "B", 3000L),
+        StreamOps.EvS(2L, 20L, "X", 500L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("scd2").as[StreamOps.Scd2Row].collect()
+      assert(afterB1.toSet == Set(
+        StreamOps.Scd2Row(1L, 1L, "A", 1000L, 3000L)))
+      // batch 2: key 1 changes to C (closes v2, which OPENED in the
+      // previous batch — state carried across); key 2 no-ops
+      input.addData(
+        StreamOps.EvS(1L, 13L, "C", 5000L),
+        StreamOps.EvS(2L, 21L, "X", 900L))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2").as[StreamOps.Scd2Row]
+        .collect().toSet
+      assert(streamed == Set(
+        StreamOps.Scd2Row(1L, 1L, "A", 1000L, 3000L),
+        StreamOps.Scd2Row(1L, 2L, "B", 3000L, 5000L)))
+      // batch twin over the SAME rows: closed versions must agree
+      val batch = StreamOps.scd2Versions(Seq(
+        StreamOps.EvS(1L, 10L, "A", 1000L),
+        StreamOps.EvS(1L, 11L, "A", 2000L),
+        StreamOps.EvS(1L, 12L, "B", 3000L),
+        StreamOps.EvS(2L, 20L, "X", 500L),
+        StreamOps.EvS(1L, 13L, "C", 5000L),
+        StreamOps.EvS(2L, 21L, "X", 900L)).toDS()).collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("rate source feeds the shared session aggregation") {
     val q = StreamOps.sessionAgg(StreamOps.rateEvents(spark, 500))
       .writeStream.outputMode("complete")
