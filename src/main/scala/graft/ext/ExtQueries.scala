@@ -527,6 +527,29 @@ object ExtQueries {
     }),
 
 
+    // Schema evolution read: two parquet generations under one root
+    // (gen=2 added a `quality` column), read with mergeSchema so the
+    // union schema surfaces old rows with NULL in the new column —
+    // the append-only lakehouse contract. The summary separates "row
+    // exists" from "column populated" (n_docs vs n_quality), which is
+    // exactly what a reader pinned to either single generation's
+    // schema gets wrong; the oracle replays the expected summary from
+    // the base table via the deterministic gen split. mergeSchema
+    // costs one footer read per file at planning, not a data pass —
+    // at 100 TB the read itself stays an ordinary pruned scan.
+    "q_schema_drift" -> ((s, d) => {
+      val path = graft.io.DialectFixtures.writeDocsDrift(s, d)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("gen").cast("long")).as("gen_sum"),
+          sum(when(col("quality").isNotNull, 1L).otherwise(0L))
+            .as("n_quality"),
+          sum(coalesce(col("quality"), lit(0L))).as("quality_sum"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // JSONL sink→source roundtrip — the corpus interchange format
     // (one JSON object per line, splittable, schema-on-read). The
     // corpus is written as JSONL with full write parallelism, read
@@ -3708,6 +3731,21 @@ object ExtQueries {
          |         AS tag_hash_sum
          |FROM documents
          |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Schema drift: the expected merged-read summary replayed from
+    // the base table — gen and quality both derive from the
+    // deterministic doc_id % 2 generation split.
+    "q_schema_drift" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)
+        |            AS BIGINT) AS gen_sum,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_quality,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7
+        |                     ELSE 0 END) AS BIGINT) AS quality_sum,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // The parquet-side summary: if the engine's JSONL write→read
     // path preserved every row and byte, the two sides agree.

@@ -91,6 +91,30 @@ object DialectFixtures {
     ()
   }
 
+  def docsDriftPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_drift"
+
+  /** Two parquet "generations" of the corpus under one root — the
+    * schema-evolution layout every long-lived lakehouse table grows:
+    * gen=1 (even doc_ids) carries the original five columns; gen=2
+    * (odd doc_ids) adds a `quality` BIGINT (deterministically
+    * n_chars % 7, so the oracle can replay it from the base table).
+    * Reading the root demands `mergeSchema` — a reader pinned to one
+    * file's schema silently drops the new column or fails on the old
+    * files. */
+  def writeDocsDrift(spark: SparkSession, dir: String): String = {
+    val path = docsDriftPath(dir)
+    once(path, dir) {
+      val docs = Sources.table(spark, dir, "documents")
+      docs.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      docs.where(col("doc_id") % 2 === 1)
+        .withColumn("quality", (col("n_chars") % 7).cast("long"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+    }
+    path
+  }
+
   /** `user|item|rating` pipe dialect; returns the directory path. */
   def writeMovies(spark: SparkSession, dir: String): String = {
     val path = moviesPath(dir)

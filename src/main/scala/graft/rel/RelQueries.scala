@@ -507,6 +507,36 @@ object RelQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Skyline / Pareto frontier (minimize p_size AND price): the
+    // points no other point dominates (≤ on both axes, < on one).
+    // The 2-D skyline collapses BEFORE any global operation: a
+    // partial/final groupBy reduces the corpus to one (size,
+    // min-price) row per distinct size — O(|size domain|), ~50 rows
+    // at any fact volume — then the classic sort-scan (running strict
+    // -predecessor min via a 1-PRECEDING window) marks the frontier
+    // over that tiny frame, and a broadcast join back recovers every
+    // part sitting ON a frontier point (ties are co-skyline: neither
+    // strictly dominates). At 100 TB the only data-sized work is the
+    // first aggregate; the window's single-partition frame holds the
+    // size domain, never the data.
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, d, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("p_size"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
+      val bySize = p.groupBy(col("p_size"))
+        .agg(min(col("cents")).as("min_cents"))
+      val w = Window.orderBy(col("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = bySize
+        .withColumn("m1", min(col("min_cents")).over(w))
+        .where(col("m1").isNull || col("m1") > col("min_cents"))
+        .select(col("p_size"), col("min_cents").as("cents"))
+      p.join(broadcast(sky), Seq("p_size", "cents"))
+        .select(col("p_partkey"), col("p_size"), col("cents"))
+        .orderBy(col("p_size"), col("p_partkey"))
+    }),
+
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
       t(s, d, "orders")
@@ -2458,6 +2488,29 @@ object RelQueries {
       """SELECT s_nationkey, count(*) AS cnt
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // Skyline: dominance replayed via the same collapse + strict-
+    // predecessor window; a frontier (size, price) point admits every
+    // part that sits exactly on it.
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |         CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM part),
+        |bysize AS (
+        |  SELECT p_size, min(cents) AS min_cents FROM p GROUP BY 1),
+        |sky AS (
+        |  SELECT p_size, min_cents FROM (
+        |    SELECT p_size, min_cents,
+        |           min(min_cents) OVER (ORDER BY p_size
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             AS m1
+        |    FROM bysize)
+        |  WHERE m1 IS NULL OR m1 > min_cents)
+        |SELECT p.p_partkey, p.p_size, p.cents
+        |FROM p JOIN sky
+        |  ON p.p_size = sky.p_size AND p.cents = sky.min_cents
+        |ORDER BY p.p_size, p.p_partkey""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
