@@ -1654,6 +1654,66 @@ object RelQueries {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // Cohort REVENUE (LTV matrix): the monetary complement of
+    // q_user_retention — customers cohorted by first-order month,
+    // revenue accumulated per (cohort, month-age) cell. Same scale
+    // shape: cohort assignment is a per-customer partial/final min,
+    // the join back is customer-keyed (co-partitioned, no broadcast
+    // needed at 100 TB), and the cell rollup is one partial/final
+    // agg near output size. Month axis is the integer year·12+month−1
+    // index (the q_sql_recursive axis) so every column stays BIGINT.
+    "q_cohort_revenue" -> ((s, d) => {
+      val om = t(s, d, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val c0 = om.groupBy(col("o_custkey")).agg(min(col("k")).as("k0"))
+      om.join(c0, Seq("o_custkey"))
+        .groupBy(col("k0").as("cohort_k"), (col("k") - col("k0")).as("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("cents"))
+        .orderBy(col("cohort_k"), col("age"))
+    }),
+
+    // Market-basket association rules over order baskets: pairwise
+    // support, confidence and lift for parts bought together. The
+    // pair explosion is the reference's C(n,2) self-join shape
+    // (SURVEY §2.1 R4) applied to baskets — bounded by basket size,
+    // never corpus²: the equi key (l_orderkey) carries the shuffle
+    // and the < predicate halves the fan-out. Item supports join
+    // back by part key; the order total rides a broadcast scalar.
+    // Confidence and lift are emitted as exact ×10000 integer
+    // fixed-point (c·N·10⁴ div c_a·c_b) — no doubles cross the
+    // oracle boundary. At extreme counts the lift numerator wants
+    // DECIMAL(38,0); at any plausible basket cardinality LONG holds.
+    "q_assoc_rules" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val totals = broadcast(
+        items.agg(countDistinct(col("l_orderkey")).as("n_orders")))
+      val ca = items.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("c_item"))
+      items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"),
+          col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 2)
+        .join(ca.select(col("l_partkey").as("p1"),
+          col("c_item").as("c_a")), Seq("p1"))
+        .join(ca.select(col("l_partkey").as("p2"),
+          col("c_item").as("c_b")), Seq("p2"))
+        .crossJoin(totals)
+        .select(col("p1"), col("p2"), col("c_ab"), col("c_a"),
+          col("c_b"), col("n_orders"),
+          expr("c_ab * 10000 div c_a").as("conf_x10000"),
+          expr("(c_ab * n_orders * 10000) div (c_a * c_b)")
+            .as("lift_x10000"))
+        .orderBy(col("c_ab").desc, col("p1"), col("p2"))
+    }),
+
     // RFM segmentation over orders: recency / frequency / monetary
     // per customer, scored into quartiles AGAINST BROADCAST VALUE
     // THRESHOLDS from the distributed order-statistic path
@@ -3310,6 +3370,49 @@ object RelQueries {
         |       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
         |       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
         |FROM late GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // LTV matrix: cohort month = per-customer min month index; cells
+    // roll up orders joined back to their cohort.
+    "q_cohort_revenue" ->
+      """WITH om AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate)*12 + month(o_orderdate) - 1
+        |              AS BIGINT) AS k,
+        |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |c0 AS (SELECT o_custkey, min(k) AS k0 FROM om GROUP BY 1)
+        |SELECT c0.k0 AS cohort_k, om.k - c0.k0 AS age,
+        |       CAST(count(DISTINCT om.o_custkey) AS BIGINT)
+        |         AS n_customers,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(om.cents) AS BIGINT) AS cents
+        |FROM om JOIN c0 ON om.o_custkey = c0.o_custkey
+        |GROUP BY 1, 2 ORDER BY cohort_k, age""".stripMargin,
+
+    // Association rules: the same basket self-join with DuckDB's //
+    // integer division twinning Spark's div.
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |ca AS (
+        |  SELECT l_partkey, count(*) AS c_item FROM items GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.p1, pr.p2, pr.c_ab,
+        |       ca1.c_item AS c_a, ca2.c_item AS c_b, tot.n_orders,
+        |       pr.c_ab * 10000 // ca1.c_item AS conf_x10000,
+        |       (pr.c_ab * tot.n_orders * 10000)
+        |         // (ca1.c_item * ca2.c_item) AS lift_x10000
+        |FROM pr, tot
+        |JOIN ca ca1 ON pr.p1 = ca1.l_partkey
+        |JOIN ca ca2 ON pr.p2 = ca2.l_partkey
+        |ORDER BY pr.c_ab DESC, pr.p1, pr.p2""".stripMargin,
 
     "q_user_retention" ->
       """WITH ev AS (
