@@ -1097,31 +1097,8 @@ object ExtQueries {
     // word cap is 20·n_short ≤ n_words): one scan, no doubles across
     // the oracle boundary, every flag whole-stage-codegen'd scalar
     // math — the shape that runs at scan speed on 100 TB.
-    "q_gopher_rules" -> ((s, d) => {
-      val ws = split(col("text"), " ")
-      val stopKinds = Seq("the", "a").map(w =>
-          when(array_contains(ws, w), 1L).otherwise(0L))
-        .reduce(_ + _)
-      docs(s, d).select(col("doc_id"),
-          size(ws).cast("long").as("n_words"),
-          (col("n_chars") - size(ws).cast("long") + 1L).as("sum_wlen"),
-          size(filter(ws, w => length(w) <= 2)).cast("long").as("n_short"),
-          stopKinds.as("n_stop_kinds"))
-        .select(col("doc_id"), col("n_words"), col("n_short"),
-          col("n_stop_kinds"),
-          when(col("n_words") >= 50 && col("n_words") <= 100000, 1L)
-            .otherwise(0L).as("r_wordcount"),
-          when(col("sum_wlen") >= col("n_words") * 4 &&
-               col("sum_wlen") <= col("n_words") * 10, 1L)
-            .otherwise(0L).as("r_wlen"),
-          when(col("n_short") * 20 <= col("n_words"), 1L)
-            .otherwise(0L).as("r_short"),
-          when(col("n_stop_kinds") >= 2, 1L).otherwise(0L).as("r_stop"))
-        .withColumn("keep",
-          col("r_wordcount") * col("r_wlen") * col("r_short") *
-            col("r_stop"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d))),
 
     // Corpus bigram counts: top-10 per language by frequency — the
     // language-model-counts shape (explode adjacent pairs, count,

@@ -51,6 +51,38 @@ object TextAnalysis {
     s"CAST(len(list_filter(w, x -> $cond)) AS BIGINT)"
   }
 
+  /** Gopher rule flags (q_gopher_rules body), factored out so the
+    * spec can plant boundary documents: exactly-50-word, exactly-
+    * mean-4.0, exactly-5%-short, exactly-2-stopword cases must land
+    * on the keep side of each inequality. Expects doc_id, text,
+    * n_chars; all-integer rule math (see the query's comment). */
+  def gopherRules(df: DataFrame,
+                  stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stopKinds = stopwords.map(w =>
+        when(array_contains(ws, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        (col("n_chars") - size(ws).cast("long") + 1L).as("sum_wlen"),
+        size(filter(ws, w => length(w) <= 2)).cast("long").as("n_short"),
+        stopKinds.as("n_stop_kinds"))
+      .select(col("doc_id"), col("n_words"), col("n_short"),
+        col("n_stop_kinds"),
+        when(col("n_words") >= 50 && col("n_words") <= 100000, 1L)
+          .otherwise(0L).as("r_wordcount"),
+        when(col("sum_wlen") >= col("n_words") * 4 &&
+             col("sum_wlen") <= col("n_words") * 10, 1L)
+          .otherwise(0L).as("r_wlen"),
+        when(col("n_short") * 20 <= col("n_words"), 1L)
+          .otherwise(0L).as("r_short"),
+        when(col("n_stop_kinds") >= 2, 1L).otherwise(0L).as("r_stop"))
+      .withColumn("keep",
+        col("r_wordcount") * col("r_wlen") * col("r_short") *
+          col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality score in [0,1]: length band, non-stopword ratio, average
     * word length band. Weights are engine config, not reference
     * semantics (the reference has no text ops). */

@@ -35,6 +35,26 @@ object RelQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** 2-D skyline core (q_skyline body), factored out so the spec can
+    * plant adversarial point sets: co-located duplicates (neither
+    * strictly dominates → both survive), same-size cheaper points,
+    * and same-price smaller-size points. Input columns
+    * (p_partkey, p_size, cents); minimizes both axes. */
+  private[graft] def skyline2d(p: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySize = p.groupBy(col("p_size"))
+      .agg(min(col("cents")).as("min_cents"))
+    val w = Window.orderBy(col("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = bySize
+      .withColumn("m1", min(col("min_cents")).over(w))
+      .where(col("m1").isNull || col("m1") > col("min_cents"))
+      .select(col("p_size"), col("min_cents").as("cents"))
+    p.join(broadcast(sky), Seq("p_size", "cents"))
+      .select(col("p_partkey"), col("p_size"), col("cents"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Scan + filter + project: predicate and column pruning reach parquet.
@@ -519,23 +539,11 @@ object RelQueries {
     // strictly dominates). At 100 TB the only data-sized work is the
     // first aggregate; the window's single-partition frame holds the
     // size domain, never the data.
-    "q_skyline" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val p = t(s, d, "part").select(col("p_partkey"),
+    "q_skyline" -> ((s, d) =>
+      skyline2d(t(s, d, "part").select(col("p_partkey"),
         col("p_size").cast("long").as("p_size"),
-        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
-      val bySize = p.groupBy(col("p_size"))
-        .agg(min(col("cents")).as("min_cents"))
-      val w = Window.orderBy(col("p_size"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val sky = bySize
-        .withColumn("m1", min(col("min_cents")).over(w))
-        .where(col("m1").isNull || col("m1") > col("min_cents"))
-        .select(col("p_size"), col("min_cents").as("cents"))
-      p.join(broadcast(sky), Seq("p_size", "cents"))
-        .select(col("p_partkey"), col("p_size"), col("cents"))
-        .orderBy(col("p_size"), col("p_partkey"))
-    }),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long")
+          .as("cents")))),
 
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
