@@ -69,7 +69,11 @@ object ScaleGate {
     // sketch-merge read-outs, the per-day MG partial pipeline, the
     // EWMA ledger, and the sessionization window
     "q_rolling_distinct", "q_rolling_hll", "q_trending_items",
-    "q_heavy_hitters", "q_ewma_trend", "q_sessionize")
+    "q_heavy_hitters", "q_ewma_trend", "q_sessionize",
+    // round-9 final slice: the SCD2 pair (two-window batch build vs
+    // O(1)-state stream path — both shuffle once on user_id) and the
+    // Gopher scan (pure codegen'd scalar math, should gate ~flat)
+    "q_scd2_build", "q_stream_scd2", "q_gopher_rules")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Det, PortableHash}
 import graft.io.Sources
+import graft.rel.Oracle
 import graft.rel.Oracle.r4
 import graft.streaming.StreamOps
 
@@ -2655,6 +2656,40 @@ object ExtQueries {
         .orderBy(col("degree"))
     }),
 
+    // k-core decomposition (2-core) of the near-dup graph by
+    // synchronous peeling: each round drops vertices of degree < 2
+    // and the edges they carried, four fixed rounds (converged by
+    // round 2 at sf0.01 — the round-over-round edge count is the
+    // convergence read-out a production run checks; the per-round
+    // plan is one partial/final degree agg + two key joins, so
+    // until-fixpoint at 100 TB is the same plan looped). The dense
+    // core that survives peeling is where template/boilerplate mass
+    // concentrates — the subgraph SemDeDup-style passes should visit
+    // first. Each round ends in an eager localCheckpoint: without
+    // lineage truncation the round-N plan re-evaluates round N−1
+    // THREE times (degree agg twice, join source once) and the
+    // replay goes exponential in rounds — the q_graph_rank lesson
+    // (NOTES round 2); reliable checkpoint at cluster scale. Result
+    // snapshot-memoized like the other fixpoint artifacts.
+    "q_graph_kcore" -> ((s, d) =>
+      Cache.getOrSnapshot(s, "kcore2", d) {
+        var edges = candidatesC(s, d).select(col("d1"), col("d2"))
+        for (_ <- 1 to 4) {
+          val deg = edges.select(col("d1").as("v"))
+            .unionAll(edges.select(col("d2").as("v")))
+            .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          val keep = deg.where(col("c") >= 2).select(col("v"))
+          edges = edges
+            .join(keep.withColumnRenamed("v", "d1"), Seq("d1"))
+            .join(keep.withColumnRenamed("v", "d2"), Seq("d2"))
+            .localCheckpoint(true)
+        }
+        edges.select(col("d1").as("doc_id"))
+          .unionAll(edges.select(col("d2").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+          .orderBy(col("doc_id"))
+      }),
+
     // ORC sink→source roundtrip — the hive-ecosystem columnar
     // interchange format, written once per sf dir with full write
     // parallelism and read back through Spark's stripe-splittable ORC
@@ -3913,7 +3948,7 @@ object ExtQueries {
     // rounding discipline is even needed. ORDER BY is qualified
     // (n.doc_id) — DuckDB binds an unqualified name ambiguously here
     // (the decontam-oracle trap).
-    "q_graph_rank" ->
+    "q_graph_rank" -> Oracle.mat(
       s"""WITH $simhashPairCtes,
          |edges AS (
          |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
@@ -3930,7 +3965,7 @@ object ExtQueries {
          |FROM nodes n
          |LEFT JOIN deg d ON d.src = n.doc_id
          |JOIN pr${GraphRank.Rounds} p ON p.doc_id = n.doc_id
-         |ORDER BY n.doc_id""".stripMargin,
+         |ORDER BY n.doc_id""".stripMargin),
 
     // Triangle counts over the minhash candidate graph: candidate
     // CTE + the degree-ordered-orientation replay.
@@ -5524,6 +5559,43 @@ object ExtQueries {
          |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc,
          |       max(doc_id) AS max_doc
          |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    // 2-core: the same four peel rounds replayed as CTE levels. Every
+    // round-level CTE is MATERIALIZED — each is referenced three
+    // times by the next level, and DuckDB's default CTE inlining
+    // would otherwise expand the replay tree exponentially in rounds
+    // (3⁴ copies of the candidate build; the un-hinted form exhausts
+    // file handles before it exhausts patience).
+    "q_graph_kcore" ->
+      s"""WITH $candSql,
+         |r0 AS MATERIALIZED (SELECT d1, d2 FROM cand),
+         |g1 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r0 UNION ALL SELECT d2 FROM r0)
+         |  GROUP BY 1),
+         |k1 AS (SELECT v FROM g1 WHERE c >= 2),
+         |r1 AS MATERIALIZED (SELECT r0.d1, r0.d2 FROM r0
+         |  JOIN k1 a ON r0.d1 = a.v JOIN k1 b ON r0.d2 = b.v),
+         |g2 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r1 UNION ALL SELECT d2 FROM r1)
+         |  GROUP BY 1),
+         |k2 AS (SELECT v FROM g2 WHERE c >= 2),
+         |r2 AS MATERIALIZED (SELECT r1.d1, r1.d2 FROM r1
+         |  JOIN k2 a ON r1.d1 = a.v JOIN k2 b ON r1.d2 = b.v),
+         |g3 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r2 UNION ALL SELECT d2 FROM r2)
+         |  GROUP BY 1),
+         |k3 AS (SELECT v FROM g3 WHERE c >= 2),
+         |r3 AS MATERIALIZED (SELECT r2.d1, r2.d2 FROM r2
+         |  JOIN k3 a ON r2.d1 = a.v JOIN k3 b ON r2.d2 = b.v),
+         |g4 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r3 UNION ALL SELECT d2 FROM r3)
+         |  GROUP BY 1),
+         |k4 AS (SELECT v FROM g4 WHERE c >= 2),
+         |r4 AS MATERIALIZED (SELECT r3.d1, r3.d2 FROM r3
+         |  JOIN k4 a ON r3.d1 = a.v JOIN k4 b ON r3.d2 = b.v)
+         |SELECT doc_id, count(*) AS degree FROM (
+         |  SELECT d1 AS doc_id FROM r4 UNION ALL SELECT d2 FROM r4)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // The parquet-side summary: if the engine's ORC write→read path
     // preserved every row and byte, the two sides agree.
