@@ -3816,7 +3816,7 @@ object ExtQueries {
     // Primary (cand) + rescue (rcand) chains share one shingles/
     // bandmins head; truth pairs from the independent shared-shingle
     // join over the same distinct sets.
-    "q_lsh_recall" ->
+    "q_lsh_recall" -> Oracle.mat(
       s"""WITH $candSql,
          |$rescueTailSql,
          |ds2 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
@@ -3844,18 +3844,18 @@ object ExtQueries {
          |FROM tkept t
          |LEFT JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2
          |LEFT JOIN rcand rc ON rc.d1 = t.d1 AND rc.d2 = t.d2
-         |ORDER BY t.d1, t.d2""".stripMargin,
+         |ORDER BY t.d1, t.d2""".stripMargin),
 
-    "q_minhash_rescue" ->
+    "q_minhash_rescue" -> Oracle.mat(
       s"""WITH $rescueCandSql
-         |SELECT d1, d2, bands FROM rcand ORDER BY d1, d2""".stripMargin,
+         |SELECT d1, d2, bands FROM rcand ORDER BY d1, d2""".stripMargin),
 
     // Rescue candidates (>=2 agreeing rescue bands) re-scored with
     // exact n-gram Jaccard — the full "hot bucket -> second chance ->
     // exact rescore" chain end-to-end.
-    "q_rescue_jaccard" ->
+    "q_rescue_jaccard" -> Oracle.mat(
       s"""WITH $rescueCandSql,
-         |${jaccardRescoreSqlFrom("rcand")}""".stripMargin,
+         |${jaccardRescoreSqlFrom("rcand")}""".stripMargin),
 
     "q_ngram_jaccard" ->
       s"""WITH $candSql,
@@ -3911,13 +3911,13 @@ object ExtQueries {
 
     // Full replay of the simhash rescue pass: hot primary blocks →
     // hot docs → rotated re-block → capped rescue pairs → hamming.
-    "q_simhash_rescue" ->
+    "q_simhash_rescue" -> Oracle.mat(
       s"""WITH $simhashPairCtes
          |SELECT d1, d2, h1, h2,
          |       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
          |FROM rpairs
          |WHERE bit_count(xor(h1, h2)) <= 3
-         |ORDER BY d1, d2""".stripMargin,
+         |ORDER BY d1, d2""".stripMargin),
 
     // Same pair CTEs + recursive min-label propagation: the recursive
     // member re-derives exactly what the engine's iterate-to-fixpoint
@@ -3969,11 +3969,11 @@ object ExtQueries {
 
     // Triangle counts over the minhash candidate graph: candidate
     // CTE + the degree-ordered-orientation replay.
-    "q_graph_triangles" ->
+    "q_graph_triangles" -> Oracle.mat(
       s"""WITH $candSql,
          |edges AS (SELECT d1, d2 FROM cand),
          |${GraphRank.triangleCountsSql}
-         |SELECT doc_id, n_triangles FROM tripart ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, n_triangles FROM tripart ORDER BY doc_id""".stripMargin),
 
     // Duplicated 40-char windows (stride 10): same strided fanout,
     // same (wstr, doc_id) aggregate + per-wstr window.
