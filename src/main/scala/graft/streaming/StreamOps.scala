@@ -456,6 +456,33 @@ object StreamOps {
         unix_millis(col("pts")).as("pts_ms"))
   }
 
+  /** LEFT-OUTER twin of [[touchJoinStream]] — the "abandoned click"
+    * feed: clicks that see no purchase inside the band are emitted
+    * with a NULL purchase once the watermark proves no match can
+    * still arrive. This is the stream-stream capability the inner
+    * join doesn't exercise: the null-side emission is DEFERRED until
+    * state expiry (Spark can only declare "no match" after the
+    * purchase watermark passes the band's far edge), so downstream
+    * consumers see matches promptly and non-matches exactly one
+    * watermark-delay later — the contract a re-engagement pipeline is
+    * built on. State stays bounded by the same band-derived eviction
+    * as the inner form. */
+  def touchJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                         band: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("cts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("purchase_id"), col("pts"))
+      .withWatermark("pts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr(s"INTERVAL $band"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_millis(col("cts")).as("cts_ms"))
+  }
+
   /** Rate-source synthetic event stream: the load-generator twin of
     * the file source (schema-compatible with the events-derived
     * transforms: ts, user_id, event_type, value). Useful for

@@ -307,6 +307,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the null side only after " +
+    "the watermark proves no match can arrive") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ci = MemoryStream[(Long, Long, Timestamp)](spark)
+    val pi = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = StreamOps.touchJoinLeftOuter(
+      ci.toDF().toDF("user_id", "click_id", "cts"),
+      pi.toDF().toDF("user_id", "purchase_id", "pts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssleft").start()
+    try {
+      // click 10 matches; click 12 never will
+      ci.addData((1L, 10L, ts(0)), (2L, 12L, ts(5)))
+      pi.addData((1L, 100L, ts(30)))
+      q.processAllAvailable()
+      val early = spark.sql("SELECT click_id, purchase_id FROM ssleft")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // the match emits promptly; the non-match must NOT have emitted
+      // yet — its watermark hasn't proven absence
+      assert(early == Set((10L, 100L)))
+      // sentinel rows 10h later push BOTH watermarks past the band
+      ci.addData((9L, 90L, ts(600)))
+      pi.addData((9L, 900L, ts(600)))
+      q.processAllAvailable()
+      q.processAllAvailable() // extra no-data batch flushes expired state
+      val late = spark.sql("SELECT click_id, purchase_id FROM ssleft")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(late.contains((12L, -1L)),
+        s"abandoned click must surface with NULL purchase, got $late")
+      assert(!late.contains((12L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming latest-version state equals the batch q_cdc_latest order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
