@@ -492,6 +492,34 @@ object ExtQueries {
       s.sql(SqlRecursiveSql)
     }),
 
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    // multiplicity arithmetic — min(m_a, m_b) and m_a − m_b per key —
+    // that DISTINCT set ops erase; one verbatim two-engine text.
+    "q_sql_bag_setops" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlBagSetopsSql)
+    }),
+
+    // Prefix top-k (autocomplete read-out): top-3 words per 3-char
+    // prefix by corpus frequency. The word counts collapse BEFORE the
+    // ranking window — the window runs over O(vocab) rows partitioned
+    // by prefix, never over the corpus — and the rank-3 cut is
+    // WindowGroupLimit-eligible, so no partition ever materializes
+    // fully. Deterministic tie order (count desc, word asc).
+    "q_prefix_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 3)
+        .groupBy(substring(col("w"), 1, 3).as("prefix"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy(col("prefix"))
+        .orderBy(col("n").desc, col("w"))
+      counts.withColumn("rank", row_number().over(win).cast("long"))
+        .where(col("rank") <= 3)
+        .orderBy(col("prefix"), col("rank"))
+    }),
+
     // The window-function half of the literal SQL surface: one ANSI
     // text with a named WINDOW clause, ranking + offset functions,
     // executed verbatim by spark.sql AND by the oracle engine — the
@@ -2184,6 +2212,38 @@ object ExtQueries {
         .orderBy(col("qid"))
     }),
 
+    // Matryoshka-style dimension truncation: recall@3 of brute-force
+    // cosine over the FIRST 16 of 64 dims vs full-dim exact truth —
+    // the read-out that prices a 4× index-size cut (truncated
+    // embeddings are the cheapest compression there is: no codebooks,
+    // no re-encode, just a shorter scan). Same fixed-point dot/norm
+    // chain and recall tail as the IVF/PQ/SQ acceptance family, so
+    // the four compression options (cells, product codes, int8,
+    // truncation) are priced on one comparable scale. slice() keeps
+    // the truncation inside the scan projection — at 100 TB the
+    // truncated side reads 1/4 the vector bytes and nothing else
+    // changes.
+    "q_ann_truncated_recall" -> ((s, d) => {
+      val full = emb(s, d).select(col("vec_id"), col("embedding"))
+      val tcorpus = emb(s, d).select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val fullQ = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val tQ = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 16).as("qvec"))
+      val served = VectorSearch.topKByCosine(tcorpus, tQ, "qid", "qvec", 3)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val exact = VectorSearch.topKByCosine(full, fullQ, "qid", "qvec", 3)
+        .select(col("qid"), col("vec_id"))
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // Token-budget context-window chunking: like q_chunk_docs but cut
     // on whitespace-token counts (the tokenization q_token_count and
     // q_pack_sequences already score) — a model's window is a token
@@ -2850,6 +2910,24 @@ object ExtQueries {
       |       coalesce(cents, CAST(0 AS BIGINT)) AS cents
       |FROM months LEFT JOIN agg ON months.k = agg.k
       |ORDER BY months.k""".stripMargin
+
+  /** Bag-semantics set ops (q_sql_bag_setops): INTERSECT ALL keeps
+    * min(m_a, m_b) copies per key, EXCEPT ALL keeps m_a − m_b — the
+    * multiplicity arithmetic DISTINCT set ops erase. The customer-key
+    * bags genuinely carry duplicates (a customer has many orders), so
+    * the counts differ from the DISTINCT forms everywhere. */
+  private val SqlBagSetopsSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+      |b AS (
+      |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      |SELECT op, k, count(*) AS n FROM (
+      |  SELECT 'intersect_all' AS op, k FROM (
+      |    SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      |  UNION ALL
+      |  SELECT 'except_all' AS op, k FROM (
+      |    SELECT k FROM a EXCEPT ALL SELECT k FROM b))
+      |GROUP BY 1, 2 ORDER BY op, k""".stripMargin
 
   /** One ANSI SQL text, two engines — q_sql_surface executes THIS
     * string via spark.sql and the driver executes it via DuckDB. */
@@ -3727,6 +3805,22 @@ object ExtQueries {
     "q_sql_null_semantics" -> SqlNullSemanticsSql,
     "q_sql_grouping" -> SqlGroupingSql,
     "q_sql_recursive" -> SqlRecursiveSql,
+    "q_sql_bag_setops" -> SqlBagSetopsSql,
+
+    // Prefix top-k: same collapse-then-rank replay.
+    "q_prefix_topk" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (
+        |  SELECT substring(w, 1, 3) AS prefix, w, count(*) AS n
+        |  FROM w WHERE len(w) >= 3 GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT prefix, w, n,
+        |         CAST(row_number() OVER (PARTITION BY prefix
+        |           ORDER BY n DESC, w) AS BIGINT) AS rank
+        |  FROM counts)
+        |SELECT prefix, w, n, rank FROM ranked WHERE rank <= 3
+        |ORDER BY prefix, rank""".stripMargin,
     "q_sql_lateral" -> SqlLateralSql,
 
     // The parquet-side summary with the tag expression recomputed —
@@ -4492,6 +4586,51 @@ object ExtQueries {
          |ivf AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
          |$exactTop3Ctes,
          |${recallTail("ivf")}""".stripMargin,
+
+    // Truncated-dimension recall: the served side is the same
+    // brute-force chain over the i <= 16 prefix of the exploded
+    // vectors; exact side and tail shared with the other recall
+    // twins.
+    "q_ann_truncated_recall" -> Oracle.mat(
+      s"""WITH expl AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |enorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
+         |           AS en
+         |  FROM expl GROUP BY 1),
+         |texpl AS (SELECT vec_id, i, v FROM expl WHERE i <= 16),
+         |tnorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
+         |           AS en
+         |  FROM texpl GROUP BY 1),
+         |tdots AS (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
+         |           AS dot
+         |  FROM texpl q JOIN texpl e ON e.i = q.i
+         |  WHERE q.vec_id % 50 = 0
+         |  GROUP BY 1, 2),
+         |tscored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+         |  FROM tdots d
+         |  JOIN tnorm nq ON nq.vec_id = d.qid
+         |  JOIN tnorm ne ON ne.vec_id = d.vec_id),
+         |tserved AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim DESC, vec_id) AS trn
+         |    FROM tscored) WHERE trn <= 3),
+         |$exactTop3Ctes,
+         |${recallTail("tserved")}""".stripMargin),
 
     // Recall@3 of the COMPOSED IVF-PQ stack vs exact ground truth —
     // the acceptance measurement for the compressed serving path
