@@ -651,4 +651,36 @@ class ApiSpec extends SparkSpec {
       spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
     }
   }
+
+  test("round-9 final slice: skyline broadcasts back, SCD2 shares one " +
+    "hash exchange, prefix top-k group-limits, no cartesians") {
+    // q_skyline: the frontier join back must be broadcast (the sky
+    // set is O(|size domain|)) and nothing may plan a cartesian
+    val sk = SparkEntry.queries("q_skyline")(spark, sf001)
+    val skPlan = sk.queryExecution.executedPlan.toString
+    assert(skPlan.contains("BroadcastHashJoin"), skPlan)
+    assert(!skPlan.contains("CartesianProduct"), skPlan)
+    assert(!skPlan.contains("SortMergeJoin"),
+      s"frontier join-back must not shuffle:\n$skPlan")
+    assert(sk.collect().nonEmpty)
+    // q_scd2_build: both windows ride ONE user_id hash exchange (the
+    // only other exchange is the final presentation sort)
+    val sc = SparkEntry.queries("q_scd2_build")(spark, sf001)
+    val scPlan = sc.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(scPlan).length == 1,
+      s"SCD2's two windows must share one exchange:\n$scPlan")
+    assert(sc.collect().nonEmpty)
+    // q_prefix_topk: the rank<=3 cut must be WindowGroupLimit-pushed
+    // so no prefix partition ever materializes fully
+    val pt = SparkEntry.queries("q_prefix_topk")(spark, sf001)
+    val ptPlan = pt.queryExecution.executedPlan.toString
+    assert(ptPlan.contains("WindowGroupLimit"), ptPlan)
+    assert(pt.collect().nonEmpty)
+    // q_assoc_rules: basket self-join is key-partitioned; the only
+    // nested-loop is the broadcast 1-row totals — never a cartesian
+    val ar = SparkEntry.queries("q_assoc_rules")(spark, sf001)
+    val arPlan = ar.queryExecution.executedPlan.toString
+    assert(!arPlan.contains("CartesianProduct"), arPlan)
+    assert(ar.collect().nonEmpty)
+  }
 }
