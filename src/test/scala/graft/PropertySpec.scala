@@ -324,4 +324,25 @@ class PropertySpec extends SparkSpec {
       assert(got === expect, s"trial $trial: $rows")
     }
   }
+
+  test("skyline equals brute-force dominance on seeded random point " +
+    "sets (duplicates and ties included)") {
+    import spark.implicits._
+    val r = new scala.util.Random(1009)
+    for (trial <- 1 to 8) {
+      // small domains FORCE duplicate sizes, co-located points, and
+      // single-axis ties — the corners a frontier implementation gets
+      // wrong first
+      val pts = Seq.tabulate(40 + r.nextInt(40))(i =>
+        (i.toLong, (1 + r.nextInt(6)).toLong, (10 + r.nextInt(8)).toLong))
+      val expect = pts.filter { case (_, s, c) =>
+        !pts.exists { case (_, s2, c2) =>
+          s2 <= s && c2 <= c && (s2 < s || c2 < c) }
+      }.map(_._1).toSet
+      val got = rel.RelQueries.skyline2d(
+          pts.toDF("p_partkey", "p_size", "cents"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"trial $trial: pts=$pts")
+    }
+  }
 }
