@@ -1696,8 +1696,18 @@ object RelQueries {
     // oracle boundary. At extreme counts the lift numerator wants
     // DECIMAL(38,0); at any plausible basket cardinality LONG holds.
     "q_assoc_rules" -> ((s, d) => {
-      val items = t(s, d, "lineitem")
+      val all = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // Basket cap — the reference's MAX_NUM_RATERS discipline
+      // (SURVEY §2.1 R3) applied to baskets: a degenerate 10k-item
+      // cart contributes C(10k,2) ≈ 5·10⁷ pairs and no signal; cap
+      // 50 is a no-op on this data (max basket ≈ 7) and the guard a
+      // production run needs. Not silent: capped baskets leave
+      // n_orders too, so support stays honest over KEPT baskets.
+      val okBaskets = all.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("bsz")).where(col("bsz") <= 50)
+        .select(col("l_orderkey"))
+      val items = all.join(okBaskets, Seq("l_orderkey"))
       val totals = broadcast(
         items.agg(countDistinct(col("l_orderkey")).as("n_orders")))
       val ca = items.groupBy(col("l_partkey"))
@@ -3400,8 +3410,14 @@ object RelQueries {
     // Association rules: the same basket self-join with DuckDB's //
     // integer division twinning Spark's div.
     "q_assoc_rules" ->
-      """WITH items AS (
+      """WITH allitems AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |okb AS (
+        |  SELECT l_orderkey FROM allitems
+        |  GROUP BY 1 HAVING count(*) <= 50),
+        |items AS (
+        |  SELECT a.l_orderkey, a.l_partkey
+        |  FROM allitems a JOIN okb ON a.l_orderkey = okb.l_orderkey),
         |tot AS (
         |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
         |ca AS (
