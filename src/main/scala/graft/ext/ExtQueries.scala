@@ -492,6 +492,16 @@ object ExtQueries {
       s.sql(SqlRecursiveSql)
     }),
 
+    // The EXISTS-decorrelation corner of the literal SQL surface
+    // (TPC-H Q4's shape over this schema's columns): a correlated
+    // EXISTS predicate both engines must rewrite to a semi-join —
+    // the third decorrelation path beside the correlated scalar
+    // (q_sql_correlated) and LATERAL (q_sql_lateral).
+    "q_sql_exists" -> ((s, d) => {
+      graft.Graft.registerTables(s, d)
+      s.sql(SqlExistsSql)
+    }),
+
     // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
     // multiplicity arithmetic — min(m_a, m_b) and m_a − m_b per key —
     // that DISTINCT set ops erase; one verbatim two-engine text.
@@ -2911,6 +2921,22 @@ object ExtQueries {
       |FROM months LEFT JOIN agg ON months.k = agg.k
       |ORDER BY months.k""".stripMargin
 
+  /** EXISTS decorrelation (q_sql_exists): late-shipment orders by
+    * priority — TPC-H Q4's semi-join shape on this schema. Both
+    * engines plan the correlated EXISTS as a left semi join on
+    * l_orderkey with the date predicate riding as the join filter;
+    * at 100 TB that is one key-partitioned semi join, and the count
+    * per priority is a 5-group rollup. */
+  private val SqlExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Bag-semantics set ops (q_sql_bag_setops): INTERSECT ALL keeps
     * min(m_a, m_b) copies per key, EXCEPT ALL keeps m_a − m_b — the
     * multiplicity arithmetic DISTINCT set ops erase. The customer-key
@@ -3806,6 +3832,7 @@ object ExtQueries {
     "q_sql_grouping" -> SqlGroupingSql,
     "q_sql_recursive" -> SqlRecursiveSql,
     "q_sql_bag_setops" -> SqlBagSetopsSql,
+    "q_sql_exists" -> SqlExistsSql,
 
     // Prefix top-k: same collapse-then-rank replay.
     "q_prefix_topk" ->
