@@ -2893,7 +2893,12 @@ object ExtQueries {
     * integer axis keeps every emitted column BIGINT. Recursion depth
     * is O(calendar span) — ~tens of iterations regardless of fact
     * volume, each a constant-size step; the 100-TB work lives
-    * entirely in the ordinary monthly GROUP BY. */
+    * entirely in the ordinary monthly GROUP BY. The stop bound `hi`
+    * rides THROUGH the recursion as a column (anchor selects the
+    * (lo, hi) pair): with a scalar subquery bound instead, Spark
+    * re-plans and re-executes the orders aggregate on EVERY
+    * iteration (~80 × full agg ≈ 14 s warm at sf0.1); carried as a
+    * column, each step is a pure projection of the previous row. */
   private val SqlRecursiveSql: String =
     """WITH RECURSIVE bounds AS (
       |  SELECT CAST(min(year(o_orderdate)*12 + month(o_orderdate) - 1)
@@ -2902,9 +2907,9 @@ object ExtQueries {
       |              AS BIGINT) AS hi
       |  FROM orders),
       |months AS (
-      |  SELECT lo AS k FROM bounds
+      |  SELECT lo AS k, hi FROM bounds
       |  UNION ALL
-      |  SELECT k + 1 FROM months WHERE k < (SELECT hi FROM bounds)),
+      |  SELECT k + 1, hi FROM months WHERE k < hi),
       |agg AS (
       |  SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) - 1
       |              AS BIGINT) AS k,
