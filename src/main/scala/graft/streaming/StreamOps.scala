@@ -483,6 +483,24 @@ object StreamOps {
         unix_millis(col("cts")).as("cts_ms"))
   }
 
+  /** Idempotent foreachBatch parquet sink: each micro-batch lands in
+    * its own `batch=<id>` partition with overwrite mode, so a
+    * REDELIVERED batch (crash after the offset write, before the
+    * commit — Structured Streaming's documented at-least-once sink
+    * window) overwrites its own partition instead of appending
+    * duplicates. (batchId, overwrite) is the whole exactly-once
+    * recipe for any sink without a transaction log; StreamingSpec
+    * forces a redelivery by deleting the commit marker and asserts
+    * the table stays duplicate-free. */
+  def idempotentBatchSink(rows: DataFrame, out: String,
+                          ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
   /** Rate-source synthetic event stream: the load-generator twin of
     * the file source (schema-compatible with the events-derived
     * transforms: ts, user_id, event_type, value). Useful for

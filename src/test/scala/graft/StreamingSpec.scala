@@ -222,6 +222,59 @@ class StreamingSpec extends SparkSpec {
     assert(gotMap(12L) === (("dup_in_batch", 7L))) // the recovered-state proof
   }
 
+  test("foreachBatch idempotent sink survives a forced batch " +
+    "redelivery without duplicates") {
+    // Crash window: offsets/N written, commits/N not — on restart
+    // Spark REDELIVERS batch N with the SAME batchId. The
+    // (batchId, overwrite-partition) sink must absorb the replay.
+    import spark.implicits._
+    import java.io.File
+    val tmp = java.nio.file.Files.createTempDirectory("fb_sink").toFile
+    val srcDir = new File(tmp, "src"); srcDir.mkdirs()
+    val outDir = new File(tmp, "out").getAbsolutePath
+    val ckptDir = new File(tmp, "ckpt")
+    def addFile(tag: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = new File(tmp, s"stage_$tag")
+      rows.toDF("id", "v").coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new File(srcDir, s"$tag.parquet").toPath)
+      ()
+    }
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(srcDir.getAbsolutePath)
+      val q = StreamOps.idempotentBatchSink(in, outDir,
+        ckptDir.getAbsolutePath)
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile("f1", Seq((1L, "a"), (2L, "b")))
+    runOnce()
+    // simulate the crash window: drop the newest commit marker so the
+    // restart redelivers the batch under the same id
+    val commits = new File(ckptDir, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    assert(last.delete())
+    // the local-FS checksum sidecar must go too, or the re-commit's
+    // rename fails on the stale .crc
+    val crc = new File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    runOnce() // redelivery — must overwrite, not append
+    addFile("f2", Seq((3L, "c")))
+    runOnce()
+    val got = spark.read.parquet(outDir).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"redelivery duplicated or lost rows: $got")
+  }
+
   test("streaming MV upkeep lands on the batch stratum summary") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
