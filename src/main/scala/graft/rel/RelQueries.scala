@@ -2046,6 +2046,28 @@ object RelQueries {
             .as("cramers_v"))
     }),
 
+    // k-anonymity release gate (k = 8): group the table by its
+    // quasi-identifier projection (market segment × nation — the
+    // columns an adversary can link externally) and flag every group
+    // smaller than k for suppression before publication, with the
+    // per-group size and the released/suppressed row totals the
+    // release audit records. One partial/final aggregate over the QI
+    // keys — group count is bounded by the QI domain (≤125 here),
+    // so the gate costs one scan at any table size; the compliance
+    // complement of q_delete_propagation (erasure handles the past,
+    // the k-gate handles what may be published next).
+    "q_k_anonymity" -> ((s, d) => {
+      val g = t(s, d, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("released", when(col("n") >= 8, 1L).otherwise(0L))
+      g.select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+          col("released"),
+          (col("n") * col("released")).as("released_rows"),
+          (col("n") * (lit(1L) - col("released"))).as("suppressed_rows"))
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
+
     // Right-to-erasure audit: cascade a customer delete list through
     // the star (customers → their orders → those orders' lineitems)
     // and report per-table before/deleted/after plus the
@@ -3631,6 +3653,22 @@ object RelQueries {
          |         AS cramers_v
          |FROM agg""".stripMargin
     },
+
+    // k-anonymity: the QI rollup and the k-threshold replayed
+    // directly.
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |f AS (
+        |  SELECT c_mktsegment, c_nationkey, n,
+        |         CASE WHEN n >= 8 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS released
+        |  FROM g)
+        |SELECT c_mktsegment, c_nationkey, n, released,
+        |       n * released AS released_rows,
+        |       n * (1 - released) AS suppressed_rows
+        |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
 
     // The cascade replayed as plain counts; orphans-after are 0 by
     // construction on both sides — the audit's point is that the
