@@ -1707,7 +1707,11 @@ object RelQueries {
       val okBaskets = all.groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("bsz")).where(col("bsz") <= 50)
         .select(col("l_orderkey"))
-      val items = all.join(okBaskets, Seq("l_orderkey"))
+      // memoized: items feeds FOUR consumers (both self-join sides,
+      // the item supports, the order total) — uncached, each replays
+      // the distinct's shuffle
+      val items = graft.core.Cache.getOrPersist(s, "basket_items", d)(
+        all.join(okBaskets, Seq("l_orderkey")))
       val totals = broadcast(
         items.agg(countDistinct(col("l_orderkey")).as("n_orders")))
       val ca = items.groupBy(col("l_partkey"))
