@@ -2726,6 +2726,77 @@ object ExtQueries {
         .orderBy(col("degree"))
     }),
 
+    // Sparse doc-doc cosine over shingle-count vectors — the exact
+    // sparse-similarity complement of the family (minhash≈Jaccard,
+    // simhash≈Hamming, embeddings≈dense cosine; THIS is ranked
+    // lexical cosine, the related-documents score). Shingles, not
+    // words, are the terms: a 31-word vocabulary makes every word a
+    // stop-term (df ≈ corpus), while 3-gram shingles carry the
+    // discriminative mass — the same reason the dedup family
+    // shingles first. The self-join rides the postings' term key
+    // with a DF cap (terms in ≤ 30 docs): a common term contributes
+    // |D(t)|² pairs and near-zero cosine mass, so the cap bounds the
+    // join the way split_leakage's rare-shingle cap does. Numerator
+    // and norms are INTEGER sums over the same capped term space
+    // (Σtf₁tf₂, Σtf²) — only the final r4 division is floating.
+    "q_doc_similarity" -> ((s, d) => {
+      val posts = Dedup.shingles(docs(s, d), 3)
+        .groupBy(col("doc_id"), col("shingle").as("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfOk = posts.groupBy(col("w"))
+        .agg(count(lit(1)).as("df")).where(col("df") <= 30)
+        .select(col("w"))
+      val capped = posts.join(dfOk, Seq("w"))
+      val norms = capped.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("nsq"))
+      val pairs = capped.as("a")
+        .join(capped.select(col("w"), col("doc_id").as("d2"),
+          col("tf").as("tf2")).as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.d2"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.d2").as("d2"))
+        .agg(sum(col("a.tf") * col("tf2")).as("num"),
+          count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+      pairs
+        .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")),
+          Seq("d1"))
+        .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"), col("num"), col("n_shared"),
+          Det.r4(col("num").cast("double") /
+            (sqrt(col("n1").cast("double")) *
+             sqrt(col("n2").cast("double")))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
+    }),
+
+    // Link prediction by common neighbors: for NON-adjacent pairs,
+    // the number of shared neighbors — the classic missed-duplicate
+    // candidate score (two docs that near-dup the same third docs
+    // but never shared a band are exactly what LSH misses). Wedge
+    // join through the middle vertex with a hub cap (degree ≤ 50):
+    // a high-degree hub contributes |Γ(m)|² wedges and near-zero
+    // signal — the same reason triangle counting contracts
+    // supernodes — so the cap bounds the join superlinearity at any
+    // scale. Existing edges are removed by an anti join; score ≥ 2
+    // keeps the output a candidate list, not a pair dump.
+    "q_link_prediction" -> ((s, d) => {
+      val e = candidatesC(s, d).select(col("d1"), col("d2"))
+      val sym = e.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionAll(e.select(col("d2").as("src"), col("d1").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val hubOk = deg.where(col("dg") <= 50).select(col("src").as("mid"))
+      val viaMid = sym.select(col("src"), col("dst").as("mid"))
+        .join(hubOk, Seq("mid"))
+      val wedges = viaMid.as("a")
+        .join(viaMid.select(col("mid"), col("src").as("dst")).as("b"),
+          col("a.mid") === col("b.mid") && col("a.src") < col("b.dst"))
+        .groupBy(col("a.src").as("d1"), col("b.dst").as("d2"))
+        .agg(count(lit(1)).as("common"))
+        .where(col("common") >= 2)
+      wedges.join(e, Seq("d1", "d2"), "left_anti")
+        .orderBy(col("common").desc, col("d1"), col("d2"))
+    }),
+
     // k-core decomposition (2-core) of the near-dup graph by
     // synchronous peeling: each round drops vertices of degree < 2
     // and the edges they carried, four fixed rounds (converged by
@@ -5730,6 +5801,60 @@ object ExtQueries {
          |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc,
          |       max(doc_id) AS max_doc
          |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    // Sparse cosine: the same DF-capped postings self-join; integer
+    // numerator/norms, one r4 division at the end.
+    "q_doc_similarity" -> Oracle.mat(
+      s"""WITH ${Dedup.shinglesSql},
+         |posts AS (
+         |  SELECT doc_id, shingle AS w, count(*) AS tf
+         |  FROM shingles GROUP BY 1, 2),
+         |dfok AS (
+         |  SELECT w FROM posts GROUP BY 1 HAVING count(*) <= 30),
+         |capped AS (
+         |  SELECT p.doc_id, p.w, p.tf FROM posts p
+         |  JOIN dfok f ON p.w = f.w),
+         |norms AS (
+         |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS nsq
+         |  FROM capped GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         CAST(sum(a.tf*b.tf) AS BIGINT) AS num,
+         |         count(*) AS n_shared
+         |  FROM capped a JOIN capped b
+         |    ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.d1, p.d2, p.num, p.n_shared,
+         |       ${r4("CAST(p.num AS DOUBLE) / " +
+              "(sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))")}
+         |         AS cos_sim
+         |FROM pairs p
+         |JOIN norms x ON x.doc_id = p.d1
+         |JOIN norms y ON y.doc_id = p.d2
+         |ORDER BY cos_sim DESC, p.d1, p.d2""".stripMargin),
+
+    // Link prediction: the same capped wedge join + anti join,
+    // materialized (sym/viamid feed multiple references).
+    "q_link_prediction" -> Oracle.mat(
+      s"""WITH $candSql,
+         |e AS (SELECT d1, d2 FROM cand),
+         |sym AS (
+         |  SELECT d1 AS src, d2 AS dst FROM e
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM e),
+         |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1),
+         |hubok AS (SELECT src AS mid FROM deg WHERE dg <= 50),
+         |viamid AS (
+         |  SELECT s.src, s.dst AS mid FROM sym s
+         |  JOIN hubok h ON s.dst = h.mid),
+         |wedges AS (
+         |  SELECT a.src AS d1, b.src AS d2, count(*) AS common
+         |  FROM viamid a JOIN viamid b
+         |    ON a.mid = b.mid AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT w.d1, w.d2, w.common FROM wedges w
+         |LEFT JOIN e ON e.d1 = w.d1 AND e.d2 = w.d2
+         |WHERE e.d1 IS NULL
+         |ORDER BY w.common DESC, w.d1, w.d2""".stripMargin),
 
     // 2-core: the same four peel rounds replayed as CTE levels. Every
     // round-level CTE is MATERIALIZED — each is referenced three
