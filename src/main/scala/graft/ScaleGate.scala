@@ -73,7 +73,12 @@ object ScaleGate {
     // round-9 final slice: the SCD2 pair (two-window batch build vs
     // O(1)-state stream path — both shuffle once on user_id) and the
     // Gopher scan (pure codegen'd scalar math, should gate ~flat)
-    "q_scd2_build", "q_stream_scd2", "q_gopher_rules")
+    "q_scd2_build", "q_stream_scd2", "q_gopher_rules",
+    // round-9 last adds: the capped wedge join (hub cap must bound
+    // the quadratic as the graph densifies 10×) and the DF-capped
+    // shingle-cosine self-join (replication multiplies every
+    // shingle's df toward the cap — the adversarial direction)
+    "q_link_prediction", "q_doc_similarity")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
