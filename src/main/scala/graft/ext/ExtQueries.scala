@@ -2813,23 +2813,10 @@ object ExtQueries {
     // (NOTES round 2); reliable checkpoint at cluster scale. Result
     // snapshot-memoized like the other fixpoint artifacts.
     "q_graph_kcore" -> ((s, d) =>
-      Cache.getOrSnapshot(s, "kcore2", d) {
-        var edges = candidatesC(s, d).select(col("d1"), col("d2"))
-        for (_ <- 1 to 4) {
-          val deg = edges.select(col("d1").as("v"))
-            .unionAll(edges.select(col("d2").as("v")))
-            .groupBy(col("v")).agg(count(lit(1)).as("c"))
-          val keep = deg.where(col("c") >= 2).select(col("v"))
-          edges = edges
-            .join(keep.withColumnRenamed("v", "d1"), Seq("d1"))
-            .join(keep.withColumnRenamed("v", "d2"), Seq("d2"))
-            .localCheckpoint(true)
-        }
-        edges.select(col("d1").as("doc_id"))
-          .unionAll(edges.select(col("d2").as("doc_id")))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-          .orderBy(col("doc_id"))
-      }),
+      Cache.getOrSnapshot(s, "kcore2", d)(
+        GraphRank.kcoreSurvivors(
+          candidatesC(s, d).select(col("d1"), col("d2")),
+          k = 2, rounds = 4))),
 
     // ORC sink→source roundtrip — the hive-ecosystem columnar
     // interchange format, written once per sf dir with full write

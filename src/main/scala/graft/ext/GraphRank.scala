@@ -177,6 +177,31 @@ object GraphRank {
     * k = class size. Only vertices with ≥1 edge appear (isolated
     * nodes have no triangles). One O(m) aggregation + one class-level
     * aggregation — no adjacency lists are ever materialized. */
+  /** k-core peel (q_graph_kcore body), factored out so the spec can
+    * plant graphs where ITERATION is load-bearing: a path graph's
+    * 2-core is empty, but only repeated peeling discovers it — each
+    * round's endpoint removal exposes the next endpoints, so a
+    * one-round degree filter wrongly keeps the middle. Emits the
+    * surviving vertices with their residual degree after `rounds`
+    * synchronous peels at threshold `k`; every round ends in an eager
+    * localCheckpoint (see the query's comment). */
+  def kcoreSurvivors(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("d1"), col("d2"))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("d1").as("v"))
+        .unionAll(e.select(col("d2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val keep = deg.where(col("c") >= k).select(col("v"))
+      e = e.join(keep.withColumnRenamed("v", "d1"), Seq("d1"))
+        .join(keep.withColumnRenamed("v", "d2"), Seq("d2"))
+        .localCheckpoint(true)
+    }
+    e.select(col("d1").as("doc_id"))
+      .unionAll(e.select(col("d2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .orderBy(col("doc_id"))
+  }
+
   def twinClasses(edges: DataFrame): DataFrame = {
     val e = edges.select(col("d1"), col("d2"))
     val sym = e.select(col("d1").as("v"), col("d2").as("n"))

@@ -74,6 +74,26 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(closed == Seq(StreamOps.Scd2Row(7L, 1L, "A", 1000L, 1000L)))
   }
 
+  test("k-core peel is genuinely iterative: a path graph's 2-core is " +
+    "empty, a cycle survives") {
+    import spark.implicits._
+    // P5: 1-2-3-4-5. Round 1 drops endpoints 1,5; round 2 drops 2,4;
+    // round 3 drops 3. A ONE-round degree filter would wrongly keep
+    // {2,3,4} (their initial degree is 2).
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val pathCore = ext.GraphRank.kcoreSurvivors(path, k = 2, rounds = 4)
+      .collect()
+    assert(pathCore.isEmpty,
+      s"path 2-core must peel to nothing, got ${pathCore.toSeq}")
+    // C4: 1-2-3-4-1 — every vertex keeps degree 2 forever
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("d1", "d2")
+    val cycleCore = ext.GraphRank.kcoreSurvivors(cycle, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cycleCore == Set((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
   test("recursive month spine materializes an explicit zero row for " +
     "an empty month") {
     import spark.implicits._
