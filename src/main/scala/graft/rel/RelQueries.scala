@@ -1662,6 +1662,36 @@ object RelQueries {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // Time-weighted average (TWAP): each event's value holds until
+    // the user's next event, so the mean is duration-weighted —
+    // Σ value·Δt / Σ Δt — the read-out a plain avg() gets wrong
+    // whenever sampling is irregular (a price that sat at 490 for a
+    // week outweighs fifty one-second ticks at 0.01). One lead()
+    // window per user (single user_id exchange); value in cents and
+    // Δt in micros keep the weighted sum an exact BIGINT (max
+    // 5·10⁴ cents × ~10¹² µs per interval ≪ 2⁶³); the division is
+    // the only floating step, r4-snapped. The (ts, event_id) total
+    // order pins tie durations to zero deterministically.
+    "q_time_weighted_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .where(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("value_c") * col("dt")).as("sum_vdt"),
+          sum(col("dt")).as("sum_dt"))
+        .select(col("user_id"), col("n_intervals"), col("sum_vdt"),
+          col("sum_dt"),
+          Det.r4(col("sum_vdt").cast("double") /
+            col("sum_dt").cast("double") / 100.0).as("twa"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cohort REVENUE (LTV matrix): the monetary complement of
     // q_user_retention — customers cohorted by first-order month,
     // revenue accumulated per (cohort, month-age) cell. Same scale
@@ -3414,6 +3444,29 @@ object RelQueries {
         |       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
         |       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
         |FROM late GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TWAP: the same lead() construction; cents × micros stays exact
+    // BIGINT, one r4 division at the end.
+    "q_time_weighted_avg" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, value_c,
+        |         lead(ts_us) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_us, event_id) - ts_us
+        |           AS dt
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_intervals,
+        |         CAST(sum(value_c * dt) AS BIGINT) AS sum_vdt,
+        |         CAST(sum(dt) AS BIGINT) AS sum_dt
+        |  FROM d WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, sum_vdt, sum_dt,
+        |       ${r4("CAST(sum_vdt AS DOUBLE) / CAST(sum_dt AS DOUBLE) / 100.0")}
+        |         AS twa
+        |FROM g ORDER BY user_id""".stripMargin,
 
     // LTV matrix: cohort month = per-customer min month index; cells
     // roll up orders joined back to their cohort.
