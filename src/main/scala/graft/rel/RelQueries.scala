@@ -1662,6 +1662,32 @@ object RelQueries {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // Volume concentration (the 80/20 read-out): how much of total
+    // event volume the top-decile users carry — the skew number a
+    // capacity plan and an abuse review both start from. The decile
+    // cut is a BROADCAST VALUE THRESHOLD from the distributed
+    // order-statistic path (the RFM/equidepth discipline — never a
+    // global rank window over all users), so the whole query is two
+    // partial/final aggregates and one scalar: users at or above the
+    // 0.9-fraction element count as top-decile (value ties land
+    // together, deterministically). Share is ×10⁴ integer fixed
+    // point.
+    "q_user_concentration" -> ((s, d) => {
+      val totals = t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val t90 = graft.core.Quantiles.valueAtFractionMemo(
+        totals, "n", 0.9, s"conc_t90:$d").toLong
+      totals.agg(
+          count(lit(1)).as("users"),
+          sum(col("n")).as("events"),
+          sum(when(col("n") >= t90, 1L).otherwise(0L)).as("users_top"),
+          sum(when(col("n") >= t90, col("n")).otherwise(0L))
+            .as("events_top"))
+        .select(col("users"), col("events"), col("users_top"),
+          col("events_top"), lit(t90).as("t90"),
+          expr("events_top * 10000 div events").as("share_x10000"))
+    }),
+
     // Time-weighted average (TWAP): each event's value holds until
     // the user's next event, so the mean is duration-weighted —
     // Σ value·Δt / Σ Δt — the read-out a plain avg() gets wrong
@@ -3444,6 +3470,32 @@ object RelQueries {
         |       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
         |       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
         |FROM late GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Concentration: the 0.9-fraction element replayed by the same
+    // 0-based ⌊f·n⌋ rank formula (clamped), then plain conditional
+    // sums.
+    "q_user_concentration" ->
+      """WITH t AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS users,
+        |         CAST(sum(n) AS BIGINT) AS events FROM t),
+        |ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n) AS rn FROM t),
+        |thr AS (
+        |  SELECT n AS t90 FROM ranked, u
+        |  WHERE rn - 1 = least(CAST(floor(0.9 * users) AS BIGINT),
+        |                       users - 1))
+        |SELECT u.users, u.events,
+        |       (SELECT CAST(sum(CASE WHEN n >= t90 THEN 1 ELSE 0 END)
+        |                    AS BIGINT) FROM t, thr) AS users_top,
+        |       (SELECT CAST(sum(CASE WHEN n >= t90 THEN n ELSE 0 END)
+        |                    AS BIGINT) FROM t, thr) AS events_top,
+        |       thr.t90,
+        |       (SELECT CAST(sum(CASE WHEN n >= t90 THEN n ELSE 0 END)
+        |                    AS BIGINT) FROM t, thr) * 10000 // u.events
+        |         AS share_x10000
+        |FROM u, thr""".stripMargin,
 
     // TWAP: the same lead() construction; cents × micros stays exact
     // BIGINT, one r4 division at the end.
