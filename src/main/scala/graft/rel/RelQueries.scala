@@ -1662,6 +1662,41 @@ object RelQueries {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // Clamped running balance (credit ledger): purchases SPEND value,
+    // every other event EARNS it, and the balance floors at zero —
+    // b_i = max(0, b_{i−1} + δ_i), a NON-LINEAR recurrence no window
+    // frame can express (running sums distribute; the clamp does
+    // not). The engine path is the typed per-key fold — groupByKey →
+    // mapGroups over the (ts, event_id)-sorted history — which is
+    // exactly one user_id shuffle and O(user history) memory per
+    // group; the oracle replays the recurrence as a recursive CTE
+    // stepping rank-by-rank. Emits the audit row a ledger close
+    // needs: final balance plus how often the floor bound (declined
+    // spend) was hit.
+    "q_clamped_balance" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select(
+        col("user_id").as("_1"), col("event_id").as("_2"),
+        unix_micros(col("ts")).as("_3"),
+        when(col("event_type") === "purchase",
+          -floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long"))
+          .as("_4"))
+        .as[(Long, Long, Long, Long)]
+      ev.groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(e => (e._3, e._2))
+          var b = 0L; var clamps = 0L
+          evs.foreach { e =>
+            val nb = b + e._4
+            if (nb < 0L) { clamps += 1L; b = 0L } else b = nb
+          }
+          (uid, evs.length.toLong, b, clamps)
+        }
+        .toDF("user_id", "n_events", "final_balance_c", "n_clamped")
+        .orderBy(col("user_id"))
+    }),
+
     // Volume concentration (the 80/20 read-out): how much of total
     // event volume the top-decile users carry — the skew number a
     // capacity plan and an abuse review both start from. The decile
@@ -3470,6 +3505,43 @@ object RelQueries {
         |       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
         |       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
         |FROM late GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Clamped balance: the recurrence replayed rank-by-rank as a
+    // recursive CTE (the clamp forbids any closed-form window).
+    "q_clamped_balance" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN -CAST(floor(value*100 + 0.5) AS BIGINT)
+        |              ELSE CAST(floor(value*100 + 0.5) AS BIGINT)
+        |         END AS delta
+        |  FROM events),
+        |ord AS (
+        |  SELECT user_id, delta,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id) AS rn
+        |  FROM ev),
+        |bal AS (
+        |  SELECT user_id, rn,
+        |         greatest(CAST(0 AS BIGINT), delta) AS b,
+        |         CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS nclamp
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |         greatest(CAST(0 AS BIGINT), bal.b + o.delta),
+        |         bal.nclamp + CASE WHEN bal.b + o.delta < 0
+        |                           THEN CAST(1 AS BIGINT)
+        |                           ELSE CAST(0 AS BIGINT) END
+        |  FROM bal JOIN ord o
+        |    ON o.user_id = bal.user_id AND o.rn = bal.rn + 1),
+        |fin AS (
+        |  SELECT user_id, max(rn) AS n_events FROM bal GROUP BY 1)
+        |SELECT b.user_id, f.n_events, b.b AS final_balance_c,
+        |       b.nclamp AS n_clamped
+        |FROM bal b JOIN fin f
+        |  ON b.user_id = f.user_id AND b.rn = f.n_events
+        |ORDER BY b.user_id""".stripMargin,
 
     // Concentration: the 0.9-fraction element replayed by the same
     // 0-based ⌊f·n⌋ rank formula (clamped), then plain conditional
