@@ -78,7 +78,12 @@ object ScaleGate {
     // the quadratic as the graph densifies 10×) and the DF-capped
     // shingle-cosine self-join (replication multiplies every
     // shingle's df toward the cap — the adversarial direction)
-    "q_link_prediction", "q_doc_similarity")
+    "q_link_prediction", "q_doc_similarity",
+    // and the closing events trio: the TWAP window, the
+    // order-statistic threshold agg, and the typed per-key ledger
+    // fold (replica users are NEW ids, so per-key state is constant
+    // while row volume grows 10× — the fold must gate linear)
+    "q_time_weighted_avg", "q_user_concentration", "q_clamped_balance")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
