@@ -1581,6 +1581,32 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The stream-stream banded inner join run in BATCH mode — the
+    // SAME StreamOps.touchJoinStream code path StreamingSpec drives
+    // with two live MemoryStreams (the watermark nodes it attaches
+    // are eliminated by Catalyst's EliminateEventTimeWatermark rule
+    // in batch execution, so one declaration serves both modes).
+    // Registering the batch twin makes the operator oracle-attested:
+    // every (click, purchase-within-1h) pair with both ids + millis.
+    // In streaming the band predicate is what BOUNDS join state
+    // (Spark derives each side's retention from it); in batch it is
+    // a user-keyed equi-join with a range residual — hash-
+    // partitionable on user_id, never a theta join, so the same
+    // declaration scales on both engines' physical strategies. The
+    // join compares full µs-precision timestamps; only the emitted
+    // columns truncate to ms.
+    "q_touch_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      graft.streaming.StreamOps.touchJoinStream(clicks, purchases)
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Closed sessions via flatMapGroupsWithState — the zero-or-many-
     // outputs stateful shape (mapGroupsWithState can't express it):
     // per-user state buffers the open run, every gap-delimited run
@@ -3443,6 +3469,23 @@ object RelQueries {
         |FROM p LEFT JOIN (SELECT * FROM ft WHERE rn = 1) f
         |  ON f.event_id = p.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    // Touch join: the band replayed at full µs precision (events
+    // carry sub-ms timestamps; the engine compares TIMESTAMPs, so
+    // the oracle must band on epoch_us, not the emitted ms).
+    "q_touch_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |       c.ctus // 1000 AS cts_ms, p.ptus // 1000 AS pts_ms
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000
+        |ORDER BY c.click_id, p.purchase_id""".stripMargin,
 
     // closedSessions continues a run while gap < 30 min, so a NEW
     // session opens at gap >= 30 min (note: q_sessionize's boundary
