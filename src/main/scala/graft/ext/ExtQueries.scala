@@ -1841,6 +1841,35 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Entity resolution end-to-end (EntityResolution.scala): three
+    // deterministic record sources (clean registry, CRM with an
+    // off-by-one numeric typo, billing with format noise) → capped
+    // multi-pass blocking → (nation, segment, levenshtein ≤ 1)
+    // comparator → the dedup family's contraction-first CC →
+    // per-cluster survivorship audit. The oracle replays the whole
+    // pipeline: same dirty view, same blocking passes + cap, same
+    // comparator, recursive min-label CC, same audit rollup.
+    // Snapshot-cached like the other CC fixpoints — the resolved
+    // frame is a session artifact shared with q_er_quality.
+    "q_entity_resolution" -> ((s, d) =>
+      EntityResolution.clusterAudit(
+        Cache.getOrSnapshot(s, "er_resolved", d)(
+          EntityResolution.resolved(s, d)))),
+
+    // ER acceptance pair (the lsh_recall/precision discipline applied
+    // to identity): pairwise precision AND recall vs the held-out
+    // true key, computed from group sizes only — Σ C(n,2) per
+    // cluster / truth key / (cluster, truth) cell — so the quality
+    // readout never enumerates pairs. Expected imperfection is REAL:
+    // decade-crossing typos sit at edit distance 2 (recall misses),
+    // and off-by-one typos land exactly on a neighboring customer's
+    // number (precision misses when nation+segment also agree) —
+    // the numbers a deploy decision actually weighs.
+    "q_er_quality" -> ((s, d) =>
+      EntityResolution.qualityRow(
+        Cache.getOrSnapshot(s, "er_resolved", d)(
+          EntityResolution.resolved(s, d)))),
+
     // Audio content fingerprint, scored CELL-EXACT: the WAV fixture's
     // PCM samples are a sawtooth that is pure arithmetic in
     // (doc_id, sample index), so the energy-envelope bits (adjacent
@@ -3854,6 +3883,75 @@ object ExtQueries {
          |                                       label) AS vr
          |    FROM kvotes) WHERE vr = 1)""".stripMargin
 
+  /** Shared ER replay CTEs (EntityResolution.scala, twin-for-twin):
+    * dirty three-source view → normalization → two capped blocking
+    * passes → comparator edges → recursive min-label CC → per-record
+    * (attrs, cluster_id) frame `j`. Recursive, so callers prepend
+    * WITH RECURSIVE and must NOT Oracle.mat() the text. */
+  private lazy val erCtes: String =
+    s"""recs AS (
+       |  SELECT c_custkey*4 AS rec_id, 'reg' AS src, c_name AS name_raw,
+       |         CAST(c_nationkey AS BIGINT) AS nation,
+       |         c_mktsegment AS seg, c_custkey AS true_key
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey*4+1, 'crm',
+       |         'CUST-' || lpad(CAST(c_custkey+1 AS VARCHAR), 9, '0'),
+       |         CAST(c_nationkey AS BIGINT), c_mktsegment, c_custkey
+       |  FROM customer WHERE c_custkey % 3 = 0
+       |  UNION ALL
+       |  SELECT c_custkey*4+2, 'bill',
+       |         'acct ' || CASE WHEN regexp_replace(substr(c_name, 10),
+       |                                             '^0+', '') = ''
+       |                         THEN '0'
+       |                         ELSE regexp_replace(substr(c_name, 10),
+       |                                             '^0+', '') END,
+       |         CAST(c_nationkey AS BIGINT), c_mktsegment, c_custkey
+       |  FROM customer WHERE c_custkey % 5 = 0),
+       |nv AS (
+       |  SELECT *, CAST(mnorm AS BIGINT) AS numval FROM (
+       |    SELECT *, CASE WHEN regexp_replace(regexp_replace(name_raw,
+       |                          '[^0-9]', '', 'g'), '^0+', '') = ''
+       |                   THEN '0'
+       |                   ELSE regexp_replace(regexp_replace(name_raw,
+       |                          '[^0-9]', '', 'g'), '^0+', '') END AS mnorm
+       |    FROM recs)),
+       |passes AS (
+       |  SELECT 'n:' || nation || ':' || (numval // 10) AS bk, rec_id
+       |  FROM nv
+       |  UNION ALL
+       |  SELECT 's:' || seg || ':' || (numval // 100) AS bk, rec_id
+       |  FROM nv),
+       |keepb AS (
+       |  SELECT bk FROM passes GROUP BY bk
+       |  HAVING count(*) <= ${EntityResolution.BlockCap}),
+       |kp AS (SELECT p.bk, p.rec_id FROM passes p JOIN keepb USING (bk)),
+       |cand AS (
+       |  SELECT DISTINCT a.rec_id AS r1, b.rec_id AS r2
+       |  FROM kp a JOIN kp b ON a.bk = b.bk AND a.rec_id < b.rec_id),
+       |eredges AS (
+       |  SELECT c.r1 AS d1, c.r2 AS d2
+       |  FROM cand c
+       |  JOIN nv x ON x.rec_id = c.r1
+       |  JOIN nv y ON y.rec_id = c.r2
+       |  WHERE x.nation = y.nation AND x.seg = y.seg
+       |    AND levenshtein(x.mnorm, y.mnorm) <= 1),
+       |ersym AS (
+       |  SELECT d1 AS esrc, d2 AS edst FROM eredges
+       |  UNION ALL
+       |  SELECT d2, d1 FROM eredges),
+       |ercc AS (
+       |  SELECT rec_id AS node, rec_id AS label FROM nv
+       |  UNION
+       |  SELECT ersym.edst, ercc.label
+       |  FROM ercc JOIN ersym ON ercc.node = ersym.esrc),
+       |erlab AS (
+       |  SELECT node AS rec_id, min(label) AS cluster_id
+       |  FROM ercc GROUP BY 1),
+       |j AS (
+       |  SELECT n.*, l.cluster_id FROM nv n
+       |  JOIN erlab l ON l.rec_id = n.rec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $dupSigSql
@@ -4126,6 +4224,56 @@ object ExtQueries {
          |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_keeper
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // ER audit: the full pipeline replay (erCtes) plus the
+    // survivorship rollup — canonical name via min-rec_id row_number
+    // (ties impossible: rec_id is unique).
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE $erCtes,
+         |canon AS (
+         |  SELECT cluster_id, name_raw AS canonical_name FROM (
+         |    SELECT cluster_id, name_raw,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |                              ORDER BY rec_id) AS rn
+         |    FROM j) WHERE rn = 1)
+         |SELECT j.cluster_id,
+         |       CAST(count(*) AS BIGINT) AS n_records,
+         |       CAST(sum(CASE WHEN j.src = 'reg' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_reg,
+         |       CAST(sum(CASE WHEN j.src = 'crm' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_crm,
+         |       CAST(sum(CASE WHEN j.src = 'bill' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_bill,
+         |       CAST(count(DISTINCT j.true_key) AS BIGINT) AS n_true_keys,
+         |       max(c.canonical_name) AS canonical_name,
+         |       CAST(CASE WHEN count(DISTINCT j.true_key) > 1
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS merged
+         |FROM j JOIN canon c ON c.cluster_id = j.cluster_id
+         |GROUP BY j.cluster_id
+         |ORDER BY j.cluster_id""".stripMargin,
+
+    // ER quality: pairwise precision/recall from group sizes only —
+    // the same Σ C(n,2) arithmetic as the engine, so the readout is
+    // cell-exact integer end to end.
+    "q_er_quality" ->
+      s"""WITH RECURSIVE $erCtes,
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM j GROUP BY 1),
+         |ct AS (SELECT cluster_id, true_key, count(*) AS c
+         |       FROM j GROUP BY 1, 2),
+         |tk AS (SELECT true_key, count(*) AS t FROM j GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST((SELECT count(*) FROM j) AS BIGINT) AS n_records,
+         |         CAST((SELECT count(*) FROM cs) AS BIGINT) AS n_clusters,
+         |         CAST((SELECT sum(sz*(sz-1)//2) FROM cs) AS BIGINT)
+         |           AS pred_pairs,
+         |         CAST((SELECT sum(t*(t-1)//2) FROM tk) AS BIGINT)
+         |           AS true_pairs,
+         |         CAST((SELECT sum(c*(c-1)//2) FROM ct) AS BIGINT)
+         |           AS tp_pairs)
+         |SELECT n_records, n_clusters, pred_pairs, true_pairs, tp_pairs,
+         |       tp_pairs * 10000 // pred_pairs AS precision_x10000,
+         |       tp_pairs * 10000 // true_pairs AS recall_x10000
+         |FROM agg""".stripMargin,
 
     // Same edge CTEs as q_dedup_clusters; then the integer PageRank
     // rounds from GraphRank.pageRankSql — no doubles anywhere, so no
