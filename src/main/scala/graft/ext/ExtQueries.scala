@@ -1665,6 +1665,46 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Inter-filter agreement (Cohen's kappa): do the Gopher rule
+    // filter and the quality-score p10 cut agree beyond chance? The
+    // curation question this answers is real — two filters that
+    // agree at kappa ≈ 1 are redundant (drop one), near 0 they cut
+    // INDEPENDENT slices (compounding loss needs review). Both
+    // raters are recomputed from their own definitions (gopherRules;
+    // the memoized p10 threshold q_quality_cut already shares), the
+    // 2×2 confusion cells are one partial/final agg, and kappa
+    // collapses to a SINGLE double division of two exact integers:
+    // (n·agree − Σ marginal products) / (n² − Σ marginal products) —
+    // so the statistic crosses the oracle boundary bit-exact under
+    // one r4 snap.
+    "q_filter_kappa" -> ((s, d) => {
+      val r1 = TextAnalysis.gopherRules(docs(s, d))
+        .select(col("doc_id"), col("keep").as("r1"))
+      val quals = TextAnalysis.qualityColumns(docs(s, d))
+        .select(col("doc_id"), col("quality"))
+      val thr = graft.core.Quantiles.valueAtFractionMemo(
+        quals, "quality", 0.1, s"quality_p10:$d")
+      val r2 = quals.select(col("doc_id"),
+        (col("quality") >= lit(thr)).cast("long").as("r2"))
+      r1.join(r2, Seq("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r1") * col("r2")).as("n11"),
+          sum(col("r1") * (lit(1L) - col("r2"))).as("n10"),
+          sum((lit(1L) - col("r1")) * col("r2")).as("n01"),
+          sum((lit(1L) - col("r1")) * (lit(1L) - col("r2"))).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          (col("n11") + col("n00")).as("n_agree"),
+          Det.r4(
+            (col("n") * (col("n11") + col("n00")) -
+              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+              .cast("double") /
+            (col("n") * col("n") -
+              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+              .cast("double")).as("kappa"))
+    }),
+
     // Gopher-style repetition filter signals: per-doc duplicate-3-gram
     // fraction and the hottest shingle's multiplicity. Two partial/
     // final aggregations, never a self-join — the per-(doc, shingle)
@@ -5132,6 +5172,54 @@ object ExtQueries {
          |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1)
          |SELECT doc_id, quality FROM quals, thr
          |WHERE quality >= t ORDER BY doc_id""".stripMargin,
+
+    // Kappa between the gopher keep flag and the p10 quality cut:
+    // both raters replayed from their own definitions, then the
+    // single-division integer form of the statistic.
+    "q_filter_kappa" ->
+      s"""WITH $qualityCtes,
+         |ranked AS (
+         |  SELECT doc_id, quality,
+         |         row_number() OVER (ORDER BY quality) AS rk,
+         |         count(*) OVER () AS n
+         |  FROM quals),
+         |thr AS (SELECT quality AS t FROM ranked
+         |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1),
+         |r2t AS (
+         |  SELECT doc_id, CASE WHEN quality >= t THEN 1 ELSE 0 END AS r2
+         |  FROM quals, thr),
+         |gm AS (
+         |  SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n_words,
+         |         n_chars - CAST(len(w) AS BIGINT) + 1 AS sum_wlen,
+         |         CAST(len(list_filter(w, x -> len(x) <= 2)) AS BIGINT)
+         |           AS n_short,
+         |         CAST(list_contains(w, 'the') AS BIGINT)
+         |           + CAST(list_contains(w, 'a') AS BIGINT)
+         |           AS n_stop_kinds
+         |  FROM ws),
+         |r1t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_words BETWEEN 50 AND 100000
+         |               AND sum_wlen >= n_words * 4
+         |               AND sum_wlen <= n_words * 10
+         |               AND n_short * 20 <= n_words
+         |               AND n_stop_kinds >= 2
+         |              THEN 1 ELSE 0 END AS r1
+         |  FROM gm),
+         |cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(r1 * r2) AS BIGINT) AS n11,
+         |         CAST(sum(r1 * (1 - r2)) AS BIGINT) AS n10,
+         |         CAST(sum((1 - r1) * r2) AS BIGINT) AS n01,
+         |         CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+         |  FROM r1t JOIN r2t USING (doc_id))
+         |SELECT n, n11, n10, n01, n00, n11 + n00 AS n_agree,
+         |       ${r4("CAST(n*(n11+n00) - ((n11+n10)*(n11+n01)" +
+              " + (n01+n00)*(n10+n00)) AS DOUBLE)" +
+              " / CAST(n*n - ((n11+n10)*(n11+n01)" +
+              " + (n01+n00)*(n10+n00)) AS DOUBLE)")} AS kappa
+         |FROM cells""".stripMargin,
 
     // Redaction order (email → ip → num) and the 'g' flag mirror the
     // Column form exactly; counts + (len, hash) pin the redacted
