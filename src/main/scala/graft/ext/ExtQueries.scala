@@ -1741,6 +1741,45 @@ object ExtQueries {
           .withColumnRenamed("k", "doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Balanced shard manifest — the release step after packing: lay
+    // the corpus out in a DETERMINISTIC pseudo-random order (portable
+    // hash of doc_id, doc_id tiebreak — the epoch-shuffle every
+    // training run needs to be reproducible) and cut it into 16
+    // token-balanced shards. Shard = ⌊offset·N/T⌋ over the exact
+    // global token prefix sum, which reuses packSequences' two-pass
+    // machinery (range sort + one partial per partition + broadcast
+    // seeds) — never a single-reducer global window — so the same
+    // code path produces byte-identical shard boundaries on 32 cores
+    // or 1000 executors. Each doc lands wholly in one shard; the
+    // per-shard deviation column (n_tokens·N − T) bounds imbalance
+    // by N × the largest document, the guarantee a loader relies on.
+    "q_shard_manifest" -> ((s, d) => {
+      val nShards = 16L
+      val dtok = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        PortableHash.h(col("doc_id").cast("string")).cast("long").as("h"))
+      val total = dtok.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      val keyed = dtok.select(
+        (col("h") * lit(1L << 24) + col("doc_id")).as("k2"),
+        col("n_tokens"))
+      Packing.packSequences(keyed, col("n_tokens"), col("k2"))
+        .select((col("k") % lit(1L << 24)).as("doc_id"),
+          col("n_tokens"), col("tok_offset"))
+        .withColumn("shard",
+          least(expr(s"tok_offset * $nShards div ${total}L"),
+            lit(nShards - 1L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("min_doc"), col("max_doc"),
+          (col("n_tokens") * lit(nShards) - lit(total))
+            .as("dev_from_ideal_xn"))
+        .orderBy(col("shard"))
+    }),
+
     // Temperature-scaled domain mixing weights (the multilingual/
     // multi-domain training-mix formula): w_i ∝ p_i^(3/4) over each
     // source's share of corpus chars. Portability: alpha = 3/4 is
@@ -5452,6 +5491,32 @@ object ExtQueries {
          |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
          |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Shard manifest: same hash order, window-replayed prefix sum
+    // (exact in DuckDB at this scale), same ⌊offset·N/T⌋ cut.
+    "q_shard_manifest" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(${PortableHash.hSql("CAST(doc_id AS VARCHAR)")}
+         |              AS BIGINT) AS h
+         |  FROM documents),
+         |k AS (SELECT doc_id, n_tokens, h * 16777216 + doc_id AS k2
+         |      FROM dt),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY k2
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_offset
+         |  FROM k),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM dt)
+         |SELECT least(tok_offset * 16 // t, 15) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |       CAST(sum(n_tokens) AS BIGINT) * 16 - max(t)
+         |         AS dev_from_ideal_xn
+         |FROM p, tot GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_repetition_filter" ->
       s"""WITH ${Dedup.shinglesSql},
