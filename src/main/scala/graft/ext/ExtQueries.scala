@@ -2611,6 +2611,54 @@ object ExtQueries {
             col("n_probes").cast("double")).as("noise_rate"))
         .orderBy(col("true_label"))),
 
+    // Triplet mining for metric learning (Schroff et al. 2015's
+    // batch-hard shape): per anchor probe, the HARDEST positive
+    // (same-label member with lowest cosine) and HARDEST negative
+    // (other-label member with highest cosine), plus the violation
+    // margin a triplet-loss curriculum ranks by. Scoring reuses the
+    // knn broadcast-probes × corpus-scan plan (corpus never
+    // shuffles); the argmin/argmax are conditional struct min/max in
+    // ONE partial/final aggregation — no per-probe ranking window,
+    // no second pass — which is the shape that survives a corpus
+    // 100× this size. Ties break on vec_id (negated inside the max
+    // struct so both extremes prefer the smaller id).
+    "q_triplet_mining" -> ((s, d) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+        .withColumn("nrm_q", VectorSearch.fixedNormSq(col("qvec")))
+      val scored = e
+        .withColumn("nrm_e", VectorSearch.fixedNormSq(col("embedding")))
+        .crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          Det.r4(VectorSearch.cosineCol(
+            VectorSearch.fixedDot(col("qvec"), col("embedding")),
+            col("nrm_q"), col("nrm_e"))).as("cos_sim"))
+      scored.groupBy(col("qid"), col("qlabel"))
+        .agg(
+          min(when(col("label") === col("qlabel"),
+            struct(col("cos_sim"), col("vec_id")))).as("hp"),
+          max(when(col("label") =!= col("qlabel"),
+            struct(col("cos_sim"), (-col("vec_id")).as("nid")))).as("hn"),
+          sum((col("label") === col("qlabel")).cast("long")).as("n_pos"),
+          sum((col("label") =!= col("qlabel")).cast("long")).as("n_neg"))
+        .select(col("qid"), col("qlabel").as("label"),
+          col("n_pos"), col("n_neg"),
+          col("hp.vec_id").as("hard_pos_id"),
+          col("hp.cos_sim").as("pos_cos"),
+          (-col("hn.nid")).as("hard_neg_id"),
+          col("hn.cos_sim").as("neg_cos"),
+          Det.r4(col("hn.cos_sim") - col("hp.cos_sim"))
+            .as("violation_margin"),
+          (col("hn.cos_sim") > col("hp.cos_sim")).cast("long")
+            .as("violated"))
+        .orderBy(col("qid"))
+    }),
+
     // Cross-source exact-duplicate matrix — the provenance audit a
     // multi-source corpus runs before mixing: for every normalized
     // signature, how many duplicate PAIRS live within each source and
@@ -5833,6 +5881,50 @@ object ExtQueries {
          |         /10000.0 AS noise_rate
          |FROM per GROUP BY 1 ORDER BY true_label""".stripMargin,
 
+
+    // Triplet mining: the kscored chain (same CTEs as knn), labels
+    // joined, extremes via ranked windows. LEFT joins mirror the
+    // engine's null-on-empty-side struct aggregation.
+    "q_triplet_mining" ->
+      s"""WITH $knnPredCtes,
+         |tlab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |         FROM embeddings),
+         |tsc AS (
+         |  SELECT s.qid, ql.label AS qlabel, s.vec_id, el.label,
+         |         s.cos_sim
+         |  FROM kscored s
+         |  JOIN tlab ql ON ql.vec_id = s.qid
+         |  JOIN tlab el ON el.vec_id = s.vec_id),
+         |thp AS (
+         |  SELECT qid, vec_id, cos_sim FROM (
+         |    SELECT qid, vec_id, cos_sim,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim, vec_id) AS rn
+         |    FROM tsc WHERE label = qlabel) WHERE rn = 1),
+         |thn AS (
+         |  SELECT qid, vec_id, cos_sim FROM (
+         |    SELECT qid, vec_id, cos_sim,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim DESC, vec_id)
+         |             AS rn
+         |    FROM tsc WHERE label != qlabel) WHERE rn = 1),
+         |tcnt AS (
+         |  SELECT qid, max(qlabel) AS label,
+         |         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_pos,
+         |         CAST(sum(CASE WHEN label != qlabel THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_neg
+         |  FROM tsc GROUP BY 1)
+         |SELECT c.qid, c.label, c.n_pos, c.n_neg,
+         |       hp.vec_id AS hard_pos_id, hp.cos_sim AS pos_cos,
+         |       hn.vec_id AS hard_neg_id, hn.cos_sim AS neg_cos,
+         |       ${r4("hn.cos_sim - hp.cos_sim")} AS violation_margin,
+         |       CAST(CASE WHEN hn.cos_sim > hp.cos_sim THEN 1 ELSE 0 END
+         |            AS BIGINT) AS violated
+         |FROM tcnt c
+         |LEFT JOIN thp hp ON hp.qid = c.qid
+         |LEFT JOIN thn hn ON hn.qid = c.qid
+         |ORDER BY c.qid""".stripMargin,
 
     // Shares the normalized-signature constant with q_dedup_exact, so
     // the matrix and the dedup pass agree on what "exact dup" means.
