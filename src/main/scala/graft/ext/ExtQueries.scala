@@ -1780,6 +1780,51 @@ object ExtQueries {
         .orderBy(col("shard"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc log-ratio of
+    // hashed-bigram likelihood under the TARGET distribution (lang =
+    // 'en' — the in-domain proxy) vs the RAW corpus — the score
+    // data-selection-for-LM pipelines resample by. All log arithmetic
+    // rides the LmScore integer-log2 pipeline (bit-length + mantissa
+    // table, ×2²⁰ fixed point), so the weight is an exact BIGINT on
+    // both engines. Scale shape: features hash into 1024 buckets, so
+    // both distributions are B-bounded aggregates; the per-bucket
+    // log-ratio table is a broadcast; the per-doc weight is one
+    // broadcast join + partial/final sum over the bigram stream —
+    // and the corpus-total terms fold in as n_bigrams × constant
+    // instead of joining a scalar into every row.
+    "q_dsir_weights" -> ((s, d) => {
+      val B = 1024L
+      val ws = split(col("text"), " ")
+      val bg = docs(s, d).where(size(ws) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+            .as("bigram"))
+      val bkC = Cache.getOrPersist(s, "dsir_buckets", d)(
+        bg.select(col("doc_id"), col("lang"),
+          (PortableHash.h(col("bigram")).cast("long") % lit(B)).as("bkt")))
+      val rc = bkC.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+      val tc = bkC.where(col("lang") === "en")
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      val totals = bkC.agg(count(lit(1)).as("tr"),
+        sum((col("lang") === "en").cast("long")).as("tt")).collect()(0)
+      val constFx = LmScore.log2FxLong(totals.getLong(0) + B) -
+        LmScore.log2FxLong(totals.getLong(1) + B)
+      val lr = rc.join(tc, Seq("bkt"), "left").na.fill(0L, Seq("ct"))
+        .select(col("bkt"),
+          (LmScore.log2FxCol(col("ct") + lit(1L)) -
+            LmScore.log2FxCol(col("cr") + lit(1L))).as("lr"))
+      bkC.join(broadcast(lr), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("lang")).as("lang"),
+          count(lit(1)).as("n_bigrams"), sum(col("lr")).as("sum_lr"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          (col("sum_lr") + col("n_bigrams") * lit(constFx)).as("w_fx"),
+          Det.r4((col("sum_lr") + col("n_bigrams") * lit(constFx))
+            .cast("double") / lit(LmScore.LogScale.toDouble)).as("logw"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-scaled domain mixing weights (the multilingual/
     // multi-domain training-mix formula): w_i ∝ p_i^(3/4) over each
     // source's share of corpus chars. Portability: alpha = 3/4 is
@@ -5565,6 +5610,50 @@ object ExtQueries {
          |       CAST(sum(n_tokens) AS BIGINT) * 16 - max(t)
          |         AS dev_from_ideal_xn
          |FROM p, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DSIR: same hashed-bigram buckets, same integer-log2 pipeline;
+    // the corpus-total constant folds in as n_bigrams × (log2Fx(Tr+B)
+    // − log2Fx(Tt+B)), exactly as the engine does.
+    "q_dsir_weights" -> {
+      val cfx = s"(${LmScore.log2FxSql("t.tr + 1024")} - " +
+        s"${LmScore.log2FxSql("t.tt + 1024")})"
+      s"""WITH dws AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |dbg AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(w)),
+         |           i -> w[i] || ' ' || w[i+1])) AS bigram
+         |  FROM dws WHERE len(w) >= 2),
+         |dbk AS (
+         |  SELECT doc_id, lang,
+         |         (${PortableHash.hSql("bigram")}) % 1024 AS bkt
+         |  FROM dbg),
+         |drc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr
+         |        FROM dbk GROUP BY 1),
+         |dtc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct
+         |        FROM dbk WHERE lang = 'en' GROUP BY 1),
+         |dtot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS tr,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS tt
+         |  FROM dbk),
+         |dlr AS (
+         |  SELECT r.bkt,
+         |         ${LmScore.log2FxSql("coalesce(t.ct, 0) + 1")}
+         |           - ${LmScore.log2FxSql("r.cr + 1")} AS lr
+         |  FROM drc r LEFT JOIN dtc t USING (bkt)),
+         |dper AS (
+         |  SELECT b.doc_id, max(b.lang) AS lang,
+         |         CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(l.lr) AS BIGINT) AS sum_lr
+         |  FROM dbk b JOIN dlr l ON l.bkt = b.bkt GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.n_bigrams,
+         |       p.sum_lr + p.n_bigrams * $cfx AS w_fx,
+         |       ${r4("CAST(p.sum_lr + p.n_bigrams * " + cfx +
+              " AS DOUBLE) / 1048576.0")} AS logw
+         |FROM dper p, dtot t ORDER BY p.doc_id""".stripMargin
+    },
 
     "q_repetition_filter" ->
       s"""WITH ${Dedup.shinglesSql},

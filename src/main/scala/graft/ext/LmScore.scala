@@ -73,6 +73,18 @@ object LmScore {
       element_at(typedLit(Log2Table), (m - lit(MScale - 1)).cast("int"))
   }
 
+  /** Driver-side scalar twin of [[log2FxCol]] — same bit-length +
+    * mantissa-table pipeline in pure Long arithmetic, for the
+    * bounded scalar constants (corpus totals) an importance-weight
+    * formula folds into every row. Bit-for-bit equal to the Column
+    * and SQL forms by construction (identical integer ops). */
+  def log2FxLong(n: Long): Long = {
+    require(n > 0, s"log2FxLong needs a positive input, got $n")
+    val e = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = (n * MScale) >> (e - 1)
+    (e - 1) * LogScale + Log2Table((m - MScale).toInt)
+  }
+
   /** SQL twin of [[log2FxCol]] over a positive-integer expression.
     * Embeds the table literal per call (a few KB — the existing
     * oracles already embed it repeatedly). */
