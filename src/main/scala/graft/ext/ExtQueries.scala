@@ -1825,6 +1825,43 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM Viterbi segmentation (Unigram.scala — the
+    // SentencePiece complement to the BPE merge family): every
+    // distinct corpus word segmented into its minimum-cost piece
+    // sequence under the capped substring-frequency model, costs in
+    // exact integer log2 fixed point. The oracle replays model AND
+    // Viterbi: a recursive CTE carries the 4-slot DP state and sorts
+    // each step's transition candidates by (cost, n_pieces, 4−k) —
+    // the same total order the kernel's descending-k strict
+    // replacement realizes.
+    "q_unigram_segment" -> ((s, d) =>
+      Cache.getOrPersist(s, "unigram_seg", d)(
+        Unigram.segmentsAll(docs(s, d), d))
+        .orderBy(col("word"))),
+
+    // Per-language fertility (pieces per word) under the unigram
+    // model — the tokenizer-quality readout that decides whether a
+    // vocab budget fits a language mix. The corpus word STREAM joins
+    // the O(|distinct words|) broadcast segment table; text never
+    // shuffles.
+    "q_unigram_fertility" -> ((s, d) => {
+      val seg = Cache.getOrPersist(s, "unigram_seg", d)(
+        Unigram.segmentsAll(docs(s, d), d))
+      docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(seg.select(col("word"), col("n_pieces"),
+          col("cost_fx"))), Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("cost_fx")).as("cost_fx"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          col("cost_fx"),
+          Det.r4(col("n_pieces").cast("double") /
+            col("n_words").cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // Temperature-scaled domain mixing weights (the multilingual/
     // multi-domain training-mix formula): w_i ∝ p_i^(3/4) over each
     // source's share of corpus chars. Portability: alpha = 3/4 is
@@ -5654,6 +5691,26 @@ object ExtQueries {
               " AS DOUBLE) / 1048576.0")} AS logw
          |FROM dper p, dtot t ORDER BY p.doc_id""".stripMargin
     },
+
+    // Unigram model + Viterbi replay (Unigram.ctesSql). Recursive, so
+    // no Oracle.mat().
+    "q_unigram_segment" ->
+      s"""WITH RECURSIVE ${Unigram.ctesSql}
+         |SELECT word, cnt, n_pieces, cost_fx, seg
+         |FROM useg ORDER BY word""".stripMargin,
+
+    "q_unigram_fertility" ->
+      s"""WITH RECURSIVE ${Unigram.ctesSql},
+         |ustream AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(g.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(g.cost_fx) AS BIGINT) AS cost_fx,
+         |       ${r4("CAST(sum(g.n_pieces) AS DOUBLE) / count(*)")}
+         |         AS fertility
+         |FROM ustream s JOIN useg g USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_repetition_filter" ->
       s"""WITH ${Dedup.shinglesSql},
