@@ -1607,6 +1607,27 @@ object RelQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // The LEFT-OUTER twin's batch surface — the "abandoned click"
+    // feed (clicks that never see a purchase inside the band). In
+    // streaming this is the deferred null-side emission StreamingSpec
+    // proves (a non-match can only be declared after the watermark
+    // passes the band's far edge); in batch the same declaration
+    // reduces to a user-keyed left join filtered to the null side —
+    // i.e. a band ANTI join, which is what the oracle spells.
+    "q_touch_abandoned" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      graft.streaming.StreamOps.touchJoinLeftOuter(clicks, purchases)
+        .where(col("purchase_id").isNull)
+        .select(col("user_id"), col("click_id"), col("cts_ms"))
+        .orderBy(col("click_id"))
+    }),
+
     // Closed sessions via flatMapGroupsWithState — the zero-or-many-
     // outputs stateful shape (mapGroupsWithState can't express it):
     // per-user state buffers the open run, every gap-delimited run
@@ -3486,6 +3507,21 @@ object RelQueries {
         |FROM c JOIN p ON p.user_id = c.user_id
         |  AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000
         |ORDER BY c.click_id, p.purchase_id""".stripMargin,
+
+    // Abandoned clicks: the null side as a µs-banded anti join.
+    "q_touch_abandoned" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tus AS ptus
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.ctus // 1000 AS cts_ms
+        |FROM c WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000)
+        |ORDER BY c.click_id""".stripMargin,
 
     // closedSessions continues a run while gap < 30 min, so a NEW
     // session opens at gap >= 30 min (note: q_sessionize's boundary
