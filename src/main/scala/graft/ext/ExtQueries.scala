@@ -52,6 +52,10 @@ object ExtQueries {
   }
   private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
 
+  /** q_zipf_fit: how many top frequency ranks enter the OLS fit
+    * (shared by query and oracle). */
+  private val ZipfTopRanks = 30
+
   /** Shared dedup intermediates, materialized once per session. The
     * corpus-sized cache is the (doc_id, h) HASH projection, not the
     * string shingles: every minhash stage (band minima, candidates,
@@ -1886,6 +1890,85 @@ object ExtQueries {
           Det.r4(col("wfx").cast("double") / col("wtot").cast("double"))
             .as("w"))
         .orderBy(col("source"))
+    }),
+
+    // Token-budget mixture planning (the LLaMA-1 Table-1 / DoReMi
+    // shape): temperature-scaled target weights over per-source TOKEN
+    // shares, then a planned-token allocation for a training budget
+    // of 4× the corpus and the per-source repeat factor ("epochs")
+    // that allocation implies — the number a curation run actually
+    // publishes (w alone doesn't say how many times src9 repeats).
+    // Same portability discipline as q_domain_mix_weights: α=3/4 via
+    // nested sqrt, 1e-9 fixed-point weight normalizer, and every
+    // double expression mirrored operation-for-operation in the
+    // oracle. All frames past the one corpus scan are O(sources).
+    "q_mix_epochs" -> ((s, d) => {
+      val bySrc = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      val tot = bySrc.agg(sum(col("toks")).as("ttot"))
+      val p = col("toks").cast("double") / col("ttot").cast("double")
+      val wraw = sqrt(sqrt(p * p * p))
+      val snapped = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("toks"), col("ttot"),
+          Det.r4(p).as("p"),
+          floor(wraw * lit(1.0e9) + lit(0.5)).cast("long").as("wfx"))
+      val wtot = snapped.agg(sum(col("wfx")).as("wtot"))
+      val planned = col("wfx").cast("double") * lit(4.0) *
+        col("ttot").cast("double") / col("wtot").cast("double")
+      snapped.crossJoin(broadcast(wtot))
+        .select(col("source"), col("n_docs"), col("toks"), col("p"),
+          Det.r4(col("wfx").cast("double") / col("wtot").cast("double"))
+            .as("w"),
+          floor(planned + lit(0.5)).cast("long").as("planned_toks"),
+          Det.r4(planned / col("toks").cast("double")).as("epochs"))
+        .orderBy(col("source"))
+    }),
+
+    // Aho–Corasick multi-keyword tagging: one automaton pass over
+    // the corpus counts every dictionary occurrence — vs k regexp
+    // scans. The kernel is partition-parallel (KeywordTags); the
+    // dictionary is border-free so every-occurrence == the oracle's
+    // non-overlapping regexp_extract_all (KeywordTagsSpec proves the
+    // equivalence and its bordered counter-example).
+    "q_keyword_tags" -> ((s, d) =>
+      KeywordTags.tagCounts(docs(s, d)).orderBy(col("keyword"))),
+
+    // Zipf tail fit over the token frequency spectrum: OLS of
+    // log2(freq) on log2(rank) across the top ranks — the corpus
+    // health number (natural text ≈ −1; synthetic/boilerplate drifts
+    // shallow). Logs ride the LmScore exact integer-log2 pipeline
+    // (bit-length + 512-entry mantissa table, 2²⁰ fixed point), the
+    // OLS normal equations are exact BIGINT sums, and only the final
+    // slope/intercept divisions touch doubles — mirrored
+    // op-for-op in the oracle. The global sort is LIMIT-bounded
+    // (TakeOrdered), the rank window runs on the 30-row frame.
+    "q_zipf_fit" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(col("f").desc, col("w")).limit(ZipfTopRanks)
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("w"))
+      val ranked = top.select(col("f"),
+        row_number().over(win).cast("long").as("r"))
+      val pts = ranked.select(LmScore.log2FxCol(col("r")).as("x"),
+        LmScore.log2FxCol(col("f")).as("y"))
+      val sums = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val nd = sums.select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          .as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          .as("den"))
+      nd.select(col("n").as("n_ranks"),
+        Det.r4(col("num") / col("den")).as("slope"),
+        Det.r4((col("sy").cast("double") -
+            col("num") / col("den") * col("sx").cast("double")) /
+          col("n").cast("double") / lit(1048576.0)).as("intercept_log2"))
     }),
 
     // Multimodal metadata over the opaque payload column.
@@ -5745,6 +5828,84 @@ object ExtQueries {
          |FROM snapped, wt
          |ORDER BY source""".stripMargin
     },
+
+    // Same fixed-point discipline over TOKEN shares, plus the 4×
+    // budget allocation — every double expression is the Spark
+    // side's, operation for operation.
+    "q_mix_epochs" -> {
+      val pe = "(CAST(toks AS DOUBLE)/CAST(ttot AS DOUBLE))"
+      val plan = "CAST(wfx AS DOUBLE) * 4.0 * CAST(ttot AS DOUBLE)" +
+        " / CAST(wtot AS DOUBLE)"
+      s"""WITH bysrc AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |           AS toks
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS ttot FROM bysrc),
+         |snapped AS (
+         |  SELECT source, n_docs, toks, ttot,
+         |         ${r4(pe)} AS p,
+         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
+         |              + 0.5) AS BIGINT) AS wfx
+         |  FROM bysrc, tot),
+         |wt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
+         |SELECT source, n_docs, toks, p,
+         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w,
+         |       CAST(floor($plan + 0.5) AS BIGINT) AS planned_toks,
+         |       ${r4(s"$plan / CAST(toks AS DOUBLE)")} AS epochs
+         |FROM snapped, wt
+         |ORDER BY source""".stripMargin
+    },
+
+    // Non-overlapping regexp counts == the automaton's
+    // every-occurrence counts because the dictionary is border-free.
+    "q_keyword_tags" -> {
+      val vals = KeywordTags.Keywords.map(k => s"('$k')").mkString(", ")
+      s"""WITH kw AS (SELECT * FROM (VALUES $vals) t(keyword)),
+         |h AS (
+         |  SELECT k.keyword, d.doc_id,
+         |         len(regexp_extract_all(d.text, k.keyword)) AS hits
+         |  FROM documents d CROSS JOIN kw k)
+         |SELECT keyword, count(*) AS n_docs,
+         |       CAST(sum(hits) AS BIGINT) AS n_hits
+         |FROM h WHERE hits > 0
+         |GROUP BY 1 ORDER BY keyword""".stripMargin
+    },
+
+    // Exact integer-log2 points, exact BIGINT normal equations; the
+    // two final divisions are the only doubles, mirrored op-for-op.
+    "q_zipf_fit" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |freq AS (
+         |  SELECT w, count(*) AS f FROM words
+         |  WHERE len(w) > 0 GROUP BY 1),
+         |top AS (
+         |  SELECT w, f FROM freq ORDER BY f DESC, w LIMIT $ZipfTopRanks),
+         |rk AS (
+         |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+         |  FROM top),
+         |pts AS (
+         |  SELECT CAST(${LmScore.log2FxSql("r")} AS BIGINT) AS x,
+         |         CAST(${LmScore.log2FxSql("f")} AS BIGINT) AS y
+         |  FROM rk),
+         |s AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x*y) AS BIGINT) AS sxy,
+         |         CAST(sum(x*x) AS BIGINT) AS sxx
+         |  FROM pts),
+         |nd AS (
+         |  SELECT n, sx, sy,
+         |         CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+         |         CAST(n*sxx - sx*sx AS DOUBLE) AS den
+         |  FROM s)
+         |SELECT n AS n_ranks,
+         |       ${r4("num/den")} AS slope,
+         |       ${r4("(CAST(sy AS DOUBLE) - num/den*CAST(sx AS DOUBLE))" +
+                "/CAST(n AS DOUBLE)/1048576.0")} AS intercept_log2
+         |FROM nd""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
