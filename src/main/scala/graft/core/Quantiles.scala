@@ -76,6 +76,27 @@ object Quantiles {
     else got(math.min(math.floor(f * n).toLong, n - 1))
   }
 
+  /** The exact elements at ranks ⌊f·n⌋ for ALL requested fractions
+    * from ONE distributed sort (clamped to n−1; NaN on empty input).
+    * This is the batched form of [[valueAtFraction]] — a caller that
+    * needs k cut points of one column pays one sort job, not k. The
+    * returned values are identical ranks to k separate calls, so
+    * swapping call sites is oracle-neutral. */
+  def valuesAtFractions(df: DataFrame, c: String, fs: Seq[Double]): Seq[Double] = {
+    val (n, got) = sortedValuesAt(df, c,
+      n => fs.map(f => math.min(math.floor(f * n).toLong, n - 1)).toSet)
+    if (n == 0L) fs.map(_ => Double.NaN)
+    else fs.map(f => got(math.min(math.floor(f * n).toLong, n - 1)))
+  }
+
+  /** [[valuesAtFractions]] memoized per (session, key). The caller's
+    * key must pin down (dir, column, fs). */
+  def valuesAtFractionsMemo(df: DataFrame, c: String, fs: Seq[Double],
+                            memoKey: String): Seq[Double] =
+    memo.getOrElseUpdate(
+      (Cache.sessionKey(df.sparkSession), memoKey),
+      valuesAtFractions(df, c, fs))
+
   /** [[exactQuantiles]] memoized per (session, key): the envelope is a
     * property of the data, so repeated executions (bench warm pass,
     * verify re-runs) reuse the constants instead of re-sorting. The

@@ -90,5 +90,22 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fixed_dot",
       exprs => FixedDotExpr(exprs.head, exprs(1)), "scala_udf")
+    // Spark's own Bloom build/probe expressions (the machinery behind
+    // its runtime row-level filters) are registry-internal — not
+    // resolvable from SQL — so surface them as temp functions. Build:
+    // graft_bloom_agg(xxhash64(col), estimatedItems, numBits) → binary;
+    // probe: graft_might_contain(filterBinary, xxhash64(col)). Both
+    // are native codegen expressions — no Scala UDF on the hot path.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persist / load / serve the ANN index artifacts — the missing half
+  * of `q_ann_incremental`'s append-without-rebuild story: a real
+  * vector deployment trains its quantizers once, WRITES the index
+  * (FAISS `write_index` is the public shape), and serves reloaded
+  * artifacts for weeks. The index is four parquet tables plus a
+  * key/value meta table, all exactly the frames the in-session
+  * serving paths already consume, so "load and serve" is the same
+  * code path as "build and serve":
+  *
+  *  - `ivf_cells`    (cell_id, centroid)          — coarse quantizer,
+  *                    O(cells) rows at any corpus size;
+  *  - `ivf_codes`    (cell_id, vec_id, embedding, enrm) — the
+  *                    inverted lists (the IVF-flat payload), written
+  *                    PARTITIONED BY cell_id so a probe at 100 TB
+  *                    reads only its cells' partitions; append-only
+  *                    under incremental upkeep;
+  *  - `pq_codebook`  (sub, cell_id, j, cv)        — per-subspace PQ
+  *                    centroids, O(M·k·dsub) rows;
+  *  - `pq_codes`     (vec_id, sub, code)          — the compressed
+  *                    corpus codes, N×M small integers;
+  *  - `sq_stats`     (pos, mn, mx)                — the int8 scalar
+  *                    quantizer's training state, O(dims) rows;
+  *  - `meta`         (key, value)                 — format version +
+  *                    geometry constants, checked on load so a reader
+  *                    can never silently decode against the wrong
+  *                    codebook shape.
+  */
+object AnnIndex {
+  val FormatVersion = 1
+
+  case class Loaded(cells: DataFrame, codes: DataFrame,
+                    pqCodebook: DataFrame, pqCodes: DataFrame,
+                    sqStats: DataFrame) {
+    /** Broadcast-ready cell frame (cell_id, centroid, cnrm) — what
+      * every assigned-serving path takes. */
+    def cellsB: DataFrame = {
+      graft.expr.GraftFunctions.ensureRegistered(cells.sparkSession)
+      broadcast(cells.select(col("cell_id"),
+        col("centroid"),
+        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+    }
+  }
+
+  /** Build the full artifact set from a corpus (vec_id, embedding)
+    * and a trained cell table, and write it under `path`. One job per
+    * table; `ivf_codes` partitioned by cell_id. Overwrites any prior
+    * index at the path. */
+  def save(emb: DataFrame, cells: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+      VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+    cells.select(col("cell_id"), col("centroid"))
+      .write.mode("overwrite").parquet(s"$path/ivf_cells")
+    VectorSearch.assignCells(emb, cellsB)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/ivf_codes")
+    val pqCent = VectorSearch.pqTrain(emb)
+    pqCent.write.mode("overwrite").parquet(s"$path/pq_codebook")
+    VectorSearch.pqEncode(emb, pqCent)
+      .write.mode("overwrite").parquet(s"$path/pq_codes")
+    VectorSearch.sqStats(emb)
+      .write.mode("overwrite").parquet(s"$path/sq_stats")
+    Seq(
+      "format_version" -> FormatVersion.toString,
+      "pq_subspaces" -> VectorSearch.PqSubspaces.toString,
+      "pq_subdim" -> VectorSearch.PqSubDim.toString,
+      "pq_codes" -> VectorSearch.PqCodes.toString
+    ).toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append new vectors to a saved index WITHOUT retraining: assign
+    * against the stored (frozen) cells, append the inverted-list rows
+    * and the PQ codes of only the arriving vectors — the
+    * `q_ann_incremental` contract made durable. At 100 TB this pass
+    * touches the delta plus two broadcast codebooks, never the stored
+    * corpus. */
+  def append(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val ix = load(spark, path)
+    VectorSearch.assignCells(delta, ix.cellsB)
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$path/ivf_codes")
+    VectorSearch.pqEncode(delta, broadcast(ix.pqCodebook))
+      .write.mode("append").parquet(s"$path/pq_codes")
+  }
+
+  /** Load a saved index. Fails fast on a format/geometry mismatch —
+    * decoding 4-code vectors against an 8-subspace codebook must be
+    * impossible, not wrong. */
+  def load(spark: SparkSession, path: String): Loaded = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    require(meta.get("format_version").contains(FormatVersion.toString),
+      s"ann index at $path: format ${meta.get("format_version")}, " +
+        s"reader supports $FormatVersion")
+    require(meta.get("pq_subspaces")
+        .contains(VectorSearch.PqSubspaces.toString) &&
+      meta.get("pq_subdim").contains(VectorSearch.PqSubDim.toString),
+      s"ann index at $path: PQ geometry " +
+        s"${meta.view.filterKeys(_.startsWith("pq_")).toMap} " +
+        "does not match this build")
+    Loaded(
+      cells = spark.read.parquet(s"$path/ivf_cells"),
+      // cell_id is a directory-partition column on disk; partition
+      // inference types it INT — pin it back to the writer's LONG so
+      // joins against the cell table never carry an implicit cast.
+      codes = spark.read.parquet(s"$path/ivf_codes")
+        .withColumn("cell_id", col("cell_id").cast("long")),
+      pqCodebook = spark.read.parquet(s"$path/pq_codebook"),
+      pqCodes = spark.read.parquet(s"$path/pq_codes"),
+      sqStats = spark.read.parquet(s"$path/sq_stats"))
+  }
+
+  /** Serve the composed IVF→PQ stack from a LOADED index: IVF
+    * shortlist (exact cosine over probed inverted lists) → PQ-ADC
+    * re-rank — identical plan shapes to the session-built
+    * `q_ann_ivf_pq`, with every build input replaced by a stored
+    * table. */
+  def ivfPqTopK(ix: Loaded, queries: DataFrame, queryKey: String,
+                queryVec: String, k: Int, nProbe: Int,
+                shortlistK: Int): DataFrame = {
+    val shortlist = VectorSearch.ivfTopKFromAssigned(
+        ix.codes, ix.cellsB, queries, queryKey, queryVec,
+        shortlistK, nProbe)
+      .select(col(queryKey), col("vec_id"))
+    VectorSearch.pqAdcRerank(shortlist,
+      queries.select(col(queryKey).as("vec_id"),
+        col(queryVec).as("embedding")),
+      ix.pqCodebook, ix.pqCodes, queryKey, k)
+  }
+}

@@ -310,18 +310,31 @@ object Dedup {
     * that shuffle. False positives pass the pre-filter and are then
     * removed by the exact join, so the result is IDENTICAL to
     * [[contaminationHits]] — which is why the scored query shares its
-    * value oracle. The `mightContain` call is a UDF by necessity
-    * (Spark exposes no Column API over `util.sketch.BloomFilter`;
-    * the optimizer's own runtime bloom filters use the same mechanism
-    * internally). */
+    * value oracle. Build and probe are Spark's OWN native Bloom
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    * the machinery behind its runtime row-level filters, surfaced as
+    * temp functions by GraftFunctions) — fully codegen'd partial
+    * aggregation on the build, a codegen'd binary-literal probe on
+    * the scan side; no Scala UDF anywhere on the path. The filter
+    * bytes cross the driver once (an O(bits) scalar fetch, exactly
+    * what `stat.bloomFilter` did) and re-enter the plan as a foldable
+    * literal, so the probe predicate can be pushed and batched like
+    * any other deterministic filter. */
   def contaminationHitsBloom(train: DataFrame, bench: DataFrame,
                              fpp: Double = 0.01): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(train.sparkSession)
     val nBench = bench.count()
     if (nBench == 0L)
       return contaminationHits(train, bench.limit(0))
-    val bloom = bench.stat.bloomFilter("shingle", nBench, fpp)
-    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
-    contaminationHits(train.where(mightContain(col("shingle"))), bench)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nBench, fpp)
+    val bloomBytes = bench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("shingle")),
+        lit(nBench), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = train.where(call_function("graft_might_contain",
+      lit(bloomBytes), xxhash64(col("shingle"))))
+    contaminationHits(pre, bench)
   }
 
   /** SimHash per doc over word tokens: bit j of the signature is the

@@ -3133,11 +3133,15 @@ object ExtQueries {
     // replay goes exponential in rounds — the q_graph_rank lesson
     // (NOTES round 2); reliable checkpoint at cluster scale. Result
     // snapshot-memoized like the other fixpoint artifacts.
+    // Re-sort AFTER the snapshot read: the reliable-checkpoint
+    // parquet path returns rows in file order, which is not
+    // contractually the pre-snapshot orderBy — same discipline as
+    // q_dedup_clusters / q_entity_resolution.
     "q_graph_kcore" -> ((s, d) =>
       Cache.getOrSnapshot(s, "kcore2", d)(
         GraphRank.kcoreSurvivors(
           candidatesC(s, d).select(col("d1"), col("d2")),
-          k = 2, rounds = 4))),
+          k = 2, rounds = 4)).orderBy(col("doc_id"))),
 
     // ORC sink→source roundtrip — the hive-ecosystem columnar
     // interchange format, written once per sf dir with full write
@@ -6226,7 +6230,9 @@ object ExtQueries {
          |       hp.vec_id AS hard_pos_id, hp.cos_sim AS pos_cos,
          |       hn.vec_id AS hard_neg_id, hn.cos_sim AS neg_cos,
          |       ${r4("hn.cos_sim - hp.cos_sim")} AS violation_margin,
-         |       CAST(CASE WHEN hn.cos_sim > hp.cos_sim THEN 1 ELSE 0 END
+         |       CAST(CASE WHEN hn.cos_sim IS NULL OR hp.cos_sim IS NULL
+         |                 THEN NULL
+         |                 WHEN hn.cos_sim > hp.cos_sim THEN 1 ELSE 0 END
          |            AS BIGINT) AS violated
          |FROM tcnt c
          |LEFT JOIN thp hp ON hp.qid = c.qid

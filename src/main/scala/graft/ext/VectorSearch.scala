@@ -640,12 +640,26 @@ object VectorSearch {
     * per-dim rows (vec_id, pos, v) with the corpus stats (mn, mx),
     * int8 `code`, and dequantized `dv` attached. Training state is
     * the dims-keyed stats frame — O(dims), broadcast back. */
-  private def codedDims(emb: DataFrame): DataFrame = {
-    val dims = emb.select(col("vec_id"),
+  private def dimRows(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "f")))
       .select(col("vec_id"), col("pos"), col("f").cast("double").as("v"))
-    val stats = dims.groupBy(col("pos"))
+
+  /** The int8 scalar quantizer's TRAINING STATE: per-dimension
+    * (pos, mn, mx) — O(dims) rows, the artifact a deployment persists
+    * next to the IVF cells and PQ codebooks (see
+    * [[graft.ext.AnnIndex]]). */
+  def sqStats(emb: DataFrame): DataFrame =
+    dimRows(emb).groupBy(col("pos"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+
+  private def codedDims(emb: DataFrame): DataFrame =
+    codedDimsWith(emb, sqStats(emb))
+
+  /** [[codedDims]] against an EXTERNALLY-TRAINED quantizer (a loaded
+    * [[sqStats]] frame) — encode/decode must not retrain. */
+  private def codedDimsWith(emb: DataFrame, stats: DataFrame): DataFrame = {
+    val dims = dimRows(emb)
     dims.join(broadcast(stats), Seq("pos"))
       .withColumn("code",
         when(col("mx") === col("mn"), lit(0L))
@@ -662,9 +676,14 @@ object VectorSearch {
     * vector — consumers score many pairs per vector). This is what a
     * compressed ANN serving tier actually scores against: codes in
     * cache, reconstruction on the fly. */
-  def sqDequantized(emb: DataFrame): DataFrame = {
+  def sqDequantized(emb: DataFrame): DataFrame =
+    sqDequantizedWith(emb, sqStats(emb))
+
+  /** [[sqDequantized]] against a loaded quantizer — the serve path of
+    * a persisted SQ index. */
+  def sqDequantizedWith(emb: DataFrame, stats: DataFrame): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
-    codedDims(emb)
+    codedDimsWith(emb, stats)
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("dv")))),

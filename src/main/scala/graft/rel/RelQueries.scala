@@ -1897,8 +1897,11 @@ object RelQueries {
       val gmax = per.agg(max(col("last_ms")).as("gmax"))
       val m = per.crossJoin(broadcast(gmax))
         .withColumn("recency_days", expr("(gmax - last_ms) div 86400000"))
-      def thr(c: String) = Seq(0.25, 0.5, 0.75).map(f =>
-        graft.core.Quantiles.valueAtFractionMemo(m, c, f, s"rfm:$c:$f:$d"))
+      // One distributed sort per COLUMN (all three quartile ranks
+      // extracted from it), not one per (column, fraction) — 3 cold
+      // sort jobs instead of 9, identical rank values.
+      def thr(c: String) = graft.core.Quantiles.valuesAtFractionsMemo(
+        m, c, Seq(0.25, 0.5, 0.75), s"rfm:$c:$d")
       def bucket(c: String) = thr(c).map(t =>
         when(col(c).cast("double") >= lit(t), 1L).otherwise(0L))
         .reduce(_ + _)
@@ -2302,8 +2305,11 @@ object RelQueries {
       val oc = t(s, d, "orders")
         .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
           .as("c"))
-      val cuts = (1 to 7).map(k => graft.core.Quantiles
-        .valueAtFractionMemo(oc, "c", k / 8.0, s"eqd:$k:$d").toLong)
+      // All 7 octile cut points from ONE distributed sort (batched
+      // rank extraction), not 7 separate sort jobs.
+      val cuts = graft.core.Quantiles
+        .valuesAtFractionsMemo(oc, "c", (1 to 7).map(_ / 8.0), s"eqd:$d")
+        .map(_.toLong)
       val bin = cuts.map(cut =>
         when(col("c") >= lit(cut), 1L).otherwise(0L)).reduce(_ + _)
       oc.select(col("c"), bin.as("bin"))

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{AnnIndex, VectorSearch}
+import graft.io.Sources
+
+/** Persistence roundtrip for the ANN index artifacts: an index
+  * written to disk and reloaded must serve byte-identical answers to
+  * the session-built stack — for the composed IVF→PQ path
+  * (q_ann_ivf_pq's shape) AND for incremental append against the
+  * frozen quantizer (q_ann_incremental's shape). */
+class AnnIndexSpec extends SparkSpec {
+
+  private def embAll = Sources.table(spark, sf001, "embeddings")
+  private def emb = embAll.select(col("vec_id"), col("embedding"))
+  private def labelCells(src: org.apache.spark.sql.DataFrame) =
+    VectorSearch.labelCentroids(src)
+      .select(col("label").cast("long").as("cell_id"), col("centroid"))
+  private def queries = emb.where(col("vec_id") % 50 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def key(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet
+
+  test("saved index serves the identical IVF-PQ answers to the built one") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-rt").toString
+    val cells = labelCells(embAll)
+    AnnIndex.save(emb, cells, dir)
+    val ix = AnnIndex.load(spark, dir)
+
+    // session-built serving chain — exactly q_ann_ivf_pq's stages
+    val shortlist = VectorSearch.ivfTopK(emb, cells, queries,
+        "qid", "qvec", 10, 2).select(col("qid"), col("vec_id"))
+    val pqCent = VectorSearch.pqTrain(emb)
+    val built = VectorSearch.pqAdcRerank(shortlist, queries
+        .select(col("qid").as("vec_id"), col("qvec").as("embedding")),
+      pqCent, VectorSearch.pqEncode(emb, pqCent), "qid", 3)
+
+    val served = AnnIndex.ivfPqTopK(ix, queries, "qid", "qvec",
+      k = 3, nProbe = 2, shortlistK = 10)
+    assert(key(served.select(col("qid"), col("vec_id"), col("adist"),
+        col("rn"))) ===
+      key(built.select(col("qid"), col("vec_id"), col("adist"),
+        col("rn"))))
+    assert(served.count() > 0)
+  }
+
+  test("append serves q_ann_incremental's answers without retraining") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-inc").toString
+    val base = embAll.where(col("vec_id") % 10 =!= 9)
+    val delta = emb.where(col("vec_id") % 10 === 9)
+    // quantizer frozen on the BASE slice — q_ann_incremental's contract
+    val cells = labelCells(base)
+    AnnIndex.save(base.select(col("vec_id"), col("embedding")), cells, dir)
+    AnnIndex.append(delta, dir)
+    val ix = AnnIndex.load(spark, dir)
+
+    val served = VectorSearch.ivfTopKFromAssigned(ix.codes, ix.cellsB,
+      queries, "qid", "qvec", k = 3, nProbe = 2)
+
+    // in-session q_ann_incremental: union of per-slice assignments
+    val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+      VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+    val assigned = VectorSearch.assignCells(
+        base.select(col("vec_id"), col("embedding")), cellsB)
+      .unionByName(VectorSearch.assignCells(delta, cellsB))
+    val built = VectorSearch.ivfTopKFromAssigned(assigned, cellsB,
+      queries, "qid", "qvec", k = 3, nProbe = 2)
+
+    def k3(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k3(served) === k3(built))
+    assert(served.count() > 0)
+    // the appended inverted lists really contain the delta rows
+    assert(ix.codes.join(delta.select(col("vec_id")), Seq("vec_id"))
+      .count() === delta.count())
+    // and the PQ code table covers base + delta
+    assert(ix.pqCodes.select(col("vec_id")).distinct().count() ===
+      emb.count())
+  }
+
+  test("SQ quantizer params roundtrip: dequantization from loaded stats") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-sq").toString
+    AnnIndex.save(emb, labelCells(embAll), dir)
+    val ix = AnnIndex.load(spark, dir)
+    val fromLoaded = VectorSearch.sqDequantizedWith(emb, ix.sqStats)
+      .select(col("vec_id"), col("dqn")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val rebuilt = VectorSearch.sqDequantized(emb)
+      .select(col("vec_id"), col("dqn")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(fromLoaded === rebuilt)
+  }
+
+  test("geometry mismatch fails fast on load") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-bad").toString
+    AnnIndex.save(emb, labelCells(embAll), dir)
+    Seq("format_version" -> AnnIndex.FormatVersion.toString,
+        "pq_subspaces" -> "8", "pq_subdim" -> "8", "pq_codes" -> "8")
+      .toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.load(spark, dir)
+    }
+    assert(e.getMessage.contains("PQ geometry"))
+  }
+}

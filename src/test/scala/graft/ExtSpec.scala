@@ -346,11 +346,25 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(bloomed === exact && exact === Set((1L, 1L, 1L)))
     // the pre-filter really prunes: at fpp=0.01 the 9 non-matching
-    // train shingles cannot ALL be false positives
+    // train shingles cannot ALL be false positives. Probe with the
+    // same native build/probe pair the production path uses.
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     val nBench = bench.count()
-    val bloom = bench.stat.bloomFilter("shingle", nBench, 0.01)
-    val kept = train.collect().map(_.getString(1)).count(bloom.mightContain)
-    assert(kept < train.count())
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nBench, 0.01)
+    val bloomBytes = bench.agg(call_function("graft_bloom_agg",
+        xxhash64(col("shingle")), lit(nBench), lit(numBits)))
+      .head().getAs[Array[Byte]](0)
+    val keptDf = train.where(call_function("graft_might_contain",
+      lit(bloomBytes), xxhash64(col("shingle"))))
+    assert(keptDf.count() < train.count())
+    // the probe predicate is a native codegen expression — the whole
+    // point of replacing the Scala-UDF prefilter: no udf/eval-python
+    // node anywhere in the physical plan
+    val plan = keptDf.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+    assert(!plan.contains("UDF("))
+    assert(plan.contains("might_contain"))
     // empty benchmark set: no hits, no crash
     assert(Dedup.contaminationHitsBloom(
       train, bench.where(lit(false))).count() === 0L)
