@@ -146,6 +146,9 @@ object ScaleGate {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    // optional: an explicit query subset (args 3+) — the 30×
+    // deep-gate runs two families, not the whole 39-row table
+    val gate = if (args.length > 2) args.drop(2).toSeq else Gate
     val out = s"/root/repo/target/scale$factor"
     def session(): SparkSession = {
       val s = SparkSession.builder().master("local[32]")
@@ -166,7 +169,7 @@ object ScaleGate {
 
     def sweep(dir: String): Map[String, Double] = {
       val s = session()
-      val times = Gate.map { q =>
+      val times = gate.map { q =>
         def once(): Double = {
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(s, dir).count()
@@ -184,7 +187,7 @@ object ScaleGate {
     }
     val tBase = sweep(base)
     val tRep = sweep(out)
-    Gate.foreach { q =>
+    gate.foreach { q =>
       val ratio = tRep(q) / math.max(tBase(q), 1e-9)
       println(s"""{"query":"$q","base_sec":${f2(tBase(q))},""" +
         s""""x${factor}_sec":${f2(tRep(q))},"ratio":${f2(ratio)}}""")
