@@ -83,7 +83,12 @@ object ScaleGate {
     // order-statistic threshold agg, and the typed per-key ledger
     // fold (replica users are NEW ids, so per-key state is constant
     // while row volume grows 10× — the fold must gate linear)
-    "q_time_weighted_avg", "q_user_concentration", "q_clamped_balance")
+    "q_time_weighted_avg", "q_user_concentration", "q_clamped_balance",
+    // round-10: the graph-ANN serve (beam work is nq·B·(K+1) per
+    // round by construction; the graph build is LSH-cap-bounded —
+    // replication densifies every bucket toward the cap, the
+    // adversarial direction) and the persisted-index serve
+    "q_ann_graph", "q_ann_persist")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

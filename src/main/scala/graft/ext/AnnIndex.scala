@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   *                    corpus codes, N×M small integers;
   *  - `sq_stats`     (pos, mn, mx)                — the int8 scalar
   *                    quantizer's training state, O(dims) rows;
+  *  - `knn_graph`    (v, n)                        — the NSW-family
+  *                    neighbor graph (top-K per vertex from the
+  *                    capped LSH candidates), N×K rows, the artifact
+  *                    the beam-search serve traverses;
   *  - `meta`         (key, value)                 — format version +
   *                    geometry constants, checked on load so a reader
   *                    can never silently decode against the wrong
@@ -35,7 +39,7 @@ object AnnIndex {
 
   case class Loaded(cells: DataFrame, codes: DataFrame,
                     pqCodebook: DataFrame, pqCodes: DataFrame,
-                    sqStats: DataFrame) {
+                    sqStats: DataFrame, knnGraph: DataFrame) {
     /** Broadcast-ready cell frame (cell_id, centroid, cnrm) — what
       * every assigned-serving path takes. */
     def cellsB: DataFrame = {
@@ -67,6 +71,8 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/pq_codes")
     VectorSearch.sqStats(emb)
       .write.mode("overwrite").parquet(s"$path/sq_stats")
+    VectorSearch.knnGraph(emb)
+      .write.mode("overwrite").parquet(s"$path/knn_graph")
     Seq(
       "format_version" -> FormatVersion.toString,
       "pq_subspaces" -> VectorSearch.PqSubspaces.toString,
@@ -117,7 +123,8 @@ object AnnIndex {
         .withColumn("cell_id", col("cell_id").cast("long")),
       pqCodebook = spark.read.parquet(s"$path/pq_codebook"),
       pqCodes = spark.read.parquet(s"$path/pq_codes"),
-      sqStats = spark.read.parquet(s"$path/sq_stats"))
+      sqStats = spark.read.parquet(s"$path/sq_stats"),
+      knnGraph = spark.read.parquet(s"$path/knn_graph"))
   }
 
   /** Serve the composed IVF→PQ stack from a LOADED index: IVF
@@ -137,4 +144,13 @@ object AnnIndex {
         col(queryVec).as("embedding")),
       ix.pqCodebook, ix.pqCodes, queryKey, k)
   }
+
+  /** Serve the NSW-family beam search from a LOADED index: the graph
+    * table and the inverted-list rows (which carry the full vectors
+    * for exact scoring) replace the session-built artifacts. */
+  def graphTopK(ix: Loaded, queries: DataFrame, queryKey: String,
+                queryVec: String, k: Int): DataFrame =
+    VectorSearch.graphTopK(ix.knnGraph,
+      ix.codes.select(col("vec_id"), col("embedding")),
+      queries, queryKey, queryVec, k)
 }

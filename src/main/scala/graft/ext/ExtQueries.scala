@@ -2469,6 +2469,96 @@ object ExtQueries {
       }.orderBy(col("qid"), col("rn"))
     }),
 
+    // Cluster topic keywords (BERTopic's class-based TF-IDF,
+    // Grootendorst 2022): k-means cells over the embeddings (the
+    // session-shared quantizer q_ann_kmeans/q_semdedup already
+    // train), each cell described by its top-5 terms under
+    // c-TF-IDF = tf_{t,c} · log2(1 + A/f_t), where f_t is the term's
+    // corpus frequency and A the average tokens per cell. The log
+    // rides the exact integer-log2 pipeline as log2Fx(f_t + A) −
+    // log2Fx(f_t) — pure BIGINT ops, so the scores cross the oracle
+    // boundary bit-exact. The curation read-out that tells you WHAT
+    // each embedding cluster is before you up/down-sample it. Plan:
+    // one tf aggregate (shared with BM25), one cell join, two
+    // aggregates, a ranking window over O(cells·terms) rows.
+    "q_cluster_topics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
+        VectorSearch.kmeansCells(e, k = 8, iters = 2))
+      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
+          VectorSearch.assignCells(e, cellsB))
+        .select(col("vec_id").as("doc_id"), col("cell_id"))
+      val tf = Cache.getOrPersist(s, "bm25_tf", d)(
+        docs(s, d).select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      val ctf = tf.join(assigned, Seq("doc_id"))
+        .groupBy(col("cell_id"), col("w")).agg(sum(col("tf")).as("ctf"))
+      val ft = ctf.groupBy(col("w")).agg(sum(col("ctf")).as("ft"))
+      val tot = tf.agg(sum(col("tf")).as("ttok"))
+      val scored = ctf.join(ft, Seq("w")).crossJoin(broadcast(tot))
+        .withColumn("a_tok", expr("ttok div 8"))
+        .withColumn("score_fx", col("ctf") *
+          (LmScore.log2FxCol(col("ft") + col("a_tok")) -
+            LmScore.log2FxCol(col("ft"))))
+      val w = Window.partitionBy(col("cell_id"))
+        .orderBy(col("score_fx").desc, col("w"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("cell_id"), col("w").as("term"), col("ctf"),
+          col("ft"), col("score_fx"), col("rn"))
+        .orderBy(col("cell_id"), col("rn"))
+    }),
+
+    // GRAPH ANN (NSW family — Malkov & Yashunin's HNSW re-expressed
+    // distributed): k-NN graph from the CAPPED banded-LSH candidate
+    // pairs (the bounded build — never all pairs), then 3 rounds of
+    // beam expansion from the 4 lowest-id entry points, scoring ONLY
+    // the expanded candidates. The third serving family beside
+    // quantization (IVF/PQ/SQ) and hashing (LSH); the oracle replays
+    // graph build + every beam round as CTEs, so the traversal is
+    // cell-exact, not just rows-plausible.
+    "q_ann_graph" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      // the graph IS the index — session-materialized like the IVF
+      // assignment and PQ codes (snapshot: the banded-LSH chain under
+      // its plan would otherwise replay per action)
+      val graph = Cache.getOrSnapshot(s, "knn_graph", d)(
+        VectorSearch.knnGraph(e))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.graphTopK(graph, e, queries, "qid", "qvec", k = 3)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // Recall@3 of the graph serve vs exact ground truth — the
+    // acceptance number for the traversal family, same discipline as
+    // the IVF/IVF-PQ/SQ/filtered recall read-outs (and the honest
+    // price of entry-point reachability: vectors the LSH caps leave
+    // isolated are simply unreachable, and this query says what that
+    // costs on this corpus).
+    "q_ann_graph_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val graph = Cache.getOrSnapshot(s, "knn_graph", d)(
+        VectorSearch.knnGraph(e))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val served = VectorSearch
+        .graphTopK(graph, e, queries, "qid", "qvec", k = 3)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+        .select(col("qid"), col("vec_id"))
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // Recall@3 of the composed IVF-PQ stack vs exact ground truth —
     // the acceptance measurement for the COMPRESSED serving path
     // (q_ann_recall measures the uncompressed IVF; this measures what
@@ -3708,6 +3798,83 @@ object ExtQueries {
             "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
        |  FROM dots)""".stripMargin
   }
+
+  /** One beam-expansion round of the graph-ANN oracle: candidates =
+    * previous beam ∪ its graph neighbors (UNION dedups, mirroring the
+    * engine's distinct()), scored from the full score table, top-B
+    * per query by (cos DESC, vec_id). */
+  private def gBeamRound(r: Int): String =
+    s"""gbeam$r AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT c.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY c.qid
+       |                  ORDER BY s.cos_sim DESC, c.vec_id) AS rn
+       |    FROM (SELECT qid, vec_id FROM gbeam${r - 1}
+       |          UNION
+       |          SELECT b.qid, g.n AS vec_id
+       |          FROM gbeam${r - 1} b JOIN ggraph g ON g.v = b.vec_id) c
+       |    JOIN gscore s ON s.qid = c.qid AND s.vec_id = c.vec_id)
+       |  WHERE rn <= ${VectorSearch.GraphBeam})""".stripMargin
+
+  /** Graph-ANN replay shared by q_ann_graph and its recall twin:
+    * banded-LSH candidate cosines (bcos) → symmetrized top-K
+    * neighbor graph → entry points → full query×corpus score table
+    * (the ORACLE may brute-force; the engine never does — values
+    * agree because the cosine formula is identical) → 3 beam rounds →
+    * `gserved` (top-3). MUST run under Oracle.mat(): each beam round
+    * references its predecessor twice, so default CTE inlining goes
+    * exponential in rounds. */
+  private lazy val graphAnnCtes: String =
+    s"""$bandedCosCtes,
+       |gsym AS (
+       |  SELECT v1 AS v, v2 AS n, cos_sim FROM bcos
+       |  UNION ALL
+       |  SELECT v2 AS v, v1 AS n, cos_sim FROM bcos),
+       |ggraph AS (
+       |  SELECT v, n FROM (
+       |    SELECT v, n, row_number() OVER (PARTITION BY v
+       |                   ORDER BY cos_sim DESC, n) AS rn
+       |    FROM gsym) WHERE rn <= ${VectorSearch.GraphK}),
+       |gentry AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+       |           LIMIT ${VectorSearch.GraphEntries}),
+       |gexpl AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+       |gnorm AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / 1000000000000.0 AS en
+       |  FROM gexpl GROUP BY 1),
+       |gdots AS (
+       |  SELECT q.vec_id AS qid, e.vec_id,
+       |         CAST(sum(CAST(floor(q.x*e.x*1000000000000.0 + 0.5)
+       |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+       |  FROM gexpl q JOIN gexpl e ON e.i = q.i
+       |  WHERE q.vec_id % 50 = 0
+       |  GROUP BY 1, 2),
+       |gscore AS (
+       |  SELECT d.qid, d.vec_id,
+       |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+            "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+       |  FROM gdots d
+       |  JOIN gnorm nq ON nq.vec_id = d.qid
+       |  JOIN gnorm ne ON ne.vec_id = d.vec_id),
+       |gbeam0 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.qid
+       |                  ORDER BY s.cos_sim DESC, s.vec_id) AS rn
+       |    FROM gscore s JOIN gentry en ON en.vec_id = s.vec_id)
+       |  WHERE rn <= ${VectorSearch.GraphBeam}),
+       |${(1 to VectorSearch.GraphRounds).map(gBeamRound).mkString(",\n")},
+       |gserved AS (
+       |  SELECT qid, vec_id, cos_sim, rn FROM (
+       |    SELECT s.qid, s.vec_id, s.cos_sim,
+       |           row_number() OVER (PARTITION BY s.qid
+       |                  ORDER BY s.cos_sim DESC, s.vec_id) AS rn
+       |    FROM gbeam${VectorSearch.GraphRounds} b
+       |    JOIN gscore s ON s.qid = b.qid AND s.vec_id = b.vec_id)
+       |  WHERE rn <= 3)""".stripMargin
 
   /** The k-means train + final-assignment CTE chain, shared by the
     * q_ann_kmeans and q_semdedup oracles (NOTES round-8 lesson: big
@@ -5297,6 +5464,65 @@ object ExtQueries {
       s"""WITH $ivfPqCtes
          |SELECT qid, vec_id, adist, rn
          |FROM reranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // c-TF-IDF topics: the k-means replay (shared chain, assign2 =
+    // final assignment) joined to the corpus term frequencies; the
+    // score's log2 decomposes into two integer-log2 table lookups so
+    // every emitted cell is BIGINT-exact.
+    "q_cluster_topics" -> Oracle.mat(
+      s"""WITH ${kmeansAssignCtes(k = 8, iters = 2)},
+         |ttf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |cassign AS (SELECT vec_id AS doc_id, cell_id FROM assign2),
+         |cctf AS (
+         |  SELECT a.cell_id, t.w, CAST(sum(t.tf) AS BIGINT) AS ctf
+         |  FROM ttf t JOIN cassign a USING (doc_id) GROUP BY 1, 2),
+         |cft AS (SELECT w, CAST(sum(ctf) AS BIGINT) AS ft
+         |        FROM cctf GROUP BY 1),
+         |ctot AS (SELECT CAST(sum(tf) AS BIGINT) // 8 AS a_tok FROM ttf),
+         |cscore AS (
+         |  SELECT c.cell_id, c.w, c.ctf, f.ft,
+         |         CAST(c.ctf * (${LmScore.log2FxSql("f.ft + t.a_tok")}
+         |           - ${LmScore.log2FxSql("f.ft")}) AS BIGINT) AS score_fx
+         |  FROM cctf c JOIN cft f USING (w) CROSS JOIN ctot t)
+         |SELECT cell_id, w AS term, ctf, ft, score_fx, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY cell_id
+         |                 ORDER BY score_fx DESC, w) AS BIGINT) AS rn
+         |  FROM cscore)
+         |WHERE rn <= 5 ORDER BY cell_id, rn""".stripMargin),
+
+    // Graph-ANN serve: graph build + all three beam rounds replayed
+    // as CTEs (mat()'d — each round references its predecessor twice,
+    // the exponential-inlining trap Oracle.mat exists for).
+    "q_ann_graph" -> Oracle.mat(
+      s"""WITH $graphAnnCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM gserved ORDER BY qid, rn""".stripMargin),
+
+    // Graph-ANN recall@3: gscore doubles as the exact ground truth
+    // (it IS the brute-force score table), so served and exact share
+    // every constant by construction.
+    "q_ann_graph_recall" -> Oracle.mat(
+      s"""WITH $graphAnnCtes,
+         |gexact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                  ORDER BY cos_sim DESC, vec_id) AS ern
+         |    FROM gscore) WHERE ern <= 3),
+         |ghits AS (
+         |  SELECT x.qid,
+         |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_hits
+         |  FROM gexact x
+         |  LEFT JOIN gserved s ON s.qid = x.qid AND s.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT qid, n_hits,
+         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
+         |FROM ghits ORDER BY qid""".stripMargin),
 
     // Derived-property oracle for the ALS path (see the query's
     // comment): the properties hold for ANY correct top-5

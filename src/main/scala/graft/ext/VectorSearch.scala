@@ -634,6 +634,93 @@ object VectorSearch {
           col("n1"), col("n2"))).as("cos_sim"))
   }
 
+  // ---------------------------------------------------------------
+  // Graph ANN (NSW-family): greedy beam search over a k-NN graph —
+  // the third serving family beside quantization (IVF/PQ/SQ) and
+  // hashing (LSH). Malkov & Yashunin's HNSW is the public shape; the
+  // distributed re-expression builds the neighbor graph from the
+  // CAPPED banded-LSH candidates (never all pairs — the same bounded
+  // candidate generation the near-dup family runs), keeps the top-K
+  // neighbors per vertex, and serves by T fixed rounds of
+  // expand-score-prune from deterministic entry points. Every stage
+  // is joins + windows over key-partitioned frames; the graph is the
+  // only corpus-sized artifact and it is scanned by key, never
+  // shuffled whole.
+  // ---------------------------------------------------------------
+
+  /** Graph geometry for the scored queries: 4 neighbors per vertex,
+    * beam width 8, 3 expansion rounds, 4 entry points. Pinned
+    * constants (the oracle replays the rounds as CTEs); production
+    * uses K≈32, beam ≈ 64–128. */
+  val GraphK = 4
+  val GraphBeam = 8
+  val GraphRounds = 3
+  val GraphEntries = 4
+
+  /** Deterministic k-NN graph over the corpus: symmetrized banded-LSH
+    * candidate pairs rescored by exact cosine, top-[[GraphK]] per
+    * vertex by (cos DESC, neighbor ASC). Build cost is bounded by the
+    * LSH bucket caps — a vertex with no surviving candidates is
+    * simply isolated (the recall twin prices that honestly). */
+  def knnGraph(emb: DataFrame, k: Int = GraphK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = bandedPairCosine(emb)
+    val sym = pc.select(col("v1").as("v"), col("v2").as("n"), col("cos_sim"))
+      .unionByName(
+        pc.select(col("v2").as("v"), col("v1").as("n"), col("cos_sim")))
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("cos_sim").desc, col("n"))
+    sym.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("v"), col("n"))
+  }
+
+  /** Beam-search serve over a [[knnGraph]]: start from the `entries`
+    * lowest-id vectors, then `rounds` rounds of (expand current beam
+    * through the graph) → (exact-cosine score ONLY the candidates) →
+    * (keep top-`beam` per query). Scoring touches ≤ nq·beam·(K+1)
+    * rows per round — never the corpus; the graph join broadcasts the
+    * beam against the key-partitioned edge table. Each round ends in
+    * an eager localCheckpoint (the kcore lineage lesson: without
+    * truncation round N replays round N−1 on every reference). */
+  def graphTopK(graph: DataFrame, emb: DataFrame, queries: DataFrame,
+                queryKey: String, queryVec: String, k: Int,
+                beam: Int = GraphBeam, rounds: Int = GraphRounds,
+                entries: Int = GraphEntries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      fixedNormSq(col("embedding")).as("enrm"))
+    val entry = corpus.orderBy(col("vec_id")).limit(entries)
+      .select(col("vec_id"))
+    val qn = queries.withColumn("qnrm", fixedNormSq(col(queryVec)))
+    def score(cand: DataFrame): DataFrame =
+      corpus.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qn), Seq(queryKey))
+        .select(col(queryKey), col("vec_id"),
+          Det.r4(cosineCol(fixedDot(col(queryVec), col("embedding")),
+            col("qnrm"), col("enrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col(queryKey))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    var beamDf = score(qn.select(col(queryKey)).crossJoin(broadcast(entry)))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
+      .select(col(queryKey), col("vec_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrs = graph
+        .join(broadcast(beamDf.withColumnRenamed("vec_id", "v")), Seq("v"))
+        .select(col(queryKey), col("n").as("vec_id"))
+      val cands = beamDf.unionByName(nbrs).distinct()
+      beamDf = score(cands)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
+        .select(col(queryKey), col("vec_id"))
+        .localCheckpoint(true)
+    }
+    score(beamDf)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col(queryKey), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** The quantizer's train+encode core, shared by [[scalarQuantize]]
     * and [[sqDequantized]] so the code/dequantize formulas (which two
     * SQL oracles mirror term for term) live in exactly one place:

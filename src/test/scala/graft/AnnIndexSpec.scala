@@ -97,6 +97,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromLoaded === rebuilt)
   }
 
+  test("graph serve from the loaded index equals the session-built one") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-graph").toString
+    AnnIndex.save(emb, labelCells(embAll), dir)
+    val ix = AnnIndex.load(spark, dir)
+    val served = AnnIndex.graphTopK(ix, queries, "qid", "qvec", k = 3)
+    val built = VectorSearch.graphTopK(
+      VectorSearch.knnGraph(emb), emb, queries, "qid", "qvec", k = 3)
+    def k3(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k3(served) === k3(built))
+    assert(served.count() > 0)
+  }
+
   test("geometry mismatch fails fast on load") {
     import spark.implicits._
     val dir = java.nio.file.Files

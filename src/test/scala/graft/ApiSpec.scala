@@ -683,4 +683,26 @@ class ApiSpec extends SparkSpec {
     assert(!arPlan.contains("CartesianProduct"), arPlan)
     assert(ar.collect().nonEmpty)
   }
+
+  test("round-10 slice: graph-ANN serve broadcasts the beam, topics " +
+    "group-limit their rank cut, no cartesians") {
+    // q_ann_graph: every corpus touch must be a broadcast probe (the
+    // beam/candidate side is ≤ nq·beam·(K+1) rows); the only
+    // nested-loop is the 4-row entry fan-out — no CartesianProduct,
+    // no shuffled corpus join
+    val ag = SparkEntry.queries("q_ann_graph")(spark, sf001)
+    val agPlan = ag.queryExecution.executedPlan.toString
+    assert(!agPlan.contains("CartesianProduct"), agPlan)
+    assert(agPlan.contains("BroadcastHashJoin"), agPlan)
+    assert(ag.collect().nonEmpty)
+    // q_cluster_topics: the top-5-terms cut must be
+    // WindowGroupLimit-pushed (no cell's full term list materializes
+    // past the limit), and the corpus-totals crossJoin is the 1-row
+    // broadcast shape, never a cartesian
+    val ct = SparkEntry.queries("q_cluster_topics")(spark, sf001)
+    val ctPlan = ct.queryExecution.executedPlan.toString
+    assert(ctPlan.contains("WindowGroupLimit"), ctPlan)
+    assert(!ctPlan.contains("CartesianProduct"), ctPlan)
+    assert(ct.collect().nonEmpty)
+  }
 }

@@ -370,6 +370,55 @@ class ExtSpec extends SparkSpec {
       train, bench.where(lit(false))).count() === 0L)
   }
 
+
+  test("graph beam search walks the graph: chain reached, isolated not") {
+    import spark.implicits._
+    import graft.ext.VectorSearch
+    // 2-D vectors by angle from the query direction (1, 0): the true
+    // nearest (v4, 0.5 deg) is ISOLATED; v3 (1 deg) is reachable only
+    // through the chain 0 -> 1 -> 2 -> 3 from the single entry v0
+    // (60 deg). Brute force would return v4; a traversal returns v3.
+    def vec(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb = Seq(
+      0L -> vec(60), 1L -> vec(40), 2L -> vec(20), 3L -> vec(1),
+      4L -> vec(0.5)).toDF("vec_id", "embedding")
+    val graph = Seq(0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L,
+      2L -> 3L, 3L -> 2L).toDF("v", "n")
+    val queries = Seq((100L, vec(0))).toDF("qid", "qvec")
+    val top = VectorSearch.graphTopK(graph, emb, queries, "qid", "qvec",
+        k = 1, beam = 2, rounds = 3, entries = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top === Seq((100L, 3L)))
+    // with zero rounds the serve can only return the entry point
+    val r0 = VectorSearch.graphTopK(graph, emb, queries, "qid", "qvec",
+        k = 1, beam = 2, rounds = 0, entries = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r0 === Seq((100L, 0L)))
+  }
+
+  test("knnGraph caps out-degree and only links LSH candidates") {
+    import graft.io.Sources
+    import graft.ext.VectorSearch
+    val e = Sources.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val g = VectorSearch.knnGraph(e)
+    val maxDeg = g.groupBy(col("v")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= VectorSearch.GraphK)
+    // symmetrized candidate set: every edge's reverse-or-forward pair
+    // came from a banded candidate, so the graph is a subset of the
+    // candidate closure
+    val cand = VectorSearch.bandedPairCosine(e)
+      .select(col("v1"), col("v2"))
+    val candSym = cand.unionByName(
+      cand.select(col("v2").as("v1"), col("v1").as("v2")))
+    val stray = g.join(candSym,
+      g("v") === candSym("v1") && g("n") === candSym("v2"), "left_anti")
+    assert(stray.count() === 0L)
+  }
+
   test("splitAssign covers every row, is stable, and new data moves nothing") {
     import graft.ext.Sampling
     val bands = Seq("test" -> 1.0, "train" -> 98.0, "val" -> 1.0)
