@@ -56,6 +56,52 @@ object ExtQueries {
     * (shared by query and oracle). */
   private val ZipfTopRanks = 30
 
+  /** Per-doc bigram-LM scores (doc_id, n_bigrams, sum_nl2fx,
+    * avg_nl2fx, avg_bits) — the Laplace-smoothed integer-log2
+    * pipeline (see LmScore scaladoc), shared by q_lm_score and the
+    * CCNet tercile split. Count tables and the per-doc frame are
+    * session artifacts; the count-table join sides ride gated
+    * broadcasts (shuffle joins on the n-gram key past the gate). */
+  private def lmDocScores(s: SparkSession, d: String): DataFrame =
+    Cache.getOrPersist(s, "lm_doc_scores", d) {
+      val ws = split(col("text"), " ")
+      val docBg = Cache.getOrPersist(s, "lm_doc_bigrams", d)(
+        docs(s, d).where(size(ws) >= 2).select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ws) - 1), i =>
+            struct(element_at(ws, i).as("w1"),
+              concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))
+                .as("bg")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"),
+            col("b.bg").as("bg")))
+      val bgCounts = Cache.getOrPersist(s, "lm_bigram_counts", d)(
+        docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12")))
+      val ugCounts = Cache.getOrPersist(s, "lm_unigram_counts", d)(
+        docs(s, d).select(explode(split(col("text"), " ")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+      val vocab = ugCounts.agg(count(lit(1)).as("v"))
+      def gate(tag: String, f: DataFrame) = graft.core.Broadcasts
+        .gatedMemo(f, "spark.graft.lm.broadcastMax", s"lm_$tag:$d")
+      docBg
+        .join(gate("bg", bgCounts), Seq("bg"))
+        .join(gate("ug", ugCounts), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("pfx", greatest(
+          expr(s"((c12 + 1) * ${LmScore.PScale}L) div (c1 + v)"), lit(1L)))
+        .withColumn("e", length(conv(col("pfx"), 10, 2)).cast("long"))
+        .withColumn("m",
+          expr(s"(pfx * ${LmScore.MScale}L) div " +
+            "shiftleft(1L, CAST(e - 1 AS INT))"))
+        .withColumn("nl2", lit(LmScore.L9Fx)
+          - (col("e") - 1) * lit(LmScore.LogScale)
+          - element_at(typedLit(LmScore.Log2Table),
+              (col("m") - lit(LmScore.MScale - 1)).cast("int")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nl2")).as("sum_nl2fx"))
+        .withColumn("avg_nl2fx", expr("sum_nl2fx div n_bigrams"))
+        .withColumn("avg_bits", Det.r4(
+          col("avg_nl2fx").cast("double") / lit(LmScore.LogScale.toDouble)))
+    }
+
   /** Shared dedup intermediates, materialized once per session. The
     * corpus-sized cache is the (doc_id, h) HASH projection, not the
     * string shingles: every minhash stage (band minima, candidates,
@@ -1196,43 +1242,39 @@ object ExtQueries {
     // artifacts; their join sides ride gated broadcasts (shuffle
     // joins on the n-gram key past the gate — the distributed
     // LM-counts join).
-    "q_lm_score" -> ((s, d) => {
-      val ws = split(col("text"), " ")
-      val docBg = Cache.getOrPersist(s, "lm_doc_bigrams", d)(
-        docs(s, d).where(size(ws) >= 2).select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(ws) - 1), i =>
-            struct(element_at(ws, i).as("w1"),
-              concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))
-                .as("bg")))).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg")))
-      val bgCounts = Cache.getOrPersist(s, "lm_bigram_counts", d)(
-        docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12")))
-      val ugCounts = Cache.getOrPersist(s, "lm_unigram_counts", d)(
-        docs(s, d).select(explode(split(col("text"), " ")).as("w1"))
-          .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
-      val vocab = ugCounts.agg(count(lit(1)).as("v"))
-      def gate(tag: String, f: DataFrame) = graft.core.Broadcasts
-        .gatedMemo(f, "spark.graft.lm.broadcastMax", s"lm_$tag:$d")
-      docBg
-        .join(gate("bg", bgCounts), Seq("bg"))
-        .join(gate("ug", ugCounts), Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("pfx", greatest(
-          expr(s"((c12 + 1) * ${LmScore.PScale}L) div (c1 + v)"), lit(1L)))
-        .withColumn("e", length(conv(col("pfx"), 10, 2)).cast("long"))
-        .withColumn("m",
-          expr(s"(pfx * ${LmScore.MScale}L) div " +
-            "shiftleft(1L, CAST(e - 1 AS INT))"))
-        .withColumn("nl2", lit(LmScore.L9Fx)
-          - (col("e") - 1) * lit(LmScore.LogScale)
-          - element_at(typedLit(LmScore.Log2Table),
-              (col("m") - lit(LmScore.MScale - 1)).cast("int")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("nl2")).as("sum_nl2fx"))
-        .withColumn("avg_nl2fx", expr("sum_nl2fx div n_bigrams"))
-        .withColumn("avg_bits", Det.r4(
-          col("avg_nl2fx").cast("double") / lit(LmScore.LogScale.toDouble)))
-        .orderBy(col("doc_id"))
+    "q_lm_score" -> ((s, d) =>
+      lmDocScores(s, d).orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity buckets (Wenzek et al. 2020): the corpus
+    // split head/middle/tail by per-doc LM bits terciles — the public
+    // curation recipe that keeps the fluent two thirds and reviews
+    // the tail. Thresholds are ACTUAL avg_nl2fx elements at 0-based
+    // ranks ⌊n/3⌋ and ⌊2n/3⌋ from ONE distributed sort
+    // (Quantiles.valuesAtFractions — the r10 batched order-statistic
+    // path), docs land in buckets by exact-integer comparison, and
+    // the rollup is one partial/final agg — at 100 TB: one sort of
+    // one integer column plus one scan.
+    "q_ccnet_buckets" -> ((s, d) => {
+      val scores = lmDocScores(s, d)
+      val ts = graft.core.Quantiles.valuesAtFractionsMemo(
+        scores, "avg_nl2fx", Seq(1.0 / 3, 2.0 / 3), s"ccnet_t:$d")
+      val (t1, t2) = (ts.head, ts(1))
+      scores
+        .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("bucket",
+          when(col("avg_nl2fx") < lit(t1), lit("head"))
+            .when(col("avg_nl2fx") < lit(t2), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("bucket"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          sum(col("sum_nl2fx")).as("sum_nl2fx"))
+        .select(col("bucket"), col("lang"), col("n_docs"),
+          col("n_bigrams"), col("sum_nl2fx"),
+          Det.r4(col("sum_nl2fx").cast("double") /
+            col("n_bigrams").cast("double") /
+            lit(LmScore.LogScale.toDouble)).as("avg_bits"))
+        .orderBy(col("bucket"), col("lang"))
     }),
 
     // PMI collocation mining (Church & Hanks 1990) over the SAME
@@ -1861,6 +1903,40 @@ object ExtQueries {
           sum(col("cost_fx")).as("cost_fx"))
         .select(col("lang"), col("n_words"), col("n_pieces"),
           col("cost_fx"),
+          Det.r4(col("n_pieces").cast("double") /
+            col("n_words").cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
+    // WordPiece greedy longest-match segmentation (WordPiece.scala —
+    // the BERT-tokenizer third of the subword trio beside BPE merges
+    // and unigram-LM Viterbi): every distinct corpus word walked
+    // left-to-right taking the LONGEST vocab piece at each position,
+    // continuation pieces as the `##` class. The oracle replays model
+    // AND walk: a recursive CTE advances a cursor by the largest k
+    // whose marked piece joins the vocab — greedy is a total order,
+    // so `seg` strings match byte for byte.
+    "q_wordpiece_segment" -> ((s, d) =>
+      Cache.getOrPersist(s, "wordpiece_seg", d)(
+        WordPiece.segmentsAll(docs(s, d), d))
+        .orderBy(col("word"))),
+
+    // Per-language WordPiece fertility — the third column of the
+    // tokenizer-choice comparison (q_bpe_fertility /
+    // q_unigram_fertility / this): same word stream, same broadcast
+    // segment-table join, so the three numbers are directly
+    // comparable.
+    "q_wordpiece_fertility" -> ((s, d) => {
+      val seg = Cache.getOrPersist(s, "wordpiece_seg", d)(
+        WordPiece.segmentsAll(docs(s, d), d))
+      docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(seg.select(col("word"), col("n_pieces"))),
+          Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
           Det.r4(col("n_pieces").cast("double") /
             col("n_words").cast("double")).as("fertility"))
         .orderBy(col("lang"))
@@ -4292,6 +4368,45 @@ object ExtQueries {
        |${d2("qd2", s"cent$iters", "WHERE e.vec_id % 50 = 0")}""".stripMargin
   }
 
+  /** Shared CTE chain for the bigram-LM oracles (`agg` carries the
+    * per-doc n_bigrams / sum_nl2fx) — the exact twin of
+    * [[lmDocScores]]. */
+  private lazy val lmAggCtes: String =
+    s"""ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |docbg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(w)), i -> w[i]))
+       |           AS w1,
+       |         unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM ws WHERE len(w) >= 2),
+       |bgc AS (SELECT bg, count(*) AS c12 FROM docbg GROUP BY 1),
+       |ugc AS (
+       |  SELECT w1, count(*) AS c1 FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+       |  GROUP BY 1),
+       |vv AS (SELECT count(*) AS v FROM ugc),
+       |j AS (
+       |  SELECT d.doc_id,
+       |         GREATEST(((b.c12 + 1) * ${LmScore.PScale}) // (u.c1 + vv.v),
+       |                  1) AS pfx
+       |  FROM docbg d JOIN bgc b USING (bg) JOIN ugc u USING (w1)
+       |  CROSS JOIN vv),
+       |se AS (SELECT doc_id, pfx, length(bin(pfx)) AS e FROM j),
+       |nl AS (
+       |  SELECT doc_id,
+       |         ${LmScore.L9Fx} - (e - 1) * ${LmScore.LogScale}
+       |           - (${LmScore.log2TableSql}[
+       |               CAST((pfx * ${LmScore.MScale})
+       |                 // (CAST(1 AS BIGINT) << (e - 1))
+       |                 AS INTEGER) - ${LmScore.MScale - 1}]) AS nl2
+       |  FROM se),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(nl2) AS BIGINT) AS sum_nl2fx
+       |  FROM nl GROUP BY 1)""".stripMargin
+
   /** Shared CTE chain for the quality-score oracles (`quals` carries
     * the final per-doc quality). */
   private lazy val qualityCtes: String =
@@ -4924,51 +5039,52 @@ object ExtQueries {
         |       r_wordcount * r_wlen * r_short * r_stop AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    // Integer replay of the LmScore pipeline: same Laplace smoothing,
+    // lmAggCtes: integer replay of the LmScore pipeline — same Laplace smoothing,
     // same fixed-point probability, same bit-length/mantissa log
     // decomposition against the SAME embedded table — log2 never
     // computed by either engine at query time. Parallel unnests zip
     // (w1 with its bigram), matching the Spark struct explode.
     "q_lm_score" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |docbg AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, len(w)), i -> w[i]))
-         |           AS w1,
-         |         unnest(list_transform(range(1, len(w)),
-         |           i -> w[i] || ' ' || w[i+1])) AS bg
-         |  FROM ws WHERE len(w) >= 2),
-         |bgc AS (SELECT bg, count(*) AS c12 FROM docbg GROUP BY 1),
-         |ugc AS (
-         |  SELECT w1, count(*) AS c1 FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
-         |  GROUP BY 1),
-         |vv AS (SELECT count(*) AS v FROM ugc),
-         |j AS (
-         |  SELECT d.doc_id,
-         |         GREATEST(((b.c12 + 1) * ${LmScore.PScale}) // (u.c1 + vv.v),
-         |                  1) AS pfx
-         |  FROM docbg d JOIN bgc b USING (bg) JOIN ugc u USING (w1)
-         |  CROSS JOIN vv),
-         |se AS (SELECT doc_id, pfx, length(bin(pfx)) AS e FROM j),
-         |nl AS (
-         |  SELECT doc_id,
-         |         ${LmScore.L9Fx} - (e - 1) * ${LmScore.LogScale}
-         |           - (${LmScore.log2TableSql}[
-         |               CAST((pfx * ${LmScore.MScale})
-         |                 // (CAST(1 AS BIGINT) << (e - 1))
-         |                 AS INTEGER) - ${LmScore.MScale - 1}]) AS nl2
-         |  FROM se),
-         |agg AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |         CAST(sum(nl2) AS BIGINT) AS sum_nl2fx
-         |  FROM nl GROUP BY 1)
+      s"""WITH $lmAggCtes
          |SELECT doc_id, n_bigrams, sum_nl2fx,
          |       sum_nl2fx // n_bigrams AS avg_nl2fx,
          |       ${r4(s"CAST(sum_nl2fx // n_bigrams AS DOUBLE) / " +
                 s"${LmScore.LogScale}.0")} AS avg_bits
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // CCNet terciles: per-doc avg_nl2fx from the shared LM replay,
+    // thresholds = the ACTUAL elements at 0-based ranks
+    // ⌊(1/3)·n⌋ / ⌊(2/3)·n⌋ (both sides compute the rank through the
+    // same IEEE double product, so n divisible by 3 cannot split the
+    // engines), buckets by exact-integer comparison.
+    "q_ccnet_buckets" ->
+      s"""WITH $lmAggCtes,
+         |pd AS (
+         |  SELECT doc_id, n_bigrams, sum_nl2fx,
+         |         sum_nl2fx // n_bigrams AS avg FROM agg),
+         |ranked AS (
+         |  SELECT avg, row_number() OVER (ORDER BY avg) AS rk,
+         |         count(*) OVER () AS n
+         |  FROM pd),
+         |thr AS (
+         |  SELECT max(CASE WHEN rk = CAST(floor((1.0/3) * n) AS BIGINT)
+         |                      + 1 THEN avg END) AS t1,
+         |         max(CASE WHEN rk = CAST(floor((2.0/3) * n) AS BIGINT)
+         |                      + 1 THEN avg END) AS t2
+         |  FROM ranked),
+         |bucketed AS (
+         |  SELECT CASE WHEN p.avg < t.t1 THEN 'head'
+         |              WHEN p.avg < t.t2 THEN 'middle'
+         |              ELSE 'tail' END AS bucket,
+         |         d.lang, p.n_bigrams, p.sum_nl2fx
+         |  FROM pd p JOIN documents d USING (doc_id) CROSS JOIN thr t)
+         |SELECT bucket, lang, count(*) AS n_docs,
+         |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(sum_nl2fx) AS BIGINT) AS sum_nl2fx,
+         |       ${r4("CAST(sum(sum_nl2fx) AS DOUBLE) / " +
+              s"CAST(sum(n_bigrams) AS DOUBLE) / ${LmScore.LogScale}.0")}
+         |         AS avg_bits
+         |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Six integer log2s against the SAME embedded table; exact-int
     // ordering makes the top-20 deterministic on both engines.
@@ -6060,6 +6176,25 @@ object ExtQueries {
          |       ${r4("CAST(sum(g.n_pieces) AS DOUBLE) / count(*)")}
          |         AS fertility
          |FROM ustream s JOIN useg g USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // WordPiece model + greedy-walk replay (WordPiece.ctesSql).
+    // Recursive, so no Oracle.mat().
+    "q_wordpiece_segment" ->
+      s"""WITH RECURSIVE ${WordPiece.ctesSql}
+         |SELECT word, cnt, n_pieces, seg
+         |FROM wseg ORDER BY word""".stripMargin,
+
+    "q_wordpiece_fertility" ->
+      s"""WITH RECURSIVE ${WordPiece.ctesSql},
+         |wstream AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(g.n_pieces) AS BIGINT) AS n_pieces,
+         |       ${r4("CAST(sum(g.n_pieces) AS DOUBLE) / count(*)")}
+         |         AS fertility
+         |FROM wstream s JOIN wseg g USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_repetition_filter" ->

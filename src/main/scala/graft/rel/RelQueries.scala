@@ -1628,6 +1628,31 @@ object RelQueries {
         .orderBy(col("click_id"))
     }),
 
+    // The FULL-OUTER twin's batch surface — the complete
+    // reconciliation feed (matched pairs + abandoned clicks + orphan
+    // purchases), closing the stream-stream join matrix. The
+    // streaming declaration defers BOTH null sides until the
+    // respective watermark passes; in batch it reduces to a banded
+    // full join. Nullable ids/millis are emitted as -1 sentinels so
+    // the row order and the hash are engine-portable (event ids are
+    // non-negative).
+    "q_touch_full_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      graft.streaming.StreamOps.touchJoinFullOuter(clicks, purchases)
+        .select(col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("cts_ms"), lit(-1L)).as("cts_ms"),
+          coalesce(col("pts_ms"), lit(-1L)).as("pts_ms"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Closed sessions via flatMapGroupsWithState — the zero-or-many-
     // outputs stateful shape (mapGroupsWithState can't express it):
     // per-user state buffers the open run, every gap-delimited run
@@ -3528,6 +3553,28 @@ object RelQueries {
         |  SELECT 1 FROM p WHERE p.user_id = c.user_id
         |    AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000)
         |ORDER BY c.click_id""".stripMargin,
+
+    // Full-outer touch join: the banded FULL JOIN with -1 sentinels
+    // on both null sides (ids are non-negative), so row order and
+    // cell hashes are engine-portable without a null-ordering
+    // convention.
+    "q_touch_full_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |             tus AS ptus
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.user_id, p.p_user) AS user_id,
+        |       COALESCE(c.click_id, -1) AS click_id,
+        |       COALESCE(p.purchase_id, -1) AS purchase_id,
+        |       COALESCE(c.ctus // 1000, -1) AS cts_ms,
+        |       COALESCE(p.ptus // 1000, -1) AS pts_ms
+        |FROM c FULL JOIN p ON p.p_user = c.user_id
+        |  AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000
+        |ORDER BY 2, 3""".stripMargin,
 
     // closedSessions continues a run while gap < 30 min, so a NEW
     // session opens at gap >= 30 min (note: q_sessionize's boundary

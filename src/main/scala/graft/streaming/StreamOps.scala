@@ -483,6 +483,33 @@ object StreamOps {
         unix_millis(col("cts")).as("cts_ms"))
   }
 
+  /** FULL-OUTER twin of [[touchJoinStream]] — the complete
+    * reconciliation feed: matched (click, purchase) pairs promptly,
+    * clicks with no purchase in the band AND purchases with no
+    * prior click each emitted with a NULL other side once their
+    * watermark proves no match can still arrive. This is the last
+    * cell of the stream-stream join matrix (inner / left-outer /
+    * full-outer); both sides' state is bounded by the band-derived
+    * eviction, and both deferred emissions land exactly one
+    * watermark-delay after their window closes. */
+  def touchJoinFullOuter(clicks: DataFrame, purchases: DataFrame,
+                         band: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("cts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("purchase_id"), col("pts"))
+      .withWatermark("pts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr(s"INTERVAL $band"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        unix_millis(col("cts")).as("cts_ms"),
+        unix_millis(col("pts")).as("pts_ms"))
+  }
+
   /** Idempotent foreachBatch parquet sink: each micro-batch lands in
     * its own `batch=<id>` partition with overwrite mode, so a
     * REDELIVERED batch (crash after the offset write, before the

@@ -398,6 +398,22 @@ class ExtSpec extends SparkSpec {
     assert(r0 === Seq((100L, 0L)))
   }
 
+  test("wordpiece greedy takes the longest piece; position classes " +
+    "are distinct") {
+    import graft.ext.WordPiece
+    // longest-first: with both widths available the walk goes
+    // aa|##a, never the shorter-first a|##aa
+    assert(WordPiece.segment("aaa", Set("a", "aa", "##a", "##aa"))
+      === ((2L, "aa|##a")))
+    // an initial-class "b" does NOT license a continuation position —
+    // the walk must use the ## class
+    assert(WordPiece.segment("ab", Set("a", "b", "##b"))
+      === ((2L, "a|##b")))
+    // whole-word piece wins in one step
+    assert(WordPiece.segment("abc", Set("abc", "a", "##b", "##c"))
+      === ((1L, "abc")))
+  }
+
   test("knnGraph caps out-degree and only links LSH candidates") {
     import graft.io.Sources
     import graft.ext.VectorSearch

@@ -462,6 +462,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join defers BOTH null sides until " +
+    "their watermarks prove absence") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ci = MemoryStream[(Long, Long, Timestamp)](spark)
+    val pi = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = StreamOps.touchJoinFullOuter(
+      ci.toDF().toDF("user_id", "click_id", "cts"),
+      pi.toDF().toDF("user_id", "purchase_id", "pts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssfull").start()
+    def rows() = spark.sql("SELECT click_id, purchase_id FROM ssfull")
+      .collect().map(r => (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      // click 10 matches purchase 100; click 12 never converts;
+      // purchase 300 (user 3) has no prior click — the orphan side
+      // only a FULL outer join can emit
+      ci.addData((1L, 10L, ts(0)), (2L, 12L, ts(5)))
+      pi.addData((1L, 100L, ts(30)), (3L, 300L, ts(10)))
+      q.processAllAvailable()
+      // only the match emits promptly; neither null side may have
+      // surfaced before its watermark proves absence
+      assert(rows() == Set((10L, 100L)))
+      // sentinels 10h later push both watermarks past the band
+      ci.addData((9L, 90L, ts(600)))
+      pi.addData((9L, 900L, ts(600)))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch flushes expired state
+      val late = rows()
+      assert(late.contains((12L, -1L)),
+        s"abandoned click must surface, got $late")
+      assert(late.contains((-1L, 300L)),
+        s"orphan purchase must surface, got $late")
+      assert(!late.contains((12L, 100L)) && !late.contains((10L, 300L)))
+    } finally q.stop()
+  }
+
   test("streaming latest-version state equals the batch q_cdc_latest order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
