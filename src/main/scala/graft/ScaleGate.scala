@@ -88,7 +88,10 @@ object ScaleGate {
     // round by construction; the graph build is LSH-cap-bounded —
     // replication densifies every bucket toward the cap, the
     // adversarial direction) and the persisted-index serve
-    "q_ann_graph", "q_ann_persist")
+    "q_ann_graph", "q_ann_persist",
+    // round-10: the hierarchical serve (layer-1 subset graph build +
+    // two-layer descent — both layers' builds are LSH-cap-bounded)
+    "q_ann_hnsw")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

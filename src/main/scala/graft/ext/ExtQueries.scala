@@ -2635,6 +2635,52 @@ object ExtQueries {
         .orderBy(col("qid"))
     }),
 
+    // Two-layer HNSW serve (the hierarchy over q_ann_graph's flat
+    // NSW): layer 1 = k-NN graph over the deterministic vec_id%8
+    // sample, searched with a narrow beam for per-query entry
+    // points; layer 0 then runs FEWER rounds (2 vs the flat serve's
+    // 3) because it starts near the target — the round budget the
+    // hierarchy exists to buy. Oracle replays both layers'
+    // graph builds and every beam round.
+    "q_ann_hnsw" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val g0 = Cache.getOrSnapshot(s, "knn_graph", d)(
+        VectorSearch.knnGraph(e))
+      val g1 = Cache.getOrSnapshot(s, "knn_graph_l1", d)(
+        VectorSearch.knnGraphL1(e))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // Recall@3 of the hierarchical serve vs the same exact ground
+    // truth as the flat graph serve — the pair of numbers that
+    // prices the hierarchy: ~40% less scoring work (2+2 narrow/wide
+    // rounds vs the flat serve's 3 wide) for less recall on this
+    // toy corpus (0.23 vs 0.40 at sf0.01), a trade that inverts as
+    // N grows and entry distance starts to dominate round count.
+    "q_ann_hnsw_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val g0 = Cache.getOrSnapshot(s, "knn_graph", d)(
+        VectorSearch.knnGraph(e))
+      val g1 = Cache.getOrSnapshot(s, "knn_graph_l1", d)(
+        VectorSearch.knnGraphL1(e))
+      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val served = VectorSearch
+        .hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+        .select(col("qid"), col("vec_id"))
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // Recall@3 of the composed IVF-PQ stack vs exact ground truth —
     // the acceptance measurement for the COMPRESSED serving path
     // (q_ann_recall measures the uncompressed IVF; this measures what
@@ -3832,34 +3878,42 @@ object ExtQueries {
 
   /** Shared CTE chain for the banded sign-LSH oracles: band buckets →
     * cap filter → candidate pairs → fixed-point cosine (`bcos`). */
-  private lazy val bandedCosCtes: String = {
-    val bandSelects = (0 until VectorSearch.DefaultBands).map(b =>
+  /** Banded sign-LSH candidate cosines as CTEs ending in
+    * `${p}bcos(v1, v2, bands, cos_sim)`. `p` prefixes every CTE name
+    * (so two corpora can coexist in one WITH list — the HNSW layer-1
+    * replay runs this over the sampled subset) and `where` filters
+    * the source rows. */
+  private def bandedCosCtesFor(p: String, where: String,
+      bands: Int = VectorSearch.DefaultBands,
+      bits: Int = VectorSearch.DefaultBandBits): String = {
+    val bandSelects = (0 until bands).map(b =>
       s"SELECT vec_id, CAST($b AS BIGINT) AS band, " +
         s"CAST(${VectorSearch.signBandBucketSql("embedding", b,
-          VectorSearch.DefaultBandBits)} AS BIGINT) AS bucket " +
-        "FROM embeddings").mkString(" UNION ALL ")
-    s"""bb AS ($bandSelects),
-       |ok AS (
-       |  SELECT band, bucket FROM bb GROUP BY 1, 2
+          bits)} AS BIGINT) AS bucket " +
+        s"FROM embeddings $where").mkString(" UNION ALL ")
+    s"""${p}bb AS ($bandSelects),
+       |${p}ok AS (
+       |  SELECT band, bucket FROM ${p}bb GROUP BY 1, 2
        |  HAVING count(*) <= ${VectorSearch.DefaultBucketCap}),
-       |kept AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
-       |cand AS (
+       |${p}kept AS (SELECT ${p}bb.* FROM ${p}bb
+       |             JOIN ${p}ok USING (band, bucket)),
+       |${p}cand AS (
        |  SELECT a.vec_id AS v1, b2.vec_id AS v2, count(*) AS bands
-       |  FROM kept a JOIN kept b2
+       |  FROM ${p}kept a JOIN ${p}kept b2
        |    ON a.band = b2.band AND a.bucket = b2.bucket
        |   AND a.vec_id < b2.vec_id
        |  GROUP BY 1, 2),
-       |cpairs AS (
+       |${p}cpairs AS (
        |  SELECT c.v1, c.v2, c.bands,
        |         e1.embedding AS e1, e2.embedding AS e2
-       |  FROM cand c
+       |  FROM ${p}cand c
        |  JOIN embeddings e1 ON e1.vec_id = c.v1
        |  JOIN embeddings e2 ON e2.vec_id = c.v2),
-       |terms AS (
+       |${p}terms AS (
        |  SELECT v1, v2, bands, i,
        |         CAST(e1[i] AS DOUBLE) AS x, CAST(e2[i] AS DOUBLE) AS y
-       |  FROM cpairs, unnest(range(1, len(e1)+1)) AS t(i)),
-       |dots AS (
+       |  FROM ${p}cpairs, unnest(range(1, len(e1)+1)) AS t(i)),
+       |${p}dots AS (
        |  SELECT v1, v2, bands,
        |         CAST(sum(CAST(floor(x*y*1000000000000.0 + 0.5) AS BIGINT))
        |              AS DOUBLE) / 1000000000000.0 AS dot,
@@ -3867,30 +3921,38 @@ object ExtQueries {
        |              AS DOUBLE) / 1000000000000.0 AS nx,
        |         CAST(sum(CAST(floor(y*y*1000000000000.0 + 0.5) AS BIGINT))
        |              AS DOUBLE) / 1000000000000.0 AS ny
-       |  FROM terms GROUP BY 1, 2, 3),
-       |bcos AS (
+       |  FROM ${p}terms GROUP BY 1, 2, 3),
+       |${p}bcos AS (
        |  SELECT v1, v2, bands,
        |         ${r4("CASE WHEN sqrt(nx)*sqrt(ny) = 0.0 THEN 0.0 " +
             "ELSE dot/(sqrt(nx)*sqrt(ny)) END")} AS cos_sim
-       |  FROM dots)""".stripMargin
+       |  FROM ${p}dots)""".stripMargin
   }
 
-  /** One beam-expansion round of the graph-ANN oracle: candidates =
+  private lazy val bandedCosCtes: String = bandedCosCtesFor("", "")
+
+  /** One beam-expansion round of a graph-ANN oracle: candidates =
     * previous beam ∪ its graph neighbors (UNION dedups, mirroring the
     * engine's distinct()), scored from the full score table, top-B
-    * per query by (cos DESC, vec_id). */
-  private def gBeamRound(r: Int): String =
-    s"""gbeam$r AS (
+    * per query by (cos DESC, vec_id). Parametrized so the flat serve
+    * and both HNSW layers share one definition. */
+  private def beamRound(name: String, prev: String, graph: String,
+                        beam: Int): String =
+    s"""$name AS (
        |  SELECT qid, vec_id FROM (
        |    SELECT c.qid, c.vec_id,
        |           row_number() OVER (PARTITION BY c.qid
        |                  ORDER BY s.cos_sim DESC, c.vec_id) AS rn
-       |    FROM (SELECT qid, vec_id FROM gbeam${r - 1}
+       |    FROM (SELECT qid, vec_id FROM $prev
        |          UNION
        |          SELECT b.qid, g.n AS vec_id
-       |          FROM gbeam${r - 1} b JOIN ggraph g ON g.v = b.vec_id) c
+       |          FROM $prev b JOIN $graph g ON g.v = b.vec_id) c
        |    JOIN gscore s ON s.qid = c.qid AND s.vec_id = c.vec_id)
-       |  WHERE rn <= ${VectorSearch.GraphBeam})""".stripMargin
+       |  WHERE rn <= $beam)""".stripMargin
+
+  private def gBeamRound(r: Int): String =
+    beamRound(s"gbeam$r", s"gbeam${r - 1}", "ggraph",
+      VectorSearch.GraphBeam)
 
   /** Graph-ANN replay shared by q_ann_graph and its recall twin:
     * banded-LSH candidate cosines (bcos) → symmetrized top-K
@@ -3900,19 +3962,29 @@ object ExtQueries {
     * `gserved` (top-3). MUST run under Oracle.mat(): each beam round
     * references its predecessor twice, so default CTE inlining goes
     * exponential in rounds. */
-  private lazy val graphAnnCtes: String =
-    s"""$bandedCosCtes,
-       |gsym AS (
-       |  SELECT v1 AS v, v2 AS n, cos_sim FROM bcos
+  /** Symmetrize + top-K cut of a `${p}bcos` pair table into a
+    * neighbor graph `$name(v, n)` — shared by the layer-0 and
+    * layer-1 graph builds. */
+  private def knnGraphCtes(name: String, p: String): String =
+    s"""${name}sym AS (
+       |  SELECT v1 AS v, v2 AS n, cos_sim FROM ${p}bcos
        |  UNION ALL
-       |  SELECT v2 AS v, v1 AS n, cos_sim FROM bcos),
-       |ggraph AS (
+       |  SELECT v2 AS v, v1 AS n, cos_sim FROM ${p}bcos),
+       |$name AS (
        |  SELECT v, n FROM (
        |    SELECT v, n, row_number() OVER (PARTITION BY v
        |                   ORDER BY cos_sim DESC, n) AS rn
-       |    FROM gsym) WHERE rn <= ${VectorSearch.GraphK}),
-       |gentry AS (SELECT vec_id FROM embeddings ORDER BY vec_id
-       |           LIMIT ${VectorSearch.GraphEntries}),
+       |    FROM ${name}sym) WHERE rn <= ${VectorSearch.GraphK})"""
+      .stripMargin
+
+  /** The corpus-wide pieces every graph serve shares: banded-LSH
+    * cosines → layer-0 graph (`ggraph`) + the brute-force score
+    * table (`gscore` — the ORACLE may brute-force; the engine never
+    * does, values agree because the cosine formula is identical). */
+  private lazy val graphCoreCtes: String =
+    s"""${bandedCosCtesFor("g0", "", VectorSearch.GraphBands,
+          VectorSearch.GraphBandBits)},
+       |${knnGraphCtes("ggraph", "g0")},
        |gexpl AS (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
@@ -3934,23 +4006,73 @@ object ExtQueries {
             "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
        |  FROM gdots d
        |  JOIN gnorm nq ON nq.vec_id = d.qid
-       |  JOIN gnorm ne ON ne.vec_id = d.vec_id),
-       |gbeam0 AS (
+       |  JOIN gnorm ne ON ne.vec_id = d.vec_id)""".stripMargin
+
+  /** Seed beam `$name`: score the per-query entry rows of `$from`
+    * (qid-less frames cross every query), cut to `beam`. */
+  private def beamSeed(name: String, fromJoin: String,
+                       beam: Int): String =
+    s"""$name AS (
        |  SELECT qid, vec_id FROM (
        |    SELECT s.qid, s.vec_id,
        |           row_number() OVER (PARTITION BY s.qid
        |                  ORDER BY s.cos_sim DESC, s.vec_id) AS rn
-       |    FROM gscore s JOIN gentry en ON en.vec_id = s.vec_id)
-       |  WHERE rn <= ${VectorSearch.GraphBeam}),
-       |${(1 to VectorSearch.GraphRounds).map(gBeamRound).mkString(",\n")},
-       |gserved AS (
+       |    FROM gscore s $fromJoin)
+       |  WHERE rn <= $beam)""".stripMargin
+
+  /** Final cut `$name`: re-score beam `$from`, keep top-`k`. */
+  private def beamServe(name: String, from: String, k: Int): String =
+    s"""$name AS (
        |  SELECT qid, vec_id, cos_sim, rn FROM (
        |    SELECT s.qid, s.vec_id, s.cos_sim,
        |           row_number() OVER (PARTITION BY s.qid
        |                  ORDER BY s.cos_sim DESC, s.vec_id) AS rn
-       |    FROM gbeam${VectorSearch.GraphRounds} b
+       |    FROM $from b
        |    JOIN gscore s ON s.qid = b.qid AND s.vec_id = b.vec_id)
-       |  WHERE rn <= 3)""".stripMargin
+       |  WHERE rn <= $k)""".stripMargin
+
+  private lazy val graphAnnCtes: String =
+    s"""$graphCoreCtes,
+       |gentry AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+       |           LIMIT ${VectorSearch.GraphEntries}),
+       |${beamSeed("gbeam0", "JOIN gentry en ON en.vec_id = s.vec_id",
+          VectorSearch.GraphBeam)},
+       |${(1 to VectorSearch.GraphRounds).map(gBeamRound).mkString(",\n")},
+       |${beamServe("gserved", s"gbeam${VectorSearch.GraphRounds}", 3)}"""
+      .stripMargin
+
+  /** Two-layer HNSW replay: layer-1 graph over the deterministic
+    * `vec_id % ${VectorSearch.HnswSampleMod} = 0` subset (its own
+    * banded-LSH build, prefix `s1`), a narrow-beam layer-1 descent,
+    * then the layer-0 beam seeded by layer 1's final beam — exactly
+    * [[VectorSearch.hnswTopK]]'s traversal, ending in `hserved`.
+    * MUST run under Oracle.mat() (each beam round references its
+    * predecessor twice). */
+  private lazy val hnswCtes: String = {
+    val l1b = VectorSearch.HnswL1Beam
+    s"""$graphCoreCtes,
+       |${bandedCosCtesFor("s1",
+          s"WHERE vec_id % ${VectorSearch.HnswSampleMod} = 0",
+          VectorSearch.GraphBands, VectorSearch.GraphBandBits)},
+       |${knnGraphCtes("h1graph", "s1")},
+       |h1entry AS (SELECT vec_id FROM embeddings
+       |            WHERE vec_id % ${VectorSearch.HnswSampleMod} = 0
+       |            ORDER BY vec_id LIMIT ${VectorSearch.GraphEntries}),
+       |${beamSeed("h1beam0", "JOIN h1entry en ON en.vec_id = s.vec_id",
+          l1b)},
+       |${(1 to VectorSearch.HnswL1Rounds).map(r =>
+          beamRound(s"h1beam$r", s"h1beam${r - 1}", "h1graph", l1b))
+          .mkString(",\n")},
+       |${beamSeed("h0beam0",
+          s"JOIN h1beam${VectorSearch.HnswL1Rounds} en " +
+            "ON en.qid = s.qid AND en.vec_id = s.vec_id",
+          VectorSearch.GraphBeam)},
+       |${(1 to VectorSearch.HnswL0Rounds).map(r =>
+          beamRound(s"h0beam$r", s"h0beam${r - 1}", "ggraph",
+            VectorSearch.GraphBeam)).mkString(",\n")},
+       |${beamServe("hserved", s"h0beam${VectorSearch.HnswL0Rounds}", 3)}"""
+      .stripMargin
+  }
 
   /** The k-means train + final-assignment CTE chain, shared by the
     * q_ann_kmeans and q_semdedup oracles (NOTES round-8 lesson: big
@@ -5617,6 +5739,33 @@ object ExtQueries {
       s"""WITH $graphAnnCtes
          |SELECT qid, vec_id, cos_sim, rn
          |FROM gserved ORDER BY qid, rn""".stripMargin),
+
+    // HNSW serve: both layers' graph builds and every beam round of
+    // the descent replayed as MATERIALIZED CTEs.
+    "q_ann_hnsw" -> Oracle.mat(
+      s"""WITH $hnswCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM hserved ORDER BY qid, rn""".stripMargin),
+
+    // HNSW recall@3 against the shared brute-force truth table.
+    "q_ann_hnsw_recall" -> Oracle.mat(
+      s"""WITH $hnswCtes,
+         |hexact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                  ORDER BY cos_sim DESC, vec_id) AS ern
+         |    FROM gscore) WHERE ern <= 3),
+         |hhits AS (
+         |  SELECT x.qid,
+         |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_hits
+         |  FROM hexact x
+         |  LEFT JOIN hserved s ON s.qid = x.qid AND s.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT qid, n_hits,
+         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
+         |FROM hhits ORDER BY qid""".stripMargin),
 
     // Graph-ANN recall@3: gscore doubles as the exact ground truth
     // (it IS the brute-force score table), so served and exact share

@@ -648,14 +648,26 @@ object VectorSearch {
   // shuffled whole.
   // ---------------------------------------------------------------
 
-  /** Graph geometry for the scored queries: 4 neighbors per vertex,
+  /** Graph geometry for the scored queries: 8 neighbors per vertex,
     * beam width 8, 3 expansion rounds, 4 entry points. Pinned
     * constants (the oracle replays the rounds as CTEs); production
-    * uses K≈32, beam ≈ 64–128. */
-  val GraphK = 4
+    * uses K≈32, beam ≈ 64–128.
+    *
+    * The graph BUILD runs its own COARSE banded LSH
+    * ([[GraphBandBits]] = 8 vs the near-dup family's 16): a
+    * navigable graph needs medium-similarity edges to hill-climb
+    * across, not just near-identical pairs — 8-bit sign buckets
+    * admit them while the bucket cap still bounds the build. (The
+    * first cut of this family reused the near-dup 16-bit bands and
+    * measured recall@3 ≈ 0.03: the graph was near-edgeless, every
+    * vertex isolated from its true neighbors. The recall twin is
+    * the read-out that caught it.) */
+  val GraphK = 8
   val GraphBeam = 8
   val GraphRounds = 3
   val GraphEntries = 4
+  val GraphBands = 4
+  val GraphBandBits = 8
 
   /** Deterministic k-NN graph over the corpus: symmetrized banded-LSH
     * candidate pairs rescored by exact cosine, top-[[GraphK]] per
@@ -664,7 +676,7 @@ object VectorSearch {
     * simply isolated (the recall twin prices that honestly). */
   def knnGraph(emb: DataFrame, k: Int = GraphK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pc = bandedPairCosine(emb)
+    val pc = bandedPairCosine(emb, GraphBands, GraphBandBits)
     val sym = pc.select(col("v1").as("v"), col("v2").as("n"), col("cos_sim"))
       .unionByName(
         pc.select(col("v2").as("v"), col("v1").as("n"), col("cos_sim")))
@@ -685,13 +697,12 @@ object VectorSearch {
   def graphTopK(graph: DataFrame, emb: DataFrame, queries: DataFrame,
                 queryKey: String, queryVec: String, k: Int,
                 beam: Int = GraphBeam, rounds: Int = GraphRounds,
-                entries: Int = GraphEntries): DataFrame = {
+                entries: Int = GraphEntries,
+                entryDf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), col("embedding"),
       fixedNormSq(col("embedding")).as("enrm"))
-    val entry = corpus.orderBy(col("vec_id")).limit(entries)
-      .select(col("vec_id"))
     val qn = queries.withColumn("qnrm", fixedNormSq(col(queryVec)))
     def score(cand: DataFrame): DataFrame =
       corpus.join(broadcast(cand), Seq("vec_id"))
@@ -701,7 +712,14 @@ object VectorSearch {
             col("qnrm"), col("enrm"))).as("cos_sim"))
     val w = Window.partitionBy(col(queryKey))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    var beamDf = score(qn.select(col(queryKey)).crossJoin(broadcast(entry)))
+    // entry set: per-query rows (the HNSW descend path hands the
+    // upper layer's result down) or the global lowest-id vertices
+    val entry0 = entryDf.getOrElse {
+      val entry = corpus.orderBy(col("vec_id")).limit(entries)
+        .select(col("vec_id"))
+      qn.select(col(queryKey)).crossJoin(broadcast(entry))
+    }
+    var beamDf = score(entry0)
       .withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
       .select(col(queryKey), col("vec_id"))
       .localCheckpoint(true)
@@ -719,6 +737,44 @@ object VectorSearch {
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select(col(queryKey), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** HNSW layer geometry: layer 1 lives on the `vec_id %
+    * [[HnswSampleMod]] == 0` subset (HNSW's exponentially-thinned
+    * upper layer, made deterministic), searched with a narrow beam;
+    * its result seeds layer 0, which then needs FEWER rounds than
+    * the flat serve because the entries are already near the
+    * target. Pinned constants — the oracle replays both layers. */
+  val HnswSampleMod = 8
+  val HnswL1Beam = 4
+  val HnswL1Rounds = 2
+  val HnswL0Rounds = 2
+
+  /** The layer-1 k-NN graph: [[knnGraph]] over the deterministic
+    * sample (its own banded-LSH candidates, its own bucket caps —
+    * the same bounded build at 1/[[HnswSampleMod]] the rows). */
+  def knnGraphL1(emb: DataFrame, k: Int = GraphK): DataFrame =
+    knnGraph(emb.where(col("vec_id") % HnswSampleMod === 0), k)
+
+  /** Two-layer HNSW-style serve (Malkov & Yashunin's hierarchy,
+    * depth 2): descend — beam-search layer 1 (subset graph, narrow
+    * beam) for per-query entry points, then beam-search layer 0
+    * from those entries with [[HnswL0Rounds]] rounds instead of the
+    * flat serve's [[GraphRounds]]. Same bounded per-round work as
+    * [[graphTopK]]; the hierarchy buys entry points already near
+    * the target, which is what lets production HNSW cut rounds as
+    * N grows (layer count grows log N; this pins depth 2 for the
+    * oracle replay). */
+  def hnswTopK(g0: DataFrame, g1: DataFrame, emb: DataFrame,
+               queries: DataFrame, queryKey: String, queryVec: String,
+               k: Int): DataFrame = {
+    val sub = emb.where(col("vec_id") % HnswSampleMod === 0)
+    val l1 = graphTopK(g1, sub, queries, queryKey, queryVec,
+        k = HnswL1Beam, beam = HnswL1Beam, rounds = HnswL1Rounds,
+        entries = GraphEntries)
+      .select(col(queryKey), col("vec_id"))
+    graphTopK(g0, emb, queries, queryKey, queryVec, k,
+      beam = GraphBeam, rounds = HnswL0Rounds, entryDf = Some(l1))
   }
 
   /** The quantizer's train+encode core, shared by [[scalarQuantize]]

@@ -426,7 +426,8 @@ class ExtSpec extends SparkSpec {
     // symmetrized candidate set: every edge's reverse-or-forward pair
     // came from a banded candidate, so the graph is a subset of the
     // candidate closure
-    val cand = VectorSearch.bandedPairCosine(e)
+    val cand = VectorSearch.bandedPairCosine(e,
+        VectorSearch.GraphBands, VectorSearch.GraphBandBits)
       .select(col("v1"), col("v2"))
     val candSym = cand.unionByName(
       cand.select(col("v2").as("v1"), col("v1").as("v2")))
