@@ -1619,6 +1619,68 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination — the embedding-space complement to
+    // the n-gram overlap check (a paraphrased benchmark item shares
+    // no 3-grams but sits next to its source in embedding space; the
+    // practice several dataset cards now report alongside exact
+    // overlap). Every corpus vector scored against the FULL bench
+    // set (vec_id%20, the q_decontaminate split convention) via a
+    // broadcast nested-loop — at 100 TB this brute force IS the
+    // scale path, because benchmark sets are thousands of rows while
+    // the corpus side streams once, partition-parallel, unshuffled.
+    // Emits the per-vector nearest bench item + max cosine + the
+    // ≥0.45 contamination flag, so the cut threshold is auditable
+    // rather than silently applied.
+    "q_semantic_decontaminate" -> ((s, d) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val bench = e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"),
+          VectorSearch.fixedNormSq(col("embedding")).as("bnrm"))
+      e.where(col("vec_id") % 20 =!= 0)
+        .withColumn("nrm", VectorSearch.fixedNormSq(col("embedding")))
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("bench_id"),
+          Det.r4(VectorSearch.cosineCol(
+            VectorSearch.fixedDot(col("embedding"), col("bvec")),
+            col("nrm"), col("bnrm"))).as("cos_sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_sim"), (-col("bench_id")).as("nb")))
+          .as("m"))
+        .select(col("vec_id"), (-col("m.nb")).as("bench_id"),
+          col("m.cos_sim").as("cos_sim"),
+          (col("m.cos_sim") >= lit(0.45)).cast("long").as("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Greedy k-center coreset (Gonzalez 1985 farthest-point — the
+    // active-learning / coreset selection primitive): 8 centers
+    // picked by iterated "farthest from nearest selected", then the
+    // per-vector assignment (nearest center by cosine, ties to the
+    // smaller id). Selection is k bounded scalar fetches over
+    // broadcast-vs-scan rounds; the oracle replays every round's
+    // argmin and the final assignment.
+    "q_coreset_kcenter" -> ((s, d) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val centers = VectorSearch.kcenterCoreset(e, 8, s"kcenter8:$d")
+      val en = e.withColumn("nrm",
+        VectorSearch.fixedNormSq(col("embedding")))
+      val sel = en.where(col("vec_id").isin(centers: _*))
+        .select(col("vec_id").as("center_id"),
+          col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      en.crossJoin(broadcast(sel))
+        .select(col("vec_id"), col("center_id"),
+          Det.r4(VectorSearch.cosineCol(
+            VectorSearch.fixedDot(col("embedding"), col("cvec")),
+            col("nrm"), col("cnrm"))).as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cs"), (-col("center_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("center_id"),
+          col("m.cs").as("cos_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Source-overlap matrix: distinct shared 3-grams per source pair —
     // the corpus-audit view of cross-source contamination (a crawl
     // re-ingested under two source labels lights up here first).
@@ -3382,6 +3444,19 @@ object ExtQueries {
         GraphRank.kcoreSurvivors(
           candidatesC(s, d).select(col("d1"), col("d2")),
           k = 2, rounds = 4)).orderBy(col("doc_id"))),
+
+    // Label-propagation communities (Raghavan et al. 2007) over the
+    // near-dup candidate graph — the density-aware complement to
+    // q_dedup_clusters' min-label CC (a bridge edge merges CC
+    // components but not LPA communities). Four synchronous rounds,
+    // deterministic majority vote (self-vote damped, ties to the
+    // smallest label); the oracle replays every round's vote table.
+    // Fixpoint artifact → session snapshot, like the kcore peel.
+    "q_graph_communities" -> ((s, d) =>
+      Cache.getOrSnapshot(s, "lpa4", d)(
+        GraphRank.labelPropagation(
+          candidatesC(s, d).select(col("d1"), col("d2")),
+          rounds = 4)).orderBy(col("doc_id"))),
 
     // ORC sink→source roundtrip — the hive-ecosystem columnar
     // interchange format, written once per sf dir with full write
@@ -5917,6 +5992,91 @@ object ExtQueries {
     // die in the join), so the exact-join oracle is THE oracle.
     "q_decontaminate_bloom" -> decontamOracleSql,
 
+    // k-center replay: the full pairwise cosine table (the oracle
+    // may brute-force; the engine never does), the seed, every
+    // round's (min max-cos, vec_id) argmin, and the assignment.
+    "q_coreset_kcenter" -> Oracle.mat({
+      def round(r: Int): String =
+        s"""kmc$r AS (
+           |  SELECT c.a, max(c.cos_sim) AS mc
+           |  FROM kcos c JOIN ksel$r s ON s.cid = c.b
+           |  GROUP BY 1),
+           |ksel${r + 1} AS (
+           |  SELECT cid FROM ksel$r
+           |  UNION ALL
+           |  SELECT a AS cid FROM (
+           |    SELECT a, row_number() OVER (ORDER BY mc, a) AS rn
+           |    FROM kmc$r) WHERE rn = 1)""".stripMargin
+      s"""WITH kx AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |kn AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS nn
+         |  FROM kx GROUP BY 1),
+         |kd AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |         CAST(sum(CAST(floor(a.x*b.x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS dot
+         |  FROM kx a JOIN kx b ON b.i = a.i
+         |  GROUP BY 1, 2),
+         |kcos AS (
+         |  SELECT d.a, d.b,
+         |         ${r4("CASE WHEN sqrt(na.nn)*sqrt(nb.nn) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(na.nn)*sqrt(nb.nn)) END")} AS cos_sim
+         |  FROM kd d
+         |  JOIN kn na ON na.vec_id = d.a
+         |  JOIN kn nb ON nb.vec_id = d.b),
+         |ksel1 AS (SELECT min(vec_id) AS cid FROM embeddings),
+         |${(1 to 7).map(round).mkString(",\n")}
+         |SELECT a AS vec_id, b AS center_id, cos_sim FROM (
+         |  SELECT c.a, c.b, c.cos_sim,
+         |         row_number() OVER (PARTITION BY c.a
+         |                ORDER BY c.cos_sim DESC, c.b) AS rn
+         |  FROM kcos c JOIN ksel8 s ON s.cid = c.b)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }),
+
+    // Semantic decontamination: per-corpus-vector argmax over the
+    // bench set (ties to the smaller bench_id, the struct-max twin),
+    // cosines through the same fixed-point pipeline as the ANN
+    // oracles.
+    "q_semantic_decontaminate" ->
+      s"""WITH sx AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |sn AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS nn
+         |  FROM sx GROUP BY 1),
+         |sd AS (
+         |  SELECT c.vec_id, b.vec_id AS bench_id,
+         |         CAST(sum(CAST(floor(c.x*b.x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS dot
+         |  FROM sx c JOIN sx b ON b.i = c.i AND b.vec_id % 20 = 0
+         |  WHERE c.vec_id % 20 != 0
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT d.vec_id, d.bench_id,
+         |         ${r4("CASE WHEN sqrt(nc.nn)*sqrt(nb.nn) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nc.nn)*sqrt(nb.nn)) END")} AS cos_sim
+         |  FROM sd d
+         |  JOIN sn nc ON nc.vec_id = d.vec_id
+         |  JOIN sn nb ON nb.vec_id = d.bench_id)
+         |SELECT vec_id, bench_id, cos_sim,
+         |       CAST(CASE WHEN cos_sim >= 0.45 THEN 1 ELSE 0 END
+         |            AS BIGINT) AS contaminated
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cos_sim DESC, bench_id) AS rn
+         |      FROM sc)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // ds is distinct (doc_id, shingle) on both sides, so the HAVING
     // count is the true document frequency.
     "q_split_leakage" ->
@@ -7102,6 +7262,38 @@ object ExtQueries {
     // would otherwise expand the replay tree exponentially in rounds
     // (3⁴ copies of the candidate build; the un-hinted form exhausts
     // file handles before it exhausts patience).
+    // LPA replay: every synchronous round's vote table (neighbor
+    // labels + self-vote), majority with (count DESC, label ASC)
+    // tie-break, under mat() — each round reads its predecessor
+    // twice.
+    "q_graph_communities" -> Oracle.mat({
+      def round(r: Int): String =
+        s"""lp$r AS (
+           |  SELECT v, lbl FROM (
+           |    SELECT v, lbl,
+           |           row_number() OVER (PARTITION BY v
+           |                  ORDER BY c DESC, lbl) AS rn
+           |    FROM (
+           |      SELECT v, lbl, count(*) AS c FROM (
+           |        SELECT s.v, l.lbl
+           |        FROM lsym s JOIN lp${r - 1} l ON l.v = s.n
+           |        UNION ALL
+           |        SELECT v, lbl FROM lp${r - 1})
+           |      GROUP BY 1, 2))
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $candSql,
+         |lsym AS (SELECT d1 AS v, d2 AS n FROM cand
+         |         UNION ALL
+         |         SELECT d2 AS v, d1 AS n FROM cand),
+         |lp0 AS (SELECT DISTINCT v, v AS lbl FROM lsym),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |lsz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csz
+         |        FROM lp4 GROUP BY 1)
+         |SELECT l.v AS doc_id, l.lbl AS community, z.csz
+         |FROM lp4 l JOIN lsz z USING (lbl)
+         |ORDER BY doc_id""".stripMargin
+    }),
+
     "q_graph_kcore" ->
       s"""WITH $candSql,
          |r0 AS MATERIALIZED (SELECT d1, d2 FROM cand),

@@ -202,6 +202,42 @@ object GraphRank {
       .orderBy(col("doc_id"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007), made deterministic: every vertex starts labeled
+    * with its own id; each synchronous round every vertex adopts the
+    * most frequent label among its neighbors PLUS its own current
+    * label (the self-vote damps oscillation), ties to the SMALLEST
+    * label. Emits (doc_id, community, csz) after `rounds` updates.
+    * Per round: one label join on the edge key, one (v, label)
+    * count, one argmax — all key-partitioned; every round ends in an
+    * eager localCheckpoint (the kcore lineage lesson). Unlike
+    * min-label CC, LPA respects DENSITY: two cliques joined by one
+    * bridge edge keep distinct communities where CC merges them. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("d1"), col("d2"))
+    val sym = e.select(col("d1").as("v"), col("d2").as("n"))
+      .unionByName(e.select(col("d2").as("v"), col("d1").as("n")))
+    var lab = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nbrVotes = sym
+        .join(lab.select(col("v").as("n"), col("lbl")), Seq("n"))
+        .select(col("v"), col("lbl"))
+      val votes = nbrVotes.unionByName(lab)
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      lab = votes
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sz = lab.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
+    lab.join(sz, Seq("lbl"))
+      .select(col("v").as("doc_id"), col("lbl").as("community"),
+        col("csz"))
+      .orderBy(col("doc_id"))
+  }
+
   def twinClasses(edges: DataFrame): DataFrame = {
     val e = edges.select(col("d1"), col("d2"))
     val sym = e.select(col("d1").as("v"), col("d2").as("n"))

@@ -777,6 +777,43 @@ object VectorSearch {
       beam = GraphBeam, rounds = HnswL0Rounds, entryDf = Some(l1))
   }
 
+  private val kcenterMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Long]]
+
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * classic 2-approximation (Gonzalez 1985) that active-learning /
+    * coreset pipelines run to pick a maximally-spread data subset:
+    * seed with the lowest vec_id, then k−1 rounds of "add the vector
+    * whose nearest selected center is FARTHEST" (min max-cosine,
+    * ties to the smallest vec_id). Each round is one broadcast
+    * (selected set, O(k)) against the corpus scan plus one scalar
+    * argmin fetch — k bounded driver fetches, never a data collect;
+    * the corpus is never shuffled. Cosines ride the r4 fixed-point
+    * pipeline, so the selection order is bit-portable and the oracle
+    * replays every round. */
+  def kcenterCoreset(emb: DataFrame, k: Int, memoKey: String): Seq[Long] =
+    kcenterMemo.getOrElseUpdate(
+      (emb.sparkSession.sparkContext.applicationId, memoKey), {
+        graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+        val e = emb.select(col("vec_id"), col("embedding"),
+          fixedNormSq(col("embedding")).as("nrm"))
+        var centers = Seq(e.agg(min(col("vec_id"))).head().getLong(0))
+        for (_ <- 2 to k) {
+          val sel = e.where(col("vec_id").isin(centers: _*))
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+              col("nrm").as("cnrm"))
+          val next = e.crossJoin(broadcast(sel))
+            .select(col("vec_id"), Det.r4(cosineCol(
+              fixedDot(col("embedding"), col("cvec")),
+              col("nrm"), col("cnrm"))).as("cs"))
+            .groupBy(col("vec_id")).agg(max(col("cs")).as("mc"))
+            .agg(min(struct(col("mc"), col("vec_id"))).as("m"))
+            .select(col("m.vec_id")).head().getLong(0)
+          centers = centers :+ next
+        }
+        centers
+      })
+
   /** The quantizer's train+encode core, shared by [[scalarQuantize]]
     * and [[sqDequantized]] so the code/dequantize formulas (which two
     * SQL oracles mirror term for term) live in exactly one place:
