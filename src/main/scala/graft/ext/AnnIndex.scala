@@ -29,17 +29,22 @@ import org.apache.spark.sql.functions._
   *                    neighbor graph (top-K per vertex from the
   *                    capped LSH candidates), N×K rows, the artifact
   *                    the beam-search serve traverses;
+  *  - `knn_graph_l1` (v, n)                        — the HNSW upper
+  *                    layer: the same graph over the deterministic
+  *                    vec_id%8 sample, N/8×K rows, the descend
+  *                    entry-point layer;
   *  - `meta`         (key, value)                 — format version +
   *                    geometry constants, checked on load so a reader
   *                    can never silently decode against the wrong
   *                    codebook shape.
   */
 object AnnIndex {
-  val FormatVersion = 1
+  val FormatVersion = 2
 
   case class Loaded(cells: DataFrame, codes: DataFrame,
                     pqCodebook: DataFrame, pqCodes: DataFrame,
-                    sqStats: DataFrame, knnGraph: DataFrame) {
+                    sqStats: DataFrame, knnGraph: DataFrame,
+                    knnGraphL1: DataFrame) {
     /** Broadcast-ready cell frame (cell_id, centroid, cnrm) — what
       * every assigned-serving path takes. */
     def cellsB: DataFrame = {
@@ -73,6 +78,8 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/sq_stats")
     VectorSearch.knnGraph(emb)
       .write.mode("overwrite").parquet(s"$path/knn_graph")
+    VectorSearch.knnGraphL1(emb)
+      .write.mode("overwrite").parquet(s"$path/knn_graph_l1")
     Seq(
       "format_version" -> FormatVersion.toString,
       "pq_subspaces" -> VectorSearch.PqSubspaces.toString,
@@ -124,7 +131,8 @@ object AnnIndex {
       pqCodebook = spark.read.parquet(s"$path/pq_codebook"),
       pqCodes = spark.read.parquet(s"$path/pq_codes"),
       sqStats = spark.read.parquet(s"$path/sq_stats"),
-      knnGraph = spark.read.parquet(s"$path/knn_graph"))
+      knnGraph = spark.read.parquet(s"$path/knn_graph"),
+      knnGraphL1 = spark.read.parquet(s"$path/knn_graph_l1"))
   }
 
   /** Serve the composed IVF→PQ stack from a LOADED index: IVF
@@ -151,6 +159,15 @@ object AnnIndex {
   def graphTopK(ix: Loaded, queries: DataFrame, queryKey: String,
                 queryVec: String, k: Int): DataFrame =
     VectorSearch.graphTopK(ix.knnGraph,
+      ix.codes.select(col("vec_id"), col("embedding")),
+      queries, queryKey, queryVec, k)
+
+  /** Serve the two-layer HNSW descent from a LOADED index: both
+    * graph layers come off disk; the inverted-list rows carry the
+    * vectors for exact scoring on both layers. */
+  def hnswTopK(ix: Loaded, queries: DataFrame, queryKey: String,
+               queryVec: String, k: Int): DataFrame =
+    VectorSearch.hnswTopK(ix.knnGraph, ix.knnGraphL1,
       ix.codes.select(col("vec_id"), col("embedding")),
       queries, queryKey, queryVec, k)
 }

@@ -2238,6 +2238,31 @@ object RelQueries {
         .orderBy(col("c_mktsegment"), col("c_nationkey"))
     }),
 
+    // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    // companion: a quasi-identifier group can be k-large yet leak if
+    // every member shares one sensitive value. Sensitive attribute =
+    // the account-balance band (floor(acctbal/2000), IEEE floor on
+    // both engines); a group releases only when it carries ≥3
+    // distinct bands. Same one-pass partial/final agg shape as
+    // q_k_anonymity — count + distinct-count per group, no second
+    // scan.
+    "q_l_diversity" -> ((s, d) => {
+      val band = floor(col("c_acctbal").cast("double") / lit(2000.0))
+        .cast("long")
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(band).as("n_bands"))
+        .withColumn("l_diverse",
+          when(col("n_bands") >= 3, 1L).otherwise(0L))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+          col("n_bands"), col("l_diverse"),
+          (col("n") * col("l_diverse")).as("released_rows"),
+          (col("n") * (lit(1L) - col("l_diverse")))
+            .as("suppressed_rows"))
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
+
     // Right-to-erasure audit: cascade a customer delete list through
     // the star (customers → their orders → those orders' lineitems)
     // and report per-table before/deleted/after plus the
@@ -3981,6 +4006,25 @@ object RelQueries {
         |SELECT c_mktsegment, c_nationkey, n, released,
         |       n * released AS released_rows,
         |       n * (1 - released) AS suppressed_rows
+        |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // l-diversity: the distinct-band count per quasi-identifier
+    // group; the band is the same IEEE floor both engines compute.
+    "q_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |         CAST(count(DISTINCT CAST(floor(
+        |           CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT))
+        |           AS BIGINT) AS n_bands
+        |  FROM customer GROUP BY 1, 2),
+        |f AS (
+        |  SELECT c_mktsegment, c_nationkey, n, n_bands,
+        |         CASE WHEN n_bands >= 3 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS l_diverse
+        |  FROM g)
+        |SELECT c_mktsegment, c_nationkey, n, n_bands, l_diverse,
+        |       n * l_diverse AS released_rows,
+        |       n * (1 - l_diverse) AS suppressed_rows
         |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
 
     // The cascade replayed as plain counts; orphans-after are 0 by

@@ -112,6 +112,22 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("hnsw serve from the loaded index equals the session-built one") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-hnsw").toString
+    AnnIndex.save(emb, labelCells(embAll), dir)
+    val ix = AnnIndex.load(spark, dir)
+    val served = AnnIndex.hnswTopK(ix, queries, "qid", "qvec", k = 3)
+    val built = VectorSearch.hnswTopK(
+      VectorSearch.knnGraph(emb), VectorSearch.knnGraphL1(emb),
+      emb, queries, "qid", "qvec", k = 3)
+    def k3(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k3(served) === k3(built))
+    assert(served.count() > 0)
+  }
+
   test("geometry mismatch fails fast on load") {
     import spark.implicits._
     val dir = java.nio.file.Files
