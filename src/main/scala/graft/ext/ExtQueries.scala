@@ -1653,6 +1653,41 @@ object ExtQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Rendezvous (highest-random-weight) sharding (Thaler & Ravishankar
+    // 1998 — the consistent-placement scheme behind cache rings):
+    // every doc goes to the shard whose h(doc:shard) weight is
+    // highest. The audit pairs the 16-shard assignment with the
+    // 17-shard one: HRW guarantees a doc either stays put or moves
+    // to the NEW shard, so `n_moved_elsewhere` is a proven-zero
+    // column and `n_moved` ≈ n/17 — the minimal-churn property a
+    // resharding plan is approved on. One crossJoin against the
+    // broadcast 17-row shard axis, both argmaxes in ONE partial/final
+    // agg, no second pass.
+    "q_rendezvous_shards" -> ((s, d) => {
+      import graft.core.PortableHash
+      val shards = s.range(0, 17).select(col("id").as("shard"))
+      docs(s, d).select(col("doc_id"))
+        .crossJoin(broadcast(shards))
+        .withColumn("wgt", PortableHash.spread(PortableHash.h(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("shard").cast("string")))))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(when(col("shard") < 16,
+            struct(col("wgt"), (-col("shard")).as("ns")))).as("m16"),
+          max(struct(col("wgt"), (-col("shard")).as("ns"))).as("m17"))
+        .select(col("doc_id"), (-col("m16.ns")).as("a16"),
+          (-col("m17.ns")).as("a17"))
+        .groupBy(col("a16"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("a17") =!= col("a16")).cast("long")).as("n_moved"),
+          sum((col("a17") =!= col("a16") && col("a17") =!= 16)
+            .cast("long")).as("n_moved_elsewhere"))
+        .select(col("a16").as("shard"), col("n_docs"), col("n_moved"),
+          col("n_moved_elsewhere"))
+        .orderBy(col("shard"))
+    }),
+
     // Greedy k-center coreset (Gonzalez 1985 farthest-point — the
     // active-learning / coreset selection primitive): 8 centers
     // picked by iterated "farthest from nearest selected", then the
@@ -5991,6 +6026,39 @@ object ExtQueries {
     // rows the exact join would drop anyway (FPs survive the filter,
     // die in the join), so the exact-join oracle is THE oracle.
     "q_decontaminate_bloom" -> decontamOracleSql,
+
+    // HRW replay: same portable-hash weights, both argmaxes as rank-1
+    // windows, same churn rollup.
+    "q_rendezvous_shards" -> {
+      val key = "CAST(d.doc_id AS VARCHAR) || ':' || " +
+        "CAST(s.shard AS VARCHAR)"
+      s"""WITH sh AS (SELECT unnest(range(0, 17)) AS shard),
+         |w AS (
+         |  SELECT d.doc_id, s.shard,
+         |         ${graft.core.PortableHash.spreadSql(
+              graft.core.PortableHash.hSql(key))} AS wgt
+         |  FROM documents d CROSS JOIN sh s),
+         |a16 AS (
+         |  SELECT doc_id, shard AS a16 FROM (
+         |    SELECT doc_id, shard,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                  ORDER BY wgt DESC, shard) AS rn
+         |    FROM w WHERE shard < 16) WHERE rn = 1),
+         |a17 AS (
+         |  SELECT doc_id, shard AS a17 FROM (
+         |    SELECT doc_id, shard,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                  ORDER BY wgt DESC, shard) AS rn
+         |    FROM w) WHERE rn = 1)
+         |SELECT a16 AS shard, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN a17 != a16 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_moved,
+         |       CAST(sum(CASE WHEN a17 != a16 AND a17 != 16
+         |                     THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_moved_elsewhere
+         |FROM a16 JOIN a17 USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // k-center replay: the full pairwise cosine table (the oracle
     // may brute-force; the engine never does), the seed, every
