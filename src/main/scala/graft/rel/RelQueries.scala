@@ -503,6 +503,36 @@ object RelQueries {
         .orderBy(col("col_name"))
     }),
 
+    // HLL set algebra: |clickers ∩ purchasers| estimated by
+    // inclusion–exclusion over three HLL(0.05) sketches (|A|+|B|−|A∪B|
+    // — the audience-overlap question sketch stores answer without
+    // ever materializing either set), priced against the exact
+    // intersection from ONE per-user flag pass. Exact counts are
+    // value-checked cells; the estimate itself is reported only
+    // through its error bound (sketch internals are engine-specific,
+    // the q_approx_* discipline). I–E compounds three sketch errors
+    // against a possibly-small intersection, hence the 0.3 relative
+    // band rather than 3×rsd.
+    "q_hll_intersect" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("event_type").isin("click", "purchase"))
+      val isC = col("event_type") === "click"
+      val isP = col("event_type") === "purchase"
+      val exact = ev.groupBy(col("user_id"))
+        .agg(max(isC.cast("long")).as("c"), max(isP.cast("long")).as("p"))
+        .agg(sum(col("c")).as("n_click"), sum(col("p")).as("n_buy"),
+          sum(col("c") * col("p")).as("n_both"))
+      val est = ev.agg(
+        approx_count_distinct(when(isC, col("user_id")), 0.05).as("ea"),
+        approx_count_distinct(when(isP, col("user_id")), 0.05).as("eb"),
+        approx_count_distinct(col("user_id"), 0.05).as("eu"))
+      exact.crossJoin(est)
+        .select(col("n_click"), col("n_buy"), col("n_both"),
+          (abs(col("ea") + col("eb") - col("eu") - col("n_both"))
+            .cast("double") / col("n_both").cast("double") <= 0.3)
+            .as("within_bounds"))
+    }),
+
     // Adversarial-skew aggregation: l_returnflag has only 3 values,
     // so every row funnels into 3 reduce groups — the shape where a
     // hot key degrades the map-side hash table. The salted two-phase
@@ -2775,6 +2805,23 @@ object RelQueries {
         |             ('o_custkey', true))
         |  t(col_name, within_bounds)
         |ORDER BY col_name""".stripMargin,
+
+    // Exact overlap counts replayed; the I–E estimate is asserted
+    // only through its bound (sketch values are engine-internal).
+    "q_hll_intersect" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS c,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_click,
+        |       CAST(sum(p) AS BIGINT) AS n_buy,
+        |       CAST(sum(c * p) AS BIGINT) AS n_both,
+        |       true AS within_bounds
+        |FROM g""".stripMargin,
 
     // The salted two-phase count is semantically the plain count.
     "q_salted_hot_keys" ->
