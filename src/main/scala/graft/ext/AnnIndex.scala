@@ -106,6 +106,45 @@ object AnnIndex {
       .write.mode("append").parquet(s"$path/pq_codes")
   }
 
+  /** Append new vectors to the saved NSW graph WITHOUT rebuilding:
+    * re-band the stored corpus plus the delta (one scan — bands are
+    * per-vector, so this is a linear pass, and the bucket caps bound
+    * the pair work exactly as in the full build), keep only candidate
+    * pairs touching a delta vector, cut the delta side to top-K
+    * out-edges, and append BOTH directions. The reverse edges push
+    * some existing vertices past K out-degree — deliberately: HNSW
+    * insertion does the same (unpruned back-links, pruned at the next
+    * compaction), and without them the beam could never REACH a delta
+    * vector. Call after [[append]] so the inverted lists already
+    * carry the delta rows. */
+  def appendGraph(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val stored = spark.read.parquet(s"$path/ivf_codes")
+      .select(col("vec_id"), col("embedding"))
+    val union = stored.unionByName(
+      delta.select(col("vec_id"), col("embedding")))
+    val deltaIds = broadcast(delta.select(col("vec_id").as("did")))
+    val pc = VectorSearch.bandedPairCosine(union,
+      VectorSearch.GraphBands, VectorSearch.GraphBandBits)
+    val touching = pc
+      .join(deltaIds, pc("v1") === col("did") || pc("v2") === col("did"),
+        "left_semi")
+    // orient every touching pair delta-first, cut delta out-degree
+    val sym = touching
+      .select(col("v1").as("v"), col("v2").as("n"), col("cos_sim"))
+      .unionByName(touching
+        .select(col("v2").as("v"), col("v1").as("n"), col("cos_sim")))
+      .join(deltaIds.withColumnRenamed("did", "v"), Seq("v"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("cos_sim").desc, col("n"))
+    val out = sym.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= VectorSearch.GraphK)
+      .select(col("v"), col("n"))
+    out.unionByName(out.select(col("n").as("v"), col("v").as("n")))
+      .write.mode("append").parquet(s"$path/knn_graph")
+  }
+
   /** Load a saved index. Fails fast on a format/geometry mismatch —
     * decoding 4-code vectors against an 8-subspace codebook must be
     * impossible, not wrong. */

@@ -112,6 +112,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("appendGraph links late vectors into the saved graph: the " +
+    "beam finds a delta vector as its own nearest neighbor") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-ginc").toString
+    val base = emb.where(col("vec_id") % 10 =!= 9)
+    val delta = emb.where(col("vec_id") % 10 === 9)
+    AnnIndex.save(base, labelCells(embAll.where(col("vec_id") % 10 =!= 9)),
+      dir)
+    AnnIndex.append(delta, dir)
+    AnnIndex.appendGraph(delta, dir)
+    val ix = AnnIndex.load(spark, dir)
+    // query WITH the delta vectors themselves: self is the true
+    // top-1 (cos 1.0); reaching it proves the appended back-links
+    // made the late vectors beam-visible
+    val dq = delta.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+    val served = AnnIndex.graphTopK(ix, dq, "qid", "qvec", k = 3)
+    val selfHits = served
+      .where(col("qid") === col("vec_id") && col("rn") === 1L).count()
+    val nq = dq.count()
+    assert(selfHits >= nq / 2,
+      s"only $selfHits of $nq delta queries found themselves")
+    // appended volume is bounded by the delta cut: ≤ 2·K·|delta|
+    // total delta-incident rows (K out-edges each, mirrored once)
+    val deltaRows = ix.knnGraph
+      .join(delta.select(col("vec_id").as("v")), Seq("v"), "left_semi")
+      .count()
+    assert(deltaRows <= 2L * VectorSearch.GraphK * nq,
+      s"appended $deltaRows rows for $nq delta vectors")
+  }
+
   test("hnsw serve from the loaded index equals the session-built one") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ann-hnsw").toString
