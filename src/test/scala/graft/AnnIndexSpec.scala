@@ -125,15 +125,28 @@ class AnnIndexSpec extends SparkSpec {
     val ix = AnnIndex.load(spark, dir)
     // query WITH the delta vectors themselves: self is the true
     // top-1 (cos 1.0); reaching it proves the appended back-links
-    // made the late vectors beam-visible
+    // made the late vectors beam-visible. Differential: WITHOUT the
+    // graph append the delta vertices have no in-edges, so a beam
+    // can only hit one through the 4 global entry points — the
+    // appended links must beat that floor, and clear the flat
+    // serve's ~0.4 traversal recall scaled down (≥ nq/4).
     val dq = delta.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"))
-    val served = AnnIndex.graphTopK(ix, dq, "qid", "qvec", k = 3)
-    val selfHits = served
-      .where(col("qid") === col("vec_id") && col("rn") === 1L).count()
+    def selfHits(graph: org.apache.spark.sql.DataFrame): Long =
+      VectorSearch.graphTopK(graph,
+          ix.codes.select(col("vec_id"), col("embedding")),
+          dq, "qid", "qvec", k = 3)
+        .where(col("qid") === col("vec_id") && col("rn") === 1L).count()
+    val without = selfHits(spark.read.parquet(s"$dir/knn_graph")
+      .join(delta.select(col("vec_id").as("v")), Seq("v"), "left_anti")
+      .join(delta.select(col("vec_id").as("n")), Seq("n"), "left_anti")
+      .select(col("v"), col("n")))
+    val withHits = selfHits(ix.knnGraph)
     val nq = dq.count()
-    assert(selfHits >= nq / 2,
-      s"only $selfHits of $nq delta queries found themselves")
+    assert(withHits > without,
+      s"append must make deltas beam-visible: $withHits vs $without")
+    assert(withHits >= nq / 4,
+      s"only $withHits of $nq delta queries found themselves")
     // appended volume is bounded by the delta cut: ≤ 2·K·|delta|
     // total delta-incident rows (K out-edges each, mirrored once)
     val deltaRows = ix.knnGraph
