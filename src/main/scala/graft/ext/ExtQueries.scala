@@ -1044,6 +1044,49 @@ object ExtQueries {
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy(col("doc_id"))),
 
+    // Leakage-free train/val/test split: assignment by near-dup
+    // CLUSTER, not by doc — the GroupKFold discipline that keeps a
+    // duplicate pair from straddling train and eval (q_split_leakage
+    // MEASURES that failure on a doc-hashed split; this query
+    // PREVENTS it by construction). Every doc inherits its CC
+    // cluster's spread-hash band, so `n_cross_edges` — near-dup
+    // edges whose endpoints land in different splits, counted over
+    // the ACTUAL edge set — is a proven-zero column, not an
+    // assumption. One broadcast of the O(clusters) split map; docs
+    // and edges each scanned once. On the synthetic corpus the CC
+    // closure collapses to 2 giant clusters (the whole corpus lands
+    // in one band) — itself the honest lesson this audit teaches: a
+    // group split on a high-duplication corpus degenerates, and you
+    // find out HERE, not from eval contamination later.
+    "q_leakage_free_split" -> ((s, d) => {
+      import graft.core.PortableHash
+      val clusters = Cache.getOrSnapshot(s, "cc_clusters", d)(
+        Dedup.connectedComponents(
+          docs(s, d).select(col("doc_id")), simhashEdgesC(s, d)))
+      val sp = PortableHash.spread(PortableHash.h(
+        concat(lit("split:"), col("cluster_id").cast("string"))))
+      val assigned = clusters.select(col("doc_id"), col("cluster_id"),
+        when(sp < 900002L, "train").when(sp < 950002L, "val")
+          .otherwise("test").as("split"))
+      val edges = simhashEdgesC(s, d)
+      val eSplits = edges
+        .join(assigned.select(col("doc_id").as("d1"),
+          col("split").as("s1")), Seq("d1"))
+        .join(assigned.select(col("doc_id").as("d2"),
+          col("split").as("s2")), Seq("d2"))
+      val eAgg = eSplits.groupBy(col("s1").as("split"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("s1") =!= col("s2")).cast("long")).as("n_cross_edges"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .join(eAgg, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_cross_edges"), lit(0L)).as("n_cross_edges"))
+        .orderBy(col("split"))
+    }),
+
     // Canonical-document centrality: 3 fixed integer PageRank rounds
     // over the SAME near-dup edge set q_dedup_clusters clusters —
     // inside a duplicate cluster the highest-rank member is the hub
@@ -5062,6 +5105,62 @@ object ExtQueries {
          |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_keeper
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Leakage-free split: same CC replay as q_dedup_clusters, split
+    // bands off the portable spread hash of the cluster id, edge
+    // rollup attributed to the d1 endpoint's split.
+    "q_leakage_free_split" -> {
+      import graft.core.PortableHash
+      val spSql = PortableHash.spreadSql(PortableHash.hSql(
+        "'split:' || CAST(cluster_id AS VARCHAR)"))
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |edges AS (
+         |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
+         |  UNION
+         |  SELECT d1, d2 FROM rpairs WHERE bit_count(xor(h1, h2)) <= 3),
+         |sym AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges
+         |  UNION ALL
+         |  SELECT d2 AS src, d1 AS dst FROM edges),
+         |cc AS (
+         |  SELECT doc_id AS node, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT sym.dst AS node, cc.label
+         |  FROM cc JOIN sym ON cc.node = sym.src),
+         |cgrp AS (
+         |  SELECT node AS doc_id, min(label) AS cluster_id
+         |  FROM cc GROUP BY node),
+         |asg AS (
+         |  SELECT doc_id, cluster_id,
+         |         CASE WHEN $spSql < 900002 THEN 'train'
+         |              WHEN $spSql < 950002 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM cgrp),
+         |dedges AS (
+         |  -- DuckDB gotcha: under WITH RECURSIVE the bare UNION in
+         |  -- `edges` does NOT dedup across branches (the CC consumer
+         |  -- is multiset-insensitive; this count is not) — dedup
+         |  -- explicitly to match the engine's distinct edge cache
+         |  SELECT DISTINCT d1, d2 FROM edges),
+         |eagg AS (
+         |  SELECT a1.split,
+         |         CAST(count(*) AS BIGINT) AS n_edges,
+         |         CAST(sum(CASE WHEN a1.split != a2.split
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_cross_edges
+         |  FROM dedges e
+         |  JOIN asg a1 ON a1.doc_id = e.d1
+         |  JOIN asg a2 ON a2.doc_id = e.d2
+         |  GROUP BY 1)
+         |SELECT g.split, count(*) AS n_docs,
+         |       CAST(count(DISTINCT g.cluster_id) AS BIGINT)
+         |         AS n_clusters,
+         |       COALESCE(max(e.n_edges), 0) AS n_edges,
+         |       COALESCE(max(e.n_cross_edges), 0) AS n_cross_edges
+         |FROM asg g LEFT JOIN eagg e ON e.split = g.split
+         |GROUP BY g.split, e.n_edges, e.n_cross_edges
+         |ORDER BY g.split""".stripMargin
+    },
 
     // ER audit: the full pipeline replay (erCtes) plus the
     // survivorship rollup — canonical name via min-rec_id row_number
