@@ -91,7 +91,16 @@ object ScaleGate {
     "q_ann_graph", "q_ann_persist",
     // round-10: the hierarchical serve (layer-1 subset graph build +
     // two-layer descent — both layers' builds are LSH-cap-bounded)
-    "q_ann_hnsw")
+    "q_ann_hnsw",
+    // round-10 late adds: LPA fixpoint (graded on build), k-center
+    // selection rounds (k corpus scans), the WordPiece kernel
+    // (per-DISTINCT-word — replicas multiply word COUNTS, not the
+    // distinct space, so this should gate ~flat), the CCNet tercile
+    // sort, the broadcast-bench semantic scan, and the grouped-split
+    // edge rollup over the densified near-dup graph
+    "q_graph_communities", "q_coreset_kcenter", "q_wordpiece_segment",
+    "q_ccnet_buckets", "q_semantic_decontaminate",
+    "q_leakage_free_split")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
@@ -102,7 +111,7 @@ object ScaleGate {
     * per-query work still executes every run). */
   val Materialized: Set[String] =
     Set("q_dedup_clusters", "q_graph_rank", "q_graph_triangles",
-      "q_embed_pca_power")
+      "q_embed_pca_power", "q_graph_communities")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 

@@ -1288,6 +1288,66 @@ object ExtQueries {
     "q_lm_score" -> ((s, d) =>
       lmDocScores(s, d).orderBy(col("doc_id"))),
 
+    // HELD-OUT bigram-LM perplexity — the honest eval twin of
+    // q_lm_score (which scores the corpus under counts trained on
+    // itself): counts train on the doc_id%5!=0 slice, the %5==0
+    // holdout is scored under THOSE counts, unseen bigrams riding the
+    // same Laplace floor (c12=0 ⇒ pfx = PScale/(c1+V), clamped ≥1) —
+    // the number that actually detects distribution shift between
+    // corpus slices. Same gated-broadcast count joins; the only new
+    // plan feature is the LEFT joins (a holdout bigram may be absent
+    // from training), whose null sides the Laplace arithmetic
+    // absorbs. Per-language roll-up with the OOV-bigram rate beside
+    // the bits.
+    "q_lm_heldout" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val bg = (src: DataFrame) => src.where(size(ws) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(ws) - 1), i =>
+            struct(element_at(ws, i).as("w1"),
+              concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))
+                .as("bg")))).as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"),
+          col("b.bg").as("bg"))
+      val train = docs(s, d).where(col("doc_id") % 5 =!= 0)
+      val hold = bg(docs(s, d).where(col("doc_id") % 5 === 0))
+      val bgCounts = Cache.getOrPersist(s, "lmho_bg", d)(
+        bg(train).groupBy(col("bg")).agg(count(lit(1)).as("c12")))
+      val ugCounts = Cache.getOrPersist(s, "lmho_ug", d)(
+        train.select(explode(split(col("text"), " ")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+      val vocab = ugCounts.agg(count(lit(1)).as("v"))
+      def gate(tag: String, f: DataFrame) = graft.core.Broadcasts
+        .gatedMemo(f, "spark.graft.lm.broadcastMax", s"lmho_$tag:$d")
+      hold
+        .join(gate("bg", bgCounts), Seq("bg"), "left")
+        .join(gate("ug", ugCounts), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("c12n", coalesce(col("c12"), lit(0L)))
+        .withColumn("c1n", coalesce(col("c1"), lit(0L)))
+        .withColumn("pfx", greatest(
+          expr(s"((c12n + 1) * ${LmScore.PScale}L) div (c1n + v)"),
+          lit(1L)))
+        .withColumn("e", length(conv(col("pfx"), 10, 2)).cast("long"))
+        .withColumn("nl2", lit(LmScore.L9Fx)
+          - (col("e") - 1) * lit(LmScore.LogScale)
+          - element_at(typedLit(LmScore.Log2Table),
+              (expr(s"(pfx * ${LmScore.MScale}L) div " +
+                "shiftleft(1L, CAST(e - 1 AS INT))")
+                - lit(LmScore.MScale - 1)).cast("int")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum((col("c12n") === 0L).cast("long")).as("oov_bigrams"),
+          sum(col("nl2")).as("sum_nl2fx"))
+        .select(col("lang"), col("n_bigrams"), col("oov_bigrams"),
+          Det.r4(col("oov_bigrams").cast("double") /
+            col("n_bigrams").cast("double")).as("oov_rate"),
+          Det.r4(col("sum_nl2fx").cast("double") /
+            col("n_bigrams").cast("double") /
+            lit(LmScore.LogScale.toDouble)).as("avg_bits"))
+        .orderBy(col("lang"))
+    }),
+
     // CCNet-style perplexity buckets (Wenzek et al. 2020): the corpus
     // split head/middle/tail by per-doc LM bits terciles — the public
     // curation recipe that keeps the fluent two thirds and reviews
@@ -5382,6 +5442,59 @@ object ExtQueries {
          |       ${r4(s"CAST(sum_nl2fx // n_bigrams AS DOUBLE) / " +
                 s"${LmScore.LogScale}.0")} AS avg_bits
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Held-out LM: train counts from the %5!=0 slice, LEFT joins with
+    // Laplace-absorbed nulls, same integer-log2 decomposition.
+    "q_lm_heldout" ->
+      s"""WITH tws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE doc_id % 5 != 0),
+         |hws AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |tbg AS (
+         |  SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM tws WHERE len(w) >= 2),
+         |bgc AS (SELECT bg, count(*) AS c12 FROM tbg GROUP BY 1),
+         |ugc AS (
+         |  SELECT w1, count(*) AS c1 FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w1
+         |    FROM documents WHERE doc_id % 5 != 0)
+         |  GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM ugc),
+         |hbg AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(w)), i -> w[i]))
+         |           AS w1,
+         |         unnest(list_transform(range(1, len(w)),
+         |           i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM hws WHERE len(w) >= 2),
+         |j AS (
+         |  SELECT h.lang, COALESCE(b.c12, 0) AS c12n,
+         |         GREATEST(((COALESCE(b.c12, 0) + 1) * ${LmScore.PScale})
+         |             // (COALESCE(u.c1, 0) + vv.v), 1) AS pfx
+         |  FROM hbg h
+         |  LEFT JOIN bgc b USING (bg)
+         |  LEFT JOIN ugc u USING (w1)
+         |  CROSS JOIN vv),
+         |nl AS (
+         |  SELECT lang, c12n,
+         |         ${LmScore.L9Fx}
+         |           - (length(bin(pfx)) - 1) * ${LmScore.LogScale}
+         |           - (${LmScore.log2TableSql}[
+         |               CAST((pfx * ${LmScore.MScale})
+         |                 // (CAST(1 AS BIGINT) << (length(bin(pfx)) - 1))
+         |                 AS INTEGER) - ${LmScore.MScale - 1}]) AS nl2
+         |  FROM j)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(CASE WHEN c12n = 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS oov_bigrams,
+         |       ${r4("CAST(sum(CASE WHEN c12n = 0 THEN 1 ELSE 0 END) " +
+              "AS DOUBLE) / count(*)")} AS oov_rate,
+         |       ${r4(s"CAST(sum(nl2) AS DOUBLE) / count(*) / " +
+              s"${LmScore.LogScale}.0")} AS avg_bits
+         |FROM nl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CCNet terciles: per-doc avg_nl2fx from the shared LM replay,
     // thresholds = the ACTUAL elements at 0-based ranks
