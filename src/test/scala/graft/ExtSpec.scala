@@ -398,6 +398,27 @@ class ExtSpec extends SparkSpec {
     assert(r0 === Seq((100L, 0L)))
   }
 
+  test("label propagation keeps bridged cliques distinct where CC " +
+    "merges them") {
+    import spark.implicits._
+    import graft.ext.{Dedup, GraphRank}
+    // two triangles joined by one bridge edge (2–10): the density
+    // structure LPA must preserve and min-label CC cannot
+    val edges = Seq(0L -> 1L, 0L -> 2L, 1L -> 2L,
+      10L -> 11L, 10L -> 12L, 11L -> 12L,
+      2L -> 10L).toDF("d1", "d2")
+    val lpa = GraphRank.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L).map(lpa) === Set(0L))
+    assert(Set(10L, 11L, 12L).map(lpa) === Set(10L))
+    val cc = Dedup.connectedComponents(
+        edges.select(col("d1").as("doc_id"))
+          .unionByName(edges.select(col("d2").as("doc_id"))).distinct(),
+        edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(0L)) // CC: one merged component
+  }
+
   test("wordpiece greedy takes the longest piece; position classes " +
     "are distinct") {
     import graft.ext.WordPiece
