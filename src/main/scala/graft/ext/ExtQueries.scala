@@ -2422,6 +2422,26 @@ object ExtQueries {
         .orderBy(col("img_a"), col("img_b"))
     }),
 
+    // Image RESIZE over real decoded pixels: every phash fixture PNG
+    // box-mean-pooled to a 3×2 thumbnail (each cell = exact integer
+    // luminance sum over 12×16 px). The engine must earn the values
+    // through javax.imageio decode + the pooling loops; the oracle
+    // replays the fixtures' generation FORMULA + the same pooling
+    // arithmetic — so a wrong decode, wrong luminance weights, or
+    // off-by-one cell bound lands cell-visibly red (the
+    // PhashFixtures discipline, now for the resize path). Shape at
+    // 100 TB: partition-parallel mapPartitions kernel, one decode
+    // per image, no shuffle before the final per-cell projection.
+    "q_image_thumbnail" -> ((s, d) => {
+      val p = graft.io.PhashFixtures.write(s, d)
+      Multimodal.thumbnailAll(s.read.parquet(p), tw = 3, th = 2).toDF()
+        .select(col("doc_id").as("img_id"), col("cx"), col("cy"),
+          col("n_px"), col("sum_lum"),
+          Det.r4(col("sum_lum").cast("double") /
+            col("n_px").cast("double")).as("mean_lum"))
+        .orderBy(col("img_id"), col("cy"), col("cx"))
+    }),
+
     // session_window in batch mode (streaming twin: StreamOps).
     "q_session_window" -> ((s, d) =>
       StreamOps.sessionAgg(Sources.table(s, d, "events"))
@@ -7100,6 +7120,30 @@ object ExtQueries {
     // over those bits — the engine's pixel path (PNG decode, integer
     // luminance, box means, bit packing, band join, popcount) must
     // land on identical pairs cell-for-cell.
+    // Resize replay: the fixture level formula + the same box-mean
+    // arithmetic (cell = 3×4 blocks of 4×4 px; gray pixel luminance
+    // is exactly its level, so sum_lum = 16·Σ levels).
+    "q_image_thumbnail" ->
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+         |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+         |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+         |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+         |grid AS (
+         |  SELECT id, v, bx, by,
+         |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+         |          + by*29) % 192
+         |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+         |  FROM ids, vs, bxs, bys),
+         |cells AS (
+         |  SELECT id*3 + v AS img_id, bx // 3 AS cx, by // 4 AS cy,
+         |         CAST(16 * count(*) AS BIGINT) AS n_px,
+         |         CAST(16 * sum(val) AS BIGINT) AS sum_lum
+         |  FROM grid GROUP BY 1, 2, 3)
+         |SELECT img_id, cx, cy, n_px, sum_lum,
+         |       ${r4("CAST(sum_lum AS DOUBLE) / CAST(n_px AS DOUBLE)")}
+         |         AS mean_lum
+         |FROM cells ORDER BY img_id, cy, cx""".stripMargin,
+
     "q_image_phash" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
         |vs AS (SELECT unnest(generate_series(0, 2)) AS v),

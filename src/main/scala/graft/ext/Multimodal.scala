@@ -256,6 +256,49 @@ object Multimodal {
       hash
     }
 
+  case class ThumbCell(doc_id: Long, cx: Long, cy: Long,
+                       n_px: Long, sum_lum: Long)
+
+  /** Thumbnail (box-mean resize) kernel: decode → integer luminance →
+    * tw×th cell sums with the same `x·tw/w` binning as [[dHash64]]'s
+    * blocks. Emits exact integer (count, sum) per cell so the
+    * downstream mean is reproducible arithmetic, not a resampling
+    * implementation detail — the contract that lets a SQL oracle
+    * replay a RESIZE of a real decoded PNG. */
+  private[graft] def thumbCells(doc: Long, bytes: Array[Byte],
+                                tw: Int, th: Int): Seq[ThumbCell] =
+    decodeImage(bytes).toSeq.flatMap { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val sums = Array.ofDim[Long](th, tw)
+      val cnts = Array.ofDim[Long](th, tw)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(th - 1, y * th / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(tw - 1, x * tw / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          sums(cy)(cx) += lum
+          cnts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      for { cy <- 0 until th; cx <- 0 until tw }
+        yield ThumbCell(doc, cx.toLong, cy.toLong,
+          cnts(cy)(cx), sums(cy)(cx))
+    }
+
+  /** Partition-parallel thumbnails over the binary column. */
+  def thumbnailAll(media: DataFrame, tw: Int, th: Int): Dataset[ThumbCell] = {
+    implicit val encIn = Encoders.product[MediaRecord]
+    implicit val encOut = Encoders.product[ThumbCell]
+    media.select(col("doc_id"), col("media")).as[MediaRecord]
+      .mapPartitions(_.flatMap(r => thumbCells(r.doc_id, r.media, tw, th)))
+  }
+
   /** Partition-parallel dHash over the binary column — the content-
     * hash step of multimodal dedup; same kernel shape as
     * [[decodeAll]]. */
