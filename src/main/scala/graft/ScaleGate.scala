@@ -111,7 +111,10 @@ object ScaleGate {
     * per-query work still executes every run). */
   val Materialized: Set[String] =
     Set("q_dedup_clusters", "q_graph_rank", "q_graph_triangles",
-      "q_embed_pca_power", "q_graph_communities")
+      "q_embed_pca_power", "q_graph_communities",
+      // whole-RESULT caches (snapshot serve / per-word segment
+      // table): warm is a bare scan, grade the build
+      "q_ann_persist", "q_wordpiece_segment")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 

@@ -120,11 +120,17 @@ object AnnIndex {
   def appendGraph(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
+    val deltaIds = broadcast(delta.select(col("vec_id").as("did")))
+    // anti-join the delta out of the stored lists before re-unioning:
+    // the documented call order (after [[append]]) means ivf_codes
+    // already carries the delta, and duplicated rows would inflate
+    // LSH buckets toward the cap AND burn top-K out-degree slots on
+    // duplicate (v, n) pairs
     val stored = spark.read.parquet(s"$path/ivf_codes")
       .select(col("vec_id"), col("embedding"))
+      .join(deltaIds, col("vec_id") === col("did"), "left_anti")
     val union = stored.unionByName(
       delta.select(col("vec_id"), col("embedding")))
-    val deltaIds = broadcast(delta.select(col("vec_id").as("did")))
     val pc = VectorSearch.bandedPairCosine(union,
       VectorSearch.GraphBands, VectorSearch.GraphBandBits)
     val touching = pc

@@ -2751,7 +2751,10 @@ object ExtQueries {
     // this query's serve tail runs per request.
     "q_ann_persist" -> ((s, d) => {
       Cache.getOrSnapshot(s, "ann_persist_serve", d) {
-        val path = "target/ann_index/" +
+        // absolute base like every other persisted artifact (a
+        // cwd-relative path serves different indexes per launch dir)
+        val path = sys.props.getOrElse("graft.ann.indexBase",
+          "/root/repo/target/ann_index") + "/" +
           d.replaceAll("[^A-Za-z0-9._-]", "_")
         val e = emb(s, d).select(col("vec_id"), col("embedding"))
         val cells = VectorSearch.labelCentroids(emb(s, d))

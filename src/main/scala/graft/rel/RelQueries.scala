@@ -528,8 +528,12 @@ object RelQueries {
         approx_count_distinct(col("user_id"), 0.05).as("eu"))
       exact.crossJoin(est)
         .select(col("n_click"), col("n_buy"), col("n_both"),
-          (abs(col("ea") + col("eb") - col("eu") - col("n_both"))
-            .cast("double") / col("n_both").cast("double") <= 0.3)
+          // n_both = 0 ⇒ the relative band is undefined (÷0 → NaN
+          // false) while the oracle's literal stays true — the bound
+          // is only asserted when there IS an intersection to price
+          (col("n_both") === 0L ||
+            abs(col("ea") + col("eb") - col("eu") - col("n_both"))
+              .cast("double") / col("n_both").cast("double") <= 0.3)
             .as("within_bounds"))
     }),
 
