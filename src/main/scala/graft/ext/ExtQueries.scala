@@ -2289,6 +2289,38 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("frame_id"))
     }),
 
+    // TIME-budgeted frame sampling (the ffmpeg `-r` shape, not
+    // every-Nth): per-frame start instants from the running sum of
+    // the REAL parsed GIF delays, then one sampled frame per 10 cs
+    // instant — the frame whose [start, start+delay) interval covers
+    // it (a bounded interval join: ≤6 frames × ≤9 instants per
+    // video). The op a video-curation pipeline runs to cut decode
+    // cost before feature extraction; the oracle replays the
+    // fixtures' delay formula through the same cumsum + interval
+    // arithmetic, so a mis-parsed delay or off-by-one interval bound
+    // moves a cell.
+    "q_frame_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.io.VideoFixtures.write(s, d)
+      val f = Multimodal.frameInventory(s.read.parquet(p)).toDF()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+      val tl = f
+        .withColumn("start_cs", sum(col("delay_cs")).over(w)
+          - col("delay_cs"))
+        .select(col("doc_id"), col("frame_id"), col("delay_cs"),
+          col("start_cs"))
+      val dur = tl.groupBy(col("doc_id"))
+        .agg(max(col("start_cs") + col("delay_cs")).as("dur"))
+      val inst = dur.select(col("doc_id"),
+        explode(sequence(lit(0L), col("dur") - 1, lit(10L))).as("t_cs"))
+      inst.join(tl, Seq("doc_id"))
+        .where(col("t_cs") >= col("start_cs") &&
+          col("t_cs") < col("start_cs") + col("delay_cs"))
+        .select(col("doc_id"), col("t_cs"), col("frame_id"),
+          col("start_cs"), col("delay_cs"))
+        .orderBy(col("doc_id"), col("t_cs"))
+    }),
+
     // Perceptual-hash image near-dup, scored CELL-EXACT end to end:
     // real PNGs (PhashFixtures: block-constant grids whose levels are
     // arithmetic in id) → javax.imageio decode → integer dHash-64 →
@@ -6994,6 +7026,44 @@ object ExtQueries {
          |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
          |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Frame sampling: the delay formula through the same cumsum +
+    // interval-cover arithmetic.
+    "q_frame_sample" ->
+      s"""WITH v AS (
+         |  SELECT doc_id
+         |  FROM read_parquet('${graft.io.VideoFixtures.videoPath(
+              graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
+         |f AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT)))
+         |           AS frame_id
+         |  FROM v),
+         |dl AS (
+         |  SELECT doc_id, frame_id,
+         |         5 + (doc_id + 3 * frame_id) % 10 AS delay_cs
+         |  FROM f),
+         |tl AS (
+         |  SELECT doc_id, frame_id, delay_cs,
+         |         sum(delay_cs) OVER (PARTITION BY doc_id
+         |                             ORDER BY frame_id) - delay_cs
+         |           AS start_cs
+         |  FROM dl),
+         |dur AS (SELECT doc_id, max(start_cs + delay_cs) AS dur
+         |        FROM tl GROUP BY 1),
+         |inst AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0, CAST(dur - 1 AS BIGINT), 10))
+         |           AS t_cs
+         |  FROM dur)
+         |SELECT i.doc_id, CAST(i.t_cs AS BIGINT) AS t_cs,
+         |       CAST(t.frame_id AS BIGINT) AS frame_id,
+         |       CAST(t.start_cs AS BIGINT) AS start_cs,
+         |       CAST(t.delay_cs AS BIGINT) AS delay_cs
+         |FROM inst i JOIN tl t ON t.doc_id = i.doc_id
+         |  AND i.t_cs >= t.start_cs
+         |  AND i.t_cs < t.start_cs + t.delay_cs
+         |ORDER BY 1, 2""".stripMargin,
 
     // Formula edges + the recursive min-label CC replay (the
     // q_dedup_clusters oracle pattern over the phash edge set).
