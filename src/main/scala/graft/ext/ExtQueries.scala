@@ -2150,6 +2150,37 @@ object ExtQueries {
     // fixed-point (1e-9) integer sum, so no double addition order can
     // differ. The two totals ride on a broadcast cross join — the
     // by-source frame is O(sources).
+    // Cluster-balanced mixing weights: the p^(3/4) temperature
+    // formula applied to EMBEDDING-CLUSTER shares instead of source
+    // labels — the semantic complement to q_domain_mix_weights (a
+    // single web source hides many topical clusters; balancing on
+    // k-means cells is how a curation run up-weights rare topics it
+    // has no label for). Reuses the session k-means assignment the
+    // SemDeDup/topics family trains; same sqrt(sqrt(p³)) portability
+    // trick, same fixed-point snap.
+    "q_cluster_mix_weights" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
+        VectorSearch.kmeansCells(e, k = 8, iters = 2))
+      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+      val byCell = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
+          VectorSearch.assignCells(e, cellsB))
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n_docs"))
+      val tot = byCell.agg(sum(col("n_docs")).as("tot"))
+      val p = col("n_docs").cast("double") / col("tot").cast("double")
+      val wraw = sqrt(sqrt(p * p * p))
+      val snapped = byCell.crossJoin(broadcast(tot))
+        .select(col("cell_id"), col("n_docs"), Det.r4(p).as("p"),
+          floor(wraw * lit(1.0e9) + lit(0.5)).cast("long").as("wfx"))
+      val wtot = snapped.agg(sum(col("wfx")).as("wtot"))
+      snapped.crossJoin(broadcast(wtot))
+        .select(col("cell_id"), col("n_docs"), col("p"),
+          Det.r4(col("wfx").cast("double") / col("wtot").cast("double"))
+            .as("w"))
+        .orderBy(col("cell_id"))
+    }),
+
     "q_domain_mix_weights" -> ((s, d) => {
       val bySrc = docs(s, d).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
@@ -6852,6 +6883,29 @@ object ExtQueries {
          |       ${r4("CAST(sum(c) - count(*) AS DOUBLE) / " +
               "CAST(sum(c) AS DOUBLE)")} AS dup_ratio
          |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Temperature mix over the k-means assignment replay (shared
+    // chain, assign2 = final assignment), same unrounded-p
+    // discipline as the source-label twin.
+    "q_cluster_mix_weights" -> Oracle.mat({
+      val pe = "(CAST(n_docs AS DOUBLE)/CAST(tot AS DOUBLE))"
+      s"""WITH ${kmeansAssignCtes(k = 8, iters = 2)},
+         |bycell AS (
+         |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM assign2 GROUP BY 1),
+         |ctot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM bycell),
+         |snapped AS (
+         |  SELECT cell_id, n_docs,
+         |         ${r4(pe)} AS p,
+         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
+         |              + 0.5) AS BIGINT) AS wfx
+         |  FROM bycell, ctot),
+         |cwt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
+         |SELECT cell_id, n_docs, p,
+         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w
+         |FROM snapped, cwt
+         |ORDER BY cell_id""".stripMargin
+    }),
 
     // Same arithmetic, spelled out: raw share p goes UNROUNDED into
     // sqrt(sqrt(p*p*p)); only the emitted columns are r4-rounded.
