@@ -483,6 +483,57 @@ object StreamOps {
         unix_millis(col("cts")).as("cts_ms"))
   }
 
+  case class EvLedger(user_id: Long, event_id: Long, ts_us: Long,
+                      delta_c: Long)
+  case class LedgerOut(user_id: Long, n_events: Long,
+                       final_balance_c: Long, n_clamped: Long)
+
+  /** The clamped per-user ledger on `transformWithState` — the
+    * Spark 4 arbitrary-state API (StatefulProcessor + typed
+    * ValueState), successor to mapGroupsWithState: explicit state
+    * variables with per-state encoders and TTL, timer callbacks, and
+    * batch-independent state isolation. Same recurrence as
+    * q_clamped_balance's typed fold (max(0, prev+δ), order-dependent
+    * — no window function expresses it); rows are folded in
+    * (ts, event_id) order within each batch, state carries (n,
+    * balance, clamps) across batches, and each batch emits the
+    * key's updated ledger. StreamingSpec proves the incremental
+    * stream lands exactly on the batch fold. */
+  class ClampedLedgerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvLedger, LedgerOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode,
+      TTLConfig, TimerValues, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("ledger",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvLedger],
+        timerValues: TimerValues): Iterator[LedgerOut] = {
+      val (n0, b0, c0) =
+        if (st.exists()) st.get() else (0L, 0L, 0L)
+      var n = n0; var b = b0; var c = c0
+      rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        n += 1L
+        val nb = b + e.delta_c
+        if (nb < 0L) { c += 1L; b = 0L } else b = nb
+      }
+      st.update((n, b, c))
+      Iterator.single(LedgerOut(key, n, b, c))
+    }
+  }
+
+  def clampedLedgerStream(ds: Dataset[EvLedger]): Dataset[LedgerOut] = {
+    implicit val encO = Encoders.product[LedgerOut]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new ClampedLedgerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        encO)
+  }
+
   /** FULL-OUTER twin of [[touchJoinStream]] — the complete
     * reconciliation feed: matched (click, purchase) pairs promptly,
     * clicks with no purchase in the band AND purchases with no

@@ -503,6 +503,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState clamped ledger: incremental batches land " +
+    "on the batch fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // transformWithState needs per-state column families — RocksDB
+    // provider only (the HDFS-backed default rejects it)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.EvLedger](spark)
+    val q = StreamOps.clampedLedgerStream(input.toDS())
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("twsledger").start()
+    // user 1: +500, -800 (clamp), +300; user 2: +200, -100 — split
+    // across two event-time-ordered batches (out of order WITHIN a
+    // batch to exercise the per-batch sort)
+    val evs = Seq(
+      StreamOps.EvLedger(1L, 11L, 1000L, 500L),
+      StreamOps.EvLedger(1L, 12L, 2000L, -800L),
+      StreamOps.EvLedger(2L, 21L, 1500L, 200L),
+      StreamOps.EvLedger(1L, 13L, 3000L, 300L),
+      StreamOps.EvLedger(2L, 22L, 2500L, -100L))
+    try {
+      input.addData(evs(1), evs(0), evs(2)) // batch 1, shuffled
+      q.processAllAvailable()
+      input.addData(evs(4), evs(3))         // batch 2
+      q.processAllAvailable()
+      val last = spark.sql(
+        """SELECT user_id, n_events, final_balance_c, n_clamped FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY n_events DESC) AS rn FROM twsledger)
+          |WHERE rn = 1""".stripMargin)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // the exact batch fold: u1 500→clamp(0)→300; u2 200→100
+      assert(last(1L) === ((3L, 300L, 1L)))
+      assert(last(2L) === ((2L, 100L, 0L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming latest-version state equals the batch q_cdc_latest order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
