@@ -525,6 +525,72 @@ object StreamOps {
     }
   }
 
+  case class TimerEv(user_id: Long, ts: java.sql.Timestamp)
+  case class TimerSession(user_id: Long, start_ms: Long, end_ms: Long,
+                          n_events: Long)
+
+  /** TIMER-driven session closer on `transformWithState` — the
+    * mechanism [[closedSessions]]' flatMapGroupsWithState variant
+    * cannot express: instead of closing a session only when the NEXT
+    * event arrives, an event-time timer at (last_ts + gap) fires
+    * [[handleExpiredTimer]] once the watermark passes it, so an
+    * idle user's final session is emitted WITHOUT another event —
+    * the re-engagement trigger a marketing pipeline actually wants.
+    * State = (start, last, n); each arriving batch extends the run
+    * and re-arms the single timer (previous one deleted — at most
+    * one live timer per key, state O(1)). */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimerEv, TimerSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("run",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TimerEv],
+        timerValues: TimerValues): Iterator[TimerSession] = {
+      val ts = rows.map(_.ts.getTime).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[TimerSession]
+      var (s0, l0, n0) = if (st.exists()) st.get() else (-1L, -1L, 0L)
+      ts.foreach { t =>
+        if (s0 < 0L) { s0 = t; l0 = t; n0 = 1L }
+        else if (t - l0 >= gapMs) {
+          out += TimerSession(key, s0, l0, n0)
+          s0 = t; l0 = t; n0 = 1L
+        } else { l0 = math.max(l0, t); n0 += 1L }
+      }
+      getHandle.listTimers().foreach(e =>
+        getHandle.deleteTimer(e.asInstanceOf[Long]))
+      getHandle.registerTimer(l0 + gapMs)
+      st.update((s0, l0, n0))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TimerSession] = {
+      val out = if (st.exists()) {
+        val (s0, l0, n0) = st.get()
+        Iterator.single(TimerSession(key, s0, l0, n0))
+      } else Iterator.empty
+      st.clear()
+      out
+    }
+  }
+
+  def timerSessions(ds: Dataset[TimerEv],
+                    gapMs: Long = 1800000L): Dataset[TimerSession] = {
+    implicit val encO = Encoders.product[TimerSession]
+    ds.withWatermark("ts", "10 minutes")
+      .as[TimerEv](Encoders.product[TimerEv])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        encO)
+  }
+
   def clampedLedgerStream(ds: Dataset[EvLedger]): Dataset[LedgerOut] = {
     implicit val encO = Encoders.product[LedgerOut]
     ds.groupByKey(_.user_id)(Encoders.scalaLong)

@@ -503,6 +503,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timer closes an idle session WITHOUT another event") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[StreamOps.TimerEv](spark)
+    val q = StreamOps.timerSessions(input.toDS().toDF("user_id", "ts")
+        .as[StreamOps.TimerEv], gapMs = 1800000L)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("twstimer").start()
+    def rows() = spark.sql(
+      "SELECT user_id, start_ms, end_ms, n_events FROM twstimer")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    try {
+      // user 1 has a 2-event run then goes idle forever
+      input.addData(StreamOps.TimerEv(1L, ts(0)),
+        StreamOps.TimerEv(1L, ts(5)))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // run still open, no next event — and none coming
+      // ANOTHER user's much-later event advances the watermark past
+      // user 1's (last + gap) timer: the idle session must surface
+      // via handleExpiredTimer, no user-1 event involved
+      input.addData(StreamOps.TimerEv(9L, ts(600)))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch fires expired timers
+      val got = rows()
+      assert(got.contains((1L,
+        1700000000000L, 1700000000000L + 5 * 60000L, 2L)), got.toString)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState clamped ledger: incremental batches land " +
     "on the batch fold") {
     import spark.implicits._
