@@ -2335,11 +2335,15 @@ object ExtQueries {
       val p = graft.io.VideoFixtures.write(s, d)
       val f = Multimodal.frameInventory(s.read.parquet(p)).toDF()
       val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+      // eager checkpoint: tl feeds BOTH interval-join sides (directly
+      // and via dur→inst) — without it every reference re-decodes all
+      // fixture GIFs through the ImageIO kernel
       val tl = f
         .withColumn("start_cs", sum(col("delay_cs")).over(w)
           - col("delay_cs"))
         .select(col("doc_id"), col("frame_id"), col("delay_cs"),
           col("start_cs"))
+        .localCheckpoint(true)
       val dur = tl.groupBy(col("doc_id"))
         .agg(max(col("start_cs") + col("delay_cs")).as("dur"))
       val inst = dur.select(col("doc_id"),

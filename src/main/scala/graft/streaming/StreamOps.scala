@@ -554,16 +554,20 @@ object StreamOps {
         timerValues: TimerValues): Iterator[TimerSession] = {
       val ts = rows.map(_.ts.getTime).toArray.sorted
       val out = scala.collection.mutable.ArrayBuffer.empty[TimerSession]
-      var (s0, l0, n0) = if (st.exists()) st.get() else (-1L, -1L, 0L)
+      // n0 == 0 is the "no open session" test — a timestamp sentinel
+      // would collide with legitimate pre-1970 (negative-ms) values
+      var (s0, l0, n0) = if (st.exists()) st.get() else (0L, 0L, 0L)
       ts.foreach { t =>
-        if (s0 < 0L) { s0 = t; l0 = t; n0 = 1L }
+        if (n0 == 0L) { s0 = t; l0 = t; n0 = 1L }
         else if (t - l0 >= gapMs) {
           out += TimerSession(key, s0, l0, n0)
           s0 = t; l0 = t; n0 = 1L
-        } else { l0 = math.max(l0, t); n0 += 1L }
+        } else {
+          // an in-watermark late event can predate the current start
+          s0 = math.min(s0, t); l0 = math.max(l0, t); n0 += 1L
+        }
       }
-      getHandle.listTimers().foreach(e =>
-        getHandle.deleteTimer(e.asInstanceOf[Long]))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(l0 + gapMs)
       st.update((s0, l0, n0))
       out.iterator
