@@ -2881,9 +2881,9 @@ object ExtQueries {
 
     // GRAPH ANN (NSW family — Malkov & Yashunin's HNSW re-expressed
     // distributed): k-NN graph from the CAPPED banded-LSH candidate
-    // pairs (the bounded build — never all pairs), then 3 rounds of
-    // beam expansion from the 4 lowest-id entry points, scoring ONLY
-    // the expanded candidates. The third serving family beside
+    // pairs (the bounded build — never all pairs), then 4 rounds of
+    // beam-32 expansion from the 4 lowest-id entry points, scoring
+    // ONLY the expanded candidates. The third serving family beside
     // quantization (IVF/PQ/SQ) and hashing (LSH); the oracle replays
     // graph build + every beam round as CTEs, so the traversal is
     // cell-exact, not just rows-plausible.
@@ -2946,10 +2946,11 @@ object ExtQueries {
 
     // Recall@3 of the hierarchical serve vs the same exact ground
     // truth as the flat graph serve — the pair of numbers that
-    // prices the hierarchy: ~40% less scoring work (2+2 narrow/wide
-    // rounds vs the flat serve's 3 wide) for less recall on this
-    // toy corpus (0.23 vs 0.40 at sf0.01), a trade that inverts as
-    // N grows and entry distance starts to dominate round count.
+    // prices the hierarchy: ~25% less wide-round scoring (2 narrow
+    // subset rounds + 3 wide vs the flat serve's 4 wide) for
+    // recall@3 0.667 vs 0.733 at sf0.01 — a trade that widens in
+    // the hierarchy's favor as N grows and entry distance starts to
+    // dominate round count.
     "q_ann_hnsw_recall" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val g0 = Cache.getOrSnapshot(s, "knn_graph", d)(

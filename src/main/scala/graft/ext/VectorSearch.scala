@@ -649,9 +649,14 @@ object VectorSearch {
   // ---------------------------------------------------------------
 
   /** Graph geometry for the scored queries: 8 neighbors per vertex,
-    * beam width 8, 3 expansion rounds, 4 entry points. Pinned
+    * beam width 32, 4 expansion rounds, 4 entry points. Pinned
     * constants (the oracle replays the rounds as CTEs); production
-    * uses K≈32, beam ≈ 64–128.
+    * uses K≈32, beam ≈ 64–128. Tuned against the recall twin on the
+    * sf0.01 corpus: beam width is the dominant lever (the efSearch
+    * analog — 8→16→32 moved recall@3 0.40→0.53→0.67) and a 4th
+    * round buys 0.67→0.73; widening the ENTRY set or densifying K
+    * measured strictly worse (beam saturation by entry-region
+    * vertices / near-dup edges crowding the expansion).
     *
     * The graph BUILD runs its own COARSE banded LSH
     * ([[GraphBandBits]] = 8 vs the near-dup family's 16): a
@@ -663,8 +668,8 @@ object VectorSearch {
     * vertex isolated from its true neighbors. The recall twin is
     * the read-out that caught it.) */
   val GraphK = 8
-  val GraphBeam = 8
-  val GraphRounds = 3
+  val GraphBeam = 32
+  val GraphRounds = 4
   val GraphEntries = 4
   val GraphBands = 4
   val GraphBandBits = 8
@@ -744,11 +749,15 @@ object VectorSearch {
     * upper layer, made deterministic), searched with a narrow beam;
     * its result seeds layer 0, which then needs FEWER rounds than
     * the flat serve because the entries are already near the
-    * target. Pinned constants — the oracle replays both layers. */
+    * target. Pinned constants — the oracle replays both layers.
+    * Measured at sf0.01: 2 narrow subset rounds + 3 wide rounds →
+    * recall@3 0.667 vs the flat serve's 0.733 at 4 wide rounds —
+    * ~25% less wide-round scoring for −0.07 recall, the trade that
+    * widens in the hierarchy's favor as N grows. */
   val HnswSampleMod = 8
-  val HnswL1Beam = 4
+  val HnswL1Beam = 8
   val HnswL1Rounds = 2
-  val HnswL0Rounds = 2
+  val HnswL0Rounds = 3
 
   /** The layer-1 k-NN graph: [[knnGraph]] over the deterministic
     * sample (its own banded-LSH candidates, its own bucket caps —
