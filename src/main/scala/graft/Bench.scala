@@ -10,12 +10,28 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * record lives in the file.
   *
   * Two back-to-back timed sweeps: pass 1 lands one-time costs that
-  * escaped `_shared_build` (JIT, codegen caches, parquet footer reads,
-  * persist fills); pass 2 — the `queries` field and the headline
-  * `value` — is the comparable number across rounds and hosts (the
-  * co-tenant noise postmortem in VERDICT r4: same code swung 2–4×
-  * between single-pass runs). `value` = `_shared_build` + warm-pass
-  * sum, matching BASELINE.md's accounting.
+  * escaped the shared build (JIT, codegen caches, parquet footer
+  * reads, persist fills); pass 2 — the `queries` field and the
+  * headline `value` — is the comparable number across rounds and
+  * hosts (the co-tenant noise postmortem in VERDICT r4: same code
+  * swung 2–4× between single-pass runs). `value` = `_shared_build` +
+  * warm-pass sum, matching BASELINE.md's accounting.
+  *
+  * Attribution (round-10 verdict #1): the session-shared snapshot
+  * builds run FIRST, serially, one timer per NAMED component — the
+  * `_shared:<name>` rows in `queries` — so no first-touch snapshot
+  * cost ever lands on whichever query happens to run first in the
+  * cold sweep. `_shared_build` is the components' sum. Every query
+  * row carries the 1-min load average at START and END (a 50 s
+  * query's start stamp alone understates co-tenant noise).
+  *
+  * The warm pass is NEVER skipped (round-10 verdict #1: a cold-only
+  * artifact cannot be band-compared). If the wall budget
+  * (`SPARK_GRAFT_TIME_BUDGET_SEC`, default 2100 s) runs short, the
+  * warm sweep is TRUNCATED mid-pass instead — cheapest-first order
+  * maximizes how many queries get a warm number, unreached queries
+  * keep their cold time in the merged `queries` map, and the record
+  * is flagged `warm_partial` with the measured count.
   *
   * Timeout-proof (round-6 postmortem: rc-124 at ~49 min left NO numbers
   * because the only JSON was printed at process end):
@@ -23,9 +39,6 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *   - a JVM shutdown hook prints the driver-contract line from whatever
   *     completed (marked `"partial":true`) if the normal print never ran —
   *     `timeout(1)` sends SIGTERM, which runs hooks;
-  *   - a wall-clock budget (`SPARK_GRAFT_TIME_BUDGET_SEC`, default 2100 s)
-  *     downgrades gracefully: past 45% after the cold pass, the warm pass
-  *     is skipped and cold numbers are reported (flagged `warm_skipped`);
   *   - sweeps run cheapest-first (committed BENCH_FULL.json warm times),
   *     so a kill mid-sweep preserves the most per-query numbers.
   */
@@ -36,6 +49,7 @@ object Bench {
   private val done =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double)]
   @volatile private var sharedSec = 0.0
+  @volatile private var sharedRows = Seq.empty[(String, Double)]
   @volatile private var sfDirG = ""
 
   private def f3(v: Double): String =
@@ -51,7 +65,9 @@ object Bench {
       queries: Seq[(String, Double)], total: Double, coldSum: Double,
       flags: String): String =
     s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
-      s""","queries":${obj(("_shared_build" -> sharedSec) +: queries, f3)}""" +
+      s""","queries":${obj(("_shared_build" -> sharedSec) +:
+        (sharedRows.map { case (n, v) => s"_shared:$n" -> v } ++
+          queries), f3)}""" +
       s""","sf":"$sfDirG","cold_total":${f3(coldSum)}$flags""" +
       s""","detail":"BENCH_FULL.json"}"""
 
@@ -103,14 +119,15 @@ object Bench {
 
     val partialPath = Paths.get("/root/repo/BENCH_PARTIAL.jsonl")
     try Files.deleteIfExists(partialPath) catch { case _: Throwable => () }
-    def flush(pass: String, name: String, sec: Double, load: Double): Unit = {
+    def flush(pass: String, name: String, sec: Double,
+              load: Double, loadEnd: Double): Unit = {
       // A query in flight at SIGTERM fails when Spark tears down; its
       // truncated elapsed time is not a measurement — drop it.
       if (stopping) return
       done.add((pass, name, sec))
       try Files.writeString(partialPath,
         s"""{"pass":"$pass","query":"$name","sec":${f3(sec)},""" +
-          s""""load":${f3(load)}}""" + "\n",
+          s""""load":${f3(load)},"load_end":${f3(loadEnd)}}""" + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
     }
@@ -119,11 +136,24 @@ object Bench {
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
     val load0 = loadAvg
-    // One-time session-shared builds (bucketed ratings, pair moments,
-    // LSH intermediates, dialect fixtures) under their own timer.
-    val tw = System.nanoTime()
-    try { SparkEntry.warmShared(spark, sfDir) } catch { case _: Throwable => () }
-    val shared = (System.nanoTime() - tw) / 1e9
+    // One-time session-shared builds, one NAMED component at a time
+    // (serial — overlapping them would make the per-component timers
+    // lie about wall cost; attribution outranks the wall-time saving
+    // here because every later cold number reads against these rows).
+    val sharedL = SparkEntry.sharedComponents.map { case (name, f) =>
+      if (stopping) (name, 0.0, 0.0, 0.0)
+      else {
+        val lq = loadAvg
+        val t0 = System.nanoTime()
+        try f(spark, sfDir) catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val le = loadAvg
+        flush("shared", s"_shared:$name", sec, lq, le)
+        (name, sec, lq, le)
+      }
+    }
+    sharedRows = sharedL.map { case (n, s, _, _) => n -> s }
+    val shared = sharedRows.map(_._2).sum
     sharedSec = shared
 
     // Cheapest-first: a mid-sweep kill preserves the most numbers; order
@@ -138,42 +168,65 @@ object Bench {
     val ordered = SparkEntry.queries.toList
       .sortBy { case (name, _) => costOrder.getOrElse(name, 1e9) }
 
-    // Per-query 1-min load average, stamped at query START — the
-    // round-9 postmortem: run-level load_avg_start/end (3.15→15.0)
-    // could not attribute which warm outliers were co-tenant noise.
-    // With a per-query stamp the judge filters on `load` directly.
-    def sweep(pass: String): List[(String, Double, Double)] = ordered.iterator
-      .takeWhile(_ => !stopping)
+    // Per-query 1-min load average, stamped at query START and END —
+    // the round-9 postmortem: run-level load_avg_start/end (3.15→15.0)
+    // could not attribute which warm outliers were co-tenant noise,
+    // and a START-only stamp understates a long query's exposure.
+    // `stopAt`: the warm pass truncates on budget rather than being
+    // skipped wholesale — unreached queries keep cold numbers.
+    def sweep(pass: String, stopAt: Double)
+        : List[(String, Double, Double, Double)] = ordered.iterator
+      .takeWhile(_ => !stopping && elapsed < stopAt)
       .map { case (name, fn) =>
         val lq = loadAvg
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
-        flush(pass, name, sec, lq)
-        (name, sec, lq)
+        val le = loadAvg
+        flush(pass, name, sec, lq, le)
+        (name, sec, lq, le)
       }.toList
-    val coldL = sweep("cold")
-    val cold = coldL.map { case (n, s, _) => n -> s }
-    // Budget gate: past 45% of the wall budget there is no room for a
-    // full second sweep — report cold numbers rather than risk rc 124.
-    val warmSkipped = elapsed > budget * 0.45
-    val warmL = if (warmSkipped) coldL else sweep("warm")
-    val warm = warmL.map { case (n, s, _) => n -> s }
+    // The cold pass never truncates on its own (every query needs at
+    // least one number; the SIGTERM hook covers a hard driver kill);
+    // the warm pass then uses whatever budget remains, up to a 5%
+    // print/teardown reserve. NEVER skip the warm pass outright — a
+    // cold-only artifact cannot be band-compared across rounds.
+    val coldL = sweep("cold", Double.MaxValue)
+    val cold = coldL.map { case (n, s, _, _) => n -> s }
+    val warmL = sweep("warm", budget * 0.95)
+    val warmMeasured = warmL.map { case (n, s, _, _) => n -> s }
+    val warmByName = warmMeasured.toMap
+    val warmPartial = warmMeasured.size < cold.size
+    // merged per-query map: warm where measured, cold elsewhere — the
+    // comparable accounting whether or not the pass truncated
+    val warm = cold.map { case (n, s) => n -> warmByName.getOrElse(n, s) }
     val loadEnd = loadAvg
     val coldSum = cold.map(_._2).sum
     val warmSum = warm.map(_._2).sum
     val total = shared + warmSum
 
+    val sharedObj = obj(
+      sharedL.map { case (n, s, _, _) => s"_shared:$n" -> s }, _.toString)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",
          |"sf":"$sfDir","shared_build_sec":$shared,
+         |"shared_components":$sharedObj,
+         |"shared_load":${obj(
+            sharedL.map { case (n, _, l, _) => s"_shared:$n" -> l }, f3)},
          |"cold_pass_sec":$coldSum,"warm_pass_sec":$warmSum,
-         |"warm_skipped":$warmSkipped,
+         |"warm_partial":$warmPartial,
+         |"warm_measured":${warmMeasured.size},
          |"load_avg_start":$load0,"load_avg_end":$loadEnd,
          |"queries":${obj(warm, _.toString)},
          |"queries_cold":${obj(cold, _.toString)},
-         |"queries_load":${obj(warmL.map { case (n, _, l) => n -> l }, f3)},
-         |"queries_cold_load":${obj(coldL.map { case (n, _, l) => n -> l }, f3)}}
+         |"queries_load":${obj(
+            warmL.map { case (n, _, l, _) => n -> l }, f3)},
+         |"queries_load_end":${obj(
+            warmL.map { case (n, _, _, le) => n -> le }, f3)},
+         |"queries_cold_load":${obj(
+            coldL.map { case (n, _, l, _) => n -> l }, f3)},
+         |"queries_cold_load_end":${obj(
+            coldL.map { case (n, _, _, le) => n -> le }, f3)}}
          |""".stripMargin.replace("\n", "")
     // If the SIGTERM hook is already salvaging, the sweeps above were
     // truncated — writing/printing HERE would overwrite BENCH_FULL.json
@@ -186,7 +239,9 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
       // compact driver line: warm-pass per-query times, 3 decimals.
-      val flags = if (warmSkipped) ""","warm_skipped":true""" else ""
+      val flags = if (warmPartial)
+        s""","warm_partial":true,"warm_measured":${warmMeasured.size}"""
+      else ""
       // mark BEFORE printing: a SIGTERM between println and the flag
       // assignment would make the hook emit a second driver line
       finalPrinted = true

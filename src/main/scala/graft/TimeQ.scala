@@ -30,18 +30,13 @@ object TimeQ {
       case "_shared_build" =>
         timed("_shared_build") { SparkEntry.warmShared(spark, sfDir); 0L }
       case "_shared_components" =>
-        timed("shared:sim") { rel.SimQueries.warm(spark, sfDir); 0L }
-        timed("shared:minhash") { ext.ExtQueries.warmMinhash(spark, sfDir); 0L }
-        timed("shared:simhash") { ext.ExtQueries.warmSimhash(spark, sfDir); 0L }
-        timed("shared:vectors") { ext.ExtQueries.warmVectors(spark, sfDir); 0L }
-      case "shared:sim" =>
-        timed("shared:sim") { rel.SimQueries.warm(spark, sfDir); 0L }
-      case "shared:minhash" =>
-        timed("shared:minhash") { ext.ExtQueries.warmMinhash(spark, sfDir); 0L }
-      case "shared:simhash" =>
-        timed("shared:simhash") { ext.ExtQueries.warmSimhash(spark, sfDir); 0L }
-      case "shared:vectors" =>
-        timed("shared:vectors") { ext.ExtQueries.warmVectors(spark, sfDir); 0L }
+        SparkEntry.sharedComponents.foreach { case (n, f) =>
+          timed(s"shared:$n") { f(spark, sfDir); 0L }
+        }
+      case c if c.startsWith("shared:") =>
+        val n = c.stripPrefix("shared:")
+        val f = SparkEntry.sharedComponents.toMap.apply(n)
+        timed(c) { f(spark, sfDir); 0L }
       case q =>
         timed(q) { SparkEntry.queries(q)(spark, sfDir).count() }
     }

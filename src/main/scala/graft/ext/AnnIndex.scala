@@ -147,7 +147,13 @@ object AnnIndex {
     val out = sym.withColumn("rn", row_number().over(w))
       .where(col("rn") <= VectorSearch.GraphK)
       .select(col("v"), col("n"))
+    // distinct: when BOTH endpoints of a candidate pair are delta
+    // vectors, `out` can carry both orientations (d1→d2 and d2→d1),
+    // and the reverse union would then append each such edge twice —
+    // serving is unaffected (beam candidates are distinct()'d) but
+    // the stored graph and its ≤2·K·nq row bound would be inflated
     out.unionByName(out.select(col("n").as("v"), col("v").as("n")))
+      .distinct()
       .write.mode("append").parquet(s"$path/knn_graph")
   }
 

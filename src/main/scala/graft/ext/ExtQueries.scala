@@ -56,6 +56,50 @@ object ExtQueries {
     * (shared by query and oracle). */
   private val ZipfTopRanks = 30
 
+  /** Per-(doc, term) frequency postings — the BM25 INDEX, shared by
+    * the retrieval query, the token-entropy aggregate and the
+    * cluster-topics c-TF-IDF (session artifact like the PQ
+    * codebook). */
+  private def bm25TfC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrPersist(s, "bm25_tf", d)(
+      docs(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+
+  /** Layer-0 NSW neighbor graph snapshot (graph-ANN serving
+    * structure) — shared by the flat serve, its recall twin, and
+    * both HNSW queries. */
+  private[ext] def knnGraphC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "knn_graph", d)(
+      VectorSearch.knnGraph(
+        emb(s, d).select(col("vec_id"), col("embedding"))))
+
+  /** Layer-1 (sampled-subset) neighbor graph snapshot for the HNSW
+    * descent. */
+  private[ext] def knnGraphL1C(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "knn_graph_l1", d)(
+      VectorSearch.knnGraphL1(
+        emb(s, d).select(col("vec_id"), col("embedding"))))
+
+  /** Write the full on-disk ANN index ONCE per (session, dir) and
+    * return its path — shared by the three *_persist serving queries
+    * so the save cost never repeats per query. Absolute base like
+    * every other persisted artifact (a cwd-relative path would serve
+    * different indexes per launch dir). */
+  private val annSavedMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def annIndexPath(s: SparkSession, d: String): String =
+    annSavedMemo.getOrElseUpdate((Cache.sessionKey(s), d), {
+      val path = sys.props.getOrElse("graft.ann.indexBase",
+        "/root/repo/target/ann_index") + "/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cells = VectorSearch.labelCentroids(emb(s, d))
+        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      AnnIndex.save(e, cells, path)
+      path
+    })
+
   /** Per-doc bigram-LM scores (doc_id, n_bigrams, sum_nl2fx,
     * avg_nl2fx, avg_bits) — the Laplace-smoothed integer-log2
     * pipeline (see LmScore scaladoc), shared by q_lm_score and the
@@ -238,6 +282,10 @@ object ExtQueries {
         k = 8, iters = 2)).count()
     pqCentC(spark, dir).count()
     pqCodesC(spark, dir).count()
+    // the composed IVF-PQ shortlist snapshot too — otherwise its
+    // build lands on whichever of q_ann_ivf_pq / its recall twin
+    // runs first in a cold sweep
+    ivfPqShortlistC(spark, dir).count()
     ()
   }
 
@@ -257,6 +305,47 @@ object ExtQueries {
   def warm(spark: SparkSession, dir: String): Unit = {
     warmMinhash(spark, dir)
     warmSimhash(spark, dir)
+  }
+
+  /** Force the string-shingle postings snapshots (distinct (doc,
+    * shingle) set + rescue candidate pairs) — the first-touch cost
+    * that otherwise lands on whichever of q_decontaminate /
+    * q_ngram_jaccard / q_minhash_rescue runs first (VERDICT r10:
+    * 53.2 s of q_decontaminate's driver cold was this build). */
+  def warmShinglePostings(spark: SparkSession, dir: String): Unit = {
+    distinctShinglesC(spark, dir).count()
+    rescueCandC(spark, dir).count()
+    ()
+  }
+
+  /** Force the bigram-LM count tables + per-doc score frame and the
+    * BM25 term-frequency postings — the q_lm_score / q_token_entropy
+    * / q_bm25_retrieval first-touch snapshots. */
+  def warmLmTables(spark: SparkSession, dir: String): Unit = {
+    lmDocScores(spark, dir).count()
+    bm25TfC(spark, dir).count()
+    ()
+  }
+
+  /** Force both graph-ANN serving structures (layer-0 NSW graph +
+    * layer-1 subset graph) — the q_ann_graph/q_ann_hnsw first-touch
+    * snapshot builds. */
+  def warmKnnGraph(spark: SparkSession, dir: String): Unit = {
+    knnGraphC(spark, dir).count()
+    knnGraphL1C(spark, dir).count()
+    ()
+  }
+
+  /** Render every binary media fixture set (PNG/JPEG/BMP/GIF, WAV,
+    * animated GIF, phash PNGs) — one-time per sf dir; billing them
+    * here keeps the multimodal queries' cold numbers about decode
+    * work, not about whichever query wrote the fixture first. */
+  def warmMediaFixtures(spark: SparkSession, dir: String): Unit = {
+    graft.io.MediaFixtures.write(spark, dir)
+    graft.io.AudioFixtures.write(spark, dir)
+    graft.io.VideoFixtures.write(spark, dir)
+    graft.io.PhashFixtures.write(spark, dir)
+    ()
   }
 
   /** q_dataset_mix rates (shared by query and oracle). */
@@ -1437,10 +1526,7 @@ object ExtQueries {
     // per-doc partial/final agg, zero cross-doc joins, linear at any
     // corpus size.
     "q_token_entropy" -> ((s, d) => {
-      val tf = Cache.getOrPersist(s, "bm25_tf", d)(
-        docs(s, d).select(col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      val tf = bm25TfC(s, d)
       tf.groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
           count(lit(1)).as("n_distinct"),
@@ -1471,10 +1557,7 @@ object ExtQueries {
       // postings, doc lengths, and the 5-term idf table are the
       // INDEX — session artifacts like the PQ codebook; per-query
       // work is the joins + contribution sum below
-      val tf = Cache.getOrPersist(s, "bm25_tf", d)(
-        docs(s, d).select(col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      val tf = bm25TfC(s, d)
       val dlen = Cache.getOrPersist(s, "bm25_dlen", d)(
         tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
       val stats = dlen.agg(count(lit(1)).as("nn"), sum(col("len")).as("tot"))
@@ -2818,20 +2901,38 @@ object ExtQueries {
     // this query's serve tail runs per request.
     "q_ann_persist" -> ((s, d) => {
       Cache.getOrSnapshot(s, "ann_persist_serve", d) {
-        // absolute base like every other persisted artifact (a
-        // cwd-relative path serves different indexes per launch dir)
-        val path = sys.props.getOrElse("graft.ann.indexBase",
-          "/root/repo/target/ann_index") + "/" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_")
-        val e = emb(s, d).select(col("vec_id"), col("embedding"))
-        val cells = VectorSearch.labelCentroids(emb(s, d))
-          .select(col("label").cast("long").as("cell_id"), col("centroid"))
-        AnnIndex.save(e, cells, path)
-        val ix = AnnIndex.load(s, path)
+        val ix = AnnIndex.load(s, annIndexPath(s, d))
         val queries = emb(s, d).where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         AnnIndex.ivfPqTopK(ix, queries, "qid", "qvec",
           k = 3, nProbe = 2, shortlistK = 10)
+      }.orderBy(col("qid"), col("rn"))
+    }),
+
+    // GRAPH serve from the RELOADED on-disk index — q_ann_persist's
+    // traversal-family twin (VERDICT r10 #4): the beam rounds run
+    // over `knn_graph` read back from parquet and score against the
+    // inverted-list vectors, never the session-built graph. Shares
+    // q_ann_graph's oracle verbatim: a disk roundtrip of the graph
+    // and the vectors may not move a single served cell.
+    "q_ann_graph_persist" -> ((s, d) => {
+      Cache.getOrSnapshot(s, "ann_graph_persist_serve", d) {
+        val ix = AnnIndex.load(s, annIndexPath(s, d))
+        val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        AnnIndex.graphTopK(ix, queries, "qid", "qvec", k = 3)
+      }.orderBy(col("qid"), col("rn"))
+    }),
+
+    // Two-layer HNSW descent from the RELOADED index — both graph
+    // layers come off disk (AnnIndex v2 persists knn_graph_l1 too).
+    // Shares q_ann_hnsw's oracle verbatim, same discipline.
+    "q_ann_hnsw_persist" -> ((s, d) => {
+      Cache.getOrSnapshot(s, "ann_hnsw_persist_serve", d) {
+        val ix = AnnIndex.load(s, annIndexPath(s, d))
+        val queries = emb(s, d).where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        AnnIndex.hnswTopK(ix, queries, "qid", "qvec", k = 3)
       }.orderBy(col("qid"), col("rn"))
     }),
 
@@ -2857,10 +2958,7 @@ object ExtQueries {
       val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
           VectorSearch.assignCells(e, cellsB))
         .select(col("vec_id").as("doc_id"), col("cell_id"))
-      val tf = Cache.getOrPersist(s, "bm25_tf", d)(
-        docs(s, d).select(col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      val tf = bm25TfC(s, d)
       val ctf = tf.join(assigned, Seq("doc_id"))
         .groupBy(col("cell_id"), col("w")).agg(sum(col("tf")).as("ctf"))
       val ft = ctf.groupBy(col("w")).agg(sum(col("ctf")).as("ft"))
@@ -2892,8 +2990,7 @@ object ExtQueries {
       // the graph IS the index — session-materialized like the IVF
       // assignment and PQ codes (snapshot: the banded-LSH chain under
       // its plan would otherwise replay per action)
-      val graph = Cache.getOrSnapshot(s, "knn_graph", d)(
-        VectorSearch.knnGraph(e))
+      val graph = knnGraphC(s, d)
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       VectorSearch.graphTopK(graph, e, queries, "qid", "qvec", k = 3)
@@ -2908,8 +3005,7 @@ object ExtQueries {
     // costs on this corpus).
     "q_ann_graph_recall" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val graph = Cache.getOrSnapshot(s, "knn_graph", d)(
-        VectorSearch.knnGraph(e))
+      val graph = knnGraphC(s, d)
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val served = VectorSearch
@@ -2927,17 +3023,16 @@ object ExtQueries {
 
     // Two-layer HNSW serve (the hierarchy over q_ann_graph's flat
     // NSW): layer 1 = k-NN graph over the deterministic vec_id%8
-    // sample, searched with a narrow beam for per-query entry
-    // points; layer 0 then runs FEWER rounds (2 vs the flat serve's
-    // 3) because it starts near the target — the round budget the
-    // hierarchy exists to buy. Oracle replays both layers'
-    // graph builds and every beam round.
+    // sample, searched with a narrow beam (HnswL1Rounds=2) for
+    // per-query entry points; layer 0 then runs FEWER wide rounds
+    // (HnswL0Rounds=3 vs the flat serve's GraphRounds=4) because it
+    // starts near the target — the round budget the hierarchy exists
+    // to buy. Oracle replays both layers' graph builds and every
+    // beam round.
     "q_ann_hnsw" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val g0 = Cache.getOrSnapshot(s, "knn_graph", d)(
-        VectorSearch.knnGraph(e))
-      val g1 = Cache.getOrSnapshot(s, "knn_graph_l1", d)(
-        VectorSearch.knnGraphL1(e))
+      val g0 = knnGraphC(s, d)
+      val g1 = knnGraphL1C(s, d)
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       VectorSearch.hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
@@ -2953,10 +3048,8 @@ object ExtQueries {
     // dominate round count.
     "q_ann_hnsw_recall" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val g0 = Cache.getOrSnapshot(s, "knn_graph", d)(
-        VectorSearch.knnGraph(e))
-      val g1 = Cache.getOrSnapshot(s, "knn_graph_l1", d)(
-        VectorSearch.knnGraphL1(e))
+      val g0 = knnGraphC(s, d)
+      val g1 = knnGraphL1C(s, d)
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val served = VectorSearch
@@ -3057,6 +3150,26 @@ object ExtQueries {
           Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
         .orderBy(col("qid"))
     }),
+
+    // The recall frontier in ONE table (VERDICT r10 #5): every ANN
+    // serving variant priced on the same scale — corpus-level
+    // recall@3 re-aggregated from each variant's recall twin, so the
+    // frontier can never drift from the per-query acceptance numbers
+    // (same lambdas, same session snapshots, same constants). The
+    // cost half of the frontier (warm serve time + scoring-work
+    // shape) lives in PLANS.md's frontier table — time is host
+    // fact, not oracle-checkable. A user choosing a variant reads
+    // this row set top-down: recall falls as scoring work falls.
+    "q_ann_frontier" -> ((s, d) =>
+      FrontierVariants.map { case (v, q) =>
+        queries(q)(s, d)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_hits")).as("n_hits"))
+          .select(lit(v).as("variant"),
+            col("n_queries"), col("n_hits"),
+            Det.r4(col("n_hits").cast("double") /
+              (col("n_queries") * 3).cast("double")).as("recall_at_3"))
+      }.reduce(_ unionByName _).orderBy(col("variant"))),
 
     // Token-budget context-window chunking: like q_chunk_docs but cut
     // on whitespace-token counts (the tokenization q_token_count and
@@ -4262,8 +4375,9 @@ object ExtQueries {
     * banded-LSH candidate cosines (bcos) → symmetrized top-K
     * neighbor graph → entry points → full query×corpus score table
     * (the ORACLE may brute-force; the engine never does — values
-    * agree because the cosine formula is identical) → 3 beam rounds →
-    * `gserved` (top-3). MUST run under Oracle.mat(): each beam round
+    * agree because the cosine formula is identical) → GraphRounds=4
+    * beam rounds → `gserved` (top-3). MUST run under Oracle.mat():
+    * each beam round
     * references its predecessor twice, so default CTE inlining goes
     * exponential in rounds. */
   /** Symmetrize + top-K cut of a `${p}bcos` pair table into a
@@ -4984,7 +5098,20 @@ object ExtQueries {
        |  SELECT n.*, l.cluster_id FROM nv n
        |  JOIN erlab l ON l.rec_id = n.rec_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** The seven ANN serving variants priced by q_ann_frontier, each
+    * measured through its existing recall twin — serving, recall
+    * measurement and frontier share every constant by construction
+    * (VERDICT r10 #5). */
+  private val FrontierVariants: Seq[(String, String)] = Seq(
+    "filtered" -> "q_ann_filtered_recall",
+    "graph" -> "q_ann_graph_recall",
+    "hnsw" -> "q_ann_hnsw_recall",
+    "ivf" -> "q_ann_recall",
+    "ivf_pq" -> "q_ann_ivf_pq_recall",
+    "sq" -> "q_ann_sq_recall",
+    "truncated" -> "q_ann_truncated_recall")
+
+  private val oraclesBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $dupSigSql
          |SELECT sig, count(*) AS cnt, min(doc_id) AS min_doc,
@@ -6156,6 +6283,20 @@ object ExtQueries {
     // HNSW serve: both layers' graph builds and every beam round of
     // the descent replayed as MATERIALIZED CTEs.
     "q_ann_hnsw" -> Oracle.mat(
+      s"""WITH $hnswCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM hserved ORDER BY qid, rn""".stripMargin),
+
+    // The reloaded-index graph serve must answer EXACTLY like the
+    // session-built one — q_ann_graph's oracle verbatim (the
+    // q_ann_persist discipline, traversal family).
+    "q_ann_graph_persist" -> Oracle.mat(
+      s"""WITH $graphAnnCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM gserved ORDER BY qid, rn""".stripMargin),
+
+    // Reloaded-index HNSW descent: q_ann_hnsw's oracle verbatim.
+    "q_ann_hnsw_persist" -> Oracle.mat(
       s"""WITH $hnswCtes
          |SELECT qid, vec_id, cos_sim, rn
          |FROM hserved ORDER BY qid, rn""".stripMargin),
@@ -7793,4 +7934,23 @@ object ExtQueries {
          |FROM documents
          |GROUP BY 1 ORDER BY lang""".stripMargin
   )
+
+  /** One frontier leg: a recall twin's FULL oracle text as a derived
+    * table (its own WITH scope, so the graph and HNSW legs' identical
+    * core CTE names never collide), aggregated to one priced row. */
+  private def frontierLeg(v: String, q: String): String =
+    s"""SELECT '$v' AS variant,
+       |       CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       |       ${r4("CAST(sum(n_hits) AS DOUBLE) / (count(*) * 3.0)")}
+       |         AS recall_at_3
+       |FROM (
+       |${oraclesBase(q)}
+       |) AS leg_$v""".stripMargin
+
+  val oracles: Map[String, String] = oraclesBase +
+    ("q_ann_frontier" ->
+      (FrontierVariants.map { case (v, q) => frontierLeg(v, q) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY variant")))
 }

@@ -21,18 +21,23 @@ object Oracle {
     // in a multi-window clause and `), cte2 AS (` in a WITH list are
     // byte-identical locally and only the list opener (WITH vs
     // WINDOW) at the same depth distinguishes them. Paren depth is
-    // tracked outside '…' string literals.
+    // tracked outside '…' string literals and outside `--` line
+    // comments — an apostrophe inside a comment ("engine's") must
+    // not flip string state for the rest of the text, which would
+    // silently suppress MATERIALIZED on every later CTE head.
     val n = sql.length
     val depthAt = new Array[Int](n)
     val inStrAt = new Array[Boolean](n)
-    var d = 0; var inStr = false
+    var d = 0; var inStr = false; var inCmt = false
     var i = 0
     while (i < n) {
-      depthAt(i) = d; inStrAt(i) = inStr
+      depthAt(i) = d; inStrAt(i) = inStr || inCmt
       val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inCmt) { if (c == '\n') inCmt = false }
+      else if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => inCmt = true
         case '(' => d += 1
         case ')' => d -= 1
         case _ =>

@@ -511,8 +511,15 @@ object RelQueries {
     // value-checked cells; the estimate itself is reported only
     // through its error bound (sketch internals are engine-specific,
     // the q_approx_* discipline). I–E compounds three sketch errors
-    // against a possibly-small intersection, hence the 0.3 relative
-    // band rather than 3×rsd.
+    // whose magnitude scales with the SET sizes, not the
+    // intersection: each rsd-0.05 sketch is off by ~0.05 of ITS
+    // cardinality, so the compounded absolute error is O(0.15·|U|)
+    // regardless of how small A∩B is — a purely relative band would
+    // flip false nondeterministically on a corpus where the overlap
+    // is a sliver of the union. The band is therefore
+    // max(0.3·n_both, 0.15·eu): relative 0.3 when the intersection
+    // is big enough to price relatively, the union-scaled absolute
+    // floor when it isn't.
     "q_hll_intersect" -> ((s, d) => {
       val ev = t(s, d, "events")
         .where(col("event_type").isin("click", "purchase"))
@@ -528,12 +535,15 @@ object RelQueries {
         approx_count_distinct(col("user_id"), 0.05).as("eu"))
       exact.crossJoin(est)
         .select(col("n_click"), col("n_buy"), col("n_both"),
-          // n_both = 0 ⇒ the relative band is undefined (÷0 → NaN
-          // false) while the oracle's literal stays true — the bound
-          // is only asserted when there IS an intersection to price
-          (col("n_both") === 0L ||
-            abs(col("ea") + col("eb") - col("eu") - col("n_both"))
-              .cast("double") / col("n_both").cast("double") <= 0.3)
+          // n_both = 0 ⇒ the relative term vanishes and only the
+          // union-scaled absolute floor applies (which also keeps
+          // the oracle's literal `true` satisfiable on a disjoint
+          // corpus: an I–E estimate within 15% of the union of 0
+          // overlap is the sketch working as specified)
+          (abs(col("ea") + col("eb") - col("eu") - col("n_both"))
+            .cast("double") <=
+            greatest(col("n_both").cast("double") * 0.3,
+              col("eu").cast("double") * 0.15))
             .as("within_bounds"))
     }),
 

@@ -154,6 +154,12 @@ class AnnIndexSpec extends SparkSpec {
       .count()
     assert(deltaRows <= 2L * VectorSearch.GraphK * nq,
       s"appended $deltaRows rows for $nq delta vectors")
+    // and no duplicate edges: a delta–delta candidate pair reaches
+    // `out` in both orientations, which the pre-write distinct must
+    // collapse before the reverse union doubles it
+    val g = ix.knnGraph.select(col("v"), col("n"))
+    assert(g.count() === g.distinct().count(),
+      "stored knn_graph carries duplicate edges")
   }
 
   test("hnsw serve from the loaded index equals the session-built one") {

@@ -71,6 +71,31 @@ class OracleMatSpec extends AnyFunSuite {
     assert(out.contains("w1 AS (ORDER BY x), w2 AS (ORDER BY y)"))
   }
 
+  test("apostrophe inside a -- comment never flips string state") {
+    // "engine's" in a comment would leave a naive scanner in-string
+    // for the rest of the text, suppressing MATERIALIZED on every
+    // later CTE head.
+    val in = "WITH a AS ( -- the engine's first step\nSELECT 1), " +
+      "b AS (SELECT 2) SELECT *"
+    val out = Oracle.mat(in)
+    assert(out.contains("a AS MATERIALIZED ("))
+    assert(out.contains("b AS MATERIALIZED (SELECT 2)"))
+  }
+
+  test("a CTE-head-shaped token inside a -- comment is inert") {
+    val in = "WITH a AS (SELECT 1) -- note: x AS (nope)\nSELECT * FROM a"
+    val out = Oracle.mat(in)
+    assert(out.contains("a AS MATERIALIZED (SELECT 1)"))
+    assert(!out.contains("x AS MATERIALIZED"))
+  }
+
+  test("-- inside a string literal does not open a comment") {
+    val in = "WITH a AS (SELECT '--not a comment' AS s), b AS (SELECT 2) SELECT *"
+    val out = Oracle.mat(in)
+    assert(out.contains("a AS MATERIALIZED ("))
+    assert(out.contains("b AS MATERIALIZED (SELECT 2)"))
+  }
+
   test("string literals are inert") {
     val in = "WITH a AS (SELECT 'x AS (' AS s) SELECT * FROM a"
     val out = Oracle.mat(in)
