@@ -114,7 +114,8 @@ object ScaleGate {
       "q_embed_pca_power", "q_graph_communities",
       // whole-RESULT caches (snapshot serve / per-word segment
       // table): warm is a bare scan, grade the build
-      "q_ann_persist", "q_wordpiece_segment")
+      "q_ann_persist", "q_ann_graph_persist", "q_ann_hnsw_persist",
+      "q_wordpiece_segment")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 

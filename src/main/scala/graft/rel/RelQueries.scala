@@ -2307,6 +2307,45 @@ object RelQueries {
         .orderBy(col("c_mktsegment"), col("c_nationkey"))
     }),
 
+    // Differentially-private count release — the third leg of the
+    // privacy family (suppression = q_k_anonymity, diversity =
+    // q_l_diversity, perturbation = this): per-(segment, nation)
+    // customer counts released through the two-sided geometric /
+    // discrete-Laplace mechanism (Ghosh, Roughgarden & Sundararajan
+    // 2009 — the utility-optimal ε-DP mechanism for sensitivity-1
+    // counts). ε = ln 2 is chosen so the inverse-CDF is EXACT integer
+    // arithmetic: with α = e^(−ε) = 1/2 the noise magnitude is the
+    // geometric(1/2) tail ⌊log2(2^20/u)⌋ = (20·2^20 − log2Fx(u)) div
+    // 2^20 over the integer-log2 table. The sampler is SEEDED by the
+    // portable hash of the group key so every cell is deterministic
+    // and oracle-replayable (the q_weighted_sample discipline — a
+    // production release draws u from a CSPRNG; the sensitivity-1
+    // count, inverse-CDF ladder and post-processing are the deployed
+    // shape unchanged). Negative releases are kept, not clamped:
+    // unbiasedness matters more than cosmetics when downstream sums
+    // the cells. One partial/final agg + scalar arithmetic — scan
+    // speed at any corpus size.
+    "q_dp_counts" -> ((s, d) => {
+      val S = graft.ext.LmScore.LogScale // 2^20
+      val key = concat_ws("|",
+        col("c_mktsegment"), col("c_nationkey").cast("string"))
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u", PortableHash.spread(
+          PortableHash.h(concat(key, lit("|dp1")))) + lit(1L))
+        .withColumn("sgn", when(PortableHash.spread(
+            PortableHash.h(concat(key, lit("|dp2")))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+        .withColumn("lgu", graft.ext.LmScore.log2FxCol(col("u")))
+        .withColumn("mag", expr(s"(${20 * S} - lgu) div $S"))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+          (col("sgn") * col("mag")).as("noise"),
+          (col("n") + col("sgn") * col("mag")).as("released"),
+          lit(0.6931).as("eps"))
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
+
     // Right-to-erasure audit: cascade a customer delete list through
     // the star (customers → their orders → those orders' lineitems)
     // and report per-table before/deleted/after plus the
@@ -4087,6 +4126,41 @@ object RelQueries {
         |       n * l_diverse AS released_rows,
         |       n * (1 - l_diverse) AS suppressed_rows
         |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // DP release replayed: the same seeded-hash inverse-CDF ladder
+    // in integer arithmetic (u from the spread hash, magnitude off
+    // the shared log2 table, sign off a second hash) — a drifting
+    // noise formula moves a cell.
+    "q_dp_counts" -> {
+      val S = graft.ext.LmScore.LogScale
+      val k1 = "(c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)" +
+        " || '|dp1')"
+      val k2 = "(c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)" +
+        " || '|dp2')"
+      s"""WITH g AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |x AS (
+         |  SELECT c_mktsegment, c_nationkey, n,
+         |         ${PortableHash.spreadSql(PortableHash.hSql(k1))} + 1
+         |           AS u,
+         |         CASE WHEN (${PortableHash.spreadSql(
+                    PortableHash.hSql(k2))}) % 2 = 0
+         |              THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(-1 AS BIGINT) END AS sgn
+         |  FROM g),
+         |z AS (
+         |  SELECT c_mktsegment, c_nationkey, n, sgn,
+         |         (${20 * S} - ${graft.ext.LmScore.log2FxSql("u")})
+         |           // $S AS mag
+         |  FROM x)
+         |SELECT c_mktsegment, c_nationkey, n,
+         |       CAST(sgn * mag AS BIGINT) AS noise,
+         |       CAST(n + sgn * mag AS BIGINT) AS released,
+         |       CAST(0.6931 AS DOUBLE) AS eps
+         |FROM z ORDER BY c_mktsegment, c_nationkey""".stripMargin
+    },
 
     // The cascade replayed as plain counts; orphans-after are 0 by
     // construction on both sides — the audit's point is that the

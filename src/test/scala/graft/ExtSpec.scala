@@ -1462,4 +1462,56 @@ class ExtSpec extends SparkSpec {
     assert(got === want)
     assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
   }
+
+  test("q_dp_counts: noise inside the 20-step ladder, release = n + " +
+    "noise, deterministic, not degenerate") {
+    def run() = graft.rel.RelQueries
+      .queries("q_dp_counts")(spark, "/root/testdata/sf0.001").collect()
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val noise = r.getAs[Long]("noise")
+      // u ≥ 1 bounds the geometric ladder at 20 steps (2^20 range)
+      assert(math.abs(noise) <= 20L, s"noise $noise escapes the ladder")
+      assert(r.getAs[Long]("released") === n + noise)
+    }
+    // a seeded sampler that collapsed to one value would pass the
+    // bound vacuously — demand an actual spectrum across groups
+    assert(rows.map(_.getAs[Long]("noise")).distinct.length > 1)
+    // deterministic replay: the release is a pure function of the data
+    assert(rows.map(_.toString).toSeq === run().map(_.toString).toSeq)
+  }
+
+  test("q_dedup_index_persist: reloaded-postings triage equals the " +
+    "in-session capped join, new-vs-base only") {
+    val dir = "/root/testdata/sf0.001"
+    val served = graft.ext.ExtQueries
+      .queries("q_dedup_index_persist")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dnew"), r.getAs[Long]("dbase"),
+        r.getAs[Long]("bands"))).toSet
+    assert(served.nonEmpty)
+    served.foreach { case (dn, db, bands) =>
+      assert(dn % 10 === 7L && db % 10 != 7L)
+      assert(bands >= 1L && bands <= Dedup.Bands.toLong)
+    }
+    // in-session twin over the full corpus banding (no disk roundtrip)
+    val docs = graft.io.Sources.table(spark, dir, "documents")
+    val bm = Dedup.minhashBandMins(Dedup.shingles(docs))
+    val ok = bm.groupBy(col("b"), col("mh"))
+      .agg(count(lit(1)).as("sz"))
+      .where(col("sz") <= Dedup.MinhashBucketCap)
+      .select(col("b"), col("mh"))
+    val kept = bm.join(ok, Seq("b", "mh"))
+    val expected = kept.where(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("dnew"), col("b"), col("mh"))
+      .join(kept.where(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("dbase"), col("b"), col("mh")),
+        Seq("b", "mh"))
+      .groupBy(col("dnew"), col("dbase"))
+      .agg(count(lit(1)).as("bands"))
+      .collect()
+      .map(r => (r.getAs[Long]("dnew"), r.getAs[Long]("dbase"),
+        r.getAs[Long]("bands"))).toSet
+    assert(served === expected)
+  }
 }
