@@ -1768,6 +1768,51 @@ object ExtQueries {
     // bounded VALUE axis — scale-safe where a per-split row ranking
     // would single-thread each split — and every emitted number is an
     // integer: no double crosses the oracle boundary at all.
+    // Population Stability Index between the even/odd doc-id halves'
+    // length distributions — THE drift dashboard number (banking
+    // scorecard heritage; same role in a data pipeline: "did this
+    // ingest batch shift the distribution?"). Ten equal-width buckets
+    // off the corpus max; PSI_bits = Σ (p_i − q_i)·log2(p_i/q_i) —
+    // the bit-base variant (conventionally ln; ln = log2·ln2, a
+    // constant factor, so thresholds rescale). EXACT integer path:
+    // add-1 smoothed counts, p−q as S-scaled integer division, and
+    // log2(p/q) = log2Fx(n_p·N_q) − log2Fx(n_q·N_p) — products stay
+    // far under 2^63 and the fraction never materializes as a
+    // double. Per-bucket terms emitted (monitor-friendly: WHICH
+    // bucket drifted); consumer sums psi_term_fx for the headline.
+    // One groupBy + broadcast scalar totals — scan speed at 100 TB.
+    "q_psi_drift" -> ((s, d) => {
+      val S = LmScore.LogScale
+      val mx = docs(s, d).agg(max(col("n_chars")).as("mx"))
+      val b = docs(s, d).crossJoin(broadcast(mx))
+        .select(expr("(n_chars * 10) div (mx + 1)").as("bucket"),
+          (col("doc_id") % 2 === 0).as("is_ref"))
+      val counts = s.range(0, 10).select(col("id").as("bucket"))
+        .join(b.groupBy(col("bucket")).agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("r0"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c0")),
+          Seq("bucket"), "left")
+        // add-1 smoothing: PSI's log blows up on an empty bucket;
+        // the +1 prior is the standard fix and keeps log2Fx positive
+        .select(col("bucket"),
+          (coalesce(col("r0"), lit(0L)) + 1L).as("n_ref"),
+          (coalesce(col("c0"), lit(0L)) + 1L).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("tr"),
+        sum(col("n_cur")).as("tc"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("p_fx", expr(s"(n_ref * $S) div tr"))
+        .withColumn("q_fx", expr(s"(n_cur * $S) div tc"))
+        .withColumn("lg_fx",
+          LmScore.log2FxCol(col("n_ref") * col("tc")) -
+            LmScore.log2FxCol(col("n_cur") * col("tr")))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          ((col("p_fx") - col("q_fx")) * col("lg_fx")).as("psi_term_fx"),
+          Det.r4(((col("p_fx") - col("q_fx")) * col("lg_fx"))
+            .cast("double") / lit((S.toDouble) * S.toDouble))
+            .as("psi_term_bits"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_quantile_drift" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val gate = PortableHash.spread(
@@ -6464,6 +6509,43 @@ object ExtQueries {
     // Element-at-rank replay: row_number over each split's sorted
     // lengths, picked at (n·k)//8 — the value at a rank is tie-order
     // independent, so the window's tie behavior cannot matter.
+    // PSI replayed: same buckets, +1 smoothing, S-scaled shares and
+    // integer log2 of the cross products.
+    "q_psi_drift" -> {
+      val S = LmScore.LogScale
+      s"""WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+         |b AS (
+         |  SELECT (n_chars * 10) // (mx + 1) AS bucket,
+         |         doc_id % 2 = 0 AS is_ref
+         |  FROM documents CROSS JOIN mx),
+         |g AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS r0,
+         |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+         |           AS c0
+         |  FROM b GROUP BY 1),
+         |counts AS (
+         |  SELECT k.bucket,
+         |         coalesce(r0, 0) + 1 AS n_ref,
+         |         coalesce(c0, 0) + 1 AS n_cur
+         |  FROM (SELECT unnest(range(0, 10)) AS bucket) k
+         |  LEFT JOIN g ON g.bucket = k.bucket),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+         |               CAST(sum(n_cur) AS BIGINT) AS tc FROM counts),
+         |terms AS (
+         |  SELECT bucket, n_ref, n_cur,
+         |         ((n_ref * $S) // tr - (n_cur * $S) // tc) *
+         |           (${LmScore.log2FxSql("n_ref * tc")} -
+         |            ${LmScore.log2FxSql("n_cur * tr")}) AS psi_term_fx
+         |  FROM counts CROSS JOIN tot)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+         |       CAST(psi_term_fx AS BIGINT) AS psi_term_fx,
+         |       ${r4(s"CAST(psi_term_fx AS DOUBLE) / (${S}.0 * ${S}.0)")}
+         |         AS psi_term_bits
+         |FROM terms ORDER BY bucket""".stripMargin
+    },
+
     "q_quantile_drift" -> {
       val gate = PortableHash.spreadSql(
         PortableHash.hSql("CAST(doc_id AS VARCHAR)"))
