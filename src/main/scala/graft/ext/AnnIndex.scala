@@ -106,6 +106,44 @@ object AnnIndex {
       .write.mode("append").parquet(s"$path/pq_codes")
   }
 
+  /** Idempotent MICRO-BATCH ingest: batch `batchId`'s inverted-list
+    * rows and PQ codes land in their own `batch=<id>` directories
+    * with overwrite mode —
+    * [[graft.streaming.StreamOps.idempotentBatchSink]]'s
+    * (batchId, overwrite) recipe applied to index upkeep, so a
+    * REDELIVERED batch (crash after the offset write, before the
+    * commit — Structured Streaming's documented at-least-once sink
+    * window) overwrites itself instead of double-inserting vectors.
+    * Assignment/encoding use the FROZEN stored quantizers, like
+    * [[append]]. */
+  def appendBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = delta.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val ix = load(spark, path)
+    VectorSearch.assignCells(delta, ix.cellsB)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/delta_codes/batch=$batchId")
+    VectorSearch.pqEncode(delta, broadcast(ix.pqCodebook))
+      .write.mode("overwrite").parquet(s"$path/delta_pq/batch=$batchId")
+  }
+
+  /** Streaming index upkeep: every micro-batch of (vec_id, embedding)
+    * rows is appended exactly-once via [[appendBatch]]; [[load]]
+    * unions the delta directories into the served tables. Graph
+    * linking deliberately stays a PERIODIC compaction
+    * ([[appendGraph]]) rather than per-batch work — HNSW deployments
+    * batch back-link maintenance the same way, and the IVF path
+    * serves arriving vectors immediately without it. */
+  def streamAppend(deltas: DataFrame, path: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deltas.writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) => appendBatch(df.toDF(), path, batchId)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
   /** Append new vectors to the saved NSW graph WITHOUT rebuilding:
     * re-band the stored corpus plus the delta (one scan — bands are
     * per-vector, so this is a linear pass, and the bucket caps bound
@@ -157,6 +195,24 @@ object AnnIndex {
       .write.mode("append").parquet(s"$path/knn_graph")
   }
 
+  /** Union a base artifact with its streaming-ingest delta directory
+    * when one exists: `batch` is upkeep metadata (dropped), `cell_id`
+    * pinned back to the writer's LONG like the base read. Existence
+    * goes through the Hadoop FS API so the check works on whatever
+    * filesystem the index lives on, not just local disk. */
+  private def deltaUnion(spark: SparkSession, base: DataFrame,
+                         dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) base
+    else {
+      val d0 = spark.read.parquet(dir).drop("batch")
+      val d = if (d0.columns.contains("cell_id"))
+        d0.withColumn("cell_id", col("cell_id").cast("long")) else d0
+      base.unionByName(d.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
   /** Load a saved index. Fails fast on a format/geometry mismatch —
     * decoding 4-code vectors against an 8-subspace codebook must be
     * impossible, not wrong. */
@@ -177,10 +233,13 @@ object AnnIndex {
       // cell_id is a directory-partition column on disk; partition
       // inference types it INT — pin it back to the writer's LONG so
       // joins against the cell table never carry an implicit cast.
-      codes = spark.read.parquet(s"$path/ivf_codes")
-        .withColumn("cell_id", col("cell_id").cast("long")),
+      codes = deltaUnion(spark,
+        spark.read.parquet(s"$path/ivf_codes")
+          .withColumn("cell_id", col("cell_id").cast("long")),
+        s"$path/delta_codes"),
       pqCodebook = spark.read.parquet(s"$path/pq_codebook"),
-      pqCodes = spark.read.parquet(s"$path/pq_codes"),
+      pqCodes = deltaUnion(spark,
+        spark.read.parquet(s"$path/pq_codes"), s"$path/delta_pq"),
       sqStats = spark.read.parquet(s"$path/sq_stats"),
       knnGraph = spark.read.parquet(s"$path/knn_graph"),
       knnGraphL1 = spark.read.parquet(s"$path/knn_graph_l1"))

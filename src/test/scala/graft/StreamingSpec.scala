@@ -882,4 +882,68 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming ANN ingest: batchId-keyed index upkeep absorbs a " +
+    "forced redelivery, served tables stay duplicate-free") {
+    import java.io.File
+    import graft.ext.{AnnIndex, VectorSearch}
+    val tmp = java.nio.file.Files.createTempDirectory("ann_stream").toFile
+    val ixDir = new File(tmp, "ix").getAbsolutePath
+    val srcDir = new File(tmp, "src"); srcDir.mkdirs()
+    val ckptDir = new File(tmp, "ckpt")
+    val embAll = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val base = embAll.where(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.save(base,
+      VectorSearch.labelCentroids(embAll.where(col("vec_id") % 10 =!= 9))
+        .select(col("label").cast("long").as("cell_id"), col("centroid")),
+      ixDir)
+    val delta = embAll.where(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+    val half1 = delta.where(col("vec_id") % 20 === 9)
+    val half2 = delta.where(col("vec_id") % 20 =!= 9)
+    def addFile(tag: String,
+                rows: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = new File(tmp, s"stage_$tag")
+      rows.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new File(srcDir, s"$tag.parquet").toPath)
+      ()
+    }
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(delta.schema)
+        .parquet(srcDir.getAbsolutePath)
+      val q = AnnIndex.streamAppend(in, ixDir, ckptDir.getAbsolutePath)
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile("f1", half1)
+    runOnce()
+    // crash window: drop the newest commit marker → the restart
+    // REDELIVERS the batch under the same batchId; the overwrite-keyed
+    // delta dirs must absorb it
+    val commits = new File(ckptDir, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    assert(last.delete())
+    val crc = new File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    addFile("f2", half2)
+    runOnce() // redelivery + the second batch
+    val ix = AnnIndex.load(spark, ixDir)
+    val nBase = base.count(); val nDelta = delta.count()
+    // exactly-once: every vector once in the inverted lists …
+    assert(ix.codes.count() === nBase + nDelta)
+    assert(ix.codes.select(col("vec_id")).distinct().count()
+      === nBase + nDelta)
+    // … and once per PQ subspace in the code table
+    assert(ix.pqCodes.count() === (nBase + nDelta) *
+      VectorSearch.PqSubspaces)
+    // the served stack sees arriving vectors without any rebuild
+    val dq = delta.limit(2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(AnnIndex.ivfPqTopK(ix, dq, "qid", "qvec",
+      k = 3, nProbe = 2, shortlistK = 10).count() > 0)
+  }
 }
