@@ -1645,6 +1645,77 @@ object ExtQueries {
         .orderBy(col("score_fx").desc, col("doc_id"))
     }),
 
+    // Known-item retrieval evaluation — the IR acceptance twin the
+    // ANN family already has (recall twins): for each probe doc
+    // (doc_id % 101 = 3) the query is its RAREST term (min df, ties
+    // lexical — the most discriminative single-term query), the
+    // candidate set is that term's posting list, ranked by the exact
+    // BM25 contribution q_bm25_retrieval serves; the read-out is the
+    // probe's SELF-rank and reciprocal rank, whose mean is the MRR a
+    // retrieval stack is accepted on (known-item search). Candidate
+    // work per probe is DF(term) BY CONSTRUCTION — picking the
+    // rarest term is simultaneously the best query and the cost cap,
+    // so the evaluation scales as Σ min-DF, never probes × corpus.
+    "q_retrieval_mrr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = bm25TfC(s, d)
+      val dlen = Cache.getOrPersist(s, "bm25_dlen", d)(
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
+      val stats = dlen.agg(count(lit(1)).as("nn"),
+          sum(col("len")).as("tot"))
+        .select(col("nn"), expr("(tot * 1000) div nn").as("avgfx"))
+      val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val probes = docs(s, d).where(col("doc_id") % 101 === 3)
+        .select(col("doc_id").as("probe"))
+      // argmin (df, w) per probe — struct-min is the argmin idiom
+      val pterm = tf.join(broadcast(probes),
+          col("doc_id") === col("probe"))
+        .join(broadcast(dfTab), Seq("w"))
+        .groupBy(col("probe"))
+        .agg(min(struct(col("df"), col("w"))).as("mt"))
+        .select(col("probe"), col("mt.w").as("w"),
+          col("mt.df").as("df"))
+      val qidf = pterm.select(col("w"), col("df")).distinct()
+        .crossJoin(broadcast(stats))
+        .withColumn("xfx",
+          expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
+            s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
+        .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
+        .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
+          "shiftleft(1L, CAST(e - 1 AS INT))"))
+        .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
+          + element_at(typedLit(LmScore.Log2Table),
+              (col("m") - lit(LmScore.MScale - 1)).cast("int"))
+          - lit(LmScore.L9Fx))
+        .select(col("w"), col("idf_fx"))
+      val cand = tf
+        .join(broadcast(pterm.select(col("probe"), col("w"))), Seq("w"))
+        .join(broadcast(qidf), Seq("w"))
+        .join(dlen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tfpart",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len").cast("double") /
+                (col("avgfx").cast("double") / lit(1000.0)))))
+        .withColumn("cfx",
+          floor(col("idf_fx").cast("double") * col("tfpart") + lit(0.5))
+            .cast("long"))
+      val rw = Window.partitionBy(col("probe"))
+        .orderBy(col("cfx").desc, col("doc_id"))
+      cand
+        .withColumn("self_rank", row_number().over(rw).cast("long"))
+        .withColumn("n_cand", count(lit(1))
+          .over(Window.partitionBy(col("probe"))))
+        .where(col("doc_id") === col("probe"))
+        .join(broadcast(pterm.select(col("probe"), col("df"))),
+          Seq("probe"))
+        .select(col("probe"), col("w").as("term"), col("df"),
+          col("n_cand"), col("self_rank"),
+          Det.r4(lit(1.0) / col("self_rank").cast("double")).as("rr"))
+        .orderBy(col("probe"))
+    }),
+
     // Marker-based language scoring + argmax prediction.
     "q_lang_id" -> ((s, d) => {
       val ws = TextAnalysis.wordsCol
@@ -5975,6 +6046,77 @@ object ExtQueries {
          |       ${r4(s"CAST(score_fx AS DOUBLE) / ${LmScore.LogScale}.0")}
          |         AS score
          |FROM agg ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Known-item MRR replayed: rarest-term pick as a ranked window,
+    // the same idf/tf-saturation arithmetic as the BM25 oracle, and
+    // the self-rank window over each probe's posting list.
+    "q_retrieval_mrr" -> Oracle.mat(
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |dlen AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+         |  FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |         (CAST(sum(len) AS BIGINT) * 1000)
+         |           // CAST(count(*) AS BIGINT) AS avgfx
+         |  FROM dlen),
+         |dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |probes AS (SELECT doc_id AS probe FROM documents
+         |           WHERE doc_id % 101 = 3),
+         |pt0 AS (
+         |  SELECT p.probe, t.w, d.df,
+         |         row_number() OVER (PARTITION BY p.probe
+         |                ORDER BY d.df, t.w) AS prn
+         |  FROM probes p
+         |  JOIN tf t ON t.doc_id = p.probe
+         |  JOIN dfx d USING (w)),
+         |pterm AS (SELECT probe, w, df FROM pt0 WHERE prn = 1),
+         |qw AS (SELECT DISTINCT w, df FROM pterm),
+         |qx AS (
+         |  SELECT q.w,
+         |         CAST((CAST((s.nn + 1) * 2 AS HUGEINT)
+         |               * ${LmScore.PScale}) // (2 * q.df + 1)
+         |           AS BIGINT) AS xfx
+         |  FROM qw q CROSS JOIN stats s),
+         |qe AS (SELECT w, xfx, length(bin(xfx)) AS e FROM qx),
+         |qidf AS (
+         |  SELECT w,
+         |         (e - 1) * ${LmScore.LogScale}
+         |           + (${LmScore.log2TableSql}[
+         |               CAST((xfx * ${LmScore.MScale})
+         |                 // (CAST(1 AS BIGINT) << (e - 1))
+         |                 AS INTEGER) - ${LmScore.MScale - 1}])
+         |           - ${LmScore.L9Fx} AS idf_fx
+         |  FROM qe),
+         |cand AS (
+         |  SELECT pt.probe, pt.w, pt.df, t.doc_id,
+         |         CAST(floor(CAST(i.idf_fx AS DOUBLE) *
+         |           (CAST(t.tf AS DOUBLE) * 2.2 /
+         |             (CAST(t.tf AS DOUBLE) + 1.2 *
+         |               (0.25 + 0.75 * CAST(l.len AS DOUBLE) /
+         |                 (CAST(s.avgfx AS DOUBLE) / 1000.0)))) + 0.5)
+         |           AS BIGINT) AS cfx
+         |  FROM pterm pt
+         |  JOIN tf t ON t.w = pt.w
+         |  JOIN qidf i ON i.w = pt.w
+         |  JOIN dlen l ON l.doc_id = t.doc_id
+         |  CROSS JOIN stats s),
+         |ranked AS (
+         |  SELECT probe, w, df, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY probe
+         |                ORDER BY cfx DESC, doc_id) AS BIGINT)
+         |           AS self_rank,
+         |         CAST(count(*) OVER (PARTITION BY probe) AS BIGINT)
+         |           AS n_cand
+         |  FROM cand)
+         |SELECT probe, w AS term, df, n_cand, self_rank,
+         |       ${r4("1.0 / CAST(self_rank AS DOUBLE)")} AS rr
+         |FROM ranked WHERE doc_id = probe ORDER BY probe""".stripMargin),
 
     "q_lang_id" -> {
       val scoreCols = TextAnalysis.Markers.map { case (l, ms) =>

@@ -435,6 +435,64 @@ object SimQueries {
         .select(col("item_x"), col("item_y"), col("corr"), col("n"))
       Ranking.topK(sims, "item_x", col("corr"), "item_y", 10)
         .orderBy(col("item_x"), col("rn"))
+    }),
+
+    // Catalog coverage of the top-k neighbor lists — the first
+    // recommender acceptance metric (Herlocker et al.): what fraction
+    // of the catalog ever appears as a recommendation. A popularity-
+    // collapsed similarity table scores fine on RMSE while
+    // recommending 5% of the catalog; this read-out is how that's
+    // caught. One distinct over the top-k table vs one over ratings.
+    "q_rec_coverage" -> ((s, d) => {
+      val sims = Moments.asDoubles(moments(s, d))
+        .withColumn("corr", corrCol)
+        .where(col("n") > 0)
+        .select(col("item_x"), col("item_y"), col("corr"), col("n"))
+      val top = Ranking.topK(sims, "item_x", col("corr"), "item_y", 10)
+      ratings(s, d).agg(countDistinct(col("item_id")).as("n_items"))
+        .crossJoin(top.agg(
+          countDistinct(col("item_y")).as("n_recommended")))
+        .select(col("n_items"), col("n_recommended"),
+          Det.r4(col("n_recommended").cast("double") /
+            col("n_items").cast("double")).as("coverage"))
+    }),
+
+    // Intra-list similarity per top-k list (Ziegler et al.'s
+    // diversification read-out): mean pairwise correlation among each
+    // item's 10 neighbors — high ILS = redundant list. Pairs within a
+    // list are C(10,2)=45 BY CONSTRUCTION, so the join against the
+    // moment table is bounded at 45·items rows no matter the corpus;
+    // unknown pairs (no co-raters) count as 0 similarity. Fixed-point
+    // sum (corr is r4'd → ·10⁴ is integral) so addition order never
+    // matters.
+    "q_rec_ils" -> ((s, d) => {
+      val sims = Moments.asDoubles(moments(s, d))
+        .withColumn("corr", corrCol)
+        .where(col("n") > 0)
+        .select(col("item_x"), col("item_y"), col("corr"), col("n"))
+      val top = Ranking.topK(sims, "item_x", col("corr"), "item_y", 10)
+        .select(col("item_x"), col("item_y"), col("rn"))
+      val a = top.select(col("item_x"), col("item_y").as("y1"),
+        col("rn").as("r1"))
+      val b = top.select(col("item_x"), col("item_y").as("y2"),
+        col("rn").as("r2"))
+      val pairs = a.join(b, Seq("item_x")).where(col("r1") < col("r2"))
+        .select(col("item_x"),
+          least(col("y1"), col("y2")).as("px"),
+          greatest(col("y1"), col("y2")).as("py"))
+      // the moment table's pair convention is item_x < item_y, so the
+      // least/greatest normalization above hits its key exactly
+      val simKey = sims.select(col("item_x").as("px"),
+        col("item_y").as("py"), col("corr"))
+      pairs.join(simKey, Seq("px", "py"), "left")
+        .groupBy(col("item_x"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(coalesce(col("corr"), lit(0.0)) * 10000 + 0.5)
+            .cast("long")).as("ils_fx"))
+        .select(col("item_x"), col("n_pairs"), col("ils_fx"),
+          Det.r4(col("ils_fx").cast("double") /
+            (col("n_pairs").cast("double") * 10000.0)).as("ils"))
+        .orderBy(col("item_x"))
     })
   )
 
@@ -702,6 +760,57 @@ object SimQueries {
          |  FROM sims
          |)
          |SELECT * FROM ranked WHERE rn <= 10
-         |ORDER BY item_x, rn""".stripMargin
+         |ORDER BY item_x, rn""".stripMargin,
+
+    // Coverage replayed off the same ranked window + ratings scan.
+    "q_rec_coverage" ->
+      s"""WITH $R, $P,
+         |sims AS (
+         |  SELECT item_x, item_y, ${r4(corrSql)} AS corr, n
+         |  FROM pairs WHERE n > 0),
+         |ranked AS (
+         |  SELECT item_x, item_y,
+         |         row_number() OVER (PARTITION BY item_x
+         |                            ORDER BY corr DESC, item_y) AS rn
+         |  FROM sims),
+         |topk AS (SELECT item_x, item_y FROM ranked WHERE rn <= 10)
+         |SELECT CAST((SELECT count(DISTINCT item_id) FROM ratings)
+         |         AS BIGINT) AS n_items,
+         |       CAST(count(DISTINCT item_y) AS BIGINT) AS n_recommended,
+         |       ${r4("CAST(count(DISTINCT item_y) AS DOUBLE) / " +
+              "CAST((SELECT count(DISTINCT item_id) FROM ratings) " +
+              "AS DOUBLE)")} AS coverage
+         |FROM topk""".stripMargin,
+
+    // ILS replayed: within-list pairs (45 per full list), normalized
+    // to the moment table's item_x < item_y key, fixed-point mean.
+    "q_rec_ils" -> Oracle.mat(
+      s"""WITH $R, $P,
+         |sims AS (
+         |  SELECT item_x, item_y, ${r4(corrSql)} AS corr, n
+         |  FROM pairs WHERE n > 0),
+         |ranked AS (
+         |  SELECT item_x, item_y,
+         |         row_number() OVER (PARTITION BY item_x
+         |                            ORDER BY corr DESC, item_y) AS rn
+         |  FROM sims),
+         |topk AS (SELECT item_x, item_y, rn FROM ranked WHERE rn <= 10),
+         |lp AS (
+         |  SELECT a.item_x,
+         |         least(a.item_y, b.item_y) AS px,
+         |         greatest(a.item_y, b.item_y) AS py
+         |  FROM topk a JOIN topk b
+         |    ON a.item_x = b.item_x AND a.rn < b.rn),
+         |scored AS (
+         |  SELECT lp.item_x,
+         |         CAST(floor(coalesce(s.corr, 0.0) * 10000 + 0.5)
+         |           AS BIGINT) AS cfx
+         |  FROM lp LEFT JOIN sims s
+         |    ON s.item_x = lp.px AND s.item_y = lp.py)
+         |SELECT item_x, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(cfx) AS BIGINT) AS ils_fx,
+         |       ${r4("CAST(sum(cfx) AS DOUBLE) / " +
+              "(CAST(count(*) AS DOUBLE) * 10000.0)")} AS ils
+         |FROM scored GROUP BY 1 ORDER BY item_x""".stripMargin)
   )
 }

