@@ -100,7 +100,17 @@ object ScaleGate {
     // edge rollup over the densified near-dup graph
     "q_graph_communities", "q_coreset_kcenter", "q_wordpiece_segment",
     "q_ccnet_buckets", "q_semantic_decontaminate",
-    "q_leakage_free_split")
+    "q_leakage_free_split",
+    // round-11: the durable-index triage (graded on build — the
+    // banding + capped key join against stored postings), the
+    // known-item retrieval eval (work = Σ min-DF posting lists —
+    // replication densifies every df, the adversarial direction),
+    // the PSI monitor (pure scan + 10-bucket agg, should gate ~flat)
+    // and the ILS pair join (bounded 45·items rows by construction).
+    // q_ann_frontier is deliberately absent like q_ann_recall: its
+    // legs carry the nq×N brute-force truth sides by construction.
+    "q_dedup_index_persist", "q_retrieval_mrr", "q_psi_drift",
+    "q_rec_ils")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
@@ -115,7 +125,7 @@ object ScaleGate {
       // whole-RESULT caches (snapshot serve / per-word segment
       // table): warm is a bare scan, grade the build
       "q_ann_persist", "q_ann_graph_persist", "q_ann_hnsw_persist",
-      "q_wordpiece_segment")
+      "q_wordpiece_segment", "q_dedup_index_persist")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 

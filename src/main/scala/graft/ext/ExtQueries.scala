@@ -1868,19 +1868,13 @@ object ExtQueries {
         .select(col("bucket"),
           (coalesce(col("r0"), lit(0L)) + 1L).as("n_ref"),
           (coalesce(col("c0"), lit(0L)) + 1L).as("n_cur"))
-      val tot = counts.agg(sum(col("n_ref")).as("tr"),
-        sum(col("n_cur")).as("tc"))
-      counts.crossJoin(broadcast(tot))
-        .withColumn("p_fx", expr(s"(n_ref * $S) div tr"))
-        .withColumn("q_fx", expr(s"(n_cur * $S) div tc"))
-        .withColumn("lg_fx",
-          LmScore.log2FxCol(col("n_ref") * col("tc")) -
-            LmScore.log2FxCol(col("n_cur") * col("tr")))
+      // the formula itself lives in ONE place (Drift.psiTerms) so
+      // this scored monitor and the streaming gate cannot drift
+      Drift.psiTerms(counts)
         .select(col("bucket"), col("n_ref"), col("n_cur"),
-          ((col("p_fx") - col("q_fx")) * col("lg_fx")).as("psi_term_fx"),
-          Det.r4(((col("p_fx") - col("q_fx")) * col("lg_fx"))
-            .cast("double") / lit((S.toDouble) * S.toDouble))
-            .as("psi_term_bits"))
+          col("psi_term_fx"),
+          Det.r4(col("psi_term_fx").cast("double") /
+            lit(S.toDouble * S.toDouble)).as("psi_term_bits"))
         .orderBy(col("bucket"))
     }),
 

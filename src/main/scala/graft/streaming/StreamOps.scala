@@ -713,4 +713,36 @@ object StreamOps {
         sink(graft.ext.VectorSearch.pqAdcTopK(batch.toDF(), cent, codes, k))
       }
       .start()
+
+  /** Streaming drift gate — `q_psi_drift`'s deploy twin: per
+    * micro-batch, PSI of the batch's length distribution against a
+    * FROZEN reference histogram (bucket edges fixed at reference
+    * time — a drifting batch must never move the ruler it is
+    * measured with). The formula is [[graft.ext.Drift.psiTerms]],
+    * the SAME kernel the scored batch monitor runs, so the two
+    * surfaces cannot diverge; one summary row per batch lands in a
+    * batch-keyed dir with overwrite mode (the idempotent-sink recipe
+    * — a redelivered batch re-emits the same verdict, never a
+    * duplicate row). A consumer reads the psi table and quarantines
+    * batches over its threshold. `refHist` is the 10-bucket add-1
+    * histogram ([[graft.ext.Drift.lengthHistogram]]) and `mx` the
+    * reference max that fixed the bucket edges. */
+  def psiMonitor(rows: DataFrame, refHist: DataFrame, mx: Long,
+                 out: String, ckpt: String): StreamingQuery = {
+    val ref = refHist.select(col("bucket"), col("n").as("n_ref"))
+    rows.writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val cur = graft.ext.Drift.lengthHistogram(df.toDF(), mx)
+          .select(col("bucket"), col("n").as("n_cur"))
+        graft.ext.Drift.psiTerms(ref.join(cur, Seq("bucket")))
+          .agg(sum(col("psi_term_fx")).as("psi_fx"),
+            sum(col("n_cur") - 1).as("n_rows"))
+          .select(lit(batchId).as("batch_id"), col("n_rows"),
+            col("psi_fx"))
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
 }

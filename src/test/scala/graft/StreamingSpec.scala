@@ -946,4 +946,56 @@ class StreamingSpec extends SparkSpec {
     assert(AnnIndex.ivfPqTopK(ix, dq, "qid", "qvec",
       k = 3, nProbe = 2, shortlistK = 10).count() > 0)
   }
+
+  test("streaming PSI gate: an in-distribution batch scores low, a " +
+    "shifted batch scores high, formula equals the batch kernel") {
+    import java.io.File
+    import graft.ext.Drift
+    val tmp = java.nio.file.Files.createTempDirectory("psi_gate").toFile
+    val srcDir = new File(tmp, "src"); srcDir.mkdirs()
+    val outDir = new File(tmp, "out").getAbsolutePath
+    val ckptDir = new File(tmp, "ckpt").getAbsolutePath
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val mx = docs.agg(org.apache.spark.sql.functions.max(col("n_chars")))
+      .head().getLong(0)
+    val ref = Drift.lengthHistogram(docs, mx)
+    def addFile(tag: String,
+                rows: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = new File(tmp, s"stage_$tag")
+      rows.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new File(srcDir, s"$tag.parquet").toPath)
+      ()
+    }
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(docs.schema)
+        .parquet(srcDir.getAbsolutePath)
+      val q = StreamOps.psiMonitor(in, ref, mx, outDir, ckptDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0: the reference distribution itself (PSI ≈ 0);
+    // batch 1: every length halved — a hard left-shift
+    addFile("f1", docs)
+    runOnce()
+    addFile("f2", docs.select(col("doc_id"),
+      (col("n_chars") / 2).cast("long").as("n_chars")))
+    runOnce()
+    val psi = spark.read.parquet(outDir)
+      .select(col("batch_id"), col("psi_fx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(psi.size === 2, s"expected 2 batch rows, got $psi")
+    assert(psi(1L) > psi(0L) * 10 + 1,
+      s"shifted batch must dominate: $psi")
+    // twin check: batch 0's monitor row equals the batch kernel run
+    // directly over (ref, ref-as-current)
+    val direct = Drift.psiTerms(
+        ref.select(col("bucket"), col("n").as("n_ref"))
+          .join(ref.select(col("bucket"), col("n").as("n_cur")),
+            Seq("bucket")))
+      .agg(org.apache.spark.sql.functions.sum(col("psi_term_fx")))
+      .head().getLong(0)
+    assert(psi(0L) === direct)
+  }
 }
