@@ -1716,6 +1716,83 @@ object ExtQueries {
         .orderBy(col("probe"))
     }),
 
+    // Graded retrieval evaluation — nDCG@5 over the same known-item
+    // candidate sets as q_retrieval_mrr, with graded relevance =
+    // the query term's tf in the candidate (more occurrences, more
+    // relevant — the self-consistent graded label a synthetic corpus
+    // supports). DCG = Σ rel_i/log2(i+1) rides the integer path:
+    // weight_fx(i) = 2⁴⁰ div log2Fx(i+1), dcg_fx = Σ rel·weight_fx;
+    // IDCG re-ranks the same 5 rows by rel desc; ndcg = r4 of the
+    // BIGINT ratio. MRR says WHERE the known item landed; nDCG says
+    // how well the whole head of the list is ordered.
+    "q_retrieval_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = LmScore.LogScale
+      val tf = bm25TfC(s, d)
+      val dlen = Cache.getOrPersist(s, "bm25_dlen", d)(
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
+      val stats = dlen.agg(count(lit(1)).as("nn"),
+          sum(col("len")).as("tot"))
+        .select(col("nn"), expr("(tot * 1000) div nn").as("avgfx"))
+      val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val probes = docs(s, d).where(col("doc_id") % 101 === 3)
+        .select(col("doc_id").as("probe"))
+      val pterm = tf.join(broadcast(probes),
+          col("doc_id") === col("probe"))
+        .join(broadcast(dfTab), Seq("w"))
+        .groupBy(col("probe"))
+        .agg(min(struct(col("df"), col("w"))).as("mt"))
+        .select(col("probe"), col("mt.w").as("w"),
+          col("mt.df").as("df"))
+      val qidf = pterm.select(col("w"), col("df")).distinct()
+        .crossJoin(broadcast(stats))
+        .withColumn("xfx",
+          expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
+            s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
+        .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
+        .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
+          "shiftleft(1L, CAST(e - 1 AS INT))"))
+        .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
+          + element_at(typedLit(LmScore.Log2Table),
+              (col("m") - lit(LmScore.MScale - 1)).cast("int"))
+          - lit(LmScore.L9Fx))
+        .select(col("w"), col("idf_fx"))
+      val cand = tf
+        .join(broadcast(pterm.select(col("probe"), col("w"))), Seq("w"))
+        .join(broadcast(qidf), Seq("w"))
+        .join(dlen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tfpart",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len").cast("double") /
+                (col("avgfx").cast("double") / lit(1000.0)))))
+        .withColumn("cfx",
+          floor(col("idf_fx").cast("double") * col("tfpart") + lit(0.5))
+            .cast("long"))
+      val served = Window.partitionBy(col("probe"))
+        .orderBy(col("cfx").desc, col("doc_id"))
+      val ideal = Window.partitionBy(col("probe"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      cand
+        .withColumn("srank", row_number().over(served).cast("long"))
+        .withColumn("irank", row_number().over(ideal).cast("long"))
+        .withColumn("slg", LmScore.log2FxCol(col("srank") + 1))
+        .withColumn("ilg", LmScore.log2FxCol(col("irank") + 1))
+        .withColumn("sw", expr(s"${S * S} div slg"))
+        .withColumn("iw", expr(s"${S * S} div ilg"))
+        .groupBy(col("probe"))
+        .agg(
+          sum(when(col("srank") <= 5, col("tf") * col("sw"))
+            .otherwise(0L)).as("dcg_fx"),
+          sum(when(col("irank") <= 5, col("tf") * col("iw"))
+            .otherwise(0L)).as("idcg_fx"))
+        .select(col("probe"), col("dcg_fx"), col("idcg_fx"),
+          Det.r4(col("dcg_fx").cast("double") /
+            col("idcg_fx").cast("double")).as("ndcg"))
+        .orderBy(col("probe"))
+    }),
+
     // Marker-based language scoring + argmax prediction.
     "q_lang_id" -> ((s, d) => {
       val ws = TextAnalysis.wordsCol
@@ -6111,6 +6188,93 @@ object ExtQueries {
          |SELECT probe, w AS term, df, n_cand, self_rank,
          |       ${r4("1.0 / CAST(self_rank AS DOUBLE)")} AS rr
          |FROM ranked WHERE doc_id = probe ORDER BY probe""".stripMargin),
+
+    // nDCG replayed off the same candidate chain: served and ideal
+    // rank windows, integer position weights 2⁴⁰ // log2Fx(rank+1),
+    // BIGINT ratio at the end.
+    "q_retrieval_ndcg" -> Oracle.mat(
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |dlen AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+         |  FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |         (CAST(sum(len) AS BIGINT) * 1000)
+         |           // CAST(count(*) AS BIGINT) AS avgfx
+         |  FROM dlen),
+         |dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |probes AS (SELECT doc_id AS probe FROM documents
+         |           WHERE doc_id % 101 = 3),
+         |pt0 AS (
+         |  SELECT p.probe, t.w, d.df,
+         |         row_number() OVER (PARTITION BY p.probe
+         |                ORDER BY d.df, t.w) AS prn
+         |  FROM probes p
+         |  JOIN tf t ON t.doc_id = p.probe
+         |  JOIN dfx d USING (w)),
+         |pterm AS (SELECT probe, w, df FROM pt0 WHERE prn = 1),
+         |qw AS (SELECT DISTINCT w, df FROM pterm),
+         |qx AS (
+         |  SELECT q.w,
+         |         CAST((CAST((s.nn + 1) * 2 AS HUGEINT)
+         |               * ${LmScore.PScale}) // (2 * q.df + 1)
+         |           AS BIGINT) AS xfx
+         |  FROM qw q CROSS JOIN stats s),
+         |qe AS (SELECT w, xfx, length(bin(xfx)) AS e FROM qx),
+         |qidf AS (
+         |  SELECT w,
+         |         (e - 1) * ${LmScore.LogScale}
+         |           + (${LmScore.log2TableSql}[
+         |               CAST((xfx * ${LmScore.MScale})
+         |                 // (CAST(1 AS BIGINT) << (e - 1))
+         |                 AS INTEGER) - ${LmScore.MScale - 1}])
+         |           - ${LmScore.L9Fx} AS idf_fx
+         |  FROM qe),
+         |cand AS (
+         |  SELECT pt.probe, t.doc_id, t.tf,
+         |         CAST(floor(CAST(i.idf_fx AS DOUBLE) *
+         |           (CAST(t.tf AS DOUBLE) * 2.2 /
+         |             (CAST(t.tf AS DOUBLE) + 1.2 *
+         |               (0.25 + 0.75 * CAST(l.len AS DOUBLE) /
+         |                 (CAST(s.avgfx AS DOUBLE) / 1000.0)))) + 0.5)
+         |           AS BIGINT) AS cfx
+         |  FROM pterm pt
+         |  JOIN tf t ON t.w = pt.w
+         |  JOIN qidf i ON i.w = pt.w
+         |  JOIN dlen l ON l.doc_id = t.doc_id
+         |  CROSS JOIN stats s),
+         |ranked AS (
+         |  SELECT probe, tf,
+         |         CAST(row_number() OVER (PARTITION BY probe
+         |                ORDER BY cfx DESC, doc_id) AS BIGINT)
+         |           AS srank,
+         |         CAST(row_number() OVER (PARTITION BY probe
+         |                ORDER BY tf DESC, doc_id) AS BIGINT)
+         |           AS irank
+         |  FROM cand),
+         |weighted AS (
+         |  SELECT probe, tf, srank, irank,
+         |         ${1L << 40} // (${LmScore.log2FxSql("srank + 1")})
+         |           AS sw,
+         |         ${1L << 40} // (${LmScore.log2FxSql("irank + 1")})
+         |           AS iw
+         |  FROM ranked),
+         |agg AS (
+         |  SELECT probe,
+         |         CAST(sum(CASE WHEN srank <= 5 THEN tf * sw
+         |                       ELSE 0 END) AS BIGINT) AS dcg_fx,
+         |         CAST(sum(CASE WHEN irank <= 5 THEN tf * iw
+         |                       ELSE 0 END) AS BIGINT) AS idcg_fx
+         |  FROM weighted GROUP BY 1)
+         |SELECT probe, dcg_fx, idcg_fx,
+         |       ${r4("CAST(dcg_fx AS DOUBLE) / CAST(idcg_fx AS DOUBLE)")}
+         |         AS ndcg
+         |FROM agg ORDER BY probe""".stripMargin),
 
     "q_lang_id" -> {
       val scoreCols = TextAnalysis.Markers.map { case (l, ms) =>
