@@ -1670,7 +1670,9 @@ object ExtQueries {
       // argmin (df, w) per probe — struct-min is the argmin idiom
       val pterm = tf.join(broadcast(probes),
           col("doc_id") === col("probe"))
-        .join(broadcast(dfTab), Seq("w"))
+        .join(dfTab, Seq("w")) // df is O(vocab): never hinted broadcast
+        // (a web-scale vocab exceeds any broadcast budget; the probe
+        // side is the small one and AQE may flip the build side)
         .groupBy(col("probe"))
         .agg(min(struct(col("df"), col("w"))).as("mt"))
         .select(col("probe"), col("mt.w").as("w"),
@@ -1739,7 +1741,9 @@ object ExtQueries {
         .select(col("doc_id").as("probe"))
       val pterm = tf.join(broadcast(probes),
           col("doc_id") === col("probe"))
-        .join(broadcast(dfTab), Seq("w"))
+        .join(dfTab, Seq("w")) // df is O(vocab): never hinted broadcast
+        // (a web-scale vocab exceeds any broadcast budget; the probe
+        // side is the small one and AQE may flip the build side)
         .groupBy(col("probe"))
         .agg(min(struct(col("df"), col("w"))).as("mt"))
         .select(col("probe"), col("mt.w").as("w"),
