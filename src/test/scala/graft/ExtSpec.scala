@@ -1482,6 +1482,35 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === run().map(_.toString).toSeq)
   }
 
+  test("retrieval evals: rank/rr/ndcg invariants and cross-metric " +
+    "consistency") {
+    val dir = "/root/testdata/sf0.001"
+    val mrr = graft.ext.ExtQueries
+      .queries("q_retrieval_mrr")(spark, dir).collect()
+    assert(mrr.nonEmpty)
+    mrr.foreach { r =>
+      val rank = r.getAs[Long]("self_rank")
+      val nc = r.getAs[Long]("n_cand")
+      assert(rank >= 1L && rank <= nc,
+        s"self-rank $rank outside [1, $nc]")
+      val rr = r.getAs[Double]("rr")
+      assert(rr > 0.0 && rr <= 1.0)
+      // the probe contains its own rarest term, so it IS a candidate
+      assert(nc >= 1L)
+    }
+    val ndcg = graft.ext.ExtQueries
+      .queries("q_retrieval_ndcg")(spark, dir).collect()
+    assert(ndcg.map(_.getAs[Long]("probe")).toSet ===
+      mrr.map(_.getAs[Long]("probe")).toSet,
+      "both evals must cover the same probe set")
+    ndcg.foreach { r =>
+      val d = r.getAs[Long]("dcg_fx"); val i = r.getAs[Long]("idcg_fx")
+      assert(d > 0L && i > 0L && d <= i,
+        s"DCG $d must be positive and never beat ideal $i")
+      assert(r.getAs[Double]("ndcg") <= 1.0)
+    }
+  }
+
   test("q_dedup_index_persist: reloaded-postings triage equals the " +
     "in-session capped join, new-vs-base only") {
     val dir = "/root/testdata/sf0.001"
