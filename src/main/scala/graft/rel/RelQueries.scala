@@ -2346,6 +2346,49 @@ object RelQueries {
         .orderBy(col("c_mktsegment"), col("c_nationkey"))
     }),
 
+    // DP SUM release — the bounded-contribution half of the DP pair
+    // (q_dp_counts is sensitivity-1 counting; real releases are sums
+    // whose sensitivity must be ENGINEERED by clamping): per-segment
+    // account-balance totals in integer cents, each customer's
+    // contribution clamped to C = 5,000.00 (the clamp IS the
+    // sensitivity bound — without it one whale makes the release
+    // useless or non-private), then discrete-Laplace noise at scale
+    // C: the same seeded geometric(1/2) ladder as q_dp_counts
+    // multiplied by the sensitivity (noise ∝ C/ε with ε = ln 2 per
+    // clamp unit). Emits clamped exact sum, the clamp-loss audit
+    // column (how much the bound cut — the utility dial a release
+    // tunes), noise and the released total. One aggregate + scalar
+    // ladder, scan speed at any size.
+    "q_dp_sum" -> ((s, d) => {
+      val S = graft.ext.LmScore.LogScale
+      val clampC = 500000L // cents
+      val cents = expr("CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 " +
+        "+ 0.5) AS BIGINT)")
+      val key = concat_ws("|", col("c_mktsegment"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment"),
+          least(greatest(cents, lit(0L)), lit(clampC)).as("clamped"),
+          cents.as("raw"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("clamped")).as("sum_clamped"),
+          sum(col("raw") - col("clamped")).as("clamp_loss"))
+        .withColumn("u", PortableHash.spread(
+          PortableHash.h(concat(key, lit("|dps1")))) + lit(1L))
+        .withColumn("sgn", when(PortableHash.spread(
+            PortableHash.h(concat(key, lit("|dps2")))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+        .withColumn("lgu", graft.ext.LmScore.log2FxCol(col("u")))
+        .withColumn("mag", expr(s"(${20 * S} - lgu) div $S"))
+        .select(col("c_mktsegment"), col("n"), col("sum_clamped"),
+          col("clamp_loss"),
+          (col("sgn") * col("mag") * lit(clampC)).as("noise"),
+          (col("sum_clamped") + col("sgn") * col("mag") * lit(clampC))
+            .as("released"),
+          lit(0.6931).as("eps_per_unit"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Right-to-erasure audit: cascade a customer delete list through
     // the star (customers → their orders → those orders' lineitems)
     // and report per-table before/deleted/after plus the
@@ -4160,6 +4203,47 @@ object RelQueries {
          |       CAST(n + sgn * mag AS BIGINT) AS released,
          |       CAST(0.6931 AS DOUBLE) AS eps
          |FROM z ORDER BY c_mktsegment, c_nationkey""".stripMargin
+    },
+
+    // DP sum replayed: the same cents snap, [0, C] clamp, seeded
+    // ladder and C-scaled noise.
+    "q_dp_sum" -> {
+      val S = graft.ext.LmScore.LogScale
+      val c = 500000L
+      val cents = "CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5)" +
+        " AS BIGINT)"
+      val k1 = "(c_mktsegment || '|dps1')"
+      val k2 = "(c_mktsegment || '|dps2')"
+      s"""WITH rows0 AS (
+         |  SELECT c_mktsegment,
+         |         least(greatest($cents, 0), $c) AS clamped,
+         |         $cents AS raw
+         |  FROM customer),
+         |g AS (
+         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(clamped) AS BIGINT) AS sum_clamped,
+         |         CAST(sum(raw - clamped) AS BIGINT) AS clamp_loss
+         |  FROM rows0 GROUP BY 1),
+         |x AS (
+         |  SELECT g.*,
+         |         ${PortableHash.spreadSql(PortableHash.hSql(k1))} + 1
+         |           AS u,
+         |         CASE WHEN (${PortableHash.spreadSql(
+                    PortableHash.hSql(k2))}) % 2 = 0
+         |              THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(-1 AS BIGINT) END AS sgn
+         |  FROM g),
+         |z AS (
+         |  SELECT x.*,
+         |         (${20 * S} - ${graft.ext.LmScore.log2FxSql("u")})
+         |           // $S AS mag
+         |  FROM x)
+         |SELECT c_mktsegment, n, sum_clamped, clamp_loss,
+         |       CAST(sgn * mag * $c AS BIGINT) AS noise,
+         |       CAST(sum_clamped + sgn * mag * $c AS BIGINT)
+         |         AS released,
+         |       CAST(0.6931 AS DOUBLE) AS eps_per_unit
+         |FROM z ORDER BY c_mktsegment""".stripMargin
     },
 
     // The cascade replayed as plain counts; orphans-after are 0 by
