@@ -103,14 +103,15 @@ object ScaleGate {
     "q_leakage_free_split",
     // round-11: the durable-index triage (graded on build — the
     // banding + capped key join against stored postings), the
-    // known-item retrieval eval (work = Σ min-DF posting lists —
-    // replication densifies every df, the adversarial direction),
-    // the PSI monitor (pure scan + 10-bucket agg, should gate ~flat)
-    // and the ILS pair join (bounded 45·items rows by construction).
-    // q_ann_frontier is deliberately absent like q_ann_recall: its
-    // legs carry the nq×N brute-force truth sides by construction.
-    "q_dedup_index_persist", "q_retrieval_mrr", "q_psi_drift",
-    "q_rec_ils")
+    // known-item retrieval evals (work = Σ min-DF posting lists —
+    // replication densifies every df, the adversarial direction) and
+    // the PSI monitor (pure scan + 10-bucket agg, should gate ~flat).
+    // q_ann_frontier is deliberately absent like q_ann_recall (its
+    // legs carry the nq×N brute-force truth sides by construction);
+    // q_rec_ils needs the star tables, so it rides the --fullstar
+    // runs only (PLANS.md round-11: 7.9 at 10×, 3.5 at 30×).
+    "q_dedup_index_persist", "q_retrieval_mrr", "q_retrieval_ndcg",
+    "q_psi_drift")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
