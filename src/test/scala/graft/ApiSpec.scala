@@ -730,5 +730,13 @@ class ApiSpec extends SparkSpec {
     val ixPlan = ix.queryExecution.executedPlan.toString
     assert(!ixPlan.contains("CartesianProduct"), ixPlan)
     assert(ix.collect().nonEmpty)
+    // q_rec_serve_user: neighbor-cut equi-joins + an ANTI join for
+    // seen-item exclusion — never a cartesian, and the exclusion must
+    // really be an anti join (a NOT IN rewrite can degenerate)
+    val rs = SparkEntry.queries("q_rec_serve_user")(spark, sf001)
+    val rsPlan = rs.queryExecution.executedPlan.toString
+    assert(!rsPlan.contains("CartesianProduct"), rsPlan)
+    assert(rsPlan.contains("LeftAnti"), rsPlan)
+    assert(rs.collect().nonEmpty)
   }
 }

@@ -102,6 +102,47 @@ class OracleMatSpec extends AnyFunSuite {
     assert(out == "WITH a AS MATERIALIZED (SELECT 'x AS (' AS s) SELECT * FROM a")
   }
 
+  test("seeded-random compositions: mat only inserts MATERIALIZED " +
+    "tokens and is idempotent") {
+    // Generator over the grammar that bit us historically: WITH
+    // lists, nested WITH, WINDOW clauses, string literals with
+    // quotes, and -- comments carrying apostrophes and head-shaped
+    // bait. Two invariants hold for ANY input: stripping the
+    // inserted token restores the input byte-for-byte (mat never
+    // rewrites anything else), and mat is idempotent (an inserted
+    // token never re-matches).
+    val rnd = new scala.util.Random(1234)
+    def name() = "c" + rnd.nextInt(20)
+    def body(depth: Int): String =
+      if (depth > 1 || rnd.nextInt(3) > 0) "SELECT " + rnd.nextInt(9)
+      else withText(depth + 1)
+    def cte(depth: Int) = s"${name()} AS (${body(depth)})"
+    def windowClause() =
+      s" WINDOW w${rnd.nextInt(5)} AS (ORDER BY x)" +
+        (if (rnd.nextBoolean()) s", w${5 + rnd.nextInt(5)} AS (ORDER BY y)"
+         else "")
+    def noise() = rnd.nextInt(4) match {
+      case 0 => " -- the engine's x AS (bait)\n"
+      case 1 => " 'it''s a ''quoted'' str' "
+      case 2 => " '--not a comment' "
+      case _ => " "
+    }
+    def withText(depth: Int): String =
+      "WITH " + Seq.fill(1 + rnd.nextInt(3))(cte(depth))
+        .mkString(", ") + noise() +
+        " SELECT sum(x) OVER w1 FROM t" +
+        (if (rnd.nextBoolean()) windowClause() else "")
+    (1 to 200).foreach { _ =>
+      val in = withText(0)
+      val out = Oracle.mat(in)
+      assert(out.replace(" AS MATERIALIZED (", " AS (") == in,
+        s"mat rewrote more than the insertion token:\nin=$in\nout=$out")
+      assert(Oracle.mat(out) == out, s"mat not idempotent on:\n$out")
+      assert(!out.matches("""(?s).*WINDOW w\d+ AS MATERIALIZED.*"""),
+        s"window head materialized:\n$out")
+    }
+  }
+
   test("every mat()'d production oracle gains at least one MATERIALIZED") {
     // The production call sites wrap WITH-headed texts; a mat() that
     // silently stopped matching would regress the exponential-replay
