@@ -490,6 +490,59 @@ object SimQueries {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // The serve from a PERSISTED neighbor store — the recsys family's
+    // q_ann_persist analog and the reference pipeline's actual deploy
+    // shape: similarities are precomputed (nightly) and written as
+    // the top-10 positive-corr neighbor table; request time reads the
+    // STORE, never the moment table. Shares q_rec_serve_user's oracle
+    // verbatim — a parquet roundtrip of the neighbor lists may not
+    // move one recommendation. Store is written once per (session,
+    // dir) and is O(10·items) rows at any corpus size.
+    "q_rec_serve_persist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = sys.props.getOrElse("graft.rec.storeBase",
+        "/root/repo/target/rec_store") + "/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Cache.getOrSnapshot(s, "rec_serve_persist", d) {
+        val sims = Moments.asDoubles(moments(s, d))
+          .withColumn("corr", corrCol)
+          .where(col("n") > 0)
+          .select(col("item_x"), col("item_y"), col("corr"))
+        val sym = sims.unionByName(sims.select(
+          col("item_y").as("item_x"), col("item_x").as("item_y"),
+          col("corr")))
+        val nw = Window.partitionBy(col("item_x"))
+          .orderBy(col("corr").desc, col("item_y"))
+        sym.withColumn("nrn", row_number().over(nw))
+          .where(col("nrn") <= 10 && col("corr") > 0)
+          .withColumn("cfx",
+            floor(col("corr") * 10000 + 0.5).cast("long"))
+          .select(col("item_x"), col("item_y"), col("cfx"))
+          .write.mode("overwrite").parquet(path)
+        val nbr = s.read.parquet(path)
+        val probes = ratings(s, d).where(col("user_id") % 100 === 7)
+          .select(col("user_id"), col("item_id").as("item_x"),
+            col("rating_i"))
+        val cand = probes.join(nbr, Seq("item_x"))
+        val seen = ratings(s, d)
+          .select(col("user_id").as("su"), col("item_id").as("si"))
+        val unseen = cand.join(seen,
+          cand("user_id") === col("su") &&
+            cand("item_y") === col("si"), "left_anti")
+        val agg = unseen
+          .groupBy(col("user_id"), col("item_y").as("item_id"))
+          .agg(count(lit(1)).as("n_contrib"),
+            sum(col("cfx") * col("rating_i")).as("num_fx"),
+            sum(col("cfx")).as("den_fx"))
+          .withColumn("pred", Det.r4(col("num_fx").cast("double") /
+            (col("den_fx").cast("double") * 10000.0)))
+        val rw = Window.partitionBy(col("user_id"))
+          .orderBy(col("pred").desc, col("item_id"))
+        agg.withColumn("rn", row_number().over(rw).cast("long"))
+          .where(col("rn") <= 5)
+      }.orderBy(col("user_id"), col("rn"))
+    }),
+
     // Catalog coverage of the top-k neighbor lists — the first
     // recommender acceptance metric (Herlocker et al.): what fraction
     // of the catalog ever appears as a recommendation. A popularity-
@@ -553,6 +606,54 @@ object SimQueries {
         .orderBy(col("item_x"))
     })
   )
+
+  private lazy val recServeOracle: String = Oracle.mat(
+      s"""WITH $R, $P,
+         |sims AS (
+         |  SELECT item_x, item_y, ${r4(corrSql)} AS corr
+         |  FROM pairs WHERE n > 0),
+         |sym AS (
+         |  SELECT item_x, item_y, corr FROM sims
+         |  UNION ALL
+         |  SELECT item_y AS item_x, item_x AS item_y, corr FROM sims),
+         |nbr0 AS (
+         |  SELECT item_x, item_y, corr,
+         |         row_number() OVER (PARTITION BY item_x
+         |                ORDER BY corr DESC, item_y) AS nrn
+         |  FROM sym),
+         |nbr AS (
+         |  SELECT item_x, item_y,
+         |         CAST(floor(corr * 10000 + 0.5) AS BIGINT) AS cfx
+         |  FROM nbr0 WHERE nrn <= 10 AND corr > 0),
+         |probes AS (
+         |  SELECT user_id, item_id, rating_i FROM ratings
+         |  WHERE user_id % 100 = 7),
+         |cand AS (
+         |  SELECT p.user_id, n.item_y, n.cfx, p.rating_i
+         |  FROM probes p JOIN nbr n ON n.item_x = p.item_id),
+         |unseen AS (
+         |  SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+         |                    WHERE r.user_id = c.user_id
+         |                      AND r.item_id = c.item_y)),
+         |agg AS (
+         |  SELECT user_id, item_y AS item_id,
+         |         CAST(count(*) AS BIGINT) AS n_contrib,
+         |         CAST(sum(cfx * rating_i) AS BIGINT) AS num_fx,
+         |         CAST(sum(cfx) AS BIGINT) AS den_fx
+         |  FROM unseen GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT *,
+         |         ${r4("CAST(num_fx AS DOUBLE) / " +
+              "(CAST(den_fx AS DOUBLE) * 10000.0)")} AS pred
+         |  FROM agg),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+         |               ORDER BY pred DESC, item_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT user_id, item_id, n_contrib, num_fx, den_fx, pred, rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY user_id, rn""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     // Bias-baseline holdout eval. Every division chain is spelled
@@ -823,54 +924,12 @@ object SimQueries {
     // The serve replayed: symmetrized sims, per-item top-10 positive
     // cut, probe join, NOT EXISTS seen-exclusion, BIGINT weighted
     // sums, ranked top-5.
-    "q_rec_serve_user" -> Oracle.mat(
-      s"""WITH $R, $P,
-         |sims AS (
-         |  SELECT item_x, item_y, ${r4(corrSql)} AS corr
-         |  FROM pairs WHERE n > 0),
-         |sym AS (
-         |  SELECT item_x, item_y, corr FROM sims
-         |  UNION ALL
-         |  SELECT item_y AS item_x, item_x AS item_y, corr FROM sims),
-         |nbr0 AS (
-         |  SELECT item_x, item_y, corr,
-         |         row_number() OVER (PARTITION BY item_x
-         |                ORDER BY corr DESC, item_y) AS nrn
-         |  FROM sym),
-         |nbr AS (
-         |  SELECT item_x, item_y,
-         |         CAST(floor(corr * 10000 + 0.5) AS BIGINT) AS cfx
-         |  FROM nbr0 WHERE nrn <= 10 AND corr > 0),
-         |probes AS (
-         |  SELECT user_id, item_id, rating_i FROM ratings
-         |  WHERE user_id % 100 = 7),
-         |cand AS (
-         |  SELECT p.user_id, n.item_y, n.cfx, p.rating_i
-         |  FROM probes p JOIN nbr n ON n.item_x = p.item_id),
-         |unseen AS (
-         |  SELECT c.* FROM cand c
-         |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
-         |                    WHERE r.user_id = c.user_id
-         |                      AND r.item_id = c.item_y)),
-         |agg AS (
-         |  SELECT user_id, item_y AS item_id,
-         |         CAST(count(*) AS BIGINT) AS n_contrib,
-         |         CAST(sum(cfx * rating_i) AS BIGINT) AS num_fx,
-         |         CAST(sum(cfx) AS BIGINT) AS den_fx
-         |  FROM unseen GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT *,
-         |         ${r4("CAST(num_fx AS DOUBLE) / " +
-              "(CAST(den_fx AS DOUBLE) * 10000.0)")} AS pred
-         |  FROM agg),
-         |ranked AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
-         |               ORDER BY pred DESC, item_id) AS BIGINT) AS rn
-         |  FROM scored)
-         |SELECT user_id, item_id, n_contrib, num_fx, den_fx, pred, rn
-         |FROM ranked WHERE rn <= 5
-         |ORDER BY user_id, rn""".stripMargin),
+    "q_rec_serve_user" -> recServeOracle,
 
+    // The persisted-store serve must answer EXACTLY like the
+    // in-session one — same oracle text (the q_ann_persist
+    // discipline, recsys family).
+    "q_rec_serve_persist" -> recServeOracle,
     // Coverage replayed off the same ranked window + ratings scan.
     "q_rec_coverage" ->
       s"""WITH $R, $P,
