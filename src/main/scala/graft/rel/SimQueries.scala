@@ -99,6 +99,58 @@ object SimQueries {
   private val corrSql =
     S.Sql.corr("nd", "sxyd", "sxd", "syd", "sxxd", "syyd")
 
+  /** The top-10 positive-correlation symmetric neighbor table
+    * (item_x, item_y, cfx) — the serving artifact both rec-serve
+    * queries consume; cfx is the 10⁴-fixed-point similarity. */
+  private def neighborTable(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sims = Moments.asDoubles(moments(s, d))
+      .withColumn("corr", corrCol)
+      .where(col("n") > 0)
+      .select(col("item_x"), col("item_y"), col("corr"))
+    // the moment table stores each unordered pair once (x < y);
+    // serving needs neighbors in both directions
+    val sym = sims.unionByName(sims.select(
+      col("item_y").as("item_x"), col("item_x").as("item_y"),
+      col("corr")))
+    val nw = Window.partitionBy(col("item_x"))
+      .orderBy(col("corr").desc, col("item_y"))
+    sym.withColumn("nrn", row_number().over(nw))
+      .where(col("nrn") <= 10 && col("corr") > 0)
+      .withColumn("cfx",
+        floor(col("corr") * 10000 + 0.5).cast("long"))
+      .select(col("item_x"), col("item_y"), col("cfx"))
+  }
+
+  /** Weighted-sum top-5 serve over a neighbor table (in-session or
+    * reloaded from the store) — shared by both rec-serve queries so
+    * the persisted variant can only differ by WHERE the neighbors
+    * came from. */
+  private def recServe(s: SparkSession, d: String,
+                       nbr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = ratings(s, d).where(col("user_id") % 100 === 7)
+      .select(col("user_id"), col("item_id").as("item_x"),
+        col("rating_i"))
+    val cand = probes.join(nbr, Seq("item_x"))
+    val seen = ratings(s, d)
+      .select(col("user_id").as("su"), col("item_id").as("si"))
+    val unseen = cand.join(seen,
+      cand("user_id") === col("su") && cand("item_y") === col("si"),
+      "left_anti")
+    val agg = unseen
+      .groupBy(col("user_id"), col("item_y").as("item_id"))
+      .agg(count(lit(1)).as("n_contrib"),
+        sum(col("cfx") * col("rating_i")).as("num_fx"),
+        sum(col("cfx")).as("den_fx"))
+      .withColumn("pred", Det.r4(col("num_fx").cast("double") /
+        (col("den_fx").cast("double") * 10000.0)))
+    val rw = Window.partitionBy(col("user_id"))
+      .orderBy(col("pred").desc, col("item_id"))
+    agg.withColumn("rn", row_number().over(rw).cast("long"))
+      .where(col("rn") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: the source adapter at testdata scale — the ratings view itself.
     "q_parse_ratings" -> ((s, d) =>
@@ -449,46 +501,9 @@ object SimQueries {
     // symmetric neighbor cut bounds fan-out at 10·rated-items per
     // user BY CONSTRUCTION; seen-item exclusion is an anti join; no
     // per-user loops anywhere.
-    "q_rec_serve_user" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val sims = Moments.asDoubles(moments(s, d))
-        .withColumn("corr", corrCol)
-        .where(col("n") > 0)
-        .select(col("item_x"), col("item_y"), col("corr"))
-      // the moment table stores each unordered pair once (x < y);
-      // serving needs neighbors in both directions
-      val sym = sims.unionByName(sims.select(
-        col("item_y").as("item_x"), col("item_x").as("item_y"),
-        col("corr")))
-      val nw = Window.partitionBy(col("item_x"))
-        .orderBy(col("corr").desc, col("item_y"))
-      val nbr = sym.withColumn("nrn", row_number().over(nw))
-        .where(col("nrn") <= 10 && col("corr") > 0)
-        .withColumn("cfx",
-          floor(col("corr") * 10000 + 0.5).cast("long"))
-        .select(col("item_x"), col("item_y"), col("cfx"))
-      val probes = ratings(s, d).where(col("user_id") % 100 === 7)
-        .select(col("user_id"), col("item_id").as("item_x"),
-          col("rating_i"))
-      val cand = probes.join(nbr, Seq("item_x"))
-      val seen = ratings(s, d)
-        .select(col("user_id").as("su"), col("item_id").as("si"))
-      val unseen = cand.join(seen,
-        cand("user_id") === col("su") && cand("item_y") === col("si"),
-        "left_anti")
-      val agg = unseen
-        .groupBy(col("user_id"), col("item_y").as("item_id"))
-        .agg(count(lit(1)).as("n_contrib"),
-          sum(col("cfx") * col("rating_i")).as("num_fx"),
-          sum(col("cfx")).as("den_fx"))
-        .withColumn("pred", Det.r4(col("num_fx").cast("double") /
-          (col("den_fx").cast("double") * 10000.0)))
-      val rw = Window.partitionBy(col("user_id"))
-        .orderBy(col("pred").desc, col("item_id"))
-      agg.withColumn("rn", row_number().over(rw).cast("long"))
-        .where(col("rn") <= 5)
-        .orderBy(col("user_id"), col("rn"))
-    }),
+    "q_rec_serve_user" -> ((s, d) =>
+      recServe(s, d, neighborTable(s, d))
+        .orderBy(col("user_id"), col("rn"))),
 
     // The serve from a PERSISTED neighbor store — the recsys family's
     // q_ann_persist analog and the reference pipeline's actual deploy
@@ -499,47 +514,12 @@ object SimQueries {
     // move one recommendation. Store is written once per (session,
     // dir) and is O(10·items) rows at any corpus size.
     "q_rec_serve_persist" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val path = sys.props.getOrElse("graft.rec.storeBase",
-        "/root/repo/target/rec_store") + "/" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")
       Cache.getOrSnapshot(s, "rec_serve_persist", d) {
-        val sims = Moments.asDoubles(moments(s, d))
-          .withColumn("corr", corrCol)
-          .where(col("n") > 0)
-          .select(col("item_x"), col("item_y"), col("corr"))
-        val sym = sims.unionByName(sims.select(
-          col("item_y").as("item_x"), col("item_x").as("item_y"),
-          col("corr")))
-        val nw = Window.partitionBy(col("item_x"))
-          .orderBy(col("corr").desc, col("item_y"))
-        sym.withColumn("nrn", row_number().over(nw))
-          .where(col("nrn") <= 10 && col("corr") > 0)
-          .withColumn("cfx",
-            floor(col("corr") * 10000 + 0.5).cast("long"))
-          .select(col("item_x"), col("item_y"), col("cfx"))
-          .write.mode("overwrite").parquet(path)
-        val nbr = s.read.parquet(path)
-        val probes = ratings(s, d).where(col("user_id") % 100 === 7)
-          .select(col("user_id"), col("item_id").as("item_x"),
-            col("rating_i"))
-        val cand = probes.join(nbr, Seq("item_x"))
-        val seen = ratings(s, d)
-          .select(col("user_id").as("su"), col("item_id").as("si"))
-        val unseen = cand.join(seen,
-          cand("user_id") === col("su") &&
-            cand("item_y") === col("si"), "left_anti")
-        val agg = unseen
-          .groupBy(col("user_id"), col("item_y").as("item_id"))
-          .agg(count(lit(1)).as("n_contrib"),
-            sum(col("cfx") * col("rating_i")).as("num_fx"),
-            sum(col("cfx")).as("den_fx"))
-          .withColumn("pred", Det.r4(col("num_fx").cast("double") /
-            (col("den_fx").cast("double") * 10000.0)))
-        val rw = Window.partitionBy(col("user_id"))
-          .orderBy(col("pred").desc, col("item_id"))
-        agg.withColumn("rn", row_number().over(rw).cast("long"))
-          .where(col("rn") <= 5)
+        val path = sys.props.getOrElse("graft.rec.storeBase",
+          "/root/repo/target/rec_store") + "/" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_")
+        neighborTable(s, d).write.mode("overwrite").parquet(path)
+        recServe(s, d, s.read.parquet(path))
       }.orderBy(col("user_id"), col("rn"))
     }),
 
