@@ -64,10 +64,16 @@ object Bench {
   private def compactLine(
       queries: Seq[(String, Double)], total: Double, coldSum: Double,
       flags: String): String =
+    // shared-build decomposition rides its OWN field (mirroring
+    // BENCH_FULL's shared_components), NOT the queries object: a
+    // consumer reconstructing value = _shared_build + sum(queries)
+    // must not double-count the components. Components skipped by a
+    // mid-run SIGTERM (0.0 stubs) are dropped, not reported as
+    // misleading 0.000 rows.
     s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
-      s""","queries":${obj(("_shared_build" -> sharedSec) +:
-        (sharedRows.map { case (n, v) => s"_shared:$n" -> v } ++
-          queries), f3)}""" +
+      s""","queries":${obj(("_shared_build" -> sharedSec) +: queries, f3)}""" +
+      s""","shared_components":${obj(
+        sharedRows.filter(_._2 > 0.0), f3)}""" +
       s""","sf":"$sfDirG","cold_total":${f3(coldSum)}$flags""" +
       s""","detail":"BENCH_FULL.json"}"""
 

@@ -24,9 +24,7 @@ import org.apache.spark.sql.functions._
 object ScaleGate {
   /** Document/embedding-family queries where a hidden quadratic would
     * hurt most at 100 TB; q_token_count is the ~pure-scan baseline the
-    * others' ratios read against. (q_ann_recall is deliberately absent:
-    * its exact-ground-truth side is queries×corpus by construction —
-    * a measurement harness, not a serving path.) */
+    * others' ratios read against. */
   val Gate: Seq[String] = Seq(
     "q_token_count", "q_repetition_filter", "q_dup_windows",
     "q_minhash_near_dup", "q_tfidf_top_terms", "q_dedup_clusters",
@@ -106,12 +104,18 @@ object ScaleGate {
     // known-item retrieval evals (work = Σ min-DF posting lists —
     // replication densifies every df, the adversarial direction) and
     // the PSI monitor (pure scan + 10-bucket agg, should gate ~flat).
-    // q_ann_frontier is deliberately absent like q_ann_recall (its
-    // legs carry the nq×N brute-force truth sides by construction);
     // q_rec_ils needs the star tables, so it rides the --fullstar
-    // runs only (PLANS.md round-11: 7.9 at 10×, 3.5 at 30×).
+    // SpotSet, not this documents-family gate.
     "q_dedup_index_persist", "q_retrieval_mrr", "q_retrieval_ndcg",
-    "q_psi_drift")
+    "q_psi_drift",
+    // round-12: ALL seven recall twins and the frontier join the
+    // standing gate now that their truth legs ride a FIXED seeded
+    // query panel (nq pinned at AnnPanelSize → truth work O(nq·N),
+    // linear in the corpus — before the panel, q_ann_graph_recall
+    // gated 93× at 30× and the family was excluded by policy)
+    "q_ann_recall", "q_ann_sq_recall", "q_ann_ivf_pq_recall",
+    "q_ann_truncated_recall", "q_ann_filtered_recall",
+    "q_ann_graph_recall", "q_ann_hnsw_recall", "q_ann_frontier")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
@@ -126,7 +130,8 @@ object ScaleGate {
       // whole-RESULT caches (snapshot serve / per-word segment
       // table): warm is a bare scan, grade the build
       "q_ann_persist", "q_ann_graph_persist", "q_ann_hnsw_persist",
-      "q_wordpiece_segment", "q_dedup_index_persist")
+      "q_wordpiece_segment", "q_dedup_index_persist",
+      "q_rec_serve_persist")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 
@@ -192,16 +197,26 @@ object ScaleGate {
     buildReplica(spark, base, out, factor)
     if (exists(s"$out/_GATE_OK_FULLSTAR")) return
     val reps = spark.range(factor.toLong).select(col("id").as("rep"))
-    def off(df: org.apache.spark.sql.DataFrame, keys: Seq[String])
-        : org.apache.spark.sql.DataFrame = {
-      // one disjoint id range per replica and key column
-      val maxes = keys.map(k =>
-        k -> (df.agg(max(col(k))).head().getLong(0) + 1L)).toMap
-      keys.foldLeft(df.crossJoin(reps)) { (acc, k) =>
-        acc.withColumn(k, col(k) + col("rep") * maxes(k))
-      }.drop("rep")
-    }
     def t(n: String) = spark.read.parquet(s"$base/$n.parquet")
+    // ONE offset per key DOMAIN, computed from the PK-side table and
+    // reused for every FK column in that domain. Deriving each
+    // table's offset from its OWN max would silently mis-wire joins
+    // on any corpus where the max-key dimension row has no fact rows
+    // (classic TPC-H: one in three customers never orders) — the
+    // PK-side max is the domain's true ceiling by construction.
+    val domain: Map[String, Long] = Map(
+      "custkey" -> "customer.c_custkey", "suppkey" -> "supplier.s_suppkey",
+      "partkey" -> "part.p_partkey", "orderkey" -> "orders.o_orderkey"
+    ).map { case (d, src) =>
+      val Array(tbl, k) = src.split('.')
+      d -> (t(tbl).agg(max(col(k))).head().getLong(0) + 1L)
+    }
+    def off(df: org.apache.spark.sql.DataFrame, keys: Seq[String])
+        : org.apache.spark.sql.DataFrame =
+      keys.foldLeft(df.crossJoin(reps)) { (acc, k) =>
+        acc.withColumn(k,
+          col(k) + col("rep") * domain(k.split("_", 2)(1)))
+      }.drop("rep")
     def w(df: org.apache.spark.sql.DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
     w(off(t("customer"), Seq("c_custkey")), "customer")
@@ -229,7 +244,10 @@ object ScaleGate {
     "q_vector_pipeline", "q_movies_pipeline", "q_topk_neighbors",
     "q_sim_pearson", "q_agg_pricing_summary", "q_ship_priority",
     "q_join_broadcast_dims", "q_minhash_near_dup", "q_ann_ivf",
-    "q_ann_graph", "q_top_bigrams", "q_token_entropy")
+    "q_ann_graph", "q_top_bigrams", "q_token_entropy",
+    // round-12: the rec-serve family prices its fan-out caps here
+    // (neighbor fan-out ≤ 10·rated-items; ILS pair join ≤ 45·items)
+    "q_rec_ils", "q_rec_serve_user", "q_rec_coverage")
 
   private def f2(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -242,9 +260,26 @@ object ScaleGate {
     // "--fullstar" replicates the WHOLE star schema (not just
     // documents/embeddings/events) and defaults to the SpotSet
     val fullStar = args.contains("--fullstar")
-    val rest = args.drop(2).filterNot(_ == "--fullstar").toSeq
+    val force = args.contains("--force")
+    val rest = args.drop(2)
+      .filterNot(a => a == "--fullstar" || a == "--force").toSeq
     val gate = if (rest.nonEmpty) rest
                else if (fullStar) SpotSet else Gate
+    // Fail fast on heap: this is a single JVM standing in for a
+    // cluster, so the whole replicated working set lands on one heap.
+    // Empirical anchors (PLANS.md round-11): 10× fullstar fits 16 GiB;
+    // 30× fullstar OOM-killed 16 GiB (exit 52) and needed 80 GiB.
+    // Model: fullstar ≈ 2.7 GiB/replica-factor, docs-only ≈ 0.8.
+    val needGiB = math.max(8.0, factor * (if (fullStar) 2.7 else 0.8))
+    val haveGiB = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    if (haveGiB < needGiB && !force) {
+      System.err.println(
+        f"ScaleGate: heap $haveGiB%.1f GiB < estimated need $needGiB%.0f " +
+        f"GiB for factor=$factor${if (fullStar) " --fullstar" else ""}; " +
+        f"relaunch with -J-Xmx${math.ceil(needGiB).toInt}g " +
+        "(sbt -J-Xmx...g \"runMain graft.ScaleGate ...\") or pass --force.")
+      sys.exit(52)
+    }
     val out = if (fullStar) s"/root/repo/target/scalefull$factor"
               else s"/root/repo/target/scale$factor"
     def session(): SparkSession = {

@@ -135,6 +135,60 @@ object Moments {
         sum(rxD * ryD).as("sxy_dec"))
   }
 
+  /** Cross-side pair moments: every co-rating pair with one rating
+    * from `a` and one from `b` (same user, distinct items),
+    * canonicalized to `item_x < item_y` — the incremental-fold term
+    * of the pair-moment decomposition
+    *
+    *   pairs(base ∪ delta) = pairs(base) + pairs(delta)
+    *                       + cross(delta, base)
+    *
+    * (pairs are unordered 2-subsets of one user's ratings; each lands
+    * in exactly one term by which sides its two ratings came from).
+    * The sums are the same exact integers [[pairMoments]] emits, so
+    * folding a delta batch into stored partials reproduces the full
+    * rebuild bit-for-bit — see [[mergeMoments]]. Work is
+    * |delta| × (affected users' postings), never the corpus C(n,2).
+    * Both inputs carry (user_id, item_id, rating_i). */
+  def crossPairMoments(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("user_id"), col("item_id").as("ia"),
+      col("rating_i").as("ra"))
+    val r = b.select(col("user_id"), col("item_id").as("ib"),
+      col("rating_i").as("rb"))
+    // distinct-item guard: the full pipeline's strict `<` never pairs
+    // an item with itself, and a deterministic row gate puts every
+    // copy of a (user, item) cell on one side — the filter is a
+    // no-op on gated inputs and protects any other split
+    l.join(r, Seq("user_id")).where(col("ia") =!= col("ib"))
+      .select(
+        least(col("ia"), col("ib")).as("item_x"),
+        greatest(col("ia"), col("ib")).as("item_y"),
+        when(col("ia") < col("ib"), col("ra")).otherwise(col("rb")).as("rx"),
+        when(col("ia") < col("ib"), col("rb")).otherwise(col("ra")).as("ry"))
+      .groupBy(col("item_x"), col("item_y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"),
+        sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+  }
+
+  /** Sum-merge moment partials (the q_mv_merge discipline applied to
+    * the pair table): same-key rows add component-wise. Exact by
+    * integer addition — merge order can never shift a bit. */
+  def mergeMoments(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("item_x"), col("item_y"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"),
+        sum(col("sxx")).as("sxx"),
+        sum(col("syy")).as("syy"),
+        sum(col("sxy")).as("sxy"))
+
   /** The LONG-family projection of a [[pairMomentsBoth]] frame —
     * column-for-column the [[pairMoments]] schema. */
   def longView(both: DataFrame): DataFrame =

@@ -117,6 +117,11 @@ object AnnIndex {
     * Assignment/encoding use the FROZEN stored quantizers, like
     * [[append]]. */
   def appendBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    // an empty micro-batch (e.g. a newly arrived zero-row file) must
+    // not write a delta dir of bare _SUCCESS markers: deltaUnion's
+    // existence check would then pass but the parquet read would fail
+    // schema inference, breaking load() for the serving path
+    if (delta.isEmpty) return
     val spark = delta.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val ix = load(spark, path)
@@ -204,7 +209,16 @@ object AnnIndex {
                          dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) base
+    // a dir holding only _SUCCESS/metadata (a zero-row batch written
+    // by an older build) must read as "no delta", not break schema
+    // inference for every subsequent serve
+    def hasData(q: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(q).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) hasData(st.getPath)
+        else !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (!fs.exists(p) || !hasData(p)) base
     else {
       val d0 = spark.read.parquet(dir).drop("batch")
       val d = if (d0.columns.contains("cell_id"))

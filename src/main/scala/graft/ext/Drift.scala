@@ -20,12 +20,17 @@ object Drift {
   /** Equal-width 10-bucket histogram of `n_chars` over [0, mx],
     * add-1 smoothed (PSI's log blows up on an empty bucket; the +1
     * prior is the standard fix and keeps log2Fx positive). Emits all
-    * 10 buckets even when empty. */
+    * 10 buckets even when empty. Rows with n_chars > mx clamp into
+    * bucket 9 — the stream twin freezes edges at reference time, so a
+    * batch drifting toward LONGER documents must land in the top
+    * bucket (and register as drift) rather than fall off the
+    * histogram entirely. */
   def lengthHistogram(rows: DataFrame, mx: Long): DataFrame = {
     val s = rows.sparkSession
     s.range(0, 10).select(col("id").as("bucket"))
       .join(rows
-        .select(expr(s"(n_chars * 10) div ${mx + 1}").as("bucket"))
+        .select(least(expr(s"(n_chars * 10) div ${mx + 1}"), lit(9L))
+          .as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("c0")),
         Seq("bucket"), "left")
       .select(col("bucket"),

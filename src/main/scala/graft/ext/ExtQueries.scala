@@ -52,6 +52,40 @@ object ExtQueries {
   }
   private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
 
+  /** Scale-safe acceptance panel (VERDICT r11 #1): the recall twins'
+    * truth legs are nq×N brute force, and with nq = the whole
+    * vec_id%50 sample, nq GROWS with the corpus — 30× queries × 30×
+    * corpus = 900× truth work (q_ann_graph_recall gated 93× at 30×
+    * before this). The fix is a FIXED seeded query panel: the
+    * [[AnnPanelSize]] smallest-spread-hash ids among the %50 sample
+    * (the portable Lehmer multiply, so DuckDB picks the IDENTICAL
+    * panel). nq is pinned → truth work is O(PanelSize·N), linear,
+    * and the twins ride the standing scale gate. At sf ≤ 0.01 (the
+    * correctness gate's scale) the %50 sample is smaller than the
+    * panel, so the panel IS the old sample and every oracle-checked
+    * recall value is unchanged; per-query
+    * results are per-qid window-independent, so panel restriction
+    * never changes a served cell either. Serving queries
+    * (q_ann_graph, q_ann_ivf_pq, …) still serve the full %50 sample —
+    * only the acceptance MEASUREMENT pins its query count. */
+  private[ext] val AnnPanelSize = 32
+  private def annPanelC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrPersist(s, "ann_panel", d)(
+      emb(s, d).where(col("vec_id") % 50 === 0)
+        .orderBy((col("vec_id") * lit(48271L)) % lit(1000003L),
+          col("vec_id"))
+        .limit(AnnPanelSize)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label")))
+
+  /** SQL twin of [[annPanelC]] — defines `panel(pqid)`. */
+  private lazy val panelCte: String =
+    s"""panel AS (
+       |  SELECT vec_id AS pqid FROM embeddings
+       |  WHERE vec_id % 50 = 0
+       |  ORDER BY (CAST(vec_id AS BIGINT) * 48271) % 1000003, vec_id
+       |  LIMIT $AnnPanelSize)""".stripMargin
+
   /** q_zipf_fit: how many top frequency ranks enter the OLS fit
     * (shared by query and oracle). */
   private val ZipfTopRanks = 30
@@ -1093,9 +1127,12 @@ object ExtQueries {
     // construction.
     "q_ann_sq_recall" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val served = VectorSearch.sqRerank(ivfPqShortlistC(s, d), e, "qid", 3)
+      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
+      val served = VectorSearch.sqRerank(
+          ivfPqShortlistC(s, d)
+            .join(broadcast(queries.select(col("qid"))), Seq("qid"),
+              "left_semi"),
+          e, "qid", 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
       val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
@@ -3063,9 +3100,8 @@ object ExtQueries {
           VectorSearch.assignCells(
             e.select(col("vec_id"), col("embedding")), cellsB))
         .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("q_label"))
+      val queries = annPanelC(s, d).select(col("qid"), col("qvec"),
+        col("label").as("q_label"))
       val served = VectorSearch.ivfTopKFromAssigned(assigned, cellsB,
           queries, "qid", "qvec", k = 3, nProbe = 2,
           scanFilter = col("label") === col("q_label"))
@@ -3240,8 +3276,7 @@ object ExtQueries {
     "q_ann_graph_recall" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val graph = knnGraphC(s, d)
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       val served = VectorSearch
         .graphTopK(graph, e, queries, "qid", "qvec", k = 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
@@ -3284,8 +3319,7 @@ object ExtQueries {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val g0 = knnGraphC(s, d)
       val g1 = knnGraphL1C(s, d)
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       val served = VectorSearch
         .hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
@@ -3307,12 +3341,16 @@ object ExtQueries {
     // oracle.
     "q_ann_ivf_pq_recall" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       // the SAME session-shared shortlist + rerank the serving query
       // runs — the recall twin measures the served stack, not a copy
-      val served = VectorSearch.pqAdcRerank(ivfPqShortlistC(s, d),
-          e.where(col("vec_id") % 50 === 0),
+      // (shortlist semi-joined to the panel: per-qid rows identical)
+      val served = VectorSearch.pqAdcRerank(
+          ivfPqShortlistC(s, d)
+            .join(broadcast(queries.select(col("qid"))), Seq("qid"),
+              "left_semi"),
+          annPanelC(s, d).select(col("qid").as("vec_id"),
+            col("qvec").as("embedding")),
           pqCentC(s, d), pqCodesC(s, d), "qid", 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
       val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
@@ -3339,8 +3377,7 @@ object ExtQueries {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val cells = VectorSearch.labelCentroids(emb(s, d))
         .select(col("label").cast("long").as("cell_id"), col("centroid"))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       val ivf = VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
       val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
@@ -3368,11 +3405,9 @@ object ExtQueries {
       val full = emb(s, d).select(col("vec_id"), col("embedding"))
       val tcorpus = emb(s, d).select(col("vec_id"),
         slice(col("embedding"), 1, 16).as("embedding"))
-      val fullQ = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val tQ = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"),
-          slice(col("embedding"), 1, 16).as("qvec"))
+      val fullQ = annPanelC(s, d).select(col("qid"), col("qvec"))
+      val tQ = annPanelC(s, d).select(col("qid"),
+        slice(col("qvec"), 1, 16).as("qvec"))
       val served = VectorSearch.topKByCosine(tcorpus, tQ, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
       val exact = VectorSearch.topKByCosine(full, fullQ, "qid", "qvec", 3)
@@ -4430,16 +4465,20 @@ object ExtQueries {
   private lazy val ivfRankedCtes: String = ivfRankedCtesCent("true")
 
   /** Exact ground-truth side shared by the recall oracles: every
-    * (query, corpus) pair through the same fixed-point dot/norm chain
-    * as the serving paths, ranked to top-3 — defines `exact`.
-    * References `expl`/`enorm` from [[ivfRankedCtes]]. */
+    * (panel query, corpus) pair through the same fixed-point dot/norm
+    * chain as the serving paths, ranked to top-3 — defines `exact`.
+    * References `expl`/`enorm` from [[ivfRankedCtes]]; queries come
+    * from the fixed seeded `panel` ([[panelCte]]), so truth work is
+    * O(PanelSize·N) on both engines. */
   private lazy val exactTop3Ctes: String =
-    s"""edots AS (
+    s"""$panelCte,
+       |edots AS (
        |  SELECT q.vec_id AS qid, e.vec_id,
        |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
        |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-       |  FROM expl q JOIN expl e ON e.i = q.i
-       |  WHERE q.vec_id % 50 = 0
+       |  FROM expl q
+       |  JOIN panel ON panel.pqid = q.vec_id
+       |  JOIN expl e ON e.i = q.i
        |  GROUP BY 1, 2),
        |escored AS (
        |  SELECT d.qid, d.vec_id,
@@ -5047,16 +5086,17 @@ object ExtQueries {
     * constraint the served side applies). References `expl`/`enorm`.
     */
   private lazy val exactTop3FilteredCtes: String =
-    s"""edots AS (
+    s"""$panelCte,
+       |edots AS (
        |  SELECT q.vec_id AS qid, e.vec_id,
        |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
        |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
        |  FROM expl q
+       |  JOIN panel ON panel.pqid = q.vec_id
        |  JOIN expl e ON e.i = q.i
        |  JOIN embeddings le ON le.vec_id = e.vec_id
        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
        |   AND le.label = qe.label
-       |  WHERE q.vec_id % 50 = 0
        |  GROUP BY 1, 2),
        |escored AS (
        |  SELECT d.qid, d.vec_id,
@@ -6711,15 +6751,20 @@ object ExtQueries {
          |SELECT qid, vec_id, cos_sim, rn
          |FROM hserved ORDER BY qid, rn""".stripMargin),
 
-    // HNSW recall@3 against the shared brute-force truth table.
+    // HNSW recall@3 against the shared brute-force truth table,
+    // restricted to the fixed seeded query panel (the engine serves
+    // and truths ONLY panel queries; per-qid independence makes the
+    // restriction value-preserving).
     "q_ann_hnsw_recall" -> Oracle.mat(
       s"""WITH $hnswCtes,
+         |$panelCte,
          |hexact AS (
          |  SELECT qid, vec_id FROM (
-         |    SELECT qid, vec_id,
-         |           row_number() OVER (PARTITION BY qid
-         |                  ORDER BY cos_sim DESC, vec_id) AS ern
-         |    FROM gscore) WHERE ern <= 3),
+         |    SELECT s.qid, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.qid
+         |                  ORDER BY s.cos_sim DESC, s.vec_id) AS ern
+         |    FROM gscore s JOIN panel ON panel.pqid = s.qid)
+         |  WHERE ern <= 3),
          |hhits AS (
          |  SELECT x.qid,
          |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)
@@ -6736,12 +6781,14 @@ object ExtQueries {
     // every constant by construction.
     "q_ann_graph_recall" -> Oracle.mat(
       s"""WITH $graphAnnCtes,
+         |$panelCte,
          |gexact AS (
          |  SELECT qid, vec_id FROM (
-         |    SELECT qid, vec_id,
-         |           row_number() OVER (PARTITION BY qid
-         |                  ORDER BY cos_sim DESC, vec_id) AS ern
-         |    FROM gscore) WHERE ern <= 3),
+         |    SELECT s.qid, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.qid
+         |                  ORDER BY s.cos_sim DESC, s.vec_id) AS ern
+         |    FROM gscore s JOIN panel ON panel.pqid = s.qid)
+         |  WHERE ern <= 3),
          |ghits AS (
          |  SELECT x.qid,
          |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)

@@ -100,11 +100,16 @@ object SimQueries {
     S.Sql.corr("nd", "sxyd", "sxd", "syd", "sxxd", "syyd")
 
   /** The top-10 positive-correlation symmetric neighbor table
-    * (item_x, item_y, cfx) — the serving artifact both rec-serve
-    * queries consume; cfx is the 10⁴-fixed-point similarity. */
-  private def neighborTable(s: SparkSession, d: String): DataFrame = {
+    * (item_x, item_y, cfx) over an arbitrary moment frame; cfx is the
+    * 10⁴-fixed-point similarity. `only` restricts the ranking to the
+    * given 1-column (item_x) frame — per-item lists are
+    * window-partition-local, so cutting some items' lists from an
+    * updated moment table yields exactly the rows a full rebuild
+    * would (the incremental-upkeep path). */
+  private def neighborsFromMoments(m: DataFrame,
+      only: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sims = Moments.asDoubles(moments(s, d))
+    val sims = Moments.asDoubles(m)
       .withColumn("corr", corrCol)
       .where(col("n") > 0)
       .select(col("item_x"), col("item_y"), col("corr"))
@@ -113,14 +118,26 @@ object SimQueries {
     val sym = sims.unionByName(sims.select(
       col("item_y").as("item_x"), col("item_x").as("item_y"),
       col("corr")))
+    val symR = only.map(a =>
+      sym.join(broadcast(a.select(col("item_x"))), Seq("item_x"),
+        "left_semi")).getOrElse(sym)
     val nw = Window.partitionBy(col("item_x"))
       .orderBy(col("corr").desc, col("item_y"))
-    sym.withColumn("nrn", row_number().over(nw))
+    symR.withColumn("nrn", row_number().over(nw))
       .where(col("nrn") <= 10 && col("corr") > 0)
       .withColumn("cfx",
         floor(col("corr") * 10000 + 0.5).cast("long"))
       .select(col("item_x"), col("item_y"), col("cfx"))
   }
+
+  /** The serving artifact both rec-serve queries consume. */
+  private def neighborTable(s: SparkSession, d: String): DataFrame =
+    neighborsFromMoments(moments(s, d))
+
+  /** Test hook: the full-rebuild neighbor table, for IncrementalSpec's
+    * cell-exact comparison against [[incrementalNeighbors]]. */
+  private[graft] def neighborTableForSpec(s: SparkSession, d: String)
+      : DataFrame = neighborTable(s, d)
 
   /** Weighted-sum top-5 serve over a neighbor table (in-session or
     * reloaded from the store) — shared by both rec-serve queries so
@@ -149,6 +166,78 @@ object SimQueries {
       .orderBy(col("pred").desc, col("item_id"))
     agg.withColumn("rn", row_number().over(rw).cast("long"))
       .where(col("rn") <= 5)
+  }
+
+  /** Incremental-fold delta gate: spread-hash of the (user, item)
+    * cell in the top ~20% of the ring plays "tonight's arriving
+    * ratings batch"; the other 80% is the corpus the nightly store
+    * was built from. Deterministic, so the oracle replays the split
+    * implicitly (it just evaluates base ∪ delta = ALL ratings). */
+  private val RecDeltaCut = 800000L
+  private def recCellGate = graft.core.PortableHash.spread(
+    (col("user_id") * lit(131071L) + col("item_id")) %
+      lit(graft.core.PortableHash.M.toLong))
+  private val recIncrStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Incremental neighbor-store upkeep (VERDICT r11 #2): fold a delta
+    * ratings batch into STORED moment partials and re-cut only the
+    * affected items' top-10 lists — the reference pipeline's nightly
+    * full rebuild replaced by the decomposable-partials shape the
+    * engine already uses everywhere else (q_mv_merge,
+    * q_ann_incremental, AnnIndex.streamAppend).
+    *
+    * Exactness: pair moments are integer sums over unordered
+    * 2-subsets of one user's ratings; splitting rows base/delta
+    * partitions those subsets into pairs(base) [stored] +
+    * pairs(delta) + cross(delta, base-of-affected-users)
+    * ([[graft.core.Moments.crossPairMoments]]), so the merged table
+    * equals the full rebuild bit-for-bit. An item with NO changed
+    * pair keeps its stored list (nothing in its ranking moved); every
+    * item with ≥1 changed pair gets its list re-cut from the merged
+    * moments — IncrementalSpec asserts cell-exact equality with the
+    * full rebuild, and the serve shares q_rec_serve_user's oracle
+    * verbatim. Work: the fold touches the delta × affected-users'
+    * postings and the affected items' pair rows — never the corpus
+    * C(n,2). Returns the updated neighbor table ready to serve.
+    * `private[graft]` so the spec can compare it to the rebuild. */
+  private[graft] def incrementalNeighbors(s: SparkSession, d: String)
+      : DataFrame = {
+    val r = ratings(s, d)
+    val base = r.where(recCellGate < lit(RecDeltaCut))
+    val delta = r.where(recCellGate >= lit(RecDeltaCut))
+      .localCheckpoint(true) // bounded; feeds three plans below
+    // the nightly store: base-corpus moment partials + neighbor
+    // lists, written once per (session, dir) — the annIndexPath memo
+    // discipline
+    val path = recIncrStoreMemo.getOrElseUpdate(
+      (Cache.sessionKey(s), d), {
+        val p = sys.props.getOrElse("graft.rec.storeBase",
+          "/root/repo/target/rec_store") + "_incr/" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_")
+        Moments.pairMoments(base)
+          .write.mode("overwrite").parquet(s"$p/moments")
+        neighborsFromMoments(s.read.parquet(s"$p/moments"))
+          .write.mode("overwrite").parquet(s"$p/neighbors")
+        p
+      })
+    val stored = s.read.parquet(s"$path/moments")
+    val storedNbr = s.read.parquet(s"$path/neighbors")
+    // fold: delta-delta pairs + delta×base pairs of the SAME users
+    val du = delta.select(col("user_id")).distinct()
+    val baseAff = base.join(broadcast(du), Seq("user_id"), "left_semi")
+    val deltaM = Moments.mergeMoments(
+      Moments.pairMoments(delta),
+      Moments.crossPairMoments(delta, baseAff))
+      .localCheckpoint(true) // bounded at affected pairs; read 3×
+    val updated = Moments.mergeMoments(stored, deltaM)
+    // re-cut ONLY items with a changed pair; all other lists stand
+    val affected = deltaM.select(col("item_x"))
+      .unionByName(deltaM.select(col("item_y").as("item_x")))
+      .distinct()
+    val recut = neighborsFromMoments(updated, Some(affected))
+    storedNbr.join(broadcast(affected), Seq("item_x"), "left_anti")
+      .unionByName(recut)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -520,6 +609,23 @@ object SimQueries {
           d.replaceAll("[^A-Za-z0-9._-]", "_")
         neighborTable(s, d).write.mode("overwrite").parquet(path)
         recServe(s, d, s.read.parquet(path))
+      }.orderBy(col("user_id"), col("rn"))
+    }),
+
+    // The serve from an INCREMENTALLY-UPKEPT neighbor store (VERDICT
+    // r11 #2): the stored base-corpus moment partials absorb a delta
+    // ratings batch (decomposable integer sums — pairs(base) stored,
+    // pairs(delta) + cross(delta, base) folded in), only the affected
+    // items' top-10 lists are re-cut, and the serve runs over the
+    // union of kept + re-cut lists. Shares q_rec_serve_user's oracle
+    // VERBATIM evaluated on base ∪ delta = all ratings: incremental
+    // upkeep may not move one recommendation vs the full rebuild
+    // (IncrementalSpec additionally asserts the neighbor tables are
+    // cell-exact equal). This is the deploy shape the reference's
+    // nightly full MR rebuild should have been.
+    "q_rec_serve_incremental" -> ((s, d) => {
+      Cache.getOrSnapshot(s, "rec_serve_incremental", d) {
+        recServe(s, d, incrementalNeighbors(s, d))
       }.orderBy(col("user_id"), col("rn"))
     }),
 
@@ -910,6 +1016,11 @@ object SimQueries {
     // in-session one — same oracle text (the q_ann_persist
     // discipline, recsys family).
     "q_rec_serve_persist" -> recServeOracle,
+
+    // Incremental upkeep must answer EXACTLY like the full rebuild:
+    // same oracle text over base ∪ delta (= all ratings) — the whole
+    // point of the decomposable-partials fold.
+    "q_rec_serve_incremental" -> recServeOracle,
     // Coverage replayed off the same ranked window + ratings scan.
     "q_rec_coverage" ->
       s"""WITH $R, $P,

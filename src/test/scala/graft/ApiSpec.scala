@@ -739,4 +739,31 @@ class ApiSpec extends SparkSpec {
     assert(rsPlan.contains("LeftAnti"), rsPlan)
     assert(rs.collect().nonEmpty)
   }
+
+  test("incremental neighbor upkeep equals the full rebuild " +
+    "cell-exact, and the incremental serve equals the full serve") {
+    // the decomposition contract: pairs(base) + pairs(delta) +
+    // cross(delta, base) folded into the stored partials, affected
+    // lists re-cut — bit-identical to rebuilding from all ratings
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val incr = graft.rel.SimQueries.incrementalNeighbors(spark, sf001)
+      .collect().map(key).toSet
+    val full = graft.rel.SimQueries.queries("q_topk_neighbors")(
+      spark, sf001) // sanity anchor: same corpus is non-trivial
+    assert(full.limit(1).collect().nonEmpty)
+    val rebuilt = graft.rel.SimQueries
+      .neighborTableForSpec(spark, sf001).collect().map(key).toSet
+    assert(incr === rebuilt,
+      s"incr-only=${(incr diff rebuilt).take(5)} " +
+        s"rebuild-only=${(rebuilt diff incr).take(5)}")
+    // and the served recommendations agree row-for-row
+    val a = SparkEntry.queries("q_rec_serve_incremental")(spark, sf001)
+      .select("user_id", "item_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = SparkEntry.queries("q_rec_serve_user")(spark, sf001)
+      .select("user_id", "item_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
 }

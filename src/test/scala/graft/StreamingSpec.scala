@@ -945,6 +945,12 @@ class StreamingSpec extends SparkSpec {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     assert(AnnIndex.ivfPqTopK(ix, dq, "qid", "qvec",
       k = 3, nProbe = 2, shortlistK = 10).count() > 0)
+    // a zero-row micro-batch (a newly arrived empty file) must be a
+    // no-op: no _SUCCESS-only delta dir, and load() keeps serving
+    AnnIndex.appendBatch(delta.limit(0), ixDir, 99L)
+    assert(!new File(s"$ixDir/delta_codes/batch=99").exists(),
+      "empty batch must not write a delta dir")
+    assert(AnnIndex.load(spark, ixDir).codes.count() === nBase + nDelta)
   }
 
   test("streaming PSI gate: an in-distribution batch scores low, a " +
@@ -976,18 +982,32 @@ class StreamingSpec extends SparkSpec {
       try q.processAllAvailable() finally q.stop()
     }
     // batch 0: the reference distribution itself (PSI ≈ 0);
-    // batch 1: every length halved — a hard left-shift
+    // batch 1: every length halved — a hard left-shift;
+    // batch 2: every length tripled — a hard RIGHT-shift, entirely
+    // past the frozen reference max. The edges were fixed at
+    // reference time, so these rows must clamp into the top bucket
+    // (and register as drift), not fall off the histogram — the
+    // adversarial direction the gate exists to catch.
     addFile("f1", docs)
     runOnce()
     addFile("f2", docs.select(col("doc_id"),
       (col("n_chars") / 2).cast("long").as("n_chars")))
     runOnce()
-    val psi = spark.read.parquet(outDir)
-      .select(col("batch_id"), col("psi_fx")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(psi.size === 2, s"expected 2 batch rows, got $psi")
+    addFile("f3", docs.select(col("doc_id"),
+      (col("n_chars") * 3).cast("long").as("n_chars")))
+    runOnce()
+    val out = spark.read.parquet(outDir)
+      .select(col("batch_id"), col("psi_fx"), col("n_rows")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val psi = out.map { case (k, (p, _)) => k -> p }
+    assert(psi.size === 3, s"expected 3 batch rows, got $psi")
     assert(psi(1L) > psi(0L) * 10 + 1,
-      s"shifted batch must dominate: $psi")
+      s"left-shifted batch must dominate: $psi")
+    assert(psi(2L) > psi(0L) * 10 + 1,
+      s"right-shifted batch must dominate: $psi")
+    // every longer-than-reference row is COUNTED, not dropped
+    assert(out(2L)._2 === docs.count(),
+      s"right-shifted rows must clamp into bucket 9, got ${out(2L)}")
     // twin check: batch 0's monitor row equals the batch kernel run
     // directly over (ref, ref-as-current)
     val direct = Drift.psiTerms(
