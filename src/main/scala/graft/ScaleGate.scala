@@ -267,17 +267,21 @@ object ScaleGate {
                else if (fullStar) SpotSet else Gate
     // Fail fast on heap: this is a single JVM standing in for a
     // cluster, so the whole replicated working set lands on one heap.
-    // Empirical anchors (PLANS.md round-11): 10× fullstar fits 16 GiB;
-    // 30× fullstar OOM-killed 16 GiB (exit 52) and needed 80 GiB.
-    // Model: fullstar ≈ 2.7 GiB/replica-factor, docs-only ≈ 0.8.
-    val needGiB = math.max(8.0, factor * (if (fullStar) 2.7 else 0.8))
+    // Empirical anchors (PLANS.md round-11): 10× fullstar fits 16 GiB
+    // (the model must NOT block that known-good run); 30× fullstar
+    // OOM-killed 16 GiB (exit 52) and ran at 80 GiB. Linear model
+    // through the anchors: fullstar ≈ 1.6 GiB/replica-factor,
+    // docs-only ≈ 0.8 — a deliberate floor, not a guarantee: a run
+    // admitted here can still OOM, but the 16-GiB-at-30× repeat is
+    // caught with the exact knob in the message.
+    val needGiB = math.max(8.0, factor * (if (fullStar) 1.6 else 0.8))
     val haveGiB = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     if (haveGiB < needGiB && !force) {
       System.err.println(
         f"ScaleGate: heap $haveGiB%.1f GiB < estimated need $needGiB%.0f " +
         f"GiB for factor=$factor${if (fullStar) " --fullstar" else ""}; " +
-        f"relaunch with -J-Xmx${math.ceil(needGiB).toInt}g " +
-        "(sbt -J-Xmx...g \"runMain graft.ScaleGate ...\") or pass --force.")
+        f"relaunch with SPARK_DRIVER_MEM=${math.ceil(needGiB).toInt}g " +
+        "(build.sbt javaOptions reads it) or pass --force.")
       sys.exit(52)
     }
     val out = if (fullStar) s"/root/repo/target/scalefull$factor"

@@ -28,15 +28,15 @@ object ExtQueries {
     * multi-split. Result invariance under partitioning is the repo's
     * standing determinism contract (order-independent fixed-point
     * aggregates + total-order output sorts). */
-  private val docSplitsMemo =
+  private[ext] val docSplitsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Int]
 
   /** Per-(session, dir) verdict of the triangle twin-contraction
     * structure check — two bounded counts, paid once per session. */
-  private val triGuardMemo =
+  private[ext] val triGuardMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
 
-  private def docs(s: SparkSession, d: String) = {
+  private[ext] def docs(s: SparkSession, d: String) = {
     val t = Sources.table(s, d, "documents")
     // split count is a property of (context, dir) — memoize it so the
     // gate doesn't re-pay physical planning + file listing per call
@@ -50,7 +50,7 @@ object ExtQueries {
     val width = s.sparkContext.defaultParallelism
     if (splits < width) t.repartition(width) else t
   }
-  private def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
+  private[ext] def emb(s: SparkSession, d: String) = Sources.table(s, d, "embeddings")
 
   /** Scale-safe acceptance panel (VERDICT r11 #1): the recall twins'
     * truth legs are nq×N brute force, and with nq = the whole
@@ -69,7 +69,7 @@ object ExtQueries {
     * (q_ann_graph, q_ann_ivf_pq, …) still serve the full %50 sample —
     * only the acceptance MEASUREMENT pins its query count. */
   private[ext] val AnnPanelSize = 32
-  private def annPanelC(s: SparkSession, d: String): DataFrame =
+  private[ext] def annPanelC(s: SparkSession, d: String): DataFrame =
     Cache.getOrPersist(s, "ann_panel", d)(
       emb(s, d).where(col("vec_id") % 50 === 0)
         .orderBy((col("vec_id") * lit(48271L)) % lit(1000003L),
@@ -79,7 +79,7 @@ object ExtQueries {
           col("label")))
 
   /** SQL twin of [[annPanelC]] — defines `panel(pqid)`. */
-  private lazy val panelCte: String =
+  private[ext] lazy val panelCte: String =
     s"""panel AS (
        |  SELECT vec_id AS pqid FROM embeddings
        |  WHERE vec_id % 50 = 0
@@ -88,13 +88,13 @@ object ExtQueries {
 
   /** q_zipf_fit: how many top frequency ranks enter the OLS fit
     * (shared by query and oracle). */
-  private val ZipfTopRanks = 30
+  private[ext] val ZipfTopRanks = 30
 
   /** Per-(doc, term) frequency postings — the BM25 INDEX, shared by
     * the retrieval query, the token-entropy aggregate and the
     * cluster-topics c-TF-IDF (session artifact like the PQ
     * codebook). */
-  private def bm25TfC(s: SparkSession, d: String): DataFrame =
+  private[ext] def bm25TfC(s: SparkSession, d: String): DataFrame =
     Cache.getOrPersist(s, "bm25_tf", d)(
       docs(s, d).select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
@@ -120,9 +120,9 @@ object ExtQueries {
     * so the save cost never repeats per query. Absolute base like
     * every other persisted artifact (a cwd-relative path would serve
     * different indexes per launch dir). */
-  private val annSavedMemo =
+  private[ext] val annSavedMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
-  private def annIndexPath(s: SparkSession, d: String): String =
+  private[ext] def annIndexPath(s: SparkSession, d: String): String =
     annSavedMemo.getOrElseUpdate((Cache.sessionKey(s), d), {
       val path = sys.props.getOrElse("graft.ann.indexBase",
         "/root/repo/target/ann_index") + "/" +
@@ -140,7 +140,7 @@ object ExtQueries {
     * CCNet tercile split. Count tables and the per-doc frame are
     * session artifacts; the count-table join sides ride gated
     * broadcasts (shuffle joins on the n-gram key past the gate). */
-  private def lmDocScores(s: SparkSession, d: String): DataFrame =
+  private[ext] def lmDocScores(s: SparkSession, d: String): DataFrame =
     Cache.getOrPersist(s, "lm_doc_scores", d) {
       val ws = split(col("text"), " ")
       val docBg = Cache.getOrPersist(s, "lm_doc_bigrams", d)(
@@ -188,18 +188,18 @@ object ExtQueries {
     * dominate cache memory for rows only ngramJaccard's exact
     * rescoring ever reads. The string shingles live ONLY in
     * [[distinctShinglesC]], sized by the rescoring need. */
-  private def shingleHashesC(s: SparkSession, d: String) =
+  private[ext] def shingleHashesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "shingle_hashes", d)(
       Dedup.shingleHashes(Dedup.shingles(docs(s, d))))
 
   /** Primary-family band minima, materialized once per session: used
     * three times per candidate build (cap filter + both self-join
     * sides) and again by the rescue pass's hot-bucket detection. */
-  private def bandMinsC(s: SparkSession, d: String) =
+  private[ext] def bandMinsC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_bandmins", d)(
       Dedup.minhashBandMinsFromHashes(shingleHashesC(s, d), 0, Dedup.Bands))
 
-  private def candidatesC(s: SparkSession, d: String) =
+  private[ext] def candidatesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_cand", d)(
       Dedup.minhashCandidates(bandMinsC(s, d)))
 
@@ -208,22 +208,22 @@ object ExtQueries {
     * sets; materialized because ngramJaccard references it three times
     * and exchange reuse does not fire above a cached frame (PLANS.md
     * round 5). */
-  private def distinctShinglesC(s: SparkSession, d: String) =
+  private[ext] def distinctShinglesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "shingles_distinct", d)(
       Dedup.shingles(docs(s, d)).distinct())
 
   /** Cap for the rescue-pass query: low enough that the synthetic
     * corpus has over-cap buckets (see q_minhash_rescue's comment). */
-  private val RescueCap = 15
+  private[ext] val RescueCap = 15
 
   /** Vocab budget for q_oov_rate — below the corpus's 31 distinct
     * tokens so OOV is a real population; production budgets are
     * 50k–200k. */
-  private val OovVocabSize = 20
+  private[ext] val OovVocabSize = 20
 
   /** Rescue candidate pairs, shared by the rescue query and its exact
     * Jaccard rescore. */
-  private def rescueCandC(s: SparkSession, d: String) =
+  private[ext] def rescueCandC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_rescue_cand", d)(
       Dedup.minhashRescueCandidates(
         shingleHashesC(s, d), bandMinsC(s, d), cap = RescueCap))
@@ -231,20 +231,20 @@ object ExtQueries {
   /** Simhash signatures, shared by the primary pair pass, the rescue
     * pass (hot-bucket detection + re-block) and the monitoring
     * surface — one corpus aggregation instead of three. */
-  private def simhashSigsC(s: SparkSession, d: String) =
+  private[ext] def simhashSigsC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "simhash_sigs", d)(
       Dedup.simhash(docs(s, d)))
 
   /** Simhash near-dup pairs (primary partition, production cap),
     * shared by the pair query and the cluster resolution query. */
-  private def simhashPairsC(s: SparkSession, d: String) =
+  private[ext] def simhashPairsC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "simhash_pairs", d)(
       Dedup.simhashNearDups(simhashSigsC(s, d)))
 
   /** Rescue-pass pairs for members of over-cap simhash blocks (the
     * sf0.01 corpus trips the production cap for real: one block-3
     * bucket holds all 500 docs — see Dedup.SimhashBlockCap). */
-  private def simhashRescueC(s: SparkSession, d: String) =
+  private[ext] def simhashRescueC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "simhash_rescue", d)(
       Dedup.simhashRescueNearDups(simhashSigsC(s, d)))
 
@@ -254,7 +254,7 @@ object ExtQueries {
     * PageRank re-reads it every round — without the cache each scan
     * re-runs the union+distinct shuffle from the cached pair frames
     * (measured 2.1 s of q_dedup_clusters' 5.4 s warm at sf0.1). */
-  private def simhashEdgesC(s: SparkSession, d: String) =
+  private[ext] def simhashEdgesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "simhash_edges", d)(
       simhashPairsC(s, d).select(col("d1"), col("d2"))
         .unionByName(simhashRescueC(s, d).select(col("d1"), col("d2")))
@@ -262,7 +262,7 @@ object ExtQueries {
 
   /** Banded sign-LSH pair cosines, shared by the near-dup pair query
     * and the embedding-cluster resolution query. */
-  private def bandedCosC(s: SparkSession, d: String) =
+  private[ext] def bandedCosC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "banded_cos", d)(
       VectorSearch.bandedPairCosine(emb(s, d)))
 
@@ -276,11 +276,11 @@ object ExtQueries {
   /** PQ codebook + code table, session-shared: a production deploy
     * persists both (they ARE the index); the codebook is O(M·k·dsub)
     * rows at any corpus size, the codes N×M small integers. */
-  private def pqCentC(s: SparkSession, d: String) =
+  private[ext] def pqCentC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "pq_codebook", d)(
       VectorSearch.pqTrain(emb(s, d).select(col("vec_id"), col("embedding"))))
 
-  private def pqCodesC(s: SparkSession, d: String) =
+  private[ext] def pqCodesC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "pq_codes", d)(
       VectorSearch.pqEncode(
         emb(s, d).select(col("vec_id"), col("embedding")), pqCentC(s, d)))
@@ -292,7 +292,7 @@ object ExtQueries {
     * the serving parameters exist in exactly one place so the recall
     * measurement can never silently measure a different stack than
     * the one served. */
-  private def ivfPqShortlistC(s: SparkSession, d: String) =
+  private[ext] def ivfPqShortlistC(s: SparkSession, d: String) =
     // getOrSnapshot, not getOrPersist: the shortlist's build plan
     // carries the broadcast cells — a persisted frame re-runs those
     // broadcast stages on every downstream action (Cache scaladoc)
@@ -383,27 +383,27 @@ object ExtQueries {
   }
 
   /** q_dataset_mix rates (shared by query and oracle). */
-  private val MixRates =
+  private[ext] val MixRates =
     Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.1)
 
   /** q_lsh_recall ground-truth Jaccard threshold: the sf corpus is
     * cleanly bimodal (observed: 25 pairs ≥ 0.5, everything else
     * < 0.1 at sf0.01), so 0.3 selects exactly the true near-dup
     * population either mode would. */
-  private val LshRecallThresh = 0.3
+  private[ext] val LshRecallThresh = 0.3
 
   /** q_pmi_bigrams min bigram count: PMI explodes on rare pairs
     * (c12=1 pairs of rare words dominate any top-k), so collocation
     * extraction floors the pair count first — the standard Church &
     * Hanks guard. */
-  private val PmiMinCount = 5
+  private[ext] val PmiMinCount = 5
 
   /** q_semdedup cosine threshold: below the synthetic embeddings'
     * natural pair-cosine ceiling (~0.51 max within-cell pair at
     * sf0.01) so a REAL but partial dup population exists — ~20% of
     * vectors flag, 80% survive (production paraphrase dedup runs
     * τ≈0.95 on real embeddings). */
-  private val SemTau = 0.35
+  private[ext] val SemTau = 0.35
 
   /** q_semdedup cell-membership cap (the LSH bucket-cap policy
     * applied to k-means cells): over-cap cells skip pair generation
@@ -412,14 +412,14 @@ object ExtQueries {
     * inside the sf0.01 cell-size range (53–71), so BOTH branches are
     * exercised — the RescueCap=15 convention; production caps are
     * ~10× the k ≈ N/m target cell size. */
-  private val SemCellCap = 65
+  private[ext] val SemCellCap = 65
 
   /** q_semdedup sub-split width: over-cap cells split into ksub
     * sub-cells (one deterministic k-means iteration scoped to the
     * cell) before the rescue dedup pass. At sf0.01 the over-cap cells
     * (66–71 members) split into sub-cells well under the 65 cap, so
     * the rescued branch carries real verdicts. */
-  private val SemSubK = 4
+  private[ext] val SemSubK = 4
 
   /** q_split_leakage document-frequency cap: shingles in more docs
     * than this are boilerplate, not leakage evidence — and excluding
@@ -427,16 +427,16 @@ object ExtQueries {
     * actually excludes shingles (observed DF reaches 7), so the cap
     * path is exercised; production runs use the same order (GPT-3's
     * audit dropped 13-grams above tiny DF for the same reason). */
-  private val LeakDfCap = 5
+  private[ext] val LeakDfCap = 5
 
   /** q_split_assign bands (shared by query and oracle). */
-  private val SplitBands =
+  private[ext] val SplitBands =
     Seq("test" -> 1.0, "train" -> 98.0, "val" -> 1.0)
 
   /** Per-block UNION ALL: (doc_id, simhash, blk, bv) from `src`, with
     * `sigExpr` as the (possibly rotated) signature to block on —
     * mirrors Dedup.simhashBlockRows term for term. */
-  private def simhashBlocksSql(src: String, sigExpr: String): String =
+  private[ext] def simhashBlocksSql(src: String, sigExpr: String): String =
     (0 until Dedup.SimhashBlocks).map(b =>
       s"SELECT doc_id, simhash, $b AS blk, " +
         s"CAST(floor(($sigExpr) / power(${Dedup.SimhashBlockBase}, $b)) AS BIGINT)" +
@@ -445,7 +445,7 @@ object ExtQueries {
 
   /** Capped pair CTEs over a blocks CTE: ok-bucket filter (cap), kept
     * rows, distinct candidate pairs — Dedup.simhashPairsFromBlocks. */
-  private def simhashCappedPairsSql(blocks: String, cap: Int,
+  private[ext] def simhashCappedPairsSql(blocks: String, cap: Int,
                                     pfx: String): String =
     s"""${pfx}okb AS (
        |  SELECT blk, bv FROM $blocks GROUP BY 1, 2
@@ -462,7 +462,7 @@ object ExtQueries {
     * blocks → capped primary pairs (`pairs`), plus the rescue chain —
     * hot buckets → hot docs → rotated re-block → capped rescue pairs
     * (`rpairs`). Pairs are pre-hamming-filter; consumers apply it. */
-  private lazy val simhashPairCtes: String = {
+  private[ext] lazy val simhashPairCtes: String = {
     val rb = Dedup.SimhashRescueRotBits
     val rotExpr = s"(simhash >> $rb) + " +
       s"(simhash & ${(1L << rb) - 1}) * ${1L << (Dedup.SimhashBits - rb)}"
@@ -485,14 +485,14 @@ object ExtQueries {
        |${simhashCappedPairsSql("rblocks", Dedup.SimhashBlockCap, "r")}""".stripMargin
   }
 
-  private val normSqlExpr =
+  private[ext] val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
 
   /** Shared by q_bpe_tokens (replace chain) and q_bpe_tokens_kernel
     * (rank-indexed kernel): the subword count is the `]`-count of the
     * folded string — the exact twin of Bpe.docBpeCol. LEFT JOIN keeps
     * any doc whose word list is empty at n_bpe = 0. */
-  private lazy val bpeTokensOracleSql: String =
+  private[ext] lazy val bpeTokensOracleSql: String =
     s"""WITH ${Bpe.learnCtesSql()},
        |wsrc AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
@@ -515,7 +515,7 @@ object ExtQueries {
   /** Per-probe exact-3-NN prediction (qid, pred_label, true_label,
     * correct) — the shared chain behind q_knn_classify and
     * q_label_noise. */
-  private def knnPerProbe(s: SparkSession, d: String): DataFrame = {
+  private[ext] def knnPerProbe(s: SparkSession, d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       graft.expr.GraftFunctions.ensureRegistered(s)
       val e = emb(s, d).select(col("vec_id"), col("embedding"),
@@ -547,7 +547,8 @@ object ExtQueries {
           (col("label") === col("true_label")).cast("long").as("correct"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // Exact dedup: sha2 groups over prefix-normalized text.
     "q_dedup_exact" -> ((s, d) =>
@@ -1890,2218 +1891,19 @@ object ExtQueries {
       VectorSearch.farthestFromCentroid(
         emb(s, d).select(col("vec_id"), col("label"), col("embedding")), 3)
         .orderBy(col("label"), col("rn"))),
-
-    // Multi-band sign-LSH pair search (4 tables × 16 bits, bucket cap):
-    // the sub-quadratic scale path — see VectorSearch's banding notes.
-    // int8 scalar quantization of the embedding corpus: per-dim
-    // min/max training + encode + per-vector reconstruction-error
-    // summary (see VectorSearch.scalarQuantize).
-    "q_embed_quantize" -> ((s, d) =>
-      VectorSearch.scalarQuantize(
-          emb(s, d).select(col("vec_id"), col("embedding")))
-        .orderBy(col("vec_id"))),
-
-    "q_embed_near_dup" -> ((s, d) =>
-      bandedCosC(s, d)
-        .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
-        .limit(100)),
-
-    // Deterministic ~10% corpus cut: portable-hash gate on doc_id —
-    // a pure post-scan filter, zero shuffle, identical rows on any
-    // engine/partitioning (ext.Sampling rationale).
-    "q_hash_sample" -> ((s, d) =>
-      Sampling.hashSample(docs(s, d), col("doc_id").cast("string"), 10.0)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))),
-
-    // Deterministic train/val/test split (98/1/1): stable under
-    // re-runs, partitioning and engine; new data never moves existing
-    // rows between splits; per-row gate, no shuffle.
-    "q_split_assign" -> ((s, d) =>
-      Sampling.splitAssign(docs(s, d), col("doc_id").cast("string"),
-          SplitBands)
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-        .orderBy(col("split"))),
-
-    // Marginal-novelty read-out: how much NEW content an incoming
-    // crawl batch (the standing doc_id%10==7 convention) adds against
-    // the base corpus, per document — the data-value metric a crawl
-    // budget is allocated by (a batch that is 95% seen shingles is
-    // not worth its ingest cost). One anti-join-shaped left join on
-    // the shingle key over the shared distinct-shingle cache; at
-    // 100 TB the base side reduces to its distinct shingle set once
-    // and both sides shuffle only on the shingle hash.
-    "q_ngram_novelty" -> ((s, d) => {
-      val ds = distinctShinglesC(s, d)
-      val batch = ds.where(col("doc_id") % 10 === 7)
-      val base = ds.where(col("doc_id") % 10 =!= 7)
-        .select(col("shingle")).distinct()
-        .withColumn("seen", lit(1L))
-      batch.join(base, Seq("shingle"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-        .withColumn("novelty", Det.r4(
-          col("n_novel").cast("double") / col("n_shingles")))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Distribution-drift monitor: exact length octiles of the two
-    // hash-split halves, compared element-wise — the KS-shaped check
-    // a pipeline runs before trusting a split (or a new crawl batch)
-    // to be exchangeable. Eighths, not deciles: k/8 is exact binary,
-    // so rank = (n·k) div 8 replays identically everywhere (the RFM
-    // quartile lesson; 0.1·n in IEEE is NOT (n)//10). Quantiles come
-    // from per-(split, value) counts + a cumulative window over the
-    // bounded VALUE axis — scale-safe where a per-split row ranking
-    // would single-thread each split — and every emitted number is an
-    // integer: no double crosses the oracle boundary at all.
-    // Population Stability Index between the even/odd doc-id halves'
-    // length distributions — THE drift dashboard number (banking
-    // scorecard heritage; same role in a data pipeline: "did this
-    // ingest batch shift the distribution?"). Ten equal-width buckets
-    // off the corpus max; PSI_bits = Σ (p_i − q_i)·log2(p_i/q_i) —
-    // the bit-base variant (conventionally ln; ln = log2·ln2, a
-    // constant factor, so thresholds rescale). EXACT integer path:
-    // add-1 smoothed counts, p−q as S-scaled integer division, and
-    // log2(p/q) = log2Fx(n_p·N_q) − log2Fx(n_q·N_p) — products stay
-    // far under 2^63 and the fraction never materializes as a
-    // double. Per-bucket terms emitted (monitor-friendly: WHICH
-    // bucket drifted); consumer sums psi_term_fx for the headline.
-    // One groupBy + broadcast scalar totals — scan speed at 100 TB.
-    "q_psi_drift" -> ((s, d) => {
-      val S = LmScore.LogScale
-      val mx = docs(s, d).agg(max(col("n_chars")).as("mx"))
-      val b = docs(s, d).crossJoin(broadcast(mx))
-        .select(expr("(n_chars * 10) div (mx + 1)").as("bucket"),
-          (col("doc_id") % 2 === 0).as("is_ref"))
-      val counts = s.range(0, 10).select(col("id").as("bucket"))
-        .join(b.groupBy(col("bucket")).agg(
-          sum(when(col("is_ref"), 1L).otherwise(0L)).as("r0"),
-          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c0")),
-          Seq("bucket"), "left")
-        // add-1 smoothing: PSI's log blows up on an empty bucket;
-        // the +1 prior is the standard fix and keeps log2Fx positive
-        .select(col("bucket"),
-          (coalesce(col("r0"), lit(0L)) + 1L).as("n_ref"),
-          (coalesce(col("c0"), lit(0L)) + 1L).as("n_cur"))
-      // the formula itself lives in ONE place (Drift.psiTerms) so
-      // this scored monitor and the streaming gate cannot drift
-      Drift.psiTerms(counts)
-        .select(col("bucket"), col("n_ref"), col("n_cur"),
-          col("psi_term_fx"),
-          Det.r4(col("psi_term_fx").cast("double") /
-            lit(S.toDouble * S.toDouble)).as("psi_term_bits"))
-        .orderBy(col("bucket"))
-    }),
-
-    "q_quantile_drift" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val gate = PortableHash.spread(
-        PortableHash.h(col("doc_id").cast("string")))
-      val gated = docs(s, d).select(col("n_chars"),
-        when(gate < lit(500000L), lit("train")).otherwise(lit("hold"))
-          .as("split"))
-      val counts = gated.groupBy(col("split"), col("n_chars"))
-        .agg(count(lit(1)).as("c"))
-      val wCum = Window.partitionBy(col("split")).orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = counts
-        .withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("n", sum(col("c"))
-          .over(Window.partitionBy(col("split"))))
-      val ks = s.range(1, 8).select(col("id").as("k"))
-      val picks = cum.join(ks, col("cum") >= expr("(n * k) div 8") + 1)
-        .groupBy(col("split"), col("k"))
-        .agg(min(col("n_chars")).as("v"))
-      picks.groupBy(col("k"))
-        .agg(max(when(col("split") === "train", col("v"))).as("train_v"),
-          max(when(col("split") === "hold", col("v"))).as("hold_v"))
-        .withColumn("abs_diff", abs(col("train_v") - col("hold_v")))
-        .orderBy(col("k"))
-    }),
-
-    // The RELEASE MANIFEST — what a dataset freeze actually ships:
-    // per split (the q_split_assign bands), doc/char/token totals and
-    // a content fingerprint (sum of per-doc text hashes — any changed
-    // or reordered-in or dropped row moves it). One scan, partial/
-    // final agg; the fingerprint makes two builds of "the same"
-    // release byte-comparable without diffing corpora.
-    "q_release_manifest" -> ((s, d) =>
-      Sampling.splitAssign(docs(s, d), col("doc_id").cast("string"),
-          SplitBands)
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("n_chars"),
-          sum(size(filter(split(col("text"), " "), w => w =!= ""))
-            .cast("long")).as("n_tokens"),
-          sum(PortableHash.spread(PortableHash.h(col("text"))))
-            .as("content_fingerprint"))
-        .orderBy(col("split"))),
-
-    // Deterministic stratified sample: 20 docs per language by
-    // smallest (hash, key) — seeded-reservoir analog.
-    "q_stratified_sample" -> ((s, d) =>
-      Sampling.stratified(docs(s, d), col("lang"),
-          col("doc_id").cast("string"), 20)
-        .select(col("lang"), col("doc_id"),
-          col("sample_rank").cast("long").as("sample_rank"))
-        .orderBy(col("lang"), col("sample_rank"))),
-
-    // Weighted training mix: 1.5 epochs of src0, half of src1, a
-    // tenth of src2, 1 epoch of everything else — deterministic
-    // per-row gate + generate, no shuffle.
-    "q_dataset_mix" -> ((s, d) =>
-      Sampling.weightedMix(docs(s, d), col("source"),
-          col("doc_id").cast("string"), MixRates, defaultRate = 1.0)
-        .select(col("doc_id"), col("source"), col("copy_id"))
-        .orderBy(col("doc_id"), col("copy_id"))),
-
-    // Benchmark decontamination: every training doc sharing >=1 exact
-    // 3-gram with the "benchmark suite" (docs with doc_id % 20 == 0
-    // stand in for a held-out eval set), with how many distinct
-    // n-grams and how many distinct benchmark docs it collides with.
-    // Scale shape: benchmark suites are O(thousands of docs) — tiny
-    // next to the training corpus — so the benchmark shingle set is a
-    // (gated, memoized) broadcast and the corpus-sized side never
-    // shuffles on the join; real pipelines raise n to 8–13, which
-    // only SHRINKS the collision sets.
-    "q_decontaminate" -> ((s, d) => {
-      val ds = distinctShinglesC(s, d)
-      val bench = graft.core.Broadcasts.gatedMemo(
-        ds.where(col("doc_id") % 20 === 0),
-        "spark.graft.decontam.broadcastMax", s"decontam_bench:$d")
-      Dedup.contaminationHits(ds.where(col("doc_id") % 20 =!= 0), bench)
-        .orderBy(col("doc_id"))
-    }),
-
-    // SEMANTIC decontamination — the embedding-space complement to
-    // the n-gram overlap check (a paraphrased benchmark item shares
-    // no 3-grams but sits next to its source in embedding space; the
-    // practice several dataset cards now report alongside exact
-    // overlap). Every corpus vector scored against the FULL bench
-    // set (vec_id%20, the q_decontaminate split convention) via a
-    // broadcast nested-loop — at 100 TB this brute force IS the
-    // scale path, because benchmark sets are thousands of rows while
-    // the corpus side streams once, partition-parallel, unshuffled.
-    // Emits the per-vector nearest bench item + max cosine + the
-    // ≥0.45 contamination flag, so the cut threshold is auditable
-    // rather than silently applied.
-    "q_semantic_decontaminate" -> ((s, d) => {
-      graft.expr.GraftFunctions.ensureRegistered(s)
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val bench = e.where(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"),
-          VectorSearch.fixedNormSq(col("embedding")).as("bnrm"))
-      e.where(col("vec_id") % 20 =!= 0)
-        .withColumn("nrm", VectorSearch.fixedNormSq(col("embedding")))
-        .crossJoin(broadcast(bench))
-        .select(col("vec_id"), col("bench_id"),
-          Det.r4(VectorSearch.cosineCol(
-            VectorSearch.fixedDot(col("embedding"), col("bvec")),
-            col("nrm"), col("bnrm"))).as("cos_sim"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos_sim"), (-col("bench_id")).as("nb")))
-          .as("m"))
-        .select(col("vec_id"), (-col("m.nb")).as("bench_id"),
-          col("m.cos_sim").as("cos_sim"),
-          (col("m.cos_sim") >= lit(0.45)).cast("long").as("contaminated"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // Rendezvous (highest-random-weight) sharding (Thaler & Ravishankar
-    // 1998 — the consistent-placement scheme behind cache rings):
-    // every doc goes to the shard whose h(doc:shard) weight is
-    // highest. The audit pairs the 16-shard assignment with the
-    // 17-shard one: HRW guarantees a doc either stays put or moves
-    // to the NEW shard, so `n_moved_elsewhere` is a proven-zero
-    // column and `n_moved` ≈ n/17 — the minimal-churn property a
-    // resharding plan is approved on. One crossJoin against the
-    // broadcast 17-row shard axis, both argmaxes in ONE partial/final
-    // agg, no second pass.
-    "q_rendezvous_shards" -> ((s, d) => {
-      import graft.core.PortableHash
-      val shards = s.range(0, 17).select(col("id").as("shard"))
-      docs(s, d).select(col("doc_id"))
-        .crossJoin(broadcast(shards))
-        .withColumn("wgt", PortableHash.spread(PortableHash.h(
-          concat(col("doc_id").cast("string"), lit(":"),
-            col("shard").cast("string")))))
-        .groupBy(col("doc_id"))
-        .agg(
-          max(when(col("shard") < 16,
-            struct(col("wgt"), (-col("shard")).as("ns")))).as("m16"),
-          max(struct(col("wgt"), (-col("shard")).as("ns"))).as("m17"))
-        .select(col("doc_id"), (-col("m16.ns")).as("a16"),
-          (-col("m17.ns")).as("a17"))
-        .groupBy(col("a16"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum((col("a17") =!= col("a16")).cast("long")).as("n_moved"),
-          sum((col("a17") =!= col("a16") && col("a17") =!= 16)
-            .cast("long")).as("n_moved_elsewhere"))
-        .select(col("a16").as("shard"), col("n_docs"), col("n_moved"),
-          col("n_moved_elsewhere"))
-        .orderBy(col("shard"))
-    }),
-
-    // Greedy k-center coreset (Gonzalez 1985 farthest-point — the
-    // active-learning / coreset selection primitive): 8 centers
-    // picked by iterated "farthest from nearest selected", then the
-    // per-vector assignment (nearest center by cosine, ties to the
-    // smaller id). Selection is k bounded scalar fetches over
-    // broadcast-vs-scan rounds; the oracle replays every round's
-    // argmin and the final assignment.
-    "q_coreset_kcenter" -> ((s, d) => {
-      graft.expr.GraftFunctions.ensureRegistered(s)
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val centers = VectorSearch.kcenterCoreset(e, 8, s"kcenter8:$d")
-      val en = e.withColumn("nrm",
-        VectorSearch.fixedNormSq(col("embedding")))
-      val sel = en.where(col("vec_id").isin(centers: _*))
-        .select(col("vec_id").as("center_id"),
-          col("embedding").as("cvec"), col("nrm").as("cnrm"))
-      en.crossJoin(broadcast(sel))
-        .select(col("vec_id"), col("center_id"),
-          Det.r4(VectorSearch.cosineCol(
-            VectorSearch.fixedDot(col("embedding"), col("cvec")),
-            col("nrm"), col("cnrm"))).as("cs"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cs"), (-col("center_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("center_id"),
-          col("m.cs").as("cos_sim"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // Source-overlap matrix: distinct shared 3-grams per source pair —
-    // the corpus-audit view of cross-source contamination (a crawl
-    // re-ingested under two source labels lights up here first).
-    // Shape: distinct (source, shingle) → self-join on shingle
-    // (s1 < s2) → count distinct shingles per pair. The pair blowup
-    // per shingle is bounded by C(|sources|, 2), not corpus size, and
-    // the join shuffles on the shingle key.
-    "q_source_overlap" -> ((s, d) => {
-      // reuses the session-cached distinct shingle set; the doc→source
-      // map is O(docs) and broadcasts. ss is distinct (source,
-      // shingle), so each shared shingle contributes exactly ONE row
-      // per pair — count(*) equals count(DISTINCT) without the extra
-      // dedup shuffle the explicit distinct-count would run.
-      val ss = distinctShinglesC(s, d)
-        .join(broadcast(docs(s, d).select(col("doc_id"), col("source"))),
-          Seq("doc_id"))
-        .select(col("source"), col("shingle")).distinct()
-      ss.select(col("source").as("s1"), col("shingle"))
-        .join(ss.select(col("source").as("s2"), col("shingle")), Seq("shingle"))
-        .where(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(count(lit(1)).as("shared_shingles"))
-        .orderBy(col("s1"), col("s2"))
-    }),
-
-    // The Bloom-prefiltered decontamination path — the shape for a
-    // benchmark set too large to broadcast: a Bloom filter over the
-    // benchmark shingles prunes the corpus side BEFORE the join
-    // shuffle; false positives are removed by the exact join, so the
-    // result (and the oracle) is identical to q_decontaminate. No
-    // broadcast hint here on purpose — this is the non-broadcast
-    // join's escort.
-    "q_decontaminate_bloom" -> ((s, d) => {
-      val ds = distinctShinglesC(s, d)
-      Dedup.contaminationHitsBloom(
-        ds.where(col("doc_id") % 20 =!= 0),
-        ds.where(col("doc_id") % 20 === 0))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Train/test split leakage audit — decontamination's INTERNAL
-    // twin: q_decontaminate screens against an external benchmark;
-    // this reports holdout (test/val) docs that share rare 3-grams
-    // with the TRAIN split of the same corpus, the overlap that
-    // silently inflates held-out eval (GPT-3's appendix-C n-gram
-    // audit, run split-vs-split). Split membership is the SAME
-    // per-row hash gate as q_split_assign — no doc list is shipped
-    // anywhere. Shingles with document frequency > LeakDfCap are
-    // excluded: boilerplate n-grams are not leakage evidence, and the
-    // cap bounds the shingle join's fan-out (≤ cap train rows per
-    // shingle), which is what keeps this linear at 100 TB.
-    "q_split_leakage" -> ((s, d) => {
-      val ds = distinctShinglesC(s, d)
-      // the rare-shingle list is a per-dir artifact (used twice per
-      // action by the join planner's two sides) — session-cache it
-      val kept = Cache.getOrPersist(s, "shingle_df_kept", d)(
-        ds.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .where(col("df") <= LeakDfCap)
-          .select(col("shingle")))
-      val tagged = Sampling.splitAssign(ds, col("doc_id").cast("string"),
-        SplitBands)
-      val train = tagged.where(col("split") === "train")
-        .join(kept, Seq("shingle"))
-        .select(col("shingle"), col("doc_id").as("train_doc"))
-      val holdout = tagged.where(col("split") =!= "train")
-        .select(col("split"), col("shingle"), col("doc_id"))
-      holdout.join(train, Seq("shingle"))
-        .groupBy(col("split"), col("doc_id"))
-        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
-          countDistinct(col("train_doc")).as("n_train_docs"))
-        .orderBy(col("split"), col("doc_id"))
-    }),
-
-    // Percentile-based curation cut: keep the top 90% of docs by
-    // quality score, cutting at the EXACT element at rank ⌊0.1·n⌋
-    // (no interpolation — the threshold is an actual r4-quantized
-    // score, so its bits are engine-portable and the tie policy
-    // `>= threshold` is deterministic). The threshold comes from the
-    // distributed-sort order-statistic path (core.Quantiles), the
-    // survivors from a shuffle-free scalar filter — at 100 TB that is
-    // one sort of the score column plus one scan, vs window-ranking
-    // the whole corpus.
-    "q_quality_cut" -> ((s, d) => {
-      val quals = TextAnalysis.qualityColumns(docs(s, d))
-        .select(col("doc_id"), col("quality"))
-      val thr = graft.core.Quantiles.valueAtFractionMemo(
-        quals, "quality", 0.1, s"quality_p10:$d")
-      quals.where(col("quality") >= lit(thr))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Inter-filter agreement (Cohen's kappa): do the Gopher rule
-    // filter and the quality-score p10 cut agree beyond chance? The
-    // curation question this answers is real — two filters that
-    // agree at kappa ≈ 1 are redundant (drop one), near 0 they cut
-    // INDEPENDENT slices (compounding loss needs review). Both
-    // raters are recomputed from their own definitions (gopherRules;
-    // the memoized p10 threshold q_quality_cut already shares), the
-    // 2×2 confusion cells are one partial/final agg, and kappa
-    // collapses to a SINGLE double division of two exact integers:
-    // (n·agree − Σ marginal products) / (n² − Σ marginal products) —
-    // so the statistic crosses the oracle boundary bit-exact under
-    // one r4 snap.
-    "q_filter_kappa" -> ((s, d) => {
-      val r1 = TextAnalysis.gopherRules(docs(s, d))
-        .select(col("doc_id"), col("keep").as("r1"))
-      val quals = TextAnalysis.qualityColumns(docs(s, d))
-        .select(col("doc_id"), col("quality"))
-      val thr = graft.core.Quantiles.valueAtFractionMemo(
-        quals, "quality", 0.1, s"quality_p10:$d")
-      val r2 = quals.select(col("doc_id"),
-        (col("quality") >= lit(thr)).cast("long").as("r2"))
-      r1.join(r2, Seq("doc_id"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("r1") * col("r2")).as("n11"),
-          sum(col("r1") * (lit(1L) - col("r2"))).as("n10"),
-          sum((lit(1L) - col("r1")) * col("r2")).as("n01"),
-          sum((lit(1L) - col("r1")) * (lit(1L) - col("r2"))).as("n00"))
-        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-          (col("n11") + col("n00")).as("n_agree"),
-          Det.r4(
-            (col("n") * (col("n11") + col("n00")) -
-              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
-              .cast("double") /
-            (col("n") * col("n") -
-              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
-              .cast("double")).as("kappa"))
-    }),
-
-    // Gopher-style repetition filter signals: per-doc duplicate-3-gram
-    // fraction and the hottest shingle's multiplicity. Two partial/
-    // final aggregations, never a self-join — the per-(doc, shingle)
-    // counts collapse before the per-doc rollup.
-    "q_repetition_filter" -> ((s, d) =>
-      TextAnalysis.repetitionSignals(docs(s, d)).orderBy(col("doc_id"))),
-
-    // PII scan + redaction: per-doc email/IPv4/long-number match
-    // counts and the redacted text pinned by length + portable hash.
-    // Deterministic PII is planted first (the synthetic corpus has
-    // none), so the oracle exercises the cross-engine regex
-    // machinery, not an all-zeros row set. Pure codegen'd Column
-    // regex — shuffle-free, scan-parallel at any corpus size.
-    "q_pii_redact" -> ((s, d) =>
-      TextAnalysis.piiColumns(docs(s, d)).orderBy(col("doc_id"))),
-
-    // Context-window chunking: fixed-size overlapping char chunks via
-    // generated offsets + explode — fan-out multiplies rows in place,
-    // never shuffles them. Chunk bytes pinned by (len, portable hash).
-    "q_chunk_docs" -> ((s, d) =>
-      Packing.chunkDocs(docs(s, d))
-        .orderBy(col("doc_id"), col("chunk_id"))),
-
-    // Concatenate-and-cut sequence packing: exact global token
-    // offsets via the two-pass distributed prefix sum (range sort +
-    // one partial per partition + broadcast seeds — never a global
-    // single-reducer window), then the first/last capacity-sized
-    // training bin each doc touches. Memoized per (session, dir)
-    // because the prefix-sum pins its sorted RDD (Packing scaladoc).
-    "q_pack_sequences" -> ((s, d) =>
-      Cache.getOrPersist(s, "pack_sequences", d)(
-        Packing.packSequences(docs(s, d),
-          size(split(col("text"), " ")), col("doc_id"))
-          .withColumnRenamed("k", "doc_id"))
-        .orderBy(col("doc_id"))),
-
-    // Balanced shard manifest — the release step after packing: lay
-    // the corpus out in a DETERMINISTIC pseudo-random order (portable
-    // hash of doc_id, doc_id tiebreak — the epoch-shuffle every
-    // training run needs to be reproducible) and cut it into 16
-    // token-balanced shards. Shard = ⌊offset·N/T⌋ over the exact
-    // global token prefix sum, which reuses packSequences' two-pass
-    // machinery (range sort + one partial per partition + broadcast
-    // seeds) — never a single-reducer global window — so the same
-    // code path produces byte-identical shard boundaries on 32 cores
-    // or 1000 executors. Each doc lands wholly in one shard; the
-    // per-shard deviation column (n_tokens·N − T) bounds imbalance
-    // by N × the largest document, the guarantee a loader relies on.
-    "q_shard_manifest" -> ((s, d) => {
-      val nShards = 16L
-      val dtok = docs(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        PortableHash.h(col("doc_id").cast("string")).cast("long").as("h"))
-      val total = dtok.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
-      val keyed = dtok.select(
-        (col("h") * lit(1L << 24) + col("doc_id")).as("k2"),
-        col("n_tokens"))
-      Packing.packSequences(keyed, col("n_tokens"), col("k2"))
-        .select((col("k") % lit(1L << 24)).as("doc_id"),
-          col("n_tokens"), col("tok_offset"))
-        .withColumn("shard",
-          least(expr(s"tok_offset * $nShards div ${total}L"),
-            lit(nShards - 1L)))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"))
-        .select(col("shard"), col("n_docs"), col("n_tokens"),
-          col("min_doc"), col("max_doc"),
-          (col("n_tokens") * lit(nShards) - lit(total))
-            .as("dev_from_ideal_xn"))
-        .orderBy(col("shard"))
-    }),
-
-    // DSIR importance weights (Xie et al. 2023): per-doc log-ratio of
-    // hashed-bigram likelihood under the TARGET distribution (lang =
-    // 'en' — the in-domain proxy) vs the RAW corpus — the score
-    // data-selection-for-LM pipelines resample by. All log arithmetic
-    // rides the LmScore integer-log2 pipeline (bit-length + mantissa
-    // table, ×2²⁰ fixed point), so the weight is an exact BIGINT on
-    // both engines. Scale shape: features hash into 1024 buckets, so
-    // both distributions are B-bounded aggregates; the per-bucket
-    // log-ratio table is a broadcast; the per-doc weight is one
-    // broadcast join + partial/final sum over the bigram stream —
-    // and the corpus-total terms fold in as n_bigrams × constant
-    // instead of joining a scalar into every row.
-    "q_dsir_weights" -> ((s, d) => {
-      val B = 1024L
-      val ws = split(col("text"), " ")
-      val bg = docs(s, d).where(size(ws) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), size(ws) - 1),
-            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-            .as("bigram"))
-      val bkC = Cache.getOrPersist(s, "dsir_buckets", d)(
-        bg.select(col("doc_id"), col("lang"),
-          (PortableHash.h(col("bigram")).cast("long") % lit(B)).as("bkt")))
-      val rc = bkC.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
-      val tc = bkC.where(col("lang") === "en")
-        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-      val totals = bkC.agg(count(lit(1)).as("tr"),
-        sum((col("lang") === "en").cast("long")).as("tt")).collect()(0)
-      val constFx = LmScore.log2FxLong(totals.getLong(0) + B) -
-        LmScore.log2FxLong(totals.getLong(1) + B)
-      val lr = rc.join(tc, Seq("bkt"), "left").na.fill(0L, Seq("ct"))
-        .select(col("bkt"),
-          (LmScore.log2FxCol(col("ct") + lit(1L)) -
-            LmScore.log2FxCol(col("cr") + lit(1L))).as("lr"))
-      bkC.join(broadcast(lr), Seq("bkt"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("lang")).as("lang"),
-          count(lit(1)).as("n_bigrams"), sum(col("lr")).as("sum_lr"))
-        .select(col("doc_id"), col("lang"), col("n_bigrams"),
-          (col("sum_lr") + col("n_bigrams") * lit(constFx)).as("w_fx"),
-          Det.r4((col("sum_lr") + col("n_bigrams") * lit(constFx))
-            .cast("double") / lit(LmScore.LogScale.toDouble)).as("logw"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Unigram-LM Viterbi segmentation (Unigram.scala — the
-    // SentencePiece complement to the BPE merge family): every
-    // distinct corpus word segmented into its minimum-cost piece
-    // sequence under the capped substring-frequency model, costs in
-    // exact integer log2 fixed point. The oracle replays model AND
-    // Viterbi: a recursive CTE carries the 4-slot DP state and sorts
-    // each step's transition candidates by (cost, n_pieces, 4−k) —
-    // the same total order the kernel's descending-k strict
-    // replacement realizes.
-    "q_unigram_segment" -> ((s, d) =>
-      Cache.getOrPersist(s, "unigram_seg", d)(
-        Unigram.segmentsAll(docs(s, d), d))
-        .orderBy(col("word"))),
-
-    // Per-language fertility (pieces per word) under the unigram
-    // model — the tokenizer-quality readout that decides whether a
-    // vocab budget fits a language mix. The corpus word STREAM joins
-    // the O(|distinct words|) broadcast segment table; text never
-    // shuffles.
-    "q_unigram_fertility" -> ((s, d) => {
-      val seg = Cache.getOrPersist(s, "unigram_seg", d)(
-        Unigram.segmentsAll(docs(s, d), d))
-      docs(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .join(broadcast(seg.select(col("word"), col("n_pieces"),
-          col("cost_fx"))), Seq("word"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_pieces")).as("n_pieces"),
-          sum(col("cost_fx")).as("cost_fx"))
-        .select(col("lang"), col("n_words"), col("n_pieces"),
-          col("cost_fx"),
-          Det.r4(col("n_pieces").cast("double") /
-            col("n_words").cast("double")).as("fertility"))
-        .orderBy(col("lang"))
-    }),
-
-    // WordPiece greedy longest-match segmentation (WordPiece.scala —
-    // the BERT-tokenizer third of the subword trio beside BPE merges
-    // and unigram-LM Viterbi): every distinct corpus word walked
-    // left-to-right taking the LONGEST vocab piece at each position,
-    // continuation pieces as the `##` class. The oracle replays model
-    // AND walk: a recursive CTE advances a cursor by the largest k
-    // whose marked piece joins the vocab — greedy is a total order,
-    // so `seg` strings match byte for byte.
-    "q_wordpiece_segment" -> ((s, d) =>
-      Cache.getOrPersist(s, "wordpiece_seg", d)(
-        WordPiece.segmentsAll(docs(s, d), d))
-        .orderBy(col("word"))),
-
-    // Per-language WordPiece fertility — the third column of the
-    // tokenizer-choice comparison (q_bpe_fertility /
-    // q_unigram_fertility / this): same word stream, same broadcast
-    // segment-table join, so the three numbers are directly
-    // comparable.
-    "q_wordpiece_fertility" -> ((s, d) => {
-      val seg = Cache.getOrPersist(s, "wordpiece_seg", d)(
-        WordPiece.segmentsAll(docs(s, d), d))
-      docs(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .join(broadcast(seg.select(col("word"), col("n_pieces"))),
-          Seq("word"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_pieces")).as("n_pieces"))
-        .select(col("lang"), col("n_words"), col("n_pieces"),
-          Det.r4(col("n_pieces").cast("double") /
-            col("n_words").cast("double")).as("fertility"))
-        .orderBy(col("lang"))
-    }),
-
-    // Temperature-scaled domain mixing weights (the multilingual/
-    // multi-domain training-mix formula): w_i ∝ p_i^(3/4) over each
-    // source's share of corpus chars. Portability: alpha = 3/4 is
-    // computed as sqrt(sqrt(p³)) — sqrt is IEEE correctly-rounded on
-    // both engines, pow() is not; the weight normalizer is a
-    // fixed-point (1e-9) integer sum, so no double addition order can
-    // differ. The two totals ride on a broadcast cross join — the
-    // by-source frame is O(sources).
-    // Cluster-balanced mixing weights: the p^(3/4) temperature
-    // formula applied to EMBEDDING-CLUSTER shares instead of source
-    // labels — the semantic complement to q_domain_mix_weights (a
-    // single web source hides many topical clusters; balancing on
-    // k-means cells is how a curation run up-weights rare topics it
-    // has no label for). Reuses the session k-means assignment the
-    // SemDeDup/topics family trains; same sqrt(sqrt(p³)) portability
-    // trick, same fixed-point snap.
-    "q_cluster_mix_weights" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
-        VectorSearch.kmeansCells(e, k = 8, iters = 2))
-      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
-        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
-      val byCell = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
-          VectorSearch.assignCells(e, cellsB))
-        .groupBy(col("cell_id")).agg(count(lit(1)).as("n_docs"))
-      val tot = byCell.agg(sum(col("n_docs")).as("tot"))
-      val p = col("n_docs").cast("double") / col("tot").cast("double")
-      val wraw = sqrt(sqrt(p * p * p))
-      val snapped = byCell.crossJoin(broadcast(tot))
-        .select(col("cell_id"), col("n_docs"), Det.r4(p).as("p"),
-          floor(wraw * lit(1.0e9) + lit(0.5)).cast("long").as("wfx"))
-      val wtot = snapped.agg(sum(col("wfx")).as("wtot"))
-      snapped.crossJoin(broadcast(wtot))
-        .select(col("cell_id"), col("n_docs"), col("p"),
-          Det.r4(col("wfx").cast("double") / col("wtot").cast("double"))
-            .as("w"))
-        .orderBy(col("cell_id"))
-    }),
-
-    "q_domain_mix_weights" -> ((s, d) => {
-      val bySrc = docs(s, d).groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-      val tot = bySrc.agg(sum(col("n_chars")).as("tot"))
-      val p = col("n_chars").cast("double") / col("tot").cast("double")
-      val wraw = sqrt(sqrt(p * p * p))
-      val snapped = bySrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("n_chars"),
-          Det.r4(p).as("p"),
-          floor(wraw * lit(1.0e9) + lit(0.5)).cast("long").as("wfx"))
-      val wtot = snapped.agg(sum(col("wfx")).as("wtot"))
-      snapped.crossJoin(broadcast(wtot))
-        .select(col("source"), col("n_docs"), col("n_chars"), col("p"),
-          Det.r4(col("wfx").cast("double") / col("wtot").cast("double"))
-            .as("w"))
-        .orderBy(col("source"))
-    }),
-
-    // Token-budget mixture planning (the LLaMA-1 Table-1 / DoReMi
-    // shape): temperature-scaled target weights over per-source TOKEN
-    // shares, then a planned-token allocation for a training budget
-    // of 4× the corpus and the per-source repeat factor ("epochs")
-    // that allocation implies — the number a curation run actually
-    // publishes (w alone doesn't say how many times src9 repeats).
-    // Same portability discipline as q_domain_mix_weights: α=3/4 via
-    // nested sqrt, 1e-9 fixed-point weight normalizer, and every
-    // double expression mirrored operation-for-operation in the
-    // oracle. All frames past the one corpus scan are O(sources).
-    "q_mix_epochs" -> ((s, d) => {
-      val bySrc = docs(s, d).groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " ")).cast("long")).as("toks"))
-      val tot = bySrc.agg(sum(col("toks")).as("ttot"))
-      val p = col("toks").cast("double") / col("ttot").cast("double")
-      val wraw = sqrt(sqrt(p * p * p))
-      val snapped = bySrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("toks"), col("ttot"),
-          Det.r4(p).as("p"),
-          floor(wraw * lit(1.0e9) + lit(0.5)).cast("long").as("wfx"))
-      val wtot = snapped.agg(sum(col("wfx")).as("wtot"))
-      val planned = col("wfx").cast("double") * lit(4.0) *
-        col("ttot").cast("double") / col("wtot").cast("double")
-      snapped.crossJoin(broadcast(wtot))
-        .select(col("source"), col("n_docs"), col("toks"), col("p"),
-          Det.r4(col("wfx").cast("double") / col("wtot").cast("double"))
-            .as("w"),
-          floor(planned + lit(0.5)).cast("long").as("planned_toks"),
-          Det.r4(planned / col("toks").cast("double")).as("epochs"))
-        .orderBy(col("source"))
-    }),
-
-    // Aho–Corasick multi-keyword tagging: one automaton pass over
-    // the corpus counts every dictionary occurrence — vs k regexp
-    // scans. The kernel is partition-parallel (KeywordTags); the
-    // dictionary is border-free so every-occurrence == the oracle's
-    // non-overlapping regexp_extract_all (KeywordTagsSpec proves the
-    // equivalence and its bordered counter-example).
-    "q_keyword_tags" -> ((s, d) =>
-      KeywordTags.tagCounts(docs(s, d)).orderBy(col("keyword"))),
-
-    // Zipf tail fit over the token frequency spectrum: OLS of
-    // log2(freq) on log2(rank) across the top ranks — the corpus
-    // health number (natural text ≈ −1; synthetic/boilerplate drifts
-    // shallow). Logs ride the LmScore exact integer-log2 pipeline
-    // (bit-length + 512-entry mantissa table, 2²⁰ fixed point), the
-    // OLS normal equations are exact BIGINT sums, and only the final
-    // slope/intercept divisions touch doubles — mirrored
-    // op-for-op in the oracle. The global sort is LIMIT-bounded
-    // (TakeOrdered), the rank window runs on the 30-row frame.
-    "q_zipf_fit" -> ((s, d) => {
-      val words = docs(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")) > 0)
-      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
-      val top = freq.orderBy(col("f").desc, col("w")).limit(ZipfTopRanks)
-      val win = org.apache.spark.sql.expressions.Window
-        .orderBy(col("f").desc, col("w"))
-      val ranked = top.select(col("f"),
-        row_number().over(win).cast("long").as("r"))
-      val pts = ranked.select(LmScore.log2FxCol(col("r")).as("x"),
-        LmScore.log2FxCol(col("f")).as("y"))
-      val sums = pts.agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      val nd = sums.select(col("n"), col("sx"), col("sy"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          .as("num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-          .as("den"))
-      nd.select(col("n").as("n_ranks"),
-        Det.r4(col("num") / col("den")).as("slope"),
-        Det.r4((col("sy").cast("double") -
-            col("num") / col("den") * col("sx").cast("double")) /
-          col("n").cast("double") / lit(1048576.0)).as("intercept_log2"))
-    }),
-
-    // Multimodal metadata over the opaque payload column.
-    "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.mediaMeta(docs(s, d)).orderBy(col("doc_id"))),
-
-    // REAL image decode, scored: render a fixture of actual encoded
-    // PNG/JPEG/BMP/GIF payloads (dimensions arithmetic in doc_id),
-    // decode through the partition-parallel javax.imageio kernel, and
-    // let the oracle predict width/height/format from the fixture
-    // constants — the row goes red if the decode ever falls back to
-    // the fake path (whose dims derive from byte length, not pixels).
-    "q_multimodal_decode" -> ((s, d) => {
-      val p = graft.io.MediaFixtures.write(s, d)
-      Multimodal.decodeAll(s.read.parquet(p)).toDF()
-        .orderBy(col("doc_id"))
-    }),
-
-    // REAL audio decode, scored (the WAV analog of
-    // q_multimodal_decode): render a fixture of actual RIFF/WAVE PCM
-    // payloads (rate/channels/samples arithmetic in doc_id), parse
-    // the headers through the partition-parallel javax.sound kernel,
-    // and let the oracle predict every field from the fixture
-    // constants — red if the decode ever falls back to the fake path.
-    "q_multimodal_audio" -> ((s, d) => {
-      val p = graft.io.AudioFixtures.write(s, d)
-      Multimodal.decodeAudioAll(s.read.parquet(p)).toDF()
-        .orderBy(col("doc_id"))
-    }),
-
-    // REAL multi-frame inventory, scored (the video analog of
-    // q_multimodal_decode): render a fixture of actual animated-GIF
-    // containers (frame count / dims / per-frame delays arithmetic in
-    // doc_id and frame_id), walk the sequence with the partition-
-    // parallel javax.imageio kernel, and let the oracle predict every
-    // frame row from the fixture constants — a broken parser emits no
-    // rows (there is deliberately no fallback), so breakage is red,
-    // never silently fake.
-    "q_multimodal_frames" -> ((s, d) => {
-      val p = graft.io.VideoFixtures.write(s, d)
-      Multimodal.frameInventory(s.read.parquet(p)).toDF()
-        .orderBy(col("doc_id"), col("frame_id"))
-    }),
-
-    // TIME-budgeted frame sampling (the ffmpeg `-r` shape, not
-    // every-Nth): per-frame start instants from the running sum of
-    // the REAL parsed GIF delays, then one sampled frame per 10 cs
-    // instant — the frame whose [start, start+delay) interval covers
-    // it (a bounded interval join: ≤6 frames × ≤9 instants per
-    // video). The op a video-curation pipeline runs to cut decode
-    // cost before feature extraction; the oracle replays the
-    // fixtures' delay formula through the same cumsum + interval
-    // arithmetic, so a mis-parsed delay or off-by-one interval bound
-    // moves a cell.
-    "q_frame_sample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val p = graft.io.VideoFixtures.write(s, d)
-      val f = Multimodal.frameInventory(s.read.parquet(p)).toDF()
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
-      // eager checkpoint: tl feeds BOTH interval-join sides (directly
-      // and via dur→inst) — without it every reference re-decodes all
-      // fixture GIFs through the ImageIO kernel
-      val tl = f
-        .withColumn("start_cs", sum(col("delay_cs")).over(w)
-          - col("delay_cs"))
-        .select(col("doc_id"), col("frame_id"), col("delay_cs"),
-          col("start_cs"))
-        .localCheckpoint(true)
-      val dur = tl.groupBy(col("doc_id"))
-        .agg(max(col("start_cs") + col("delay_cs")).as("dur"))
-      val inst = dur.select(col("doc_id"),
-        explode(sequence(lit(0L), col("dur") - 1, lit(10L))).as("t_cs"))
-      inst.join(tl, Seq("doc_id"))
-        .where(col("t_cs") >= col("start_cs") &&
-          col("t_cs") < col("start_cs") + col("delay_cs"))
-        .select(col("doc_id"), col("t_cs"), col("frame_id"),
-          col("start_cs"), col("delay_cs"))
-        .orderBy(col("doc_id"), col("t_cs"))
-    }),
-
-    // Perceptual-hash image near-dup, scored CELL-EXACT end to end:
-    // real PNGs (PhashFixtures: block-constant grids whose levels are
-    // arithmetic in id) → javax.imageio decode → integer dHash-64 →
-    // 4×16-bit banded candidate join (hamming ≤ 3 ⇒ some band equal,
-    // the simhash pigeonhole on image hashes) → popcount rescore.
-    // The oracle replays every hash bit from the grid FORMULA, never
-    // the bytes — so a wrong grayscale weight, block bound, or decode
-    // fallback shifts a bit and lands red. Scale shape: hashes are
-    // one scan-parallel kernel pass; candidates are band-equality
-    // joins (never all pairs); the rescore is a popcount on the
-    // already-joined longs. 100 TB adds the bucket caps the
-    // minhash/simhash family already carries.
-    // Streaming MULTIMODAL ingest gate: the incremental-dedup
-    // flatMapGroupsWithState gate (StreamOps.ingestDedupGate) keyed
-    // by IMAGE CONTENT — dHash-64 signatures from the real decode
-    // kernel. Base corpus = the original images (variant 0), reduced
-    // to keep-first (sig, first_doc) state; the incoming batch is the
-    // copies and mirrors. A brightness-shifted copy hashes identically
-    // → dup_of_base against its original; mirrors are new unless the
-    // formula says they collide. The oracle replays hashes AND gate
-    // semantics (base-hit beats in-batch, first-arrival-wins by
-    // doc_id) from the grid formula — streaming state logic and the
-    // pixel path scored together, cell-exact. Scale: state is
-    // O(distinct signatures), the image bytes never enter the gate.
-    "q_stream_phash_gate" -> ((s, d) => {
-      val p = graft.io.PhashFixtures.write(s, d)
-      val hashed = Multimodal.dhashAll(s.read.parquet(p)).toDF()
-        .select(col("doc_id"), expr("lpad(bin(dhash), 64, '0')").as("sig"))
-      import s.implicits._
-      val base = hashed.where(col("doc_id") % 3 === 0)
-        .groupBy(col("sig")).agg(min(col("doc_id")).as("first_doc"))
-        .select(col("sig"), col("first_doc"), lit(true).as("from_base"))
-        .as[StreamOps.SigSeen]
-      val incoming = hashed.where(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id"), col("sig")).as[StreamOps.DocSig]
-      StreamOps.ingestDedupGate(incoming, base)
-        .toDF().orderBy(col("doc_id"))
-    }),
-
-    // Image near-dup CLUSTERS: the q_image_phash candidate edges
-    // (banded, hamming ≤ 3) run through the SAME contraction-first
-    // min-label connected components as the text dedup family
-    // (Dedup.connectedComponents), keeper = min img_id — closing the
-    // image-dedup loop pairs → clusters → keeper exactly as
-    // q_dedup_clusters does for documents. The oracle replays edges
-    // from the grid formula and clusters them with the recursive
-    // min-label CTE — cluster assignments are cell-exact.
-    "q_image_phash_clusters" -> ((s, d) => {
-      val p = graft.io.PhashFixtures.write(s, d)
-      val hashes = Multimodal.dhashAll(s.read.parquet(p)).toDF()
-        .select(col("doc_id").as("img_id"), col("dhash"))
-      val bands = hashes.select(col("img_id"), col("dhash"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bv", expr("shiftright(dhash, band * 16) & 65535"))
-      val edges = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.img_id") < col("b.img_id"))
-        .select(col("a.img_id").as("d1"), col("b.img_id").as("d2"),
-          expr("bit_count(a.dhash ^ b.dhash)").as("hd"))
-        .distinct()
-        .where(col("hd") <= 3)
-        .select(col("d1"), col("d2"))
-      // snapshot-memoized like q_dedup_clusters: the CC fixpoint is a
-      // session artifact; its warm cost is a snapshot scan
-      Cache.getOrSnapshot(s, "phash_cc_clusters", d)(
-          Dedup.connectedComponents(
-            hashes.select(col("img_id").as("doc_id")), edges))
-        .withColumn("is_keeper",
-          (col("doc_id") === col("cluster_id")).cast("long"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Entity resolution end-to-end (EntityResolution.scala): three
-    // deterministic record sources (clean registry, CRM with an
-    // off-by-one numeric typo, billing with format noise) → capped
-    // multi-pass blocking → (nation, segment, levenshtein ≤ 1)
-    // comparator → the dedup family's contraction-first CC →
-    // per-cluster survivorship audit. The oracle replays the whole
-    // pipeline: same dirty view, same blocking passes + cap, same
-    // comparator, recursive min-label CC, same audit rollup.
-    // Snapshot-cached like the other CC fixpoints — the resolved
-    // frame is a session artifact shared with q_er_quality.
-    "q_entity_resolution" -> ((s, d) =>
-      EntityResolution.clusterAudit(
-        Cache.getOrSnapshot(s, "er_resolved", d)(
-          EntityResolution.resolved(s, d)))),
-
-    // ER acceptance pair (the lsh_recall/precision discipline applied
-    // to identity): pairwise precision AND recall vs the held-out
-    // true key, computed from group sizes only — Σ C(n,2) per
-    // cluster / truth key / (cluster, truth) cell — so the quality
-    // readout never enumerates pairs. Expected imperfection is REAL:
-    // decade-crossing typos sit at edit distance 2 (recall misses),
-    // and off-by-one typos land exactly on a neighboring customer's
-    // number (precision misses when nation+segment also agree) —
-    // the numbers a deploy decision actually weighs.
-    "q_er_quality" -> ((s, d) =>
-      EntityResolution.qualityRow(
-        Cache.getOrSnapshot(s, "er_resolved", d)(
-          EntityResolution.resolved(s, d)))),
-
-    // Audio content fingerprint, scored CELL-EXACT: the WAV fixture's
-    // PCM samples are a sawtooth that is pure arithmetic in
-    // (doc_id, sample index), so the energy-envelope bits (adjacent
-    // eighth-range mean-|amplitude| comparisons) replay in SQL from
-    // the formula while the engine must earn them through real
-    // javax.sound PCM decode. The audio analog of q_image_phash's
-    // pixel-path discipline — a header-only parse can't fake it, the
-    // DATA bytes feed the answer.
-    "q_audio_fingerprint" -> ((s, d) => {
-      val p = graft.io.AudioFixtures.write(s, d)
-      Multimodal.audioFpAll(s.read.parquet(p)).toDF()
-        .orderBy(col("doc_id"))
-    }),
-
-    "q_image_phash" -> ((s, d) => {
-      val p = graft.io.PhashFixtures.write(s, d)
-      val hashes = Multimodal.dhashAll(s.read.parquet(p)).toDF()
-        .select(col("doc_id").as("img_id"), col("dhash"))
-      val bands = hashes.select(col("img_id"), col("dhash"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bv",
-          expr("shiftright(dhash, band * 16) & 65535"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.img_id") < col("b.img_id"))
-        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
-          expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
-        .distinct()
-        .where(col("hamming") <= 3)
-        .orderBy(col("img_a"), col("img_b"))
-    }),
-
-    // Image RESIZE over real decoded pixels: every phash fixture PNG
-    // box-mean-pooled to a 3×2 thumbnail (each cell = exact integer
-    // luminance sum over 12×16 px). The engine must earn the values
-    // through javax.imageio decode + the pooling loops; the oracle
-    // replays the fixtures' generation FORMULA + the same pooling
-    // arithmetic — so a wrong decode, wrong luminance weights, or
-    // off-by-one cell bound lands cell-visibly red (the
-    // PhashFixtures discipline, now for the resize path). Shape at
-    // 100 TB: partition-parallel mapPartitions kernel, one decode
-    // per image, no shuffle before the final per-cell projection.
-    "q_image_thumbnail" -> ((s, d) => {
-      val p = graft.io.PhashFixtures.write(s, d)
-      Multimodal.thumbnailAll(s.read.parquet(p), tw = 3, th = 2).toDF()
-        .select(col("doc_id").as("img_id"), col("cx"), col("cy"),
-          col("n_px"), col("sum_lum"),
-          Det.r4(col("sum_lum").cast("double") /
-            col("n_px").cast("double")).as("mean_lum"))
-        .orderBy(col("img_id"), col("cy"), col("cx"))
-    }),
-
-    // session_window in batch mode (streaming twin: StreamOps).
-    "q_session_window" -> ((s, d) =>
-      StreamOps.sessionAgg(Sources.table(s, d, "events"))
-        .orderBy(col("user_id"), col("start_us"))),
-
-    // IVF ANN: label centroids as the coarse quantizer, every ~50th
-    // vector as a query, 2 probes, top-3. Deterministic throughout
-    // (fixed-point math); the oracle CTE chain below replays the
-    // assignment/probe/scan stages in DuckDB.
-    "q_ann_ivf" -> ((s, d) => {
-      val e = emb(s, d)
-      val cells = VectorSearch.labelCentroids(e)
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
-      val queries = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.ivfTopK(
-        e.select(col("vec_id"), col("embedding")), cells, queries,
-        "qid", "qvec", 3, 2)
-        .orderBy(col("qid"), col("rn"))
-    }),
-
-    // The compressed ANN serving path: IVF picks a top-10 shortlist
-    // by exact cosine, then int8-dequantized vectors re-rank it to
-    // top-3 (VectorSearch.sqRerank) — scoring happens against the
-    // 4x-smaller SQ reconstruction, not the full-precision
-    // embeddings. Queries are corpus members, so the quantizer covers
-    // them.
-    "q_ann_sq_rerank" -> ((s, d) =>
-      // same session-shared IVF shortlist as the PQ composition —
-      // the two compressed rerank paths serve the identical
-      // shortlist, differing only in the scoring representation
-      VectorSearch.sqRerank(ivfPqShortlistC(s, d),
-          emb(s, d).select(col("vec_id"), col("embedding")), "qid", 3)
-        .orderBy(col("qid"), col("rn"))),
-
-    // Embedding-dedup end-to-end: banded sign-LSH candidates →
-    // cosine threshold → connected components → cluster table with
-    // keepers. The full "embedding-cosine near-dup dedup" pipeline a
-    // training-data curation run executes. τ=0.0 here: the synthetic
-    // embeddings have no true near-dups (max pair cosine ≈0.45), so
-    // the scored query keeps any positively-aligned candidate to
-    // exercise thresholding + clustering; a production corpus runs
-    // the identical plan with τ≈0.95.
-    "q_embed_dedup_clusters" -> ((s, d) => {
-      val pairs = bandedCosC(s, d)
-        .where(col("cos_sim") >= 0.0)
-        .select(col("v1").as("d1"), col("v2").as("d2"))
-      Cache.getOrSnapshot(s, "cc_embed_clusters", d)(
-          Dedup.connectedComponents(emb(s, d).select(col("vec_id")), pairs,
-            nodeCol = "vec_id"))
-        .withColumn("is_keeper",
-          (col("vec_id") === col("cluster_id")).cast("long"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // The curation funnel: quality-score filter → exact-dup drop →
-    // weighted source mix — the end-to-end shape of a training-data
-    // preparation job, composed from the scored primitives above so
-    // the whole funnel is one oracle-checked plan.
-    "q_curation_mix" -> ((s, d) => {
-      val dcs = docs(s, d)
-      val q = TextAnalysis.qualityColumns(dcs)
-        .select(col("doc_id"), col("quality"))
-      val drops = Dedup.dropDuplicatesKeepFirst(dcs,
-        Dedup.normPrefix(col("text"), 5)).select(col("doc_id"))
-      val curated = dcs.select(col("doc_id"), col("source"))
-        .join(q, Seq("doc_id"))
-        .where(col("quality") >= 0.5)
-        .join(drops, Seq("doc_id"), "left_anti")
-      Sampling.weightedMix(curated, col("source"),
-          col("doc_id").cast("string"), MixRates, defaultRate = 1.0)
-        .select(col("doc_id"), col("source"), col("quality"), col("copy_id"))
-        .orderBy(col("doc_id"), col("copy_id"))
-    }),
-
-    // Embedding-table QA — the health check an index build runs
-    // BEFORE spending cluster-days on IVF/PQ training: per-dimension
-    // mean/min/max and exact-zero counts expose collapsed dimensions
-    // (mean pinned, zero spread), dead dimensions (all zero), and
-    // truncated uploads. One explode + one partial/final agg over
-    // |dims| groups — linear, no joins; values snap to 1e-9 units
-    // before summing so the means are addition-order-proof.
-    "q_embed_stats" -> ((s, d) =>
-      emb(s, d).select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("i", "v")))
-        .withColumn("vfx",
-          floor(col("v").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
-        .groupBy(col("i"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("vfx")).as("sum_fx"),
-          min(col("vfx")).as("min_fx"),
-          max(col("vfx")).as("max_fx"),
-          sum(when(col("vfx") === 0, lit(1L)).otherwise(lit(0L)))
-            .as("n_zero"))
-        .select((col("i") + 1).cast("long").as("dim"), col("n"),
-          Det.r4(col("sum_fx").cast("double") / col("n") / lit(1e9))
-            .as("mean"),
-          Det.r4(col("min_fx").cast("double") / lit(1e9)).as("min_v"),
-          Det.r4(col("max_fx").cast("double") / lit(1e9)).as("max_v"),
-          col("n_zero"))
-        .orderBy(col("dim"))),
-
-    // Top principal direction by deterministic power iteration on the
-    // centered embeddings (2 fixed rounds from the uniform 1/√d seed
-    // — an axis seed zeroes out on a constant dimension) — the
-    // collapse/whitening QA read-out; see VectorSearch.topDirection
-    // for the fixed-point round discipline that makes the full
-    // iterate-normalize loop oracle-replayable.
-    "q_embed_pca_power" -> ((s, d) =>
-      // result memoized per session: the power loop persists its
-      // centered long form internally, so rebuild-per-action would
-      // stack persisted copies
-      Cache.getOrPersist(s, "pca_power_2", d)(
-        VectorSearch.topDirection(
-          emb(s, d).select(col("vec_id"), col("embedding")), iters = 2))
-        .orderBy(col("dim"))),
-
-    // SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
-    // within-k-means-cluster pairwise cosine — the embedding-space
-    // dedup that catches paraphrases exact/minhash dedup misses. The
-    // trained quantizer is the SAME session artifact q_ann_kmeans
-    // serves from ("kmeans_cells_8_2"), so dedup and retrieval agree
-    // on the partition of the space. τ here sits below the synthetic
-    // corpus's natural cosine ceiling (~0.45 max pair) so real dup
-    // populations exist; a production run sets τ≈0.95 on the
-    // identical plan. See VectorSearch.semDedup for the k ≈ N/m and
-    // over-cap scale contract.
-    "q_semdedup" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
-        VectorSearch.kmeansCells(e, k = 8, iters = 2))
-      // the assignment is referenced four times by the dedup plan —
-      // materialize it per session or the N×k argmax runs four times
-      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
-        VectorSearch.assignCells(e, broadcast(cells.select(col("cell_id"),
-          col("centroid"),
-          VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))))
-      // over-cap cells get the sub-split rescue (one deterministic
-      // k-means split within the cell, dedup in sub-cells that fit
-      // the cap) — the minhash-rescue discipline applied to the
-      // semantic family; `rescued` marks verdicts from the split.
-      VectorSearch.semDedupWithRescue(assigned, SemTau, SemCellCap,
-          ksub = SemSubK)
-        .orderBy(col("vec_id"))
-    }),
-
-    // IVF over a REAL coarse quantizer: 2 rounds of deterministic
-    // fixed-point k-means (8 cells seeded from the lowest vec_ids)
-    // instead of the label centroids q_ann_ivf uses — the production
-    // cell builder, fully replayed by the oracle's generated
-    // round-by-round CTE chain.
-    "q_ann_kmeans" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      // the trained quantizer is a session-shared artifact like the
-      // moment/LSH tables: train once per (session, dir), reuse across
-      // calls (a production deploy persists the codebook, not retrains)
-      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
-        VectorSearch.kmeansCells(e, k = 8, iters = 2))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
-        .orderBy(col("qid"), col("rn"))
-    }),
-
-    // INCREMENTAL index upkeep — the operational property every
-    // production ANN deployment needs: new vectors (the 10% delta
-    // slice) join the index by ASSIGNMENT against the frozen
-    // base-trained quantizer, never by rebuild. Because assignment is
-    // per-row deterministic, union(assign(base), assign(delta)) is
-    // cell-identical to one-shot assignment of the full corpus under
-    // the same centroids — which is exactly what the oracle replays
-    // (cent over the base slice, serving over everything). Corpus
-    // codes are append-only; at 100 TB the delta pass touches only
-    // arriving rows + the broadcast codebook. (Quantizer staleness is
-    // the accepted cost — the acceptance pair for that is the recall
-    // family.)
-    "q_ann_incremental" -> ((s, d) => {
-      val e = emb(s, d)
-      val base = e.where(col("vec_id") % 10 =!= 9)
-      val delta = e.where(col("vec_id") % 10 === 9)
-      val cells = VectorSearch.labelCentroids(base)
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
-      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
-        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
-      val assigned = VectorSearch.assignCells(
-          base.select(col("vec_id"), col("embedding")), cellsB)
-        .unionByName(VectorSearch.assignCells(
-          delta.select(col("vec_id"), col("embedding")), cellsB))
-      val queries = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.ivfTopKFromAssigned(assigned, cellsB, queries,
-          "qid", "qvec", k = 3, nProbe = 2)
-        .orderBy(col("qid"), col("rn"))
-    }),
-
-    // FILTERED vector search — ANN with a metadata predicate (each
-    // query retrieves only corpus vectors sharing ITS OWN label): the
-    // index (cells + assignment) is built once, unfiltered — the
-    // session artifacts q_ann_kmeans/q_semdedup already share — and
-    // the predicate prunes the candidate rows at scan time, exactly
-    // where an inverted-list serving tier applies its filter. The
-    // second feature every real vector deployment needs after top-k.
-    "q_ann_filtered" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
-        VectorSearch.kmeansCells(e, k = 8, iters = 2))
-      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
-        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
-      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
-          VectorSearch.assignCells(e, cellsB))
-        .join(emb(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("q_label"))
-      VectorSearch.ivfTopKFromAssigned(assigned, cellsB, queries,
-          "qid", "qvec", k = 3, nProbe = 2,
-          scanFilter = col("label") === col("q_label"))
-        .orderBy(col("qid"), col("rn"))
-    }),
-
-    // Recall@3 of the filtered serve vs the filtered exact truth —
-    // the acceptance number for q_ann_filtered, same discipline as
-    // the IVF/IVF-PQ/SQ recall triptych.
-    "q_ann_filtered_recall" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.expr.GraftFunctions.ensureRegistered(s)
-      val e = emb(s, d).select(col("vec_id"), col("embedding"),
-        col("label"))
-      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
-        VectorSearch.kmeansCells(
-          e.select(col("vec_id"), col("embedding")), k = 8, iters = 2))
-      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
-        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
-      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
-          VectorSearch.assignCells(
-            e.select(col("vec_id"), col("embedding")), cellsB))
-        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"),
-        col("label").as("q_label"))
-      val served = VectorSearch.ivfTopKFromAssigned(assigned, cellsB,
-          queries, "qid", "qvec", k = 3, nProbe = 2,
-          scanFilter = col("label") === col("q_label"))
-        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val eN = e.withColumn("enrm",
-        VectorSearch.fixedNormSq(col("embedding")))
-      val qN = queries.withColumn("qnrm",
-        VectorSearch.fixedNormSq(col("qvec")))
-      val scoredEx = eN.crossJoin(broadcast(qN))
-        .where(col("label") === col("q_label"))
-        .select(col("qid"), col("vec_id"),
-          Det.r4(VectorSearch.cosineCol(
-            VectorSearch.fixedDot(col("qvec"), col("embedding")),
-            col("qnrm"), col("enrm"))).as("cos_sim"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      val exact = scoredEx.withColumn("ern", row_number().over(w))
-        .where(col("ern") <= 3).select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
-    }),
-
-    // PQ-ADC ANN: per-subspace codebooks (deterministic fixed-point
-    // L2 k-means over 4×16-dim subvectors), corpus encoded to 4 small
-    // codes per vector, queries scored by asymmetric distance — the
-    // sum of 4 integer table lookups. Distances stay exact 1e-12
-    // fixed-point BIGINTs end-to-end (argmin, ADC, ranking): no
-    // double rounding exists anywhere in this query.
-    "q_ann_pq" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") % 50 === 0)
-      VectorSearch.pqAdcTopK(queries, pqCentC(s, d), pqCodesC(s, d), 3)
-        .orderBy(col("qid"), col("rn"))
-    }),
-
-    // The COMPOSED production ANN serving stack (IVF-PQ, the FAISS
-    // IndexIVFPQ shape): IVF prunes the corpus to a 10-candidate
-    // shortlist per query by exact cosine over the probed cells, then
-    // PQ codes re-rank the shortlist by asymmetric distance — exactly
-    // how a billion-vector index serves (coarse quantizer for
-    // pruning, compressed codes for scoring, full vectors never
-    // touched at query time). Shortlist and distance tables
-    // broadcast; the corpus-sized codes table is scanned, not
-    // shuffled.
-    "q_ann_ivf_pq" -> ((s, d) =>
-      VectorSearch.pqAdcRerank(ivfPqShortlistC(s, d),
-          emb(s, d).select(col("vec_id"), col("embedding"))
-            .where(col("vec_id") % 50 === 0),
-          pqCentC(s, d), pqCodesC(s, d), "qid", 3)
-        .orderBy(col("qid"), col("rn"))),
-
-    // PERSISTED-index serving — the deploy story q_ann_incremental's
-    // append-without-rebuild was missing its other half of: write the
-    // whole index (IVF cells + partitioned inverted lists + PQ
-    // codebook/codes + SQ params + meta) to parquet, RELOAD it from
-    // disk, and serve the composed IVF→PQ stack from the loaded
-    // tables (graft.ext.AnnIndex; FAISS write_index is the public
-    // shape). Because load-and-serve runs the same plan shapes over
-    // the same frozen artifacts, the answers are bit-identical to the
-    // in-session stack — proven by sharing q_ann_ivf_pq's value
-    // oracle verbatim. Save+load happen once per (session, dir) (the
-    // snapshot memo); at 100 TB the index persists for weeks and only
-    // this query's serve tail runs per request.
-    "q_ann_persist" -> ((s, d) => {
-      Cache.getOrSnapshot(s, "ann_persist_serve", d) {
-        val ix = AnnIndex.load(s, annIndexPath(s, d))
-        val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        AnnIndex.ivfPqTopK(ix, queries, "qid", "qvec",
-          k = 3, nProbe = 2, shortlistK = 10)
-      }.orderBy(col("qid"), col("rn"))
-    }),
-
-    // GRAPH serve from the RELOADED on-disk index — q_ann_persist's
-    // traversal-family twin (VERDICT r10 #4): the beam rounds run
-    // over `knn_graph` read back from parquet and score against the
-    // inverted-list vectors, never the session-built graph. Shares
-    // q_ann_graph's oracle verbatim: a disk roundtrip of the graph
-    // and the vectors may not move a single served cell.
-    "q_ann_graph_persist" -> ((s, d) => {
-      Cache.getOrSnapshot(s, "ann_graph_persist_serve", d) {
-        val ix = AnnIndex.load(s, annIndexPath(s, d))
-        val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        AnnIndex.graphTopK(ix, queries, "qid", "qvec", k = 3)
-      }.orderBy(col("qid"), col("rn"))
-    }),
-
-    // Two-layer HNSW descent from the RELOADED index — both graph
-    // layers come off disk (AnnIndex v2 persists knn_graph_l1 too).
-    // Shares q_ann_hnsw's oracle verbatim, same discipline.
-    "q_ann_hnsw_persist" -> ((s, d) => {
-      Cache.getOrSnapshot(s, "ann_hnsw_persist_serve", d) {
-        val ix = AnnIndex.load(s, annIndexPath(s, d))
-        val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        AnnIndex.hnswTopK(ix, queries, "qid", "qvec", k = 3)
-      }.orderBy(col("qid"), col("rn"))
-    }),
-
-    // Cluster topic keywords (BERTopic's class-based TF-IDF,
-    // Grootendorst 2022): k-means cells over the embeddings (the
-    // session-shared quantizer q_ann_kmeans/q_semdedup already
-    // train), each cell described by its top-5 terms under
-    // c-TF-IDF = tf_{t,c} · log2(1 + A/f_t), where f_t is the term's
-    // corpus frequency and A the average tokens per cell. The log
-    // rides the exact integer-log2 pipeline as log2Fx(f_t + A) −
-    // log2Fx(f_t) — pure BIGINT ops, so the scores cross the oracle
-    // boundary bit-exact. The curation read-out that tells you WHAT
-    // each embedding cluster is before you up/down-sample it. Plan:
-    // one tf aggregate (shared with BM25), one cell join, two
-    // aggregates, a ranking window over O(cells·terms) rows.
-    "q_cluster_topics" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
-        VectorSearch.kmeansCells(e, k = 8, iters = 2))
-      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
-        VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
-      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
-          VectorSearch.assignCells(e, cellsB))
-        .select(col("vec_id").as("doc_id"), col("cell_id"))
-      val tf = bm25TfC(s, d)
-      val ctf = tf.join(assigned, Seq("doc_id"))
-        .groupBy(col("cell_id"), col("w")).agg(sum(col("tf")).as("ctf"))
-      val ft = ctf.groupBy(col("w")).agg(sum(col("ctf")).as("ft"))
-      val tot = tf.agg(sum(col("tf")).as("ttok"))
-      val scored = ctf.join(ft, Seq("w")).crossJoin(broadcast(tot))
-        .withColumn("a_tok", expr("ttok div 8"))
-        .withColumn("score_fx", col("ctf") *
-          (LmScore.log2FxCol(col("ft") + col("a_tok")) -
-            LmScore.log2FxCol(col("ft"))))
-      val w = Window.partitionBy(col("cell_id"))
-        .orderBy(col("score_fx").desc, col("w"))
-      scored.withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 5)
-        .select(col("cell_id"), col("w").as("term"), col("ctf"),
-          col("ft"), col("score_fx"), col("rn"))
-        .orderBy(col("cell_id"), col("rn"))
-    }),
-
-    // GRAPH ANN (NSW family — Malkov & Yashunin's HNSW re-expressed
-    // distributed): k-NN graph from the CAPPED banded-LSH candidate
-    // pairs (the bounded build — never all pairs), then 4 rounds of
-    // beam-32 expansion from the 4 lowest-id entry points, scoring
-    // ONLY the expanded candidates. The third serving family beside
-    // quantization (IVF/PQ/SQ) and hashing (LSH); the oracle replays
-    // graph build + every beam round as CTEs, so the traversal is
-    // cell-exact, not just rows-plausible.
-    "q_ann_graph" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      // the graph IS the index — session-materialized like the IVF
-      // assignment and PQ codes (snapshot: the banded-LSH chain under
-      // its plan would otherwise replay per action)
-      val graph = knnGraphC(s, d)
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.graphTopK(graph, e, queries, "qid", "qvec", k = 3)
-        .orderBy(col("qid"), col("rn"))
-    }),
-
-    // Recall@3 of the graph serve vs exact ground truth — the
-    // acceptance number for the traversal family, same discipline as
-    // the IVF/IVF-PQ/SQ/filtered recall read-outs (and the honest
-    // price of entry-point reachability: vectors the LSH caps leave
-    // isolated are simply unreachable, and this query says what that
-    // costs on this corpus).
-    "q_ann_graph_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val graph = knnGraphC(s, d)
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val served = VectorSearch
-        .graphTopK(graph, e, queries, "qid", "qvec", k = 3)
-        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
-        .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
-    }),
-
-    // Two-layer HNSW serve (the hierarchy over q_ann_graph's flat
-    // NSW): layer 1 = k-NN graph over the deterministic vec_id%8
-    // sample, searched with a narrow beam (HnswL1Rounds=2) for
-    // per-query entry points; layer 0 then runs FEWER wide rounds
-    // (HnswL0Rounds=3 vs the flat serve's GraphRounds=4) because it
-    // starts near the target — the round budget the hierarchy exists
-    // to buy. Oracle replays both layers' graph builds and every
-    // beam round.
-    "q_ann_hnsw" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val g0 = knnGraphC(s, d)
-      val g1 = knnGraphL1C(s, d)
-      val queries = emb(s, d).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
-        .orderBy(col("qid"), col("rn"))
-    }),
-
-    // Recall@3 of the hierarchical serve vs the same exact ground
-    // truth as the flat graph serve — the pair of numbers that
-    // prices the hierarchy: ~25% less wide-round scoring (2 narrow
-    // subset rounds + 3 wide vs the flat serve's 4 wide) for
-    // recall@3 0.667 vs 0.733 at sf0.01 — a trade that widens in
-    // the hierarchy's favor as N grows and entry distance starts to
-    // dominate round count.
-    "q_ann_hnsw_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val g0 = knnGraphC(s, d)
-      val g1 = knnGraphL1C(s, d)
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val served = VectorSearch
-        .hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
-        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
-        .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
-    }),
-
-    // Recall@3 of the composed IVF-PQ stack vs exact ground truth —
-    // the acceptance measurement for the COMPRESSED serving path
-    // (q_ann_recall measures the uncompressed IVF; this measures what
-    // the PQ codes additionally cost on this corpus). Deterministic
-    // on both sides, so per-query n_hits/recall is a cell-exact value
-    // oracle.
-    "q_ann_ivf_pq_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      // the SAME session-shared shortlist + rerank the serving query
-      // runs — the recall twin measures the served stack, not a copy
-      // (shortlist semi-joined to the panel: per-qid rows identical)
-      val served = VectorSearch.pqAdcRerank(
-          ivfPqShortlistC(s, d)
-            .join(broadcast(queries.select(col("qid"))), Seq("qid"),
-              "left_semi"),
-          annPanelC(s, d).select(col("qid").as("vec_id"),
-            col("qvec").as("embedding")),
-          pqCentC(s, d), pqCodesC(s, d), "qid", 3)
-        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
-        .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
-    }),
-
-    // ANN recall@k measured against ground truth: the exact
-    // brute-force top-3 per query (topKByCosine over the SAME query
-    // sample) scored against what the 2-probe IVF actually returned.
-    // This is the measurement a production ANN deploy runs — sample
-    // queries, compute exact neighbors for the sample, count
-    // overlap — and it upgrades the ANN family's correctness story
-    // from "matches its own definition" to "finds true neighbors".
-    // Fully deterministic (both sides are oracle-replayed CTE chains),
-    // so per-query n_hits/recall is a cell-exact value oracle, not
-    // just a bound; PropertySpec asserts the aggregate recall floor.
-    "q_ann_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = VectorSearch.labelCentroids(emb(s, d))
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val ivf = VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
-        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
-        .select(col("qid"), col("vec_id"))
-      exact.join(ivf, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
-    }),
-
-    // Matryoshka-style dimension truncation: recall@3 of brute-force
-    // cosine over the FIRST 16 of 64 dims vs full-dim exact truth —
-    // the read-out that prices a 4× index-size cut (truncated
-    // embeddings are the cheapest compression there is: no codebooks,
-    // no re-encode, just a shorter scan). Same fixed-point dot/norm
-    // chain and recall tail as the IVF/PQ/SQ acceptance family, so
-    // the four compression options (cells, product codes, int8,
-    // truncation) are priced on one comparable scale. slice() keeps
-    // the truncation inside the scan projection — at 100 TB the
-    // truncated side reads 1/4 the vector bytes and nothing else
-    // changes.
-    "q_ann_truncated_recall" -> ((s, d) => {
-      val full = emb(s, d).select(col("vec_id"), col("embedding"))
-      val tcorpus = emb(s, d).select(col("vec_id"),
-        slice(col("embedding"), 1, 16).as("embedding"))
-      val fullQ = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val tQ = annPanelC(s, d).select(col("qid"),
-        slice(col("qvec"), 1, 16).as("qvec"))
-      val served = VectorSearch.topKByCosine(tcorpus, tQ, "qid", "qvec", 3)
-        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(full, fullQ, "qid", "qvec", 3)
-        .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
-    }),
-
-    // The recall frontier in ONE table (VERDICT r10 #5): every ANN
-    // serving variant priced on the same scale — corpus-level
-    // recall@3 re-aggregated from each variant's recall twin, so the
-    // frontier can never drift from the per-query acceptance numbers
-    // (same lambdas, same session snapshots, same constants). The
-    // cost half of the frontier (warm serve time + scoring-work
-    // shape) lives in PLANS.md's frontier table — time is host
-    // fact, not oracle-checkable. A user choosing a variant reads
-    // this row set top-down: recall falls as scoring work falls.
-    "q_ann_frontier" -> ((s, d) =>
-      FrontierVariants.map { case (v, q) =>
-        queries(q)(s, d)
-          .agg(count(lit(1)).as("n_queries"),
-            sum(col("n_hits")).as("n_hits"))
-          .select(lit(v).as("variant"),
-            col("n_queries"), col("n_hits"),
-            Det.r4(col("n_hits").cast("double") /
-              (col("n_queries") * 3).cast("double")).as("recall_at_3"))
-      }.reduce(_ unionByName _).orderBy(col("variant"))),
-
-    // Token-budget context-window chunking: like q_chunk_docs but cut
-    // on whitespace-token counts (the tokenization q_token_count and
-    // q_pack_sequences already score) — a model's window is a token
-    // budget, and char windows split tokens at the boundary. Same
-    // zero-shuffle explode fan-out; chunk bytes pinned by
-    // (tok_len, chunk_len, portable hash).
-    "q_chunk_tokens" -> ((s, d) =>
-      Packing.chunkTokens(docs(s, d))
-        .orderBy(col("doc_id"), col("chunk_id"))),
-
-    // Corpus-trained subword (BPE) token counts — the real
-    // token-denomination for training budgets (whitespace counts run
-    // 2–3× off on code/CJK). The merge table is learned ONCE per
-    // (session, dir) from the capped word-frequency table (driver
-    // loop over ≤VocabCap rows — bounded by the cap, not the corpus)
-    // and applied as a pure Column fold (chained codegen'd replaces)
-    // — zero shuffle, scan-parallel at any size. The oracle REPLAYS
-    // the whole learn loop as materialized CTEs and the application
-    // as one replace CTE per merge (Bpe scaladoc), so the check is
-    // cell-exact end-to-end, learned table included.
-    "q_bpe_tokens" -> ((s, d) => {
-      val m = Bpe.mergesMemo(docs(s, d), d)
-      docs(s, d).select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => w =!= ""))
-          .cast("long").as("n_ws"),
-        Bpe.docBpeCol(col("text"), m).as("n_bpe"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // The PRODUCTION BPE application path, oracle-checked: the
-    // rank-indexed mapPartitions kernel (BpeTokenizer — per-word cost
-    // independent of merge-table size) scored against the SAME oracle
-    // text as q_bpe_tokens' replace chain. Equality of the two scored
-    // queries is the strongest form of the kernel==chain contract:
-    // both are cell-exact against one DuckDB replay.
-    "q_bpe_tokens_kernel" -> ((s, d) => {
-      val m = Bpe.mergesMemo(docs(s, d), d)
-      val counts = Bpe.docBpeCounts(docs(s, d), m)
-      docs(s, d).select(col("doc_id"),
-          size(filter(split(col("text"), " "), w => w =!= ""))
-            .cast("long").as("n_ws"))
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_ws"),
-          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // BPE-budget context-window chunking: the token stream is cut at
-    // multiples of BpeBudget SUBWORD tokens (concatenate-and-cut, the
-    // pretraining shape — a word straddling a cut belongs to the
-    // chunk where it starts), and each (doc, chunk) reports its word
-    // and subword mass. The within-doc offset is a per-doc window —
-    // partitioned by doc_id, so at 100 TB it shuffles by doc and
-    // never funnels through one reducer (docs bound the partition,
-    // not the corpus).
-    "q_chunk_bpe" -> ((s, d) => {
-      val m = Bpe.mergesMemo(docs(s, d), d)
-      val words = docs(s, d).select(col("doc_id"),
-          posexplode(filter(split(col("text"), " "), w => w =!= "")))
-        .withColumnRenamed("col", "w")
-        .withColumn("c", Bpe.wordBpeCol(col("w"), m))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Long.MinValue, -1)
-      words
-        .withColumn("off", coalesce(sum(col("c")).over(win), lit(0L)))
-        .withColumn("chunk_id", expr(s"off div ${Bpe.BpeBudget}L"))
-        .groupBy(col("doc_id"), col("chunk_id"))
-        .agg(count(lit(1)).as("n_words"), sum(col("c")).as("n_bpe"))
-        .orderBy(col("doc_id"), col("chunk_id"))
-    }),
-
-    // Sequence packing denominated in BPE tokens — q_pack_sequences'
-    // two-pass distributed prefix sum (never a global single-reducer
-    // window), with the per-doc token mass swapped from whitespace
-    // words to learned subwords. Memoized like q_pack_sequences
-    // because the prefix sum pins its sorted RDD.
-    "q_pack_bpe" -> ((s, d) => {
-      val m = Bpe.mergesMemo(docs(s, d), d)
-      Cache.getOrPersist(s, "pack_bpe", d)(
-        Packing.packSequences(docs(s, d),
-          Bpe.docBpeCol(col("text"), m), col("doc_id"))
-          .withColumnRenamed("k", "doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // The learned BPE merge table itself, scored as a query — the
-    // tokenizer artifact a corpus release SHIPS (the merges.txt file
-    // of a Sennrich tokenizer). Every downstream token count is only
-    // as reproducible as this table, so the table is value-checked
-    // directly: rank order and both symbol columns, against the
-    // oracle's replayed learn loop (each b{i} argmax CTE).
-    "q_bpe_vocab" -> ((s, d) => {
-      val m = Bpe.mergesMemo(docs(s, d), d)
-      val rows = m.zipWithIndex.map { case ((a, b), i) =>
-        (i + 1L, a, b)
-      }
-      import s.implicits._
-      rows.toDF("rank", "a", "b").orderBy(col("rank"))
-    }),
-
-    // Tokenizer fertility (subword tokens per whitespace word) by
-    // language — THE acceptance metric for a tokenizer on a
-    // multilingual corpus: fertility far above ~1.3–2 on a language
-    // means its text burns the training budget on fragment tokens
-    // (the reason production tokenizers are re-trained when a corpus
-    // adds CJK/code). Per-doc counts are exact longs; the ratio is
-    // one double division per GROUP, so the r4 round is portable.
-    // Same zero-shuffle scan shape as q_bpe_tokens + one partial/
-    // final agg over |langs| groups.
-    "q_bpe_fertility" -> ((s, d) => {
-      val m = Bpe.mergesMemo(docs(s, d), d)
-      docs(s, d).select(col("lang"),
-          size(filter(split(col("text"), " "), w => w =!= ""))
-            .cast("long").as("n_ws"),
-          Bpe.docBpeCol(col("text"), m).as("n_bpe"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_ws")).as("n_words"),
-          sum(col("n_bpe")).as("n_bpe"),
-          Det.r4(sum(col("n_bpe")).cast("double") /
-            sum(col("n_ws")).cast("double")).as("fertility"))
-        .orderBy(col("lang"))
-    }),
-
-    // Padding-waste accounting per source: what fraction of the
-    // training budget pays for pad tokens if each doc is its own
-    // padded sequence (naive) vs concatenate-and-cut packing
-    // (q_pack_sequences' discipline) — the measurement that justifies
-    // a packing pass before training (naive waste on short-doc web
-    // corpora is routinely 30–60%). Pure integer arithmetic per row +
-    // one partial/final agg over |sources| groups; the only doubles
-    // are the two final per-group divisions (r4-portable).
-    "q_pack_efficiency" -> ((s, d) => {
-      val b = Packing.BinCapacity
-      docs(s, d).select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("naive_padded",
-          expr(s"(n_tok + ${b - 1}) DIV $b * $b"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("n_tokens"),
-          sum(col("naive_padded")).as("naive_padded"))
-        .withColumn("packed_padded",
-          expr(s"(n_tokens + ${b - 1}) DIV $b * $b"))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("naive_padded"), col("packed_padded"),
-          Det.r4((col("naive_padded") - col("n_tokens")).cast("double") /
-            col("naive_padded").cast("double")).as("naive_waste"),
-          Det.r4((col("packed_padded") - col("n_tokens")).cast("double") /
-            col("packed_padded").cast("double")).as("packed_waste"))
-        .orderBy(col("source"))
-    }),
-
-    // The distributed dictionary-encoding pre-pass as a first-class
-    // op: dense deterministic int ids for arbitrary keys (what ALS —
-    // and any factor/embedding table — needs at 100 TB where raw ids
-    // are strings or exceed int range). zipWithIndex keeps the
-    // assignment distributed; oracle is a plain dense row_number.
-    "q_id_dictionary" -> ((s, d) => {
-      val r = Cache.getOrPersist(s, "ratings", d)(Sources.ratings(s, d))
-      Recommender.dictionary(
-          r.select(concat(lit("u"), col("user_id").cast("string")).as("key")),
-          "key")
-        .orderBy(col("key"))
-    }),
-
-    // Model-based CF (MLlib ALS) — the BASELINE.json north-star
-    // approach. The iterative solver's scores are not replayable in
-    // SQL, so the scored surface is DERIVED-PROPERTY checked instead
-    // of value-checked: the query runs the full fit + recommendTopK
-    // path on the real ratings, then reduces the recommendations to
-    // per-user invariants an oracle CAN state exactly — 5 recs per
-    // user, rn dense 1..5, scores non-increasing in rn (0
-    // violations), every item from the ratings catalog (0 unknown).
-    // Wrong join plumbing, dropped users, unsorted output, or factor
-    // blowups all flip a column. NaN blowups need their OWN counter:
-    // under Spark's ordering NaN > x and NaN > NaN are both false, so
-    // a (NaN, NaN, 3.2, ...) score sequence would sail through the
-    // monotonicity check — nan_scores catches exactly that.
-    // The raw scored frame remains the library API
-    // (Recommender.recommendTopK, goldens in ExtSpec).
-    "q_als_recommend" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val r = Cache.getOrPersist(s, "ratings", d)(Sources.ratings(s, d))
-      // The trained model's top-k frame is deterministic (seeded ALS)
-      // per dir; without materialization every action re-runs the
-      // MLlib training job (6.8 s warm at sf0.1). Snapshot = the
-      // session-lifecycle "model artifact" a production pipeline
-      // would persist after training.
-      val recs = Cache.getOrSnapshot(s, "als_recs", d)(
-        Recommender.recommendTopK(Recommender.fit(r), 5))
-      // item catalog is O(distinct items) — gate the broadcast like
-      // every other entity-scaled map join; the gate count is memoized
-      // per (session, dir) so repeated executions of this query don't
-      // re-pay a distinct-items count job (the catalog is a property
-      // of the ratings dir, not of this call's frame instance)
-      val items = graft.core.Broadcasts.gatedMemo(
-        r.select(col("item_id")).distinct().withColumn("__known", lit(1)),
-        "spark.graft.dict.broadcastMax", s"als_items:$d")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
-      recs
-        .join(items, Seq("item_id"), "left")
-        .withColumn("prev_score", lag(col("score"), 1).over(w))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_recs"),
-          min(col("rn")).as("rn_min"),
-          max(col("rn")).as("rn_max"),
-          sum(col("rn")).as("rn_sum"),
-          sum(when(col("score") > col("prev_score"), 1L).otherwise(0L))
-            .as("mono_violations"),
-          sum(when(isnan(col("score")), 1L).otherwise(0L))
-            .as("nan_scores"),
-          sum(when(col("__known").isNull, 1L).otherwise(0L))
-            .as("unknown_items"))
-        .orderBy(col("user_id"))
-    }),
-
-    // kNN label classification over the embedding table — the model-
-    // inference shape the ANN family serves: every 50th vector is a
-    // held-out probe classified by the majority label of its 3 exact
-    // nearest neighbors (leave-one-out: self excluded). Vote tie-break
-    // is (count desc, nearest-neighbor rank asc, label asc) — total
-    // order, so the prediction is replayable cell-exact. Same
-    // broadcast-probes × corpus-scan plan as topKByCosine: the corpus
-    // never shuffles, scoring is the codegen'd fixed-dot expression,
-    // and per-probe ranking windows run on |corpus| rows per probe —
-    // at 100 TB the probe batch stays the broadcast side and the scan
-    // parallelizes over corpus splits.
-    "q_knn_classify" -> ((s, d) =>
-      knnPerProbe(s, d).orderBy(col("qid"))),
-
-    // Label-noise screen: per-label share of probes whose 3-NN
-    // majority vote disagrees with their own label — the mislabel
-    // triage a curation pass runs before training (Northcutt et al.'s
-    // confident-learning signal, here with the exact-kNN judge). The
-    // per-probe chain IS q_knn_classify (one definition, two scored
-    // surfaces); the probes×corpus exact side is measurement by
-    // construction, like the recall family.
-    "q_label_noise" -> ((s, d) =>
-      knnPerProbe(s, d)
-        .groupBy(col("true_label"))
-        .agg(count(lit(1)).as("n_probes"),
-          sum(lit(1L) - col("correct")).as("n_disagree"))
-        .select(col("true_label"), col("n_probes"), col("n_disagree"),
-          Det.r4(col("n_disagree").cast("double") /
-            col("n_probes").cast("double")).as("noise_rate"))
-        .orderBy(col("true_label"))),
-
-    // Triplet mining for metric learning (Schroff et al. 2015's
-    // batch-hard shape): per anchor probe, the HARDEST positive
-    // (same-label member with lowest cosine) and HARDEST negative
-    // (other-label member with highest cosine), plus the violation
-    // margin a triplet-loss curriculum ranks by. Scoring reuses the
-    // knn broadcast-probes × corpus-scan plan (corpus never
-    // shuffles); the argmin/argmax are conditional struct min/max in
-    // ONE partial/final aggregation — no per-probe ranking window,
-    // no second pass — which is the shape that survives a corpus
-    // 100× this size. Ties break on vec_id (negated inside the max
-    // struct so both extremes prefer the smaller id).
-    "q_triplet_mining" -> ((s, d) => {
-      graft.expr.GraftFunctions.ensureRegistered(s)
-      val e = emb(s, d).select(col("vec_id"), col("embedding"),
-        col("label").cast("long").as("label"))
-      val probes = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("qlabel"))
-        .withColumn("nrm_q", VectorSearch.fixedNormSq(col("qvec")))
-      val scored = e
-        .withColumn("nrm_e", VectorSearch.fixedNormSq(col("embedding")))
-        .crossJoin(broadcast(probes))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
-          Det.r4(VectorSearch.cosineCol(
-            VectorSearch.fixedDot(col("qvec"), col("embedding")),
-            col("nrm_q"), col("nrm_e"))).as("cos_sim"))
-      scored.groupBy(col("qid"), col("qlabel"))
-        .agg(
-          min(when(col("label") === col("qlabel"),
-            struct(col("cos_sim"), col("vec_id")))).as("hp"),
-          max(when(col("label") =!= col("qlabel"),
-            struct(col("cos_sim"), (-col("vec_id")).as("nid")))).as("hn"),
-          sum((col("label") === col("qlabel")).cast("long")).as("n_pos"),
-          sum((col("label") =!= col("qlabel")).cast("long")).as("n_neg"))
-        .select(col("qid"), col("qlabel").as("label"),
-          col("n_pos"), col("n_neg"),
-          col("hp.vec_id").as("hard_pos_id"),
-          col("hp.cos_sim").as("pos_cos"),
-          (-col("hn.nid")).as("hard_neg_id"),
-          col("hn.cos_sim").as("neg_cos"),
-          Det.r4(col("hn.cos_sim") - col("hp.cos_sim"))
-            .as("violation_margin"),
-          (col("hn.cos_sim") > col("hp.cos_sim")).cast("long")
-            .as("violated"))
-        .orderBy(col("qid"))
-    }),
-
-    // Cross-source exact-duplicate matrix — the provenance audit a
-    // multi-source corpus runs before mixing: for every normalized
-    // signature, how many duplicate PAIRS live within each source and
-    // across each source pair. Shape at 100 TB: one (sig, source)
-    // partial/final count (map-side combined), then a self-join on
-    // sig over only the counted rows — the corpus text never joins,
-    // and within-group pair counts are arithmetic (n·(n−1)/2 via
-    // shiftright), never enumerated.
-    "q_cross_source_dups" -> ((s, d) => {
-      val bySrc = docs(s, d)
-        .select(col("source"),
-          sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
-        .groupBy(col("sig"), col("source"))
-        .agg(count(lit(1)).as("n"))
-      val a = bySrc.select(col("sig"), col("source").as("source_a"),
-        col("n").as("n_a"))
-      val b = bySrc.select(col("sig"), col("source").as("source_b"),
-        col("n").as("n_b"))
-      a.join(b, Seq("sig"))
-        .where(col("source_a") <= col("source_b"))
-        .withColumn("pairs",
-          when(col("source_a") === col("source_b"),
-            shiftright(col("n_a") * (col("n_a") - lit(1L)), 1))
-            .otherwise(col("n_a") * col("n_b")))
-        .where(col("pairs") > 0)
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(sum(col("pairs")).as("dup_pairs"))
-        .orderBy(col("source_a"), col("source_b"))
-    }),
-
-    // Deterministic weighted sampling without replacement (the
-    // exponential-clock / Efraimidis–Spirakis shape with the portable
-    // spread hash as the uniform draw): key = ⌊u·2²⁰ / weight⌋, take
-    // the 5 SMALLEST keys per language — longer documents draw
-    // proportionally more often. Integer division end-to-end, so both
-    // engines rank identical keys; per-row keys need no shuffle and
-    // the per-stratum top-k is the same partial WindowGroupLimit
-    // shape as q_topk_neighbors — no global sort at any scale.
-    "q_weighted_sample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val keyed = docs(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("pr_num", PortableHash.spread(
-          PortableHash.h(col("doc_id").cast("string"))) * lit(1048576L))
-        .withColumn("priority", expr("pr_num div n_chars"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("priority"), col("doc_id"))
-      keyed.withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 5)
-        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
-          col("priority"))
-        .orderBy(col("lang"), col("rk"))
-    }),
-
-    // Consensus dedup table: the signature families' verdicts unioned
-    // per pair with method flags — exact (normalized sha) and strong
-    // minhash (≥2 agreeing bands) here; a pair flagged by BOTH
-    // methods is corroborated, single-method pairs route to review.
-    // Full-outer on the pair key over two already-small pair sets —
-    // the corpus never joins. (Simhash's blocked partition has a
-    // different recall envelope and stays its own scored family.)
-    "q_dedup_consensus" -> ((s, d) => {
-      val sig = docs(s, d).select(col("doc_id"),
-        sha2(Dedup.normPrefix(col("text"), 5), 256).as("sig"))
-      val exact = sig.as("a")
-        .join(sig.as("b"), col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          lit(1L).as("m_exact"))
-      val mh = candidatesC(s, d).where(col("bands") >= 2)
-        .select(col("d1"), col("d2"), lit(1L).as("m_minhash"))
-      exact.join(mh, Seq("d1", "d2"), "full_outer")
-        .select(col("d1"), col("d2"),
-          coalesce(col("m_exact"), lit(0L)).as("m_exact"),
-          coalesce(col("m_minhash"), lit(0L)).as("m_minhash"))
-        .withColumn("n_methods", col("m_exact") + col("m_minhash"))
-        .orderBy(col("d1"), col("d2"))
-    }),
-
-    // Boilerplate n-gram monitor: the top-20 shingles by document
-    // frequency with their cap verdict — the read-out that TUNES the
-    // DF caps (split-leakage, source-overlap) before they silently
-    // drop signal. Partial/final count over the cached distinct
-    // shingle set; top-k as TakeOrderedAndProject.
-    "q_boilerplate_ngrams" -> ((s, d) =>
-      distinctShinglesC(s, d)
-        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .select(col("shingle"), col("df"),
-          (col("df") > LeakDfCap).cast("long").as("over_cap"))
-        .orderBy(col("df").desc, col("shingle"))
-        .limit(20)),
-
-    // Feature hashing (the HashingVectorizer / hashing-trick shape):
-    // every token maps to one of 16 buckets via the portable spread
-    // hash, per-doc bucket counts pivot to a FIXED 16-column feature
-    // vector — no vocabulary pass, no dictionary state, the property
-    // that makes the trick streaming- and scale-safe. Explode fans
-    // out in place; the pivot value list is pinned (no discovery
-    // scan).
-    "q_feature_hashing" -> ((s, d) => {
-      val toks = docs(s, d).select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      val bucketed = toks.withColumn("bucket",
-        PortableHash.spread(PortableHash.h(col("token"))) % lit(16L))
-      // conditional aggregation, not Dataset.pivot: pivot plans TWO
-      // aggregate exchanges (groupBy(doc,bucket) then the pivot agg);
-      // the pinned-bucket conditional sums do it in ONE partial/final
-      // agg on doc_id — the same plan the oracle's FILTER form states
-      val feats = (0 until 16).map(i =>
-        sum(when(col("bucket") === i.toLong, 1L).otherwise(0L))
-          .as(s"f$i"))
-      bucketed.groupBy(col("doc_id"))
-        .agg(feats.head, feats.tail: _*)
-        .orderBy(col("doc_id"))
-    }),
-
-    // Incremental materialized-view maintenance: the stored base
-    // aggregate (partial sums per stratum over the standing corpus)
-    // merges with the delta batch's partials by UNION + re-aggregate
-    // — the base's ROWS are never rescanned, only its agg table (one
-    // row per stratum). The oracle computes the same summary over
-    // the full table directly: equality proves merge(base, delta) ==
-    // recompute(all), the invariant that makes MV upkeep safe. Every
-    // aggregate here is decomposable (counts/sums); the repo's
-    // fixed-point discipline is what keeps them mergeable without
-    // drift.
-    "q_mv_merge" -> ((s, d) => {
-      def partials(df: DataFrame) = df
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
-          sum(PortableHash.spread(PortableHash.h(col("text"))))
-            .as("text_hash_sum"))
-      val base = partials(docs(s, d).where(col("doc_id") % 10 =!= 7))
-      val delta = partials(docs(s, d).where(col("doc_id") % 10 === 7))
-      base.unionByName(delta)
-        .groupBy(col("source"), col("lang"))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("n_chars")).as("n_chars"),
-          sum(col("text_hash_sum")).as("text_hash_sum"))
-        .orderBy(col("source"), col("lang"))
-    }),
-
-    // MV maintenance under RETRACTIONS — the CDC half q_mv_merge
-    // doesn't cover: deletes arrive as NEGATED partials (sign −1) and
-    // inserts as positive ones, merged into the stored summary by the
-    // same union + re-aggregate; groups whose merged count hits zero
-    // drop out (the HAVING — a retraction subtlety recompute gets for
-    // free but merge must state). Equality with the oracle's direct
-    // recompute over the post-change corpus proves merge(base,
-    // +inserts, −deletes) == recompute(v2) for every decomposable
-    // aggregate in the summary — the invariant that lets a 100 TB MV
-    // absorb a delete feed without ever rescanning the base rows.
-    "q_mv_retract" -> ((s, d) => {
-      def partials(df: DataFrame, sgn: Long) = df
-        .groupBy(col("source"), col("lang"))
-        .agg((count(lit(1)) * lit(sgn)).as("n_docs"),
-          (sum(col("n_chars")) * lit(sgn)).as("n_chars"),
-          (sum(PortableHash.spread(PortableHash.h(col("text"))))
-            * lit(sgn)).as("text_hash_sum"))
-      val base = partials(docs(s, d), 1L)
-      val dels = partials(docs(s, d).where(col("doc_id") % 13 === 2), -1L)
-      val ins = partials(docs(s, d).where(col("doc_id") % 10 === 7)
-        .select(col("source"), col("lang"),
-          concat(col("text"), lit(" [ins]")).as("text"))
-        .withColumn("n_chars", length(col("text")).cast("long")), 1L)
-      base.unionByName(dels).unionByName(ins)
-        .groupBy(col("source"), col("lang"))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("n_chars")).as("n_chars"),
-          sum(col("text_hash_sum")).as("text_hash_sum"))
-        .where(col("n_docs") > 0)
-        .orderBy(col("source"), col("lang"))
-    }),
-
-    // Snapshot reconciliation (table diff): v2 is a deterministic
-    // derivation of the corpus (drops, edits, late additions — the
-    // transforms both engines replay verbatim), and the diff is ONE
-    // full-outer join on the key classifying each row added / removed
-    // / changed / unchanged, rolled up per source. At 100 TB this is
-    // the shape data reconciliation must take: one key-partitioned
-    // join, text compared in place, no row ever leaves its partition
-    // twice. (With both snapshots on disk, bucketed layout makes the
-    // join exchange-free — io.Bucketing.)
-    "q_table_diff" -> ((s, d) => {
-      val v1 = docs(s, d).select(col("doc_id"), col("source"), col("text"))
-      val v2 = v1.where(col("doc_id") % 31 =!= 5)
-        .select(col("doc_id"), col("source"),
-          when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(v1.where(col("doc_id") % 23 === 7)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-            col("source"), col("text")))
-      v1.select(col("doc_id"), col("source").as("src1"),
-          col("text").as("t1"))
-        .join(v2.select(col("doc_id"), col("source").as("src2"),
-          col("text").as("t2")), Seq("doc_id"), "full_outer")
-        .select(coalesce(col("src1"), col("src2")).as("source"),
-          when(col("t1").isNull, lit("added"))
-            .when(col("t2").isNull, lit("removed"))
-            .when(col("t1") =!= col("t2"), lit("changed"))
-            .otherwise(lit("unchanged")).as("status"))
-        .groupBy(col("source"), col("status"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("source"), col("status"))
-    }),
-
-    // Degree distribution of the minhash candidate graph — the
-    // monitoring read-out that catches LSH bucket explosions before
-    // they hit the pair stage (a hot shingle shows up as a heavy
-    // right tail here). Reuses the session-cached candidate pairs;
-    // two partial/final aggs over edge endpoints, nothing rescans
-    // the corpus.
-    "q_graph_degrees" -> ((s, d) => {
-      val cand = candidatesC(s, d).select(col("d1"), col("d2"))
-      cand.select(col("d1").as("doc_id"))
-        .unionAll(cand.select(col("d2").as("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-        .groupBy(col("degree"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"))
-        .orderBy(col("degree"))
-    }),
-
-    // Sparse doc-doc cosine over shingle-count vectors — the exact
-    // sparse-similarity complement of the family (minhash≈Jaccard,
-    // simhash≈Hamming, embeddings≈dense cosine; THIS is ranked
-    // lexical cosine, the related-documents score). Shingles, not
-    // words, are the terms: a 31-word vocabulary makes every word a
-    // stop-term (df ≈ corpus), while 3-gram shingles carry the
-    // discriminative mass — the same reason the dedup family
-    // shingles first. The self-join rides the postings' term key
-    // with a DF cap (terms in ≤ 30 docs): a common term contributes
-    // |D(t)|² pairs and near-zero cosine mass, so the cap bounds the
-    // join the way split_leakage's rare-shingle cap does. Numerator
-    // and norms are INTEGER sums over the same capped term space
-    // (Σtf₁tf₂, Σtf²) — only the final r4 division is floating.
-    "q_doc_similarity" -> ((s, d) => {
-      val posts = Dedup.shingles(docs(s, d), 3)
-        .groupBy(col("doc_id"), col("shingle").as("w"))
-        .agg(count(lit(1)).as("tf"))
-      val dfOk = posts.groupBy(col("w"))
-        .agg(count(lit(1)).as("df")).where(col("df") <= 30)
-        .select(col("w"))
-      val capped = posts.join(dfOk, Seq("w"))
-      val norms = capped.groupBy(col("doc_id"))
-        .agg(sum(col("tf") * col("tf")).as("nsq"))
-      val pairs = capped.as("a")
-        .join(capped.select(col("w"), col("doc_id").as("d2"),
-          col("tf").as("tf2")).as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.d2"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.d2").as("d2"))
-        .agg(sum(col("a.tf") * col("tf2")).as("num"),
-          count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 2)
-      pairs
-        .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")),
-          Seq("d1"))
-        .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")),
-          Seq("d2"))
-        .select(col("d1"), col("d2"), col("num"), col("n_shared"),
-          Det.r4(col("num").cast("double") /
-            (sqrt(col("n1").cast("double")) *
-             sqrt(col("n2").cast("double")))).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
-    }),
-
-    // Link prediction by common neighbors: for NON-adjacent pairs,
-    // the number of shared neighbors — the classic missed-duplicate
-    // candidate score (two docs that near-dup the same third docs
-    // but never shared a band are exactly what LSH misses). Wedge
-    // join through the middle vertex with a hub cap (degree ≤ 50):
-    // a high-degree hub contributes |Γ(m)|² wedges and near-zero
-    // signal — the same reason triangle counting contracts
-    // supernodes — so the cap bounds the join superlinearity at any
-    // scale. Existing edges are removed by an anti join; score ≥ 2
-    // keeps the output a candidate list, not a pair dump.
-    "q_link_prediction" -> ((s, d) => {
-      val e = candidatesC(s, d).select(col("d1"), col("d2"))
-      val sym = e.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionAll(e.select(col("d2").as("src"), col("d1").as("dst")))
-      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      val hubOk = deg.where(col("dg") <= 50).select(col("src").as("mid"))
-      val viaMid = sym.select(col("src"), col("dst").as("mid"))
-        .join(hubOk, Seq("mid"))
-      val wedges = viaMid.as("a")
-        .join(viaMid.select(col("mid"), col("src").as("dst")).as("b"),
-          col("a.mid") === col("b.mid") && col("a.src") < col("b.dst"))
-        .groupBy(col("a.src").as("d1"), col("b.dst").as("d2"))
-        .agg(count(lit(1)).as("common"))
-        .where(col("common") >= 2)
-      wedges.join(e, Seq("d1", "d2"), "left_anti")
-        .orderBy(col("common").desc, col("d1"), col("d2"))
-    }),
-
-    // k-core decomposition (2-core) of the near-dup graph by
-    // synchronous peeling: each round drops vertices of degree < 2
-    // and the edges they carried, four fixed rounds (converged by
-    // round 2 at sf0.01 — the round-over-round edge count is the
-    // convergence read-out a production run checks; the per-round
-    // plan is one partial/final degree agg + two key joins, so
-    // until-fixpoint at 100 TB is the same plan looped). The dense
-    // core that survives peeling is where template/boilerplate mass
-    // concentrates — the subgraph SemDeDup-style passes should visit
-    // first. Each round ends in an eager localCheckpoint: without
-    // lineage truncation the round-N plan re-evaluates round N−1
-    // THREE times (degree agg twice, join source once) and the
-    // replay goes exponential in rounds — the q_graph_rank lesson
-    // (NOTES round 2); reliable checkpoint at cluster scale. Result
-    // snapshot-memoized like the other fixpoint artifacts.
-    // Re-sort AFTER the snapshot read: the reliable-checkpoint
-    // parquet path returns rows in file order, which is not
-    // contractually the pre-snapshot orderBy — same discipline as
-    // q_dedup_clusters / q_entity_resolution.
-    "q_graph_kcore" -> ((s, d) =>
-      Cache.getOrSnapshot(s, "kcore2", d)(
-        GraphRank.kcoreSurvivors(
-          candidatesC(s, d).select(col("d1"), col("d2")),
-          k = 2, rounds = 4)).orderBy(col("doc_id"))),
-
-    // Label-propagation communities (Raghavan et al. 2007) over the
-    // near-dup candidate graph — the density-aware complement to
-    // q_dedup_clusters' min-label CC (a bridge edge merges CC
-    // components but not LPA communities). Four synchronous rounds,
-    // deterministic majority vote (self-vote damped, ties to the
-    // smallest label); the oracle replays every round's vote table.
-    // Fixpoint artifact → session snapshot, like the kcore peel.
-    "q_graph_communities" -> ((s, d) =>
-      Cache.getOrSnapshot(s, "lpa4", d)(
-        GraphRank.labelPropagation(
-          candidatesC(s, d).select(col("d1"), col("d2")),
-          rounds = 4)).orderBy(col("doc_id"))),
-
-    // ORC sink→source roundtrip — the hive-ecosystem columnar
-    // interchange format, written once per sf dir with full write
-    // parallelism and read back through Spark's stripe-splittable ORC
-    // scan. Summarized per language with the same folded per-row text
-    // hash as the JSONL roundtrip; the oracle runs the summary over
-    // the PARQUET table, so one mangled byte, lost row, or re-typed
-    // column anywhere in the ORC write→read path moves a cell.
-    "q_orc_roundtrip" -> ((s, d) => {
-      val path = graft.io.DialectFixtures.writeDocsOrc(s, d)
-      s.read.orc(path)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("n_chars"),
-          sum(col("doc_id")).as("id_sum"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"),
-          sum(PortableHash.spread(PortableHash.h(col("text"))))
-            .as("text_hash_sum"))
-        .orderBy(col("lang"))
-    })
-  )
+  ) ++ ExtCurationQueries.queries ++ ExtServingQueries.queries
 
   // ---------------------------------------------------------------
   // Oracle SQL twins.
   // ---------------------------------------------------------------
 
-  private val dupSigSql =
+  private[ext] val dupSigSql =
     s"nsig AS (SELECT doc_id, sha256($normSqlExpr) AS sig FROM documents)"
 
   /** The window-function literal (q_sql_window_surface): named WINDOW
     * clause, ranking + offset functions, CAST-pinned BIGINT outputs —
     * one ANSI text, two engines, verbatim. */
-  private val SqlWindowSurfaceSql: String =
+  private[ext] val SqlWindowSurfaceSql: String =
     """SELECT o_custkey, o_orderkey,
       |       CAST(row_number() OVER w AS BIGINT) AS rn,
       |       CAST(rank() OVER w2 AS BIGINT) AS rnk,
@@ -4114,7 +1916,7 @@ object ExtQueries {
 
   /** The LATERAL top-N-per-group literal (q_sql_lateral) — one ANSI
     * text, two engines, two independent dependent-join rewrites. */
-  private val SqlLateralSql: String =
+  private[ext] val SqlLateralSql: String =
     """SELECT c_custkey, t.o_orderkey, t.cents
       |FROM customer,
       |LATERAL (
@@ -4131,7 +1933,7 @@ object ExtQueries {
   /** The correlated-scalar-subquery literal (q_sql_correlated) — one
     * ANSI text, two engines, two independent decorrelations that must
     * agree row for row. */
-  private val SqlCorrelatedSql: String =
+  private[ext] val SqlCorrelatedSql: String =
     """WITH oc AS (
       |  SELECT o_custkey, o_orderkey,
       |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
@@ -4152,7 +1954,7 @@ object ExtQueries {
     * porting between engines; scored here as one text both engines
     * must agree on, with a sentinel customer key (3·max, never an
     * order key) proving the non-member side. */
-  private val SqlNullSemanticsSql: String =
+  private[ext] val SqlNullSemanticsSql: String =
     """WITH s AS (SELECT nullif(o_custkey, 1) AS k FROM orders),
       |probe AS (SELECT c_custkey AS ck FROM customer
       |          UNION ALL
@@ -4174,7 +1976,7 @@ object ExtQueries {
     * is NULLS FIRST ascending, DuckDB's is NULLS LAST, so an unpinned
     * ORDER BY over the rolled-up rows would shuffle the emitted order
     * between engines even with identical rows. */
-  private val SqlGroupingSql: String =
+  private[ext] val SqlGroupingSql: String =
     """SELECT o_orderpriority, o_orderstatus,
       |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
       |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
@@ -4208,7 +2010,7 @@ object ExtQueries {
     * re-plans and re-executes the orders aggregate on EVERY
     * iteration (~80 × full agg ≈ 14 s warm at sf0.1); carried as a
     * column, each step is a pure projection of the previous row. */
-  private val SqlRecursiveSql: String =
+  private[ext] val SqlRecursiveSql: String =
     """WITH RECURSIVE bounds AS (
       |  SELECT CAST(min(year(o_orderdate)*12 + month(o_orderdate) - 1)
       |              AS BIGINT) AS lo,
@@ -4241,7 +2043,7 @@ object ExtQueries {
     * l_orderkey with the date predicate riding as the join filter;
     * at 100 TB that is one key-partitioned semi join, and the count
     * per priority is a 5-group rollup. */
-  private val SqlExistsSql: String =
+  private[ext] val SqlExistsSql: String =
     """SELECT o_orderpriority, count(*) AS n
       |FROM orders
       |WHERE EXISTS (
@@ -4256,7 +2058,7 @@ object ExtQueries {
     * multiplicity arithmetic DISTINCT set ops erase. The customer-key
     * bags genuinely carry duplicates (a customer has many orders), so
     * the counts differ from the DISTINCT forms everywhere. */
-  private val SqlBagSetopsSql: String =
+  private[ext] val SqlBagSetopsSql: String =
     """WITH a AS (
       |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
       |b AS (
@@ -4271,7 +2073,7 @@ object ExtQueries {
 
   /** One ANSI SQL text, two engines — q_sql_surface executes THIS
     * string via spark.sql and the driver executes it via DuckDB. */
-  private val SqlSurfaceSql: String =
+  private[ext] val SqlSurfaceSql: String =
     """SELECT source, lang, count(*) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -4281,7 +2083,7 @@ object ExtQueries {
       |ORDER BY source, lang""".stripMargin
 
   /** Shared by q_incremental_dedup and its streaming twin. */
-  private lazy val incrementalDedupSql: String =
+  private[ext] lazy val incrementalDedupSql: String =
     s"""WITH $dupSigSql,
        |inc AS (
        |  SELECT doc_id, sig,
@@ -4300,7 +2102,7 @@ object ExtQueries {
        |FROM inc i LEFT JOIN base b USING (sig)
        |ORDER BY doc_id""".stripMargin
 
-  private val candSql =
+  private[ext] val candSql =
     s"""${Dedup.shinglesSql},
        |${Dedup.minhashBandMinsSql},
        |bmok AS (
@@ -4321,7 +2123,7 @@ object ExtQueries {
     * sets, pair intersection counts, and the final Jaccard projection
     * (mirrors [[Dedup.ngramJaccard]] term for term). Splice after a
     * chain that defines `shingles` and `candCte(d1, d2, bands)`. */
-  private def jaccardRescoreSqlFrom(candCte: String,
+  private[ext] def jaccardRescoreSqlFrom(candCte: String,
                                     withContainment: Boolean = false): String = {
     val containCol =
       if (withContainment)
@@ -4354,7 +2156,7 @@ object ExtQueries {
     * shortlist, per-dim quantizer stats, int8 dequantization, norms,
     * fixed-point dots, cosine scoring, ranking (final CTE
     * `sq_ranked`). */
-  private lazy val sqChainCtes: String =
+  private[ext] lazy val sqChainCtes: String =
     s"""shortlist AS (
        |  SELECT qid, vec_id FROM ranked WHERE rn <= 10),
        |sstats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM expl GROUP BY 1),
@@ -4397,7 +2199,7 @@ object ExtQueries {
     * parameterizable (`centWhere`): q_ann_ivf trains on the full
     * corpus (`true`); q_ann_incremental freezes the quantizer on the
     * base slice while assignment/serving cover base+delta. */
-  private def ivfRankedCtesCent(centWhere: String): String =
+  private[ext] def ivfRankedCtesCent(centWhere: String): String =
     s"""expl AS (
          |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
          |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
@@ -4462,7 +2264,7 @@ object ExtQueries {
          |                               ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM scored)""".stripMargin
 
-  private lazy val ivfRankedCtes: String = ivfRankedCtesCent("true")
+  private[ext] lazy val ivfRankedCtes: String = ivfRankedCtesCent("true")
 
   /** Exact ground-truth side shared by the recall oracles: every
     * (panel query, corpus) pair through the same fixed-point dot/norm
@@ -4470,7 +2272,7 @@ object ExtQueries {
     * References `expl`/`enorm` from [[ivfRankedCtes]]; queries come
     * from the fixed seeded `panel` ([[panelCte]]), so truth work is
     * O(PanelSize·N) on both engines. */
-  private lazy val exactTop3Ctes: String =
+  private[ext] lazy val exactTop3Ctes: String =
     s"""$panelCte,
        |edots AS (
        |  SELECT q.vec_id AS qid, e.vec_id,
@@ -4496,7 +2298,7 @@ object ExtQueries {
 
   /** Recall tail shared by the recall oracles: `exact` LEFT JOIN the
     * named served-results CTE → per-query n_hits + recall@3. */
-  private def recallTail(served: String): String =
+  private[ext] def recallTail(served: String): String =
     s"""hits AS (
        |  SELECT x.qid,
        |         CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
@@ -4512,7 +2314,7 @@ object ExtQueries {
     * twin: IVF ranked chain → 10-candidate `shortlist` → PQ chain →
     * ADC re-scores → `reranked`. CTE names of the two replays are
     * disjoint by construction. */
-  private lazy val ivfPqCtes: String =
+  private[ext] lazy val ivfPqCtes: String =
     s"""$ivfRankedCtes,
        |shortlist AS (SELECT qid, vec_id FROM ranked WHERE rn <= 10),
        |${pqChainCtes(dsub = VectorSearch.PqSubDim,
@@ -4537,7 +2339,7 @@ object ExtQueries {
     * after [[candSql]] (which defines the same heads) — the
     * q_lsh_recall oracle needs primary AND rescue candidates in one
     * WITH chain. */
-  private lazy val rescueTailSql: String =
+  private[ext] lazy val rescueTailSql: String =
     s"""hot AS (SELECT b, mh FROM bandmins GROUP BY 1, 2
        |        HAVING count(*) > $RescueCap),
        |hotdocs AS (
@@ -4561,7 +2363,7 @@ object ExtQueries {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
-  private lazy val rescueCandSql: String =
+  private[ext] lazy val rescueCandSql: String =
     s"""${Dedup.shinglesSql},
        |${Dedup.minhashBandMinsSql},
        |$rescueTailSql""".stripMargin
@@ -4573,7 +2375,7 @@ object ExtQueries {
     * (so two corpora can coexist in one WITH list — the HNSW layer-1
     * replay runs this over the sampled subset) and `where` filters
     * the source rows. */
-  private def bandedCosCtesFor(p: String, where: String,
+  private[ext] def bandedCosCtesFor(p: String, where: String,
       bands: Int = VectorSearch.DefaultBands,
       bits: Int = VectorSearch.DefaultBandBits): String = {
     val bandSelects = (0 until bands).map(b =>
@@ -4619,14 +2421,14 @@ object ExtQueries {
        |  FROM ${p}dots)""".stripMargin
   }
 
-  private lazy val bandedCosCtes: String = bandedCosCtesFor("", "")
+  private[ext] lazy val bandedCosCtes: String = bandedCosCtesFor("", "")
 
   /** One beam-expansion round of a graph-ANN oracle: candidates =
     * previous beam ∪ its graph neighbors (UNION dedups, mirroring the
     * engine's distinct()), scored from the full score table, top-B
     * per query by (cos DESC, vec_id). Parametrized so the flat serve
     * and both HNSW layers share one definition. */
-  private def beamRound(name: String, prev: String, graph: String,
+  private[ext] def beamRound(name: String, prev: String, graph: String,
                         beam: Int): String =
     s"""$name AS (
        |  SELECT qid, vec_id FROM (
@@ -4640,7 +2442,7 @@ object ExtQueries {
        |    JOIN gscore s ON s.qid = c.qid AND s.vec_id = c.vec_id)
        |  WHERE rn <= $beam)""".stripMargin
 
-  private def gBeamRound(r: Int): String =
+  private[ext] def gBeamRound(r: Int): String =
     beamRound(s"gbeam$r", s"gbeam${r - 1}", "ggraph",
       VectorSearch.GraphBeam)
 
@@ -4656,7 +2458,7 @@ object ExtQueries {
   /** Symmetrize + top-K cut of a `${p}bcos` pair table into a
     * neighbor graph `$name(v, n)` — shared by the layer-0 and
     * layer-1 graph builds. */
-  private def knnGraphCtes(name: String, p: String): String =
+  private[ext] def knnGraphCtes(name: String, p: String): String =
     s"""${name}sym AS (
        |  SELECT v1 AS v, v2 AS n, cos_sim FROM ${p}bcos
        |  UNION ALL
@@ -4672,7 +2474,7 @@ object ExtQueries {
     * cosines → layer-0 graph (`ggraph`) + the brute-force score
     * table (`gscore` — the ORACLE may brute-force; the engine never
     * does, values agree because the cosine formula is identical). */
-  private lazy val graphCoreCtes: String =
+  private[ext] lazy val graphCoreCtes: String =
     s"""${bandedCosCtesFor("g0", "", VectorSearch.GraphBands,
           VectorSearch.GraphBandBits)},
        |${knnGraphCtes("ggraph", "g0")},
@@ -4701,7 +2503,7 @@ object ExtQueries {
 
   /** Seed beam `$name`: score the per-query entry rows of `$from`
     * (qid-less frames cross every query), cut to `beam`. */
-  private def beamSeed(name: String, fromJoin: String,
+  private[ext] def beamSeed(name: String, fromJoin: String,
                        beam: Int): String =
     s"""$name AS (
        |  SELECT qid, vec_id FROM (
@@ -4712,7 +2514,7 @@ object ExtQueries {
        |  WHERE rn <= $beam)""".stripMargin
 
   /** Final cut `$name`: re-score beam `$from`, keep top-`k`. */
-  private def beamServe(name: String, from: String, k: Int): String =
+  private[ext] def beamServe(name: String, from: String, k: Int): String =
     s"""$name AS (
        |  SELECT qid, vec_id, cos_sim, rn FROM (
        |    SELECT s.qid, s.vec_id, s.cos_sim,
@@ -4722,7 +2524,7 @@ object ExtQueries {
        |    JOIN gscore s ON s.qid = b.qid AND s.vec_id = b.vec_id)
        |  WHERE rn <= $k)""".stripMargin
 
-  private lazy val graphAnnCtes: String =
+  private[ext] lazy val graphAnnCtes: String =
     s"""$graphCoreCtes,
        |gentry AS (SELECT vec_id FROM embeddings ORDER BY vec_id
        |           LIMIT ${VectorSearch.GraphEntries}),
@@ -4739,7 +2541,7 @@ object ExtQueries {
     * [[VectorSearch.hnswTopK]]'s traversal, ending in `hserved`.
     * MUST run under Oracle.mat() (each beam round references its
     * predecessor twice). */
-  private lazy val hnswCtes: String = {
+  private[ext] lazy val hnswCtes: String = {
     val l1b = VectorSearch.HnswL1Beam
     s"""$graphCoreCtes,
        |${bandedCosCtesFor("s1",
@@ -4773,7 +2575,7 @@ object ExtQueries {
     * cell. Exposes `expl`, `enorm`, `acos{iters}`, `assign{iters}`
     * for tails. Every round's arithmetic mirrors
     * [[VectorSearch.kmeansCells]] term for term. */
-  private def kmeansAssignCtes(k: Int, iters: Int): String = {
+  private[ext] def kmeansAssignCtes(k: Int, iters: Int): String = {
     val F12 = "1000000000000.0"
     def cnorm(r: Int) =
       s"""cnorm$r AS (
@@ -4833,7 +2635,7 @@ object ExtQueries {
   /** Generated oracle for q_embed_pca_power: centered long form →
     * `iters` power rounds (project, accumulate, normalize — each
     * fixed-point-snapped exactly as [[VectorSearch.topDirection]]). */
-  private def pcaPowerOracle(iters: Int): String = {
+  private[ext] def pcaPowerOracle(iters: Int): String = {
     val F12 = "1000000000000.0"
     val F9 = "1000000000.0"
     val rounds = (0 until iters).map { r =>
@@ -4879,7 +2681,7 @@ object ExtQueries {
     * each over-cap cell, then the same pair/prior tail within
     * sub-cells that fit the cap), mirroring
     * [[VectorSearch.semDedupWithRescue]] term for term. */
-  private def semDedupOracle(k: Int, iters: Int, tau: Double,
+  private[ext] def semDedupOracle(k: Int, iters: Int, tau: Double,
                              cap: Int, ksub: Int): String = {
     val F12 = "1000000000000.0"
     val F9 = "1000000000.0"
@@ -5034,7 +2836,7 @@ object ExtQueries {
     * q_ann_kmeans, q_ann_filtered, and the filtered-recall oracle.
     * References [[kmeansAssignCtes]]'s `expl`/`enorm`/`acos`/`assign`.
     */
-  private def kmeansIvfChain(k: Int, iters: Int,
+  private[ext] def kmeansIvfChain(k: Int, iters: Int,
                              labelFiltered: Boolean): String = {
     val F12 = "1000000000000.0"
     val candJoin =
@@ -5075,7 +2877,7 @@ object ExtQueries {
        |  FROM scored)""".stripMargin
   }
 
-  private def kmeansIvfOracle(k: Int, iters: Int,
+  private[ext] def kmeansIvfOracle(k: Int, iters: Int,
                               labelFiltered: Boolean = false): String =
     s"""WITH ${kmeansIvfChain(k, iters, labelFiltered)}
        |SELECT qid, vec_id, cos_sim, rn
@@ -5085,7 +2887,7 @@ object ExtQueries {
     * q_ann_filtered_recall (exactTop3Ctes with the same label
     * constraint the served side applies). References `expl`/`enorm`.
     */
-  private lazy val exactTop3FilteredCtes: String =
+  private[ext] lazy val exactTop3FilteredCtes: String =
     s"""$panelCte,
        |edots AS (
        |  SELECT q.vec_id AS qid, e.vec_id,
@@ -5118,7 +2920,7 @@ object ExtQueries {
     * [[VectorSearch.pqTrain]]/[[VectorSearch.pqAdcTopK]] term for
     * term; distances are 1e-12-unit BIGINTs on both engines, so no
     * rounding discipline is needed past the snapping floor. */
-  private def pqAdcOracle(m: Int, dsub: Int, ksub: Int, iters: Int): String =
+  private[ext] def pqAdcOracle(m: Int, dsub: Int, ksub: Int, iters: Int): String =
     s"""WITH ${pqChainCtes(dsub, ksub, iters)},
        |ad AS (
        |  SELECT t.vec_id AS qid, k.vec_id,
@@ -5139,7 +2941,7 @@ object ExtQueries {
     * per-query distance tables `qd2`. Mirrors
     * [[VectorSearch.pqTrain]]/[[VectorSearch.pqEncode]] term for
     * term. */
-  private def pqChainCtes(dsub: Int, ksub: Int, iters: Int): String = {
+  private[ext] def pqChainCtes(dsub: Int, ksub: Int, iters: Int): String = {
     val F12 = "1000000000000.0"
     def d2(name: String, centName: String, filter: String) =
       s"""$name AS (
@@ -5185,7 +2987,7 @@ object ExtQueries {
   /** Shared CTE chain for the bigram-LM oracles (`agg` carries the
     * per-doc n_bigrams / sum_nl2fx) — the exact twin of
     * [[lmDocScores]]. */
-  private lazy val lmAggCtes: String =
+  private[ext] lazy val lmAggCtes: String =
     s"""ws AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |docbg AS (
@@ -5223,7 +3025,7 @@ object ExtQueries {
 
   /** Shared CTE chain for the quality-score oracles (`quals` carries
     * the final per-doc quality). */
-  private lazy val qualityCtes: String =
+  private[ext] lazy val qualityCtes: String =
     s"""ws AS (
        |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
        |  FROM documents),
@@ -5244,7 +3046,7 @@ object ExtQueries {
             " + 0.3*least(avg_wlen/10.0, 1.0)")} AS quality
        |  FROM rs)""".stripMargin
 
-  private lazy val decontamOracleSql: String =
+  private[ext] lazy val decontamOracleSql: String =
     s"""WITH ${Dedup.shinglesSql},
        |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
        |bench AS (SELECT shingle, doc_id AS bench_doc FROM ds
@@ -5258,7 +3060,7 @@ object ExtQueries {
 
   /** The exact-3-NN prediction chain (kexpl→kpred), shared by the
     * q_knn_classify and q_label_noise oracles. */
-  private lazy val knnPredCtes: String =
+  private[ext] lazy val knnPredCtes: String =
     s"""kexpl AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
          |         CAST(embedding[i] AS DOUBLE) AS v
@@ -5308,7 +3110,7 @@ object ExtQueries {
     * passes → comparator edges → recursive min-label CC → per-record
     * (attrs, cluster_id) frame `j`. Recursive, so callers prepend
     * WITH RECURSIVE and must NOT Oracle.mat() the text. */
-  private lazy val erCtes: String =
+  private[ext] lazy val erCtes: String =
     s"""recs AS (
        |  SELECT c_custkey*4 AS rec_id, 'reg' AS src, c_name AS name_raw,
        |         CAST(c_nationkey AS BIGINT) AS nation,
@@ -5376,7 +3178,7 @@ object ExtQueries {
     * measured through its existing recall twin — serving, recall
     * measurement and frontier share every constant by construction
     * (VERDICT r10 #5). */
-  private val FrontierVariants: Seq[(String, String)] = Seq(
+  private[ext] val FrontierVariants: Seq[(String, String)] = Seq(
     "filtered" -> "q_ann_filtered_recall",
     "graph" -> "q_ann_graph_recall",
     "hnsw" -> "q_ann_hnsw_recall",
@@ -5385,7 +3187,7 @@ object ExtQueries {
     "sq" -> "q_ann_sq_recall",
     "truncated" -> "q_ann_truncated_recall")
 
-  private val oraclesBase: Map[String, String] = Map(
+  private[ext] val oraclesBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $dupSigSql
          |SELECT sig, count(*) AS cnt, min(doc_id) AS min_doc,
@@ -6515,1924 +4317,12 @@ object ExtQueries {
          |FROM gated WHERE n_copies > 0
          |ORDER BY doc_id, copy_id""".stripMargin
     },
-
-    // IVF ANN replay: same fixed-point per-term snapping as the Spark
-    // side; `acos` scores every (vector, cell) once and serves BOTH
-    // the build-side assignment (argmax per vector) and the probe side
-    // (top-nProbe per query vector), exactly as ivfTopK computes them.
-    "q_ann_ivf" ->
-      s"""WITH $ivfRankedCtes
-         |SELECT qid, vec_id, cos_sim, rn
-         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-
-    // The same serving replay with the quantizer TRAINED ON THE BASE
-    // slice only (vec_id % 10 <> 9) — assignment and serving still
-    // cover the full corpus, which is precisely the incremental
-    // append's semantics.
-    "q_ann_incremental" ->
-      s"""WITH ${ivfRankedCtesCent("vec_id % 10 <> 9")}
-         |SELECT qid, vec_id, cos_sim, rn
-         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-
-    // Recall@3 of the 2-probe IVF vs exact ground truth: the IVF side
-    // is the identical `ranked` replay as q_ann_ivf; the exact side
-    // brute-forces every (query, vector) pair through the same
-    // fixed-point dot/norm chain and ranks with the same tiebreak.
-    "q_ann_recall" ->
-      s"""WITH $ivfRankedCtes,
-         |ivf AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
-         |$exactTop3Ctes,
-         |${recallTail("ivf")}""".stripMargin,
-
-    // Truncated-dimension recall: the served side is the same
-    // brute-force chain over the i <= 16 prefix of the exploded
-    // vectors; exact side and tail shared with the other recall
-    // twins.
-    "q_ann_truncated_recall" -> Oracle.mat(
-      s"""WITH expl AS (
-         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
-         |enorm AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
-         |           AS en
-         |  FROM expl GROUP BY 1),
-         |texpl AS (SELECT vec_id, i, v FROM expl WHERE i <= 16),
-         |tnorm AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
-         |           AS en
-         |  FROM texpl GROUP BY 1),
-         |tdots AS (
-         |  SELECT q.vec_id AS qid, e.vec_id,
-         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
-         |           AS dot
-         |  FROM texpl q JOIN texpl e ON e.i = q.i
-         |  WHERE q.vec_id % 50 = 0
-         |  GROUP BY 1, 2),
-         |tscored AS (
-         |  SELECT d.qid, d.vec_id,
-         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
-         |  FROM tdots d
-         |  JOIN tnorm nq ON nq.vec_id = d.qid
-         |  JOIN tnorm ne ON ne.vec_id = d.vec_id),
-         |tserved AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT qid, vec_id,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY cos_sim DESC, vec_id) AS trn
-         |    FROM tscored) WHERE trn <= 3),
-         |$exactTop3Ctes,
-         |${recallTail("tserved")}""".stripMargin),
-
-    // Recall@3 of the COMPOSED IVF-PQ stack vs exact ground truth —
-    // the acceptance measurement for the compressed serving path
-    // (compression must cost bounded recall, and this query measures
-    // exactly what it costs on this corpus). Same exact side and
-    // recall tail as q_ann_recall; the served side is the full
-    // IVF-shortlist → ADC-rerank replay.
-    "q_ann_ivf_pq_recall" ->
-      s"""WITH $ivfPqCtes,
-         |served AS (SELECT qid, vec_id FROM reranked WHERE rn <= 3),
-         |$exactTop3Ctes,
-         |${recallTail("served")}""".stripMargin,
-
-    // IVF shortlist (top 10 by exact cosine) re-ranked by cosine over
-    // DEQUANTIZED int8 vectors (VectorSearch.sqRerank): the compressed
-    // serving path, replayed CTE for CTE (quantizer train + encode +
-    // dequantize + fixed-point dot). Chain shared with the recall
-    // twin via [[sqChainCtes]].
-    "q_ann_sq_rerank" ->
-      s"""WITH $ivfRankedCtes,
-         |$sqChainCtes
-         |SELECT qid, vec_id, sq_cos, rn
-         |FROM sq_ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-
-    // Recall@3 of the SQ path: same served chain as q_ann_sq_rerank
-    // (shared sqChainCtes — the measurement can never drift from the
-    // serving path), same exact side and tail as the IVF/PQ recall
-    // twins.
-    "q_ann_sq_recall" ->
-      s"""WITH $ivfRankedCtes,
-         |$sqChainCtes,
-         |served AS (SELECT qid, vec_id FROM sq_ranked WHERE rn <= 3),
-         |$exactTop3Ctes,
-         |${recallTail("served")}""".stripMargin,
-
-    "q_dataset_mix" -> {
-      val (copiesExpr, _) = Sampling.weightedMixSql(
-        "source", "CAST(doc_id AS VARCHAR)", MixRates, defaultRate = 1.0)
-      s"""WITH gated AS (
-         |  SELECT doc_id, source, $copiesExpr AS n_copies FROM documents)
-         |SELECT doc_id, source,
-         |       unnest(generate_series(1, n_copies)) AS copy_id
-         |FROM gated WHERE n_copies > 0
-         |ORDER BY doc_id, copy_id""".stripMargin
-    },
-
-    "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
-
-    "q_ann_filtered" -> kmeansIvfOracle(k = 8, iters = 2,
-      labelFiltered = true),
-
-    // Acceptance pair for the filtered path: recall@3 of the filtered
-    // IVF serve vs the filtered exact ground truth — the same
-    // discipline every other serving variant carries (IVF, IVF-PQ,
-    // SQ). Both sides share the kmeans chain's expl/enorm and apply
-    // the IDENTICAL label constraint.
-    "q_ann_filtered_recall" ->
-      s"""WITH ${kmeansIvfChain(k = 8, iters = 2, labelFiltered = true)},
-         |fserved AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
-         |$exactTop3FilteredCtes,
-         |${recallTail("fserved")}""".stripMargin,
-
-    "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
-      tau = SemTau, cap = SemCellCap, ksub = SemSubK),
-
-    "q_embed_pca_power" -> pcaPowerOracle(iters = 2),
-
-    "q_embed_stats" ->
-      s"""WITH expl AS (
-         |  SELECT vec_id, i,
-         |         CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000000.0
-         |              + 0.5) AS BIGINT) AS vfx
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i))
-         |SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
-         |       ${r4("CAST(sum(vfx) AS DOUBLE)/count(*)/1000000000.0")}
-         |         AS mean,
-         |       ${r4("CAST(min(vfx) AS DOUBLE)/1000000000.0")} AS min_v,
-         |       ${r4("CAST(max(vfx) AS DOUBLE)/1000000000.0")} AS max_v,
-         |       CAST(sum(CASE WHEN vfx = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_zero
-         |FROM expl GROUP BY 1 ORDER BY dim""".stripMargin,
-
-    "q_ann_pq" -> pqAdcOracle(
-      m = VectorSearch.PqSubspaces, dsub = VectorSearch.PqSubDim,
-      ksub = VectorSearch.PqCodes, iters = VectorSearch.PqIters),
-
-    // IVF-PQ composition: the IVF replay (identical `ranked` chain as
-    // q_ann_ivf) cut to a 10-candidate shortlist, re-scored by the PQ
-    // replay's codes/distance tables (identical chain as q_ann_pq) —
-    // CTE names are disjoint by construction (expl/cent/… vs
-    // sexpl/cent0/…), so the two replays compose verbatim.
-    "q_ann_ivf_pq" ->
-      s"""WITH $ivfPqCtes
-         |SELECT qid, vec_id, adist, rn
-         |FROM reranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-
-    // The persisted-index serve must answer EXACTLY like the
-    // in-session stack — same oracle text as q_ann_ivf_pq, which is
-    // the whole point: a parquet roundtrip of the artifacts may not
-    // change a single served cell.
-    "q_ann_persist" ->
-      s"""WITH $ivfPqCtes
-         |SELECT qid, vec_id, adist, rn
-         |FROM reranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-
-    // c-TF-IDF topics: the k-means replay (shared chain, assign2 =
-    // final assignment) joined to the corpus term frequencies; the
-    // score's log2 decomposes into two integer-log2 table lookups so
-    // every emitted cell is BIGINT-exact.
-    "q_cluster_topics" -> Oracle.mat(
-      s"""WITH ${kmeansAssignCtes(k = 8, iters = 2)},
-         |ttf AS (
-         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |    FROM documents)
-         |  GROUP BY 1, 2),
-         |cassign AS (SELECT vec_id AS doc_id, cell_id FROM assign2),
-         |cctf AS (
-         |  SELECT a.cell_id, t.w, CAST(sum(t.tf) AS BIGINT) AS ctf
-         |  FROM ttf t JOIN cassign a USING (doc_id) GROUP BY 1, 2),
-         |cft AS (SELECT w, CAST(sum(ctf) AS BIGINT) AS ft
-         |        FROM cctf GROUP BY 1),
-         |ctot AS (SELECT CAST(sum(tf) AS BIGINT) // 8 AS a_tok FROM ttf),
-         |cscore AS (
-         |  SELECT c.cell_id, c.w, c.ctf, f.ft,
-         |         CAST(c.ctf * (${LmScore.log2FxSql("f.ft + t.a_tok")}
-         |           - ${LmScore.log2FxSql("f.ft")}) AS BIGINT) AS score_fx
-         |  FROM cctf c JOIN cft f USING (w) CROSS JOIN ctot t)
-         |SELECT cell_id, w AS term, ctf, ft, score_fx, rn FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY cell_id
-         |                 ORDER BY score_fx DESC, w) AS BIGINT) AS rn
-         |  FROM cscore)
-         |WHERE rn <= 5 ORDER BY cell_id, rn""".stripMargin),
-
-    // Graph-ANN serve: graph build + all three beam rounds replayed
-    // as CTEs (mat()'d — each round references its predecessor twice,
-    // the exponential-inlining trap Oracle.mat exists for).
-    "q_ann_graph" -> Oracle.mat(
-      s"""WITH $graphAnnCtes
-         |SELECT qid, vec_id, cos_sim, rn
-         |FROM gserved ORDER BY qid, rn""".stripMargin),
-
-    // HNSW serve: both layers' graph builds and every beam round of
-    // the descent replayed as MATERIALIZED CTEs.
-    "q_ann_hnsw" -> Oracle.mat(
-      s"""WITH $hnswCtes
-         |SELECT qid, vec_id, cos_sim, rn
-         |FROM hserved ORDER BY qid, rn""".stripMargin),
-
-    // The reloaded-index graph serve must answer EXACTLY like the
-    // session-built one — q_ann_graph's oracle verbatim (the
-    // q_ann_persist discipline, traversal family).
-    "q_ann_graph_persist" -> Oracle.mat(
-      s"""WITH $graphAnnCtes
-         |SELECT qid, vec_id, cos_sim, rn
-         |FROM gserved ORDER BY qid, rn""".stripMargin),
-
-    // Reloaded-index HNSW descent: q_ann_hnsw's oracle verbatim.
-    "q_ann_hnsw_persist" -> Oracle.mat(
-      s"""WITH $hnswCtes
-         |SELECT qid, vec_id, cos_sim, rn
-         |FROM hserved ORDER BY qid, rn""".stripMargin),
-
-    // HNSW recall@3 against the shared brute-force truth table,
-    // restricted to the fixed seeded query panel (the engine serves
-    // and truths ONLY panel queries; per-qid independence makes the
-    // restriction value-preserving).
-    "q_ann_hnsw_recall" -> Oracle.mat(
-      s"""WITH $hnswCtes,
-         |$panelCte,
-         |hexact AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT s.qid, s.vec_id,
-         |           row_number() OVER (PARTITION BY s.qid
-         |                  ORDER BY s.cos_sim DESC, s.vec_id) AS ern
-         |    FROM gscore s JOIN panel ON panel.pqid = s.qid)
-         |  WHERE ern <= 3),
-         |hhits AS (
-         |  SELECT x.qid,
-         |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)
-         |              AS BIGINT) AS n_hits
-         |  FROM hexact x
-         |  LEFT JOIN hserved s ON s.qid = x.qid AND s.vec_id = x.vec_id
-         |  GROUP BY 1)
-         |SELECT qid, n_hits,
-         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
-         |FROM hhits ORDER BY qid""".stripMargin),
-
-    // Graph-ANN recall@3: gscore doubles as the exact ground truth
-    // (it IS the brute-force score table), so served and exact share
-    // every constant by construction.
-    "q_ann_graph_recall" -> Oracle.mat(
-      s"""WITH $graphAnnCtes,
-         |$panelCte,
-         |gexact AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT s.qid, s.vec_id,
-         |           row_number() OVER (PARTITION BY s.qid
-         |                  ORDER BY s.cos_sim DESC, s.vec_id) AS ern
-         |    FROM gscore s JOIN panel ON panel.pqid = s.qid)
-         |  WHERE ern <= 3),
-         |ghits AS (
-         |  SELECT x.qid,
-         |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)
-         |              AS BIGINT) AS n_hits
-         |  FROM gexact x
-         |  LEFT JOIN gserved s ON s.qid = x.qid AND s.vec_id = x.vec_id
-         |  GROUP BY 1)
-         |SELECT qid, n_hits,
-         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
-         |FROM ghits ORDER BY qid""".stripMargin),
-
-    // Derived-property oracle for the ALS path (see the query's
-    // comment): the properties hold for ANY correct top-5
-    // recommendation output, so the oracle states them as constants
-    // over the exact user set ALS trains on.
-    "q_als_recommend" ->
-      s"""WITH ${graft.io.Sources.ratingsSql},
-         |users AS (SELECT DISTINCT user_id FROM ratings)
-         |SELECT user_id,
-         |       CAST(5 AS BIGINT) AS n_recs,
-         |       CAST(1 AS BIGINT) AS rn_min,
-         |       CAST(5 AS BIGINT) AS rn_max,
-         |       CAST(15 AS BIGINT) AS rn_sum,
-         |       CAST(0 AS BIGINT) AS mono_violations,
-         |       CAST(0 AS BIGINT) AS nan_scores,
-         |       CAST(0 AS BIGINT) AS unknown_items
-         |FROM users ORDER BY user_id""".stripMargin,
-
-    "q_id_dictionary" ->
-      s"""WITH ${graft.io.Sources.ratingsSql},
-         |keys AS (
-         |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS key
-         |  FROM ratings)
-         |SELECT key,
-         |       CAST(row_number() OVER (ORDER BY key) - 1 AS INTEGER) AS idx
-         |FROM keys ORDER BY key""".stripMargin,
-
-    "q_hash_sample" ->
-      s"""SELECT doc_id, lang, n_chars FROM documents
-         |WHERE ${Sampling.hashSampleSql("CAST(doc_id AS VARCHAR)", 10.0)}
-         |ORDER BY doc_id""".stripMargin,
-
-    "q_stratified_sample" ->
-      s"""WITH ranked AS (
-         |  SELECT lang, doc_id,
-         |         row_number() OVER (
-         |           PARTITION BY lang
-         |           ORDER BY ${graft.core.PortableHash.spreadSql(
-                       graft.core.PortableHash.hSql("CAST(doc_id AS VARCHAR)"))},
-         |                    CAST(doc_id AS VARCHAR)) AS sample_rank
-         |  FROM documents)
-         |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
-         |FROM ranked WHERE sample_rank <= 20
-         |ORDER BY lang, sample_rank""".stripMargin,
-
-    "q_ngram_novelty" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |base AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 10 <> 7),
-         |b AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 10 = 7)
-         |SELECT b.doc_id, count(*) AS n_shingles,
-         |       CAST(sum(CASE WHEN base.shingle IS NULL THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_novel,
-         |       ${r4("CAST(sum(CASE WHEN base.shingle IS NULL THEN 1 " +
-              "ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty
-         |FROM b LEFT JOIN base ON base.shingle = b.shingle
-         |GROUP BY 1 ORDER BY b.doc_id""".stripMargin,
-
-    // Element-at-rank replay: row_number over each split's sorted
-    // lengths, picked at (n·k)//8 — the value at a rank is tie-order
-    // independent, so the window's tie behavior cannot matter.
-    // PSI replayed: same buckets, +1 smoothing, S-scaled shares and
-    // integer log2 of the cross products.
-    "q_psi_drift" -> {
-      val S = LmScore.LogScale
-      s"""WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
-         |b AS (
-         |  SELECT (n_chars * 10) // (mx + 1) AS bucket,
-         |         doc_id % 2 = 0 AS is_ref
-         |  FROM documents CROSS JOIN mx),
-         |g AS (
-         |  SELECT bucket,
-         |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS r0,
-         |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
-         |           AS c0
-         |  FROM b GROUP BY 1),
-         |counts AS (
-         |  SELECT k.bucket,
-         |         coalesce(r0, 0) + 1 AS n_ref,
-         |         coalesce(c0, 0) + 1 AS n_cur
-         |  FROM (SELECT unnest(range(0, 10)) AS bucket) k
-         |  LEFT JOIN g ON g.bucket = k.bucket),
-         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
-         |               CAST(sum(n_cur) AS BIGINT) AS tc FROM counts),
-         |terms AS (
-         |  SELECT bucket, n_ref, n_cur,
-         |         ((n_ref * $S) // tr - (n_cur * $S) // tc) *
-         |           (${LmScore.log2FxSql("n_ref * tc")} -
-         |            ${LmScore.log2FxSql("n_cur * tr")}) AS psi_term_fx
-         |  FROM counts CROSS JOIN tot)
-         |SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
-         |       CAST(psi_term_fx AS BIGINT) AS psi_term_fx,
-         |       ${r4(s"CAST(psi_term_fx AS DOUBLE) / (${S}.0 * ${S}.0)")}
-         |         AS psi_term_bits
-         |FROM terms ORDER BY bucket""".stripMargin
-    },
-
-    "q_quantile_drift" -> {
-      val gate = PortableHash.spreadSql(
-        PortableHash.hSql("CAST(doc_id AS VARCHAR)"))
-      s"""WITH gated AS (
-         |  SELECT n_chars,
-         |         CASE WHEN $gate < 500000 THEN 'train' ELSE 'hold' END
-         |           AS split
-         |  FROM documents),
-         |ranked AS (
-         |  SELECT split, n_chars,
-         |         row_number() OVER (PARTITION BY split
-         |                            ORDER BY n_chars) - 1 AS r,
-         |         count(*) OVER (PARTITION BY split) AS n
-         |  FROM gated),
-         |ks AS (SELECT unnest(range(1, 8)) AS k),
-         |p AS (
-         |  SELECT ks.k, r.split, r.n_chars
-         |  FROM ks JOIN ranked r ON r.r = (r.n * ks.k) // 8)
-         |SELECT k,
-         |       max(CASE WHEN split = 'train' THEN n_chars END) AS train_v,
-         |       max(CASE WHEN split = 'hold' THEN n_chars END) AS hold_v,
-         |       abs(max(CASE WHEN split = 'train' THEN n_chars END) -
-         |           max(CASE WHEN split = 'hold' THEN n_chars END))
-         |         AS abs_diff
-         |FROM p GROUP BY 1 ORDER BY k""".stripMargin
-    },
-
-    "q_release_manifest" ->
-      s"""WITH assigned AS (
-         |  SELECT *, ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
-              SplitBands)} AS split
-         |  FROM documents)
-         |SELECT split, count(*) AS n_docs,
-         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         |       CAST(sum(len(list_filter(string_split(text, ' '),
-         |                x -> x <> ''))) AS BIGINT) AS n_tokens,
-         |       CAST(sum(${PortableHash.spreadSql(
-                  PortableHash.hSql("text"))}) AS BIGINT)
-         |         AS content_fingerprint
-         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
-
-    "q_split_assign" ->
-      s"""WITH assigned AS (
-         |  SELECT *, ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
-              SplitBands)} AS split
-         |  FROM documents)
-         |SELECT split, count(*) AS n_docs,
-         |       CAST(sum(n_chars) AS BIGINT) AS n_chars
-         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
-
-    // ss is distinct, so count(*) == count(DISTINCT shingle) per pair.
-    "q_source_overlap" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |ss AS (SELECT DISTINCT d.source, s.shingle
-         |       FROM shingles s JOIN documents d USING (doc_id))
-         |SELECT a.source AS s1, b.source AS s2,
-         |       count(*) AS shared_shingles
-         |FROM ss a JOIN ss b
-         |  ON a.shingle = b.shingle AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
-
-    "q_decontaminate" -> decontamOracleSql,
-
-    // Bit-identical by construction: the Bloom pre-filter only prunes
-    // rows the exact join would drop anyway (FPs survive the filter,
-    // die in the join), so the exact-join oracle is THE oracle.
-    "q_decontaminate_bloom" -> decontamOracleSql,
-
-    // HRW replay: same portable-hash weights, both argmaxes as rank-1
-    // windows, same churn rollup.
-    "q_rendezvous_shards" -> {
-      val key = "CAST(d.doc_id AS VARCHAR) || ':' || " +
-        "CAST(s.shard AS VARCHAR)"
-      s"""WITH sh AS (SELECT unnest(range(0, 17)) AS shard),
-         |w AS (
-         |  SELECT d.doc_id, s.shard,
-         |         ${graft.core.PortableHash.spreadSql(
-              graft.core.PortableHash.hSql(key))} AS wgt
-         |  FROM documents d CROSS JOIN sh s),
-         |a16 AS (
-         |  SELECT doc_id, shard AS a16 FROM (
-         |    SELECT doc_id, shard,
-         |           row_number() OVER (PARTITION BY doc_id
-         |                  ORDER BY wgt DESC, shard) AS rn
-         |    FROM w WHERE shard < 16) WHERE rn = 1),
-         |a17 AS (
-         |  SELECT doc_id, shard AS a17 FROM (
-         |    SELECT doc_id, shard,
-         |           row_number() OVER (PARTITION BY doc_id
-         |                  ORDER BY wgt DESC, shard) AS rn
-         |    FROM w) WHERE rn = 1)
-         |SELECT a16 AS shard, count(*) AS n_docs,
-         |       CAST(sum(CASE WHEN a17 != a16 THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_moved,
-         |       CAST(sum(CASE WHEN a17 != a16 AND a17 != 16
-         |                     THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_moved_elsewhere
-         |FROM a16 JOIN a17 USING (doc_id)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    // k-center replay: the full pairwise cosine table (the oracle
-    // may brute-force; the engine never does), the seed, every
-    // round's (min max-cos, vec_id) argmin, and the assignment.
-    "q_coreset_kcenter" -> Oracle.mat({
-      def round(r: Int): String =
-        s"""kmc$r AS (
-           |  SELECT c.a, max(c.cos_sim) AS mc
-           |  FROM kcos c JOIN ksel$r s ON s.cid = c.b
-           |  GROUP BY 1),
-           |ksel${r + 1} AS (
-           |  SELECT cid FROM ksel$r
-           |  UNION ALL
-           |  SELECT a AS cid FROM (
-           |    SELECT a, row_number() OVER (ORDER BY mc, a) AS rn
-           |    FROM kmc$r) WHERE rn = 1)""".stripMargin
-      s"""WITH kx AS (
-         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
-         |kn AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE)
-         |           / 1000000000000.0 AS nn
-         |  FROM kx GROUP BY 1),
-         |kd AS (
-         |  SELECT a.vec_id AS a, b.vec_id AS b,
-         |         CAST(sum(CAST(floor(a.x*b.x*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE)
-         |           / 1000000000000.0 AS dot
-         |  FROM kx a JOIN kx b ON b.i = a.i
-         |  GROUP BY 1, 2),
-         |kcos AS (
-         |  SELECT d.a, d.b,
-         |         ${r4("CASE WHEN sqrt(na.nn)*sqrt(nb.nn) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(na.nn)*sqrt(nb.nn)) END")} AS cos_sim
-         |  FROM kd d
-         |  JOIN kn na ON na.vec_id = d.a
-         |  JOIN kn nb ON nb.vec_id = d.b),
-         |ksel1 AS (SELECT min(vec_id) AS cid FROM embeddings),
-         |${(1 to 7).map(round).mkString(",\n")}
-         |SELECT a AS vec_id, b AS center_id, cos_sim FROM (
-         |  SELECT c.a, c.b, c.cos_sim,
-         |         row_number() OVER (PARTITION BY c.a
-         |                ORDER BY c.cos_sim DESC, c.b) AS rn
-         |  FROM kcos c JOIN ksel8 s ON s.cid = c.b)
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
-    }),
-
-    // Semantic decontamination: per-corpus-vector argmax over the
-    // bench set (ties to the smaller bench_id, the struct-max twin),
-    // cosines through the same fixed-point pipeline as the ANN
-    // oracles.
-    "q_semantic_decontaminate" ->
-      s"""WITH sx AS (
-         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
-         |sn AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE)
-         |           / 1000000000000.0 AS nn
-         |  FROM sx GROUP BY 1),
-         |sd AS (
-         |  SELECT c.vec_id, b.vec_id AS bench_id,
-         |         CAST(sum(CAST(floor(c.x*b.x*1000000000000.0 + 0.5)
-         |                       AS BIGINT)) AS DOUBLE)
-         |           / 1000000000000.0 AS dot
-         |  FROM sx c JOIN sx b ON b.i = c.i AND b.vec_id % 20 = 0
-         |  WHERE c.vec_id % 20 != 0
-         |  GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT d.vec_id, d.bench_id,
-         |         ${r4("CASE WHEN sqrt(nc.nn)*sqrt(nb.nn) = 0.0 THEN 0.0 " +
-              "ELSE dot/(sqrt(nc.nn)*sqrt(nb.nn)) END")} AS cos_sim
-         |  FROM sd d
-         |  JOIN sn nc ON nc.vec_id = d.vec_id
-         |  JOIN sn nb ON nb.vec_id = d.bench_id)
-         |SELECT vec_id, bench_id, cos_sim,
-         |       CAST(CASE WHEN cos_sim >= 0.45 THEN 1 ELSE 0 END
-         |            AS BIGINT) AS contaminated
-         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY cos_sim DESC, bench_id) AS rn
-         |      FROM sc)
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    // ds is distinct (doc_id, shingle) on both sides, so the HAVING
-    // count is the true document frequency.
-    "q_split_leakage" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |kept AS (SELECT shingle FROM ds
-         |         GROUP BY 1 HAVING count(*) <= $LeakDfCap),
-         |tagged AS (
-         |  SELECT doc_id, shingle,
-         |         ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
-              SplitBands)} AS split
-         |  FROM ds),
-         |train AS (
-         |  SELECT t.shingle, t.doc_id AS train_doc
-         |  FROM tagged t JOIN kept USING (shingle)
-         |  WHERE split = 'train'),
-         |holdout AS (
-         |  SELECT split, shingle, doc_id FROM tagged
-         |  WHERE split <> 'train')
-         |SELECT split, doc_id,
-         |       count(DISTINCT shingle) AS n_shared_shingles,
-         |       count(DISTINCT train_doc) AS n_train_docs
-         |FROM holdout JOIN train USING (shingle)
-         |GROUP BY 1, 2 ORDER BY split, doc_id""".stripMargin,
-
-    // The rank (0-based floor(0.1*n), spelled 1-based here) selects an
-    // ACTUAL quality element as the threshold — same bits both
-    // engines, ties kept by >=.
-    "q_quality_cut" ->
-      s"""WITH $qualityCtes,
-         |ranked AS (
-         |  SELECT doc_id, quality,
-         |         row_number() OVER (ORDER BY quality) AS rk,
-         |         count(*) OVER () AS n
-         |  FROM quals),
-         |thr AS (SELECT quality AS t FROM ranked
-         |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1)
-         |SELECT doc_id, quality FROM quals, thr
-         |WHERE quality >= t ORDER BY doc_id""".stripMargin,
-
-    // Kappa between the gopher keep flag and the p10 quality cut:
-    // both raters replayed from their own definitions, then the
-    // single-division integer form of the statistic.
-    "q_filter_kappa" ->
-      s"""WITH $qualityCtes,
-         |ranked AS (
-         |  SELECT doc_id, quality,
-         |         row_number() OVER (ORDER BY quality) AS rk,
-         |         count(*) OVER () AS n
-         |  FROM quals),
-         |thr AS (SELECT quality AS t FROM ranked
-         |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1),
-         |r2t AS (
-         |  SELECT doc_id, CASE WHEN quality >= t THEN 1 ELSE 0 END AS r2
-         |  FROM quals, thr),
-         |gm AS (
-         |  SELECT doc_id,
-         |         CAST(len(w) AS BIGINT) AS n_words,
-         |         n_chars - CAST(len(w) AS BIGINT) + 1 AS sum_wlen,
-         |         CAST(len(list_filter(w, x -> len(x) <= 2)) AS BIGINT)
-         |           AS n_short,
-         |         CAST(list_contains(w, 'the') AS BIGINT)
-         |           + CAST(list_contains(w, 'a') AS BIGINT)
-         |           AS n_stop_kinds
-         |  FROM ws),
-         |r1t AS (
-         |  SELECT doc_id,
-         |         CASE WHEN n_words BETWEEN 50 AND 100000
-         |               AND sum_wlen >= n_words * 4
-         |               AND sum_wlen <= n_words * 10
-         |               AND n_short * 20 <= n_words
-         |               AND n_stop_kinds >= 2
-         |              THEN 1 ELSE 0 END AS r1
-         |  FROM gm),
-         |cells AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(r1 * r2) AS BIGINT) AS n11,
-         |         CAST(sum(r1 * (1 - r2)) AS BIGINT) AS n10,
-         |         CAST(sum((1 - r1) * r2) AS BIGINT) AS n01,
-         |         CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS n00
-         |  FROM r1t JOIN r2t USING (doc_id))
-         |SELECT n, n11, n10, n01, n00, n11 + n00 AS n_agree,
-         |       ${r4("CAST(n*(n11+n00) - ((n11+n10)*(n11+n01)" +
-              " + (n01+n00)*(n10+n00)) AS DOUBLE)" +
-              " / CAST(n*n - ((n11+n10)*(n11+n01)" +
-              " + (n01+n00)*(n10+n00)) AS DOUBLE)")} AS kappa
-         |FROM cells""".stripMargin,
-
-    // Redaction order (email → ip → num) and the 'g' flag mirror the
-    // Column form exactly; counts + (len, hash) pin the redacted
-    // bytes without emitting the corpus.
-    "q_pii_redact" ->
-      s"""WITH enriched AS (
-         |  SELECT doc_id, ${TextAnalysis.piiEnrichSql} AS etext
-         |  FROM documents),
-         |red AS (
-         |  SELECT doc_id, etext,
-         |         regexp_replace(regexp_replace(regexp_replace(etext,
-         |           '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-         |           '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
-         |           '${TextAnalysis.LongNumRe}', '<NUM>', 'g') AS rtext
-         |  FROM enriched)
-         |SELECT doc_id,
-         |       CAST(len(regexp_extract_all(etext,
-         |         '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
-         |       CAST(len(regexp_extract_all(etext,
-         |         '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
-         |       CAST(len(regexp_extract_all(etext,
-         |         '${TextAnalysis.LongNumRe}')) AS BIGINT) AS n_longnums,
-         |       CAST(length(rtext) AS BIGINT) AS redacted_len,
-         |       CAST(${graft.core.PortableHash.hSql("rtext")} AS BIGINT)
-         |         AS redacted_hash
-         |FROM red ORDER BY doc_id""".stripMargin,
-
-    "q_chunk_docs" ->
-      s"""WITH starts AS (
-         |  SELECT doc_id, text,
-         |         unnest(generate_series(0,
-         |           (length(text)-1)//${Packing.Stride})) AS chunk_id
-         |  FROM documents WHERE length(text) > 0),
-         |chunks AS (
-         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |         substr(text,
-         |           CAST(chunk_id*${Packing.Stride} + 1 AS BIGINT),
-         |           ${Packing.ChunkSize}) AS chunk
-         |  FROM starts)
-         |SELECT doc_id, chunk_id,
-         |       CAST(length(chunk) AS BIGINT) AS chunk_len,
-         |       CAST(${graft.core.PortableHash.hSql("chunk")} AS BIGINT)
-         |         AS chunk_hash
-         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // Token-budget chunking: list_slice over the same whitespace
-    // split, re-joined so the hash pins the exact chunk bytes.
-    "q_chunk_tokens" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w
-         |  FROM documents WHERE length(text) > 0),
-         |starts AS (
-         |  SELECT doc_id, w,
-         |         unnest(generate_series(0,
-         |           (len(w)-1)//${Packing.TokenStride})) AS chunk_id
-         |  FROM t),
-         |chunks AS (
-         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |         array_to_string(list_slice(w,
-         |           chunk_id*${Packing.TokenStride} + 1,
-         |           chunk_id*${Packing.TokenStride} + ${Packing.TokenBudget}),
-         |           ' ') AS chunk,
-         |         len(list_slice(w,
-         |           chunk_id*${Packing.TokenStride} + 1,
-         |           chunk_id*${Packing.TokenStride} + ${Packing.TokenBudget}))
-         |           AS tok_len
-         |  FROM starts)
-         |SELECT doc_id, chunk_id,
-         |       CAST(tok_len AS BIGINT) AS tok_len,
-         |       CAST(length(chunk) AS BIGINT) AS chunk_len,
-         |       CAST(${graft.core.PortableHash.hSql("chunk")} AS BIGINT)
-         |         AS chunk_hash
-         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // Full BPE replay: the learn loop (capped vocab seed + per-merge
-    // pair-count/argmax/merge CTEs, AS MATERIALIZED so DuckDB doesn't
-    // re-inline the chain exponentially) feeds the apply chain (one
-    // replace CTE per learned merge over the per-doc word list), and
-    // the subword count is the `]`-count of the folded string — the
-    // exact twin of Bpe.docBpeCol. LEFT JOIN keeps any doc whose
-    // word list is empty at n_bpe = 0 (the Spark side's aggregate
-    // over an empty array).
-    "q_bpe_tokens" -> bpeTokensOracleSql,
-
-    // One oracle text, two engine paths (replace chain vs the
-    // rank-indexed kernel) — the kernel==chain contract, scored.
-    "q_bpe_tokens_kernel" -> bpeTokensOracleSql,
-
-    // Same learned table; the chunk cut is a per-doc window over the
-    // word-position order (exclusive running subword sum div budget).
-    "q_chunk_bpe" ->
-      s"""WITH ${Bpe.learnCtesSql()},
-         |wl AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '),
-         |    x -> x <> '') AS ws
-         |  FROM documents),
-         |wp AS (
-         |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
-         |  FROM wl),
-         |wsrc AS (SELECT doc_id, pos, ws[pos] AS w FROM wp),
-         |${Bpe.applyCtesSql("wsrc", Seq("doc_id", "pos"))},
-         |perword AS (
-         |  SELECT doc_id, pos, ${Bpe.countSql("tok")} AS c
-         |  FROM t${Bpe.NumMerges}),
-         |off AS (
-         |  SELECT doc_id, c,
-         |         CAST(COALESCE(sum(c) OVER (PARTITION BY doc_id
-         |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-         |           AND 1 PRECEDING), 0) AS BIGINT) AS o
-         |  FROM perword)
-         |SELECT doc_id, o // ${Bpe.BpeBudget} AS chunk_id,
-         |       CAST(count(*) AS BIGINT) AS n_words,
-         |       CAST(sum(c) AS BIGINT) AS n_bpe
-         |FROM off GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // q_pack_sequences' oracle with the token mass swapped to the
-    // replayed BPE counts (global-window prefix sum — single-reducer
-    // is fine for DuckDB at sf; the Spark side is the two-pass scan).
-    "q_pack_bpe" ->
-      s"""WITH ${Bpe.learnCtesSql()},
-         |wsrc AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-         |    x -> x <> '')) AS w
-         |  FROM documents),
-         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
-         |perword AS (
-         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
-         |  FROM t${Bpe.NumMerges}),
-         |t AS (
-         |  SELECT d.doc_id,
-         |         CAST(COALESCE(sum(p.c), 0) AS BIGINT) AS n_tokens
-         |  FROM documents d LEFT JOIN perword p USING (doc_id)
-         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
-         |  GROUP BY 1),
-         |c AS (
-         |  SELECT doc_id, n_tokens,
-         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS BIGINT) AS tok_offset
-         |  FROM t)
-         |SELECT doc_id, n_tokens, tok_offset,
-         |       tok_offset // ${Packing.BinCapacity} AS bin_first,
-         |       (tok_offset + n_tokens - 1) // ${Packing.BinCapacity}
-         |         AS bin_last,
-         |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
-         |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // The replayed learn loop's per-step argmaxes, in merge order.
-    "q_bpe_vocab" ->
-      s"""WITH ${Bpe.learnCtesSql()}
-         |${(0 until Bpe.NumMerges).map(i =>
-              s"SELECT CAST(${i + 1} AS BIGINT) AS rank, a, b FROM b$i")
-              .mkString("", "\nUNION ALL\n", "")}
-         |ORDER BY rank""".stripMargin,
-
-    // Same learned merge chain as q_bpe_tokens; the per-lang ratio is
-    // one double division over exact integer sums.
-    "q_bpe_fertility" ->
-      s"""WITH ${Bpe.learnCtesSql()},
-         |wsrc AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-         |    x -> x <> '')) AS w
-         |  FROM documents),
-         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
-         |perword AS (
-         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
-         |  FROM t${Bpe.NumMerges}),
-         |perdoc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
-         |         CAST(sum(c) AS BIGINT) AS n_bpe
-         |  FROM perword GROUP BY 1),
-         |j AS (
-         |  SELECT d.lang, COALESCE(p.n_ws, 0) AS n_ws,
-         |         COALESCE(p.n_bpe, 0) AS n_bpe
-         |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
-         |SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(n_ws) AS BIGINT) AS n_words,
-         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
-         |       ${r4("CAST(sum(n_bpe) AS DOUBLE) / " +
-              "CAST(sum(n_ws) AS DOUBLE)")} AS fertility
-         |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
-
-    // q_pack_sequences' token definition (unfiltered whitespace
-    // split, like the Spark side); integer ceil via (x + B-1) // B.
-    "q_pack_efficiency" -> {
-      val b = Packing.BinCapacity
-      s"""WITH t AS (
-         |  SELECT source,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-         |  FROM documents),
-         |g AS (
-         |  SELECT source, count(*) AS n_docs,
-         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |         CAST(sum(((n_tok + ${b - 1}) // $b) * $b) AS BIGINT)
-         |           AS naive_padded
-         |  FROM t GROUP BY 1),
-         |p AS (
-         |  SELECT *, ((n_tokens + ${b - 1}) // $b) * $b AS packed_padded
-         |  FROM g)
-         |SELECT source, n_docs, n_tokens, naive_padded, packed_padded,
-         |       ${r4("CAST(naive_padded - n_tokens AS DOUBLE) / " +
-              "CAST(naive_padded AS DOUBLE)")} AS naive_waste,
-         |       ${r4("CAST(packed_padded - n_tokens AS DOUBLE) / " +
-              "CAST(packed_padded AS DOUBLE)")} AS packed_waste
-         |FROM p ORDER BY source""".stripMargin
-    },
-
-    // The oracle spells the prefix sum as a global window — fine for
-    // DuckDB at sf, single-reducer at 100 TB, which is exactly why
-    // the Spark side uses the two-pass scan instead (Packing
-    // scaladoc). Values agree because both are THE prefix sum over
-    // the same total order.
-    "q_pack_sequences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents
-         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-         |c AS (
-         |  SELECT doc_id, n_tokens,
-         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS BIGINT) AS tok_offset
-         |  FROM t)
-         |SELECT doc_id, n_tokens, tok_offset,
-         |       tok_offset // ${Packing.BinCapacity} AS bin_first,
-         |       (tok_offset + n_tokens - 1) // ${Packing.BinCapacity}
-         |         AS bin_last,
-         |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
-         |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // Shard manifest: same hash order, window-replayed prefix sum
-    // (exact in DuckDB at this scale), same ⌊offset·N/T⌋ cut.
-    "q_shard_manifest" ->
-      s"""WITH dt AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         CAST(${PortableHash.hSql("CAST(doc_id AS VARCHAR)")}
-         |              AS BIGINT) AS h
-         |  FROM documents),
-         |k AS (SELECT doc_id, n_tokens, h * 16777216 + doc_id AS k2
-         |      FROM dt),
-         |p AS (
-         |  SELECT doc_id, n_tokens,
-         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY k2
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS BIGINT) AS tok_offset
-         |  FROM k),
-         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM dt)
-         |SELECT least(tok_offset * 16 // t, 15) AS shard,
-         |       CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-         |       CAST(sum(n_tokens) AS BIGINT) * 16 - max(t)
-         |         AS dev_from_ideal_xn
-         |FROM p, tot GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // DSIR: same hashed-bigram buckets, same integer-log2 pipeline;
-    // the corpus-total constant folds in as n_bigrams × (log2Fx(Tr+B)
-    // − log2Fx(Tt+B)), exactly as the engine does.
-    "q_dsir_weights" -> {
-      val cfx = s"(${LmScore.log2FxSql("t.tr + 1024")} - " +
-        s"${LmScore.log2FxSql("t.tt + 1024")})"
-      s"""WITH dws AS (
-         |  SELECT doc_id, lang, string_split(text, ' ') AS w
-         |  FROM documents),
-         |dbg AS (
-         |  SELECT doc_id, lang,
-         |         unnest(list_transform(range(1, len(w)),
-         |           i -> w[i] || ' ' || w[i+1])) AS bigram
-         |  FROM dws WHERE len(w) >= 2),
-         |dbk AS (
-         |  SELECT doc_id, lang,
-         |         (${PortableHash.hSql("bigram")}) % 1024 AS bkt
-         |  FROM dbg),
-         |drc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr
-         |        FROM dbk GROUP BY 1),
-         |dtc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct
-         |        FROM dbk WHERE lang = 'en' GROUP BY 1),
-         |dtot AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS tr,
-         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-         |              AS BIGINT) AS tt
-         |  FROM dbk),
-         |dlr AS (
-         |  SELECT r.bkt,
-         |         ${LmScore.log2FxSql("coalesce(t.ct, 0) + 1")}
-         |           - ${LmScore.log2FxSql("r.cr + 1")} AS lr
-         |  FROM drc r LEFT JOIN dtc t USING (bkt)),
-         |dper AS (
-         |  SELECT b.doc_id, max(b.lang) AS lang,
-         |         CAST(count(*) AS BIGINT) AS n_bigrams,
-         |         CAST(sum(l.lr) AS BIGINT) AS sum_lr
-         |  FROM dbk b JOIN dlr l ON l.bkt = b.bkt GROUP BY 1)
-         |SELECT p.doc_id, p.lang, p.n_bigrams,
-         |       p.sum_lr + p.n_bigrams * $cfx AS w_fx,
-         |       ${r4("CAST(p.sum_lr + p.n_bigrams * " + cfx +
-              " AS DOUBLE) / 1048576.0")} AS logw
-         |FROM dper p, dtot t ORDER BY p.doc_id""".stripMargin
-    },
-
-    // Unigram model + Viterbi replay (Unigram.ctesSql). Recursive, so
-    // no Oracle.mat().
-    "q_unigram_segment" ->
-      s"""WITH RECURSIVE ${Unigram.ctesSql}
-         |SELECT word, cnt, n_pieces, cost_fx, seg
-         |FROM useg ORDER BY word""".stripMargin,
-
-    "q_unigram_fertility" ->
-      s"""WITH RECURSIVE ${Unigram.ctesSql},
-         |ustream AS (
-         |  SELECT lang, unnest(string_split(text, ' ')) AS word
-         |  FROM documents)
-         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_words,
-         |       CAST(sum(g.n_pieces) AS BIGINT) AS n_pieces,
-         |       CAST(sum(g.cost_fx) AS BIGINT) AS cost_fx,
-         |       ${r4("CAST(sum(g.n_pieces) AS DOUBLE) / count(*)")}
-         |         AS fertility
-         |FROM ustream s JOIN useg g USING (word)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // WordPiece model + greedy-walk replay (WordPiece.ctesSql).
-    // Recursive, so no Oracle.mat().
-    "q_wordpiece_segment" ->
-      s"""WITH RECURSIVE ${WordPiece.ctesSql}
-         |SELECT word, cnt, n_pieces, seg
-         |FROM wseg ORDER BY word""".stripMargin,
-
-    "q_wordpiece_fertility" ->
-      s"""WITH RECURSIVE ${WordPiece.ctesSql},
-         |wstream AS (
-         |  SELECT lang, unnest(string_split(text, ' ')) AS word
-         |  FROM documents)
-         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_words,
-         |       CAST(sum(g.n_pieces) AS BIGINT) AS n_pieces,
-         |       ${r4("CAST(sum(g.n_pieces) AS DOUBLE) / count(*)")}
-         |         AS fertility
-         |FROM wstream s JOIN wseg g USING (word)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_repetition_filter" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |cnt AS (SELECT doc_id, shingle, count(*) AS c
-         |        FROM shingles GROUP BY 1, 2)
-         |SELECT doc_id,
-         |       CAST(sum(c) AS BIGINT) AS n_shingles,
-         |       count(*) AS n_distinct,
-         |       max(c) AS max_rep,
-         |       ${r4("CAST(sum(c) - count(*) AS DOUBLE) / " +
-              "CAST(sum(c) AS DOUBLE)")} AS dup_ratio
-         |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-    // Temperature mix over the k-means assignment replay (shared
-    // chain, assign2 = final assignment), same unrounded-p
-    // discipline as the source-label twin.
-    "q_cluster_mix_weights" -> Oracle.mat({
-      val pe = "(CAST(n_docs AS DOUBLE)/CAST(tot AS DOUBLE))"
-      s"""WITH ${kmeansAssignCtes(k = 8, iters = 2)},
-         |bycell AS (
-         |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_docs
-         |  FROM assign2 GROUP BY 1),
-         |ctot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM bycell),
-         |snapped AS (
-         |  SELECT cell_id, n_docs,
-         |         ${r4(pe)} AS p,
-         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
-         |              + 0.5) AS BIGINT) AS wfx
-         |  FROM bycell, ctot),
-         |cwt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
-         |SELECT cell_id, n_docs, p,
-         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w
-         |FROM snapped, cwt
-         |ORDER BY cell_id""".stripMargin
-    }),
-
-    // Same arithmetic, spelled out: raw share p goes UNROUNDED into
-    // sqrt(sqrt(p*p*p)); only the emitted columns are r4-rounded.
-    "q_domain_mix_weights" -> {
-      val pe = "(CAST(n_chars AS DOUBLE)/CAST(tot AS DOUBLE))"
-      s"""WITH bysrc AS (
-         |  SELECT source, count(*) AS n_docs,
-         |         CAST(sum(n_chars) AS BIGINT) AS n_chars
-         |  FROM documents GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM bysrc),
-         |snapped AS (
-         |  SELECT source, n_docs, n_chars,
-         |         ${r4(pe)} AS p,
-         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
-         |              + 0.5) AS BIGINT) AS wfx
-         |  FROM bysrc, tot),
-         |wt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
-         |SELECT source, n_docs, n_chars, p,
-         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w
-         |FROM snapped, wt
-         |ORDER BY source""".stripMargin
-    },
-
-    // Same fixed-point discipline over TOKEN shares, plus the 4×
-    // budget allocation — every double expression is the Spark
-    // side's, operation for operation.
-    "q_mix_epochs" -> {
-      val pe = "(CAST(toks AS DOUBLE)/CAST(ttot AS DOUBLE))"
-      val plan = "CAST(wfx AS DOUBLE) * 4.0 * CAST(ttot AS DOUBLE)" +
-        " / CAST(wtot AS DOUBLE)"
-      s"""WITH bysrc AS (
-         |  SELECT source, count(*) AS n_docs,
-         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-         |           AS toks
-         |  FROM documents GROUP BY 1),
-         |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS ttot FROM bysrc),
-         |snapped AS (
-         |  SELECT source, n_docs, toks, ttot,
-         |         ${r4(pe)} AS p,
-         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
-         |              + 0.5) AS BIGINT) AS wfx
-         |  FROM bysrc, tot),
-         |wt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
-         |SELECT source, n_docs, toks, p,
-         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w,
-         |       CAST(floor($plan + 0.5) AS BIGINT) AS planned_toks,
-         |       ${r4(s"$plan / CAST(toks AS DOUBLE)")} AS epochs
-         |FROM snapped, wt
-         |ORDER BY source""".stripMargin
-    },
-
-    // Non-overlapping regexp counts == the automaton's
-    // every-occurrence counts because the dictionary is border-free.
-    "q_keyword_tags" -> {
-      val vals = KeywordTags.Keywords.map(k => s"('$k')").mkString(", ")
-      s"""WITH kw AS (SELECT * FROM (VALUES $vals) t(keyword)),
-         |h AS (
-         |  SELECT k.keyword, d.doc_id,
-         |         len(regexp_extract_all(d.text, k.keyword)) AS hits
-         |  FROM documents d CROSS JOIN kw k)
-         |SELECT keyword, count(*) AS n_docs,
-         |       CAST(sum(hits) AS BIGINT) AS n_hits
-         |FROM h WHERE hits > 0
-         |GROUP BY 1 ORDER BY keyword""".stripMargin
-    },
-
-    // Exact integer-log2 points, exact BIGINT normal equations; the
-    // two final divisions are the only doubles, mirrored op-for-op.
-    "q_zipf_fit" ->
-      s"""WITH words AS (
-         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         |freq AS (
-         |  SELECT w, count(*) AS f FROM words
-         |  WHERE len(w) > 0 GROUP BY 1),
-         |top AS (
-         |  SELECT w, f FROM freq ORDER BY f DESC, w LIMIT $ZipfTopRanks),
-         |rk AS (
-         |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
-         |  FROM top),
-         |pts AS (
-         |  SELECT CAST(${LmScore.log2FxSql("r")} AS BIGINT) AS x,
-         |         CAST(${LmScore.log2FxSql("f")} AS BIGINT) AS y
-         |  FROM rk),
-         |s AS (
-         |  SELECT count(*) AS n,
-         |         CAST(sum(x) AS BIGINT) AS sx,
-         |         CAST(sum(y) AS BIGINT) AS sy,
-         |         CAST(sum(x*y) AS BIGINT) AS sxy,
-         |         CAST(sum(x*x) AS BIGINT) AS sxx
-         |  FROM pts),
-         |nd AS (
-         |  SELECT n, sx, sy,
-         |         CAST(n*sxy - sx*sy AS DOUBLE) AS num,
-         |         CAST(n*sxx - sx*sx AS DOUBLE) AS den
-         |  FROM s)
-         |SELECT n AS n_ranks,
-         |       ${r4("num/den")} AS slope,
-         |       ${r4("(CAST(sy AS DOUBLE) - num/den*CAST(sx AS DOUBLE))" +
-                "/CAST(n AS DOUBLE)/1048576.0")} AS intercept_log2
-         |FROM nd""".stripMargin,
-
-    "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |       CAST(ascii(substr(text, 1, 1)) % 4 AS BIGINT) AS format_id,
-        |       CAST(64 + octet_length(CAST(text AS BLOB)) % 640 AS BIGINT)
-        |         AS width,
-        |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT)
-        |         AS height,
-        |       CAST(floor(octet_length(CAST(text AS BLOB)) / 32.0) + 1
-        |            AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // The decoded dimensions are INDEPENDENTLY predicted from the
-    // fixture's id→geometry constants; only n_bytes comes from the
-    // parquet (both engines read the same encoded payload bytes).
-    "q_multimodal_decode" ->
-      s"""SELECT doc_id,
-         |       CAST(octet_length(media) AS BIGINT) AS n_bytes,
-         |       CAST(10 + doc_id % 4 AS BIGINT) AS format_id,
-         |       CAST(8 + (doc_id * 3) % 24 AS BIGINT) AS width,
-         |       CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS height,
-         |       CAST(1 AS BIGINT) AS n_frames
-         |FROM read_parquet('${graft.io.MediaFixtures.mediaPath(
-                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')
-         |ORDER BY doc_id""".stripMargin,
-
-    // Audio decode: every field except n_bytes is INDEPENDENTLY
-    // predicted from the fixture's id→geometry constants (the
-    // q_multimodal_decode pattern); duration is exact truncating
-    // integer arithmetic on both sides.
-    "q_multimodal_audio" -> {
-      val rates = graft.io.AudioFixtures.Rates
-      val rateCase = rates.zipWithIndex.init
-        .map { case (r, i) => s"WHEN $i THEN $r" }
-        .mkString(s"CASE CAST(doc_id % ${rates.length} AS INTEGER) ",
-          " ", s" ELSE ${rates.last} END")
-      s"""WITH a AS (
-         |  SELECT doc_id, octet_length(media) AS nb,
-         |         $rateCase AS rate,
-         |         64 + (doc_id * 37) % 512 AS ns
-         |  FROM read_parquet('${graft.io.AudioFixtures.audioPath(
-                graft.io.DialectFixtures.OracleSfDir)}/*.parquet'))
-         |SELECT doc_id,
-         |       CAST(nb AS BIGINT) AS n_bytes,
-         |       CAST(rate AS BIGINT) AS sample_rate,
-         |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
-         |       CAST(16 AS BIGINT) AS sample_bits,
-         |       CAST(ns AS BIGINT) AS n_samples,
-         |       CAST(ns * 1000 // rate AS BIGINT) AS duration_ms
-         |FROM a ORDER BY doc_id""".stripMargin
-    },
-
-    // Every frame row is INDEPENDENTLY predicted from the fixture's
-    // (doc_id, frame_id) → geometry constants; only doc_id/n_bytes
-    // come from the shared parquet (both engines see the same
-    // container bytes). A parse failure on the Spark side emits no
-    // rows → row-count red.
-    "q_multimodal_frames" ->
-      s"""WITH v AS (
-         |  SELECT doc_id, octet_length(media) AS nb
-         |  FROM read_parquet('${graft.io.VideoFixtures.videoPath(
-                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
-         |f AS (
-         |  SELECT doc_id, nb,
-         |         unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT)))
-         |           AS frame_id
-         |  FROM v)
-         |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
-         |       CAST(nb AS BIGINT) AS n_bytes,
-         |       CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS width,
-         |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
-         |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
-         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
-
-    // Frame sampling: the delay formula through the same cumsum +
-    // interval-cover arithmetic.
-    "q_frame_sample" ->
-      s"""WITH v AS (
-         |  SELECT doc_id
-         |  FROM read_parquet('${graft.io.VideoFixtures.videoPath(
-              graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
-         |f AS (
-         |  SELECT doc_id,
-         |         unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT)))
-         |           AS frame_id
-         |  FROM v),
-         |dl AS (
-         |  SELECT doc_id, frame_id,
-         |         5 + (doc_id + 3 * frame_id) % 10 AS delay_cs
-         |  FROM f),
-         |tl AS (
-         |  SELECT doc_id, frame_id, delay_cs,
-         |         sum(delay_cs) OVER (PARTITION BY doc_id
-         |                             ORDER BY frame_id) - delay_cs
-         |           AS start_cs
-         |  FROM dl),
-         |dur AS (SELECT doc_id, max(start_cs + delay_cs) AS dur
-         |        FROM tl GROUP BY 1),
-         |inst AS (
-         |  SELECT doc_id,
-         |         unnest(generate_series(0, CAST(dur - 1 AS BIGINT), 10))
-         |           AS t_cs
-         |  FROM dur)
-         |SELECT i.doc_id, CAST(i.t_cs AS BIGINT) AS t_cs,
-         |       CAST(t.frame_id AS BIGINT) AS frame_id,
-         |       CAST(t.start_cs AS BIGINT) AS start_cs,
-         |       CAST(t.delay_cs AS BIGINT) AS delay_cs
-         |FROM inst i JOIN tl t ON t.doc_id = i.doc_id
-         |  AND i.t_cs >= t.start_cs
-         |  AND i.t_cs < t.start_cs + t.delay_cs
-         |ORDER BY 1, 2""".stripMargin,
-
-    // Formula edges + the recursive min-label CC replay (the
-    // q_dedup_clusters oracle pattern over the phash edge set).
-    "q_image_phash_clusters" ->
-      """WITH RECURSIVE ids AS (SELECT unnest(generate_series(0, 47)) AS id),
-        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
-        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
-        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
-        |grid AS (
-        |  SELECT id, v, bx, by,
-        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
-        |          + by*29) % 192
-        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
-        |  FROM ids, vs, bxs, bys),
-        |bits AS (
-        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
-        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
-        |   AND g2.bx = g1.bx + 1
-        |  WHERE g1.bx < 8),
-        |pb AS (
-        |  SELECT a.img AS ia, b.img AS ib, a.pos // 16 AS band,
-        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS bd
-        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.img < b.img
-        |  GROUP BY 1, 2, 3),
-        |pairs AS (
-        |  SELECT ia, ib, sum(bd) AS hamming,
-        |         max(CASE WHEN bd = 0 THEN 1 ELSE 0 END) AS sb
-        |  FROM pb GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT ia AS d1, ib AS d2 FROM pairs
-        |  WHERE sb = 1 AND hamming <= 3),
-        |sym AS (
-        |  SELECT d1 AS src, d2 AS dst FROM edges
-        |  UNION ALL
-        |  SELECT d2 AS src, d1 AS dst FROM edges),
-        |imgs AS (SELECT unnest(generate_series(0, 143)) AS img),
-        |cc AS (
-        |  SELECT img AS node, img AS label FROM imgs
-        |  UNION
-        |  SELECT sym.dst AS node, cc.label
-        |  FROM cc JOIN sym ON cc.node = sym.src)
-        |SELECT CAST(node AS BIGINT) AS doc_id,
-        |       CAST(min(label) AS BIGINT) AS cluster_id,
-        |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
-        |         AS is_keeper
-        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
-
-    // The gate replay: hashes from the grid FORMULA (the q_image_phash
-    // bits, MSB-first as the engine's lpad(bin())), then the gate's
-    // exact semantics in SQL — base hit beats in-batch duplicate,
-    // first arrival (min doc_id) wins within a signature.
-    "q_stream_phash_gate" ->
-      """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
-        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
-        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
-        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
-        |grid AS (
-        |  SELECT id, v, bx, by,
-        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
-        |          + by*29) % 192
-        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
-        |  FROM ids, vs, bxs, bys),
-        |bits AS (
-        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
-        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
-        |   AND g2.bx = g1.bx + 1
-        |  WHERE g1.bx < 8),
-        |sigs AS (
-        |  SELECT img, string_agg(CAST(bit AS VARCHAR), '' ORDER BY pos DESC)
-        |           AS sig
-        |  FROM bits GROUP BY 1),
-        |base AS (SELECT sig, min(img) AS first_doc
-        |         FROM sigs WHERE img % 3 = 0 GROUP BY 1),
-        |inc AS (SELECT img, sig FROM sigs WHERE img % 3 <> 0),
-        |w AS (
-        |  SELECT inc.img, b.first_doc,
-        |         min(inc.img) OVER (PARTITION BY inc.sig ORDER BY inc.img
-        |                            ROWS BETWEEN UNBOUNDED PRECEDING
-        |                            AND 1 PRECEDING) AS prev_img
-        |  FROM inc LEFT JOIN base b USING (sig))
-        |SELECT img AS doc_id,
-        |       CASE WHEN first_doc IS NOT NULL THEN 'dup_of_base'
-        |            WHEN prev_img IS NOT NULL THEN 'dup_in_batch'
-        |            ELSE 'new' END AS status,
-        |       CAST(coalesce(first_doc, prev_img, -1) AS BIGINT) AS dup_of
-        |FROM w ORDER BY doc_id""".stripMargin,
-
-    // Every fingerprint bit is INDEPENDENTLY replayed from the WAV
-    // fixture's sawtooth FORMULA (AudioFixtures.encode: value j of
-    // doc id is ((id*131 + j*37) % 65536) - 32768, nS*ch values);
-    // the engine side must reproduce it from the decoded PCM bytes.
-    "q_audio_fingerprint" ->
-      s"""WITH a AS (
-         |  SELECT doc_id, 64 + (doc_id * 37) % 512 AS ns,
-         |         1 + doc_id % 2 AS ch
-         |  FROM read_parquet('${graft.io.AudioFixtures.audioPath(
-                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
-         |idx AS (
-         |  SELECT doc_id, ns * ch AS nv,
-         |         unnest(generate_series(0, ns * ch - 1)) AS j
-         |  FROM a),
-         |sm AS (
-         |  SELECT doc_id, j * 8 // nv AS chunk,
-         |         abs((doc_id * 131 + j * 37) % 65536 - 32768) AS av
-         |  FROM idx),
-         |cm AS (
-         |  SELECT doc_id, chunk,
-         |         CAST(sum(av) AS BIGINT) // count(*) AS m
-         |  FROM sm GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT c1.doc_id, c1.chunk AS i,
-         |         CASE WHEN c2.m > c1.m THEN 1 ELSE 0 END AS bit
-         |  FROM cm c1 JOIN cm c2
-         |    ON c2.doc_id = c1.doc_id AND c2.chunk = c1.chunk + 1)
-         |SELECT doc_id, CAST(sum(bit * (1 << i)) AS BIGINT) AS fingerprint
-         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-    // Every dHash bit is INDEPENDENTLY replayed from the fixture's
-    // block-level FORMULA (PhashFixtures.levelOf): a dHash bit is
-    // "right block mean > left block mean" and the blocks are
-    // constant, so the comparison IS the formula. The banded
-    // candidate restriction and the hamming rescore replay in SQL
-    // over those bits — the engine's pixel path (PNG decode, integer
-    // luminance, box means, bit packing, band join, popcount) must
-    // land on identical pairs cell-for-cell.
-    // Resize replay: the fixture level formula + the same box-mean
-    // arithmetic (cell = 3×4 blocks of 4×4 px; gray pixel luminance
-    // is exactly its level, so sum_lum = 16·Σ levels).
-    "q_image_thumbnail" ->
-      s"""WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
-         |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
-         |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
-         |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
-         |grid AS (
-         |  SELECT id, v, bx, by,
-         |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
-         |          + by*29) % 192
-         |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
-         |  FROM ids, vs, bxs, bys),
-         |cells AS (
-         |  SELECT id*3 + v AS img_id, bx // 3 AS cx, by // 4 AS cy,
-         |         CAST(16 * count(*) AS BIGINT) AS n_px,
-         |         CAST(16 * sum(val) AS BIGINT) AS sum_lum
-         |  FROM grid GROUP BY 1, 2, 3)
-         |SELECT img_id, cx, cy, n_px, sum_lum,
-         |       ${r4("CAST(sum_lum AS DOUBLE) / CAST(n_px AS DOUBLE)")}
-         |         AS mean_lum
-         |FROM cells ORDER BY img_id, cy, cx""".stripMargin,
-
-    "q_image_phash" ->
-      """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
-        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
-        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
-        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
-        |grid AS (
-        |  SELECT id, v, bx, by,
-        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
-        |          + by*29) % 192
-        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
-        |  FROM ids, vs, bxs, bys),
-        |bits AS (
-        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
-        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
-        |   AND g2.bx = g1.bx + 1
-        |  WHERE g1.bx < 8),
-        |pb AS (
-        |  SELECT a.img AS ia, b.img AS ib, a.pos // 16 AS band,
-        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS bd
-        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.img < b.img
-        |  GROUP BY 1, 2, 3),
-        |pairs AS (
-        |  SELECT ia, ib, CAST(sum(bd) AS BIGINT) AS hamming,
-        |         max(CASE WHEN bd = 0 THEN 1 ELSE 0 END) AS sb
-        |  FROM pb GROUP BY 1, 2)
-        |SELECT CAST(ia AS BIGINT) AS img_a, CAST(ib AS BIGINT) AS img_b,
-        |       hamming
-        |FROM pairs WHERE sb = 1 AND hamming <= 3
-        |ORDER BY img_a, img_b""".stripMargin,
-
-    "q_session_window" ->
-      """WITH ev AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-        |flagged AS (
-        |  SELECT user_id, ts_us,
-        |         CASE WHEN lag(ts_us) OVER w IS NULL
-        |                OR ts_us - lag(ts_us) OVER w >= 1800000000
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-        |sessions AS (
-        |  SELECT user_id, ts_us,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING
-        |                                AND CURRENT ROW) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, min(ts_us) AS start_us,
-        |       max(ts_us) + 1800000000 AS end_us,
-        |       count(*) AS n_events
-        |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, start_us""".stripMargin,
-
-    // Self-contained exact-kNN replay (k-prefixed CTEs, disjoint from
-    // the ANN chains): fixed-point dots/norms, leave-one-out top-3,
-    // majority vote with the (count desc, best rank, label) tie order.
-    "q_knn_classify" ->
-      s"""WITH $knnPredCtes
-         |SELECT p.qid, p.pred_label,
-         |       CAST(q.label AS BIGINT) AS true_label,
-         |       CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END
-         |            AS BIGINT) AS correct
-         |FROM kpred p JOIN embeddings q ON q.vec_id = p.qid
-         |ORDER BY p.qid""".stripMargin,
-
-    // Per-label aggregation of the SAME kpred chain — prediction and
-    // noise screen cannot drift.
-    "q_label_noise" ->
-      s"""WITH $knnPredCtes,
-         |per AS (
-         |  SELECT CAST(q.label AS BIGINT) AS true_label,
-         |         CASE WHEN p.pred_label = q.label THEN 0 ELSE 1 END AS dis
-         |  FROM kpred p JOIN embeddings q ON q.vec_id = p.qid)
-         |SELECT true_label, count(*) AS n_probes,
-         |       CAST(sum(dis) AS BIGINT) AS n_disagree,
-         |       floor((CAST(sum(dis) AS DOUBLE) / count(*))*10000 + 0.5)
-         |         /10000.0 AS noise_rate
-         |FROM per GROUP BY 1 ORDER BY true_label""".stripMargin,
-
-
-    // Triplet mining: the kscored chain (same CTEs as knn), labels
-    // joined, extremes via ranked windows. LEFT joins mirror the
-    // engine's null-on-empty-side struct aggregation.
-    "q_triplet_mining" ->
-      s"""WITH $knnPredCtes,
-         |tlab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-         |         FROM embeddings),
-         |tsc AS (
-         |  SELECT s.qid, ql.label AS qlabel, s.vec_id, el.label,
-         |         s.cos_sim
-         |  FROM kscored s
-         |  JOIN tlab ql ON ql.vec_id = s.qid
-         |  JOIN tlab el ON el.vec_id = s.vec_id),
-         |thp AS (
-         |  SELECT qid, vec_id, cos_sim FROM (
-         |    SELECT qid, vec_id, cos_sim,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY cos_sim, vec_id) AS rn
-         |    FROM tsc WHERE label = qlabel) WHERE rn = 1),
-         |thn AS (
-         |  SELECT qid, vec_id, cos_sim FROM (
-         |    SELECT qid, vec_id, cos_sim,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY cos_sim DESC, vec_id)
-         |             AS rn
-         |    FROM tsc WHERE label != qlabel) WHERE rn = 1),
-         |tcnt AS (
-         |  SELECT qid, max(qlabel) AS label,
-         |         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
-         |              AS BIGINT) AS n_pos,
-         |         CAST(sum(CASE WHEN label != qlabel THEN 1 ELSE 0 END)
-         |              AS BIGINT) AS n_neg
-         |  FROM tsc GROUP BY 1)
-         |SELECT c.qid, c.label, c.n_pos, c.n_neg,
-         |       hp.vec_id AS hard_pos_id, hp.cos_sim AS pos_cos,
-         |       hn.vec_id AS hard_neg_id, hn.cos_sim AS neg_cos,
-         |       ${r4("hn.cos_sim - hp.cos_sim")} AS violation_margin,
-         |       CAST(CASE WHEN hn.cos_sim IS NULL OR hp.cos_sim IS NULL
-         |                 THEN NULL
-         |                 WHEN hn.cos_sim > hp.cos_sim THEN 1 ELSE 0 END
-         |            AS BIGINT) AS violated
-         |FROM tcnt c
-         |LEFT JOIN thp hp ON hp.qid = c.qid
-         |LEFT JOIN thn hn ON hn.qid = c.qid
-         |ORDER BY c.qid""".stripMargin,
-
-    // Shares the normalized-signature constant with q_dedup_exact, so
-    // the matrix and the dedup pass agree on what "exact dup" means.
-    "q_cross_source_dups" ->
-      s"""WITH $dupSigSql,
-         |ssig AS (
-         |  SELECT n.sig, d.source
-         |  FROM nsig n JOIN documents d USING (doc_id)),
-         |bysrc AS (
-         |  SELECT sig, source, count(*) AS n FROM ssig GROUP BY 1, 2),
-         |p AS (
-         |  SELECT a.source AS source_a, b.source AS source_b,
-         |         CASE WHEN a.source = b.source
-         |              THEN (a.n * (a.n - 1)) // 2
-         |              ELSE a.n * b.n END AS pairs
-         |  FROM bysrc a JOIN bysrc b
-         |    ON a.sig = b.sig AND a.source <= b.source)
-         |SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS dup_pairs
-         |FROM p WHERE pairs > 0
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Same integer priority key — // is DuckDB's integer division,
-    // mirroring Spark's `div` truncation (operands non-negative).
-    "q_weighted_sample" ->
-      s"""WITH keyed AS (
-         |  SELECT doc_id, lang, n_chars,
-         |         (${PortableHash.spreadSql(PortableHash.hSql(
-                "CAST(doc_id AS VARCHAR)"))} * 1048576) // n_chars
-         |           AS priority
-         |  FROM documents)
-         |SELECT lang, rk, doc_id, n_chars, CAST(priority AS BIGINT)
-         |         AS priority
-         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
-         |                                   ORDER BY priority, doc_id) AS rk
-         |      FROM keyed)
-         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
-
-    "q_mad_outliers" ->
-      s"""WITH med AS (
-         |  SELECT lang, quantile_cont(n_chars, 0.5) AS med,
-         |         count(*) AS n_docs
-         |  FROM documents GROUP BY 1),
-         |dev AS (
-         |  SELECT d.lang, m.med, m.n_docs,
-         |         abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
-         |  FROM documents d JOIN med m USING (lang)),
-         |mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
-         |        FROM dev GROUP BY 1)
-         |SELECT dev.lang, CAST(min(n_docs) AS BIGINT) AS n_docs,
-         |       ${r4("min(med)")} AS median_chars,
-         |       ${r4("min(mad.mad)")} AS mad_chars,
-         |       CAST(sum(CASE WHEN adev > 2.0*mad.mad THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_outliers
-         |FROM dev JOIN mad USING (lang)
-         |GROUP BY 1 ORDER BY lang""".stripMargin,
-
-    // cd-prefixed CTEs (disjoint from the ANN chains); same 1e-9 /
-    // 1e-12 fixed-point discipline as the centroid oracles.
-    "q_embed_centroid_drift" ->
-      s"""WITH cde AS (
-         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-         |         CASE WHEN vec_id % 10 < 8 THEN 'train'
-         |              ELSE 'holdout' END AS split,
-         |         i, CAST(embedding[i] AS DOUBLE) AS v
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
-         |cdc AS (
-         |  SELECT label, split, i,
-         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
-         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
-         |  FROM cde GROUP BY 1, 2, 3),
-         |cdn AS (
-         |  SELECT CAST(label AS BIGINT) AS label,
-         |         CASE WHEN vec_id % 10 < 8 THEN 'train'
-         |              ELSE 'holdout' END AS split,
-         |         count(*) AS n
-         |  FROM embeddings GROUP BY 1, 2),
-         |cdd AS (
-         |  SELECT a.label,
-         |         CAST(sum(CAST(floor((a.cv-b.cv)*(a.cv-b.cv)
-         |                             *1000000000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE) / 1000000000000.0 AS ss
-         |  FROM cdc a JOIN cdc b ON a.label = b.label AND a.i = b.i
-         |  WHERE a.split = 'train' AND b.split = 'holdout'
-         |  GROUP BY 1)
-         |SELECT d.label, nt.n AS n_train, nh.n AS n_holdout,
-         |       ${r4("sqrt(ss)")} AS drift
-         |FROM cdd d
-         |JOIN cdn nt ON nt.label = d.label AND nt.split = 'train'
-         |JOIN cdn nh ON nh.label = d.label AND nh.split = 'holdout'
-         |ORDER BY d.label""".stripMargin,
-
-    // Composes the quality CTEs with the shared dup-signature
-    // constant — the two scored paths agree on both definitions.
-    "q_dup_quality_xtab" ->
-      s"""WITH $qualityCtes,
-         |$dupSigSql,
-         |dcnt AS (SELECT sig, count(*) AS cnt FROM nsig GROUP BY 1),
-         |m AS (
-         |  SELECT n.doc_id,
-         |         CAST(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END AS BIGINT)
-         |           AS is_dup
-         |  FROM nsig n JOIN dcnt d USING (sig)),
-         |x AS (
-         |  SELECT m.is_dup,
-         |         CAST(least(floor(q.quality * 10), 9.0) AS BIGINT)
-         |           AS q_band,
-         |         q.n_chars
-         |  FROM quals q JOIN m ON m.doc_id = q.doc_id)
-         |SELECT is_dup, q_band, count(*) AS n_docs,
-         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // All candidate pairs exact-rescored, stratified by band count —
-    // precision per stratum from the same candSql chain the recall
-    // oracle replays.
-    "q_lsh_precision" ->
-      s"""WITH $candSql,
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
-         |com AS (
-         |  SELECT c.d1, c.d2, count(*) AS common
-         |  FROM cand c
-         |  JOIN ds a  ON a.doc_id = c.d1
-         |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
-         |  GROUP BY 1, 2),
-         |jac AS (
-         |  SELECT c.bands,
-         |         ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
-              "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
-         |           AS jaccard
-         |  FROM cand c
-         |  JOIN sizes s1 ON s1.doc_id = c.d1
-         |  JOIN sizes s2 ON s2.doc_id = c.d2
-         |  LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2)
-         |SELECT bands, count(*) AS n_cand,
-         |       CAST(sum(CASE WHEN jaccard >= $LshRecallThresh THEN 1
-         |                     ELSE 0 END) AS BIGINT) AS n_true,
-         |       ${r4("CAST(sum(CASE WHEN jaccard >= " + LshRecallThresh +
-              " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS precision
-         |FROM jac GROUP BY 1 ORDER BY bands""".stripMargin,
-
-    "q_vocab_growth" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |fs AS (
-         |  SELECT shingle, min(doc_id) AS first_doc
-         |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles)
-         |  GROUP BY 1),
-         |b AS (
-         |  SELECT first_doc // 50 AS bucket, count(*) AS new_types
-         |  FROM fs GROUP BY 1)
-         |SELECT bucket, new_types,
-         |       CAST(sum(new_types) OVER (ORDER BY bucket
-         |                                 ROWS BETWEEN UNBOUNDED PRECEDING
-         |                                 AND CURRENT ROW) AS BIGINT)
-         |         AS cum_types
-         |FROM b ORDER BY bucket""".stripMargin,
-
-    "q_dedup_consensus" ->
-      s"""WITH $dupSigSql,
-         |$candSql,
-         |ex AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM nsig a JOIN nsig b
-         |    ON a.sig = b.sig AND a.doc_id < b.doc_id),
-         |mh AS (SELECT d1, d2 FROM cand WHERE bands >= 2)
-         |SELECT coalesce(e.d1, m.d1) AS d1, coalesce(e.d2, m.d2) AS d2,
-         |       CAST(CASE WHEN e.d1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
-         |         AS m_exact,
-         |       CAST(CASE WHEN m.d1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
-         |         AS m_minhash,
-         |       CAST((CASE WHEN e.d1 IS NULL THEN 0 ELSE 1 END) +
-         |            (CASE WHEN m.d1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-         |         AS n_methods
-         |FROM ex e FULL OUTER JOIN mh m ON m.d1 = e.d1 AND m.d2 = e.d2
-         |ORDER BY d1, d2""".stripMargin,
-
-    "q_boilerplate_ngrams" ->
-      s"""WITH ${Dedup.shinglesSql},
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |dfs AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1)
-         |SELECT shingle, df,
-         |       CAST(CASE WHEN df > $LeakDfCap THEN 1 ELSE 0 END AS BIGINT)
-         |         AS over_cap
-         |FROM dfs ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
-
-    "q_feature_hashing" -> {
-      val b = PortableHash.spreadSql(PortableHash.hSql("token"))
-      val cells = (0 until 16).map(i =>
-        s"CAST(count(*) FILTER (($b) % 16 = $i) AS BIGINT) AS f$i")
-          .mkString(",\n       ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM documents)
-         |SELECT doc_id,
-         |       $cells
-         |FROM toks GROUP BY 1 ORDER BY doc_id""".stripMargin
-    },
-
-    // The direct full-table summary — equality with the engine's
-    // base+delta merge IS the MV-maintenance invariant.
-    "q_mv_merge" ->
-      s"""SELECT source, lang, count(*) AS n_docs,
-         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         |       CAST(sum(${PortableHash.spreadSql(
-                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
-         |FROM documents
-         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
-
-    // Direct recompute over the post-change corpus (survivors + the
-    // derived inserts) — equality with the engine's signed-partial
-    // merge IS the retraction invariant.
-    "q_mv_retract" ->
-      s"""WITH v2 AS (
-         |  SELECT source, lang, text, n_chars FROM documents
-         |  WHERE doc_id % 13 <> 2
-         |  UNION ALL
-         |  SELECT source, lang, text || ' [ins]' AS text,
-         |         CAST(length(text || ' [ins]') AS BIGINT) AS n_chars
-         |  FROM documents WHERE doc_id % 10 = 7)
-         |SELECT source, lang, count(*) AS n_docs,
-         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         |       CAST(sum(${PortableHash.spreadSql(
-                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
-         |FROM v2
-         |GROUP BY 1, 2 HAVING count(*) > 0
-         |ORDER BY source, lang""".stripMargin,
-
-    "q_table_diff" ->
-      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
-        |v2 AS (
-        |  SELECT doc_id, source,
-        |         CASE WHEN doc_id % 17 = 3 THEN text || ' [rev2]'
-        |              ELSE text END AS text
-        |  FROM v1 WHERE doc_id % 31 != 5
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, source, text FROM v1
-        |  WHERE doc_id % 23 = 7),
-        |j AS (
-        |  SELECT coalesce(a.source, b.source) AS source,
-        |         CASE WHEN a.doc_id IS NULL THEN 'added'
-        |              WHEN b.doc_id IS NULL THEN 'removed'
-        |              WHEN a.text != b.text THEN 'changed'
-        |              ELSE 'unchanged' END AS status
-        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
-        |SELECT source, status, count(*) AS n
-        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
-
-    "q_graph_degrees" ->
-      s"""WITH $candSql,
-         |ends AS (
-         |  SELECT d1 AS doc_id FROM cand
-         |  UNION ALL SELECT d2 FROM cand),
-         |deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
-         |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc,
-         |       max(doc_id) AS max_doc
-         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
-
-    // Sparse cosine: the same DF-capped postings self-join; integer
-    // numerator/norms, one r4 division at the end.
-    "q_doc_similarity" -> Oracle.mat(
-      s"""WITH ${Dedup.shinglesSql},
-         |posts AS (
-         |  SELECT doc_id, shingle AS w, count(*) AS tf
-         |  FROM shingles GROUP BY 1, 2),
-         |dfok AS (
-         |  SELECT w FROM posts GROUP BY 1 HAVING count(*) <= 30),
-         |capped AS (
-         |  SELECT p.doc_id, p.w, p.tf FROM posts p
-         |  JOIN dfok f ON p.w = f.w),
-         |norms AS (
-         |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS nsq
-         |  FROM capped GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |         CAST(sum(a.tf*b.tf) AS BIGINT) AS num,
-         |         count(*) AS n_shared
-         |  FROM capped a JOIN capped b
-         |    ON a.w = b.w AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2 HAVING count(*) >= 2)
-         |SELECT p.d1, p.d2, p.num, p.n_shared,
-         |       ${r4("CAST(p.num AS DOUBLE) / " +
-              "(sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))")}
-         |         AS cos_sim
-         |FROM pairs p
-         |JOIN norms x ON x.doc_id = p.d1
-         |JOIN norms y ON y.doc_id = p.d2
-         |ORDER BY cos_sim DESC, p.d1, p.d2""".stripMargin),
-
-    // Link prediction: the same capped wedge join + anti join,
-    // materialized (sym/viamid feed multiple references).
-    "q_link_prediction" -> Oracle.mat(
-      s"""WITH $candSql,
-         |e AS (SELECT d1, d2 FROM cand),
-         |sym AS (
-         |  SELECT d1 AS src, d2 AS dst FROM e
-         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM e),
-         |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1),
-         |hubok AS (SELECT src AS mid FROM deg WHERE dg <= 50),
-         |viamid AS (
-         |  SELECT s.src, s.dst AS mid FROM sym s
-         |  JOIN hubok h ON s.dst = h.mid),
-         |wedges AS (
-         |  SELECT a.src AS d1, b.src AS d2, count(*) AS common
-         |  FROM viamid a JOIN viamid b
-         |    ON a.mid = b.mid AND a.src < b.src
-         |  GROUP BY 1, 2 HAVING count(*) >= 2)
-         |SELECT w.d1, w.d2, w.common FROM wedges w
-         |LEFT JOIN e ON e.d1 = w.d1 AND e.d2 = w.d2
-         |WHERE e.d1 IS NULL
-         |ORDER BY w.common DESC, w.d1, w.d2""".stripMargin),
-
-    // 2-core: the same four peel rounds replayed as CTE levels. Every
-    // round-level CTE is MATERIALIZED — each is referenced three
-    // times by the next level, and DuckDB's default CTE inlining
-    // would otherwise expand the replay tree exponentially in rounds
-    // (3⁴ copies of the candidate build; the un-hinted form exhausts
-    // file handles before it exhausts patience).
-    // LPA replay: every synchronous round's vote table (neighbor
-    // labels + self-vote), majority with (count DESC, label ASC)
-    // tie-break, under mat() — each round reads its predecessor
-    // twice.
-    "q_graph_communities" -> Oracle.mat({
-      def round(r: Int): String =
-        s"""lp$r AS (
-           |  SELECT v, lbl FROM (
-           |    SELECT v, lbl,
-           |           row_number() OVER (PARTITION BY v
-           |                  ORDER BY c DESC, lbl) AS rn
-           |    FROM (
-           |      SELECT v, lbl, count(*) AS c FROM (
-           |        SELECT s.v, l.lbl
-           |        FROM lsym s JOIN lp${r - 1} l ON l.v = s.n
-           |        UNION ALL
-           |        SELECT v, lbl FROM lp${r - 1})
-           |      GROUP BY 1, 2))
-           |  WHERE rn = 1)""".stripMargin
-      s"""WITH $candSql,
-         |lsym AS (SELECT d1 AS v, d2 AS n FROM cand
-         |         UNION ALL
-         |         SELECT d2 AS v, d1 AS n FROM cand),
-         |lp0 AS (SELECT DISTINCT v, v AS lbl FROM lsym),
-         |${(1 to 4).map(round).mkString(",\n")},
-         |lsz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csz
-         |        FROM lp4 GROUP BY 1)
-         |SELECT l.v AS doc_id, l.lbl AS community, z.csz
-         |FROM lp4 l JOIN lsz z USING (lbl)
-         |ORDER BY doc_id""".stripMargin
-    }),
-
-    "q_graph_kcore" ->
-      s"""WITH $candSql,
-         |r0 AS MATERIALIZED (SELECT d1, d2 FROM cand),
-         |g1 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
-         |  SELECT d1 AS v FROM r0 UNION ALL SELECT d2 FROM r0)
-         |  GROUP BY 1),
-         |k1 AS (SELECT v FROM g1 WHERE c >= 2),
-         |r1 AS MATERIALIZED (SELECT r0.d1, r0.d2 FROM r0
-         |  JOIN k1 a ON r0.d1 = a.v JOIN k1 b ON r0.d2 = b.v),
-         |g2 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
-         |  SELECT d1 AS v FROM r1 UNION ALL SELECT d2 FROM r1)
-         |  GROUP BY 1),
-         |k2 AS (SELECT v FROM g2 WHERE c >= 2),
-         |r2 AS MATERIALIZED (SELECT r1.d1, r1.d2 FROM r1
-         |  JOIN k2 a ON r1.d1 = a.v JOIN k2 b ON r1.d2 = b.v),
-         |g3 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
-         |  SELECT d1 AS v FROM r2 UNION ALL SELECT d2 FROM r2)
-         |  GROUP BY 1),
-         |k3 AS (SELECT v FROM g3 WHERE c >= 2),
-         |r3 AS MATERIALIZED (SELECT r2.d1, r2.d2 FROM r2
-         |  JOIN k3 a ON r2.d1 = a.v JOIN k3 b ON r2.d2 = b.v),
-         |g4 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
-         |  SELECT d1 AS v FROM r3 UNION ALL SELECT d2 FROM r3)
-         |  GROUP BY 1),
-         |k4 AS (SELECT v FROM g4 WHERE c >= 2),
-         |r4 AS MATERIALIZED (SELECT r3.d1, r3.d2 FROM r3
-         |  JOIN k4 a ON r3.d1 = a.v JOIN k4 b ON r3.d2 = b.v)
-         |SELECT doc_id, count(*) AS degree FROM (
-         |  SELECT d1 AS doc_id FROM r4 UNION ALL SELECT d2 FROM r4)
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-    // The parquet-side summary: if the engine's ORC write→read path
-    // preserved every row and byte, the two sides agree.
-    "q_orc_roundtrip" ->
-      s"""SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
-         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-         |       CAST(sum(${PortableHash.spreadSql(
-                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
-         |FROM documents
-         |GROUP BY 1 ORDER BY lang""".stripMargin
-  )
+  ) ++ ExtServingOracles.oracles
 
   /** One frontier leg: a recall twin's FULL oracle text as a derived
     * table (its own WITH scope, so the graph and HNSW legs' identical
     * core CTE names never collide), aggregated to one priced row. */
-  private def frontierLeg(v: String, q: String): String =
+  private[ext] def frontierLeg(v: String, q: String): String =
     s"""SELECT '$v' AS variant,
        |       CAST(count(*) AS BIGINT) AS n_queries,
        |       CAST(sum(n_hits) AS BIGINT) AS n_hits,

@@ -1,0 +1,1933 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, PortableHash}
+import graft.io.Sources
+import graft.rel.Oracle
+import graft.rel.Oracle.r4
+import graft.core.Cache
+import graft.streaming.StreamOps
+import ExtQueries._
+
+/** Oracle twins for the serving/acceptance slice — split from
+  * ExtQueries's oraclesBase along the same seam. The CTE builders
+  * (ivfRankedCtes, graphAnnCtes, kmeans/pq chains, panelCte, ...)
+  * remain in [[ExtQueries]] as `private[ext]` and are imported
+  * wholesale, so every oracle text is byte-identical to round 11's.
+  */
+object ExtServingOracles {
+  val oracles: Map[String, String] = Map(
+    // IVF ANN replay: same fixed-point per-term snapping as the Spark
+    // side; `acos` scores every (vector, cell) once and serves BOTH
+    // the build-side assignment (argmax per vector) and the probe side
+    // (top-nProbe per query vector), exactly as ivfTopK computes them.
+    "q_ann_ivf" ->
+      s"""WITH $ivfRankedCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // The same serving replay with the quantizer TRAINED ON THE BASE
+    // slice only (vec_id % 10 <> 9) — assignment and serving still
+    // cover the full corpus, which is precisely the incremental
+    // append's semantics.
+    "q_ann_incremental" ->
+      s"""WITH ${ivfRankedCtesCent("vec_id % 10 <> 9")}
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // Recall@3 of the 2-probe IVF vs exact ground truth: the IVF side
+    // is the identical `ranked` replay as q_ann_ivf; the exact side
+    // brute-forces every (query, vector) pair through the same
+    // fixed-point dot/norm chain and ranks with the same tiebreak.
+    "q_ann_recall" ->
+      s"""WITH $ivfRankedCtes,
+         |ivf AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
+         |$exactTop3Ctes,
+         |${recallTail("ivf")}""".stripMargin,
+
+    // Truncated-dimension recall: the served side is the same
+    // brute-force chain over the i <= 16 prefix of the exploded
+    // vectors; exact side and tail shared with the other recall
+    // twins.
+    "q_ann_truncated_recall" -> Oracle.mat(
+      s"""WITH expl AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |enorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
+         |           AS en
+         |  FROM expl GROUP BY 1),
+         |texpl AS (SELECT vec_id, i, v FROM expl WHERE i <= 16),
+         |tnorm AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(v*v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
+         |           AS en
+         |  FROM texpl GROUP BY 1),
+         |tdots AS (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
+         |           AS dot
+         |  FROM texpl q JOIN texpl e ON e.i = q.i
+         |  WHERE q.vec_id % 50 = 0
+         |  GROUP BY 1, 2),
+         |tscored AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ${r4("CASE WHEN sqrt(nq.en)*sqrt(ne.en) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nq.en)*sqrt(ne.en)) END")} AS cos_sim
+         |  FROM tdots d
+         |  JOIN tnorm nq ON nq.vec_id = d.qid
+         |  JOIN tnorm ne ON ne.vec_id = d.vec_id),
+         |tserved AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim DESC, vec_id) AS trn
+         |    FROM tscored) WHERE trn <= 3),
+         |$exactTop3Ctes,
+         |${recallTail("tserved")}""".stripMargin),
+
+    // Recall@3 of the COMPOSED IVF-PQ stack vs exact ground truth —
+    // the acceptance measurement for the compressed serving path
+    // (compression must cost bounded recall, and this query measures
+    // exactly what it costs on this corpus). Same exact side and
+    // recall tail as q_ann_recall; the served side is the full
+    // IVF-shortlist → ADC-rerank replay.
+    "q_ann_ivf_pq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |served AS (SELECT qid, vec_id FROM reranked WHERE rn <= 3),
+         |$exactTop3Ctes,
+         |${recallTail("served")}""".stripMargin,
+
+    // IVF shortlist (top 10 by exact cosine) re-ranked by cosine over
+    // DEQUANTIZED int8 vectors (VectorSearch.sqRerank): the compressed
+    // serving path, replayed CTE for CTE (quantizer train + encode +
+    // dequantize + fixed-point dot). Chain shared with the recall
+    // twin via [[sqChainCtes]].
+    "q_ann_sq_rerank" ->
+      s"""WITH $ivfRankedCtes,
+         |$sqChainCtes
+         |SELECT qid, vec_id, sq_cos, rn
+         |FROM sq_ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // Recall@3 of the SQ path: same served chain as q_ann_sq_rerank
+    // (shared sqChainCtes — the measurement can never drift from the
+    // serving path), same exact side and tail as the IVF/PQ recall
+    // twins.
+    "q_ann_sq_recall" ->
+      s"""WITH $ivfRankedCtes,
+         |$sqChainCtes,
+         |served AS (SELECT qid, vec_id FROM sq_ranked WHERE rn <= 3),
+         |$exactTop3Ctes,
+         |${recallTail("served")}""".stripMargin,
+
+    "q_dataset_mix" -> {
+      val (copiesExpr, _) = Sampling.weightedMixSql(
+        "source", "CAST(doc_id AS VARCHAR)", MixRates, defaultRate = 1.0)
+      s"""WITH gated AS (
+         |  SELECT doc_id, source, $copiesExpr AS n_copies FROM documents)
+         |SELECT doc_id, source,
+         |       unnest(generate_series(1, n_copies)) AS copy_id
+         |FROM gated WHERE n_copies > 0
+         |ORDER BY doc_id, copy_id""".stripMargin
+    },
+
+    "q_ann_kmeans" -> kmeansIvfOracle(k = 8, iters = 2),
+
+    "q_ann_filtered" -> kmeansIvfOracle(k = 8, iters = 2,
+      labelFiltered = true),
+
+    // Acceptance pair for the filtered path: recall@3 of the filtered
+    // IVF serve vs the filtered exact ground truth — the same
+    // discipline every other serving variant carries (IVF, IVF-PQ,
+    // SQ). Both sides share the kmeans chain's expl/enorm and apply
+    // the IDENTICAL label constraint.
+    "q_ann_filtered_recall" ->
+      s"""WITH ${kmeansIvfChain(k = 8, iters = 2, labelFiltered = true)},
+         |fserved AS (SELECT qid, vec_id FROM ranked WHERE rn <= 3),
+         |$exactTop3FilteredCtes,
+         |${recallTail("fserved")}""".stripMargin,
+
+    "q_semdedup" -> semDedupOracle(k = 8, iters = 2,
+      tau = SemTau, cap = SemCellCap, ksub = SemSubK),
+
+    "q_embed_pca_power" -> pcaPowerOracle(iters = 2),
+
+    "q_embed_stats" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000000.0
+         |              + 0.5) AS BIGINT) AS vfx
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i))
+         |SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+         |       ${r4("CAST(sum(vfx) AS DOUBLE)/count(*)/1000000000.0")}
+         |         AS mean,
+         |       ${r4("CAST(min(vfx) AS DOUBLE)/1000000000.0")} AS min_v,
+         |       ${r4("CAST(max(vfx) AS DOUBLE)/1000000000.0")} AS max_v,
+         |       CAST(sum(CASE WHEN vfx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_zero
+         |FROM expl GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    "q_ann_pq" -> pqAdcOracle(
+      m = VectorSearch.PqSubspaces, dsub = VectorSearch.PqSubDim,
+      ksub = VectorSearch.PqCodes, iters = VectorSearch.PqIters),
+
+    // IVF-PQ composition: the IVF replay (identical `ranked` chain as
+    // q_ann_ivf) cut to a 10-candidate shortlist, re-scored by the PQ
+    // replay's codes/distance tables (identical chain as q_ann_pq) —
+    // CTE names are disjoint by construction (expl/cent/… vs
+    // sexpl/cent0/…), so the two replays compose verbatim.
+    "q_ann_ivf_pq" ->
+      s"""WITH $ivfPqCtes
+         |SELECT qid, vec_id, adist, rn
+         |FROM reranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // The persisted-index serve must answer EXACTLY like the
+    // in-session stack — same oracle text as q_ann_ivf_pq, which is
+    // the whole point: a parquet roundtrip of the artifacts may not
+    // change a single served cell.
+    "q_ann_persist" ->
+      s"""WITH $ivfPqCtes
+         |SELECT qid, vec_id, adist, rn
+         |FROM reranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // c-TF-IDF topics: the k-means replay (shared chain, assign2 =
+    // final assignment) joined to the corpus term frequencies; the
+    // score's log2 decomposes into two integer-log2 table lookups so
+    // every emitted cell is BIGINT-exact.
+    "q_cluster_topics" -> Oracle.mat(
+      s"""WITH ${kmeansAssignCtes(k = 8, iters = 2)},
+         |ttf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |cassign AS (SELECT vec_id AS doc_id, cell_id FROM assign2),
+         |cctf AS (
+         |  SELECT a.cell_id, t.w, CAST(sum(t.tf) AS BIGINT) AS ctf
+         |  FROM ttf t JOIN cassign a USING (doc_id) GROUP BY 1, 2),
+         |cft AS (SELECT w, CAST(sum(ctf) AS BIGINT) AS ft
+         |        FROM cctf GROUP BY 1),
+         |ctot AS (SELECT CAST(sum(tf) AS BIGINT) // 8 AS a_tok FROM ttf),
+         |cscore AS (
+         |  SELECT c.cell_id, c.w, c.ctf, f.ft,
+         |         CAST(c.ctf * (${LmScore.log2FxSql("f.ft + t.a_tok")}
+         |           - ${LmScore.log2FxSql("f.ft")}) AS BIGINT) AS score_fx
+         |  FROM cctf c JOIN cft f USING (w) CROSS JOIN ctot t)
+         |SELECT cell_id, w AS term, ctf, ft, score_fx, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY cell_id
+         |                 ORDER BY score_fx DESC, w) AS BIGINT) AS rn
+         |  FROM cscore)
+         |WHERE rn <= 5 ORDER BY cell_id, rn""".stripMargin),
+
+    // Graph-ANN serve: graph build + all three beam rounds replayed
+    // as CTEs (mat()'d — each round references its predecessor twice,
+    // the exponential-inlining trap Oracle.mat exists for).
+    "q_ann_graph" -> Oracle.mat(
+      s"""WITH $graphAnnCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM gserved ORDER BY qid, rn""".stripMargin),
+
+    // HNSW serve: both layers' graph builds and every beam round of
+    // the descent replayed as MATERIALIZED CTEs.
+    "q_ann_hnsw" -> Oracle.mat(
+      s"""WITH $hnswCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM hserved ORDER BY qid, rn""".stripMargin),
+
+    // The reloaded-index graph serve must answer EXACTLY like the
+    // session-built one — q_ann_graph's oracle verbatim (the
+    // q_ann_persist discipline, traversal family).
+    "q_ann_graph_persist" -> Oracle.mat(
+      s"""WITH $graphAnnCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM gserved ORDER BY qid, rn""".stripMargin),
+
+    // Reloaded-index HNSW descent: q_ann_hnsw's oracle verbatim.
+    "q_ann_hnsw_persist" -> Oracle.mat(
+      s"""WITH $hnswCtes
+         |SELECT qid, vec_id, cos_sim, rn
+         |FROM hserved ORDER BY qid, rn""".stripMargin),
+
+    // HNSW recall@3 against the shared brute-force truth table,
+    // restricted to the fixed seeded query panel (the engine serves
+    // and truths ONLY panel queries; per-qid independence makes the
+    // restriction value-preserving).
+    "q_ann_hnsw_recall" -> Oracle.mat(
+      s"""WITH $hnswCtes,
+         |$panelCte,
+         |hexact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.qid
+         |                  ORDER BY s.cos_sim DESC, s.vec_id) AS ern
+         |    FROM gscore s JOIN panel ON panel.pqid = s.qid)
+         |  WHERE ern <= 3),
+         |hhits AS (
+         |  SELECT x.qid,
+         |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_hits
+         |  FROM hexact x
+         |  LEFT JOIN hserved s ON s.qid = x.qid AND s.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT qid, n_hits,
+         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
+         |FROM hhits ORDER BY qid""".stripMargin),
+
+    // Graph-ANN recall@3: gscore doubles as the exact ground truth
+    // (it IS the brute-force score table), so served and exact share
+    // every constant by construction.
+    "q_ann_graph_recall" -> Oracle.mat(
+      s"""WITH $graphAnnCtes,
+         |$panelCte,
+         |gexact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.qid
+         |                  ORDER BY s.cos_sim DESC, s.vec_id) AS ern
+         |    FROM gscore s JOIN panel ON panel.pqid = s.qid)
+         |  WHERE ern <= 3),
+         |ghits AS (
+         |  SELECT x.qid,
+         |         CAST(sum(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_hits
+         |  FROM gexact x
+         |  LEFT JOIN gserved s ON s.qid = x.qid AND s.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT qid, n_hits,
+         |       ${r4("CAST(n_hits AS DOUBLE) / 3.0")} AS recall
+         |FROM ghits ORDER BY qid""".stripMargin),
+
+    // Derived-property oracle for the ALS path (see the query's
+    // comment): the properties hold for ANY correct top-5
+    // recommendation output, so the oracle states them as constants
+    // over the exact user set ALS trains on.
+    "q_als_recommend" ->
+      s"""WITH ${graft.io.Sources.ratingsSql},
+         |users AS (SELECT DISTINCT user_id FROM ratings)
+         |SELECT user_id,
+         |       CAST(5 AS BIGINT) AS n_recs,
+         |       CAST(1 AS BIGINT) AS rn_min,
+         |       CAST(5 AS BIGINT) AS rn_max,
+         |       CAST(15 AS BIGINT) AS rn_sum,
+         |       CAST(0 AS BIGINT) AS mono_violations,
+         |       CAST(0 AS BIGINT) AS nan_scores,
+         |       CAST(0 AS BIGINT) AS unknown_items
+         |FROM users ORDER BY user_id""".stripMargin,
+
+    "q_id_dictionary" ->
+      s"""WITH ${graft.io.Sources.ratingsSql},
+         |keys AS (
+         |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS key
+         |  FROM ratings)
+         |SELECT key,
+         |       CAST(row_number() OVER (ORDER BY key) - 1 AS INTEGER) AS idx
+         |FROM keys ORDER BY key""".stripMargin,
+
+    "q_hash_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Sampling.hashSampleSql("CAST(doc_id AS VARCHAR)", 10.0)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id,
+         |         row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${graft.core.PortableHash.spreadSql(
+                       graft.core.PortableHash.hSql("CAST(doc_id AS VARCHAR)"))},
+         |                    CAST(doc_id AS VARCHAR)) AS sample_rank
+         |  FROM documents)
+         |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM ranked WHERE sample_rank <= 20
+         |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |base AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 10 <> 7),
+         |b AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 10 = 7)
+         |SELECT b.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN base.shingle IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       ${r4("CAST(sum(CASE WHEN base.shingle IS NULL THEN 1 " +
+              "ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty
+         |FROM b LEFT JOIN base ON base.shingle = b.shingle
+         |GROUP BY 1 ORDER BY b.doc_id""".stripMargin,
+
+    // Element-at-rank replay: row_number over each split's sorted
+    // lengths, picked at (n·k)//8 — the value at a rank is tie-order
+    // independent, so the window's tie behavior cannot matter.
+    // PSI replayed: same buckets, +1 smoothing, S-scaled shares and
+    // integer log2 of the cross products.
+    "q_psi_drift" -> {
+      val S = LmScore.LogScale
+      s"""WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+         |b AS (
+         |  SELECT (n_chars * 10) // (mx + 1) AS bucket,
+         |         doc_id % 2 = 0 AS is_ref
+         |  FROM documents CROSS JOIN mx),
+         |g AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS r0,
+         |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+         |           AS c0
+         |  FROM b GROUP BY 1),
+         |counts AS (
+         |  SELECT k.bucket,
+         |         coalesce(r0, 0) + 1 AS n_ref,
+         |         coalesce(c0, 0) + 1 AS n_cur
+         |  FROM (SELECT unnest(range(0, 10)) AS bucket) k
+         |  LEFT JOIN g ON g.bucket = k.bucket),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+         |               CAST(sum(n_cur) AS BIGINT) AS tc FROM counts),
+         |terms AS (
+         |  SELECT bucket, n_ref, n_cur,
+         |         ((n_ref * $S) // tr - (n_cur * $S) // tc) *
+         |           (${LmScore.log2FxSql("n_ref * tc")} -
+         |            ${LmScore.log2FxSql("n_cur * tr")}) AS psi_term_fx
+         |  FROM counts CROSS JOIN tot)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+         |       CAST(psi_term_fx AS BIGINT) AS psi_term_fx,
+         |       ${r4(s"CAST(psi_term_fx AS DOUBLE) / (${S}.0 * ${S}.0)")}
+         |         AS psi_term_bits
+         |FROM terms ORDER BY bucket""".stripMargin
+    },
+
+    "q_quantile_drift" -> {
+      val gate = PortableHash.spreadSql(
+        PortableHash.hSql("CAST(doc_id AS VARCHAR)"))
+      s"""WITH gated AS (
+         |  SELECT n_chars,
+         |         CASE WHEN $gate < 500000 THEN 'train' ELSE 'hold' END
+         |           AS split
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT split, n_chars,
+         |         row_number() OVER (PARTITION BY split
+         |                            ORDER BY n_chars) - 1 AS r,
+         |         count(*) OVER (PARTITION BY split) AS n
+         |  FROM gated),
+         |ks AS (SELECT unnest(range(1, 8)) AS k),
+         |p AS (
+         |  SELECT ks.k, r.split, r.n_chars
+         |  FROM ks JOIN ranked r ON r.r = (r.n * ks.k) // 8)
+         |SELECT k,
+         |       max(CASE WHEN split = 'train' THEN n_chars END) AS train_v,
+         |       max(CASE WHEN split = 'hold' THEN n_chars END) AS hold_v,
+         |       abs(max(CASE WHEN split = 'train' THEN n_chars END) -
+         |           max(CASE WHEN split = 'hold' THEN n_chars END))
+         |         AS abs_diff
+         |FROM p GROUP BY 1 ORDER BY k""".stripMargin
+    },
+
+    "q_release_manifest" ->
+      s"""WITH assigned AS (
+         |  SELECT *, ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
+              SplitBands)} AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(len(list_filter(string_split(text, ' '),
+         |                x -> x <> ''))) AS BIGINT) AS n_tokens,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT)
+         |         AS content_fingerprint
+         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_split_assign" ->
+      s"""WITH assigned AS (
+         |  SELECT *, ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
+              SplitBands)} AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // ss is distinct, so count(*) == count(DISTINCT shingle) per pair.
+    "q_source_overlap" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ss AS (SELECT DISTINCT d.source, s.shingle
+         |       FROM shingles s JOIN documents d USING (doc_id))
+         |SELECT a.source AS s1, b.source AS s2,
+         |       count(*) AS shared_shingles
+         |FROM ss a JOIN ss b
+         |  ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
+
+    "q_decontaminate" -> decontamOracleSql,
+
+    // Bit-identical by construction: the Bloom pre-filter only prunes
+    // rows the exact join would drop anyway (FPs survive the filter,
+    // die in the join), so the exact-join oracle is THE oracle.
+    "q_decontaminate_bloom" -> decontamOracleSql,
+
+    // HRW replay: same portable-hash weights, both argmaxes as rank-1
+    // windows, same churn rollup.
+    "q_rendezvous_shards" -> {
+      val key = "CAST(d.doc_id AS VARCHAR) || ':' || " +
+        "CAST(s.shard AS VARCHAR)"
+      s"""WITH sh AS (SELECT unnest(range(0, 17)) AS shard),
+         |w AS (
+         |  SELECT d.doc_id, s.shard,
+         |         ${graft.core.PortableHash.spreadSql(
+              graft.core.PortableHash.hSql(key))} AS wgt
+         |  FROM documents d CROSS JOIN sh s),
+         |a16 AS (
+         |  SELECT doc_id, shard AS a16 FROM (
+         |    SELECT doc_id, shard,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                  ORDER BY wgt DESC, shard) AS rn
+         |    FROM w WHERE shard < 16) WHERE rn = 1),
+         |a17 AS (
+         |  SELECT doc_id, shard AS a17 FROM (
+         |    SELECT doc_id, shard,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                  ORDER BY wgt DESC, shard) AS rn
+         |    FROM w) WHERE rn = 1)
+         |SELECT a16 AS shard, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN a17 != a16 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_moved,
+         |       CAST(sum(CASE WHEN a17 != a16 AND a17 != 16
+         |                     THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_moved_elsewhere
+         |FROM a16 JOIN a17 USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // k-center replay: the full pairwise cosine table (the oracle
+    // may brute-force; the engine never does), the seed, every
+    // round's (min max-cos, vec_id) argmin, and the assignment.
+    "q_coreset_kcenter" -> Oracle.mat({
+      def round(r: Int): String =
+        s"""kmc$r AS (
+           |  SELECT c.a, max(c.cos_sim) AS mc
+           |  FROM kcos c JOIN ksel$r s ON s.cid = c.b
+           |  GROUP BY 1),
+           |ksel${r + 1} AS (
+           |  SELECT cid FROM ksel$r
+           |  UNION ALL
+           |  SELECT a AS cid FROM (
+           |    SELECT a, row_number() OVER (ORDER BY mc, a) AS rn
+           |    FROM kmc$r) WHERE rn = 1)""".stripMargin
+      s"""WITH kx AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |kn AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS nn
+         |  FROM kx GROUP BY 1),
+         |kd AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |         CAST(sum(CAST(floor(a.x*b.x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS dot
+         |  FROM kx a JOIN kx b ON b.i = a.i
+         |  GROUP BY 1, 2),
+         |kcos AS (
+         |  SELECT d.a, d.b,
+         |         ${r4("CASE WHEN sqrt(na.nn)*sqrt(nb.nn) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(na.nn)*sqrt(nb.nn)) END")} AS cos_sim
+         |  FROM kd d
+         |  JOIN kn na ON na.vec_id = d.a
+         |  JOIN kn nb ON nb.vec_id = d.b),
+         |ksel1 AS (SELECT min(vec_id) AS cid FROM embeddings),
+         |${(1 to 7).map(round).mkString(",\n")}
+         |SELECT a AS vec_id, b AS center_id, cos_sim FROM (
+         |  SELECT c.a, c.b, c.cos_sim,
+         |         row_number() OVER (PARTITION BY c.a
+         |                ORDER BY c.cos_sim DESC, c.b) AS rn
+         |  FROM kcos c JOIN ksel8 s ON s.cid = c.b)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }),
+
+    // Semantic decontamination: per-corpus-vector argmax over the
+    // bench set (ties to the smaller bench_id, the struct-max twin),
+    // cosines through the same fixed-point pipeline as the ANN
+    // oracles.
+    "q_semantic_decontaminate" ->
+      s"""WITH sx AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |sn AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS nn
+         |  FROM sx GROUP BY 1),
+         |sd AS (
+         |  SELECT c.vec_id, b.vec_id AS bench_id,
+         |         CAST(sum(CAST(floor(c.x*b.x*1000000000000.0 + 0.5)
+         |                       AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS dot
+         |  FROM sx c JOIN sx b ON b.i = c.i AND b.vec_id % 20 = 0
+         |  WHERE c.vec_id % 20 != 0
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT d.vec_id, d.bench_id,
+         |         ${r4("CASE WHEN sqrt(nc.nn)*sqrt(nb.nn) = 0.0 THEN 0.0 " +
+              "ELSE dot/(sqrt(nc.nn)*sqrt(nb.nn)) END")} AS cos_sim
+         |  FROM sd d
+         |  JOIN sn nc ON nc.vec_id = d.vec_id
+         |  JOIN sn nb ON nb.vec_id = d.bench_id)
+         |SELECT vec_id, bench_id, cos_sim,
+         |       CAST(CASE WHEN cos_sim >= 0.45 THEN 1 ELSE 0 END
+         |            AS BIGINT) AS contaminated
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cos_sim DESC, bench_id) AS rn
+         |      FROM sc)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // ds is distinct (doc_id, shingle) on both sides, so the HAVING
+    // count is the true document frequency.
+    "q_split_leakage" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |kept AS (SELECT shingle FROM ds
+         |         GROUP BY 1 HAVING count(*) <= $LeakDfCap),
+         |tagged AS (
+         |  SELECT doc_id, shingle,
+         |         ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
+              SplitBands)} AS split
+         |  FROM ds),
+         |train AS (
+         |  SELECT t.shingle, t.doc_id AS train_doc
+         |  FROM tagged t JOIN kept USING (shingle)
+         |  WHERE split = 'train'),
+         |holdout AS (
+         |  SELECT split, shingle, doc_id FROM tagged
+         |  WHERE split <> 'train')
+         |SELECT split, doc_id,
+         |       count(DISTINCT shingle) AS n_shared_shingles,
+         |       count(DISTINCT train_doc) AS n_train_docs
+         |FROM holdout JOIN train USING (shingle)
+         |GROUP BY 1, 2 ORDER BY split, doc_id""".stripMargin,
+
+    // The rank (0-based floor(0.1*n), spelled 1-based here) selects an
+    // ACTUAL quality element as the threshold — same bits both
+    // engines, ties kept by >=.
+    "q_quality_cut" ->
+      s"""WITH $qualityCtes,
+         |ranked AS (
+         |  SELECT doc_id, quality,
+         |         row_number() OVER (ORDER BY quality) AS rk,
+         |         count(*) OVER () AS n
+         |  FROM quals),
+         |thr AS (SELECT quality AS t FROM ranked
+         |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1)
+         |SELECT doc_id, quality FROM quals, thr
+         |WHERE quality >= t ORDER BY doc_id""".stripMargin,
+
+    // Kappa between the gopher keep flag and the p10 quality cut:
+    // both raters replayed from their own definitions, then the
+    // single-division integer form of the statistic.
+    "q_filter_kappa" ->
+      s"""WITH $qualityCtes,
+         |ranked AS (
+         |  SELECT doc_id, quality,
+         |         row_number() OVER (ORDER BY quality) AS rk,
+         |         count(*) OVER () AS n
+         |  FROM quals),
+         |thr AS (SELECT quality AS t FROM ranked
+         |        WHERE rk = CAST(floor(0.1 * n) AS BIGINT) + 1),
+         |r2t AS (
+         |  SELECT doc_id, CASE WHEN quality >= t THEN 1 ELSE 0 END AS r2
+         |  FROM quals, thr),
+         |gm AS (
+         |  SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n_words,
+         |         n_chars - CAST(len(w) AS BIGINT) + 1 AS sum_wlen,
+         |         CAST(len(list_filter(w, x -> len(x) <= 2)) AS BIGINT)
+         |           AS n_short,
+         |         CAST(list_contains(w, 'the') AS BIGINT)
+         |           + CAST(list_contains(w, 'a') AS BIGINT)
+         |           AS n_stop_kinds
+         |  FROM ws),
+         |r1t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_words BETWEEN 50 AND 100000
+         |               AND sum_wlen >= n_words * 4
+         |               AND sum_wlen <= n_words * 10
+         |               AND n_short * 20 <= n_words
+         |               AND n_stop_kinds >= 2
+         |              THEN 1 ELSE 0 END AS r1
+         |  FROM gm),
+         |cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(r1 * r2) AS BIGINT) AS n11,
+         |         CAST(sum(r1 * (1 - r2)) AS BIGINT) AS n10,
+         |         CAST(sum((1 - r1) * r2) AS BIGINT) AS n01,
+         |         CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+         |  FROM r1t JOIN r2t USING (doc_id))
+         |SELECT n, n11, n10, n01, n00, n11 + n00 AS n_agree,
+         |       ${r4("CAST(n*(n11+n00) - ((n11+n10)*(n11+n01)" +
+              " + (n01+n00)*(n10+n00)) AS DOUBLE)" +
+              " / CAST(n*n - ((n11+n10)*(n11+n01)" +
+              " + (n01+n00)*(n10+n00)) AS DOUBLE)")} AS kappa
+         |FROM cells""".stripMargin,
+
+    // Redaction order (email → ip → num) and the 'g' flag mirror the
+    // Column form exactly; counts + (len, hash) pin the redacted
+    // bytes without emitting the corpus.
+    "q_pii_redact" ->
+      s"""WITH enriched AS (
+         |  SELECT doc_id, ${TextAnalysis.piiEnrichSql} AS etext
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, etext,
+         |         regexp_replace(regexp_replace(regexp_replace(etext,
+         |           '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |           '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |           '${TextAnalysis.LongNumRe}', '<NUM>', 'g') AS rtext
+         |  FROM enriched)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(etext,
+         |         '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(etext,
+         |         '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(etext,
+         |         '${TextAnalysis.LongNumRe}')) AS BIGINT) AS n_longnums,
+         |       CAST(length(rtext) AS BIGINT) AS redacted_len,
+         |       CAST(${graft.core.PortableHash.hSql("rtext")} AS BIGINT)
+         |         AS redacted_hash
+         |FROM red ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""WITH starts AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0,
+         |           (length(text)-1)//${Packing.Stride})) AS chunk_id
+         |  FROM documents WHERE length(text) > 0),
+         |chunks AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         substr(text,
+         |           CAST(chunk_id*${Packing.Stride} + 1 AS BIGINT),
+         |           ${Packing.ChunkSize}) AS chunk
+         |  FROM starts)
+         |SELECT doc_id, chunk_id,
+         |       CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |       CAST(${graft.core.PortableHash.hSql("chunk")} AS BIGINT)
+         |         AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Token-budget chunking: list_slice over the same whitespace
+    // split, re-joined so the hash pins the exact chunk bytes.
+    "q_chunk_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE length(text) > 0),
+         |starts AS (
+         |  SELECT doc_id, w,
+         |         unnest(generate_series(0,
+         |           (len(w)-1)//${Packing.TokenStride})) AS chunk_id
+         |  FROM t),
+         |chunks AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |         array_to_string(list_slice(w,
+         |           chunk_id*${Packing.TokenStride} + 1,
+         |           chunk_id*${Packing.TokenStride} + ${Packing.TokenBudget}),
+         |           ' ') AS chunk,
+         |         len(list_slice(w,
+         |           chunk_id*${Packing.TokenStride} + 1,
+         |           chunk_id*${Packing.TokenStride} + ${Packing.TokenBudget}))
+         |           AS tok_len
+         |  FROM starts)
+         |SELECT doc_id, chunk_id,
+         |       CAST(tok_len AS BIGINT) AS tok_len,
+         |       CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |       CAST(${graft.core.PortableHash.hSql("chunk")} AS BIGINT)
+         |         AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Full BPE replay: the learn loop (capped vocab seed + per-merge
+    // pair-count/argmax/merge CTEs, AS MATERIALIZED so DuckDB doesn't
+    // re-inline the chain exponentially) feeds the apply chain (one
+    // replace CTE per learned merge over the per-doc word list), and
+    // the subword count is the `]`-count of the folded string — the
+    // exact twin of Bpe.docBpeCol. LEFT JOIN keeps any doc whose
+    // word list is empty at n_bpe = 0 (the Spark side's aggregate
+    // over an empty array).
+    "q_bpe_tokens" -> bpeTokensOracleSql,
+
+    // One oracle text, two engine paths (replace chain vs the
+    // rank-indexed kernel) — the kernel==chain contract, scored.
+    "q_bpe_tokens_kernel" -> bpeTokensOracleSql,
+
+    // Same learned table; the chunk cut is a per-doc window over the
+    // word-position order (exclusive running subword sum div budget).
+    "q_chunk_bpe" ->
+      s"""WITH ${Bpe.learnCtesSql()},
+         |wl AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |    x -> x <> '') AS ws
+         |  FROM documents),
+         |wp AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+         |  FROM wl),
+         |wsrc AS (SELECT doc_id, pos, ws[pos] AS w FROM wp),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id", "pos"))},
+         |perword AS (
+         |  SELECT doc_id, pos, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |off AS (
+         |  SELECT doc_id, c,
+         |         CAST(COALESCE(sum(c) OVER (PARTITION BY doc_id
+         |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM perword)
+         |SELECT doc_id, o // ${Bpe.BpeBudget} AS chunk_id,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(c) AS BIGINT) AS n_bpe
+         |FROM off GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q_pack_sequences' oracle with the token mass swapped to the
+    // replayed BPE counts (global-window prefix sum — single-reducer
+    // is fine for DuckDB at sf; the Spark side is the two-pass scan).
+    "q_pack_bpe" ->
+      s"""WITH ${Bpe.learnCtesSql()},
+         |wsrc AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
+         |perword AS (
+         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |t AS (
+         |  SELECT d.doc_id,
+         |         CAST(COALESCE(sum(p.c), 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN perword p USING (doc_id)
+         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |       tok_offset // ${Packing.BinCapacity} AS bin_first,
+         |       (tok_offset + n_tokens - 1) // ${Packing.BinCapacity}
+         |         AS bin_last,
+         |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
+         |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The replayed learn loop's per-step argmaxes, in merge order.
+    "q_bpe_vocab" ->
+      s"""WITH ${Bpe.learnCtesSql()}
+         |${(0 until Bpe.NumMerges).map(i =>
+              s"SELECT CAST(${i + 1} AS BIGINT) AS rank, a, b FROM b$i")
+              .mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY rank""".stripMargin,
+
+    // Same learned merge chain as q_bpe_tokens; the per-lang ratio is
+    // one double division over exact integer sums.
+    "q_bpe_fertility" ->
+      s"""WITH ${Bpe.learnCtesSql()},
+         |wsrc AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"))},
+         |perword AS (
+         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |         CAST(sum(c) AS BIGINT) AS n_bpe
+         |  FROM perword GROUP BY 1),
+         |j AS (
+         |  SELECT d.lang, COALESCE(p.n_ws, 0) AS n_ws,
+         |         COALESCE(p.n_bpe, 0) AS n_bpe
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_ws) AS BIGINT) AS n_words,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |       ${r4("CAST(sum(n_bpe) AS DOUBLE) / " +
+              "CAST(sum(n_ws) AS DOUBLE)")} AS fertility
+         |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // q_pack_sequences' token definition (unfiltered whitespace
+    // split, like the Spark side); integer ceil via (x + B-1) // B.
+    "q_pack_efficiency" -> {
+      val b = Packing.BinCapacity
+      s"""WITH t AS (
+         |  SELECT source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(((n_tok + ${b - 1}) // $b) * $b) AS BIGINT)
+         |           AS naive_padded
+         |  FROM t GROUP BY 1),
+         |p AS (
+         |  SELECT *, ((n_tokens + ${b - 1}) // $b) * $b AS packed_padded
+         |  FROM g)
+         |SELECT source, n_docs, n_tokens, naive_padded, packed_padded,
+         |       ${r4("CAST(naive_padded - n_tokens AS DOUBLE) / " +
+              "CAST(naive_padded AS DOUBLE)")} AS naive_waste,
+         |       ${r4("CAST(packed_padded - n_tokens AS DOUBLE) / " +
+              "CAST(packed_padded AS DOUBLE)")} AS packed_waste
+         |FROM p ORDER BY source""".stripMargin
+    },
+
+    // The oracle spells the prefix sum as a global window — fine for
+    // DuckDB at sf, single-reducer at 100 TB, which is exactly why
+    // the Spark side uses the two-pass scan instead (Packing
+    // scaladoc). Values agree because both are THE prefix sum over
+    // the same total order.
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |       tok_offset // ${Packing.BinCapacity} AS bin_first,
+         |       (tok_offset + n_tokens - 1) // ${Packing.BinCapacity}
+         |         AS bin_last,
+         |       ((tok_offset + n_tokens - 1) // ${Packing.BinCapacity})
+         |         - (tok_offset // ${Packing.BinCapacity}) + 1 AS n_bins
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Shard manifest: same hash order, window-replayed prefix sum
+    // (exact in DuckDB at this scale), same ⌊offset·N/T⌋ cut.
+    "q_shard_manifest" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(${PortableHash.hSql("CAST(doc_id AS VARCHAR)")}
+         |              AS BIGINT) AS h
+         |  FROM documents),
+         |k AS (SELECT doc_id, n_tokens, h * 16777216 + doc_id AS k2
+         |      FROM dt),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY k2
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_offset
+         |  FROM k),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM dt)
+         |SELECT least(tok_offset * 16 // t, 15) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |       CAST(sum(n_tokens) AS BIGINT) * 16 - max(t)
+         |         AS dev_from_ideal_xn
+         |FROM p, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DSIR: same hashed-bigram buckets, same integer-log2 pipeline;
+    // the corpus-total constant folds in as n_bigrams × (log2Fx(Tr+B)
+    // − log2Fx(Tt+B)), exactly as the engine does.
+    "q_dsir_weights" -> {
+      val cfx = s"(${LmScore.log2FxSql("t.tr + 1024")} - " +
+        s"${LmScore.log2FxSql("t.tt + 1024")})"
+      s"""WITH dws AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |dbg AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(w)),
+         |           i -> w[i] || ' ' || w[i+1])) AS bigram
+         |  FROM dws WHERE len(w) >= 2),
+         |dbk AS (
+         |  SELECT doc_id, lang,
+         |         (${PortableHash.hSql("bigram")}) % 1024 AS bkt
+         |  FROM dbg),
+         |drc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr
+         |        FROM dbk GROUP BY 1),
+         |dtc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct
+         |        FROM dbk WHERE lang = 'en' GROUP BY 1),
+         |dtot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS tr,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS tt
+         |  FROM dbk),
+         |dlr AS (
+         |  SELECT r.bkt,
+         |         ${LmScore.log2FxSql("coalesce(t.ct, 0) + 1")}
+         |           - ${LmScore.log2FxSql("r.cr + 1")} AS lr
+         |  FROM drc r LEFT JOIN dtc t USING (bkt)),
+         |dper AS (
+         |  SELECT b.doc_id, max(b.lang) AS lang,
+         |         CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(l.lr) AS BIGINT) AS sum_lr
+         |  FROM dbk b JOIN dlr l ON l.bkt = b.bkt GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.n_bigrams,
+         |       p.sum_lr + p.n_bigrams * $cfx AS w_fx,
+         |       ${r4("CAST(p.sum_lr + p.n_bigrams * " + cfx +
+              " AS DOUBLE) / 1048576.0")} AS logw
+         |FROM dper p, dtot t ORDER BY p.doc_id""".stripMargin
+    },
+
+    // Unigram model + Viterbi replay (Unigram.ctesSql). Recursive, so
+    // no Oracle.mat().
+    "q_unigram_segment" ->
+      s"""WITH RECURSIVE ${Unigram.ctesSql}
+         |SELECT word, cnt, n_pieces, cost_fx, seg
+         |FROM useg ORDER BY word""".stripMargin,
+
+    "q_unigram_fertility" ->
+      s"""WITH RECURSIVE ${Unigram.ctesSql},
+         |ustream AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(g.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(g.cost_fx) AS BIGINT) AS cost_fx,
+         |       ${r4("CAST(sum(g.n_pieces) AS DOUBLE) / count(*)")}
+         |         AS fertility
+         |FROM ustream s JOIN useg g USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // WordPiece model + greedy-walk replay (WordPiece.ctesSql).
+    // Recursive, so no Oracle.mat().
+    "q_wordpiece_segment" ->
+      s"""WITH RECURSIVE ${WordPiece.ctesSql}
+         |SELECT word, cnt, n_pieces, seg
+         |FROM wseg ORDER BY word""".stripMargin,
+
+    "q_wordpiece_fertility" ->
+      s"""WITH RECURSIVE ${WordPiece.ctesSql},
+         |wstream AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(g.n_pieces) AS BIGINT) AS n_pieces,
+         |       ${r4("CAST(sum(g.n_pieces) AS DOUBLE) / count(*)")}
+         |         AS fertility
+         |FROM wstream s JOIN wseg g USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repetition_filter" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |cnt AS (SELECT doc_id, shingle, count(*) AS c
+         |        FROM shingles GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(sum(c) AS BIGINT) AS n_shingles,
+         |       count(*) AS n_distinct,
+         |       max(c) AS max_rep,
+         |       ${r4("CAST(sum(c) - count(*) AS DOUBLE) / " +
+              "CAST(sum(c) AS DOUBLE)")} AS dup_ratio
+         |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Temperature mix over the k-means assignment replay (shared
+    // chain, assign2 = final assignment), same unrounded-p
+    // discipline as the source-label twin.
+    "q_cluster_mix_weights" -> Oracle.mat({
+      val pe = "(CAST(n_docs AS DOUBLE)/CAST(tot AS DOUBLE))"
+      s"""WITH ${kmeansAssignCtes(k = 8, iters = 2)},
+         |bycell AS (
+         |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM assign2 GROUP BY 1),
+         |ctot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM bycell),
+         |snapped AS (
+         |  SELECT cell_id, n_docs,
+         |         ${r4(pe)} AS p,
+         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
+         |              + 0.5) AS BIGINT) AS wfx
+         |  FROM bycell, ctot),
+         |cwt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
+         |SELECT cell_id, n_docs, p,
+         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w
+         |FROM snapped, cwt
+         |ORDER BY cell_id""".stripMargin
+    }),
+
+    // Same arithmetic, spelled out: raw share p goes UNROUNDED into
+    // sqrt(sqrt(p*p*p)); only the emitted columns are r4-rounded.
+    "q_domain_mix_weights" -> {
+      val pe = "(CAST(n_chars AS DOUBLE)/CAST(tot AS DOUBLE))"
+      s"""WITH bysrc AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM bysrc),
+         |snapped AS (
+         |  SELECT source, n_docs, n_chars,
+         |         ${r4(pe)} AS p,
+         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
+         |              + 0.5) AS BIGINT) AS wfx
+         |  FROM bysrc, tot),
+         |wt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
+         |SELECT source, n_docs, n_chars, p,
+         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w
+         |FROM snapped, wt
+         |ORDER BY source""".stripMargin
+    },
+
+    // Same fixed-point discipline over TOKEN shares, plus the 4×
+    // budget allocation — every double expression is the Spark
+    // side's, operation for operation.
+    "q_mix_epochs" -> {
+      val pe = "(CAST(toks AS DOUBLE)/CAST(ttot AS DOUBLE))"
+      val plan = "CAST(wfx AS DOUBLE) * 4.0 * CAST(ttot AS DOUBLE)" +
+        " / CAST(wtot AS DOUBLE)"
+      s"""WITH bysrc AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |           AS toks
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS ttot FROM bysrc),
+         |snapped AS (
+         |  SELECT source, n_docs, toks, ttot,
+         |         ${r4(pe)} AS p,
+         |         CAST(floor(sqrt(sqrt($pe * $pe * $pe)) * 1000000000.0
+         |              + 0.5) AS BIGINT) AS wfx
+         |  FROM bysrc, tot),
+         |wt AS (SELECT CAST(sum(wfx) AS BIGINT) AS wtot FROM snapped)
+         |SELECT source, n_docs, toks, p,
+         |       ${r4("CAST(wfx AS DOUBLE)/CAST(wtot AS DOUBLE)")} AS w,
+         |       CAST(floor($plan + 0.5) AS BIGINT) AS planned_toks,
+         |       ${r4(s"$plan / CAST(toks AS DOUBLE)")} AS epochs
+         |FROM snapped, wt
+         |ORDER BY source""".stripMargin
+    },
+
+    // Non-overlapping regexp counts == the automaton's
+    // every-occurrence counts because the dictionary is border-free.
+    "q_keyword_tags" -> {
+      val vals = KeywordTags.Keywords.map(k => s"('$k')").mkString(", ")
+      s"""WITH kw AS (SELECT * FROM (VALUES $vals) t(keyword)),
+         |h AS (
+         |  SELECT k.keyword, d.doc_id,
+         |         len(regexp_extract_all(d.text, k.keyword)) AS hits
+         |  FROM documents d CROSS JOIN kw k)
+         |SELECT keyword, count(*) AS n_docs,
+         |       CAST(sum(hits) AS BIGINT) AS n_hits
+         |FROM h WHERE hits > 0
+         |GROUP BY 1 ORDER BY keyword""".stripMargin
+    },
+
+    // Exact integer-log2 points, exact BIGINT normal equations; the
+    // two final divisions are the only doubles, mirrored op-for-op.
+    "q_zipf_fit" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |freq AS (
+         |  SELECT w, count(*) AS f FROM words
+         |  WHERE len(w) > 0 GROUP BY 1),
+         |top AS (
+         |  SELECT w, f FROM freq ORDER BY f DESC, w LIMIT $ZipfTopRanks),
+         |rk AS (
+         |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+         |  FROM top),
+         |pts AS (
+         |  SELECT CAST(${LmScore.log2FxSql("r")} AS BIGINT) AS x,
+         |         CAST(${LmScore.log2FxSql("f")} AS BIGINT) AS y
+         |  FROM rk),
+         |s AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x*y) AS BIGINT) AS sxy,
+         |         CAST(sum(x*x) AS BIGINT) AS sxx
+         |  FROM pts),
+         |nd AS (
+         |  SELECT n, sx, sy,
+         |         CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+         |         CAST(n*sxx - sx*sx AS DOUBLE) AS den
+         |  FROM s)
+         |SELECT n AS n_ranks,
+         |       ${r4("num/den")} AS slope,
+         |       ${r4("(CAST(sy AS DOUBLE) - num/den*CAST(sx AS DOUBLE))" +
+                "/CAST(n AS DOUBLE)/1048576.0")} AS intercept_log2
+         |FROM nd""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(ascii(substr(text, 1, 1)) % 4 AS BIGINT) AS format_id,
+        |       CAST(64 + octet_length(CAST(text AS BLOB)) % 640 AS BIGINT)
+        |         AS width,
+        |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT)
+        |         AS height,
+        |       CAST(floor(octet_length(CAST(text AS BLOB)) / 32.0) + 1
+        |            AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The decoded dimensions are INDEPENDENTLY predicted from the
+    // fixture's id→geometry constants; only n_bytes comes from the
+    // parquet (both engines read the same encoded payload bytes).
+    "q_multimodal_decode" ->
+      s"""SELECT doc_id,
+         |       CAST(octet_length(media) AS BIGINT) AS n_bytes,
+         |       CAST(10 + doc_id % 4 AS BIGINT) AS format_id,
+         |       CAST(8 + (doc_id * 3) % 24 AS BIGINT) AS width,
+         |       CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS height,
+         |       CAST(1 AS BIGINT) AS n_frames
+         |FROM read_parquet('${graft.io.MediaFixtures.mediaPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+
+    // Audio decode: every field except n_bytes is INDEPENDENTLY
+    // predicted from the fixture's id→geometry constants (the
+    // q_multimodal_decode pattern); duration is exact truncating
+    // integer arithmetic on both sides.
+    "q_multimodal_audio" -> {
+      val rates = graft.io.AudioFixtures.Rates
+      val rateCase = rates.zipWithIndex.init
+        .map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString(s"CASE CAST(doc_id % ${rates.length} AS INTEGER) ",
+          " ", s" ELSE ${rates.last} END")
+      s"""WITH a AS (
+         |  SELECT doc_id, octet_length(media) AS nb,
+         |         $rateCase AS rate,
+         |         64 + (doc_id * 37) % 512 AS ns
+         |  FROM read_parquet('${graft.io.AudioFixtures.audioPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet'))
+         |SELECT doc_id,
+         |       CAST(nb AS BIGINT) AS n_bytes,
+         |       CAST(rate AS BIGINT) AS sample_rate,
+         |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+         |       CAST(16 AS BIGINT) AS sample_bits,
+         |       CAST(ns AS BIGINT) AS n_samples,
+         |       CAST(ns * 1000 // rate AS BIGINT) AS duration_ms
+         |FROM a ORDER BY doc_id""".stripMargin
+    },
+
+    // Every frame row is INDEPENDENTLY predicted from the fixture's
+    // (doc_id, frame_id) → geometry constants; only doc_id/n_bytes
+    // come from the shared parquet (both engines see the same
+    // container bytes). A parse failure on the Spark side emits no
+    // rows → row-count red.
+    "q_multimodal_frames" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, octet_length(media) AS nb
+         |  FROM read_parquet('${graft.io.VideoFixtures.videoPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
+         |f AS (
+         |  SELECT doc_id, nb,
+         |         unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT)))
+         |           AS frame_id
+         |  FROM v)
+         |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+         |       CAST(nb AS BIGINT) AS n_bytes,
+         |       CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS width,
+         |       CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS height,
+         |       CAST(5 + (doc_id + 3 * frame_id) % 10 AS BIGINT) AS delay_cs
+         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Frame sampling: the delay formula through the same cumsum +
+    // interval-cover arithmetic.
+    "q_frame_sample" ->
+      s"""WITH v AS (
+         |  SELECT doc_id
+         |  FROM read_parquet('${graft.io.VideoFixtures.videoPath(
+              graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
+         |f AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT)))
+         |           AS frame_id
+         |  FROM v),
+         |dl AS (
+         |  SELECT doc_id, frame_id,
+         |         5 + (doc_id + 3 * frame_id) % 10 AS delay_cs
+         |  FROM f),
+         |tl AS (
+         |  SELECT doc_id, frame_id, delay_cs,
+         |         sum(delay_cs) OVER (PARTITION BY doc_id
+         |                             ORDER BY frame_id) - delay_cs
+         |           AS start_cs
+         |  FROM dl),
+         |dur AS (SELECT doc_id, max(start_cs + delay_cs) AS dur
+         |        FROM tl GROUP BY 1),
+         |inst AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0, CAST(dur - 1 AS BIGINT), 10))
+         |           AS t_cs
+         |  FROM dur)
+         |SELECT i.doc_id, CAST(i.t_cs AS BIGINT) AS t_cs,
+         |       CAST(t.frame_id AS BIGINT) AS frame_id,
+         |       CAST(t.start_cs AS BIGINT) AS start_cs,
+         |       CAST(t.delay_cs AS BIGINT) AS delay_cs
+         |FROM inst i JOIN tl t ON t.doc_id = i.doc_id
+         |  AND i.t_cs >= t.start_cs
+         |  AND i.t_cs < t.start_cs + t.delay_cs
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Formula edges + the recursive min-label CC replay (the
+    // q_dedup_clusters oracle pattern over the phash edge set).
+    "q_image_phash_clusters" ->
+      """WITH RECURSIVE ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+        |grid AS (
+        |  SELECT id, v, bx, by,
+        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+        |          + by*29) % 192
+        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+        |  FROM ids, vs, bxs, bys),
+        |bits AS (
+        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
+        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
+        |   AND g2.bx = g1.bx + 1
+        |  WHERE g1.bx < 8),
+        |pb AS (
+        |  SELECT a.img AS ia, b.img AS ib, a.pos // 16 AS band,
+        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS bd
+        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.img < b.img
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT ia, ib, sum(bd) AS hamming,
+        |         max(CASE WHEN bd = 0 THEN 1 ELSE 0 END) AS sb
+        |  FROM pb GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT ia AS d1, ib AS d2 FROM pairs
+        |  WHERE sb = 1 AND hamming <= 3),
+        |sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM edges
+        |  UNION ALL
+        |  SELECT d2 AS src, d1 AS dst FROM edges),
+        |imgs AS (SELECT unnest(generate_series(0, 143)) AS img),
+        |cc AS (
+        |  SELECT img AS node, img AS label FROM imgs
+        |  UNION
+        |  SELECT sym.dst AS node, cc.label
+        |  FROM cc JOIN sym ON cc.node = sym.src)
+        |SELECT CAST(node AS BIGINT) AS doc_id,
+        |       CAST(min(label) AS BIGINT) AS cluster_id,
+        |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_keeper
+        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // The gate replay: hashes from the grid FORMULA (the q_image_phash
+    // bits, MSB-first as the engine's lpad(bin())), then the gate's
+    // exact semantics in SQL — base hit beats in-batch duplicate,
+    // first arrival (min doc_id) wins within a signature.
+    "q_stream_phash_gate" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+        |grid AS (
+        |  SELECT id, v, bx, by,
+        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+        |          + by*29) % 192
+        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+        |  FROM ids, vs, bxs, bys),
+        |bits AS (
+        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
+        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
+        |   AND g2.bx = g1.bx + 1
+        |  WHERE g1.bx < 8),
+        |sigs AS (
+        |  SELECT img, string_agg(CAST(bit AS VARCHAR), '' ORDER BY pos DESC)
+        |           AS sig
+        |  FROM bits GROUP BY 1),
+        |base AS (SELECT sig, min(img) AS first_doc
+        |         FROM sigs WHERE img % 3 = 0 GROUP BY 1),
+        |inc AS (SELECT img, sig FROM sigs WHERE img % 3 <> 0),
+        |w AS (
+        |  SELECT inc.img, b.first_doc,
+        |         min(inc.img) OVER (PARTITION BY inc.sig ORDER BY inc.img
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING
+        |                            AND 1 PRECEDING) AS prev_img
+        |  FROM inc LEFT JOIN base b USING (sig))
+        |SELECT img AS doc_id,
+        |       CASE WHEN first_doc IS NOT NULL THEN 'dup_of_base'
+        |            WHEN prev_img IS NOT NULL THEN 'dup_in_batch'
+        |            ELSE 'new' END AS status,
+        |       CAST(coalesce(first_doc, prev_img, -1) AS BIGINT) AS dup_of
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Every fingerprint bit is INDEPENDENTLY replayed from the WAV
+    // fixture's sawtooth FORMULA (AudioFixtures.encode: value j of
+    // doc id is ((id*131 + j*37) % 65536) - 32768, nS*ch values);
+    // the engine side must reproduce it from the decoded PCM bytes.
+    "q_audio_fingerprint" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, 64 + (doc_id * 37) % 512 AS ns,
+         |         1 + doc_id % 2 AS ch
+         |  FROM read_parquet('${graft.io.AudioFixtures.audioPath(
+                graft.io.DialectFixtures.OracleSfDir)}/*.parquet')),
+         |idx AS (
+         |  SELECT doc_id, ns * ch AS nv,
+         |         unnest(generate_series(0, ns * ch - 1)) AS j
+         |  FROM a),
+         |sm AS (
+         |  SELECT doc_id, j * 8 // nv AS chunk,
+         |         abs((doc_id * 131 + j * 37) % 65536 - 32768) AS av
+         |  FROM idx),
+         |cm AS (
+         |  SELECT doc_id, chunk,
+         |         CAST(sum(av) AS BIGINT) // count(*) AS m
+         |  FROM sm GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT c1.doc_id, c1.chunk AS i,
+         |         CASE WHEN c2.m > c1.m THEN 1 ELSE 0 END AS bit
+         |  FROM cm c1 JOIN cm c2
+         |    ON c2.doc_id = c1.doc_id AND c2.chunk = c1.chunk + 1)
+         |SELECT doc_id, CAST(sum(bit * (1 << i)) AS BIGINT) AS fingerprint
+         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Every dHash bit is INDEPENDENTLY replayed from the fixture's
+    // block-level FORMULA (PhashFixtures.levelOf): a dHash bit is
+    // "right block mean > left block mean" and the blocks are
+    // constant, so the comparison IS the formula. The banded
+    // candidate restriction and the hamming rescore replay in SQL
+    // over those bits — the engine's pixel path (PNG decode, integer
+    // luminance, box means, bit packing, band join, popcount) must
+    // land on identical pairs cell-for-cell.
+    // Resize replay: the fixture level formula + the same box-mean
+    // arithmetic (cell = 3×4 blocks of 4×4 px; gray pixel luminance
+    // is exactly its level, so sum_lum = 16·Σ levels).
+    "q_image_thumbnail" ->
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+         |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+         |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+         |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+         |grid AS (
+         |  SELECT id, v, bx, by,
+         |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+         |          + by*29) % 192
+         |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+         |  FROM ids, vs, bxs, bys),
+         |cells AS (
+         |  SELECT id*3 + v AS img_id, bx // 3 AS cx, by // 4 AS cy,
+         |         CAST(16 * count(*) AS BIGINT) AS n_px,
+         |         CAST(16 * sum(val) AS BIGINT) AS sum_lum
+         |  FROM grid GROUP BY 1, 2, 3)
+         |SELECT img_id, cx, cy, n_px, sum_lum,
+         |       ${r4("CAST(sum_lum AS DOUBLE) / CAST(n_px AS DOUBLE)")}
+         |         AS mean_lum
+         |FROM cells ORDER BY img_id, cy, cx""".stripMargin,
+
+    "q_image_phash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS id),
+        |vs AS (SELECT unnest(generate_series(0, 2)) AS v),
+        |bxs AS (SELECT unnest(generate_series(0, 8)) AS bx),
+        |bys AS (SELECT unnest(generate_series(0, 7)) AS by),
+        |grid AS (
+        |  SELECT id, v, bx, by,
+        |         (id*7 + (CASE WHEN v = 2 THEN 8 - bx ELSE bx END)*13
+        |          + by*29) % 192
+        |           + CASE WHEN v = 1 THEN 8 ELSE 0 END AS val
+        |  FROM ids, vs, bxs, bys),
+        |bits AS (
+        |  SELECT g1.id*3 + g1.v AS img, g1.by*8 + g1.bx AS pos,
+        |         CASE WHEN g2.val > g1.val THEN 1 ELSE 0 END AS bit
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.id = g1.id AND g2.v = g1.v AND g2.by = g1.by
+        |   AND g2.bx = g1.bx + 1
+        |  WHERE g1.bx < 8),
+        |pb AS (
+        |  SELECT a.img AS ia, b.img AS ib, a.pos // 16 AS band,
+        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS bd
+        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.img < b.img
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT ia, ib, CAST(sum(bd) AS BIGINT) AS hamming,
+        |         max(CASE WHEN bd = 0 THEN 1 ELSE 0 END) AS sb
+        |  FROM pb GROUP BY 1, 2)
+        |SELECT CAST(ia AS BIGINT) AS img_a, CAST(ib AS BIGINT) AS img_b,
+        |       hamming
+        |FROM pairs WHERE sb = 1 AND hamming <= 3
+        |ORDER BY img_a, img_b""".stripMargin,
+
+    "q_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |sessions AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |       max(ts_us) + 1800000000 AS end_us,
+        |       count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // Self-contained exact-kNN replay (k-prefixed CTEs, disjoint from
+    // the ANN chains): fixed-point dots/norms, leave-one-out top-3,
+    // majority vote with the (count desc, best rank, label) tie order.
+    "q_knn_classify" ->
+      s"""WITH $knnPredCtes
+         |SELECT p.qid, p.pred_label,
+         |       CAST(q.label AS BIGINT) AS true_label,
+         |       CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END
+         |            AS BIGINT) AS correct
+         |FROM kpred p JOIN embeddings q ON q.vec_id = p.qid
+         |ORDER BY p.qid""".stripMargin,
+
+    // Per-label aggregation of the SAME kpred chain — prediction and
+    // noise screen cannot drift.
+    "q_label_noise" ->
+      s"""WITH $knnPredCtes,
+         |per AS (
+         |  SELECT CAST(q.label AS BIGINT) AS true_label,
+         |         CASE WHEN p.pred_label = q.label THEN 0 ELSE 1 END AS dis
+         |  FROM kpred p JOIN embeddings q ON q.vec_id = p.qid)
+         |SELECT true_label, count(*) AS n_probes,
+         |       CAST(sum(dis) AS BIGINT) AS n_disagree,
+         |       floor((CAST(sum(dis) AS DOUBLE) / count(*))*10000 + 0.5)
+         |         /10000.0 AS noise_rate
+         |FROM per GROUP BY 1 ORDER BY true_label""".stripMargin,
+
+
+    // Triplet mining: the kscored chain (same CTEs as knn), labels
+    // joined, extremes via ranked windows. LEFT joins mirror the
+    // engine's null-on-empty-side struct aggregation.
+    "q_triplet_mining" ->
+      s"""WITH $knnPredCtes,
+         |tlab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |         FROM embeddings),
+         |tsc AS (
+         |  SELECT s.qid, ql.label AS qlabel, s.vec_id, el.label,
+         |         s.cos_sim
+         |  FROM kscored s
+         |  JOIN tlab ql ON ql.vec_id = s.qid
+         |  JOIN tlab el ON el.vec_id = s.vec_id),
+         |thp AS (
+         |  SELECT qid, vec_id, cos_sim FROM (
+         |    SELECT qid, vec_id, cos_sim,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim, vec_id) AS rn
+         |    FROM tsc WHERE label = qlabel) WHERE rn = 1),
+         |thn AS (
+         |  SELECT qid, vec_id, cos_sim FROM (
+         |    SELECT qid, vec_id, cos_sim,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sim DESC, vec_id)
+         |             AS rn
+         |    FROM tsc WHERE label != qlabel) WHERE rn = 1),
+         |tcnt AS (
+         |  SELECT qid, max(qlabel) AS label,
+         |         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_pos,
+         |         CAST(sum(CASE WHEN label != qlabel THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_neg
+         |  FROM tsc GROUP BY 1)
+         |SELECT c.qid, c.label, c.n_pos, c.n_neg,
+         |       hp.vec_id AS hard_pos_id, hp.cos_sim AS pos_cos,
+         |       hn.vec_id AS hard_neg_id, hn.cos_sim AS neg_cos,
+         |       ${r4("hn.cos_sim - hp.cos_sim")} AS violation_margin,
+         |       CAST(CASE WHEN hn.cos_sim IS NULL OR hp.cos_sim IS NULL
+         |                 THEN NULL
+         |                 WHEN hn.cos_sim > hp.cos_sim THEN 1 ELSE 0 END
+         |            AS BIGINT) AS violated
+         |FROM tcnt c
+         |LEFT JOIN thp hp ON hp.qid = c.qid
+         |LEFT JOIN thn hn ON hn.qid = c.qid
+         |ORDER BY c.qid""".stripMargin,
+
+    // Shares the normalized-signature constant with q_dedup_exact, so
+    // the matrix and the dedup pass agree on what "exact dup" means.
+    "q_cross_source_dups" ->
+      s"""WITH $dupSigSql,
+         |ssig AS (
+         |  SELECT n.sig, d.source
+         |  FROM nsig n JOIN documents d USING (doc_id)),
+         |bysrc AS (
+         |  SELECT sig, source, count(*) AS n FROM ssig GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CASE WHEN a.source = b.source
+         |              THEN (a.n * (a.n - 1)) // 2
+         |              ELSE a.n * b.n END AS pairs
+         |  FROM bysrc a JOIN bysrc b
+         |    ON a.sig = b.sig AND a.source <= b.source)
+         |SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS dup_pairs
+         |FROM p WHERE pairs > 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same integer priority key — // is DuckDB's integer division,
+    // mirroring Spark's `div` truncation (operands non-negative).
+    "q_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         (${PortableHash.spreadSql(PortableHash.hSql(
+                "CAST(doc_id AS VARCHAR)"))} * 1048576) // n_chars
+         |           AS priority
+         |  FROM documents)
+         |SELECT lang, rk, doc_id, n_chars, CAST(priority AS BIGINT)
+         |         AS priority
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |                                   ORDER BY priority, doc_id) AS rk
+         |      FROM keyed)
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT lang, quantile_cont(n_chars, 0.5) AS med,
+         |         count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |dev AS (
+         |  SELECT d.lang, m.med, m.n_docs,
+         |         abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+         |  FROM documents d JOIN med m USING (lang)),
+         |mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+         |        FROM dev GROUP BY 1)
+         |SELECT dev.lang, CAST(min(n_docs) AS BIGINT) AS n_docs,
+         |       ${r4("min(med)")} AS median_chars,
+         |       ${r4("min(mad.mad)")} AS mad_chars,
+         |       CAST(sum(CASE WHEN adev > 2.0*mad.mad THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_outliers
+         |FROM dev JOIN mad USING (lang)
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // cd-prefixed CTEs (disjoint from the ANN chains); same 1e-9 /
+    // 1e-12 fixed-point discipline as the centroid oracles.
+    "q_embed_centroid_drift" ->
+      s"""WITH cde AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         CASE WHEN vec_id % 10 < 8 THEN 'train'
+         |              ELSE 'holdout' END AS split,
+         |         i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+         |cdc AS (
+         |  SELECT label, split, i,
+         |         (CAST(sum(CAST(floor(v*1000000000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*)) / 1000000000.0 AS cv
+         |  FROM cde GROUP BY 1, 2, 3),
+         |cdn AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |         CASE WHEN vec_id % 10 < 8 THEN 'train'
+         |              ELSE 'holdout' END AS split,
+         |         count(*) AS n
+         |  FROM embeddings GROUP BY 1, 2),
+         |cdd AS (
+         |  SELECT a.label,
+         |         CAST(sum(CAST(floor((a.cv-b.cv)*(a.cv-b.cv)
+         |                             *1000000000000.0 + 0.5) AS BIGINT))
+         |              AS DOUBLE) / 1000000000000.0 AS ss
+         |  FROM cdc a JOIN cdc b ON a.label = b.label AND a.i = b.i
+         |  WHERE a.split = 'train' AND b.split = 'holdout'
+         |  GROUP BY 1)
+         |SELECT d.label, nt.n AS n_train, nh.n AS n_holdout,
+         |       ${r4("sqrt(ss)")} AS drift
+         |FROM cdd d
+         |JOIN cdn nt ON nt.label = d.label AND nt.split = 'train'
+         |JOIN cdn nh ON nh.label = d.label AND nh.split = 'holdout'
+         |ORDER BY d.label""".stripMargin,
+
+    // Composes the quality CTEs with the shared dup-signature
+    // constant — the two scored paths agree on both definitions.
+    "q_dup_quality_xtab" ->
+      s"""WITH $qualityCtes,
+         |$dupSigSql,
+         |dcnt AS (SELECT sig, count(*) AS cnt FROM nsig GROUP BY 1),
+         |m AS (
+         |  SELECT n.doc_id,
+         |         CAST(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END AS BIGINT)
+         |           AS is_dup
+         |  FROM nsig n JOIN dcnt d USING (sig)),
+         |x AS (
+         |  SELECT m.is_dup,
+         |         CAST(least(floor(q.quality * 10), 9.0) AS BIGINT)
+         |           AS q_band,
+         |         q.n_chars
+         |  FROM quals q JOIN m ON m.doc_id = q.doc_id)
+         |SELECT is_dup, q_band, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // All candidate pairs exact-rescored, stratified by band count —
+    // precision per stratum from the same candSql chain the recall
+    // oracle replays.
+    "q_lsh_precision" ->
+      s"""WITH $candSql,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+         |com AS (
+         |  SELECT c.d1, c.d2, count(*) AS common
+         |  FROM cand c
+         |  JOIN ds a  ON a.doc_id = c.d1
+         |  JOIN ds b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT c.bands,
+         |         ${r4("CAST(coalesce(com.common, 0) AS DOUBLE) / " +
+              "CAST(s1.n_sh + s2.n_sh - coalesce(com.common, 0) AS DOUBLE)")}
+         |           AS jaccard
+         |  FROM cand c
+         |  JOIN sizes s1 ON s1.doc_id = c.d1
+         |  JOIN sizes s2 ON s2.doc_id = c.d2
+         |  LEFT JOIN com ON com.d1 = c.d1 AND com.d2 = c.d2)
+         |SELECT bands, count(*) AS n_cand,
+         |       CAST(sum(CASE WHEN jaccard >= $LshRecallThresh THEN 1
+         |                     ELSE 0 END) AS BIGINT) AS n_true,
+         |       ${r4("CAST(sum(CASE WHEN jaccard >= " + LshRecallThresh +
+              " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS precision
+         |FROM jac GROUP BY 1 ORDER BY bands""".stripMargin,
+
+    "q_vocab_growth" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |fs AS (
+         |  SELECT shingle, min(doc_id) AS first_doc
+         |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles)
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT first_doc // 50 AS bucket, count(*) AS new_types
+         |  FROM fs GROUP BY 1)
+         |SELECT bucket, new_types,
+         |       CAST(sum(new_types) OVER (ORDER BY bucket
+         |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                                 AND CURRENT ROW) AS BIGINT)
+         |         AS cum_types
+         |FROM b ORDER BY bucket""".stripMargin,
+
+    "q_dedup_consensus" ->
+      s"""WITH $dupSigSql,
+         |$candSql,
+         |ex AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM nsig a JOIN nsig b
+         |    ON a.sig = b.sig AND a.doc_id < b.doc_id),
+         |mh AS (SELECT d1, d2 FROM cand WHERE bands >= 2)
+         |SELECT coalesce(e.d1, m.d1) AS d1, coalesce(e.d2, m.d2) AS d2,
+         |       CAST(CASE WHEN e.d1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |         AS m_exact,
+         |       CAST(CASE WHEN m.d1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |         AS m_minhash,
+         |       CAST((CASE WHEN e.d1 IS NULL THEN 0 ELSE 1 END) +
+         |            (CASE WHEN m.d1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_methods
+         |FROM ex e FULL OUTER JOIN mh m ON m.d1 = e.d1 AND m.d2 = e.d2
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_boilerplate_ngrams" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |dfs AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1)
+         |SELECT shingle, df,
+         |       CAST(CASE WHEN df > $LeakDfCap THEN 1 ELSE 0 END AS BIGINT)
+         |         AS over_cap
+         |FROM dfs ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_feature_hashing" -> {
+      val b = PortableHash.spreadSql(PortableHash.hSql("token"))
+      val cells = (0 until 16).map(i =>
+        s"CAST(count(*) FILTER (($b) % 16 = $i) AS BIGINT) AS f$i")
+          .mkString(",\n       ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents)
+         |SELECT doc_id,
+         |       $cells
+         |FROM toks GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // The direct full-table summary — equality with the engine's
+    // base+delta merge IS the MV-maintenance invariant.
+    "q_mv_merge" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+
+    // Direct recompute over the post-change corpus (survivors + the
+    // derived inserts) — equality with the engine's signed-partial
+    // merge IS the retraction invariant.
+    "q_mv_retract" ->
+      s"""WITH v2 AS (
+         |  SELECT source, lang, text, n_chars FROM documents
+         |  WHERE doc_id % 13 <> 2
+         |  UNION ALL
+         |  SELECT source, lang, text || ' [ins]' AS text,
+         |         CAST(length(text || ' [ins]') AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 10 = 7)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM v2
+         |GROUP BY 1, 2 HAVING count(*) > 0
+         |ORDER BY source, lang""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 17 = 3 THEN text || ' [rev2]'
+        |              ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 31 != 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM v1
+        |  WHERE doc_id % 23 = 7),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text != b.text THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source, status, count(*) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+    "q_graph_degrees" ->
+      s"""WITH $candSql,
+         |ends AS (
+         |  SELECT d1 AS doc_id FROM cand
+         |  UNION ALL SELECT d2 FROM cand),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
+         |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc,
+         |       max(doc_id) AS max_doc
+         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    // Sparse cosine: the same DF-capped postings self-join; integer
+    // numerator/norms, one r4 division at the end.
+    "q_doc_similarity" -> Oracle.mat(
+      s"""WITH ${Dedup.shinglesSql},
+         |posts AS (
+         |  SELECT doc_id, shingle AS w, count(*) AS tf
+         |  FROM shingles GROUP BY 1, 2),
+         |dfok AS (
+         |  SELECT w FROM posts GROUP BY 1 HAVING count(*) <= 30),
+         |capped AS (
+         |  SELECT p.doc_id, p.w, p.tf FROM posts p
+         |  JOIN dfok f ON p.w = f.w),
+         |norms AS (
+         |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS nsq
+         |  FROM capped GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         CAST(sum(a.tf*b.tf) AS BIGINT) AS num,
+         |         count(*) AS n_shared
+         |  FROM capped a JOIN capped b
+         |    ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.d1, p.d2, p.num, p.n_shared,
+         |       ${r4("CAST(p.num AS DOUBLE) / " +
+              "(sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))")}
+         |         AS cos_sim
+         |FROM pairs p
+         |JOIN norms x ON x.doc_id = p.d1
+         |JOIN norms y ON y.doc_id = p.d2
+         |ORDER BY cos_sim DESC, p.d1, p.d2""".stripMargin),
+
+    // Link prediction: the same capped wedge join + anti join,
+    // materialized (sym/viamid feed multiple references).
+    "q_link_prediction" -> Oracle.mat(
+      s"""WITH $candSql,
+         |e AS (SELECT d1, d2 FROM cand),
+         |sym AS (
+         |  SELECT d1 AS src, d2 AS dst FROM e
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM e),
+         |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1),
+         |hubok AS (SELECT src AS mid FROM deg WHERE dg <= 50),
+         |viamid AS (
+         |  SELECT s.src, s.dst AS mid FROM sym s
+         |  JOIN hubok h ON s.dst = h.mid),
+         |wedges AS (
+         |  SELECT a.src AS d1, b.src AS d2, count(*) AS common
+         |  FROM viamid a JOIN viamid b
+         |    ON a.mid = b.mid AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT w.d1, w.d2, w.common FROM wedges w
+         |LEFT JOIN e ON e.d1 = w.d1 AND e.d2 = w.d2
+         |WHERE e.d1 IS NULL
+         |ORDER BY w.common DESC, w.d1, w.d2""".stripMargin),
+
+    // 2-core: the same four peel rounds replayed as CTE levels. Every
+    // round-level CTE is MATERIALIZED — each is referenced three
+    // times by the next level, and DuckDB's default CTE inlining
+    // would otherwise expand the replay tree exponentially in rounds
+    // (3⁴ copies of the candidate build; the un-hinted form exhausts
+    // file handles before it exhausts patience).
+    // LPA replay: every synchronous round's vote table (neighbor
+    // labels + self-vote), majority with (count DESC, label ASC)
+    // tie-break, under mat() — each round reads its predecessor
+    // twice.
+    "q_graph_communities" -> Oracle.mat({
+      def round(r: Int): String =
+        s"""lp$r AS (
+           |  SELECT v, lbl FROM (
+           |    SELECT v, lbl,
+           |           row_number() OVER (PARTITION BY v
+           |                  ORDER BY c DESC, lbl) AS rn
+           |    FROM (
+           |      SELECT v, lbl, count(*) AS c FROM (
+           |        SELECT s.v, l.lbl
+           |        FROM lsym s JOIN lp${r - 1} l ON l.v = s.n
+           |        UNION ALL
+           |        SELECT v, lbl FROM lp${r - 1})
+           |      GROUP BY 1, 2))
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $candSql,
+         |lsym AS (SELECT d1 AS v, d2 AS n FROM cand
+         |         UNION ALL
+         |         SELECT d2 AS v, d1 AS n FROM cand),
+         |lp0 AS (SELECT DISTINCT v, v AS lbl FROM lsym),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |lsz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csz
+         |        FROM lp4 GROUP BY 1)
+         |SELECT l.v AS doc_id, l.lbl AS community, z.csz
+         |FROM lp4 l JOIN lsz z USING (lbl)
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    "q_graph_kcore" ->
+      s"""WITH $candSql,
+         |r0 AS MATERIALIZED (SELECT d1, d2 FROM cand),
+         |g1 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r0 UNION ALL SELECT d2 FROM r0)
+         |  GROUP BY 1),
+         |k1 AS (SELECT v FROM g1 WHERE c >= 2),
+         |r1 AS MATERIALIZED (SELECT r0.d1, r0.d2 FROM r0
+         |  JOIN k1 a ON r0.d1 = a.v JOIN k1 b ON r0.d2 = b.v),
+         |g2 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r1 UNION ALL SELECT d2 FROM r1)
+         |  GROUP BY 1),
+         |k2 AS (SELECT v FROM g2 WHERE c >= 2),
+         |r2 AS MATERIALIZED (SELECT r1.d1, r1.d2 FROM r1
+         |  JOIN k2 a ON r1.d1 = a.v JOIN k2 b ON r1.d2 = b.v),
+         |g3 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r2 UNION ALL SELECT d2 FROM r2)
+         |  GROUP BY 1),
+         |k3 AS (SELECT v FROM g3 WHERE c >= 2),
+         |r3 AS MATERIALIZED (SELECT r2.d1, r2.d2 FROM r2
+         |  JOIN k3 a ON r2.d1 = a.v JOIN k3 b ON r2.d2 = b.v),
+         |g4 AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT d1 AS v FROM r3 UNION ALL SELECT d2 FROM r3)
+         |  GROUP BY 1),
+         |k4 AS (SELECT v FROM g4 WHERE c >= 2),
+         |r4 AS MATERIALIZED (SELECT r3.d1, r3.d2 FROM r3
+         |  JOIN k4 a ON r3.d1 = a.v JOIN k4 b ON r3.d2 = b.v)
+         |SELECT doc_id, count(*) AS degree FROM (
+         |  SELECT d1 AS doc_id FROM r4 UNION ALL SELECT d2 FROM r4)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // The parquet-side summary: if the engine's ORC write→read path
+    // preserved every row and byte, the two sides agree.
+    "q_orc_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM documents
+         |GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+}

@@ -2389,6 +2389,48 @@ object RelQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Privacy-budget LEDGER (the release discipline over the two DP
+    // mechanisms): one row per release against the customer table,
+    // carrying the cell count (measured from data, not asserted), the
+    // engineered sensitivity, the per-release ε and the RUNNING
+    // sequential-composition total. The composition facts it encodes:
+    // WITHIN a release the group-by cells partition the rows, so
+    // parallel composition prices the whole release at one ε = ln 2;
+    // ACROSS releases the same rows are re-queried, so basic
+    // sequential composition adds — the ledger's cum_eps_fx is the
+    // number a data-protection officer signs off before the next
+    // release ships. ε rides 10⁻⁴ fixed point (6931 = ln 2) so the
+    // running sum is exact integer arithmetic. Two scalar
+    // distinct-count aggregates + a 2-row window — free at any size.
+    "q_dp_ledger" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = t(s, d, "customer")
+      val r1 = cust.agg(countDistinct(col("c_mktsegment"),
+          col("c_nationkey")).cast("long").as("n_cells"))
+        .select(lit("dp_counts").as("release_id"),
+          lit("customer").as("table_name"),
+          lit("discrete_laplace").as("mechanism"),
+          lit("parallel_within").as("cell_composition"),
+          col("n_cells"), lit(1L).as("sensitivity"),
+          lit(6931L).as("eps_fx"))
+      val r2 = cust.agg(countDistinct(col("c_mktsegment"))
+          .cast("long").as("n_cells"))
+        .select(lit("dp_sum").as("release_id"),
+          lit("customer").as("table_name"),
+          lit("discrete_laplace").as("mechanism"),
+          lit("parallel_within").as("cell_composition"),
+          col("n_cells"), lit(500000L).as("sensitivity"),
+          lit(6931L).as("eps_fx"))
+      val w = Window.orderBy(col("release_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      r1.unionByName(r2)
+        .withColumn("cum_eps_fx", sum(col("eps_fx")).over(w))
+        .withColumn("eps", Det.r4(col("eps_fx").cast("double") / 1e4))
+        .withColumn("cum_eps",
+          Det.r4(col("cum_eps_fx").cast("double") / 1e4))
+        .orderBy(col("release_id"))
+    }),
+
     // Right-to-erasure audit: cascade a customer delete list through
     // the star (customers → their orders → those orders' lineitems)
     // and report per-table before/deleted/after plus the
@@ -4245,6 +4287,35 @@ object RelQueries {
          |       CAST(0.6931 AS DOUBLE) AS eps_per_unit
          |FROM z ORDER BY c_mktsegment""".stripMargin
     },
+
+    // Ledger replayed: measured cell counts, fixed sensitivities and
+    // ε units, running sequential-composition sum over release order.
+    "q_dp_ledger" ->
+      s"""WITH rel AS (
+        |  SELECT 'dp_counts' AS release_id, 'customer' AS table_name,
+        |         'discrete_laplace' AS mechanism,
+        |         'parallel_within' AS cell_composition,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM (
+        |            SELECT DISTINCT c_mktsegment, c_nationkey
+        |            FROM customer)) AS n_cells,
+        |         CAST(1 AS BIGINT) AS sensitivity,
+        |         CAST(6931 AS BIGINT) AS eps_fx
+        |  UNION ALL
+        |  SELECT 'dp_sum', 'customer', 'discrete_laplace',
+        |         'parallel_within',
+        |         (SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+        |          FROM customer),
+        |         CAST(500000 AS BIGINT), CAST(6931 AS BIGINT)),
+        |cum AS (
+        |  SELECT *, CAST(sum(eps_fx) OVER (ORDER BY release_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_eps_fx
+        |  FROM rel)
+        |SELECT release_id, table_name, mechanism, cell_composition,
+        |       n_cells, sensitivity, eps_fx, cum_eps_fx,
+        |       ${r4("CAST(eps_fx AS DOUBLE) / 1e4")} AS eps,
+        |       ${r4("CAST(cum_eps_fx AS DOUBLE) / 1e4")} AS cum_eps
+        |FROM cum ORDER BY release_id""".stripMargin,
 
     // The cascade replayed as plain counts; orphans-after are 0 by
     // construction on both sides — the audit's point is that the
