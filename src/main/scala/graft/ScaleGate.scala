@@ -131,7 +131,7 @@ object ScaleGate {
       // table): warm is a bare scan, grade the build
       "q_ann_persist", "q_ann_graph_persist", "q_ann_hnsw_persist",
       "q_wordpiece_segment", "q_dedup_index_persist",
-      "q_rec_serve_persist")
+      "q_rec_serve_persist", "q_rec_serve_incremental")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 
@@ -246,8 +246,10 @@ object ScaleGate {
     "q_join_broadcast_dims", "q_minhash_near_dup", "q_ann_ivf",
     "q_ann_graph", "q_top_bigrams", "q_token_entropy",
     // round-12: the rec-serve family prices its fan-out caps here
-    // (neighbor fan-out ≤ 10·rated-items; ILS pair join ≤ 45·items)
-    "q_rec_ils", "q_rec_serve_user", "q_rec_coverage")
+    // (neighbor fan-out ≤ 10·rated-items; ILS pair join ≤ 45·items;
+    // the incremental fold ∝ delta × affected-user postings)
+    "q_rec_ils", "q_rec_serve_user", "q_rec_coverage",
+    "q_rec_serve_incremental")
 
   private def f2(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

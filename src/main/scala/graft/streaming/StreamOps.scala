@@ -649,6 +649,78 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .start()
 
+  /** Streaming neighbor-store upkeep — q_rec_serve_incremental's
+    * deploy twin: each micro-batch of (user_id, item_id, rating_i)
+    * rows folds into the persisted pair-moment store WITHOUT ever
+    * re-running the corpus C(n,2). Per batch N:
+    *
+    *   1. read the ratings history = base ∪ delta batches < N
+    *      (strictly-less: a REDELIVERED batch must fold against the
+    *      same history it saw the first time, or its within-batch
+    *      pairs double-count through the cross term);
+    *   2. deltaM = pairs(batch) + cross(batch, history of the
+    *      batch's users) ([[graft.core.Moments.crossPairMoments]]);
+    *   3. write deltaM to `delta_moments/batch=N` and the batch rows
+    *      to `delta_ratings/batch=N`, both overwrite-keyed — the
+    *      (batchId, overwrite) exactly-once recipe.
+    *
+    * [[loadMoments]] merge-sums base + deltas back into the exact
+    * full-rebuild table (integer sums — StreamingSpec asserts
+    * cell-exact equality after a forced redelivery). The store
+    * layout mirrors [[graft.ext.AnnIndex.appendBatch]]. */
+  def recMomentUpkeep(ratings: DataFrame, store: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ratings.writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!df.isEmpty) {
+          val batch = df.toDF()
+          val spark = batch.sparkSession
+          val hist = loadRatings(spark, store, beforeBatch = batchId)
+          val users = batch.select(col("user_id")).distinct()
+          val histAff = hist.join(broadcast(users), Seq("user_id"),
+            "left_semi")
+          graft.core.Moments.mergeMoments(
+              graft.core.Moments.pairMoments(batch),
+              graft.core.Moments.crossPairMoments(batch, histAff))
+            .write.mode("overwrite")
+            .parquet(s"$store/delta_moments/batch=$batchId")
+          batch.write.mode("overwrite")
+            .parquet(s"$store/delta_ratings/batch=$batchId")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+  /** Ratings history as of (exclusive) `beforeBatch`: the base table
+    * plus every committed delta batch below the cutoff. */
+  def loadRatings(spark: SparkSession, store: String,
+                  beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val base = spark.read.parquet(s"$store/base_ratings")
+      .select(col("user_id"), col("item_id"), col("rating_i"))
+    val p = new org.apache.hadoop.fs.Path(s"$store/delta_ratings")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) base
+    else {
+      val deltas = spark.read.parquet(s"$store/delta_ratings")
+        .where(col("batch") < beforeBatch)
+        .select(col("user_id"), col("item_id"), col("rating_i"))
+      base.unionByName(deltas)
+    }
+  }
+
+  /** The served moment table: stored base partials merge-summed with
+    * every delta fold — cell-exact equal to pairMoments over the full
+    * ratings history by the decomposition argument above. */
+  def loadMoments(spark: SparkSession, store: String): DataFrame = {
+    val base = spark.read.parquet(s"$store/base_moments")
+    val p = new org.apache.hadoop.fs.Path(s"$store/delta_moments")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) base
+    else graft.core.Moments.mergeMoments(base,
+      spark.read.parquet(s"$store/delta_moments").drop("batch"))
+  }
+
   /** Rate-source synthetic event stream: the load-generator twin of
     * the file source (schema-compatible with the events-derived
     * transforms: ts, user_id, event_type, value). Useful for

@@ -953,6 +953,70 @@ class StreamingSpec extends SparkSpec {
     assert(AnnIndex.load(spark, ixDir).codes.count() === nBase + nDelta)
   }
 
+  test("streaming rec-moment upkeep: delta batches fold into the " +
+    "stored partials, survive a forced redelivery, and the merged " +
+    "table equals the full rebuild cell-exact") {
+    import java.io.File
+    import graft.core.{Moments, PortableHash}
+    val tmp = java.nio.file.Files.createTempDirectory("rec_upkeep").toFile
+    val store = new File(tmp, "store").getAbsolutePath
+    val srcDir = new File(tmp, "src"); srcDir.mkdirs()
+    val ckptDir = new File(tmp, "ckpt")
+    val r = graft.io.Sources.ratings(spark, sf001)
+      .select(col("user_id"), col("item_id"), col("rating_i"))
+    val gate = PortableHash.spread(
+      (col("user_id") * lit(131071L) + col("item_id")) %
+        lit(PortableHash.M.toLong))
+    val base = r.where(gate < 800000L)
+    val delta = r.where(gate >= 800000L)
+    Moments.pairMoments(base)
+      .write.parquet(s"$store/base_moments")
+    base.write.parquet(s"$store/base_ratings")
+    val (half1, half2) = (delta.where(col("item_id") % 2 === 0),
+      delta.where(col("item_id") % 2 =!= 0))
+    def addFile(tag: String,
+                rows: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = new File(tmp, s"stage_$tag")
+      rows.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new File(srcDir, s"$tag.parquet").toPath)
+      ()
+    }
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(delta.schema)
+        .parquet(srcDir.getAbsolutePath)
+      val q = StreamOps.recMomentUpkeep(in, store,
+        ckptDir.getAbsolutePath)
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile("f1", half1)
+    runOnce()
+    // crash window: drop the newest commit marker → batch 0 is
+    // REDELIVERED; the overwrite-keyed fold must absorb it
+    val commits = new File(ckptDir, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    assert(last.delete())
+    val crc = new File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    addFile("f2", half2)
+    runOnce() // redelivery + the second batch
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))
+    val cols = Seq("item_x", "item_y", "n", "sx", "sy", "sxx", "syy",
+      "sxy").map(col)
+    val merged = StreamOps.loadMoments(spark, store)
+      .select(cols: _*).collect().map(key).toSet
+    val rebuild = Moments.pairMoments(r)
+      .select(cols: _*).collect().map(key).toSet
+    assert(merged === rebuild,
+      s"merged-only=${(merged diff rebuild).take(3)} " +
+        s"rebuild-only=${(rebuild diff merged).take(3)}")
+  }
+
   test("streaming PSI gate: an in-distribution batch scores low, a " +
     "shifted batch scores high, formula equals the batch kernel") {
     import java.io.File
