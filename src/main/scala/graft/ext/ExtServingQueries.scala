@@ -189,43 +189,38 @@ object ExtServingQueries {
     "q_ann_filtered_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.expr.GraftFunctions.ensureRegistered(s)
-      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+      lazy val e = emb(s, d).select(col("vec_id"), col("embedding"),
         col("label"))
-      val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
+      lazy val cells = Cache.getOrPersist(s, "kmeans_cells_8_2", d)(
         VectorSearch.kmeansCells(
           e.select(col("vec_id"), col("embedding")), k = 8, iters = 2))
-      val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
+      lazy val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
         VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
-      val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
+      lazy val assigned = Cache.getOrPersist(s, "semdedup_assign_8_2", d)(
           VectorSearch.assignCells(
             e.select(col("vec_id"), col("embedding")), cellsB))
         .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"),
+      lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"),
         col("label").as("q_label"))
-      val served = VectorSearch.ivfTopKFromAssigned(assigned, cellsB,
+      lazy val served = VectorSearch.ivfTopKFromAssigned(assigned, cellsB,
           queries, "qid", "qvec", k = 3, nProbe = 2,
           scanFilter = col("label") === col("q_label"))
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val eN = e.withColumn("enrm",
+      lazy val eN = e.withColumn("enrm",
         VectorSearch.fixedNormSq(col("embedding")))
-      val qN = queries.withColumn("qnrm",
+      lazy val qN = queries.withColumn("qnrm",
         VectorSearch.fixedNormSq(col("qvec")))
-      val scoredEx = eN.crossJoin(broadcast(qN))
+      lazy val scoredEx = eN.crossJoin(broadcast(qN))
         .where(col("label") === col("q_label"))
         .select(col("qid"), col("vec_id"),
           Det.r4(VectorSearch.cosineCol(
             VectorSearch.fixedDot(col("qvec"), col("embedding")),
             col("qnrm"), col("enrm"))).as("cos_sim"))
-      val w = Window.partitionBy(col("qid"))
+      lazy val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
-      val exact = scoredEx.withColumn("ern", row_number().over(w))
+      lazy val exact = scoredEx.withColumn("ern", row_number().over(w))
         .where(col("ern") <= 3).select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
+      recallTable(s, d, "filtered", exact, served)
     }),
 
     // PQ-ADC ANN: per-subspace codebooks (deterministic fixed-point
@@ -374,20 +369,15 @@ object ExtServingQueries {
     // isolated are simply unreachable, and this query says what that
     // costs on this corpus).
     "q_ann_graph_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val graph = knnGraphC(s, d)
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val served = VectorSearch
+      lazy val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      lazy val graph = knnGraphC(s, d)
+      lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
+      lazy val served = VectorSearch
         .graphTopK(graph, e, queries, "qid", "qvec", k = 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+      lazy val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
+      recallTable(s, d, "graph", exact, served)
     }),
 
     // Two-layer HNSW serve (the hierarchy over q_ann_graph's flat
@@ -416,21 +406,16 @@ object ExtServingQueries {
     // the hierarchy's favor as N grows and entry distance starts to
     // dominate round count.
     "q_ann_hnsw_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val g0 = knnGraphC(s, d)
-      val g1 = knnGraphL1C(s, d)
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val served = VectorSearch
+      lazy val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      lazy val g0 = knnGraphC(s, d)
+      lazy val g1 = knnGraphL1C(s, d)
+      lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
+      lazy val served = VectorSearch
         .hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+      lazy val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
+      recallTable(s, d, "hnsw", exact, served)
     }),
 
     // Recall@3 of the composed IVF-PQ stack vs exact ground truth —
@@ -440,12 +425,12 @@ object ExtServingQueries {
     // on both sides, so per-query n_hits/recall is a cell-exact value
     // oracle.
     "q_ann_ivf_pq_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
+      lazy val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       // the SAME session-shared shortlist + rerank the serving query
       // runs — the recall twin measures the served stack, not a copy
       // (shortlist semi-joined to the panel: per-qid rows identical)
-      val served = VectorSearch.pqAdcRerank(
+      lazy val served = VectorSearch.pqAdcRerank(
           ivfPqShortlistC(s, d)
             .join(broadcast(queries.select(col("qid"))), Seq("qid"),
               "left_semi"),
@@ -453,14 +438,9 @@ object ExtServingQueries {
             col("qvec").as("embedding")),
           pqCentC(s, d), pqCodesC(s, d), "qid", 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+      lazy val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
+      recallTable(s, d, "ivf_pq", exact, served)
     }),
 
     // ANN recall@k measured against ground truth: the exact
@@ -474,20 +454,15 @@ object ExtServingQueries {
     // so per-query n_hits/recall is a cell-exact value oracle, not
     // just a bound; PropertySpec asserts the aggregate recall floor.
     "q_ann_recall" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = VectorSearch.labelCentroids(emb(s, d))
+      lazy val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      lazy val cells = VectorSearch.labelCentroids(emb(s, d))
         .select(col("label").cast("long").as("cell_id"), col("centroid"))
-      val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val ivf = VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
+      lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
+      lazy val ivf = VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
+      lazy val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
-      exact.join(ivf, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
+      recallTable(s, d, "ivf", exact, ivf)
     }),
 
     // Matryoshka-style dimension truncation: recall@3 of brute-force
@@ -502,22 +477,17 @@ object ExtServingQueries {
     // truncated side reads 1/4 the vector bytes and nothing else
     // changes.
     "q_ann_truncated_recall" -> ((s, d) => {
-      val full = emb(s, d).select(col("vec_id"), col("embedding"))
-      val tcorpus = emb(s, d).select(col("vec_id"),
+      lazy val full = emb(s, d).select(col("vec_id"), col("embedding"))
+      lazy val tcorpus = emb(s, d).select(col("vec_id"),
         slice(col("embedding"), 1, 16).as("embedding"))
-      val fullQ = annPanelC(s, d).select(col("qid"), col("qvec"))
-      val tQ = annPanelC(s, d).select(col("qid"),
+      lazy val fullQ = annPanelC(s, d).select(col("qid"), col("qvec"))
+      lazy val tQ = annPanelC(s, d).select(col("qid"),
         slice(col("qvec"), 1, 16).as("qvec"))
-      val served = VectorSearch.topKByCosine(tcorpus, tQ, "qid", "qvec", 3)
+      lazy val served = VectorSearch.topKByCosine(tcorpus, tQ, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      val exact = VectorSearch.topKByCosine(full, fullQ, "qid", "qvec", 3)
+      lazy val exact = VectorSearch.topKByCosine(full, fullQ, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
-      exact.join(served, Seq("qid", "vec_id"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          Det.r4(col("n_hits").cast("double") / lit(3.0)).as("recall"))
-        .orderBy(col("qid"))
+      recallTable(s, d, "truncated", exact, served)
     }),
 
     // The recall frontier in ONE table (VERDICT r10 #5): every ANN
