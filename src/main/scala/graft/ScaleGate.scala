@@ -46,9 +46,6 @@ object ScaleGate {
     // sig-grouped pair matrix (arithmetic pair counts must keep it
     // linear), the candidate-precision rescore (bounded by the
     // banding caps), and the type-space first-seen aggregation.
-    // (q_knn_classify is deliberately absent like q_ann_recall: its
-    // brute-force exact side is probes×corpus BY CONSTRUCTION — the
-    // scale path for serving is the IVF/PQ family.)
     "q_table_diff", "q_cross_source_dups", "q_lsh_precision",
     "q_vocab_growth",
     // round-9: the remaining BPE-apply rows (VERDICT r8 #7) — the
@@ -115,7 +112,10 @@ object ScaleGate {
     // gated 93× at 30× and the family was excluded by policy)
     "q_ann_recall", "q_ann_sq_recall", "q_ann_ivf_pq_recall",
     "q_ann_truncated_recall", "q_ann_filtered_recall",
-    "q_ann_graph_recall", "q_ann_hnsw_recall", "q_ann_frontier")
+    "q_ann_graph_recall", "q_ann_hnsw_recall", "q_ann_frontier",
+    // the exact-kNN measurement family rides the same panel (its
+    // probes×corpus side was the other deliberately-absent entry)
+    "q_knn_classify", "q_label_noise", "q_triplet_mining")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
@@ -139,7 +139,10 @@ object ScaleGate {
       // the cached twin tables IS the acceptance read-out cost.
       "q_ann_recall", "q_ann_sq_recall", "q_ann_ivf_pq_recall",
       "q_ann_truncated_recall", "q_ann_filtered_recall",
-      "q_ann_graph_recall", "q_ann_hnsw_recall")
+      "q_ann_graph_recall", "q_ann_hnsw_recall",
+      // knnPerProbe's probes×corpus exact side lands on the first
+      // run; q_label_noise's warm agg over the snapshot stays honest
+      "q_knn_classify")
 
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 

@@ -536,15 +536,20 @@ object ExtQueries {
 
   /** Per-probe exact-3-NN prediction (qid, pred_label, true_label,
     * correct) — the shared chain behind q_knn_classify and
-    * q_label_noise. */
-  private[ext] def knnPerProbe(s: SparkSession, d: String): DataFrame = {
+    * q_label_noise. Probes ride the FIXED seeded acceptance panel
+    * (the recall-twin discipline): the exact side is probes×corpus
+    * by construction, so pinning nq is what keeps this measurement
+    * O(panel·N) instead of quadratic; the result (≤panel rows) is a
+    * session snapshot, so the two consumers pay the scan once. */
+  private[ext] def knnPerProbe(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "knn_per_probe", d) {
       import org.apache.spark.sql.expressions.Window
       graft.expr.GraftFunctions.ensureRegistered(s)
       val e = emb(s, d).select(col("vec_id"), col("embedding"),
         col("label").cast("long").as("label"))
-      val probes = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("true_label"))
+      val probes = annPanelC(s, d)
+        .select(col("qid"), col("qvec"),
+          col("label").cast("long").as("true_label"))
         .withColumn("nrm_q", VectorSearch.fixedNormSq(col("qvec")))
       val scored = e
         .withColumn("nrm_e", VectorSearch.fixedNormSq(col("embedding")))
@@ -567,7 +572,7 @@ object ExtQueries {
         .select(col("qid"), col("label").as("pred_label"),
           col("true_label"),
           (col("label") === col("true_label")).cast("long").as("correct"))
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -3088,13 +3093,16 @@ object ExtQueries {
          |                       AS BIGINT)) AS DOUBLE)
          |           / 1000000000000.0 AS en
          |  FROM kexpl GROUP BY 1),
+         |$panelCte,
          |kdots AS (
          |  SELECT q.vec_id AS qid, e.vec_id,
          |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
          |                       AS BIGINT)) AS DOUBLE)
          |           / 1000000000000.0 AS dot
-         |  FROM kexpl q JOIN kexpl e ON e.i = q.i
-         |  WHERE q.vec_id % 50 = 0 AND e.vec_id != q.vec_id
+         |  FROM kexpl q
+         |  JOIN panel ON panel.pqid = q.vec_id
+         |  JOIN kexpl e ON e.i = q.i
+         |  WHERE e.vec_id != q.vec_id
          |  GROUP BY 1, 2),
          |kscored AS (
          |  SELECT d.qid, d.vec_id,

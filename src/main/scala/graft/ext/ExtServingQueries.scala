@@ -774,9 +774,11 @@ object ExtServingQueries {
       graft.expr.GraftFunctions.ensureRegistered(s)
       val e = emb(s, d).select(col("vec_id"), col("embedding"),
         col("label").cast("long").as("label"))
-      val probes = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("qlabel"))
+      // probes ride the fixed acceptance panel — this probes×corpus
+      // exact side is the same measurement shape as knnPerProbe's
+      val probes = annPanelC(s, d)
+        .select(col("qid"), col("qvec"),
+          col("label").cast("long").as("qlabel"))
         .withColumn("nrm_q", VectorSearch.fixedNormSq(col("qvec")))
       val scored = e
         .withColumn("nrm_e", VectorSearch.fixedNormSq(col("embedding")))
