@@ -2389,6 +2389,42 @@ object RelQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // DP TOP-K SELECTION — the third mechanism of the DP family
+    // (perturbed counts, clamped sums, and now SELECTION): release
+    // WHICH k groups are largest without releasing any true count
+    // (report-noisy-max generalized to one-shot top-k: every
+    // candidate's count gets an independent draw from the same
+    // seeded geometric(1/2) ladder as q_dp_counts, the top-3 by
+    // noisy count are published with their NOISY counts only — the
+    // true n never leaves the aggregate). Candidates are disjoint
+    // row partitions (each customer in one segment), so parallel
+    // composition prices the whole selection at one ε = ln 2. Same
+    // deterministic, oracle-replayable sampler discipline.
+    "q_dp_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = graft.ext.LmScore.LogScale
+      val key = concat_ws("|", col("c_mktsegment"))
+      val noisy = t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u", PortableHash.spread(
+          PortableHash.h(concat(key, lit("|dpt1")))) + lit(1L))
+        .withColumn("sgn", when(PortableHash.spread(
+            PortableHash.h(concat(key, lit("|dpt2")))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+        .withColumn("lgu", graft.ext.LmScore.log2FxCol(col("u")))
+        .withColumn("mag", expr(s"(${20 * S} - lgu) div $S"))
+        .withColumn("noisy_count",
+          col("n") + col("sgn") * col("mag"))
+      val w = Window.orderBy(col("noisy_count").desc,
+        col("c_mktsegment"))
+      noisy.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("noisy_count"), col("rn"),
+          lit(0.6931).as("eps"))
+        .orderBy(col("rn"))
+    }),
+
     // Privacy-budget LEDGER (the release discipline over the two DP
     // mechanisms): one row per release against the customer table,
     // carrying the cell count (measured from data, not asserted), the
@@ -2421,9 +2457,17 @@ object RelQueries {
           lit("parallel_within").as("cell_composition"),
           col("n_cells"), lit(500000L).as("sensitivity"),
           lit(6931L).as("eps_fx"))
+      val r3 = cust.agg(countDistinct(col("c_mktsegment"))
+          .cast("long").as("n_cells"))
+        .select(lit("dp_topk").as("release_id"),
+          lit("customer").as("table_name"),
+          lit("noisy_topk").as("mechanism"),
+          lit("parallel_within").as("cell_composition"),
+          col("n_cells"), lit(1L).as("sensitivity"),
+          lit(6931L).as("eps_fx"))
       val w = Window.orderBy(col("release_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      r1.unionByName(r2)
+      r1.unionByName(r2).unionByName(r3)
         .withColumn("cum_eps_fx", sum(col("eps_fx")).over(w))
         .withColumn("eps", Det.r4(col("eps_fx").cast("double") / 1e4))
         .withColumn("cum_eps",
@@ -4288,6 +4332,40 @@ object RelQueries {
          |FROM z ORDER BY c_mktsegment""".stripMargin
     },
 
+    // Noisy top-k replayed: same seeded ladder per candidate, rank by
+    // (noisy DESC, segment), top-3 published with noisy counts only.
+    "q_dp_topk" -> {
+      val S = graft.ext.LmScore.LogScale
+      val k1 = "(c_mktsegment || '|dpt1')"
+      val k2 = "(c_mktsegment || '|dpt2')"
+      s"""WITH g AS (
+         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1),
+         |x AS (
+         |  SELECT c_mktsegment, n,
+         |         ${PortableHash.spreadSql(PortableHash.hSql(k1))} + 1
+         |           AS u,
+         |         CASE WHEN (${PortableHash.spreadSql(
+                    PortableHash.hSql(k2))}) % 2 = 0
+         |              THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(-1 AS BIGINT) END AS sgn
+         |  FROM g),
+         |z AS (
+         |  SELECT c_mktsegment,
+         |         CAST(n + sgn * ((${20 * S} -
+         |           ${graft.ext.LmScore.log2FxSql("u")}) // $S)
+         |           AS BIGINT) AS noisy_count
+         |  FROM x),
+         |rk AS (
+         |  SELECT c_mktsegment, noisy_count,
+         |         CAST(row_number() OVER (ORDER BY noisy_count DESC,
+         |           c_mktsegment) AS BIGINT) AS rn
+         |  FROM z)
+         |SELECT c_mktsegment, noisy_count, rn,
+         |       CAST(0.6931 AS DOUBLE) AS eps
+         |FROM rk WHERE rn <= 3 ORDER BY rn""".stripMargin
+    },
+
     // Ledger replayed: measured cell counts, fixed sensitivities and
     // ε units, running sequential-composition sum over release order.
     "q_dp_ledger" ->
@@ -4305,7 +4383,13 @@ object RelQueries {
         |         'parallel_within',
         |         (SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT)
         |          FROM customer),
-        |         CAST(500000 AS BIGINT), CAST(6931 AS BIGINT)),
+        |         CAST(500000 AS BIGINT), CAST(6931 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'dp_topk', 'customer', 'noisy_topk',
+        |         'parallel_within',
+        |         (SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+        |          FROM customer),
+        |         CAST(1 AS BIGINT), CAST(6931 AS BIGINT)),
         |cum AS (
         |  SELECT *, CAST(sum(eps_fx) OVER (ORDER BY release_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
