@@ -3505,8 +3505,13 @@ object ExtQueries {
 
     // Leakage-free split: same CC replay as q_dedup_clusters, split
     // bands off the portable spread hash of the cluster id, edge
-    // rollup attributed to the d1 endpoint's split.
-    "q_leakage_free_split" -> {
+    // rollup attributed to the d1 endpoint's split. mat()'d (DuckDB
+    // accepts MATERIALIZED on the recursive head too): `cc` is
+    // consumed by cgrp→asg→{eagg twice, final select}, and `edges`
+    // by sym (×2) + dedges — un-materialized, DuckDB re-inlines the
+    // whole simhash+CC replay per reference and the sf0.1 oracle ran
+    // past a 600 s budget; materialized it runs in ~4 min (the recursive CC replay is the remaining cost).
+    "q_leakage_free_split" -> Oracle.mat {
       import graft.core.PortableHash
       val spSql = PortableHash.spreadSql(PortableHash.hSql(
         "'split:' || CAST(cluster_id AS VARCHAR)"))
