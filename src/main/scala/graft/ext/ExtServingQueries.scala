@@ -1160,6 +1160,30 @@ object ExtServingQueries {
           sum(PortableHash.spread(PortableHash.h(col("text"))))
             .as("text_hash_sum"))
         .orderBy(col("lang"))
+    }),
+
+    // XML interchange through Spark 4's BUILT-IN xml source (the
+    // spark-xml package merged upstream — no extra dependency): the
+    // corpus written as <docs><doc>…</doc></docs>, read back through
+    // the schema-inferring XML scan, summarized per language with the
+    // same folded text hash as the JSONL/ORC/CSV roundtrips. XML's
+    // entity encoding is the one most likely to mangle text ('<', '&',
+    // quotes), and the hash moves on one mangled byte. The oracle runs
+    // the summary over the parquet table. At 100 TB: XML files are
+    // row-tag-splittable in Spark's reader, so the scan parallelizes
+    // like the other text formats.
+    "q_xml_roundtrip" -> ((s, d) => {
+      val path = graft.io.DialectFixtures.writeDocsXml(s, d)
+      s.read.option("rowTag", "doc").format("xml").load(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(PortableHash.spread(PortableHash.h(col("text"))))
+            .as("text_hash_sum"))
+        .orderBy(col("lang"))
     })
   )
 }

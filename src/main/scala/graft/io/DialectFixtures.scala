@@ -162,6 +162,26 @@ object DialectFixtures {
     path
   }
 
+  def docsXmlPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_xml"
+
+  /** The document corpus rendered as XML through Spark 4's built-in
+    * XML source (the spark-xml package merged upstream) — the fourth
+    * interchange format beside JSONL/ORC/CSV, and the one whose
+    * escaping rules differ most from the others: `<`, `&` and quotes
+    * in document text must cross entity-encoding intact or the
+    * roundtrip text-hash summary moves. */
+  def writeDocsXml(spark: SparkSession, dir: String): String = {
+    val path = docsXmlPath(dir)
+    once(path, dir) {
+      Sources.table(spark, dir, "documents")
+        .write.mode("overwrite")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .format("xml").save(path)
+    }
+    path
+  }
+
   def docsCsvPath(dir: String): String =
     s"$BaseDir/${leaf(dir)}/docs_csv"
 

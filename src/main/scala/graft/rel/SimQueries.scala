@@ -130,9 +130,15 @@ object SimQueries {
       .select(col("item_x"), col("item_y"), col("cfx"))
   }
 
-  /** The serving artifact both rec-serve queries consume. */
+  /** The serving artifact both rec-serve queries consume — a
+    * session SNAPSHOT (O(10·items) rows): this IS the nightly
+    * artifact, and re-deriving it per serve re-ran the ranking
+    * window over the full moment table on every warm run (2.9 s of
+    * q_rec_serve_user's warm time at sf0.1). Lineage truncation, not
+    * persist, for the usual broadcast-future reason. */
   private def neighborTable(s: SparkSession, d: String): DataFrame =
-    neighborsFromMoments(moments(s, d))
+    Cache.getOrSnapshot(s, "neighbor_table", d)(
+      neighborsFromMoments(moments(s, d)))
 
   /** Test hook: the full-rebuild neighbor table, for IncrementalSpec's
     * cell-exact comparison against [[incrementalNeighbors]]. */
