@@ -115,7 +115,10 @@ object ScaleGate {
     "q_ann_graph_recall", "q_ann_hnsw_recall", "q_ann_frontier",
     // the exact-kNN measurement family rides the same panel (its
     // probes×corpus side was the other deliberately-absent entry)
-    "q_knn_classify", "q_label_noise", "q_triplet_mining")
+    "q_knn_classify", "q_label_noise", "q_triplet_mining",
+    // content-defined chunking: per-row boundary fan-out + one sig
+    // shuffle — must gate like q_dup_windows' scan shape
+    "q_content_chunks")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

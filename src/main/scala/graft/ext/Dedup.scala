@@ -104,6 +104,70 @@ object Dedup {
       |  SELECT doc_id, substr(text, i*10 + 1, 40) AS wstr FROM wspan)"""
       .stripMargin
 
+  /** Content-defined chunking (LBFS/FastCDC family, Muthitacharoen
+    * et al. 2001): a chunk boundary lands at every position whose
+    * 5-char rolling window hashes to 0 mod [[CdcMod]], so an
+    * insertion only re-cuts the chunks it touches — the property the
+    * fixed-stride [[textWindows]] lacks (one inserted char shifts
+    * every later window). Emits one row per (doc_id, lo, chunk).
+    * Boundary positions run 2..len−4 (position 1 is the implicit
+    * first chunk start; windows stay full 5 chars); the per-row
+    * fan-out is sequence+filter+explode — scan-parallel, no shuffle.
+    * Expected chunk length ≈ CdcMod chars. The hash is the portable
+    * window hash, so DuckDB cuts IDENTICAL boundaries. */
+  val CdcMod = 64
+  def contentChunks(docs: DataFrame): DataFrame = {
+    import graft.core.PortableHash
+    graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val len = length(col("text"))
+    // boundary ARRAY per doc, chunks cut per row — zero shuffle (the
+    // first draft lead()-windowed over exploded boundary rows, which
+    // shuffled each doc's full text once PER boundary: a ~CdcMod×
+    // write amplification the per-row transform avoids entirely).
+    // The window hash runs once per CHAR — the native codegen'd
+    // graft_hash (bit-identical to PortableHash.h, ExprSpec-asserted)
+    // instead of the composed 6-op Column form.
+    val bnds = concat(array(lit(1)),
+      when(len >= 6,
+        filter(sequence(lit(2), len - 4), i =>
+          PortableHash.spread(call_function("graft_hash",
+            col("text").substr(i, lit(5)))) % CdcMod === 0))
+        .otherwise(array().cast("array<int>")))
+    docs
+      .select(col("doc_id"), col("text"), len.as("len"), bnds.as("bnds"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("bnds"))), j =>
+          struct(element_at(col("bnds"), j).as("lo"),
+            col("text").substr(element_at(col("bnds"), j),
+              coalesce(try_element_at(col("bnds"), j + lit(1)),
+                col("len") + 1) - element_at(col("bnds"), j))
+              .as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.lo").cast("int").as("lo"),
+        col("c.chunk").as("chunk"))
+  }
+
+  /** SQL twin of [[contentChunks]]: emits `cdc(doc_id, lo, chunk)`. */
+  lazy val contentChunksSql: String = {
+    import graft.core.PortableHash
+    val bh = PortableHash.spreadSql(PortableHash.hSql(
+      "substr(text, CAST(i AS INTEGER), 5)"))
+    s"""clen AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents),
+       |cbnd AS (
+       |  SELECT doc_id, text, len, 1 AS lo FROM clen
+       |  UNION ALL
+       |  SELECT doc_id, text, len, CAST(i AS INTEGER) AS lo
+       |  FROM clen, unnest(range(2, greatest(len - 4, 1) + 1)) AS t(i)
+       |  WHERE len >= 6 AND ($bh) % $CdcMod = 0),
+       |cdc AS (
+       |  SELECT doc_id, lo,
+       |         substr(text, lo,
+       |           coalesce(lead(lo) OVER (PARTITION BY doc_id
+       |                                   ORDER BY lo), len + 1) - lo)
+       |           AS chunk
+       |  FROM cbnd)""".stripMargin
+  }
+
   /** (doc_id, h) shingle-hash projection: the ONLY columns the whole
     * minhash chain (band minima, candidates, rescue) needs. Callers
     * that cache the chain's input should cache THIS frame, not the

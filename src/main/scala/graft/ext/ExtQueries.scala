@@ -1369,6 +1369,33 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Content-defined chunk dedup (LBFS/FastCDC boundaries): the
+    // insertion-robust complement of q_dup_windows — a fixed-stride
+    // window table shifts wholesale on one inserted character, while
+    // rolling-hash boundaries re-cut only the touched chunks, so
+    // shared passages keep matching across edited copies. Chunks are
+    // grouped by sha2 (exact semantics, no collision caveat), dup
+    // exposure attributed per doc exactly like the window variant.
+    // Scale: boundary detection is a per-row scan fan-out (no
+    // shuffle); the sig groupBy is the only exchange, on ~len/64
+    // rows per doc.
+    "q_content_chunks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sg = Dedup.contentChunks(docs(s, d))
+        .select(col("doc_id"), sha2(col("chunk"), 256).as("sig"))
+      val perDoc = sg.groupBy(col("sig"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
+      val marked = perDoc.withColumn("ndocs",
+        count(lit(1)).over(Window.partitionBy(col("sig"))))
+      marked.groupBy(col("doc_id"))
+        .agg(sum(col("occ")).as("n_chunks"),
+          sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L))
+            .as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          Det.r4(col("n_dup_chunks") / col("n_chunks")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary coverage / OOV rate: build the top-k corpus vocab
     // (count desc, token asc — a total order, so the rank-k cut is
     // deterministic) and score each doc's out-of-vocabulary token
@@ -3663,6 +3690,26 @@ object ExtQueries {
          |SELECT doc_id, n_windows, n_dup_windows,
          |       ${r4("CAST(n_dup_windows AS DOUBLE) / n_windows")} AS dup_frac
          |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    // CDC chunks replayed: identical rolling-window boundary cuts
+    // (portable hash, same mod), sha256 chunk sigs, same per-doc
+    // dup attribution as the window variant.
+    "q_content_chunks" ->
+      s"""WITH ${Dedup.contentChunksSql},
+         |csig AS (SELECT doc_id, sha256(chunk) AS sig FROM cdc),
+         |cg AS (SELECT sig, doc_id, count(*) AS occ
+         |       FROM csig GROUP BY 1, 2),
+         |cm AS (SELECT sig, doc_id, occ,
+         |              count(*) OVER (PARTITION BY sig) AS ndocs FROM cg),
+         |cperdoc AS (
+         |  SELECT doc_id,
+         |         CAST(sum(occ) AS BIGINT) AS n_chunks,
+         |         CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END)
+         |              AS BIGINT) AS n_dup_chunks
+         |  FROM cm GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         |       ${r4("CAST(n_dup_chunks AS DOUBLE) / n_chunks")} AS dup_frac
+         |FROM cperdoc ORDER BY doc_id""".stripMargin,
 
     // OOV rate: same deterministic top-k vocab cut + left-join mark.
     "q_oov_rate" ->

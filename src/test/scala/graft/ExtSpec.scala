@@ -1543,4 +1543,39 @@ class ExtSpec extends SparkSpec {
         r.getAs[Long]("bands"))).toSet
     assert(served === expected)
   }
+
+  test("content-defined chunks are insertion-robust where fixed " +
+    "windows are not, chunks reassemble the text exactly") {
+    // a real corpus doc, and a copy with ONE character inserted
+    // mid-way: rolling-hash boundaries must resynchronize after the
+    // edit, so most chunk sigs stay shared; the fixed-stride window
+    // table shifts wholesale past the insertion point
+    val txt = graft.io.Sources.table(spark, sf001, "documents")
+      .orderBy(length(col("text")).desc, col("doc_id"))
+      .select(col("text")).head().getString(0)
+    assert(txt.length > 300)
+    val ins = txt.length / 2
+    val edited = txt.substring(0, ins) + "Z" + txt.substring(ins)
+    val both = docsDF(1L -> txt, 2L -> edited)
+    val ch = Dedup.contentChunks(both)
+    // lossless: per doc, chunks concatenated in lo order == the text
+    val back = ch.orderBy(col("doc_id"), col("lo"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", collect_list(col("chunk"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) === txt && back(2L) === edited)
+    def sigs(df: org.apache.spark.sql.DataFrame, id: Long, c: String) =
+      df.where(col("doc_id") === id).select(col(c))
+        .collect().map(_.getString(0)).toSet
+    val cs = ch.select(col("doc_id"), sha2(col("chunk"), 256).as("s"),
+      col("chunk").as("c"))
+    val c1 = sigs(cs, 1L, "s"); val c2 = sigs(cs, 2L, "s")
+    val cdcShared = (c1 intersect c2).size.toDouble / c1.size
+    val w = Dedup.textWindows(both)
+    val w1 = sigs(w, 1L, "wstr"); val w2 = sigs(w, 2L, "wstr")
+    val winShared = (w1 intersect w2).size.toDouble / math.max(w1.size, 1)
+    assert(cdcShared > winShared,
+      s"cdc=$cdcShared should beat windows=$winShared")
+    assert(cdcShared > 0.5, s"cdc boundaries failed to resync: $cdcShared")
+  }
 }
