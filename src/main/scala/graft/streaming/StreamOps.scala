@@ -721,6 +721,42 @@ object StreamOps {
       spark.read.parquet(s"$store/delta_moments").drop("batch"))
   }
 
+  /** Store COMPACTION — the maintenance op every log-structured
+    * store needs: fold the accumulated delta dirs (moments AND
+    * ratings) back into the base tables and clear them, so serve
+    * reads stop paying one union arm per ingested batch. Runs OUT of
+    * the streaming query (a nightly job; the stream keeps appending
+    * new batch dirs while the rewrite scans a snapshot of old ones —
+    * run it between micro-batches or on a paused stream, like any
+    * compactor). Write discipline: land the merged tables in
+    * `*_compact` staging dirs first, then swap — a crash mid-compact
+    * leaves the store readable (either all-old or all-new), never
+    * half-merged. [[loadMoments]] after compaction returns the
+    * identical cell-exact table (StreamingSpec asserts it). */
+  def compactStore(spark: SparkSession, store: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(conf)
+    val dm = new org.apache.hadoop.fs.Path(s"$store/delta_moments")
+    if (!fs.exists(dm)) return
+    loadMoments(spark, store)
+      .write.mode("overwrite").parquet(s"$store/base_moments_compact")
+    loadRatings(spark, store)
+      .write.mode("overwrite").parquet(s"$store/base_ratings_compact")
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$store/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$store/${name}_compact")
+      fs.delete(live, true)
+      fs.rename(next, live)
+      ()
+    }
+    swap("base_moments")
+    swap("base_ratings")
+    fs.delete(dm, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/delta_ratings"), true)
+    ()
+  }
+
   /** Rate-source synthetic event stream: the load-generator twin of
     * the file source (schema-compatible with the events-derived
     * transforms: ts, user_id, event_type, value). Useful for

@@ -1015,6 +1015,17 @@ class StreamingSpec extends SparkSpec {
     assert(merged === rebuild,
       s"merged-only=${(merged diff rebuild).take(3)} " +
         s"rebuild-only=${(rebuild diff merged).take(3)}")
+    // compaction folds the delta dirs into base and clears them;
+    // the served table must not move a cell
+    StreamOps.compactStore(spark, store)
+    assert(!new File(s"$store/delta_moments").exists())
+    assert(!new File(s"$store/delta_ratings").exists())
+    val compacted = StreamOps.loadMoments(spark, store)
+      .select(cols: _*).collect().map(key).toSet
+    assert(compacted === rebuild)
+    // idempotent on an already-compact store
+    StreamOps.compactStore(spark, store)
+    assert(StreamOps.loadMoments(spark, store).count() === rebuild.size)
   }
 
   test("streaming PSI gate: an in-distribution batch scores low, a " +
