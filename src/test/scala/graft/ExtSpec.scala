@@ -1578,4 +1578,24 @@ class ExtSpec extends SparkSpec {
       s"cdc=$cdcShared should beat windows=$winShared")
     assert(cdcShared > 0.5, s"cdc boundaries failed to resync: $cdcShared")
   }
+
+  test("content-defined chunks: degenerate inputs chunk losslessly") {
+    // below the 6-char boundary floor → exactly one chunk, the text;
+    // empty text → one empty chunk; boundary arithmetic at the
+    // len−4 window edge must not drop or duplicate a character
+    val tiny = docsDF(1L -> "", 2L -> "abc", 3L -> "abcde",
+      4L -> "abcdef", 5L -> ("ab " * 40).trim)
+    val ch = Dedup.contentChunks(tiny)
+    val back = ch.orderBy(col("doc_id"), col("lo"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", collect_list(col("chunk"))).as("t"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(back(1L)._1 === "" && back(1L)._2 === 1L)
+    assert(back(2L)._1 === "abc" && back(2L)._2 === 1L)
+    assert(back(3L)._1 === "abcde" && back(3L)._2 === 1L)
+    assert(back(4L)._1 === "abcdef")
+    assert(back(5L)._1 === ("ab " * 40).trim)
+  }
 }
