@@ -292,7 +292,12 @@ object ScaleGate {
     // caught with the exact knob in the message.
     val needGiB = math.max(8.0, factor * (if (fullStar) 1.6 else 0.8))
     val haveGiB = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    if (haveGiB < needGiB && !force) {
+    // 5% tolerance: Runtime.maxMemory reports slightly under -Xmx on
+    // most collectors (survivor-region accounting), and the model's
+    // 10×-fullstar anchor lands EXACTLY on 16 GiB — a strict compare
+    // would block the documented known-good run with an
+    // un-actionable "relaunch with the value you already set"
+    if (haveGiB < needGiB * 0.95 && !force) {
       System.err.println(
         f"ScaleGate: heap $haveGiB%.1f GiB < estimated need $needGiB%.0f " +
         f"GiB for factor=$factor${if (fullStar) " --fullstar" else ""}; " +

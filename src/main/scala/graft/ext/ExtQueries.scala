@@ -72,8 +72,7 @@ object ExtQueries {
   private[ext] def annPanelC(s: SparkSession, d: String): DataFrame =
     Cache.getOrPersist(s, "ann_panel", d)(
       emb(s, d).where(col("vec_id") % 50 === 0)
-        .orderBy((col("vec_id") * lit(48271L)) % lit(1000003L),
-          col("vec_id"))
+        .orderBy(PortableHash.spread(col("vec_id")), col("vec_id"))
         .limit(AnnPanelSize)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("label")))
@@ -105,7 +104,7 @@ object ExtQueries {
     s"""panel AS (
        |  SELECT vec_id AS pqid FROM embeddings
        |  WHERE vec_id % 50 = 0
-       |  ORDER BY (CAST(vec_id AS BIGINT) * 48271) % 1000003, vec_id
+       |  ORDER BY ${PortableHash.spreadSql("vec_id")}, vec_id
        |  LIMIT $AnnPanelSize)""".stripMargin
 
   /** q_zipf_fit: how many top frequency ranks enter the OLS fit
@@ -574,7 +573,14 @@ object ExtQueries {
           (col("label") === col("true_label")).cast("long").as("correct"))
     }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
+  // lazy: oraclesBase references ExtServingOracles.oracles, whose own
+  // initializer calls back into this object's CTE builders — with
+  // EAGER vals a first touch of ExtServingOracles would re-enter
+  // ExtQueries mid-init and read oraclesBase as null (Map ++ null
+  // NPE), and two threads first-touching the two objects could
+  // deadlock on class-init locks. Lazy maps break the cycle: this
+  // object's eager init never touches the sibling objects.
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
     // Exact dedup: sha2 groups over prefix-normalized text.
@@ -3239,7 +3245,7 @@ object ExtQueries {
     "sq" -> "q_ann_sq_recall",
     "truncated" -> "q_ann_truncated_recall")
 
-  private[ext] val oraclesBase: Map[String, String] = Map(
+  private[ext] lazy val oraclesBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $dupSigSql
          |SELECT sig, count(*) AS cnt, min(doc_id) AS min_doc,
@@ -4409,7 +4415,7 @@ object ExtQueries {
        |${oraclesBase(q)}
        |) AS leg_$v""".stripMargin
 
-  val oracles: Map[String, String] = oraclesBase +
+  lazy val oracles: Map[String, String] = oraclesBase +
     ("q_ann_frontier" ->
       (FrontierVariants.map { case (v, q) => frontierLeg(v, q) }
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",

@@ -50,6 +50,10 @@ object ExtServingOracles {
     // brute-force chain over the i <= 16 prefix of the exploded
     // vectors; exact side and tail shared with the other recall
     // twins.
+    // (exactTop3Ctes — which defines `panel` — is spliced BEFORE the
+    // truncated chain so tdots can panel-key its query side: the
+    // oracle's truth work stays O(panel·N) like the engine's, instead
+    // of re-growing with the %50 sample.)
     "q_ann_truncated_recall" -> Oracle.mat(
       s"""WITH expl AS (
          |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
@@ -60,6 +64,7 @@ object ExtServingOracles {
          |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
          |           AS en
          |  FROM expl GROUP BY 1),
+         |$exactTop3Ctes,
          |texpl AS (SELECT vec_id, i, v FROM expl WHERE i <= 16),
          |tnorm AS (
          |  SELECT vec_id,
@@ -72,8 +77,9 @@ object ExtServingOracles {
          |         CAST(sum(CAST(floor(q.v*e.v*1000000000000.0 + 0.5)
          |                       AS BIGINT)) AS DOUBLE) / 1000000000000.0
          |           AS dot
-         |  FROM texpl q JOIN texpl e ON e.i = q.i
-         |  WHERE q.vec_id % 50 = 0
+         |  FROM texpl q
+         |  JOIN panel ON panel.pqid = q.vec_id
+         |  JOIN texpl e ON e.i = q.i
          |  GROUP BY 1, 2),
          |tscored AS (
          |  SELECT d.qid, d.vec_id,
@@ -88,7 +94,6 @@ object ExtServingOracles {
          |           row_number() OVER (PARTITION BY qid
          |                              ORDER BY cos_sim DESC, vec_id) AS trn
          |    FROM tscored) WHERE trn <= 3),
-         |$exactTop3Ctes,
          |${recallTail("tserved")}""".stripMargin),
 
     // Recall@3 of the COMPOSED IVF-PQ stack vs exact ground truth —

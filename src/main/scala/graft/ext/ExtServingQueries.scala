@@ -1174,15 +1174,24 @@ object ExtServingQueries {
     // like the other text formats.
     "q_xml_roundtrip" -> ((s, d) => {
       val path = graft.io.DialectFixtures.writeDocsXml(s, d)
-      s.read.option("rowTag", "doc").format("xml").load(path)
+      // reader options pinned for byte-identity: the XML source
+      // defaults ignoreSurroundingSpaces=true, which would TRIM
+      // whitespace-bordered text and report a reader-option artifact
+      // as an encoding failure; an empty <text/> element reads as
+      // null (XML cannot distinguish it from absent), so the hash
+      // input coalesces to "" — h("") == h(coalesce) on the writer
+      // side where the column is never null
+      s.read.option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(path)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars"),
           sum(col("doc_id")).as("id_sum"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"),
-          sum(PortableHash.spread(PortableHash.h(col("text"))))
-            .as("text_hash_sum"))
+          sum(PortableHash.spread(PortableHash.h(
+            coalesce(col("text"), lit(""))))).as("text_hash_sum"))
         .orderBy(col("lang"))
     })
   )

@@ -692,68 +692,152 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .start()
 
-  /** Ratings history as of (exclusive) `beforeBatch`: the base table
-    * plus every committed delta batch below the cutoff. */
+  /** Resolve the store's current epoch: (k, foldedThrough,
+    * momentsDir, ratingsDir). Epoch 0 is the bootstrap layout
+    * (unsuffixed `base_moments`/`base_ratings`, nothing folded);
+    * each compaction commits epoch k+1 by CREATING the marker file
+    * `_EPOCH_<k+1>_<foldedThroughBatch>` — one file creation is the
+    * entire commit point, so a reader sees either epoch k (old base
+    * + all deltas) or epoch k+1 (new base + deltas the marker says
+    * are already folded get filtered out) and never a half-merge. */
+  private def resolveEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                           store: String): (Long, Long, String, String) = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val marks = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_EPOCH_"))
+      .flatMap { n =>
+        n.stripPrefix("_EPOCH_").split("_") match {
+          case Array(k, f) => Some((k.toLong, f.toLong))
+          case _ => None
+        }
+      }
+    if (marks.isEmpty)
+      (0L, -1L, s"$store/base_moments", s"$store/base_ratings")
+    else {
+      val (k, folded) = marks.maxBy(_._1)
+      (k, folded, s"$store/base_moments_e$k", s"$store/base_ratings_e$k")
+    }
+  }
+
+  /** True when `dir` exists and holds at least one data file (a
+    * cleaned-out partition parent or _SUCCESS-only dir must read as
+    * "no deltas", not break schema inference). */
+  private def hasData(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    def scan(q: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(q).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) scan(st.getPath)
+        else !n.startsWith("_") && !n.startsWith(".")
+      }
+    fs.exists(p) && scan(p)
+  }
+
+  /** Ratings history as of (exclusive) `beforeBatch`: the current
+    * epoch's base table plus every delta batch the epoch has NOT yet
+    * folded, below the cutoff. */
   def loadRatings(spark: SparkSession, store: String,
                   beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val base = spark.read.parquet(s"$store/base_ratings")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (_, folded, _, rdir) = resolveEpoch(fs, store)
+    val base = spark.read.parquet(rdir)
       .select(col("user_id"), col("item_id"), col("rating_i"))
-    val p = new org.apache.hadoop.fs.Path(s"$store/delta_ratings")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) base
+    if (!hasData(fs, s"$store/delta_ratings")) base
     else {
       val deltas = spark.read.parquet(s"$store/delta_ratings")
-        .where(col("batch") < beforeBatch)
+        .where(col("batch") > folded && col("batch") < beforeBatch)
         .select(col("user_id"), col("item_id"), col("rating_i"))
       base.unionByName(deltas)
     }
   }
 
-  /** The served moment table: stored base partials merge-summed with
-    * every delta fold — cell-exact equal to pairMoments over the full
-    * ratings history by the decomposition argument above. */
+  /** The served moment table: the current epoch's base partials
+    * merge-summed with every not-yet-folded delta — cell-exact equal
+    * to pairMoments over the full ratings history by the
+    * decomposition argument above. */
   def loadMoments(spark: SparkSession, store: String): DataFrame = {
-    val base = spark.read.parquet(s"$store/base_moments")
-    val p = new org.apache.hadoop.fs.Path(s"$store/delta_moments")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) base
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (_, folded, mdir, _) = resolveEpoch(fs, store)
+    val base = spark.read.parquet(mdir)
+    if (!hasData(fs, s"$store/delta_moments")) base
     else graft.core.Moments.mergeMoments(base,
-      spark.read.parquet(s"$store/delta_moments").drop("batch"))
+      spark.read.parquet(s"$store/delta_moments")
+        .where(col("batch") > folded).drop("batch"))
   }
 
   /** Store COMPACTION — the maintenance op every log-structured
     * store needs: fold the accumulated delta dirs (moments AND
-    * ratings) back into the base tables and clear them, so serve
-    * reads stop paying one union arm per ingested batch. Runs OUT of
-    * the streaming query (a nightly job; the stream keeps appending
-    * new batch dirs while the rewrite scans a snapshot of old ones —
-    * run it between micro-batches or on a paused stream, like any
-    * compactor). Write discipline: land the merged tables in
-    * `*_compact` staging dirs first, then swap — a crash mid-compact
-    * leaves the store readable (either all-old or all-new), never
-    * half-merged. [[loadMoments]] after compaction returns the
-    * identical cell-exact table (StreamingSpec asserts it). */
-  def compactStore(spark: SparkSession, store: String): Unit = {
+    * ratings) into a NEW base epoch so serve reads stop paying one
+    * union arm per ingested batch.
+    *
+    * Crash-safety: the new `base_*_e<k+1>` dirs are written first;
+    * the single creation of the `_EPOCH_<k+1>_<folded>` marker is
+    * the commit point (readers filter deltas by the marker's
+    * folded-through batch, so a crash BEFORE the marker leaves the
+    * old epoch fully consistent and a crash AFTER it can never
+    * double-count a folded delta — stale delta dirs are ignored, and
+    * cleanup below is pure garbage collection, safe to re-run).
+    *
+    * Coordination: run against a QUIESCED stream whose last batch
+    * has COMMITTED. Pass the stream's checkpoint dir and the guard
+    * verifies it (a batch folded here and then REDELIVERED by an
+    * uncommitted checkpoint would re-fold against a history that
+    * already contains its rows); passing None asserts the caller
+    * coordinated some other way. */
+  def compactStore(spark: SparkSession, store: String,
+                   ckpt: Option[String] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(store)
-    val fs = root.getFileSystem(conf)
-    val dm = new org.apache.hadoop.fs.Path(s"$store/delta_moments")
-    if (!fs.exists(dm)) return
-    loadMoments(spark, store)
-      .write.mode("overwrite").parquet(s"$store/base_moments_compact")
-    loadRatings(spark, store)
-      .write.mode("overwrite").parquet(s"$store/base_ratings_compact")
-    def swap(name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$store/$name")
-      val next = new org.apache.hadoop.fs.Path(s"$store/${name}_compact")
-      fs.delete(live, true)
-      fs.rename(next, live)
-      ()
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    ckpt.foreach { c =>
+      def maxIn(sub: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$c/$sub")
+        if (!fs.exists(p)) -1L
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.forall(_.isDigit)).map(_.toLong)
+          .foldLeft(-1L)(math.max)
+      }
+      val (off, com) = (maxIn("offsets"), maxIn("commits"))
+      require(off == com,
+        s"compactStore: checkpoint $c has uncommitted batch $off " +
+          s"(last commit $com) — a redelivery after compaction would " +
+          "double-count; drain or restart the stream first")
     }
-    swap("base_moments")
-    swap("base_ratings")
-    fs.delete(dm, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$store/delta_ratings"), true)
+    val (k, folded, _, _) = resolveEpoch(fs, store)
+    val dr = s"$store/delta_ratings"
+    if (!hasData(fs, s"$store/delta_moments")) return
+    // partition inference types the batch dir column INT — pin long
+    val maxBatch = spark.read.parquet(dr)
+      .where(col("batch") > folded)
+      .agg(max(col("batch").cast("long"))).head().getLong(0)
+    // write the next epoch's bases from the CURRENT epoch view
+    loadMoments(spark, store)
+      .write.mode("overwrite").parquet(s"$store/base_moments_e${k + 1}")
+    loadRatings(spark, store)
+      .write.mode("overwrite").parquet(s"$store/base_ratings_e${k + 1}")
+    // COMMIT: one file creation
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_EPOCH_${k + 1}_$maxBatch"), false).close()
+    // garbage collection (safe to lose to a crash; re-run collects)
+    Seq("delta_moments", "delta_ratings").foreach { d =>
+      val parent = new org.apache.hadoop.fs.Path(s"$store/$d")
+      if (fs.exists(parent))
+        fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch=") &&
+              n.stripPrefix("batch=").toLong <= maxBatch)
+            fs.delete(st.getPath, true)
+        }
+    }
+    val (oldM, oldR) =
+      if (k == 0L) (s"$store/base_moments", s"$store/base_ratings")
+      else (s"$store/base_moments_e$k", s"$store/base_ratings_e$k")
+    fs.delete(new org.apache.hadoop.fs.Path(oldM), true)
+    fs.delete(new org.apache.hadoop.fs.Path(oldR), true)
+    if (k > 0L) fs.delete(new org.apache.hadoop.fs.Path(
+      s"$store/_EPOCH_${k}_$folded"), false)
     ()
   }
 

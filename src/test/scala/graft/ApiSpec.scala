@@ -21,6 +21,14 @@ class ApiSpec extends SparkSpec {
     assert((o diff q) === Set.empty, s"oracles without query: ${o diff q}")
   }
 
+  test("sibling registration objects expose non-empty maps " +
+    "(init-order safety: ExtQueries' maps are lazy, so a first touch " +
+    "of a sibling can never re-enter a half-initialized ExtQueries)") {
+    assert(graft.ext.ExtServingOracles.oracles.nonEmpty)
+    assert(graft.ext.ExtCurationQueries.queries.nonEmpty)
+    assert(graft.ext.ExtServingQueries.queries.nonEmpty)
+  }
+
   test("registerTables makes the inventory SQL-addressable") {
     Graft.registerTables(spark, sf001)
     val n = spark.sql(

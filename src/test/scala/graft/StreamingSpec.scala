@@ -1015,17 +1015,34 @@ class StreamingSpec extends SparkSpec {
     assert(merged === rebuild,
       s"merged-only=${(merged diff rebuild).take(3)} " +
         s"rebuild-only=${(rebuild diff merged).take(3)}")
-    // compaction folds the delta dirs into base and clears them;
-    // the served table must not move a cell
-    StreamOps.compactStore(spark, store)
-    assert(!new File(s"$store/delta_moments").exists())
-    assert(!new File(s"$store/delta_ratings").exists())
+    // compaction folds the delta dirs into a new base EPOCH (the
+    // marker creation is the commit point); the served table must
+    // not move a cell, and the checkpoint guard must accept the
+    // fully-committed stream
+    StreamOps.compactStore(spark, store,
+      ckpt = Some(ckptDir.getAbsolutePath))
+    assert(new File(store).listFiles()
+      .exists(_.getName.startsWith("_EPOCH_1_")))
+    def batchDirs(d: String) = {
+      val p = new File(s"$store/$d")
+      if (!p.exists()) Array.empty[File]
+      else p.listFiles().filter(_.getName.startsWith("batch="))
+    }
+    assert(batchDirs("delta_moments").isEmpty)
+    assert(batchDirs("delta_ratings").isEmpty)
     val compacted = StreamOps.loadMoments(spark, store)
       .select(cols: _*).collect().map(key).toSet
     assert(compacted === rebuild)
     // idempotent on an already-compact store
     StreamOps.compactStore(spark, store)
     assert(StreamOps.loadMoments(spark, store).count() === rebuild.size)
+    // crash-window parity: a STALE folded delta dir left behind by a
+    // lost garbage-collection pass must be ignored by the epoch
+    // filter, never re-merged
+    Moments.pairMoments(half1)
+      .write.parquet(s"$store/delta_moments/batch=0")
+    assert(StreamOps.loadMoments(spark, store)
+      .select(cols: _*).collect().map(key).toSet === rebuild)
   }
 
   test("streaming PSI gate: an in-distribution batch scores low, a " +
