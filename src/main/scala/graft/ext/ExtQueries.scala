@@ -1375,6 +1375,29 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The CDC storage read-out: what chunk-level dedup SAVES — every
+    // duplicate chunk instance beyond its first stores as a
+    // reference, so saved bytes = Σ (count−1)·chunk_len per distinct
+    // chunk. The number a dedup store quotes (and the decision input
+    // for CdcMod: smaller chunks find more sharing but cost more
+    // references). One corpus-level row; arithmetic over the sig
+    // groups, no joins back to text.
+    "q_chunk_dedup_savings" -> ((s, d) => {
+      val sg = Dedup.contentChunks(docs(s, d))
+        .select(sha2(col("chunk"), 256).as("sig"),
+          length(col("chunk")).cast("long").as("blen"))
+      sg.groupBy(col("sig"))
+        .agg(count(lit(1)).as("cnt"), min(col("blen")).as("blen"))
+        .agg(count(lit(1)).as("n_unique_chunks"),
+          sum(col("cnt")).as("n_chunks"),
+          sum(col("cnt") * col("blen")).as("total_bytes"),
+          sum(col("blen")).as("unique_bytes"),
+          sum((col("cnt") - 1) * col("blen")).as("saved_bytes"))
+        .withColumn("savings_frac", Det.r4(
+          col("saved_bytes").cast("double") /
+            col("total_bytes").cast("double")))
+    }),
+
     // Content-defined chunk dedup (LBFS/FastCDC boundaries): the
     // insertion-robust complement of q_dup_windows — a fixed-stride
     // window table shifts wholesale on one inserted character, while
@@ -3696,6 +3719,27 @@ object ExtQueries {
          |SELECT doc_id, n_windows, n_dup_windows,
          |       ${r4("CAST(n_dup_windows AS DOUBLE) / n_windows")} AS dup_frac
          |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    // Savings replayed off the same chunk-sig groups.
+    "q_chunk_dedup_savings" ->
+      s"""WITH ${Dedup.contentChunksSql},
+         |csg AS (SELECT sha256(chunk) AS sig,
+         |               CAST(length(chunk) AS BIGINT) AS blen FROM cdc),
+         |cgr AS (SELECT sig, CAST(count(*) AS BIGINT) AS cnt,
+         |               min(blen) AS blen
+         |        FROM csg GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+         |         CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |         CAST(sum(cnt * blen) AS BIGINT) AS total_bytes,
+         |         CAST(sum(blen) AS BIGINT) AS unique_bytes,
+         |         CAST(sum((cnt - 1) * blen) AS BIGINT) AS saved_bytes
+         |  FROM cgr)
+         |SELECT n_unique_chunks, n_chunks, total_bytes, unique_bytes,
+         |       saved_bytes,
+         |       ${r4("CAST(saved_bytes AS DOUBLE) / " +
+              "CAST(total_bytes AS DOUBLE)")} AS savings_frac
+         |FROM tot""".stripMargin,
 
     // CDC chunks replayed: identical rolling-window boundary cuts
     // (portable hash, same mod), sha256 chunk sigs, same per-doc
