@@ -211,12 +211,15 @@ object AnnIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // a dir holding only _SUCCESS/metadata (a zero-row batch written
     // by an older build) must read as "no delta", not break schema
-    // inference for every subsequent serve
+    // inference for every subsequent serve; hidden DIRECTORIES
+    // (_temporary from a crashed write) are skipped for the same
+    // reason — their contents are invisible to the parquet reader
     def hasData(q: org.apache.hadoop.fs.Path): Boolean =
       fs.listStatus(q).exists { st =>
         val n = st.getPath.getName
-        if (st.isDirectory) hasData(st.getPath)
-        else !n.startsWith("_") && !n.startsWith(".")
+        if (n.startsWith("_") || n.startsWith(".")) false
+        else if (st.isDirectory) hasData(st.getPath)
+        else true
       }
     if (!fs.exists(p) || !hasData(p)) base
     else {

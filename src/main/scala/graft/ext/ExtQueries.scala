@@ -1383,9 +1383,12 @@ object ExtQueries {
     // references). One corpus-level row; arithmetic over the sig
     // groups, no joins back to text.
     "q_chunk_dedup_savings" -> ((s, d) => {
+      // octet_length, not length: the columns quote STORAGE savings,
+      // so multi-byte UTF-8 text must count bytes, not characters
+      // (r12 ADVICE; DuckDB twin uses strlen = bytes).
       val sg = Dedup.contentChunks(docs(s, d))
         .select(sha2(col("chunk"), 256).as("sig"),
-          length(col("chunk")).cast("long").as("blen"))
+          octet_length(col("chunk")).cast("long").as("blen"))
       sg.groupBy(col("sig"))
         .agg(count(lit(1)).as("cnt"), min(col("blen")).as("blen"))
         .agg(count(lit(1)).as("n_unique_chunks"),
@@ -3724,7 +3727,7 @@ object ExtQueries {
     "q_chunk_dedup_savings" ->
       s"""WITH ${Dedup.contentChunksSql},
          |csg AS (SELECT sha256(chunk) AS sig,
-         |               CAST(length(chunk) AS BIGINT) AS blen FROM cdc),
+         |               CAST(strlen(chunk) AS BIGINT) AS blen FROM cdc),
          |cgr AS (SELECT sig, CAST(count(*) AS BIGINT) AS cnt,
          |               min(blen) AS blen
          |        FROM csg GROUP BY 1),

@@ -1043,6 +1043,79 @@ class StreamingSpec extends SparkSpec {
       .write.parquet(s"$store/delta_moments/batch=0")
     assert(StreamOps.loadMoments(spark, store)
       .select(cols: _*).collect().map(key).toSet === rebuild)
+    // crash-RECOVERY re-run (r12 ADVICE): with only stale (≤ folded)
+    // deltas present, a compactStore re-run must finish the
+    // interrupted garbage collection — never NPE on max(batch) = NULL
+    // or fold a new empty epoch
+    StreamOps.compactStore(spark, store)
+    assert(batchDirs("delta_moments").isEmpty,
+      "recovery re-run must GC the stale delta dir")
+    assert(new File(store).listFiles()
+      .count(_.getName.startsWith("_EPOCH_")) === 1,
+      "recovery re-run must not mint a new epoch")
+    assert(StreamOps.loadMoments(spark, store)
+      .select(cols: _*).collect().map(key).toSet === rebuild)
+  }
+
+  test("compactStore epoch swap vs a concurrent reader: a serve that " +
+    "resolved the OLD epoch stays consistent through the marker " +
+    "commit, a post-marker serve sees the new epoch, and the " +
+    "recovery GC finishes the swap") {
+    import java.io.File
+    import graft.core.Moments
+    val tmp = java.nio.file.Files.createTempDirectory("epoch_swap").toFile
+    val store = new File(tmp, "store").getAbsolutePath
+    val r = graft.io.Sources.ratings(spark, sf001)
+      .select(col("user_id"), col("item_id"), col("rating_i"))
+    // split on USER parity: pair moments decompose exactly across a
+    // user-disjoint split (each co-rating pair lives wholly on one
+    // side), so pairMoments(delta) IS the delta increment here — the
+    // cross-user fold path is the upkeep test's job, not this one's
+    val base = r.where(col("user_id") % 2 === 0)
+    val delta = r.where(col("user_id") % 2 =!= 0)
+    Moments.pairMoments(base).write.parquet(s"$store/base_moments")
+    base.write.parquet(s"$store/base_ratings")
+    Moments.pairMoments(delta)
+      .write.parquet(s"$store/delta_moments/batch=0")
+    delta.write.parquet(s"$store/delta_ratings/batch=0")
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))
+    val cols = Seq("item_x", "item_y", "n", "sx", "sy", "sxx", "syy",
+      "sxy").map(col)
+    val rebuild = Moments.pairMoments(r)
+      .select(cols: _*).collect().map(key).toSet
+    // READER A lists the store BEFORE the swap: its plan is pinned to
+    // epoch 0 (old base + all deltas)
+    val readerA = StreamOps.loadMoments(spark, store).select(cols: _*)
+    // the swap's commit sequence, stopped INSIDE the crash window:
+    // new bases written, marker created, garbage collection NOT yet
+    // run — exactly the state a reader can observe mid-compaction
+    StreamOps.loadMoments(spark, store)
+      .write.parquet(s"$store/base_moments_e1")
+    StreamOps.loadRatings(spark, store)
+      .write.parquet(s"$store/base_ratings_e1")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$store/_EPOCH_1_0"))
+    // reader A executes AFTER the marker landed: the old epoch's
+    // inputs (old base + un-GC'd deltas) are all still present, so
+    // the all-OLD view must serve, cell-exact
+    assert(readerA.collect().map(key).toSet === rebuild,
+      "pre-swap reader must serve the consistent OLD epoch")
+    // READER B resolves after the marker: all-NEW view (e1 base,
+    // deltas filtered out by the marker's folded-through batch)
+    assert(StreamOps.loadMoments(spark, store)
+      .select(cols: _*).collect().map(key).toSet === rebuild,
+      "post-swap reader must serve the consistent NEW epoch")
+    // recovery completes the interrupted GC: old base + folded
+    // deltas collected, epoch-1 view unchanged
+    StreamOps.compactStore(spark, store)
+    assert(!new File(s"$store/base_moments").exists(),
+      "recovery must GC the superseded epoch-0 base")
+    assert(!new File(s"$store/delta_moments/batch=0").exists(),
+      "recovery must GC the folded delta")
+    assert(StreamOps.loadMoments(spark, store)
+      .select(cols: _*).collect().map(key).toSet === rebuild)
   }
 
   test("streaming PSI gate: an in-distribution batch scores low, a " +
