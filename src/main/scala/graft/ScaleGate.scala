@@ -118,7 +118,13 @@ object ScaleGate {
     "q_knn_classify", "q_label_noise", "q_triplet_mining",
     // content-defined chunking: per-row boundary fan-out + one sig
     // shuffle — must gate like q_dup_windows' scan shape
-    "q_content_chunks")
+    "q_content_chunks",
+    // round-13: the WARC→text extraction (pure per-row regex/HOF scan
+    // over the rendered page fixture — must gate like the scan
+    // baseline) and the URL-level dedup pair (normalize is scan work;
+    // the canon groupBy / Bloom-gated seen check are each ONE
+    // exchange whose key count grows linearly)
+    "q_html_extract", "q_url_dups", "q_url_seen")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan

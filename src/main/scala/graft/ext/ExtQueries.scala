@@ -400,6 +400,7 @@ object ExtQueries {
     graft.io.AudioFixtures.write(spark, dir)
     graft.io.VideoFixtures.write(spark, dir)
     graft.io.PhashFixtures.write(spark, dir)
+    graft.io.DialectFixtures.writeDocsHtml(spark, dir)
     ()
   }
 
@@ -1972,7 +1973,8 @@ object ExtQueries {
       VectorSearch.farthestFromCentroid(
         emb(s, d).select(col("vec_id"), col("label"), col("embedding")), 3)
         .orderBy(col("label"), col("rn"))),
-  ) ++ ExtCurationQueries.queries ++ ExtServingQueries.queries
+  ) ++ ExtCurationQueries.queries ++ ExtServingQueries.queries ++
+    ExtWebQueries.queries
 
   // ---------------------------------------------------------------
   // Oracle SQL twins.
@@ -4466,5 +4468,6 @@ object ExtQueries {
     ("q_ann_frontier" ->
       (FrontierVariants.map { case (v, q) => frontierLeg(v, q) }
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-          "\n) ORDER BY variant")))
+          "\n) ORDER BY variant"))) ++
+    ExtWebQueries.oracles
 }

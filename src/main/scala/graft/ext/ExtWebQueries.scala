@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Det
+import graft.rel.Oracle.r4
+
+/** Web-acquisition operators (round 13): HTML main-text extraction
+  * and URL canonicalization / URL-level dedup — the two steps a
+  * CC-scale corpus build runs BEFORE any content-level dedup
+  * (VERDICT r12 "What's missing" #2 and #3). Sibling object of
+  * [[ExtQueries]]; its maps are unioned there.
+  */
+object ExtWebQueries {
+
+  import ExtQueries.docs
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+
+      // HTML → main text: tag-strip + block segmentation + the
+      // length/link-density content gate (the trafilatura/jusText
+      // shape), over the deterministic page fixture. Per-row scan
+      // work, no shuffle — the output sort is for the oracle compare.
+      // The oracle reconstructs each page from the fixture formula
+      // and PREDICTS the extraction (expected text hash, block
+      // counts, boilerplate fraction): any breakage in the generic
+      // pipeline — segmentation, inline-strip, entity decode,
+      // density gate — lands cell-visibly red.
+      "q_html_extract" -> ((s, d) => {
+        val p = graft.io.DialectFixtures.writeDocsHtml(s, d)
+        val f = s.read.parquet(p)
+        f.select(col("doc_id"),
+            length(col("html")).cast("long").as("html_chars"),
+            Html.blocks(col("html")).as("bs"))
+          .select(col("doc_id"), col("html_chars"),
+            size(col("bs")).cast("long").as("n_blocks"),
+            size(filter(col("bs"), Html.isContent _)).cast("long")
+              .as("n_kept"),
+            aggregate(col("bs"), lit(0L),
+              (a, b) => a + b.getField("blen")).as("text_chars"),
+            Html.mainText(col("bs")).as("main_text"))
+          .select(col("doc_id"), col("html_chars"), col("n_blocks"),
+            col("n_kept"),
+            length(col("main_text")).cast("long").as("extract_chars"),
+            Det.r4(lit(1.0) -
+              length(col("main_text")).cast("double") /
+                col("text_chars").cast("double")).as("boilerplate_frac"),
+            sha2(col("main_text"), 256).as("text_sha"))
+          .orderBy(col("doc_id"))
+      }),
+
+      // URL canonicalization: the dirty-URL corpus (pure doc_id
+      // arithmetic, both engines construct identical inputs) through
+      // the GENERIC normalizer — case, www, default ports, fragments,
+      // tracking params, param order, trailing slashes. The oracle
+      // never normalizes; it states the expected canonical string.
+      "q_url_normalize" -> ((s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), Urls.urlOf(col("doc_id")).as("url"))
+          .withColumn("canon_url", Urls.normalize(col("url")))
+          .orderBy(col("doc_id"))),
+
+      // URL-level dedup (the CCNet/RefinedWeb pre-content pass):
+      // group on the canonical key, keep-first within each cluster.
+      // ONE exchange on canon_url at any corpus size.
+      "q_url_dups" -> ((s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            Urls.normalize(Urls.urlOf(col("doc_id"))).as("canon_url"))
+          .groupBy(col("canon_url"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("keeper"))
+          .where(col("n_docs") >= 2)
+          .orderBy(col("canon_url"))),
+
+      // URL-seen gate: an incoming batch checked against the crawl's
+      // seen-set. The Bloom filter (Spark's native bloom agg/probe
+      // expressions, the q_decontaminate_bloom machinery) prunes the
+      // overwhelmingly-unseen rows BEFORE the exact join; false
+      // positives are removed by the left-semi join, so the answer
+      // is identical to the exact check the oracle replays. At crawl
+      // scale the seen-set never broadcasts, but its Bloom digest
+      // does — O(bits) to every executor, one shuffle only for the
+      // FP-rate-sized candidate set.
+      "q_url_seen" -> ((s, d) => {
+        val all = docs(s, d).select(col("doc_id"),
+          Urls.normalize(Urls.urlOf(col("doc_id"))).as("canon_url"))
+        val prior = all.where(col("doc_id") % 5 =!= 4)
+          .select(col("canon_url")).distinct()
+        val incoming = all.where(col("doc_id") % 5 === 4)
+        graft.expr.GraftFunctions.ensureRegistered(s)
+        val nPrior = prior.count()
+        val seen =
+          if (nPrior == 0L) incoming.limit(0)
+            .select(col("doc_id"), lit(1L).as("seen"))
+          else {
+            val numBits = org.apache.spark.util.sketch.BloomFilter
+              .optimalNumOfBits(nPrior, 0.01)
+            val bf = prior.agg(call_function("graft_bloom_agg",
+                xxhash64(col("canon_url")), lit(nPrior), lit(numBits)))
+              .head().getAs[Array[Byte]](0)
+            incoming.where(call_function("graft_might_contain",
+                lit(bf), xxhash64(col("canon_url"))))
+              .join(prior, Seq("canon_url"), "left_semi")
+              .select(col("doc_id"), lit(1L).as("seen"))
+          }
+        incoming.join(seen, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("canon_url"),
+            coalesce(col("seen"), lit(0L)).as("seen"))
+          .orderBy(col("doc_id"))
+      }),
+    )
+
+  /** The five page-wrapper literals (single-quoted SQL safe: the
+    * fixture HTML uses only double quotes). MUST stay byte-identical
+    * to [[graft.io.DialectFixtures.writeDocsHtml]]. */
+  private val H1 = "<!DOCTYPE html><html><head><title>Doc "
+  private val H2 =
+    "</title><style>body{margin:0;color:#222}</style><script>var t="
+  private val H3 = ";track(t);</script></head><body><nav>" +
+    "<a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+    "<a href=\"/contact\">Contact</a></nav><div id=\"main\"><h1>Doc "
+  private val H4 = "</h1><p>Lead <b>bold</b> &amp; <i>ital</i>: "
+  private val H5 = "</p></div><footer><p>(c) Example Corp</p>" +
+    "<p><a href=\"/terms\">Terms</a> " +
+    "<a href=\"/privacy\">Privacy</a></p></footer></body></html>"
+
+  lazy val oracles: Map[String, String] = Map(
+
+    // Prediction from the fixture formula: the content block is the
+    // encoded text round-tripped (decode ∘ encode = id) behind the
+    // fixed inline prefix; the other four visible blocks are
+    // constants (nav 'Home About Contact', the short heading, the
+    // two footer lines) — all below the 25-char/density gate, so
+    // exactly the content block survives when it clears 25 chars.
+    "q_html_extract" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+         |    replace(replace(replace(text, '&', '&amp;'),
+         |      '<', '&lt;'), '>', '&gt;') AS et,
+         |    rtrim('Lead bold & ital: ' ||
+         |      trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fulltext
+         |  FROM documents),
+         |pred AS (
+         |  SELECT doc_id,
+         |    CAST(length('$H1' || ids || '$H2' || ids || '$H3' || ids ||
+         |      '$H4' || et || '$H5') AS BIGINT) AS html_chars,
+         |    CAST(5 AS BIGINT) AS n_blocks,
+         |    CAST(CASE WHEN length(fulltext) >= ${Html.MinBlockChars}
+         |      THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+         |    CASE WHEN length(fulltext) >= ${Html.MinBlockChars}
+         |      THEN fulltext ELSE '' END AS extract,
+         |    CAST(length('Home About Contact') + length('Doc ') +
+         |      length(ids) + length(fulltext) +
+         |      length('(c) Example Corp') + length('Terms Privacy')
+         |      AS BIGINT) AS text_chars
+         |  FROM base)
+         |SELECT doc_id, html_chars, n_blocks, n_kept,
+         |  CAST(length(extract) AS BIGINT) AS extract_chars,
+         |  ${r4("1.0 - CAST(length(extract) AS DOUBLE) / " +
+              "CAST(text_chars AS DOUBLE)")} AS boilerplate_frac,
+         |  sha256(extract) AS text_sha
+         |FROM pred ORDER BY doc_id""".stripMargin,
+
+    "q_url_normalize" ->
+      s"""SELECT doc_id,
+         |  ${Urls.urlOfSql("doc_id")} AS url,
+         |  ${Urls.canonOfSql("doc_id")} AS canon_url
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_dups" ->
+      s"""WITH canon AS (
+         |  SELECT doc_id, ${Urls.canonOfSql("doc_id")} AS canon_url
+         |  FROM documents)
+         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM canon GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY canon_url""".stripMargin,
+
+    // Exact replay: the Bloom pre-filter's false positives are
+    // removed by the engine's exact semi join, so the scored answer
+    // IS the exact membership check.
+    "q_url_seen" ->
+      s"""WITH canon AS (
+         |  SELECT doc_id, ${Urls.canonOfSql("doc_id")} AS canon_url
+         |  FROM documents),
+         |prior AS (
+         |  SELECT DISTINCT canon_url FROM canon WHERE doc_id % 5 != 4),
+         |inc AS (SELECT * FROM canon WHERE doc_id % 5 = 4)
+         |SELECT i.doc_id, i.canon_url,
+         |  CAST(CASE WHEN p.canon_url IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS seen
+         |FROM inc i LEFT JOIN prior p USING (canon_url)
+         |ORDER BY i.doc_id""".stripMargin,
+  )
+}

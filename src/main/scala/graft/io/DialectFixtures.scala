@@ -201,6 +201,46 @@ object DialectFixtures {
     path
   }
 
+  def docsHtmlPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_html"
+
+  /** The document corpus rendered as full HTML pages — the WARC→text
+    * fixture for the scored main-text extraction query
+    * (q_html_extract). Each page wraps the doc's (entity-encoded)
+    * text in a content `<p>` between realistic boilerplate: a head
+    * with title/style/script, a nav of links, a short heading, a
+    * footer with a copyright line and link row. Every wrapper string
+    * is a fixed literal (plus the doc_id digits), so the DuckDB
+    * oracle reconstructs the identical page text and PREDICTS the
+    * extraction output from the formula — the engine's generic
+    * tag-strip/segmentation/density pipeline must earn every cell.
+    * Inline `<b>/<i>` markup and a literal `&amp;` inside the content
+    * block force the inline-strip and entity-decode paths. */
+  def writeDocsHtml(spark: SparkSession, dir: String): String = {
+    val path = docsHtmlPath(dir)
+    once(path, dir) {
+      val ids = col("doc_id").cast("string")
+      val enc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      Sources.table(spark, dir, "documents")
+        .select(col("doc_id"), concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "), ids,
+          lit("</title><style>body{margin:0;color:#222}</style>" +
+            "<script>var t="), ids,
+          lit(";track(t);</script></head><body><nav>" +
+            "<a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+            "<a href=\"/contact\">Contact</a></nav>" +
+            "<div id=\"main\"><h1>Doc "), ids,
+          lit("</h1><p>Lead <b>bold</b> &amp; <i>ital</i>: "), enc,
+          lit("</p></div><footer><p>(c) Example Corp</p>" +
+            "<p><a href=\"/terms\">Terms</a> " +
+            "<a href=\"/privacy\">Privacy</a></p></footer>" +
+            "</body></html>")).as("html"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def corruptPath(dir: String): String = s"$BaseDir/${leaf(dir)}/corrupt"
 
   /** The movies pipe dialect with DETERMINISTIC corruption: rows

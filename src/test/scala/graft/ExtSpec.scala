@@ -1598,4 +1598,59 @@ class ExtSpec extends SparkSpec {
     assert(back(4L)._1 === "abcdef")
     assert(back(5L)._1 === ("ab " * 40).trim)
   }
+
+  test("html extraction: nested blocks, escaped entities, comments, " +
+    "script-embedded markup, header-vs-head, density and length gates") {
+    import graft.ext.Html
+    val html =
+      """<html><head><title>T</title><script>var s="<div>x</div>";
+        |</script></head><body>
+        |<header><a href="/">L1</a> <a href="/2">L2</a></header>
+        |<!-- <p>ghost paragraph that must never appear</p> -->
+        |<div><div><p>Nested   blocks &amp;lt; entities &quot;stay&quot;
+        |intact &#39;here&#39; and this line is long enough to
+        |keep.</p></div></div>
+        |<p>short one</p>
+        |<p>This block is long enough to pass but it is <a
+        |href="/x">mostly a very long anchor text that dominates the
+        |block</a> so density drops it.</p>
+        |<footer>(c) tiny</footer></body></html>""".stripMargin
+    val row = Seq(html).toDF("html")
+      .select(Html.blocks(col("html")).as("bs"))
+      .select(size(col("bs")).as("n_blocks"),
+        size(filter(col("bs"), Html.isContent _)).as("n_kept"),
+        Html.mainText(col("bs")).as("main_text"))
+      .head()
+    // visible blocks: header links, nested p, short p, anchor-heavy
+    // p, footer — the comment's ghost <p> and the script's <div>
+    // string must not create blocks
+    assert(row.getAs[Int]("n_blocks") === 5)
+    assert(row.getAs[Int]("n_kept") === 1)
+    // decode &amp;lt; to the LITERAL &lt; (never a re-decode), keep
+    // quotes/apostrophes, collapse runs of whitespace across lines
+    assert(row.getAs[String]("main_text") ===
+      "Nested blocks &lt; entities \"stay\" intact 'here' and this " +
+        "line is long enough to keep.")
+  }
+
+  test("url normalization: ports, www, params, fragments, roots") {
+    import graft.ext.Urls
+    val cases = Seq(
+      // non-default port kept; path case preserved; params sorted;
+      // utm dropped; fragment dropped; trailing slash stripped
+      "HTTPS://WWW.Sub.Example.com:8443/A/B/?z=1&a=2&utm_x=9#f" ->
+        "https://sub.example.com:8443/A/B?a=2&z=1",
+      // root path's slash is NOT a trailing slash
+      "http://example.com/" -> "http://example.com/",
+      // an empty path becomes the root
+      "https://example.com" -> "https://example.com/",
+      // 'ref' is tracking, 'referrer' is not (prefix must not bleed)
+      "http://x.com/p?referrer=a&ref=b" -> "http://x.com/p?referrer=a")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Urls.normalize(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"for $in")
+    }
+  }
 }
