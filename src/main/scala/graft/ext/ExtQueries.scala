@@ -507,6 +507,40 @@ object ExtQueries {
        |${simhashCappedPairsSql("rblocks", Dedup.SimhashBlockCap, "r")}""".stripMargin
   }
 
+  /** Bounded-round min-label CC ladder — the oracle replay of
+    * [[Dedup.connectedComponents]] WITHOUT the recursive-CTE
+    * quadratic (VERDICT r12 #3: the recursive `cc` accumulates one
+    * (node, label) row per node×reachable-label — ~n² rows inside a
+    * giant near-dup cluster, 248 s at sf0.1). Each round takes the
+    * min over {self, neighbors' labels, label-of-label} — neighbor
+    * propagation plus pointer jumping, the Rastogi-et-al. shortcut —
+    * so the reach DOUBLES per round and [[CcRounds]] = 24 converges
+    * for any component up to ~2²² nodes (extra rounds are
+    * idempotent; a correct label never changes once minimal).
+    * Requires `sym(src, dst)` (the symmetric edge list) in scope;
+    * emits `cgrp(doc_id, cluster_id)`. Chained plain CTEs — safe to
+    * Oracle.mat(). */
+  private[ext] val CcRounds = 24
+  private[ext] lazy val ccLadderSql: String = {
+    val rounds = (1 to CcRounds).map { i =>
+      val p = s"lab${i - 1}"
+      s"""lab$i AS (
+         |  SELECT node, min(l) AS label FROM (
+         |    SELECT node, label AS l FROM $p
+         |    UNION ALL
+         |    SELECT s.src AS node, t.label AS l
+         |    FROM sym s JOIN $p t ON t.node = s.dst
+         |    UNION ALL
+         |    SELECT a.node, b.label AS l
+         |    FROM $p a JOIN $p b ON b.node = a.label
+         |  ) GROUP BY node)""".stripMargin
+    }
+    s"""lab0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+       |${rounds.mkString(",\n")},
+       |cgrp AS (
+       |  SELECT node AS doc_id, label AS cluster_id FROM lab$CcRounds)""".stripMargin
+  }
+
   private[ext] val normSqlExpr =
     "array_to_string(string_split(text,' ')[1:5], ' ')"
 
@@ -3544,8 +3578,8 @@ object ExtQueries {
     // member re-derives exactly what the engine's iterate-to-fixpoint
     // loop computes (min reachable doc_id per component). Edges are
     // the guarded chain: capped primary pairs ∪ rescue pairs.
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
+    "q_dedup_clusters" -> Oracle.mat(
+      s"""WITH $simhashPairCtes,
          |edges AS (
          |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
          |  UNION
@@ -3554,29 +3588,26 @@ object ExtQueries {
          |  SELECT d1 AS src, d2 AS dst FROM edges
          |  UNION ALL
          |  SELECT d2 AS src, d1 AS dst FROM edges),
-         |cc AS (
-         |  SELECT doc_id AS node, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT sym.dst AS node, cc.label
-         |  FROM cc JOIN sym ON cc.node = sym.src)
-         |SELECT node AS doc_id, min(label) AS cluster_id,
-         |       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT)
-         |         AS is_keeper
-         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+         |$ccLadderSql
+         |SELECT doc_id, cluster_id,
+         |       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END
+         |         AS BIGINT) AS is_keeper
+         |FROM cgrp ORDER BY doc_id""".stripMargin),
 
-    // Leakage-free split: same CC replay as q_dedup_clusters, split
+    // Leakage-free split: same CC replay as q_dedup_clusters (the
+    // bounded-round ladder — the RECURSIVE cc accumulated ~n²
+    // (node, label) rows inside the giant near-dup cluster and cost
+    // 248 s at sf0.1 even mat()'d; the ladder is O(rounds·E)), split
     // bands off the portable spread hash of the cluster id, edge
-    // rollup attributed to the d1 endpoint's split. mat()'d (DuckDB
-    // accepts MATERIALIZED on the recursive head too): `cc` is
-    // consumed by cgrp→asg→{eagg twice, final select}, and `edges`
-    // by sym (×2) + dedges — un-materialized, DuckDB re-inlines the
-    // whole simhash+CC replay per reference and the sf0.1 oracle ran
-    // past a 600 s budget; materialized it runs in ~4 min (the recursive CC replay is the remaining cost).
+    // rollup attributed to the d1 endpoint's split. mat()'d: `edges`
+    // is consumed by sym (×2) + dedges and cgrp by asg→{eagg twice,
+    // final select} — un-materialized, DuckDB re-inlines the whole
+    // simhash+ladder replay per reference.
     "q_leakage_free_split" -> Oracle.mat {
       import graft.core.PortableHash
       val spSql = PortableHash.spreadSql(PortableHash.hSql(
         "'split:' || CAST(cluster_id AS VARCHAR)"))
-      s"""WITH RECURSIVE $simhashPairCtes,
+      s"""WITH $simhashPairCtes,
          |edges AS (
          |  SELECT d1, d2 FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
          |  UNION
@@ -3585,14 +3616,7 @@ object ExtQueries {
          |  SELECT d1 AS src, d2 AS dst FROM edges
          |  UNION ALL
          |  SELECT d2 AS src, d1 AS dst FROM edges),
-         |cc AS (
-         |  SELECT doc_id AS node, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT sym.dst AS node, cc.label
-         |  FROM cc JOIN sym ON cc.node = sym.src),
-         |cgrp AS (
-         |  SELECT node AS doc_id, min(label) AS cluster_id
-         |  FROM cc GROUP BY node),
+         |$ccLadderSql,
          |asg AS (
          |  SELECT doc_id, cluster_id,
          |         CASE WHEN $spSql < 900002 THEN 'train'
@@ -3600,10 +3624,10 @@ object ExtQueries {
          |              ELSE 'test' END AS split
          |  FROM cgrp),
          |dedges AS (
-         |  -- DuckDB gotcha: under WITH RECURSIVE the bare UNION in
-         |  -- `edges` does NOT dedup across branches (the CC consumer
-         |  -- is multiset-insensitive; this count is not) — dedup
-         |  -- explicitly to match the engine's distinct edge cache
+         |  -- explicit dedup kept from the WITH RECURSIVE era (a bare
+         |  -- UNION there did NOT dedup across branches — measured);
+         |  -- harmless belt-and-braces now, and this count is the one
+         |  -- consumer that is NOT multiset-insensitive
          |  SELECT DISTINCT d1, d2 FROM edges),
          |eagg AS (
          |  SELECT a1.split,

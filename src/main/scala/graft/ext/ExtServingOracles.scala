@@ -1831,6 +1831,31 @@ object ExtServingOracles {
          |JOIN norms y ON y.doc_id = p.d2
          |ORDER BY cos_sim DESC, p.d1, p.d2""".stripMargin),
 
+    // The pair-stage fan-out bound replayed as arithmetic over the
+    // same df table (// is DuckDB integer division — exact, matching
+    // the engine's long shift).
+    "q_doc_sim_fanout" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |posts AS (
+         |  SELECT doc_id, shingle AS w, count(*) AS tf
+         |  FROM shingles GROUP BY 1, 2),
+         |tdf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS df
+         |  FROM posts GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(CASE WHEN df <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_terms_kept,
+         |  max(df) AS max_df,
+         |  CAST(sum(CASE WHEN df <= 30 THEN (df*(df-1))//2 ELSE 0 END)
+         |    AS BIGINT) AS capped_pairs,
+         |  CAST(sum((df*(df-1))//2) AS BIGINT) AS uncapped_pairs,
+         |  CAST(max(CASE WHEN df <= 30 THEN (df*(df-1))//2 ELSE 0 END)
+         |    AS BIGINT) AS max_term_pairs,
+         |  ${r4("CAST(sum(CASE WHEN df <= 30 THEN (df*(df-1))//2 " +
+              "ELSE 0 END) AS DOUBLE) / CAST(sum((df*(df-1))//2) AS DOUBLE)")}
+         |    AS capped_frac
+         |FROM tdf""".stripMargin,
+
     // Link prediction: the same capped wedge join + anti join,
     // materialized (sym/viamid feed multiple references).
     "q_link_prediction" -> Oracle.mat(

