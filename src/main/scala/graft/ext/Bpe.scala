@@ -62,6 +62,8 @@ object Bpe {
 
   private val memo =
     TrieMap.empty[(String, String), Seq[(String, String)]]
+  private val memoBytes =
+    TrieMap.empty[(String, String), Seq[(String, String)]]
 
   /** The learned merge table for a corpus dir, memoized per
     * (session, dir) — learning collects ≤[[VocabCap]] rows once. */
@@ -69,6 +71,13 @@ object Bpe {
     memo.getOrElseUpdate(
       (graft.core.Cache.sessionKey(docs.sparkSession), dir),
       learnMerges(docs))
+
+  /** The BYTE-level merge table ([[learnMergesBytes]]), memoized like
+    * [[mergesMemo]]. */
+  def mergesBytesMemo(docs: DataFrame, dir: String): Seq[(String, String)] =
+    memoBytes.getOrElseUpdate(
+      (graft.core.Cache.sessionKey(docs.sparkSession), dir),
+      learnMergesBytes(docs))
 
   /** Merge one pair left-to-right, non-overlapping — the exact
     * semantics of SQL `replace` on the bracketed form. */
@@ -90,7 +99,27 @@ object Bpe {
     * LIMIT 1`. Merging never collapses two distinct words (the symbol
     * concatenation is invariant), so the map keys stay unique. */
   def learnMerges(docs: DataFrame, numMerges: Int = NumMerges,
-                  vocabCap: Int = VocabCap): Seq[(String, String)] = {
+                  vocabCap: Int = VocabCap): Seq[(String, String)] =
+    learnLoop(docs, numMerges, vocabCap,
+      w => w.map(_.toString).toVector)
+
+  /** BYTE-level learn (the GPT-style alphabet): each word seeds as
+    * its UTF-8 bytes rendered as fixed-width uppercase hex symbols
+    * (`6E`), so the alphabet is exactly 256 symbols + `</w>` and
+    * any byte string is in-domain — no character-coverage escape
+    * hatch needed. Hex rendering is ORDER-PRESERVING per byte
+    * ('0'-'9' < 'A'-'F' in ASCII), so the argmax tie-break compares
+    * identically in Scala UTF-16 and DuckDB UTF-8, non-ASCII corpora
+    * included — the portability the char path only gets on ASCII. */
+  def learnMergesBytes(docs: DataFrame, numMerges: Int = NumMerges,
+                       vocabCap: Int = VocabCap): Seq[(String, String)] =
+    learnLoop(docs, numMerges, vocabCap,
+      w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X").toVector)
+
+  private def learnLoop(docs: DataFrame, numMerges: Int, vocabCap: Int,
+                        seed: String => Vector[String])
+      : Seq[(String, String)] = {
     val vocabRows = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
@@ -98,7 +127,7 @@ object Bpe {
       .orderBy(col("freq").desc, col("w")).limit(vocabCap)
       .collect()
     var vocab: Map[Vector[String], Long] = vocabRows.map { r =>
-      (r.getString(0).map(_.toString).toVector :+ "</w>") -> r.getLong(1)
+      (seed(r.getString(0)) :+ "</w>") -> r.getLong(1)
     }.toMap
     val merges = Seq.newBuilder[(String, String)]
     var done = false
@@ -123,11 +152,23 @@ object Bpe {
   def seedCol(w: Column): Column =
     concat(regexp_replace(w, "(.)", "[$1]"), lit("[</w>]"))
 
-  /** The seed folded through the merge table (rank order). */
-  def tokenizeCol(w: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(seedCol(w)) { case (c, (a, b)) =>
+  /** A word column as bracketed BYTE seed symbols: `[68][69][</w>]`
+    * (uppercase hex of the UTF-8 bytes — Spark's `hex` and DuckDB's
+    * `hex` agree). */
+  def seedBytesCol(w: Column): Column =
+    concat(regexp_replace(hex(encode(w, "UTF-8")), "(..)", "[$1]"),
+      lit("[</w>]"))
+
+  /** An arbitrary bracketed seed folded through a merge table (rank
+    * order). */
+  def foldMerges(seed: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(seed) { case (c, (a, b)) =>
       replace(c, lit(s"[$a][$b]"), lit(s"[$a$b]"))
     }
+
+  /** The char seed folded through the merge table (rank order). */
+  def tokenizeCol(w: Column, merges: Seq[(String, String)]): Column =
+    foldMerges(seedCol(w), merges)
 
   /** Symbol count of a bracketed-token string = `]` occurrences. */
   def countCol(tok: Column): Column =
@@ -145,20 +186,39 @@ object Bpe {
         w => wordBpeCol(w, merges)),
       lit(0L), (acc, x) => acc + x)
 
+  /** Per-document BYTE-level BPE token count — [[docBpeCol]] with the
+    * hex byte seed. */
+  def docBpeBytesCol(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      transform(filter(split(text, " "), w => w =!= ""),
+        w => countCol(foldMerges(seedBytesCol(w), merges))),
+      lit(0L), (acc, x) => acc + x)
+
   // ------------------------------------------------------------------
   // DuckDB replay (the exact SQL twins of the learn + apply pipeline)
   // ------------------------------------------------------------------
 
+  /** Char seed, as SQL over a column named `w`. */
+  val SeedSql: String = """regexp_replace(w, '(.)', '[\1]', 'g')"""
+
+  /** BYTE seed, as SQL over `w` (DuckDB `encode` → UTF-8 blob, `hex`
+    * → uppercase — exactly Spark's `hex(encode(w, 'UTF-8'))`). */
+  val SeedBytesSql: String =
+    """regexp_replace(hex(encode(w)), '(..)', '[\1]', 'g')"""
+
   /** The learn-loop CTE chain: seeds `v0` from the capped vocab, then
     * per merge i: pair extraction (zip-unnest of adjacent symbols),
-    * weighted count, argmax `b{i}`, and the merged vocab `v{i+1}`. */
-  def learnCtesSql(n: Int = NumMerges, cap: Int = VocabCap): String = {
+    * weighted count, argmax `b{i}`, and the merged vocab `v{i+1}`.
+    * `seedSql` picks the alphabet (char default, [[SeedBytesSql]] for
+    * the byte-level tokenizer). */
+  def learnCtesSql(n: Int = NumMerges, cap: Int = VocabCap,
+                   seedSql: String = SeedSql): String = {
     val head = Seq(
       "bwords AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w " +
         "FROM documents)",
       "bvocab AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq " +
         s"FROM bwords WHERE w <> '' GROUP BY 1 ORDER BY freq DESC, w LIMIT $cap)",
-      """v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '[\1]', 'g') """ +
+      s"v0 AS MATERIALIZED (SELECT $seedSql " +
         "|| '[</w>]' AS wstr, freq FROM bvocab)")
     val steps = (0 until n).flatMap { i =>
       Seq(
@@ -181,10 +241,11 @@ object Bpe {
     * one replace CTE per learned merge; read the result from `t{n}`.
     * `carryCols` are the src columns to keep alongside `tok`. */
   def applyCtesSql(srcCte: String, carryCols: Seq[String],
-                   n: Int = NumMerges): String = {
+                   n: Int = NumMerges,
+                   seedSql: String = SeedSql): String = {
     val carry = carryCols.mkString(", ")
     val head =
-      s"""t0 AS (SELECT $carry, regexp_replace(w, '(.)', '[\\1]', 'g') """ +
+      s"t0 AS (SELECT $carry, $seedSql " +
         s"|| '[</w>]' AS tok FROM $srcCte WHERE w <> '')"
     val steps = (0 until n).map { i =>
       s"t${i + 1} AS (SELECT $carry, replace(tok, '['||a||']['||b||']', " +

@@ -860,6 +860,34 @@ object ExtServingOracles {
               "CAST(sum(n_ws) AS DOUBLE)")} AS fertility
          |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    // The byte-level twin: the identical learn+apply replay with the
+    // hex byte seed in v0/t0.
+    "q_bpe_byte_fertility" ->
+      s"""WITH ${Bpe.learnCtesSql(seedSql = Bpe.SeedBytesSql)},
+         |wsrc AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |${Bpe.applyCtesSql("wsrc", Seq("doc_id"),
+              seedSql = Bpe.SeedBytesSql)},
+         |perword AS (
+         |  SELECT doc_id, ${Bpe.countSql("tok")} AS c
+         |  FROM t${Bpe.NumMerges}),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |         CAST(sum(c) AS BIGINT) AS n_bpe
+         |  FROM perword GROUP BY 1),
+         |j AS (
+         |  SELECT d.lang, COALESCE(p.n_ws, 0) AS n_ws,
+         |         COALESCE(p.n_bpe, 0) AS n_bpe
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_ws) AS BIGINT) AS n_words,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |       ${r4("CAST(sum(n_bpe) AS DOUBLE) / " +
+              "CAST(sum(n_ws) AS DOUBLE)")} AS fertility
+         |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
+
     // q_pack_sequences' token definition (unfiltered whitespace
     // split, like the Spark side); integer ceil via (x + B-1) // B.
     "q_pack_efficiency" -> {

@@ -635,6 +635,31 @@ object ExtServingQueries {
         .orderBy(col("lang"))
     }),
 
+    // BYTE-level BPE fertility (VERDICT r12 #8): the same Sennrich
+    // loop over the GPT-style alphabet — each word seeds as its
+    // UTF-8 bytes rendered as fixed-width hex symbols, so the
+    // alphabet is 256 symbols + </w>, any byte string is in-domain
+    // (no character-coverage escape hatch), and fertility numbers
+    // are comparable to production byte-level tokenizers. Same
+    // zero-shuffle scan + one |langs|-group agg as the char twin;
+    // the hex rendering keeps the argmax tie-break portable on
+    // NON-ASCII corpora too (hex is order-preserving per byte),
+    // which the char path only guarantees on ASCII.
+    "q_bpe_byte_fertility" -> ((s, d) => {
+      val m = Bpe.mergesBytesMemo(docs(s, d), d)
+      docs(s, d).select(col("lang"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_ws"),
+          Bpe.docBpeBytesCol(col("text"), m).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"),
+          Det.r4(sum(col("n_bpe")).cast("double") /
+            sum(col("n_ws")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // Padding-waste accounting per source: what fraction of the
     // training budget pays for pad tokens if each doc is its own
     // padded sequence (naive) vs concatenate-and-cut packing

@@ -144,4 +144,37 @@ class BpeSpec extends SparkSpec {
     val n = docs.select(Bpe.docBpeCol(col("text"), m)).head().getLong(0)
     assert(n == 1L) // fully merged to [ab</w>]
   }
+
+  test("byte-level BPE: UTF-8 multi-byte seeding, lossless hex " +
+    "reassembly, and ASCII parity with the char alphabet") {
+    // 'café' is 4 code points but 5 UTF-8 bytes — the byte seed must
+    // split the two-byte é (C3 A9), which the char path never sees
+    val docs = Seq((1L, "café café aa")).toDF("doc_id", "text")
+    val seed = docs
+      .select(Bpe.seedBytesCol(lit("café")).as("s")).head().getString(0)
+    assert(seed === "[63][61][66][C3][A9][</w>]")
+    // with zero merges the byte token count IS the byte count + 1
+    assert(docs.select(Bpe.docBpeBytesCol(col("text"), Nil))
+      .head().getLong(0) === (5 + 1) * 2L + (2 + 1))
+    // learned merges reassemble losslessly: stripping brackets from
+    // the folded string gives back exactly the seed's hex stream
+    val m = Bpe.learnMergesBytes(docs, numMerges = 6)
+    assert(m.nonEmpty)
+    val folded = docs.select(
+      Bpe.foldMerges(Bpe.seedBytesCol(lit("café")), m).as("t"))
+      .head().getString(0)
+    assert(folded.filterNot(c => c == '[' || c == ']')
+      === "636166C3A9</w>")
+    // on a pure-ASCII corpus byte and char fertility totals agree
+    // (the alphabets are isomorphic there)
+    val ascii = sennrichDocs
+    val mc = Bpe.learnMerges(ascii)
+    val mb = Bpe.learnMergesBytes(ascii)
+    val nc = ascii.select(sum(Bpe.docBpeCol(col("text"), mc)))
+      .head().getLong(0)
+    val nb = ascii.select(sum(Bpe.docBpeBytesCol(col("text"), mb)))
+      .head().getLong(0)
+    assert(nc === nb,
+      s"ASCII corpus: char tokens $nc must equal byte tokens $nb")
+  }
 }
