@@ -124,7 +124,11 @@ object ScaleGate {
     // baseline) and the URL-level dedup pair (normalize is scan work;
     // the canon groupBy / Bloom-gated seen check are each ONE
     // exchange whose key count grows linearly)
-    "q_html_extract", "q_url_dups", "q_url_seen")
+    "q_html_extract", "q_url_dups", "q_url_seen",
+    // the WARC envelope parse + the composed WARC→text chain: both
+    // pure per-row scan work over the rendered record fixture — must
+    // gate like the scan baseline
+    "q_warc_records", "q_warc_extract")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
@@ -136,6 +140,10 @@ object ScaleGate {
   val Materialized: Set[String] =
     Set("q_dedup_clusters", "q_graph_rank", "q_graph_triangles",
       "q_embed_pca_power", "q_graph_communities",
+      // kcore is the same snapshot-materialized fixpoint shape as its
+      // siblings above (round-13: it joined the deep gate, where a
+      // warm-graded snapshot scan would hide the peel's scaling)
+      "q_graph_kcore",
       // whole-RESULT caches (snapshot serve / per-word segment
       // table): warm is a bare scan, grade the build
       "q_ann_persist", "q_ann_graph_persist", "q_ann_hnsw_persist",

@@ -17,6 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.SimQueries.queries ++
       rel.RelQueries.queries ++
+      rel.RelEventQueries.queries ++
+      rel.RelStatsQueries.queries ++
       ext.ExtQueries.queries
 
   /** Force all session-shared intermediates (bucketed ratings table,
@@ -68,5 +70,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     rel.SimQueries.oracles ++
       rel.RelQueries.oracles ++
+      rel.RelEventQueries.oracles ++
+      rel.RelStatsQueries.oracles ++
       ext.ExtQueries.oracles
 }

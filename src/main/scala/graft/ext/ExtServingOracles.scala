@@ -9,6 +9,7 @@ import graft.rel.Oracle.r4
 import graft.core.Cache
 import graft.streaming.StreamOps
 import ExtQueries._
+import ExtOracles._
 
 /** Oracle twins for the serving/acceptance slice — split from
   * ExtQueries's oraclesBase along the same seam. The CTE builders

@@ -9,6 +9,7 @@ import graft.rel.Oracle.r4
 import graft.core.Cache
 import graft.streaming.StreamOps
 import ExtQueries._
+import ExtOracles._
 
 /** Serving / acceptance slice of the extension inventory — split
   * from ExtQueries along its family seam (VERDICT r11 #6): the

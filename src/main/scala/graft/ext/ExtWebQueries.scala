@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.core.Det
 import graft.rel.Oracle.r4
 
-/** Web-acquisition operators (round 13): HTML main-text extraction
-  * and URL canonicalization / URL-level dedup — the two steps a
-  * CC-scale corpus build runs BEFORE any content-level dedup
-  * (VERDICT r12 "What's missing" #2 and #3). Sibling object of
+/** Web-acquisition operators (round 13): WARC record-envelope
+  * parsing, HTML main-text extraction, and URL canonicalization /
+  * URL-level dedup — the steps a CC-scale corpus build runs BEFORE
+  * any content-level dedup (VERDICT r12 "What's missing" #2 and #3,
+  * plus the WARC envelope those two presuppose). Sibling object of
   * [[ExtQueries]]; its maps are unioned there.
   */
 object ExtWebQueries {
@@ -17,6 +18,53 @@ object ExtWebQueries {
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+
+      // WARC envelope parse + validation: header-map parse (generic
+      // str_to_map, not formula replay — the record's identity comes
+      // from its OWN headers), byte-exact Content-Length check, and
+      // the payload digest downstream dedup keys on. The deliberate
+      // malformation class (doc_id % 13 == 5 states a length 7 bytes
+      // long) must land as len_ok = 0 — flagged, not crashed-on, not
+      // passed. Pure per-row scan work; the sort is for the compare.
+      "q_warc_records" -> ((s, d) => {
+        val p = graft.io.DialectFixtures.writeDocsWarc(s, d)
+        s.read.parquet(p).select(
+            Warc.headers(col("warc")).as("h"),
+            Warc.payload(col("warc")).as("pl"),
+            Warc.version(col("warc")).as("ver"))
+          .select(
+            Warc.recordId(col("h")).as("doc_id"),
+            element_at(col("h"), "WARC-Type").as("rec_type"),
+            element_at(col("h"), "WARC-Target-URI").as("uri"),
+            element_at(col("h"), "Content-Length").cast("long")
+              .as("content_length"),
+            octet_length(col("pl")).cast("long").as("payload_bytes"),
+            (col("ver") === "WARC/1.0").cast("long").as("version_ok"),
+            Warc.lenOk(col("h"), col("pl")).as("len_ok"),
+            sha2(col("pl"), 256).as("payload_sha"))
+          .orderBy(col("doc_id"))
+      }),
+
+      // The full acquisition chain, composed from the two operators:
+      // WARC parse → drop malformed records (the real skip-truncated
+      // policy) → HTML main-text extraction on the surviving
+      // payloads. End-to-end per-row scan work — the 100 TB crawl
+      // path runs WARC→text in ONE stage with no exchange.
+      "q_warc_extract" -> ((s, d) => {
+        val p = graft.io.DialectFixtures.writeDocsWarc(s, d)
+        s.read.parquet(p).select(
+            Warc.headers(col("warc")).as("h"),
+            Warc.payload(col("warc")).as("pl"))
+          .select(Warc.recordId(col("h")).as("doc_id"), col("pl"),
+            Warc.lenOk(col("h"), col("pl")).as("len_ok"))
+          .where(col("len_ok") === 1L)
+          .select(col("doc_id"),
+            Html.mainText(Html.blocks(col("pl"))).as("main_text"))
+          .select(col("doc_id"),
+            length(col("main_text")).cast("long").as("extract_chars"),
+            sha2(col("main_text"), 256).as("text_sha"))
+          .orderBy(col("doc_id"))
+      }),
 
       // HTML → main text: tag-strip + block segmentation + the
       // length/link-density content gate (the trafilatura/jusText
@@ -127,6 +175,50 @@ object ExtWebQueries {
     "<a href=\"/privacy\">Privacy</a></p></footer></body></html>"
 
   lazy val oracles: Map[String, String] = Map(
+
+    // The oracle CONSTRUCTS each record from the documents formula
+    // (page text via the H literals, header fields via doc_id
+    // arithmetic) and predicts every parsed cell — the engine's
+    // generic envelope parser must recover them from the record text.
+    "q_warc_records" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+         |    replace(replace(replace(text, '&', '&amp;'),
+         |      '<', '&lt;'), '>', '&gt;') AS et
+         |  FROM documents),
+         |page AS (
+         |  SELECT doc_id, ids,
+         |    '$H1' || ids || '$H2' || ids || '$H3' || ids ||
+         |      '$H4' || et || '$H5' AS pg
+         |  FROM base)
+         |SELECT doc_id, 'response' AS rec_type,
+         |  'http://example.org/doc/' || ids AS uri,
+         |  CAST(strlen(pg) + CASE WHEN doc_id % 13 = 5 THEN 7 ELSE 0
+         |    END AS BIGINT) AS content_length,
+         |  CAST(strlen(pg) AS BIGINT) AS payload_bytes,
+         |  CAST(1 AS BIGINT) AS version_ok,
+         |  CAST(CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 1 END AS BIGINT)
+         |    AS len_ok,
+         |  sha256(pg) AS payload_sha
+         |FROM page ORDER BY doc_id""".stripMargin,
+
+    // Chain prediction: the q_html_extract content-block formula,
+    // restricted to the records the length gate keeps.
+    "q_warc_extract" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    rtrim('Lead bold & ital: ' ||
+         |      trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fulltext
+         |  FROM documents WHERE doc_id % 13 != 5),
+         |pred AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(fulltext) >= ${Html.MinBlockChars}
+         |      THEN fulltext ELSE '' END AS extract
+         |  FROM base)
+         |SELECT doc_id,
+         |  CAST(length(extract) AS BIGINT) AS extract_chars,
+         |  sha256(extract) AS text_sha
+         |FROM pred ORDER BY doc_id""".stripMargin,
 
     // Prediction from the fixture formula: the content block is the
     // encoded text round-tripped (decode ∘ encode = id) behind the

@@ -241,6 +241,40 @@ object DialectFixtures {
     path
   }
 
+  def docsWarcPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_warc"
+
+  /** Each page of the HTML fixture wrapped in a WARC/1.0 response
+    * record envelope — the acquisition format every CC-scale corpus
+    * build starts from. The envelope is real (version line, typed
+    * headers, Content-Length in BYTES, CRLF framing, trailing record
+    * separator); one record per row stands in for the record stream
+    * (at crawl scale records are per-record-gzip members, so the
+    * container splits at record boundaries exactly like a row-per-
+    * record column does here). Records where doc_id % 13 == 5 state a
+    * Content-Length 7 bytes LONGER than the payload — the deliberate
+    * malformation class a parser must flag (len_ok = 0), never crash
+    * on and never silently pass. Header literals MUST stay
+    * byte-identical to the q_warc_records oracle's. */
+  def writeDocsWarc(spark: SparkSession, dir: String): String = {
+    val path = docsWarcPath(dir)
+    once(path, dir) {
+      val html = spark.read.parquet(writeDocsHtml(spark, dir))
+      val ids = col("doc_id").cast("string")
+      val stated = (octet_length(col("html")) +
+        when(col("doc_id") % 13 === 5, 7).otherwise(0)).cast("string")
+      html.select(col("doc_id"), concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: " +
+            "<urn:uuid:"), ids,
+          lit(">\r\nWARC-Target-URI: http://example.org/doc/"), ids,
+          lit("\r\nContent-Type: application/http\r\nContent-Length: "),
+          stated, lit("\r\n\r\n"), col("html"), lit("\r\n\r\n"))
+        .as("warc"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def corruptPath(dir: String): String = s"$BaseDir/${leaf(dir)}/corrupt"
 
   /** The movies pipe dialect with DETERMINISTIC corruption: rows

@@ -13,7 +13,7 @@ import graft.io.Sources
 object RelQueries {
   import Oracle._
 
-  private def t(s: SparkSession, d: String, n: String) = Sources.table(s, d, n)
+  private[rel] def t(s: SparkSession, d: String, n: String) = Sources.table(s, d, n)
 
   /** q_map_funcs body, factored out so the spec can feed it a SPARSE
     * status distribution: the fixtures happen to carry all three
@@ -54,7 +54,6 @@ object RelQueries {
       .select(col("p_partkey"), col("p_size"), col("cents"))
       .orderBy(col("p_size"), col("p_partkey"))
   }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Scan + filter + project: predicate and column pruning reach parquet.
@@ -64,6 +63,7 @@ object RelQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
 
     // TPC-H-Q1-style pricing summary: hash agg with partial/final split.
     "q_agg_pricing_summary" -> ((s, d) =>
@@ -82,6 +82,7 @@ object RelQueries {
           col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+
     // Grouping sets: rollup over customer ⋈ nation.
     "q_agg_rollup" -> ((s, d) => {
       val c = t(s, d, "customer"); val n = t(s, d, "nation")
@@ -95,6 +96,7 @@ object RelQueries {
         .orderBy(col("nation"), col("segment"))
     }),
 
+
     // Exact distinct aggregation.
     "q_distinct_users" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -104,6 +106,7 @@ object RelQueries {
           count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
+
 
     // Star join through broadcast dims: revenue by region.
     "q_join_broadcast_dims" -> ((s, d) => {
@@ -121,6 +124,7 @@ object RelQueries {
         .orderBy(col("r_name"))
     }),
 
+
     // Semi/anti joins: customers with and without orders.
     "q_join_semi_anti" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -131,6 +135,7 @@ object RelQueries {
         .select(lit("without_orders").as("kind"), col("c_custkey"))
       withO.unionAll(noO).orderBy(col("kind"), col("c_custkey"))
     }),
+
 
     // Full outer join: daily click vs purchase activity per user —
     // at the (user, day) grain both one-sided populations are real
@@ -159,6 +164,7 @@ object RelQueries {
         .orderBy(col("user_id"), col("day"))
     }),
 
+
     // Ranking windows: rank / dense_rank / ntile within nation.
     "q_rank_dense_ntile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -171,6 +177,7 @@ object RelQueries {
           ntile(4).over(w).cast("long").as("quartile"))
         .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
     }),
+
 
     // Analytic frame: running total per customer. The summand is
     // snapped to exact cents so the prefix sums are order-independent
@@ -187,6 +194,7 @@ object RelQueries {
             / lit(100.0)).as("running_total"))
         .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
     }),
+
 
     // Analytic window functions: lag/lead/first/last/nth. Nullable
     // analytic results are coalesced — Spark sorts NULLS FIRST,
@@ -210,6 +218,7 @@ object RelQueries {
         .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
     }),
 
+
     // RANGE frame: 30-day moving revenue per customer over portable
     // epoch-day integers (exact-cents summands).
     "q_window_range" -> ((s, d) => {
@@ -227,6 +236,7 @@ object RelQueries {
           (sum(col("cents")).over(w) / lit(100.0)).as("moving_30d"))
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     }),
+
 
     // TPC-H Q5 shape (local supplier volume): the 6-way star join
     // with the correlated twist — supplier and customer must share a
@@ -262,6 +272,7 @@ object RelQueries {
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
 
+
     // Point-in-time-correct training-set assembly — the leakage-safe
     // feature/label join every supervised pipeline over event data
     // needs: features aggregate ONLY orders strictly before the
@@ -295,6 +306,7 @@ object RelQueries {
           coalesce(col("lbl"), lit(0L)).as("label"))
         .orderBy(col("custkey"))
     }),
+
 
     // Column-correlation profile: the 4×4 numeric Pearson matrix over
     // lineitem (quantity, price, discount, tax) in ONE scan — the
@@ -332,6 +344,7 @@ object RelQueries {
         .orderBy(col("pair"))
     }),
 
+
     // CUBE grouping sets with grouping() indicators.
     "q_agg_cube" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -346,6 +359,7 @@ object RelQueries {
           col("n_orders"), col("sum_price"), col("g_seg"), col("g_pri"))
         .orderBy(col("segment"), col("priority"))
     }),
+
 
     // Arbitrary GROUPING SETS — the shape rollup/cube can't express:
     // a detail set over (segment, priority), an INDEPENDENT marginal
@@ -377,6 +391,7 @@ object RelQueries {
         .orderBy(col("segment"), col("priority"), col("status"))
     }),
 
+
     // Exact interpolated percentiles (same p·(n−1) linear rule as
     // DuckDB's quantile_cont; integral inputs → identical doubles).
     "q_percentiles" -> ((s, d) =>
@@ -387,6 +402,7 @@ object RelQueries {
           Det.r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
           Det.r4(percentile(col("l_quantity"), lit(0.99))).as("p99_qty"))
         .orderBy(col("l_returnflag"))),
+
 
     // The percentile path that actually survives 100 TB: a GK sketch
     // (approx_percentile, accuracy 100 => rank error <= 0.01) instead
@@ -423,6 +439,7 @@ object RelQueries {
         .orderBy(col("p"))
     }),
 
+
     // Count-distinct at 100 TB is HyperLogLog++, not an exact
     // distinct shuffle. HLL register maxima are order-free, so the
     // approximation is DETERMINISTIC for a given dataset — but not
@@ -455,6 +472,7 @@ object RelQueries {
             "min_val", "max_val")))
         .orderBy(col("col_name"))
     }),
+
 
     // The third sketch of the family (GK percentiles, HLL NDV, and
     // now Count-Min frequency): heavy-hitter counts at 100 TB come
@@ -489,6 +507,7 @@ object RelQueries {
       rows.toDF("probe_key", "within_bounds").orderBy(col("probe_key"))
     }),
 
+
     "q_approx_ndv_bounds" -> ((s, d) => {
       def check(tbl: String, c: String) =
         t(s, d, tbl).agg(
@@ -502,6 +521,7 @@ object RelQueries {
         .unionByName(check("orders", "o_custkey"))
         .orderBy(col("col_name"))
     }),
+
 
     // HLL set algebra: |clickers ∩ purchasers| estimated by
     // inclusion–exclusion over three HLL(0.05) sketches (|A|+|B|−|A∪B|
@@ -547,6 +567,7 @@ object RelQueries {
             .as("within_bounds"))
     }),
 
+
     // Adversarial-skew aggregation: l_returnflag has only 3 values,
     // so every row funnels into 3 reduce groups — the shape where a
     // hot key degrades the map-side hash table. The salted two-phase
@@ -556,6 +577,7 @@ object RelQueries {
     "q_salted_hot_keys" -> ((s, d) =>
       graft.core.Skew.saltedCount(t(s, d, "lineitem"), "l_returnflag", 16)
         .orderBy(col("l_returnflag"))),
+
 
     // Join-side skew mitigation: the fact side gets a per-row salt,
     // the dim side is replicated once per salt value (core.Skew
@@ -570,6 +592,7 @@ object RelQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("s_nationkey"))
     }),
+
 
     // Skyline / Pareto frontier (minimize p_size AND price): the
     // points no other point dominates (≤ on both axes, < on one).
@@ -589,12 +612,14 @@ object RelQueries {
         floor(col("p_retailprice") * 100 + 0.5).cast("long")
           .as("cents")))),
 
+
     // Global sort + limit with key tiebreak.
     "q_sort_limit" -> ((s, d) =>
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(50)),
+
 
     // Set operations over two customer-key sets.
     "q_set_ops" -> ((s, d) => {
@@ -610,6 +635,7 @@ object RelQueries {
         .orderBy(col("op"), col("custkey"))
     }),
 
+
     // String function family over part.
     "q_string_funcs" -> ((s, d) =>
       t(s, d, "part")
@@ -621,6 +647,7 @@ object RelQueries {
           concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"))
         .orderBy(col("p_partkey"))),
 
+
     // Date functions: orders per month (emitted as strings — timestamp
     // physical encodings differ across engines, strings are parity-safe).
     "q_date_funcs" -> ((s, d) =>
@@ -630,6 +657,7 @@ object RelQueries {
         .agg(count(lit(1)).as("n_orders"),
           Det.fsum2(col("o_totalprice")).as("sum_price"))
         .orderBy(col("month"))),
+
 
     // Math function family; per-row IEEE ops are engine-identical.
     "q_math_funcs" -> ((s, d) =>
@@ -641,6 +669,7 @@ object RelQueries {
           Det.r4(abs(col("l_tax") - col("l_discount"))).as("abs_diff"),
           Det.r4(log(col("l_quantity"))).as("ln_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
 
     // JSON extraction + grouped stats over events.props.
     "q_json_extract" -> ((s, d) =>
@@ -657,6 +686,7 @@ object RelQueries {
           Det.r4(col("sum_k").cast("double") / col("n")).as("avg_k"))
         .orderBy(col("event_type"))),
 
+
     // Array functions: collect_list → sort_array → size/element_at,
     // plus an exact aggregate over the exploded list (roundtrip).
     "q_array_funcs" -> ((s, d) =>
@@ -671,14 +701,6 @@ object RelQueries {
           col("sum_items"))
         .orderBy(col("user_id"))),
 
-    // Tumbling event-time windows (batch): 1-hour buckets per type.
-    "q_tumbling_window_counts" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Det.fsum4(col("value")).as("sum_value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
-          .as("window_start"), col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("window_start"), col("event_type"))),
 
     // Pivot: order counts + exact-cents revenue per priority, statuses
     // as columns. Values are pinned explicitly — pivot without a value
@@ -691,6 +713,7 @@ object RelQueries {
         .agg(count(lit(1)).as("n"),
           Det.fsum2(col("o_totalprice")).as("rev"))
         .orderBy(col("o_orderpriority"))),
+
 
     // Backward as-of join (TemporalJoin.asof): each purchase event
     // picks up the user's most recent click at or before it — one
@@ -715,6 +738,7 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
         col("event_type"), unix_millis(col("ts")).as("ts_ms"))
@@ -731,6 +755,7 @@ object RelQueries {
           coalesce(col("ts_ms") - col("click_ms"), lit(-1L)).as("gap_ms"))
         .orderBy(col("event_id"))
     }),
+
 
     // Banded range join (TemporalJoin.bandJoin): same-type event pairs
     // within 10 minutes, canonically ordered, aggregated per type.
@@ -751,59 +776,6 @@ object RelQueries {
         .orderBy(col("event_type"))
     }),
 
-    // Sessionization (batch analog): 30-min inactivity gap via
-    // lag + cumulative sum — the deterministic, oracle-checkable twin
-    // of the streaming session_window variant.
-    "q_sessionize" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ms"), col("event_id"))
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
-      val flagged = ev.withColumn("new_session",
-        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L
-          || lag(col("ts_ms"), 1).over(byUser).isNull, 1L).otherwise(0L))
-      flagged
-        .withColumn("session_id", sum(col("new_session")).over(byUser))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          ((max(col("ts_ms")) - min(col("ts_ms"))) / lit(1000.0))
-            .as("duration_sec"))
-        .orderBy(col("user_id"), col("session_id"))
-    }),
-
-    // Gap-fill + forward fill (time-series resample): per-customer
-    // daily order revenue with missing days materialized and the last
-    // observed value carried forward. The day axis comes from
-    // `sequence()` over each key's OWN [min, max] span (generated from
-    // one aggregated row per key, so the fanout is computed
-    // distributively and never shuffles); the fill is
-    // `last(_, ignoreNulls)` over a running ROWS frame. At 100 TB the
-    // (key, day) left join co-partitions both sides on the same keys
-    // and the fill window rides the join's partitioning — no extra
-    // exchange beyond the one the join needs.
-    "q_gapfill" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val perDay = t(s, d, "orders")
-        .where(col("o_custkey") % 100 === 1)
-        .withColumn("day",
-          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
-        .groupBy(col("o_custkey"), col("day"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
-      val days = perDay.groupBy(col("o_custkey"))
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(col("o_custkey"),
-          explode(sequence(col("d0"), col("d1"))).as("day"))
-      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      days.join(perDay, Seq("o_custkey", "day"), "left")
-        .select(col("o_custkey"), col("day"),
-          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-          last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
-          when(col("n_orders").isNull, 1L).otherwise(0L).as("is_gap"))
-        .orderBy(col("o_custkey"), col("day"))
-    }),
 
     // Unpivot (wide→long melt): the four lineitem measures into
     // (metric, value) rows, then a per-metric profile. Spark's
@@ -826,6 +798,7 @@ object RelQueries {
           Det.r4(max(col("value"))).as("max_v"))
         .orderBy(col("metric"))),
 
+
     // MapType + the map function family (the one scalar-function
     // family the inventory lacked): per-priority status→count maps
     // built with map_from_entries over a SORTED entry array (the sort
@@ -837,6 +810,7 @@ object RelQueries {
     // bounded by the status domain (3 values) — entries per group are
     // enum-sized, never row-scaled.
     "q_map_funcs" -> ((s, d) => mapFuncs(t(s, d, "orders"))),
+
 
     // Distribution window functions: percent_rank + cume_dist over
     // acctbal within nation ((rank−1)/(n−1) and rank/n are exact
@@ -854,204 +828,6 @@ object RelQueries {
         .orderBy(col("c_nationkey"), col("c_custkey"))
     }),
 
-    // CDC/upsert compaction: the latest version per key (SCD1 — what
-    // a changelog materializes to). max_by over the (ts, id) total
-    // order runs as a partial/final aggregate — one shuffle of one
-    // row per key, never a window sort over the full history; ties
-    // are impossible because event_id is unique within the order key.
-    "q_cdc_latest" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
-      ev.groupBy(col("user_id"))
-        .agg(max_by(struct(col("event_id"), col("event_type"), col("ts_ms")),
-            struct(col("ts_ms"), col("event_id"))).as("last"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("last.event_id").as("event_id"),
-          col("last.event_type").as("event_type"),
-          col("last.ts_ms").as("ts_ms"), col("n_events"))
-        .orderBy(col("user_id"))
-    }),
-
-    // The streaming CDC materialization executed in batch mode — the
-    // same StreamOps.latestVersions mapGroupsWithState code path a live
-    // changelog consumer runs incrementally (StreamingSpec asserts
-    // stream == batch on this construction). Scored against the SAME
-    // oracle as q_cdc_latest: per-key O(1) state replaying the (ts, id)
-    // total order must materialize exactly what the batch max_by does.
-    "q_cdc_stream_latest" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
-      implicit val enc =
-        org.apache.spark.sql.Encoders.product[graft.streaming.StreamOps.EvV]
-      graft.streaming.StreamOps.latestVersions(
-          ev.as[graft.streaming.StreamOps.EvV])
-        .toDF().orderBy(col("user_id"))
-    }),
-
-    // Slowly-changing-dimension Type-2 build from the same changelog:
-    // collapse no-op updates (consecutive equal states under the
-    // (ts, event_id) total order), then stamp each surviving change
-    // with [valid_from, valid_to) and an is_current flag — the
-    // dimension-versioning table every warehouse keeps next to its
-    // CDC feed. Both windows share ONE partitioning (user_id), so the
-    // whole build is a single exchange followed by two sort-free
-    // window passes over the same partitions; at 100 TB it scales as
-    // one shuffle of the changelog, and the %20 key gate stands in
-    // for the per-entity routing a production feed would partition by.
-    // valid_to of the open version is the classic 9999-12-31 sentinel
-    // (epoch-micros) rather than NULL so the column stays a plain
-    // BIGINT on both engines.
-    "q_scd2_build" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, d, "events")
-        .where(col("user_id") % 20 === 3)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      val changes = ev
-        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
-        .where(col("prev_state").isNull ||
-          col("prev_state") =!= col("event_type"))
-      changes
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to",
-          coalesce(lead(col("ts_us"), 1).over(w),
-            lit(253402300799000000L)))
-        .select(col("user_id"), col("version"),
-          col("event_type").as("state"),
-          col("ts_us").as("valid_from"), col("valid_to"),
-          when(col("valid_to") === 253402300799000000L, 1L)
-            .otherwise(0L).as("is_current"))
-        .orderBy(col("user_id"), col("version"))
-    }),
-
-    // The streaming SCD2 maintenance executed in batch mode — the
-    // same StreamOps.scd2Versions flatMapGroupsWithState path a live
-    // CDC consumer runs incrementally (StreamingSpec asserts
-    // stream == batch). Scored against the batch build's CLOSED rows
-    // (is_current = 0): O(1) open-version state replaying the
-    // (ts, event_id) total order must close exactly the versions the
-    // batch lag/lead windows do.
-    "q_stream_scd2" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .where(col("user_id") % 20 === 3)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"))
-      implicit val enc =
-        org.apache.spark.sql.Encoders.product[graft.streaming.StreamOps.EvS]
-      graft.streaming.StreamOps.scd2Versions(
-          ev.as[graft.streaming.StreamOps.EvS])
-        .toDF().orderBy(col("user_id"), col("version"))
-    }),
-
-    // Ordered funnel analysis (view → click → purchase): each stage's
-    // entry event is the EARLIEST qualifying event strictly after the
-    // previous stage's (total (ts, event_id) order — ties can't
-    // wobble the funnel). Spark-first shape: per-stage argmin via
-    // struct-min aggregation (partial/final, map-side combined) plus
-    // a user-keyed join per stage — never a per-user sort window, so
-    // at 100 TB each stage is one key-partitioned agg over only that
-    // stage's events (the event_type filter prunes first).
-    "q_events_funnel" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), unix_micros(col("ts")).as("ts_us"))
-      def after(t0: org.apache.spark.sql.Column,
-                id0: org.apache.spark.sql.Column) =
-        col("ts_us") > t0 || (col("ts_us") === t0 && col("event_id") > id0)
-      val v = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id"))
-        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
-        .select(col("user_id"), col("m.ts_us").as("view_us"),
-          col("m.event_id").as("view_id"))
-      val c = ev.where(col("event_type") === "click")
-        .join(v, Seq("user_id"))
-        .where(after(col("view_us"), col("view_id")))
-        .groupBy(col("user_id"))
-        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
-        .select(col("user_id"), col("m.ts_us").as("click_us"),
-          col("m.event_id").as("click_id"))
-      val p = ev.where(col("event_type") === "purchase")
-        .join(c, Seq("user_id"))
-        .where(after(col("click_us"), col("click_id")))
-        .groupBy(col("user_id"))
-        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
-        .select(col("user_id"), col("m.ts_us").as("purchase_us"))
-      ev.select(col("user_id")).distinct()
-        .join(v.select(col("user_id"), col("view_us")), Seq("user_id"), "left")
-        .join(c.select(col("user_id"), col("click_us")), Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
-        .select(col("user_id"),
-          coalesce(col("view_us"), lit(-1L)).as("view_us"),
-          coalesce(col("click_us"), lit(-1L)).as("click_us"),
-          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"),
-          when(col("purchase_us").isNotNull, 3L)
-            .when(col("click_us").isNotNull, 2L)
-            .when(col("view_us").isNotNull, 1L)
-            .otherwise(0L).as("funnel_stage"))
-        .orderBy(col("user_id"))
-    }),
-
-    // Equi-width histogram (the profiling primitive q_profile_columns
-    // doesn't cover): global [min, max] from one scalar aggregate
-    // broadcast back, bins as floor((v−lo)·k/(hi−lo)) capped at k−1.
-    // Every step is a correctly-rounded IEEE op on both engines, so
-    // bin edges are bit-identical; two scans total and the second
-    // groups straight into 20 rows.
-    "q_histogram" -> ((s, d) => {
-      val o = t(s, d, "orders")
-      val mm = o.agg(min(col("o_totalprice")).as("lo"),
-        max(col("o_totalprice")).as("hi"))
-      o.crossJoin(broadcast(mm))
-        // hi == lo (constant column) divides by zero, and the engines
-        // disagree on where the row lands (Spark floor(NaN)→0, DuckDB
-        // NULL→least skips→19) — pin the degenerate case to bin 0 on
-        // BOTH sides
-        .withColumn("bin",
-          when(col("hi") === col("lo"), 0L)
-            .otherwise(least(floor((col("o_totalprice") - col("lo"))
-              * lit(20.0) / (col("hi") - col("lo"))), lit(19.0))
-              .cast("long")))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"),
-          Det.fsum2(col("o_totalprice")).as("sum_price"))
-        .orderBy(col("bin"))
-    }),
-
-    // Z-score anomaly gate: per-type mean/std from exact fixed-point
-    // sums (1e-6 units; v and v² snapped per row, so the moments are
-    // order-independent — overflow envelope: |v|≤500 here keeps v²
-    // terms < 2.5e11, Long-safe to ~3.7e7 rows per type at this
-    // scale; past that the moments move to DECIMAL like the
-    // pairMomentsDec twin), outliers = |v−mean| > 3σ. The stats
-    // frame is per-type-sized → broadcast back; two scans, no window.
-    "q_anomaly_zscore" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("event_type"), col("value"))
-      val stats = ev.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n"),
-          (sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
-            .cast("double") / lit(1e6)).as("sx"),
-          (sum(floor(col("value") * col("value") * lit(1e6) + lit(0.5))
-            .cast("long")).cast("double") / lit(1e6)).as("sxx"))
-        .withColumn("mean", col("sx") / col("n"))
-        // the two moments snap INDEPENDENTLY, so sxx/n − mean² can go
-        // a hair negative on degenerate data (all values equal at
-        // sub-1e-6 magnitude) — and the engines disagree on
-        // sqrt(negative) (Spark NaN, DuckDB hard error). Clamp at 0
-        // on BOTH sides.
-        .withColumn("variance",
-          greatest(col("sxx") / col("n") - col("mean") * col("mean"),
-            lit(0.0)))
-      ev.join(broadcast(stats), Seq("event_type"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          Det.r4(min(col("mean"))).as("mean_value"),
-          Det.r4(sqrt(min(col("variance")))).as("std_value"),
-          sum(when(abs(col("value") - col("mean"))
-              > lit(3.0) * sqrt(col("variance")), 1L).otherwise(0L))
-            .as("n_outliers"))
-        .orderBy(col("event_type"))
-    }),
 
     // Partition-pruned scan over a hive-partitioned layout: events
     // re-written `partitionBy(event_type)` once per sf dir
@@ -1070,6 +846,7 @@ object RelQueries {
           Det.fsum2(col("value")).as("sum_value"))
         .orderBy(col("event_type"), col("day"))
     }),
+
 
     // DYNAMIC partition pruning — the optimizer feature the static
     // q_partition_prune can't exercise: the partition set comes from
@@ -1095,65 +872,6 @@ object RelQueries {
         .orderBy(col("event_type"))
     }),
 
-    // Gaps-and-islands interval merge: each event claims a 5-minute
-    // activity interval [ts, ts+5min); overlapping intervals per user
-    // coalesce into islands, reported as per-user coverage (island
-    // count, total covered ms, longest island). The merge is the
-    // classic cumulative-max formulation — one window pass partitioned
-    // by user — so at 100 TB it is a single hash-partitioned sort per
-    // user key, never a self-join over intervals (the O(n²) trap) and
-    // never a driver-side sweep. Total (st, event_id) order makes
-    // island boundaries tie-stable.
-    "q_interval_coverage" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("st"))
-        .withColumn("en", col("st") + lit(300000L))
-      graft.core.Intervals.coveragePerKey(
-          graft.core.Intervals.mergePerKey(
-            ev, "user_id", "st", "en", "event_id"), "user_id")
-        .orderBy(col("user_id"))
-    }),
-
-    // INTERVAL-OVERLAP join (two interval SETS, not point-in-interval
-    // like q_interval_join): per-user click islands × weekly promo
-    // windows. The scale shape is the day-bucket join — each interval
-    // explodes to its covered buckets, pairs meet on the bucket key,
-    // and the `bucket == max(start buckets)` guard emits each
-    // overlapping pair EXACTLY once (no distinct shuffle) — versus
-    // the oracle's naive theta join, which is quadratic and only
-    // DuckDB-affordable at test scale. Explode factor is bounded by
-    // interval length / bucket width, so the plan stays linear in
-    // covered time.
-    "q_interval_overlap_join" -> ((s, d) => {
-      val B = 86400000L // 1-day buckets
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("st"))
-        .withColumn("en", col("st") + lit(300000L))
-      val islands = graft.core.Intervals.mergePerKey(
-        ev, "user_id", "st", "en", "event_id")
-      val base = ev.agg(
-        expr(s"(min(st) div $B) * $B").as("b0"))
-      val promos = s.range(0, 10).select(col("id").as("promo_id"))
-        .crossJoin(broadcast(base))
-        .select(col("promo_id"),
-          (col("b0") + col("promo_id") * lit(604800000L)).as("p_st"))
-        .withColumn("p_en", col("p_st") + lit(172800000L))
-      val aB = islands.withColumn("bucket",
-        explode(sequence(expr(s"i_st div $B"), expr(s"i_en div $B"))))
-      val pB = promos.withColumn("bucket",
-        explode(sequence(expr(s"p_st div $B"), expr(s"p_en div $B"))))
-      aB.join(pB, Seq("bucket"))
-        .where(col("i_st") <= col("p_en") && col("p_st") <= col("i_en"))
-        .where(col("bucket") ===
-          greatest(expr(s"i_st div $B"), expr(s"p_st div $B")))
-        .select(col("user_id"), col("island_id"), col("promo_id"),
-          greatest(col("i_st"), col("p_st")).as("ov_st"),
-          least(col("i_en"), col("p_en")).as("ov_en"))
-        .withColumn("overlap_ms", col("ov_en") - col("ov_st"))
-        .orderBy(col("user_id"), col("island_id"), col("promo_id"))
-    }),
 
     // Blocked fuzzy (edit-distance) self-join — the entity-resolution
     // shape: dedupe the NAME DICTIONARY first (distinct names ≪ rows,
@@ -1183,6 +901,7 @@ object RelQueries {
         .orderBy(col("noun"), col("name_a"), col("name_b"))
     }),
 
+
     // Partition-skew diagnostics: replay the engine's hash
     // partitioning of lineitem on l_orderkey into 32 shuffle buckets
     // (the portable spread hash stands in for Murmur3 so the oracle
@@ -1205,238 +924,6 @@ object RelQueries {
         .orderBy(col("bucket"))
     }),
 
-    // Point-in-interval (containment) join: is each purchase inside
-    // one of the user's CLICK-activity islands (merged ±5-min click
-    // intervals via core.Intervals)? Islands are disjoint by
-    // construction (a new island opens only strictly past the
-    // running max end), so each point matches at most one interval
-    // and the left join is row-preserving. The join is user-keyed —
-    // the equi key bounds the fan-out and carries the shuffle; the
-    // range predicate rides along as the join filter (for unkeyed
-    // interval joins, bucket the intervals like TemporalJoin.bandJoin
-    // — same discipline, interval replicated per covered bucket).
-    "q_interval_join" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), unix_millis(col("ts")).as("tms"))
-      val islands = graft.core.Intervals.mergePerKey(
-        ev.where(col("event_type") === "click")
-          .select(col("user_id"), col("event_id"), col("tms").as("st"))
-          .withColumn("en", col("st") + lit(300000L)),
-        "user_id", "st", "en", "event_id")
-      val purchases = ev.where(col("event_type") === "purchase")
-      purchases.as("p").join(islands.as("i"),
-          col("p.user_id") === col("i.user_id") &&
-            col("p.tms") >= col("i.i_st") &&
-            col("p.tms") <= col("i.i_en"), "left")
-        .select(col("p.event_id"), col("p.user_id"),
-          coalesce(col("i.i_st"), lit(-1L)).as("session_start"),
-          col("i.i_st").isNotNull.cast("long").as("in_click_session"))
-        .orderBy(col("p.event_id"))
-    }),
-
-    // Exact-integer OLS trend: per event type, the least-squares
-    // slope/intercept of daily counts over the day index. Every OLS
-    // moment (n, Σx, Σy, Σxy, Σxx) is an INTEGER sum over the daily
-    // table — exact, order-independent, partial/final-aggregable —
-    // and only the final ratio touches doubles (same IEEE division
-    // both engines). Two aggs: data → daily counts (report-sized),
-    // days → moments. The regression aggregate every metrics
-    // dashboard runs, expressed scale-shaped.
-    // Experiment read-out: deterministic A/B assignment (spread-hash
-    // parity of the user key — the same gate discipline as
-    // q_split_assign, so arms are stable under re-runs and new data
-    // never reassigns a user), purchase-conversion per arm from exact
-    // counts, and the two-proportion z statistic spelled once in IEEE
-    // doubles. One distinct-user aggregation + one 2-row reduce; at
-    // 100 TB the per-user conversion flag is a partial/final max —
-    // nothing here is more than two shuffles.
-    "q_abtest_lift" -> ((s, d) => {
-      val users = t(s, d, "events")
-        .groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("converted"))
-        .withColumn("arm",
-          (PortableHash.spread(
-            PortableHash.h(col("user_id").cast("string"))) % 2L)
-            .as("arm"))
-      val arms = users.groupBy(col("arm"))
-        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
-      val row = arms.where(col("arm") === 0L)
-        .select(col("n").as("n_a"), col("conv").as("conv_a"))
-        .crossJoin(arms.where(col("arm") === 1L)
-          .select(col("n").as("n_b"), col("conv").as("conv_b")))
-      val rateA = col("conv_a").cast("double") / col("n_a")
-      val rateB = col("conv_b").cast("double") / col("n_b")
-      val p = (col("conv_a") + col("conv_b")).cast("double") /
-        (col("n_a") + col("n_b"))
-      val den = sqrt(p * (lit(1.0) - p) *
-        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
-      row.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        Det.r4(rateA).as("rate_a"), Det.r4(rateB).as("rate_b"),
-        Det.r4(rateB - rateA).as("lift"),
-        Det.r4(when(den === 0.0, lit(0.0))
-          .otherwise((rateB - rateA) / den)).as("z_stat"))
-    }),
-
-    // Theil–Sen robust slope — the median-of-pairwise-slopes
-    // estimator next to q_trend_slope's OLS: one wild outlier day
-    // moves OLS arbitrarily, Theil–Sen not at all (breakdown 29%).
-    // Pairs are quadratic in DAYS PER TYPE — a bounded time axis,
-    // never the corpus — so the within-type pair window is small by
-    // construction at any data scale. Lower median picked by rank
-    // over the (slope, day_i, day_j) total order: a deterministic
-    // ELEMENT, so the emitted double is portable without averaging
-    // discipline.
-    "q_theilsen_slope" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = t(s, d, "events")
-        .select(col("event_type"),
-          expr("unix_millis(ts) div 86400000").as("day"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("y"))
-      val a = daily.select(col("event_type"), col("day").as("di"),
-        col("y").as("yi"))
-      val b = daily.select(col("event_type"), col("day").as("dj"),
-        col("y").as("yj"))
-      val pairs = a.join(b, Seq("event_type"))
-        .where(col("di") < col("dj"))
-        .select(col("event_type"), col("di"), col("dj"),
-          ((col("yj") - col("yi")).cast("double") /
-            (col("dj") - col("di")).cast("double")).as("slope"))
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("slope"), col("di"), col("dj"))
-      pairs
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n_pairs", count(lit(1))
-          .over(Window.partitionBy(col("event_type"))))
-        .where(col("rn") === expr("(n_pairs + 1) div 2"))
-        .select(col("event_type"), col("n_pairs"),
-          Det.r4(col("slope")).as("ts_slope"))
-        .orderBy(col("event_type"))
-    }),
-
-    "q_trend_slope" -> ((s, d) => {
-      val daily = t(s, d, "events")
-        .select(col("event_type"),
-          expr("unix_millis(ts) div 86400000").as("day"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("y"))
-      val d0 = daily.groupBy(col("event_type"))
-        .agg(min(col("day")).as("d0"))
-      val xy = daily.join(d0, Seq("event_type"))
-        .select(col("event_type"), (col("day") - col("d0")).as("x"),
-          col("y"))
-      val m = xy.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_days"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-      val den = (col("n_days") * col("sxx") - col("sx") * col("sx"))
-        .cast("double")
-      m.select(col("event_type"), col("n_days"),
-          Det.r4((col("n_days") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") / den).as("slope"),
-          Det.r4((col("sy") * col("sxx") - col("sx") * col("sxy"))
-            .cast("double") / den).as("intercept"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Gini coefficient of per-user spend — the inequality statistic,
-    // computed with the SCALE-CORRECT ranking: the global value order
-    // comes from a distributed sort + zipWithIndex (the id-dictionary
-    // discipline), never a row_number window over an empty partition
-    // (which would single-thread every user through one task). Rank
-    // products sum in DECIMAL(38,0) so the rank-weighted total is
-    // exact at any population size; only the closed-form ratio
-    // touches doubles.
-    "q_gini_value" -> ((s, d) => {
-      import s.implicits._
-      val totals = t(s, d, "events").groupBy(col("user_id"))
-        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
-          .as("v"))
-      val ranked = totals
-        .select(col("user_id"), col("v"))
-        .rdd.map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy { case (u, v) => (v, u) }
-        .zipWithIndex()
-        .map { case ((u, v), i) => (u, v, i + 1L) }
-        .toDF("user_id", "v", "rk")
-      ranked.agg(count(lit(1)).as("n_users"),
-          sum(col("v")).as("total_c"),
-          sum(col("rk").cast("decimal(38,0)") *
-            col("v").cast("decimal(38,0)")).as("rv"))
-        .select(col("n_users"), col("total_c").cast("long").as("total_c"),
-          Det.r4(lit(2.0) * col("rv").cast("double") /
-            (col("n_users").cast("double") * col("total_c").cast("double"))
-            - (col("n_users") + lit(1)).cast("double") /
-              col("n_users").cast("double")).as("gini"))
-    }),
-
-    // Top session paths (sequence mining, first cut): sessionize as
-    // in q_sessionize, render each session's event-type sequence as
-    // a path string via a SORTED collect (struct sort on the (ts, id)
-    // total order makes the collect order-independent), count path
-    // frequencies, top-10. The per-session collect is bounded by
-    // session length — state the size contract: paths are capped by
-    // the session, never the user history.
-    "q_session_paths" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ms"), col("event_id"))
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
-      val sessions = ev
-        .withColumn("new_session",
-          when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L
-            || lag(col("ts_ms"), 1).over(byUser).isNull, 1L).otherwise(0L))
-        .withColumn("session_id", sum(col("new_session"))
-          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      val paths = sessions.groupBy(col("user_id"), col("session_id"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
-            col("event_type")))),
-          x => x.getField("event_type")), ">").as("path"))
-      paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("path"))
-        .limit(10)
-    }),
-
-    // Deterministic negative sampling (recommender training pairs):
-    // K hash probes per user into the DENSE ITEM DICTIONARY — the
-    // O(users·K) shape — never a users×items cross join (the 1e15
-    // trap at production scale). Probe k draws item index
-    // spread(h(user:k)) mod |dict|; collisions with true
-    // interactions drop via anti-join (bounded per user). The
-    // dictionary is entity-sized and broadcast under the standing
-    // gate; its cardinality is a memoized scalar (one count per
-    // session, not per declaration).
-    "q_negative_sampling" -> ((s, d) => {
-      import graft.core.{Broadcasts, PortableHash}
-      // the session-cached bucketed ratings (SimQueries shares it):
-      // the lineitem⋈orders view must not rebuild per execution; the
-      // distinct interaction set is itself read three times per run
-      // (probe users, dictionary input, anti-join side) → persist
-      val inter = graft.core.Cache.getOrPersist(s, "neg_inter", d)(
-        SimQueries.ratings(s, d)
-          .select(col("user_id"), col("item_id")).distinct())
-      // the dictionary build is a distinct+sort+zipWithIndex job —
-      // a per-(session, dir) artifact, not per-execution work
-      val dict = graft.core.Cache.getOrPersist(s, "neg_dict", d)(
-        graft.ext.Recommender.dictionary(inter, "item_id"))
-      val nItems = Broadcasts.countOnce(dict, s"neg_dict:$d")
-      val probes = inter.select(col("user_id")).distinct()
-        .select(col("user_id"),
-          explode(sequence(lit(0L), lit(2L))).as("k"))
-      val cand = probes.withColumn("idx",
-          (PortableHash.spread(PortableHash.h(concat(
-            col("user_id").cast("string"), lit(":"),
-            col("k").cast("string")))) % lit(nItems)).cast("int"))
-        .join(Broadcasts.gatedMemo(dict, "spark.graft.dict.broadcastMax",
-          s"neg_dict_frame:$d"), Seq("idx"))
-      cand.join(inter, Seq("user_id", "item_id"), "left_anti")
-        .select(col("user_id"), col("k"), col("item_id"))
-        .orderBy(col("user_id"), col("k"))
-    }),
 
     // Data-quality constraint suite (the Deequ / Great Expectations
     // shape): each declared constraint — range, primary-key
@@ -1483,6 +970,7 @@ object RelQueries {
         .orderBy(col("check_name"))
     }),
 
+
     // Z-order (Morton) layout statistics — the multi-dimensional
     // file-skipping key: interleave the low 8 bits of two dimensions
     // (customer bucket × order day) and report per-z-range row
@@ -1510,32 +998,6 @@ object RelQueries {
         .orderBy(col("z_bucket"))
     }),
 
-    // Event-type transition matrix (first-order Markov counts): per
-    // user, each consecutive event pair over the (ts, event_id) total
-    // order contributes one (from → to) transition; per-from
-    // probabilities from a broadcast totals join (the from-state
-    // vocabulary is enum-sized — never a window over the data). One
-    // per-user lead window + two partial/final aggs at any scale.
-    "q_event_transitions" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tms"), col("event_id"))
-      val pairs = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_millis(col("ts")).as("tms"))
-        .withColumn("to_type", lead(col("event_type"), 1).over(w))
-        .where(col("to_type").isNotNull)
-        .select(col("event_type").as("from_type"), col("to_type"))
-      val counts = pairs.groupBy(col("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val totals = counts.groupBy(col("from_type"))
-        .agg(sum(col("n")).as("tot"))
-      counts.join(broadcast(totals), Seq("from_type"))
-        .select(col("from_type"), col("to_type"), col("n"),
-          Det.r4(col("n").cast("double") / col("tot").cast("double"))
-            .as("p"))
-        .orderBy(col("from_type"), col("to_type"))
-    }),
 
     // TPC-H-Q3-shaped shipping priority: segment-filtered customers ⋈
     // date-filtered orders ⋈ date-filtered lineitem, revenue per
@@ -1568,1046 +1030,8 @@ object RelQueries {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
-
-    // Linear marketing attribution: each purchase splits its value
-    // equally across the user's clicks in the prior 7 days. The
-    // touch join runs through TemporalJoin.bandJoin — an equi-join on
-    // (user, 7-day bucket), hash-partitionable, never a theta join —
-    // and credit division is integer cents (`div`), so the split
-    // replays exactly. Purchases with no touch keep credit 0.
-    "q_attribution_linear" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
-        col("event_type"), unix_millis(col("ts")).as("tms"),
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
-          .as("value_c"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("tms"), col("value_c"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("tms"))
-      val touches = graft.core.TemporalJoin
-        .bandJoin(clicks, purchases, Seq("user_id"), "tms", "tms",
-          604800000L)
-        .groupBy(col("b_event_id").as("event_id"))
-        .agg(count(lit(1)).as("n_touches"))
-      purchases.join(touches, Seq("event_id"), "left")
-        .select(col("event_id"), col("user_id"), col("value_c"),
-          coalesce(col("n_touches"), lit(0L)).as("n_touches"),
-          when(col("n_touches").isNull, 0L)
-            .otherwise(expr("value_c div n_touches")).as("credit_c"))
-        .orderBy(col("event_id"))
-    }),
-
-    // First-touch attribution — q_attribution_linear's argmin
-    // sibling: the EARLIEST click in the purchase's prior-7-day
-    // window gets full credit (struct-min aggregation over the same
-    // banded touch join — partial/final, map-side combined, never a
-    // per-purchase sort window).
-    "q_attribution_first_touch" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
-        col("event_type"), unix_millis(col("ts")).as("tms"),
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
-          .as("value_c"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("tms"), col("value_c"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("tms"))
-      val firsts = graft.core.TemporalJoin
-        .bandJoin(clicks, purchases, Seq("user_id"), "tms", "tms",
-          604800000L)
-        .groupBy(col("b_event_id").as("event_id"))
-        .agg(min(struct(col("a_tms"), col("a_click_id"))).as("m"))
-        .select(col("event_id"), col("m.a_tms").as("click_ms"),
-          col("m.a_click_id").as("click_id"))
-      purchases.join(firsts, Seq("event_id"), "left")
-        .select(col("event_id"), col("user_id"), col("value_c"),
-          coalesce(col("click_id"), lit(-1L)).as("first_click_id"),
-          coalesce(col("tms") - col("click_ms"), lit(-1L)).as("gap_ms"))
-        .orderBy(col("event_id"))
-    }),
-
-    // The stream-stream banded inner join run in BATCH mode — the
-    // SAME StreamOps.touchJoinStream code path StreamingSpec drives
-    // with two live MemoryStreams (the watermark nodes it attaches
-    // are eliminated by Catalyst's EliminateEventTimeWatermark rule
-    // in batch execution, so one declaration serves both modes).
-    // Registering the batch twin makes the operator oracle-attested:
-    // every (click, purchase-within-1h) pair with both ids + millis.
-    // In streaming the band predicate is what BOUNDS join state
-    // (Spark derives each side's retention from it); in batch it is
-    // a user-keyed equi-join with a range residual — hash-
-    // partitionable on user_id, never a theta join, so the same
-    // declaration scales on both engines' physical strategies. The
-    // join compares full µs-precision timestamps; only the emitted
-    // columns truncate to ms.
-    "q_touch_attribution" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts").as("cts"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts").as("pts"))
-      graft.streaming.StreamOps.touchJoinStream(clicks, purchases)
-        .orderBy(col("click_id"), col("purchase_id"))
-    }),
-
-    // The LEFT-OUTER twin's batch surface — the "abandoned click"
-    // feed (clicks that never see a purchase inside the band). In
-    // streaming this is the deferred null-side emission StreamingSpec
-    // proves (a non-match can only be declared after the watermark
-    // passes the band's far edge); in batch the same declaration
-    // reduces to a user-keyed left join filtered to the null side —
-    // i.e. a band ANTI join, which is what the oracle spells.
-    "q_touch_abandoned" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts").as("cts"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts").as("pts"))
-      graft.streaming.StreamOps.touchJoinLeftOuter(clicks, purchases)
-        .where(col("purchase_id").isNull)
-        .select(col("user_id"), col("click_id"), col("cts_ms"))
-        .orderBy(col("click_id"))
-    }),
-
-    // The FULL-OUTER twin's batch surface — the complete
-    // reconciliation feed (matched pairs + abandoned clicks + orphan
-    // purchases), closing the stream-stream join matrix. The
-    // streaming declaration defers BOTH null sides until the
-    // respective watermark passes; in batch it reduces to a banded
-    // full join. Nullable ids/millis are emitted as -1 sentinels so
-    // the row order and the hash are engine-portable (event ids are
-    // non-negative).
-    "q_touch_full_outer" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts").as("cts"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts").as("pts"))
-      graft.streaming.StreamOps.touchJoinFullOuter(clicks, purchases)
-        .select(col("user_id"),
-          coalesce(col("click_id"), lit(-1L)).as("click_id"),
-          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
-          coalesce(col("cts_ms"), lit(-1L)).as("cts_ms"),
-          coalesce(col("pts_ms"), lit(-1L)).as("pts_ms"))
-        .orderBy(col("click_id"), col("purchase_id"))
-    }),
-
-    // Closed sessions via flatMapGroupsWithState — the zero-or-many-
-    // outputs stateful shape (mapGroupsWithState can't express it):
-    // per-user state buffers the open run, every gap-delimited run
-    // except the last is emitted as a closed session. Executed in
-    // batch and scored against the window-formulated oracle MINUS
-    // each user's final (still-open) session — exactly what the
-    // operator guarantees a live stream will have emitted so far.
-    "q_stream_closed_sessions" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"),
-        unix_millis(col("ts")).as("ts_ms"))
-      implicit val enc = org.apache.spark.sql.Encoders
-        .product[graft.streaming.StreamOps.Ev2]
-      graft.streaming.StreamOps.closedSessions(
-          ev.as[graft.streaming.StreamOps.Ev2])
-        .toDF().orderBy(col("user_id"), col("start_ms"))
-    }),
-
-    // Hopping (sliding) event-time windows — the third window shape
-    // beside tumbling (q_tumbling_window_counts) and session
-    // (q_session_window): 1-hour windows every 30 minutes, so each
-    // event lands in exactly width/slide = 2 windows. Spark's `window`
-    // with a slide does the fan-out inside the grouping expression
-    // (Expand, in place, zero extra shuffle); the oracle replays it as
-    // an explicit 2-offset unnest. Same partial/final agg shape as
-    // tumbling at any scale.
-    "q_sliding_window_counts" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), Det.fsum4(col("value")).as("sum_value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
-          .as("window_start"), col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("window_start"), col("event_type"))),
-
-    // Watermark-sizing audit: how out-of-order is the stream, keyed
-    // the way the stateful operators key it (per user)? Lateness of
-    // an event = how far the user's already-ingested maximum event
-    // time (arrival order = event_id, the ingest sequence) is ahead
-    // of this event's time. The per-type rollup is what picks a
-    // `withWatermark` delay: n beyond 10 min = rows a 10-min
-    // watermark would drop. One per-user-partitioned running-max
-    // window — never a global sort — then a partial/final agg.
-    "q_late_events" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), unix_millis(col("ts")).as("tms"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev.withColumn("late_ms",
-          greatest(coalesce(max(col("tms")).over(w) - col("tms"), lit(0L)),
-            lit(0L)))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("late_ms") > 600000L, 1L).otherwise(0L))
-            .as("n_late_10m"),
-          max(col("late_ms")).as("max_late_ms"),
-          sum(col("late_ms")).as("sum_late_ms"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Cohort retention: users bucketed by first-activity week, cells
-    // count distinct users active at each week offset — the
-    // engagement matrix every growth dashboard reads. Shape at
-    // 100 TB: first-week is a per-user partial/final min (history
-    // never windows), the join is user-keyed, and the distinct runs
-    // on (cohort, offset, user) — already near the output size.
-    "q_user_retention" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .select(col("user_id"),
-          expr("unix_millis(ts) div 604800000").as("wk"))
-      val first = ev.groupBy(col("user_id"))
-        .agg(min(col("wk")).as("cohort_wk"))
-      ev.join(first, Seq("user_id"))
-        .select(col("cohort_wk"),
-          (col("wk") - col("cohort_wk")).as("week_offset"), col("user_id"))
-        .distinct()
-        .groupBy(col("cohort_wk"), col("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy(col("cohort_wk"), col("week_offset"))
-    }),
-
-    // Clamped running balance (credit ledger): purchases SPEND value,
-    // every other event EARNS it, and the balance floors at zero —
-    // b_i = max(0, b_{i−1} + δ_i), a NON-LINEAR recurrence no window
-    // frame can express (running sums distribute; the clamp does
-    // not). The engine path is the typed per-key fold — groupByKey →
-    // mapGroups over the (ts, event_id)-sorted history — which is
-    // exactly one user_id shuffle and O(user history) memory per
-    // group; the oracle replays the recurrence as a recursive CTE
-    // stepping rank-by-rank. Emits the audit row a ledger close
-    // needs: final balance plus how often the floor bound (declined
-    // spend) was hit.
-    "q_clamped_balance" -> ((s, d) => {
-      import s.implicits._
-      val ev = t(s, d, "events").select(
-        col("user_id").as("_1"), col("event_id").as("_2"),
-        unix_micros(col("ts")).as("_3"),
-        when(col("event_type") === "purchase",
-          -floor(col("value") * 100 + 0.5).cast("long"))
-          .otherwise(floor(col("value") * 100 + 0.5).cast("long"))
-          .as("_4"))
-        .as[(Long, Long, Long, Long)]
-      ev.groupByKey(_._1)
-        .mapGroups { (uid, it) =>
-          val evs = it.toArray.sortBy(e => (e._3, e._2))
-          var b = 0L; var clamps = 0L
-          evs.foreach { e =>
-            val nb = b + e._4
-            if (nb < 0L) { clamps += 1L; b = 0L } else b = nb
-          }
-          (uid, evs.length.toLong, b, clamps)
-        }
-        .toDF("user_id", "n_events", "final_balance_c", "n_clamped")
-        .orderBy(col("user_id"))
-    }),
-
-    // Volume concentration (the 80/20 read-out): how much of total
-    // event volume the top-decile users carry — the skew number a
-    // capacity plan and an abuse review both start from. The decile
-    // cut is a BROADCAST VALUE THRESHOLD from the distributed
-    // order-statistic path (the RFM/equidepth discipline — never a
-    // global rank window over all users), so the whole query is two
-    // partial/final aggregates and one scalar: users at or above the
-    // 0.9-fraction element count as top-decile (value ties land
-    // together, deterministically). Share is ×10⁴ integer fixed
-    // point.
-    "q_user_concentration" -> ((s, d) => {
-      val totals = t(s, d, "events").groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"))
-      val t90 = graft.core.Quantiles.valueAtFractionMemo(
-        totals, "n", 0.9, s"conc_t90:$d").toLong
-      totals.agg(
-          count(lit(1)).as("users"),
-          sum(col("n")).as("events"),
-          sum(when(col("n") >= t90, 1L).otherwise(0L)).as("users_top"),
-          sum(when(col("n") >= t90, col("n")).otherwise(0L))
-            .as("events_top"))
-        .select(col("users"), col("events"), col("users_top"),
-          col("events_top"), lit(t90).as("t90"),
-          expr("events_top * 10000 div events").as("share_x10000"))
-    }),
-
-    // Time-weighted average (TWAP): each event's value holds until
-    // the user's next event, so the mean is duration-weighted —
-    // Σ value·Δt / Σ Δt — the read-out a plain avg() gets wrong
-    // whenever sampling is irregular (a price that sat at 490 for a
-    // week outweighs fifty one-second ticks at 0.01). One lead()
-    // window per user (single user_id exchange); value in cents and
-    // Δt in micros keep the weighted sum an exact BIGINT (max
-    // 5·10⁴ cents × ~10¹² µs per interval ≪ 2⁶³); the division is
-    // the only floating step, r4-snapped. The (ts, event_id) total
-    // order pins tie durations to zero deterministically.
-    "q_time_weighted_avg" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, d, "events").select(col("user_id"),
-        col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      ev.withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
-        .where(col("dt").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_intervals"),
-          sum(col("value_c") * col("dt")).as("sum_vdt"),
-          sum(col("dt")).as("sum_dt"))
-        .select(col("user_id"), col("n_intervals"), col("sum_vdt"),
-          col("sum_dt"),
-          Det.r4(col("sum_vdt").cast("double") /
-            col("sum_dt").cast("double") / 100.0).as("twa"))
-        .orderBy(col("user_id"))
-    }),
-
-    // Cohort REVENUE (LTV matrix): the monetary complement of
-    // q_user_retention — customers cohorted by first-order month,
-    // revenue accumulated per (cohort, month-age) cell. Same scale
-    // shape: cohort assignment is a per-customer partial/final min,
-    // the join back is customer-keyed (co-partitioned, no broadcast
-    // needed at 100 TB), and the cell rollup is one partial/final
-    // agg near output size. Month axis is the integer year·12+month−1
-    // index (the q_sql_recursive axis) so every column stays BIGINT.
-    "q_cohort_revenue" -> ((s, d) => {
-      val om = t(s, d, "orders").select(col("o_custkey"),
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
-          .cast("long").as("k"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val c0 = om.groupBy(col("o_custkey")).agg(min(col("k")).as("k0"))
-      om.join(c0, Seq("o_custkey"))
-        .groupBy(col("k0").as("cohort_k"), (col("k") - col("k0")).as("age"))
-        .agg(countDistinct(col("o_custkey")).as("n_customers"),
-          count(lit(1)).as("n_orders"),
-          sum(col("cents")).as("cents"))
-        .orderBy(col("cohort_k"), col("age"))
-    }),
-
-    // Market-basket association rules over order baskets: pairwise
-    // support, confidence and lift for parts bought together. The
-    // pair explosion is the reference's C(n,2) self-join shape
-    // (SURVEY §2.1 R4) applied to baskets — bounded by basket size,
-    // never corpus²: the equi key (l_orderkey) carries the shuffle
-    // and the < predicate halves the fan-out. Item supports join
-    // back by part key; the order total rides a broadcast scalar.
-    // Confidence and lift are emitted as exact ×10000 integer
-    // fixed-point (c·N·10⁴ div c_a·c_b) — no doubles cross the
-    // oracle boundary. At extreme counts the lift numerator wants
-    // DECIMAL(38,0); at any plausible basket cardinality LONG holds.
-    "q_assoc_rules" -> ((s, d) => {
-      val all = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      // Basket cap — the reference's MAX_NUM_RATERS discipline
-      // (SURVEY §2.1 R3) applied to baskets: a degenerate 10k-item
-      // cart contributes C(10k,2) ≈ 5·10⁷ pairs and no signal; cap
-      // 50 is a no-op on this data (max basket ≈ 7) and the guard a
-      // production run needs. Not silent: capped baskets leave
-      // n_orders too, so support stays honest over KEPT baskets.
-      val okBaskets = all.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("bsz")).where(col("bsz") <= 50)
-        .select(col("l_orderkey"))
-      // memoized: items feeds FOUR consumers (both self-join sides,
-      // the item supports, the order total) — uncached, each replays
-      // the distinct's shuffle
-      val items = graft.core.Cache.getOrPersist(s, "basket_items", d)(
-        all.join(okBaskets, Seq("l_orderkey")))
-      val totals = broadcast(
-        items.agg(countDistinct(col("l_orderkey")).as("n_orders")))
-      val ca = items.groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("c_item"))
-      items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"),
-          col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("c_ab"))
-        .where(col("c_ab") >= 2)
-        .join(ca.select(col("l_partkey").as("p1"),
-          col("c_item").as("c_a")), Seq("p1"))
-        .join(ca.select(col("l_partkey").as("p2"),
-          col("c_item").as("c_b")), Seq("p2"))
-        .crossJoin(totals)
-        .select(col("p1"), col("p2"), col("c_ab"), col("c_a"),
-          col("c_b"), col("n_orders"),
-          expr("c_ab * 10000 div c_a").as("conf_x10000"),
-          expr("(c_ab * n_orders * 10000) div (c_a * c_b)")
-            .as("lift_x10000"))
-        .orderBy(col("c_ab").desc, col("p1"), col("p2"))
-    }),
-
-    // RFM segmentation over orders: recency / frequency / monetary
-    // per customer, scored into quartiles AGAINST BROADCAST VALUE
-    // THRESHOLDS from the distributed order-statistic path
-    // (Quantiles.valueAtFraction — the q_quality_cut discipline),
-    // never a global ntile window (an empty-partition ranking window
-    // single-threads the whole customer table; thresholds keep every
-    // stage parallel and make scores a per-row comparison). Quartile
-    // fractions 0.25/0.5/0.75 are exact binary, so ⌊f·n⌋ is integer-
-    // replayable on the oracle side. Monetary snaps to integer cents
-    // before summing (order-independent).
-    "q_rfm_segments" -> ((s, d) => {
-      val per = t(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        // o_orderdate is TIMESTAMP_NTZ in parquet; cast through
-        // session-UTC timestamp for unix_millis
-        .agg(max(expr("unix_millis(cast(o_orderdate as timestamp))"))
-          .as("last_ms"),
-          count(lit(1)).as("freq"),
-          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
-            .as("mon_c"))
-      val gmax = per.agg(max(col("last_ms")).as("gmax"))
-      val m = per.crossJoin(broadcast(gmax))
-        .withColumn("recency_days", expr("(gmax - last_ms) div 86400000"))
-      // One distributed sort per COLUMN (all three quartile ranks
-      // extracted from it), not one per (column, fraction) — 3 cold
-      // sort jobs instead of 9, identical rank values.
-      def thr(c: String) = graft.core.Quantiles.valuesAtFractionsMemo(
-        m, c, Seq(0.25, 0.5, 0.75), s"rfm:$c:$d")
-      def bucket(c: String) = thr(c).map(t =>
-        when(col(c).cast("double") >= lit(t), 1L).otherwise(0L))
-        .reduce(_ + _)
-      m.select(col("o_custkey"), col("recency_days"), col("freq"),
-          col("mon_c"),
-          (lit(4L) - bucket("recency_days")).as("r_score"),
-          (lit(1L) + bucket("freq")).as("f_score"),
-          (lit(1L) + bucket("mon_c")).as("m_score"))
-        .groupBy(col("r_score"), col("f_score"), col("m_score"))
-        .agg(count(lit(1)).as("n_customers"), sum(col("mon_c")).as("mon_c_sum"))
-        .orderBy(col("r_score"), col("f_score"), col("m_score"))
-    }),
-
-    // Time-in-state accounting from a changelog (the SCD2 read-out):
-    // each event opens a state version valid until the user's next
-    // event (lead over the (ts, event_id) total order; the open
-    // version closes at the user's last observation, contributing 0).
-    // Per user: version count + milliseconds spent in each event-type
-    // state, statuses pinned as columns (no discovery pass). One
-    // per-user window + one agg — the warehouse-dimension build that
-    // never joins history to itself.
-    "q_state_durations" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tms"), col("event_id"))
-      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-          col("event_type"), unix_millis(col("ts")).as("tms"))
-        .withColumn("dur_ms",
-          coalesce(lead(col("tms"), 1).over(w) - col("tms"), lit(0L)))
-      def inState(st: String) =
-        sum(when(col("event_type") === st, col("dur_ms")).otherwise(0L))
-          .as(s"${st}_ms")
-      ev.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_versions"), inState("click"),
-          inState("view"), inState("purchase"), inState("signup"),
-          inState("error"))
-        .orderBy(col("user_id"))
-    }),
-
-    // Running per-user totals via mapGroupsWithState — the
-    // arbitrary-state streaming surface (q_cdc_stream_latest's
-    // sibling, accumulate-forever instead of latest-wins) executed in
-    // batch and scored against the plain groupBy oracle. Values snap
-    // to integer cents BEFORE the stateful fold: batch
-    // mapGroupsWithState hands each group's rows in shuffle order, so
-    // only a commutative integer state is bit-stable (the Double
-    // variant stays a spec-level demo). State is O(1) per key.
-    "q_stream_user_totals" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"),
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
-          .as("value_c"))
-      implicit val enc = org.apache.spark.sql.Encoders
-        .product[graft.streaming.StreamOps.EvFx]
-      graft.streaming.StreamOps.runningUserTotalsFx(
-          ev.as[graft.streaming.StreamOps.EvFx])
-        .toDF().orderBy(col("user_id"))
-    }),
-
-    // Rolling 7-day distinct users per day — the trailing-window
-    // COUNT(DISTINCT) that no window frame can express (distinct is
-    // not decomposable over frames). The scalable shape: dedupe to
-    // (user, day) FIRST (the only pass that touches raw events; at
-    // 100 TB this collapses billions of rows to |users|·|days|), then
-    // a BOUNDED fan-out — each pair contributes to exactly the 7
-    // target days [d, d+6] via explode(sequence(...)) — and a
-    // partial-agg'd countDistinct per target day. Fan-out is 7×
-    // regardless of scale; contrast a days×events range join, which
-    // rescans the corpus per day. The left_semi against observed days
-    // keeps the day axis data-derived (no trailing phantom days).
-    "q_rolling_distinct" -> ((s, d) => {
-      val ud = t(s, d, "events")
-        .select(expr("unix_millis(ts) div 86400000").as("d0"),
-          col("user_id"))
-        .distinct()
-      val days = ud.select(col("d0").as("day")).distinct()
-      ud.select(col("user_id"),
-          explode(sequence(col("d0"), col("d0") + lit(6L))).as("day"))
-        .join(days, Seq("day"), "left_semi")
-        .groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("users_7d"))
-        .orderBy(col("day"))
-    }),
-
-    // The same rolling-distinct read-out via MERGEABLE HLL sketches —
-    // the shape that survives when even (user, day) is too wide to
-    // re-aggregate per window: one sketch per day built in a single
-    // pass over events (partial-agg'd like any sum), then the 7-day
-    // union merges the ~KB sketches, never the raw rows. A day's
-    // sketch is built ONCE and reused by all 7 windows it feeds — the
-    // pre-aggregated-sketch pattern (Datasketches HLL; Heule et al.
-    // HLL++): any window, any grouping rollup, from the same partials.
-    // Estimates are engine-internal, so the checkable surface is the
-    // acceptance read-out vs the exact twin (lgK=12 → ~1.6% rel.
-    // error; 5% gate), per day — the q_ann_recall discipline: serving
-    // path and measurement in one plan, sharing the day axis.
-    "q_rolling_hll" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .select(expr("unix_millis(ts) div 86400000").as("d0"),
-          col("user_id"))
-      val perDay = ev.groupBy(col("d0"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      val days = perDay.select(col("d0").as("day"))
-      val approx = perDay
-        .select(explode(sequence(col("d0"), col("d0") + lit(6L)))
-          .as("day"), col("sk"))
-        .join(days, Seq("day"), "left_semi")
-        .groupBy(col("day"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
-      val exact = ev.distinct()
-        .select(col("user_id"),
-          explode(sequence(col("d0"), col("d0") + lit(6L))).as("day"))
-        .join(days, Seq("day"), "left_semi")
-        .groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("x"))
-      approx.join(exact, Seq("day"))
-        .select(col("day"),
-          (abs(col("a") - col("x")).cast("double") /
-            col("x").cast("double") <= lit(0.05)).as("within_bounds"))
-        .orderBy(col("day"))
-    }),
-
-    // Misra–Gries heavy hitters (core.HeavyHitters): the bounded-
-    // memory frequent-items pass for long-tail key spaces where the
-    // exact groupBy is the expensive thing (here that groupBy IS the
-    // acceptance measurement, like q_ann_recall's exact side — the
-    // product at 100 TB is the ≤ k·P-row summary). Key space is a
-    // head/tail mixture carved from events: rows of users ≡ 0 (mod 4)
-    // keep their event_type (5 hot keys, ~500 rows each), the rest
-    // key by user id (~110 tail keys, ~70 rows each) — tail evictions
-    // are real at k=49. The mergeable-summaries guarantee (Agarwal et
-    // al.): after the partition merge tree, true − n/(k+1) ≤ est ≤
-    // true, so every key above n/(k+1) = n div 50 is present and
-    // in-envelope; the oracle replays the exact heavy set and expects
-    // all-true — presence AND both bounds, per key.
-    "q_heavy_hitters" -> ((s, d) => {
-      val keyed = t(s, d, "events")
-        .select(when(col("user_id") % 4 === 0, col("event_type"))
-          .otherwise(concat(lit("u"), col("user_id"))).as("k"))
-      val mg = graft.core.HeavyHitters.summarize(keyed, "k", 49)
-      val total = keyed.agg(count(lit(1)).as("n"))
-      keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
-        .where(col("cnt") > expr("n div 50"))
-        .join(mg, Seq("k"), "left")
-        .select(col("k").as("probe_key"),
-          (col("est").isNotNull && col("est") <= col("cnt") &&
-            col("cnt") - col("est") <= expr("n div 50"))
-            .as("within_bounds"))
-        .orderBy(col("probe_key"))
-    }),
-
-    // EWMA trend per event type — the exponentially-weighted daily
-    // read-out a monitoring pipeline smooths with. Half-life = 1 day
-    // (α = 1/2) makes every weight an exact power of two, so the
-    // whole ledger is INTEGER: daily cents × 2^(13−lag) summed over
-    // the bounded 14-day fan-out (the q_rolling_distinct shape), one
-    // IEEE division at the end. No recursion, no running state, no
-    // double accumulation — any engine, any partitioning, same bits.
-    // Weights renormalize over the days actually present (both
-    // engines derive the same denominator from the same rows).
-    "q_ewma_trend" -> ((s, d) => {
-      val daily = t(s, d, "events")
-        .select(col("event_type"),
-          expr("unix_millis(ts) div 86400000").as("day"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(sum(col("vc")).as("v"))
-      val days = daily.select(col("day").as("wday")).distinct()
-      daily.select(col("event_type"), col("day"), col("v"),
-          explode(sequence(col("day"), col("day") + lit(13L))).as("wday"))
-        .join(days, Seq("wday"), "left_semi")
-        .withColumn("w",
-          expr("shiftleft(1L, cast(13 - (wday - day) as int))"))
-        .groupBy(col("event_type"), col("wday"))
-        .agg(count(lit(1)).as("n_days"),
-          sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
-        .select(col("event_type"), col("wday").as("day"), col("n_days"),
-          Det.r4(col("num").cast("double") / col("den").cast("double") /
-            lit(100.0)).as("ewma"))
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // Trending items: heavy hitters per TRAILING 7-day window from
-    // per-day Misra–Gries partials — the sliding-window composition
-    // of q_heavy_hitters and q_rolling_distinct's fan-out. Each day's
-    // k-counter partials are built ONCE (grouped kernel, state ≤
-    // days×k per partition) and every window merges them by exact
-    // summation; per-day MG errors ADD to exactly the window envelope
-    // (Σ n_day/(k+1) = n_w/(k+1) — the mergeable-summaries bound
-    // again), so every key above n_w div 50 in a window is present
-    // and in-envelope with k=49. The raw-row exact side here is the
-    // acceptance measurement; the product at 100 TB is the per-day
-    // partial table any window can replay without touching rows.
-    "q_trending_items" -> ((s, d) => {
-      val keyed = t(s, d, "events")
-        .select(expr("unix_millis(ts) div 86400000").as("day"),
-          when(col("user_id") % 4 === 0, col("event_type"))
-            .otherwise(concat(lit("u"), col("user_id"))).as("k"))
-      val days = keyed.select(col("day")).distinct()
-        .select(col("day").as("wday"))
-      def fan(df: DataFrame) = df
-        .select(col("*"), explode(sequence(col("day"), col("day") + lit(6L)))
-          .as("wday"))
-        .join(days, Seq("wday"), "left_semi")
-      val mgWin = fan(graft.core.HeavyHitters
-          .summarizeByGroup(keyed, "day", "k", 49))
-        .groupBy(col("wday"), col("k")).agg(sum(col("est")).as("est"))
-      val exactWin = fan(keyed.groupBy(col("day"), col("k"))
-          .agg(count(lit(1)).as("c")))
-        .groupBy(col("wday"), col("k")).agg(sum(col("c")).as("cnt"))
-      val nWin = fan(keyed.groupBy(col("day")).agg(count(lit(1)).as("nd")))
-        .groupBy(col("wday")).agg(sum(col("nd")).as("n"))
-      exactWin.join(nWin, Seq("wday"))
-        .where(col("cnt") > expr("n div 50"))
-        .join(mgWin, Seq("wday", "k"), "left")
-        .select(col("wday").as("day"), col("k").as("probe_key"),
-          (col("est").isNotNull && col("est") <= col("cnt") &&
-            col("cnt") - col("est") <= expr("n div 50"))
-            .as("within_bounds"))
-        .orderBy(col("day"), col("probe_key"))
-    }),
-
-    // Sketch-partial REUSE across rollup levels: per-(type, day) HLL
-    // partials built in ONE pass over events, then unioned two ways —
-    // per type (across days) and globally — without rescanning rows.
-    // This is the property that makes sketch columns a storage format
-    // at 100 TB (store partials at the finest grain; answer every
-    // coarser distinct-rollup by merging ~KB sketches), and it is
-    // exactly what exact countDistinct CANNOT do: distinct counts are
-    // not decomposable, so each exact rollup level is its own shuffle
-    // of raw keys. Acceptance read-out per level vs the exact twin
-    // (the q_rolling_hll discipline); '_all' is the grand-total row.
-    "q_hll_rollup" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .select(col("event_type"),
-          expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
-      val parts = ev.groupBy(col("event_type"), col("day"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      val byType = parts.groupBy(col("event_type"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
-      val global = parts
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
-        .select(lit("_all").as("event_type"), col("a"))
-      val exactT = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("x"))
-      val exactG = ev.agg(countDistinct(col("user_id")).as("x"))
-        .select(lit("_all").as("event_type"), col("x"))
-      byType.unionByName(global)
-        .join(exactT.unionByName(exactG), Seq("event_type"))
-        .select(col("event_type").as("level_key"),
-          (abs(col("a") - col("x")).cast("double") /
-            col("x").cast("double") <= lit(0.05)).as("within_bounds"))
-        .orderBy(col("level_key"))
-    }),
-
-    // Chi-square independence test, event_type × day-of-week bucket —
-    // the contingency read-out a feature-drift monitor runs per batch.
-    // One groupBy over events produces the 35-cell table; every later
-    // frame is O(cells). Cross-engine determinism: observed counts and
-    // margins are exact BIGINTs, each expected value r·c/n is ONE IEEE
-    // division of exact integers, each cell term a fixed IEEE op
-    // sequence, and the cell terms cross the sum through Det.fsum4's
-    // fixed-point path so summation order cannot matter. Cramér's V
-    // derives from the already-deterministic χ² scalar.
-    "q_chisq_independence" -> ((s, d) => {
-      val obs = t(s, d, "events")
-        .select(col("event_type").as("et"),
-          expr("(unix_millis(ts) div 86400000) % 7").as("dow"))
-        .groupBy(col("et"), col("dow")).agg(count(lit(1)).as("o"))
-      val rt = obs.groupBy(col("et")).agg(sum(col("o")).as("r"))
-      val ct = obs.groupBy(col("dow")).agg(sum(col("o")).as("c"))
-      val tot = obs.agg(sum(col("o")).as("n"))
-      val e = col("r") * col("c") / col("n")
-      obs.join(rt, Seq("et")).join(ct, Seq("dow"))
-        .crossJoin(broadcast(tot))
-        .select(col("et"), col("dow"), col("o"), col("r"), col("c"),
-          col("n"), ((col("o") - e) * (col("o") - e) / e).as("term"))
-        .agg(count(lit(1)).as("n_cells"),
-          countDistinct(col("et")).as("net"),
-          countDistinct(col("dow")).as("ndow"),
-          Det.fsum4(col("term")).as("chi2"), max(col("n")).as("n"))
-        .select(col("n_cells"),
-          ((col("net") - 1) * (col("ndow") - 1)).as("dof"),
-          col("chi2"),
-          Det.r4(sqrt(col("chi2") /
-            (col("n") * least(col("net") - 1, col("ndow") - 1))))
-            .as("cramers_v"))
-    }),
-
-    // k-anonymity release gate (k = 8): group the table by its
-    // quasi-identifier projection (market segment × nation — the
-    // columns an adversary can link externally) and flag every group
-    // smaller than k for suppression before publication, with the
-    // per-group size and the released/suppressed row totals the
-    // release audit records. One partial/final aggregate over the QI
-    // keys — group count is bounded by the QI domain (≤125 here),
-    // so the gate costs one scan at any table size; the compliance
-    // complement of q_delete_propagation (erasure handles the past,
-    // the k-gate handles what may be published next).
-    "q_k_anonymity" -> ((s, d) => {
-      val g = t(s, d, "customer")
-        .groupBy(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("released", when(col("n") >= 8, 1L).otherwise(0L))
-      g.select(col("c_mktsegment"), col("c_nationkey"), col("n"),
-          col("released"),
-          (col("n") * col("released")).as("released_rows"),
-          (col("n") * (lit(1L) - col("released"))).as("suppressed_rows"))
-        .orderBy(col("c_mktsegment"), col("c_nationkey"))
-    }),
-
-    // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
-    // companion: a quasi-identifier group can be k-large yet leak if
-    // every member shares one sensitive value. Sensitive attribute =
-    // the account-balance band (floor(acctbal/2000), IEEE floor on
-    // both engines); a group releases only when it carries ≥3
-    // distinct bands. Same one-pass partial/final agg shape as
-    // q_k_anonymity — count + distinct-count per group, no second
-    // scan.
-    "q_l_diversity" -> ((s, d) => {
-      val band = floor(col("c_acctbal").cast("double") / lit(2000.0))
-        .cast("long")
-      t(s, d, "customer")
-        .groupBy(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(band).as("n_bands"))
-        .withColumn("l_diverse",
-          when(col("n_bands") >= 3, 1L).otherwise(0L))
-        .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
-          col("n_bands"), col("l_diverse"),
-          (col("n") * col("l_diverse")).as("released_rows"),
-          (col("n") * (lit(1L) - col("l_diverse")))
-            .as("suppressed_rows"))
-        .orderBy(col("c_mktsegment"), col("c_nationkey"))
-    }),
-
-    // Differentially-private count release — the third leg of the
-    // privacy family (suppression = q_k_anonymity, diversity =
-    // q_l_diversity, perturbation = this): per-(segment, nation)
-    // customer counts released through the two-sided geometric /
-    // discrete-Laplace mechanism (Ghosh, Roughgarden & Sundararajan
-    // 2009 — the utility-optimal ε-DP mechanism for sensitivity-1
-    // counts). ε = ln 2 is chosen so the inverse-CDF is EXACT integer
-    // arithmetic: with α = e^(−ε) = 1/2 the noise magnitude is the
-    // geometric(1/2) tail ⌊log2(2^20/u)⌋ = (20·2^20 − log2Fx(u)) div
-    // 2^20 over the integer-log2 table. The sampler is SEEDED by the
-    // portable hash of the group key so every cell is deterministic
-    // and oracle-replayable (the q_weighted_sample discipline — a
-    // production release draws u from a CSPRNG; the sensitivity-1
-    // count, inverse-CDF ladder and post-processing are the deployed
-    // shape unchanged). Negative releases are kept, not clamped:
-    // unbiasedness matters more than cosmetics when downstream sums
-    // the cells. One partial/final agg + scalar arithmetic — scan
-    // speed at any corpus size.
-    "q_dp_counts" -> ((s, d) => {
-      val S = graft.ext.LmScore.LogScale // 2^20
-      val key = concat_ws("|",
-        col("c_mktsegment"), col("c_nationkey").cast("string"))
-      t(s, d, "customer")
-        .groupBy(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("u", PortableHash.spread(
-          PortableHash.h(concat(key, lit("|dp1")))) + lit(1L))
-        .withColumn("sgn", when(PortableHash.spread(
-            PortableHash.h(concat(key, lit("|dp2")))) % 2 === 0,
-          lit(1L)).otherwise(lit(-1L)))
-        .withColumn("lgu", graft.ext.LmScore.log2FxCol(col("u")))
-        .withColumn("mag", expr(s"(${20 * S} - lgu) div $S"))
-        .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
-          (col("sgn") * col("mag")).as("noise"),
-          (col("n") + col("sgn") * col("mag")).as("released"),
-          lit(0.6931).as("eps"))
-        .orderBy(col("c_mktsegment"), col("c_nationkey"))
-    }),
-
-    // DP SUM release — the bounded-contribution half of the DP pair
-    // (q_dp_counts is sensitivity-1 counting; real releases are sums
-    // whose sensitivity must be ENGINEERED by clamping): per-segment
-    // account-balance totals in integer cents, each customer's
-    // contribution clamped to C = 5,000.00 (the clamp IS the
-    // sensitivity bound — without it one whale makes the release
-    // useless or non-private), then discrete-Laplace noise at scale
-    // C: the same seeded geometric(1/2) ladder as q_dp_counts
-    // multiplied by the sensitivity (noise ∝ C/ε with ε = ln 2 per
-    // clamp unit). Emits clamped exact sum, the clamp-loss audit
-    // column (how much the bound cut — the utility dial a release
-    // tunes), noise and the released total. One aggregate + scalar
-    // ladder, scan speed at any size.
-    "q_dp_sum" -> ((s, d) => {
-      val S = graft.ext.LmScore.LogScale
-      val clampC = 500000L // cents
-      val cents = expr("CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 " +
-        "+ 0.5) AS BIGINT)")
-      val key = concat_ws("|", col("c_mktsegment"))
-      t(s, d, "customer")
-        .select(col("c_mktsegment"),
-          least(greatest(cents, lit(0L)), lit(clampC)).as("clamped"),
-          cents.as("raw"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("clamped")).as("sum_clamped"),
-          sum(col("raw") - col("clamped")).as("clamp_loss"))
-        .withColumn("u", PortableHash.spread(
-          PortableHash.h(concat(key, lit("|dps1")))) + lit(1L))
-        .withColumn("sgn", when(PortableHash.spread(
-            PortableHash.h(concat(key, lit("|dps2")))) % 2 === 0,
-          lit(1L)).otherwise(lit(-1L)))
-        .withColumn("lgu", graft.ext.LmScore.log2FxCol(col("u")))
-        .withColumn("mag", expr(s"(${20 * S} - lgu) div $S"))
-        .select(col("c_mktsegment"), col("n"), col("sum_clamped"),
-          col("clamp_loss"),
-          (col("sgn") * col("mag") * lit(clampC)).as("noise"),
-          (col("sum_clamped") + col("sgn") * col("mag") * lit(clampC))
-            .as("released"),
-          lit(0.6931).as("eps_per_unit"))
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    // DP TOP-K SELECTION — the third mechanism of the DP family
-    // (perturbed counts, clamped sums, and now SELECTION): release
-    // WHICH k groups are largest without releasing any true count
-    // (report-noisy-max generalized to one-shot top-k: every
-    // candidate's count gets an independent draw from the same
-    // seeded geometric(1/2) ladder as q_dp_counts, the top-3 by
-    // noisy count are published with their NOISY counts only — the
-    // true n never leaves the aggregate). Candidates are disjoint
-    // row partitions (each customer in one segment), so parallel
-    // composition prices the whole selection at one ε = ln 2. Same
-    // deterministic, oracle-replayable sampler discipline.
-    "q_dp_topk" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val S = graft.ext.LmScore.LogScale
-      val key = concat_ws("|", col("c_mktsegment"))
-      val noisy = t(s, d, "customer")
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("u", PortableHash.spread(
-          PortableHash.h(concat(key, lit("|dpt1")))) + lit(1L))
-        .withColumn("sgn", when(PortableHash.spread(
-            PortableHash.h(concat(key, lit("|dpt2")))) % 2 === 0,
-          lit(1L)).otherwise(lit(-1L)))
-        .withColumn("lgu", graft.ext.LmScore.log2FxCol(col("u")))
-        .withColumn("mag", expr(s"(${20 * S} - lgu) div $S"))
-        .withColumn("noisy_count",
-          col("n") + col("sgn") * col("mag"))
-      val w = Window.orderBy(col("noisy_count").desc,
-        col("c_mktsegment"))
-      noisy.withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 3)
-        .select(col("c_mktsegment"), col("noisy_count"), col("rn"),
-          lit(0.6931).as("eps"))
-        .orderBy(col("rn"))
-    }),
-
-    // Privacy-budget LEDGER (the release discipline over the two DP
-    // mechanisms): one row per release against the customer table,
-    // carrying the cell count (measured from data, not asserted), the
-    // engineered sensitivity, the per-release ε and the RUNNING
-    // sequential-composition total. The composition facts it encodes:
-    // WITHIN a release the group-by cells partition the rows, so
-    // parallel composition prices the whole release at one ε = ln 2;
-    // ACROSS releases the same rows are re-queried, so basic
-    // sequential composition adds — the ledger's cum_eps_fx is the
-    // number a data-protection officer signs off before the next
-    // release ships. ε rides 10⁻⁴ fixed point (6931 = ln 2) so the
-    // running sum is exact integer arithmetic. Two scalar
-    // distinct-count aggregates + a 2-row window — free at any size.
-    "q_dp_ledger" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val cust = t(s, d, "customer")
-      val r1 = cust.agg(countDistinct(col("c_mktsegment"),
-          col("c_nationkey")).cast("long").as("n_cells"))
-        .select(lit("dp_counts").as("release_id"),
-          lit("customer").as("table_name"),
-          lit("discrete_laplace").as("mechanism"),
-          lit("parallel_within").as("cell_composition"),
-          col("n_cells"), lit(1L).as("sensitivity"),
-          lit(6931L).as("eps_fx"))
-      val r2 = cust.agg(countDistinct(col("c_mktsegment"))
-          .cast("long").as("n_cells"))
-        .select(lit("dp_sum").as("release_id"),
-          lit("customer").as("table_name"),
-          lit("discrete_laplace").as("mechanism"),
-          lit("parallel_within").as("cell_composition"),
-          col("n_cells"), lit(500000L).as("sensitivity"),
-          lit(6931L).as("eps_fx"))
-      val r3 = cust.agg(countDistinct(col("c_mktsegment"))
-          .cast("long").as("n_cells"))
-        .select(lit("dp_topk").as("release_id"),
-          lit("customer").as("table_name"),
-          lit("noisy_topk").as("mechanism"),
-          lit("parallel_within").as("cell_composition"),
-          col("n_cells"), lit(1L).as("sensitivity"),
-          lit(6931L).as("eps_fx"))
-      val w = Window.orderBy(col("release_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      r1.unionByName(r2).unionByName(r3)
-        .withColumn("cum_eps_fx", sum(col("eps_fx")).over(w))
-        .withColumn("eps", Det.r4(col("eps_fx").cast("double") / 1e4))
-        .withColumn("cum_eps",
-          Det.r4(col("cum_eps_fx").cast("double") / 1e4))
-        .orderBy(col("release_id"))
-    }),
-
-    // Right-to-erasure audit: cascade a customer delete list through
-    // the star (customers → their orders → those orders' lineitems)
-    // and report per-table before/deleted/after plus the
-    // ORPHANS-AFTER count that proves referential closure — the
-    // compliance artifact a deletion job must emit. Pure key
-    // semi/anti joins: the delete list is broadcast-sized, fact
-    // tables are touched once each, and nothing rescans to audit
-    // (the orphan checks reuse the same deleted-key sets). At 100 TB
-    // the delete list stays a broadcast and each cascade level is one
-    // semi-join pass.
-    "q_delete_propagation" -> ((s, d) => {
-      val cust = t(s, d, "customer")
-      val ord = t(s, d, "orders")
-      val li = t(s, d, "lineitem")
-      val delC = cust.where(col("c_custkey") % 50 === 0)
-        .select(col("c_custkey"))
-      val delO = ord.join(broadcast(delC),
-        col("o_custkey") === col("c_custkey"), "left_semi")
-      val delOKeys = delO.select(col("o_orderkey"))
-      val keptO = ord.join(broadcast(delC),
-        col("o_custkey") === col("c_custkey"), "left_anti")
-      val keptLi = li.join(delOKeys,
-        li("l_orderkey") === delOKeys("o_orderkey"), "left_anti")
-      def stats(name: String, before: DataFrame, deleted: DataFrame,
-                orphans: DataFrame) =
-        before.agg(count(lit(1)).as("n_before"))
-          .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans_after")))
-          .select(lit(name).as("table_name"), col("n_before"),
-            col("n_deleted"),
-            (col("n_before") - col("n_deleted")).as("n_after"),
-            col("n_orphans_after"))
-      val none = cust.limit(0)
-      stats("customer", cust, delC, none)
-        .unionByName(stats("orders", ord, delO,
-          keptO.join(broadcast(delC),
-            col("o_custkey") === col("c_custkey"), "left_semi")))
-        .unionByName(stats("lineitem", li,
-          li.join(delOKeys, li("l_orderkey") === delOKeys("o_orderkey"),
-            "left_semi"),
-          keptLi.join(delOKeys,
-            keptLi("l_orderkey") === delOKeys("o_orderkey"), "left_semi")))
-        .orderBy(col("table_name"))
-    }),
-
-    // Spearman rank correlation per return flag — the robust
-    // (monotone-invariant) complement of q_column_corr's Pearson
-    // matrix. Ties get average ranks kept EXACT as doubled integers
-    // (2·rank + tie_count − 1: first+last of the tie run), so the
-    // whole moment ledger is integer until one final scalar formula;
-    // correlation is shift/scale-invariant, so doubling changes
-    // nothing. Cross products ride DECIMAL(38,0) (n·Σxy overflows a
-    // long at sf0.1's group sizes); one IEEE sqrt/divide r4'd at the
-    // boundary. Two rank-window shuffles, one agg — no per-group
-    // quantile probes, no double accumulations.
-    "q_spearman_corr" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val li = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
-        col("l_quantity").as("va"), col("l_extendedprice").as("vb"))
-      def r2x(v: String) =
-        lit(2L) * rank().over(Window.partitionBy(col("g")).orderBy(col(v))) +
-          count(lit(1)).over(Window.partitionBy(col("g"), col(v))) - lit(1L)
-      val ranked = li.select(col("g"), r2x("va").as("ra"), r2x("vb").as("rb"))
-      val m = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"),
-        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
-        sum(col("ra") * col("ra")).as("saa"),
-        sum(col("rb") * col("rb")).as("sbb"),
-        sum(col("ra") * col("rb")).as("sab"))
-      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      m.select(col("g"), col("n"), Det.r4(
-          (d38(col("n")) * d38(col("sab")) - d38(col("sa")) * d38(col("sb")))
-            .cast("double") /
-          sqrt((d38(col("n")) * d38(col("saa")) -
-                d38(col("sa")) * d38(col("sa"))).cast("double") *
-               (d38(col("n")) * d38(col("sbb")) -
-                d38(col("sb")) * d38(col("sb"))).cast("double")))
-          .as("spearman"))
-        .orderBy(col("g"))
-    }),
-
-    // Equi-depth (quantile) binning of order totals: 8 near-equal-
-    // population bins from the 7 exact octile cut points (k/8 is
-    // exact binary, so index = (n·k) div 8 replays identically — the
-    // q_quantile_drift discipline), cuts BROADCAST as value
-    // thresholds so bucketing is a per-row comparison and every stage
-    // stays parallel (never a global ntile window). Per-bin
-    // depth/min/max/sum read-out in exact cents — the feature-binning
-    // artifact an ML pipeline freezes next to the model.
-    "q_equidepth_bins" -> ((s, d) => {
-      val oc = t(s, d, "orders")
-        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
-          .as("c"))
-      // All 7 octile cut points from ONE distributed sort (batched
-      // rank extraction), not 7 separate sort jobs.
-      val cuts = graft.core.Quantiles
-        .valuesAtFractionsMemo(oc, "c", (1 to 7).map(_ / 8.0), s"eqd:$d")
-        .map(_.toLong)
-      val bin = cuts.map(cut =>
-        when(col("c") >= lit(cut), 1L).otherwise(0L)).reduce(_ + _)
-      oc.select(col("c"), bin.as("bin"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_rows"), min(col("c")).as("min_c"),
-          max(col("c")).as("max_c"), sum(col("c")).as("sum_c"))
-        .orderBy(col("bin"))
-    }),
-
-    // Trimmed mean per event_type (drop the bottom/top decile by exact
-    // rank, average the middle 80%) — the robust location estimate
-    // that survives the value column's outlier tail. Ranks come from
-    // ONE per-group window over the unique (value_c, event_id) tie
-    // order, so the kept set is identical in both engines; values snap
-    // to integer cents before any sum (order-independent), and the
-    // mean is a single IEEE division r4'd at the boundary. One shuffle
-    // (the window), one agg — no per-group quantile probes.
-    "q_trimmed_mean" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value_c"), col("event_id"))
-      val wn = Window.partitionBy(col("event_type"))
-      val ev = t(s, d, "events")
-        .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("value_c"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-      ev.where(col("rn") > expr("n div 10") &&
-          col("rn") <= col("n") - expr("n div 10"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_kept"),
-          Det.r4(sum(col("value_c")).cast("double") /
-            (count(lit(1)) * lit(100.0))).as("trimmed_mean"))
-        .orderBy(col("event_type"))
-    })
   )
+
 
   /** q_pit_training_set cutoff: epoch day 9282 = 1995-06-01; label
     * horizon 90 days. Mid-corpus so both past and future slices are
@@ -2623,45 +1047,6 @@ object RelQueries {
     * islands), shared by q_interval_coverage and
     * q_interval_overlap_join — one SQL constant so the two can never
     * disagree on what an island is. */
-  private val islandsCtes: String =
-    """ev AS (
-      |  SELECT user_id, event_id, epoch_ms(ts) AS st,
-      |         epoch_ms(ts) + 300000 AS en
-      |  FROM events),
-      |flagged AS (
-      |  SELECT user_id, event_id, st, en,
-      |         CASE WHEN max(en) OVER wprev IS NULL
-      |                OR st > max(en) OVER wprev
-      |              THEN 1 ELSE 0 END AS new_island
-      |  FROM ev
-      |  WINDOW wprev AS (PARTITION BY user_id ORDER BY st, event_id
-      |                   ROWS BETWEEN UNBOUNDED PRECEDING
-      |                   AND 1 PRECEDING)),
-      |numbered AS (
-      |  SELECT user_id, st, en,
-      |         sum(new_island) OVER (PARTITION BY user_id
-      |                               ORDER BY st, event_id
-      |                               ROWS BETWEEN UNBOUNDED PRECEDING
-      |                               AND CURRENT ROW) AS island_id
-      |  FROM flagged),
-      |islands AS (
-      |  SELECT user_id, island_id,
-      |         min(st) AS i_st, max(en) AS i_en
-      |  FROM numbered GROUP BY 1, 2)""".stripMargin
-
-  private val cdcLatestSql =
-    """WITH ev AS (
-      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
-      |  FROM events),
-      |r AS (
-      |  SELECT *,
-      |         row_number() OVER (PARTITION BY user_id
-      |                            ORDER BY ts_ms DESC, event_id DESC)
-      |           AS rn,
-      |         count(*) OVER (PARTITION BY user_id) AS n_events
-      |  FROM ev)
-      |SELECT user_id, event_id, event_type, ts_ms, n_events
-      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_column_corr" -> {
@@ -2694,58 +1079,6 @@ object RelQueries {
          |FROM u ORDER BY pair""".stripMargin
     },
 
-    "q_abtest_lift" -> {
-      val gate = graft.core.PortableHash.spreadSql(
-        graft.core.PortableHash.hSql("CAST(user_id AS VARCHAR)"))
-      val rateA = "CAST(conv_a AS DOUBLE) / n_a"
-      val rateB = "CAST(conv_b AS DOUBLE) / n_b"
-      val p = "CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)"
-      val den = s"sqrt(($p) * (1.0 - ($p)) * (1.0 / n_a + 1.0 / n_b))"
-      s"""WITH users AS (
-         |  SELECT user_id,
-         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-         |           AS converted
-         |  FROM events GROUP BY 1),
-         |armed AS (SELECT *, ($gate) % 2 AS arm FROM users),
-         |arms AS (
-         |  SELECT arm, count(*) AS n,
-         |         CAST(sum(converted) AS BIGINT) AS conv
-         |  FROM armed GROUP BY 1),
-         |r AS (
-         |  SELECT a.n AS n_a, a.conv AS conv_a,
-         |         b.n AS n_b, b.conv AS conv_b
-         |  FROM (SELECT * FROM arms WHERE arm = 0) a
-         |  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b)
-         |SELECT n_a, conv_a, n_b, conv_b,
-         |       ${r4(rateA)} AS rate_a,
-         |       ${r4(rateB)} AS rate_b,
-         |       ${r4(s"($rateB) - ($rateA)")} AS lift,
-         |       ${r4(s"CASE WHEN $den = 0.0 THEN 0.0 " +
-              s"ELSE (($rateB) - ($rateA)) / ($den) END")} AS z_stat
-         |FROM r""".stripMargin
-    },
-
-    "q_theilsen_slope" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |         count(*) AS y
-        |  FROM events GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT a.event_type, a.day AS di, b.day AS dj,
-        |         CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
-        |           AS slope
-        |  FROM daily a JOIN daily b
-        |    ON b.event_type = a.event_type AND a.day < b.day),
-        |ranked AS (
-        |  SELECT event_type, slope,
-        |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY slope, di, dj) AS rn,
-        |         count(*) OVER (PARTITION BY event_type) AS n_pairs
-        |  FROM pairs)
-        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
-        |       floor(slope*10000 + 0.5)/10000.0 AS ts_slope
-        |FROM ranked WHERE rn = (n_pairs + 1) // 2
-        |ORDER BY event_type""".stripMargin,
 
     "q_local_supplier_volume" ->
       s"""SELECT n_name,
@@ -2764,6 +1097,7 @@ object RelQueries {
          |  AND epoch_ms(o_orderdate) // 86400000 >= $Q5StartDay
          |  AND epoch_ms(o_orderdate) // 86400000 < ${Q5StartDay + 365}
          |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
 
     "q_pit_training_set" ->
       s"""WITH o AS (
@@ -2785,10 +1119,12 @@ object RelQueries {
          |FROM past p LEFT JOIN fut f ON f.o_custkey = p.o_custkey
          |ORDER BY custkey""".stripMargin,
 
+
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
 
     "q_agg_pricing_summary" ->
       s"""WITH g AS (
@@ -2805,6 +1141,7 @@ object RelQueries {
          |       count_order
          |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+
     "q_agg_rollup" ->
       s"""SELECT coalesce(n_name, '(all)') AS nation,
          |       coalesce(c_mktsegment, '(all)') AS segment,
@@ -2814,11 +1151,13 @@ object RelQueries {
          |GROUP BY ROLLUP (n_name, c_mktsegment)
          |ORDER BY nation, segment""".stripMargin,
 
+
     "q_distinct_users" ->
       """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_users,
         |       count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
 
     "q_join_broadcast_dims" ->
       s"""SELECT r_name,
@@ -2831,6 +1170,7 @@ object RelQueries {
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY 1 ORDER BY r_name""".stripMargin,
 
+
     "q_join_semi_anti" ->
       """SELECT 'with_orders' AS kind, c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -2838,6 +1178,7 @@ object RelQueries {
         |SELECT 'without_orders' AS kind, c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY kind, c_custkey""".stripMargin,
+
 
     "q_join_outer" ->
       """WITH c AS (
@@ -2859,6 +1200,7 @@ object RelQueries {
         |  ON c.user_id = p.user_id AND c.day = p.day
         |ORDER BY user_id, day""".stripMargin,
 
+
     "q_rank_dense_ntile" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |       rank() OVER w AS rnk,
@@ -2868,6 +1210,7 @@ object RelQueries {
         |WINDOW w AS (PARTITION BY c_nationkey
         |             ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
@@ -2879,6 +1222,7 @@ object RelQueries {
         |            AS DOUBLE) / 100.0 AS running_total
         |FROM orders
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+
 
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
@@ -2902,6 +1246,7 @@ object RelQueries {
         |              AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
 
+
     "q_window_range" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey,
@@ -2916,6 +1261,7 @@ object RelQueries {
         |FROM o
         |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
 
+
     "q_agg_cube" ->
       s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
          |       coalesce(o_orderpriority, '(all)') AS priority,
@@ -2926,6 +1272,7 @@ object RelQueries {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY CUBE (c_mktsegment, o_orderpriority)
          |ORDER BY segment, priority""".stripMargin,
+
 
     "q_grouping_sets" ->
       s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
@@ -2941,12 +1288,14 @@ object RelQueries {
          |                        (o_orderstatus), ())
          |ORDER BY segment, priority, status""".stripMargin,
 
+
     "q_percentiles" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |       ${r4("quantile_cont(l_quantity, 0.5)")} AS median_qty,
          |       ${r4("quantile_cont(l_quantity, 0.9)")} AS p90_qty,
          |       ${r4("quantile_cont(l_quantity, 0.99)")} AS p99_qty
          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
 
     // Derived-property oracle (like q_als_recommend): the GK sketch's
     // values are partition-order dependent, its rank-error GUARANTEE
@@ -2957,6 +1306,7 @@ object RelQueries {
         |FROM (VALUES (0.5, true), (0.9, true), (0.99, true))
         |  t(p, within_bounds)
         |ORDER BY p""".stripMargin,
+
 
     "q_profile_columns" -> {
       def one(c: String) =
@@ -2972,6 +1322,7 @@ object RelQueries {
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
+
     // Derived-property oracle (CMS values are engine-internal; the
     // never-underestimate + eps*N envelope is the checkable surface).
     "q_approx_freq_bounds" ->
@@ -2980,6 +1331,7 @@ object RelQueries {
         |  t(probe_key, within_bounds)
         |ORDER BY probe_key""".stripMargin,
 
+
     // Derived-property oracle; see the query's comment.
     "q_approx_ndv_bounds" ->
       """SELECT col_name, within_bounds
@@ -2987,6 +1339,7 @@ object RelQueries {
         |             ('o_custkey', true))
         |  t(col_name, within_bounds)
         |ORDER BY col_name""".stripMargin,
+
 
     // Exact overlap counts replayed; the I–E estimate is asserted
     // only through its bound (sketch values are engine-internal).
@@ -3005,16 +1358,19 @@ object RelQueries {
         |       true AS within_bounds
         |FROM g""".stripMargin,
 
+
     // The salted two-phase count is semantically the plain count.
     "q_salted_hot_keys" ->
       """SELECT l_returnflag, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
 
     // The salted join is semantically the plain join.
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS cnt
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
 
     // Skyline: dominance replayed via the same collapse + strict-
     // predecessor window; a frontier (size, price) point admits every
@@ -3039,9 +1395,11 @@ object RelQueries {
         |  ON p.p_size = sky.p_size AND p.cents = sky.min_cents
         |ORDER BY p.p_size, p.p_partkey""".stripMargin,
 
+
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
 
     "q_set_ops" ->
       """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
@@ -3058,6 +1416,7 @@ object RelQueries {
         |  FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
         |ORDER BY op, custkey""".stripMargin,
 
+
     "q_string_funcs" ->
       """SELECT p_partkey,
         |       lower(p_name) AS name_lower,
@@ -3067,11 +1426,13 @@ object RelQueries {
         |       concat_ws(':', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
 
+
     "q_date_funcs" ->
       s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
          |       count(*) AS n_orders,
          |       ${fsum2("o_totalprice")} AS sum_price
          |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
 
     "q_math_funcs" ->
       s"""SELECT l_orderkey, l_linenumber,
@@ -3080,6 +1441,7 @@ object RelQueries {
          |       ${r4("abs(l_tax - l_discount)")} AS abs_diff,
          |       ${r4("ln(l_quantity)")} AS ln_qty
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
 
     "q_json_extract" ->
       s"""WITH e AS (
@@ -3091,6 +1453,7 @@ object RelQueries {
          |       ${r4("CAST(sum(k) AS DOUBLE) / count(*)")} AS avg_k
          |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+
     "q_array_funcs" ->
       s"""WITH ${Sources.ratingsSql},
          |g AS (
@@ -3101,13 +1464,6 @@ object RelQueries {
          |       items[1] AS first_item, items[-1] AS last_item, sum_items
          |FROM g ORDER BY user_id""".stripMargin,
 
-    "q_tumbling_window_counts" ->
-      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-         |         AS window_start,
-         |       event_type, count(*) AS n,
-         |       ${fsum4("value")} AS sum_value
-         |FROM events GROUP BY 1, 2
-         |ORDER BY window_start, event_type""".stripMargin,
 
     "q_pivot_status" -> {
       def cell(st: String) =
@@ -3118,6 +1474,7 @@ object RelQueries {
          |${Seq("F", "O", "P").map(cell).mkString(",\n")}
          |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
     },
+
 
     // Same union+window formulation as the engine (ANSI; DuckDB's
     // native ASOF JOIN would leave right-timestamp ties unspecified).
@@ -3148,6 +1505,7 @@ object RelQueries {
         |FROM filled WHERE side = 1
         |ORDER BY event_id""".stripMargin,
 
+
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
@@ -3173,6 +1531,7 @@ object RelQueries {
         |FROM filled WHERE side = 1
         |ORDER BY event_id""".stripMargin,
 
+
     "q_range_join" ->
       """WITH ev AS (
         |  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM events)
@@ -3186,57 +1545,6 @@ object RelQueries {
         | AND b.ts_ms - a.ts_ms <= 600000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts_ms,
-        |         CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
-        |                OR lag(ts_ms) OVER w IS NULL
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
-        |sessions AS (
-        |  SELECT user_id, event_id, ts_ms,
-        |         sum(new_session) OVER (PARTITION BY user_id
-        |                                ORDER BY ts_ms, event_id
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING
-        |                                AND CURRENT ROW) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |       count(*) AS n_events,
-        |       CAST(max(ts_ms) - min(ts_ms) AS DOUBLE) / 1000.0
-        |         AS duration_sec
-        |FROM sessions GROUP BY 1, 2
-        |ORDER BY user_id, session_id""".stripMargin,
-
-    // Gap-fill: same per-key generate_series axis + IGNORE NULLS
-    // forward fill. cents stays integral end-to-end (sum of
-    // half-up-floored cents; BIGINT cast because DuckDB promotes
-    // sum(BIGINT) to HUGEINT).
-    "q_gapfill" ->
-      """WITH o AS (
-        |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,
-        |         count(*) AS n_orders,
-        |         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
-        |              AS BIGINT) AS cents
-        |  FROM orders WHERE o_custkey % 100 = 1 GROUP BY 1, 2),
-        |s AS (SELECT o_custkey, min(day) AS d0, max(day) AS d1
-        |      FROM o GROUP BY 1),
-        |days AS (SELECT o_custkey,
-        |                unnest(generate_series(d0, d1)) AS day FROM s),
-        |j AS (SELECT days.o_custkey, days.day, o.n_orders, o.cents
-        |      FROM days LEFT JOIN o ON o.o_custkey = days.o_custkey
-        |                           AND o.day = days.day)
-        |SELECT o_custkey, day,
-        |       coalesce(n_orders, 0) AS n_orders,
-        |       last_value(cents IGNORE NULLS)
-        |         OVER (PARTITION BY o_custkey ORDER BY day
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS filled_cents,
-        |       CASE WHEN n_orders IS NULL THEN CAST(1 AS BIGINT)
-        |            ELSE CAST(0 AS BIGINT) END AS is_gap
-        |FROM j ORDER BY o_custkey, day""".stripMargin,
 
     // Unpivot: UNION ALL melt (the engine-neutral spelling of
     // Spark's Expand lowering).
@@ -3254,6 +1562,7 @@ object RelQueries {
          |       ${r4("min(value)")} AS min_v,
          |       ${r4("max(value)")} AS max_v
          |FROM m GROUP BY 1 ORDER BY metric""".stripMargin,
+
 
     // Map family: the long-form spelling of the same per-priority
     // status map (sorted keys join = the pinned map_keys order).
@@ -3273,6 +1582,7 @@ object RelQueries {
         |                     0) AS BIGINT) AS n_p
         |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+
     // Distribution windows: identical rational spellings.
     "q_percent_rank" ->
       s"""SELECT c_nationkey, c_custkey,
@@ -3284,152 +1594,6 @@ object RelQueries {
          |             ORDER BY c_acctbal, c_custkey)
          |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
-    // CDC latest: row_number replay of the max_by total order. The
-    // streaming materialization (q_cdc_stream_latest) must land on the
-    // identical table, so both keys share one oracle.
-    "q_cdc_latest" -> cdcLatestSql,
-    "q_cdc_stream_latest" -> cdcLatestSql,
-
-    // SCD2: the oracle replays the same two-window construction; the
-    // second window re-ranks over the CHANGE rows only (both engines
-    // evaluate the window after the no-op filter), and the open
-    // version's valid_to is the 9999-12-31T23:59:59Z epoch-micros
-    // sentinel so every column stays BIGINT.
-    "q_scd2_build" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events WHERE user_id % 20 = 3),
-        |chg AS (
-        |  SELECT * FROM (
-        |    SELECT user_id, event_id, event_type, ts_us,
-        |           lag(event_type) OVER (PARTITION BY user_id
-        |                                 ORDER BY ts_us, event_id)
-        |             AS prev_state
-        |    FROM ev)
-        |  WHERE prev_state IS NULL OR prev_state <> event_type)
-        |SELECT user_id,
-        |       CAST(row_number() OVER w AS BIGINT) AS version,
-        |       event_type AS state,
-        |       ts_us AS valid_from,
-        |       coalesce(lead(ts_us) OVER w,
-        |                CAST(253402300799000000 AS BIGINT)) AS valid_to,
-        |       CASE WHEN lead(ts_us) OVER w IS NULL
-        |            THEN CAST(1 AS BIGINT)
-        |            ELSE CAST(0 AS BIGINT) END AS is_current
-        |FROM chg
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |ORDER BY user_id, version""".stripMargin,
-
-    // Streaming SCD2: exactly the batch build's closed rows — the
-    // lead() window defines valid_to, and rows whose lead is NULL
-    // (the open version) stay in operator state, not in the stream.
-    "q_stream_scd2" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events WHERE user_id % 20 = 3),
-        |chg AS (
-        |  SELECT * FROM (
-        |    SELECT user_id, event_id, event_type, ts_us,
-        |           lag(event_type) OVER (PARTITION BY user_id
-        |                                 ORDER BY ts_us, event_id)
-        |             AS prev_state
-        |    FROM ev)
-        |  WHERE prev_state IS NULL OR prev_state <> event_type),
-        |ver AS (
-        |  SELECT user_id,
-        |         CAST(row_number() OVER w AS BIGINT) AS version,
-        |         event_type AS state,
-        |         ts_us AS valid_from,
-        |         lead(ts_us) OVER w AS valid_to
-        |  FROM chg
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
-        |SELECT user_id, version, state, valid_from, valid_to
-        |FROM ver WHERE valid_to IS NOT NULL
-        |ORDER BY user_id, version""".stripMargin,
-
-    // The oracle spells each stage argmin as a ranked window — the
-    // spelling the engine must NOT use at scale (see the query's
-    // struct-min shape); values agree because both respect the same
-    // (ts_us, event_id) total order.
-    "q_events_funnel" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |v AS (
-        |  SELECT user_id, ts_us AS view_us, event_id AS view_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id
-        |                                 ORDER BY ts_us, event_id) AS rn
-        |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
-        |c AS (
-        |  SELECT user_id, ts_us AS click_us, event_id AS click_id FROM (
-        |    SELECT e.user_id, e.ts_us, e.event_id,
-        |           row_number() OVER (PARTITION BY e.user_id
-        |                              ORDER BY e.ts_us, e.event_id) AS rn
-        |    FROM ev e JOIN v ON v.user_id = e.user_id
-        |    WHERE e.event_type = 'click'
-        |      AND (e.ts_us > v.view_us
-        |           OR (e.ts_us = v.view_us AND e.event_id > v.view_id)))
-        |  WHERE rn = 1),
-        |p AS (
-        |  SELECT user_id, ts_us AS purchase_us FROM (
-        |    SELECT e.user_id, e.ts_us,
-        |           row_number() OVER (PARTITION BY e.user_id
-        |                              ORDER BY e.ts_us, e.event_id) AS rn
-        |    FROM ev e JOIN c ON c.user_id = e.user_id
-        |    WHERE e.event_type = 'purchase'
-        |      AND (e.ts_us > c.click_us
-        |           OR (e.ts_us = c.click_us AND e.event_id > c.click_id)))
-        |  WHERE rn = 1),
-        |u AS (SELECT DISTINCT user_id FROM ev)
-        |SELECT u.user_id,
-        |       COALESCE(v.view_us, -1) AS view_us,
-        |       COALESCE(c.click_us, -1) AS click_us,
-        |       COALESCE(p.purchase_us, -1) AS purchase_us,
-        |       CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
-        |                 WHEN c.click_us IS NOT NULL THEN 2
-        |                 WHEN v.view_us IS NOT NULL THEN 1
-        |                 ELSE 0 END AS BIGINT) AS funnel_stage
-        |FROM u
-        |LEFT JOIN v ON v.user_id = u.user_id
-        |LEFT JOIN c ON c.user_id = u.user_id
-        |LEFT JOIN p ON p.user_id = u.user_id
-        |ORDER BY u.user_id""".stripMargin,
-
-    // Histogram: identical IEEE bin arithmetic.
-    "q_histogram" ->
-      s"""WITH mm AS (
-         |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
-         |  FROM orders)
-         |SELECT CAST(CASE WHEN hi = lo THEN 0
-         |                 ELSE least(floor((o_totalprice - lo) * 20.0
-         |                            / (hi - lo)), 19.0)
-         |            END AS BIGINT) AS bin,
-         |       count(*) AS n,
-         |       ${fsum2("o_totalprice")} AS sum_price
-         |FROM orders CROSS JOIN mm
-         |GROUP BY 1 ORDER BY bin""".stripMargin,
-
-    // Z-score: the same fixed-point moments, mean/variance spelled in
-    // the same association order, 3σ gate on identical doubles.
-    "q_anomaly_zscore" ->
-      s"""WITH ev AS (SELECT event_type, value FROM events),
-         |st AS (
-         |  SELECT event_type, count(*) AS n,
-         |         CAST(sum(CAST(floor(value*1000000.0 + 0.5) AS BIGINT))
-         |              AS DOUBLE)/1000000.0 AS sx,
-         |         CAST(sum(CAST(floor(value*value*1000000.0 + 0.5)
-         |              AS BIGINT)) AS DOUBLE)/1000000.0 AS sxx
-         |  FROM ev GROUP BY 1),
-         |st2 AS (SELECT *, sx/n AS mean FROM st),
-         |stats AS (SELECT *, greatest(sxx/n - mean*mean, 0.0) AS variance
-         |          FROM st2)
-         |SELECT e.event_type, count(*) AS n_events,
-         |       ${r4("min(mean)")} AS mean_value,
-         |       ${r4("sqrt(min(variance))")} AS std_value,
-         |       CAST(sum(CASE WHEN abs(e.value - mean) > 3.0*sqrt(variance)
-         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-         |FROM ev e JOIN stats USING (event_type)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Partition prune: the oracle recomputes from the ORIGINAL events
     // table — equality proves the partitioned write+pruned read round
@@ -3441,6 +1605,7 @@ object RelQueries {
          |FROM events WHERE event_type IN ('click', 'purchase')
          |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
 
+
     // Recomputed from the ORIGINAL table — the partitioned round trip
     // plus the dynamic prune must be value-invisible.
     "q_partition_prune_dynamic" ->
@@ -3451,32 +1616,6 @@ object RelQueries {
          |FROM events e JOIN dim USING (event_type)
          |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
-    // Same cumulative-max island formulation (ANSI windows).
-    "q_interval_coverage" ->
-      s"""WITH $islandsCtes
-        |SELECT user_id, count(*) AS n_islands,
-        |       CAST(sum(i_en - i_st) AS BIGINT) AS covered_ms,
-        |       CAST(max(i_en - i_st) AS BIGINT) AS max_island_ms
-        |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    // The deliberately NAIVE theta-join spelling — what the engine's
-    // bucket-join must equal.
-    "q_interval_overlap_join" ->
-      s"""WITH $islandsCtes,
-        |base AS (SELECT (min(st) // 86400000) * 86400000 AS b0 FROM ev),
-        |pw AS (
-        |  SELECT promo_id, b0 + promo_id*604800000 AS p_st,
-        |         b0 + promo_id*604800000 + 172800000 AS p_en
-        |  FROM (SELECT unnest(range(0, 10)) AS promo_id) CROSS JOIN base)
-        |SELECT i.user_id, CAST(i.island_id AS BIGINT) AS island_id,
-        |       p.promo_id,
-        |       greatest(i.i_st, p.p_st) AS ov_st,
-        |       least(i.i_en, p.p_en) AS ov_en,
-        |       CAST(least(i.i_en, p.p_en) - greatest(i.i_st, p.p_st)
-        |            AS BIGINT) AS overlap_ms
-        |FROM islands i JOIN pw p
-        |  ON i.i_st <= p.p_en AND p.p_st <= i.i_en
-        |ORDER BY user_id, island_id, promo_id""".stripMargin,
 
     // Same dictionary-first blocked fuzzy join; DuckDB's levenshtein
     // is the same classic unit-cost edit distance as Spark's.
@@ -3493,6 +1632,7 @@ object RelQueries {
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY a.noun, name_a, name_b""".stripMargin,
 
+
     "q_skew_diagnose" -> {
       import graft.core.PortableHash
       val bucket = s"(${PortableHash.spreadSql(
@@ -3505,143 +1645,6 @@ object RelQueries {
          |FROM b ORDER BY bucket""".stripMargin
     },
 
-    "q_interval_join" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
-        |  FROM events),
-        |c AS (
-        |  SELECT user_id, event_id, tms AS st, tms + 300000 AS en
-        |  FROM ev WHERE event_type = 'click'),
-        |flagged AS (
-        |  SELECT user_id, event_id, st, en,
-        |         CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w
-        |              THEN 1 ELSE 0 END AS new_island
-        |  FROM c
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY st, event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING
-        |               AND 1 PRECEDING)),
-        |numbered AS (
-        |  SELECT user_id, st, en,
-        |         sum(new_island) OVER (PARTITION BY user_id
-        |                               ORDER BY st, event_id
-        |                               ROWS BETWEEN UNBOUNDED PRECEDING
-        |                               AND CURRENT ROW) AS island_id
-        |  FROM flagged),
-        |islands AS (
-        |  SELECT user_id, min(st) AS i_st, max(en) AS i_en
-        |  FROM numbered GROUP BY user_id, island_id),
-        |p AS (SELECT user_id, event_id, tms FROM ev
-        |      WHERE event_type = 'purchase')
-        |SELECT p.event_id, p.user_id,
-        |       coalesce(i.i_st, -1) AS session_start,
-        |       CAST(CASE WHEN i.i_st IS NULL THEN 0 ELSE 1 END AS BIGINT)
-        |         AS in_click_session
-        |FROM p LEFT JOIN islands i
-        |  ON i.user_id = p.user_id
-        | AND p.tms >= i.i_st AND p.tms <= i.i_en
-        |ORDER BY p.event_id""".stripMargin,
-
-    "q_trend_slope" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |         count(*) AS y
-        |  FROM events GROUP BY 1, 2),
-        |d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
-        |xy AS (
-        |  SELECT daily.event_type, daily.day - d0.d0 AS x, y
-        |  FROM daily JOIN d0 USING (event_type)),
-        |m AS (
-        |  SELECT event_type, count(*) AS n_days,
-        |         CAST(sum(x) AS BIGINT) AS sx,
-        |         CAST(sum(y) AS BIGINT) AS sy,
-        |         CAST(sum(x*y) AS BIGINT) AS sxy,
-        |         CAST(sum(x*x) AS BIGINT) AS sxx
-        |  FROM xy GROUP BY 1)
-        |SELECT event_type, n_days,
-        |       floor((CAST(n_days*sxy - sx*sy AS DOUBLE)
-        |              / CAST(n_days*sxx - sx*sx AS DOUBLE))*10000
-        |             + 0.5)/10000.0 AS slope,
-        |       floor((CAST(sy*sxx - sx*sxy AS DOUBLE)
-        |              / CAST(n_days*sxx - sx*sx AS DOUBLE))*10000
-        |             + 0.5)/10000.0 AS intercept
-        |FROM m ORDER BY event_type""".stripMargin,
-
-    "q_gini_value" ->
-      """WITH totals AS (
-        |  SELECT user_id,
-        |         CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
-        |              AS BIGINT) AS v
-        |  FROM events GROUP BY 1),
-        |ranked AS (
-        |  SELECT v, row_number() OVER (ORDER BY v, user_id) AS rk
-        |  FROM totals)
-        |SELECT count(*) AS n_users, CAST(sum(v) AS BIGINT) AS total_c,
-        |       floor(((2.0 * CAST(sum(CAST(rk AS HUGEINT) * v) AS DOUBLE))
-        |              / (CAST(count(*) AS DOUBLE)
-        |                 * CAST(sum(v) AS DOUBLE))
-        |              - CAST(count(*) + 1 AS DOUBLE)
-        |                / CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000.0
-        |         AS gini
-        |FROM ranked""".stripMargin,
-
-    // Same boundary as q_sessionize (> 30 min opens a session);
-    // string_agg with an explicit ORDER BY mirrors the engine's
-    // sorted-struct collect.
-    "q_session_paths" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
-        |  FROM events),
-        |flagged AS (
-        |  SELECT user_id, event_id, event_type, ts_ms,
-        |         CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
-        |                OR lag(ts_ms) OVER w IS NULL
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
-        |sessions AS (
-        |  SELECT user_id, event_type, ts_ms, event_id,
-        |         sum(new_session) OVER (PARTITION BY user_id
-        |                                ORDER BY ts_ms, event_id
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING
-        |                                AND CURRENT ROW) AS session_id
-        |  FROM flagged),
-        |paths AS (
-        |  SELECT user_id, session_id,
-        |         string_agg(event_type, '>' ORDER BY ts_ms, event_id)
-        |           AS path
-        |  FROM sessions GROUP BY 1, 2)
-        |SELECT path, count(*) AS n
-        |FROM paths GROUP BY 1
-        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
-
-    "q_negative_sampling" -> {
-      import graft.core.PortableHash
-      val probe = PortableHash.spreadSql(PortableHash.hSql(
-        "CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)"))
-      s"""WITH ${graft.io.Sources.ratingsSql},
-         |inter AS (SELECT DISTINCT user_id, item_id FROM ratings),
-         |dict AS (
-         |  SELECT item_id,
-         |         CAST(row_number() OVER (ORDER BY item_id) - 1
-         |              AS INTEGER) AS idx
-         |  FROM (SELECT DISTINCT item_id FROM inter)),
-         |nd AS (SELECT count(*) AS n FROM dict),
-         |probes AS (
-         |  SELECT user_id, k
-         |  FROM (SELECT DISTINCT user_id FROM inter),
-         |       unnest([0, 1, 2]) AS t(k)),
-         |cand AS (
-         |  SELECT p.user_id, CAST(p.k AS BIGINT) AS k, d.item_id
-         |  FROM probes p
-         |  JOIN dict d
-         |    ON d.idx = CAST(($probe) % (SELECT n FROM nd) AS INTEGER))
-         |SELECT c.user_id, c.k, c.item_id
-         |FROM cand c
-         |LEFT JOIN inter i
-         |  ON i.user_id = c.user_id AND i.item_id = c.item_id
-         |WHERE i.item_id IS NULL
-         |ORDER BY c.user_id, c.k""".stripMargin
-    },
 
     "q_dq_report" ->
       """WITH raw AS (
@@ -3681,6 +1684,7 @@ object RelQueries {
         |            AS BIGINT) AS passed
         |FROM raw ORDER BY check_name""".stripMargin,
 
+
     "q_zorder_stats" -> {
       val zExpr = (0 until 8).map(i =>
         s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
@@ -3699,26 +1703,6 @@ object RelQueries {
          |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
     },
 
-    "q_event_transitions" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
-        |  FROM events),
-        |pairs AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |                                ORDER BY tms, event_id) AS to_type
-        |  FROM ev),
-        |counts AS (
-        |  SELECT from_type, to_type, count(*) AS n
-        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |totals AS (
-        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
-        |  FROM counts GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n,
-        |       floor((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))*10000
-        |             + 0.5)/10000.0 AS p
-        |FROM counts c JOIN totals t USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_ship_priority" ->
       s"""SELECT l_orderkey,
@@ -3733,775 +1717,5 @@ object RelQueries {
          |  AND l_shipdate > TIMESTAMP '1998-06-01'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "q_attribution_linear" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,
-        |         CAST(floor(value*100.0 + 0.5) AS BIGINT) AS value_c
-        |  FROM events),
-        |p AS (SELECT user_id, event_id, tms, value_c FROM ev
-        |      WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, tms FROM ev WHERE event_type = 'click'),
-        |tch AS (
-        |  SELECT p.event_id, count(*) AS n
-        |  FROM p JOIN c ON c.user_id = p.user_id
-        |   AND c.tms <= p.tms AND p.tms - c.tms <= 604800000
-        |  GROUP BY 1)
-        |SELECT p.event_id, p.user_id, p.value_c,
-        |       coalesce(t.n, 0) AS n_touches,
-        |       CASE WHEN t.n IS NULL THEN 0
-        |            ELSE p.value_c // t.n END AS credit_c
-        |FROM p LEFT JOIN tch t ON t.event_id = p.event_id
-        |ORDER BY p.event_id""".stripMargin,
-
-    "q_attribution_first_touch" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,
-        |         CAST(floor(value*100.0 + 0.5) AS BIGINT) AS value_c
-        |  FROM events),
-        |p AS (SELECT user_id, event_id, tms, value_c FROM ev
-        |      WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, event_id AS click_id, tms FROM ev
-        |      WHERE event_type = 'click'),
-        |ft AS (
-        |  SELECT p.event_id, c.tms AS click_ms, c.click_id,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |                            ORDER BY c.tms, c.click_id) AS rn
-        |  FROM p JOIN c ON c.user_id = p.user_id
-        |   AND c.tms <= p.tms AND p.tms - c.tms <= 604800000)
-        |SELECT p.event_id, p.user_id, p.value_c,
-        |       coalesce(f.click_id, -1) AS first_click_id,
-        |       coalesce(p.tms - f.click_ms, -1) AS gap_ms
-        |FROM p LEFT JOIN (SELECT * FROM ft WHERE rn = 1) f
-        |  ON f.event_id = p.event_id
-        |ORDER BY p.event_id""".stripMargin,
-
-    // Touch join: the band replayed at full µs precision (events
-    // carry sub-ms timestamps; the engine compares TIMESTAMPs, so
-    // the oracle must band on epoch_us, not the emitted ms).
-    "q_touch_attribution" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
-        |  FROM events),
-        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus
-        |      FROM ev WHERE event_type = 'click'),
-        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT c.user_id, c.click_id, p.purchase_id,
-        |       c.ctus // 1000 AS cts_ms, p.ptus // 1000 AS pts_ms
-        |FROM c JOIN p ON p.user_id = c.user_id
-        |  AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000
-        |ORDER BY c.click_id, p.purchase_id""".stripMargin,
-
-    // Abandoned clicks: the null side as a µs-banded anti join.
-    "q_touch_abandoned" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
-        |  FROM events),
-        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus
-        |      FROM ev WHERE event_type = 'click'),
-        |p AS (SELECT user_id, tus AS ptus
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT c.user_id, c.click_id, c.ctus // 1000 AS cts_ms
-        |FROM c WHERE NOT EXISTS (
-        |  SELECT 1 FROM p WHERE p.user_id = c.user_id
-        |    AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000)
-        |ORDER BY c.click_id""".stripMargin,
-
-    // Full-outer touch join: the banded FULL JOIN with -1 sentinels
-    // on both null sides (ids are non-negative), so row order and
-    // cell hashes are engine-portable without a null-ordering
-    // convention.
-    "q_touch_full_outer" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
-        |  FROM events),
-        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus
-        |      FROM ev WHERE event_type = 'click'),
-        |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
-        |             tus AS ptus
-        |      FROM ev WHERE event_type = 'purchase')
-        |SELECT COALESCE(c.user_id, p.p_user) AS user_id,
-        |       COALESCE(c.click_id, -1) AS click_id,
-        |       COALESCE(p.purchase_id, -1) AS purchase_id,
-        |       COALESCE(c.ctus // 1000, -1) AS cts_ms,
-        |       COALESCE(p.ptus // 1000, -1) AS pts_ms
-        |FROM c FULL JOIN p ON p.p_user = c.user_id
-        |  AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000
-        |ORDER BY 2, 3""".stripMargin,
-
-    // closedSessions continues a run while gap < 30 min, so a NEW
-    // session opens at gap >= 30 min (note: q_sessionize's boundary
-    // is strictly >); each user's last session is open, not emitted.
-    "q_stream_closed_sessions" ->
-      """WITH ev AS (
-        |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
-        |flagged AS (
-        |  SELECT user_id, ts_ms,
-        |         CASE WHEN lag(ts_ms) OVER w IS NULL
-        |                OR ts_ms - lag(ts_ms) OVER w >= 1800000
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
-        |sessions AS (
-        |  SELECT user_id, ts_ms,
-        |         sum(new_session) OVER (PARTITION BY user_id
-        |                                ORDER BY ts_ms
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING
-        |                                AND CURRENT ROW) AS sid
-        |  FROM flagged),
-        |agg AS (
-        |  SELECT user_id, sid, min(ts_ms) AS start_ms,
-        |         max(ts_ms) AS end_ms, count(*) AS n_events
-        |  FROM sessions GROUP BY 1, 2),
-        |last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
-        |SELECT a.user_id, a.start_ms, a.end_ms, a.n_events
-        |FROM agg a JOIN last l
-        |  ON l.user_id = a.user_id AND a.sid != l.last_sid
-        |ORDER BY a.user_id, a.start_ms""".stripMargin,
-
-    // Explicit 2-offset replay of the hop fan-out: an event's covering
-    // window starts are (⌊t/hop⌋−k)·hop for k ∈ {0,1} (width = 2·hop).
-    "q_sliding_window_counts" ->
-      s"""WITH ev AS (
-         |  SELECT epoch_ms(ts) AS tms, event_type, value FROM events),
-         |w AS (
-         |  SELECT ((tms // 1800000) - off) * 1800000 AS ws,
-         |         event_type, value
-         |  FROM ev, unnest([0, 1]) AS t(off))
-         |SELECT strftime(make_timestamp(ws * 1000),
-         |                '%Y-%m-%d %H:%M:%S') AS window_start,
-         |       event_type, count(*) AS n,
-         |       ${fsum4("value")} AS sum_value
-         |FROM w GROUP BY 1, 2
-         |ORDER BY window_start, event_type""".stripMargin,
-
-    "q_late_events" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
-        |  FROM events),
-        |late AS (
-        |  SELECT event_type,
-        |         greatest(coalesce(max(tms) OVER w - tms, 0), 0) AS late_ms
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, count(*) AS n_events,
-        |       CAST(sum(CASE WHEN late_ms > 600000 THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_late_10m,
-        |       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
-        |       CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
-        |FROM late GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Clamped balance: the recurrence replayed rank-by-rank as a
-    // recursive CTE (the clamp forbids any closed-form window).
-    "q_clamped_balance" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |         CASE WHEN event_type = 'purchase'
-        |              THEN -CAST(floor(value*100 + 0.5) AS BIGINT)
-        |              ELSE CAST(floor(value*100 + 0.5) AS BIGINT)
-        |         END AS delta
-        |  FROM events),
-        |ord AS (
-        |  SELECT user_id, delta,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts_us, event_id) AS rn
-        |  FROM ev),
-        |bal AS (
-        |  SELECT user_id, rn,
-        |         greatest(CAST(0 AS BIGINT), delta) AS b,
-        |         CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
-        |              ELSE CAST(0 AS BIGINT) END AS nclamp
-        |  FROM ord WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.user_id, o.rn,
-        |         greatest(CAST(0 AS BIGINT), bal.b + o.delta),
-        |         bal.nclamp + CASE WHEN bal.b + o.delta < 0
-        |                           THEN CAST(1 AS BIGINT)
-        |                           ELSE CAST(0 AS BIGINT) END
-        |  FROM bal JOIN ord o
-        |    ON o.user_id = bal.user_id AND o.rn = bal.rn + 1),
-        |fin AS (
-        |  SELECT user_id, max(rn) AS n_events FROM bal GROUP BY 1)
-        |SELECT b.user_id, f.n_events, b.b AS final_balance_c,
-        |       b.nclamp AS n_clamped
-        |FROM bal b JOIN fin f
-        |  ON b.user_id = f.user_id AND b.rn = f.n_events
-        |ORDER BY b.user_id""".stripMargin,
-
-    // Concentration: the 0.9-fraction element replayed by the same
-    // 0-based ⌊f·n⌋ rank formula (clamped), then plain conditional
-    // sums.
-    "q_user_concentration" ->
-      """WITH t AS (
-        |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-        |u AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS users,
-        |         CAST(sum(n) AS BIGINT) AS events FROM t),
-        |ranked AS (
-        |  SELECT n, row_number() OVER (ORDER BY n) AS rn FROM t),
-        |thr AS (
-        |  SELECT n AS t90 FROM ranked, u
-        |  WHERE rn - 1 = least(CAST(floor(0.9 * users) AS BIGINT),
-        |                       users - 1))
-        |SELECT u.users, u.events,
-        |       (SELECT CAST(sum(CASE WHEN n >= t90 THEN 1 ELSE 0 END)
-        |                    AS BIGINT) FROM t, thr) AS users_top,
-        |       (SELECT CAST(sum(CASE WHEN n >= t90 THEN n ELSE 0 END)
-        |                    AS BIGINT) FROM t, thr) AS events_top,
-        |       thr.t90,
-        |       (SELECT CAST(sum(CASE WHEN n >= t90 THEN n ELSE 0 END)
-        |                    AS BIGINT) FROM t, thr) * 10000 // u.events
-        |         AS share_x10000
-        |FROM u, thr""".stripMargin,
-
-    // TWAP: the same lead() construction; cents × micros stays exact
-    // BIGINT, one r4 division at the end.
-    "q_time_weighted_avg" ->
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
-        |  FROM events),
-        |d AS (
-        |  SELECT user_id, value_c,
-        |         lead(ts_us) OVER (PARTITION BY user_id
-        |                           ORDER BY ts_us, event_id) - ts_us
-        |           AS dt
-        |  FROM ev),
-        |g AS (
-        |  SELECT user_id, count(*) AS n_intervals,
-        |         CAST(sum(value_c * dt) AS BIGINT) AS sum_vdt,
-        |         CAST(sum(dt) AS BIGINT) AS sum_dt
-        |  FROM d WHERE dt IS NOT NULL GROUP BY 1)
-        |SELECT user_id, n_intervals, sum_vdt, sum_dt,
-        |       ${r4("CAST(sum_vdt AS DOUBLE) / CAST(sum_dt AS DOUBLE) / 100.0")}
-        |         AS twa
-        |FROM g ORDER BY user_id""".stripMargin,
-
-    // LTV matrix: cohort month = per-customer min month index; cells
-    // roll up orders joined back to their cohort.
-    "q_cohort_revenue" ->
-      """WITH om AS (
-        |  SELECT o_custkey,
-        |         CAST(year(o_orderdate)*12 + month(o_orderdate) - 1
-        |              AS BIGINT) AS k,
-        |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |c0 AS (SELECT o_custkey, min(k) AS k0 FROM om GROUP BY 1)
-        |SELECT c0.k0 AS cohort_k, om.k - c0.k0 AS age,
-        |       CAST(count(DISTINCT om.o_custkey) AS BIGINT)
-        |         AS n_customers,
-        |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(om.cents) AS BIGINT) AS cents
-        |FROM om JOIN c0 ON om.o_custkey = c0.o_custkey
-        |GROUP BY 1, 2 ORDER BY cohort_k, age""".stripMargin,
-
-    // Association rules: the same basket self-join with DuckDB's //
-    // integer division twinning Spark's div.
-    "q_assoc_rules" ->
-      """WITH allitems AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |okb AS (
-        |  SELECT l_orderkey FROM allitems
-        |  GROUP BY 1 HAVING count(*) <= 50),
-        |items AS (
-        |  SELECT a.l_orderkey, a.l_partkey
-        |  FROM allitems a JOIN okb ON a.l_orderkey = okb.l_orderkey),
-        |tot AS (
-        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
-        |ca AS (
-        |  SELECT l_partkey, count(*) AS c_item FROM items GROUP BY 1),
-        |pr AS (
-        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c_ab
-        |  FROM items a JOIN items b
-        |    ON a.l_orderkey = b.l_orderkey
-        |   AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT pr.p1, pr.p2, pr.c_ab,
-        |       ca1.c_item AS c_a, ca2.c_item AS c_b, tot.n_orders,
-        |       pr.c_ab * 10000 // ca1.c_item AS conf_x10000,
-        |       (pr.c_ab * tot.n_orders * 10000)
-        |         // (ca1.c_item * ca2.c_item) AS lift_x10000
-        |FROM pr, tot
-        |JOIN ca ca1 ON pr.p1 = ca1.l_partkey
-        |JOIN ca ca2 ON pr.p2 = ca2.l_partkey
-        |ORDER BY pr.c_ab DESC, pr.p1, pr.p2""".stripMargin,
-
-    "q_user_retention" ->
-      """WITH ev AS (
-        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
-        |  FROM events),
-        |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
-        |SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
-        |       count(*) AS n_users
-        |FROM ev e JOIN first f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
-
-    // Quartile thresholds replayed as order statistics: the value at
-    // 0-based rank min(⌊f·n⌋, n−1) — 0.25/0.5/0.75 are exact binary,
-    // so ⌊f·n⌋ = (n·k)//4 in integer arithmetic on both engines.
-    "q_rfm_segments" -> {
-      def thrCte(src: String, ranked: String, out: String) =
-        s"""$ranked AS (
-           |  SELECT $src AS v,
-           |         row_number() OVER (ORDER BY $src) - 1 AS rk FROM m),
-           |$out AS (SELECT
-           |  ${(1 to 3).map(k =>
-              s"max(CASE WHEN rk = least((SELECT (n*$k)//4 FROM n), " +
-                s"(SELECT n-1 FROM n)) THEN v END) AS t$k")
-              .mkString(",\n  ")}
-           |  FROM $ranked)""".stripMargin
-      def bucket(c: String, t: String) =
-        s"((CASE WHEN $c >= $t.t1 THEN 1 ELSE 0 END) + " +
-          s"(CASE WHEN $c >= $t.t2 THEN 1 ELSE 0 END) + " +
-          s"(CASE WHEN $c >= $t.t3 THEN 1 ELSE 0 END))"
-      s"""WITH per AS (
-         |  SELECT o_custkey, max(epoch_ms(o_orderdate)) AS last_ms,
-         |         count(*) AS freq,
-         |         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
-         |              AS BIGINT) AS mon_c
-         |  FROM orders GROUP BY 1),
-         |g AS (SELECT max(last_ms) AS gmax FROM per),
-         |m AS (SELECT p.*, (g.gmax - p.last_ms) // 86400000 AS recency_days
-         |      FROM per p, g),
-         |n AS (SELECT count(*) AS n FROM m),
-         |${thrCte("recency_days", "rr", "tr")},
-         |${thrCte("freq", "rf", "tf")},
-         |${thrCte("mon_c", "rm", "tm")},
-         |scored AS (
-         |  SELECT m.mon_c,
-         |         CAST(4 - ${bucket("recency_days", "tr")} AS BIGINT)
-         |           AS r_score,
-         |         CAST(1 + ${bucket("freq", "tf")} AS BIGINT) AS f_score,
-         |         CAST(1 + ${bucket("mon_c", "tm")} AS BIGINT) AS m_score
-         |  FROM m, tr, tf, tm)
-         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
-         |       CAST(sum(mon_c) AS BIGINT) AS mon_c_sum
-         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-    },
-
-    "q_state_durations" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
-        |  FROM events),
-        |led AS (
-        |  SELECT user_id, event_type,
-        |         coalesce(lead(tms) OVER (PARTITION BY user_id
-        |                                  ORDER BY tms, event_id) - tms,
-        |                  0) AS dur_ms
-        |  FROM ev)
-        |SELECT user_id, count(*) AS n_versions,
-        |       CAST(sum(CASE WHEN event_type = 'click' THEN dur_ms
-        |                     ELSE 0 END) AS BIGINT) AS click_ms,
-        |       CAST(sum(CASE WHEN event_type = 'view' THEN dur_ms
-        |                     ELSE 0 END) AS BIGINT) AS view_ms,
-        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN dur_ms
-        |                     ELSE 0 END) AS BIGINT) AS purchase_ms,
-        |       CAST(sum(CASE WHEN event_type = 'signup' THEN dur_ms
-        |                     ELSE 0 END) AS BIGINT) AS signup_ms,
-        |       CAST(sum(CASE WHEN event_type = 'error' THEN dur_ms
-        |                     ELSE 0 END) AS BIGINT) AS error_ms
-        |FROM led GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    // The stateful running-totals materialization must land exactly on
-    // the batch aggregate (integer cents are order-independent).
-    "q_stream_user_totals" ->
-      """SELECT user_id, count(*) AS n,
-        |       CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
-        |            AS BIGINT) AS sum_value_c
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    // Trailing-window distinct: the oracle may afford the days×pairs
-    // range join the engine avoids (sf0.01 is small); both sides dedupe
-    // to (user, day) first so the distinct semantics line up exactly.
-    "q_rolling_distinct" ->
-      """WITH ud AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS d0,
-        |                   user_id
-        |            FROM events),
-        |days AS (SELECT DISTINCT d0 AS day FROM ud)
-        |SELECT days.day AS day, count(DISTINCT ud.user_id) AS users_7d
-        |FROM days JOIN ud ON ud.d0 BETWEEN days.day - 6 AND days.day
-        |GROUP BY 1 ORDER BY day""".stripMargin,
-
-    // Derived-property oracle (sketch estimates are engine-internal);
-    // the day axis is data-derived, so the acceptance read-out must
-    // cover every observed day with an in-envelope estimate.
-    "q_rolling_hll" ->
-      """SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
-        |       true AS within_bounds
-        |FROM events ORDER BY day""".stripMargin,
-
-    // Data-derived property oracle: the exact heavy set (cnt > n//50)
-    // replayed in SQL, each key expected present and in-envelope.
-    "q_heavy_hitters" ->
-      """WITH keyed AS (
-        |  SELECT CASE WHEN user_id % 4 = 0 THEN event_type
-        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
-        |  FROM events),
-        |c AS (SELECT k, count(*) AS cnt FROM keyed GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM keyed)
-        |SELECT k AS probe_key, true AS within_bounds
-        |FROM c, n WHERE cnt > n // 50 ORDER BY probe_key""".stripMargin,
-
-    // Integer dyadic weights replay exactly; one IEEE division + r4.
-    "q_ewma_trend" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
-        |              AS BIGINT) AS v
-        |  FROM events GROUP BY 1, 2),
-        |days AS (SELECT DISTINCT day AS wday FROM daily),
-        |fan AS (
-        |  SELECT d.event_type, d.v, w.wday,
-        |         1 << (13 - (w.wday - d.day)) AS w
-        |  FROM daily d JOIN days w
-        |    ON w.wday BETWEEN d.day AND d.day + 13)
-        |SELECT event_type, wday AS day, count(*) AS n_days,
-        |       floor((CAST(sum(v*w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
-        |              / 100.0)*10000 + 0.5)/10000.0 AS ewma
-        |FROM fan GROUP BY 1, 2
-        |ORDER BY event_type, day""".stripMargin,
-
-    // Data-derived property oracle: the exact heavy set of every
-    // trailing 7-day window, each key expected present + in-envelope.
-    "q_trending_items" ->
-      """WITH keyed AS (
-        |  SELECT epoch_ms(ts) // 86400000 AS day,
-        |         CASE WHEN user_id % 4 = 0 THEN event_type
-        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
-        |  FROM events),
-        |days AS (SELECT DISTINCT day FROM keyed),
-        |ed AS (SELECT day, k, count(*) AS c FROM keyed GROUP BY 1, 2),
-        |win AS (
-        |  SELECT d.day AS wday, ed.k, CAST(sum(ed.c) AS BIGINT) AS cnt
-        |  FROM days d JOIN ed ON ed.day BETWEEN d.day - 6 AND d.day
-        |  GROUP BY 1, 2),
-        |nw AS (
-        |  SELECT d.day AS wday, CAST(sum(ed.c) AS BIGINT) AS n
-        |  FROM days d JOIN ed ON ed.day BETWEEN d.day - 6 AND d.day
-        |  GROUP BY 1)
-        |SELECT wday AS day, k AS probe_key, true AS within_bounds
-        |FROM win JOIN nw USING (wday)
-        |WHERE cnt > n // 50
-        |ORDER BY day, probe_key""".stripMargin,
-
-    // Derived-property oracle (sketch estimates engine-internal): one
-    // in-envelope row per rollup level, levels data-derived.
-    "q_hll_rollup" ->
-      """SELECT level_key, true AS within_bounds FROM (
-        |  SELECT DISTINCT event_type AS level_key FROM events
-        |  UNION ALL SELECT '_all')
-        |ORDER BY level_key""".stripMargin,
-
-    // Margins cast to BIGINT (DuckDB sum -> HUGEINT); each expected
-    // value and cell term then replays the engine's exact IEEE ops,
-    // and the fsum4 twin makes the 35-term sum order-independent.
-    "q_chisq_independence" -> {
-      val term = "(o - r*c/n)*(o - r*c/n)/(r*c/n)"
-      s"""WITH obs AS (
-         |  SELECT event_type AS et, (epoch_ms(ts) // 86400000) % 7 AS dow,
-         |         count(*) AS o
-         |  FROM events GROUP BY 1, 2),
-         |rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
-         |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
-         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
-         |cells AS (
-         |  SELECT o, r, c, n, $term AS term
-         |  FROM obs JOIN rt USING (et) JOIN ct USING (dow), nn),
-         |agg AS (
-         |  SELECT count(*) AS n_cells,
-         |         (SELECT count(DISTINCT et) FROM obs) AS net,
-         |         (SELECT count(DISTINCT dow) FROM obs) AS ndow,
-         |         ${Oracle.fsum4("term")} AS chi2,
-         |         max(n) AS n
-         |  FROM cells)
-         |SELECT n_cells, CAST((net - 1) * (ndow - 1) AS BIGINT) AS dof, chi2,
-         |       ${Oracle.r4("sqrt(chi2 / (n * least(net - 1, ndow - 1)))")}
-         |         AS cramers_v
-         |FROM agg""".stripMargin
-    },
-
-    // k-anonymity: the QI rollup and the k-threshold replayed
-    // directly.
-    "q_k_anonymity" ->
-      """WITH g AS (
-        |  SELECT c_mktsegment, c_nationkey, count(*) AS n
-        |  FROM customer GROUP BY 1, 2),
-        |f AS (
-        |  SELECT c_mktsegment, c_nationkey, n,
-        |         CASE WHEN n >= 8 THEN CAST(1 AS BIGINT)
-        |              ELSE CAST(0 AS BIGINT) END AS released
-        |  FROM g)
-        |SELECT c_mktsegment, c_nationkey, n, released,
-        |       n * released AS released_rows,
-        |       n * (1 - released) AS suppressed_rows
-        |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
-
-    // l-diversity: the distinct-band count per quasi-identifier
-    // group; the band is the same IEEE floor both engines compute.
-    "q_l_diversity" ->
-      """WITH g AS (
-        |  SELECT c_mktsegment, c_nationkey, count(*) AS n,
-        |         CAST(count(DISTINCT CAST(floor(
-        |           CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT))
-        |           AS BIGINT) AS n_bands
-        |  FROM customer GROUP BY 1, 2),
-        |f AS (
-        |  SELECT c_mktsegment, c_nationkey, n, n_bands,
-        |         CASE WHEN n_bands >= 3 THEN CAST(1 AS BIGINT)
-        |              ELSE CAST(0 AS BIGINT) END AS l_diverse
-        |  FROM g)
-        |SELECT c_mktsegment, c_nationkey, n, n_bands, l_diverse,
-        |       n * l_diverse AS released_rows,
-        |       n * (1 - l_diverse) AS suppressed_rows
-        |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
-
-    // DP release replayed: the same seeded-hash inverse-CDF ladder
-    // in integer arithmetic (u from the spread hash, magnitude off
-    // the shared log2 table, sign off a second hash) — a drifting
-    // noise formula moves a cell.
-    "q_dp_counts" -> {
-      val S = graft.ext.LmScore.LogScale
-      val k1 = "(c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)" +
-        " || '|dp1')"
-      val k2 = "(c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)" +
-        " || '|dp2')"
-      s"""WITH g AS (
-         |  SELECT c_mktsegment, c_nationkey,
-         |         CAST(count(*) AS BIGINT) AS n
-         |  FROM customer GROUP BY 1, 2),
-         |x AS (
-         |  SELECT c_mktsegment, c_nationkey, n,
-         |         ${PortableHash.spreadSql(PortableHash.hSql(k1))} + 1
-         |           AS u,
-         |         CASE WHEN (${PortableHash.spreadSql(
-                    PortableHash.hSql(k2))}) % 2 = 0
-         |              THEN CAST(1 AS BIGINT)
-         |              ELSE CAST(-1 AS BIGINT) END AS sgn
-         |  FROM g),
-         |z AS (
-         |  SELECT c_mktsegment, c_nationkey, n, sgn,
-         |         (${20 * S} - ${graft.ext.LmScore.log2FxSql("u")})
-         |           // $S AS mag
-         |  FROM x)
-         |SELECT c_mktsegment, c_nationkey, n,
-         |       CAST(sgn * mag AS BIGINT) AS noise,
-         |       CAST(n + sgn * mag AS BIGINT) AS released,
-         |       CAST(0.6931 AS DOUBLE) AS eps
-         |FROM z ORDER BY c_mktsegment, c_nationkey""".stripMargin
-    },
-
-    // DP sum replayed: the same cents snap, [0, C] clamp, seeded
-    // ladder and C-scaled noise.
-    "q_dp_sum" -> {
-      val S = graft.ext.LmScore.LogScale
-      val c = 500000L
-      val cents = "CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5)" +
-        " AS BIGINT)"
-      val k1 = "(c_mktsegment || '|dps1')"
-      val k2 = "(c_mktsegment || '|dps2')"
-      s"""WITH rows0 AS (
-         |  SELECT c_mktsegment,
-         |         least(greatest($cents, 0), $c) AS clamped,
-         |         $cents AS raw
-         |  FROM customer),
-         |g AS (
-         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(clamped) AS BIGINT) AS sum_clamped,
-         |         CAST(sum(raw - clamped) AS BIGINT) AS clamp_loss
-         |  FROM rows0 GROUP BY 1),
-         |x AS (
-         |  SELECT g.*,
-         |         ${PortableHash.spreadSql(PortableHash.hSql(k1))} + 1
-         |           AS u,
-         |         CASE WHEN (${PortableHash.spreadSql(
-                    PortableHash.hSql(k2))}) % 2 = 0
-         |              THEN CAST(1 AS BIGINT)
-         |              ELSE CAST(-1 AS BIGINT) END AS sgn
-         |  FROM g),
-         |z AS (
-         |  SELECT x.*,
-         |         (${20 * S} - ${graft.ext.LmScore.log2FxSql("u")})
-         |           // $S AS mag
-         |  FROM x)
-         |SELECT c_mktsegment, n, sum_clamped, clamp_loss,
-         |       CAST(sgn * mag * $c AS BIGINT) AS noise,
-         |       CAST(sum_clamped + sgn * mag * $c AS BIGINT)
-         |         AS released,
-         |       CAST(0.6931 AS DOUBLE) AS eps_per_unit
-         |FROM z ORDER BY c_mktsegment""".stripMargin
-    },
-
-    // Noisy top-k replayed: same seeded ladder per candidate, rank by
-    // (noisy DESC, segment), top-3 published with noisy counts only.
-    "q_dp_topk" -> {
-      val S = graft.ext.LmScore.LogScale
-      val k1 = "(c_mktsegment || '|dpt1')"
-      val k2 = "(c_mktsegment || '|dpt2')"
-      s"""WITH g AS (
-         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
-         |  FROM customer GROUP BY 1),
-         |x AS (
-         |  SELECT c_mktsegment, n,
-         |         ${PortableHash.spreadSql(PortableHash.hSql(k1))} + 1
-         |           AS u,
-         |         CASE WHEN (${PortableHash.spreadSql(
-                    PortableHash.hSql(k2))}) % 2 = 0
-         |              THEN CAST(1 AS BIGINT)
-         |              ELSE CAST(-1 AS BIGINT) END AS sgn
-         |  FROM g),
-         |z AS (
-         |  SELECT c_mktsegment,
-         |         CAST(n + sgn * ((${20 * S} -
-         |           ${graft.ext.LmScore.log2FxSql("u")}) // $S)
-         |           AS BIGINT) AS noisy_count
-         |  FROM x),
-         |rk AS (
-         |  SELECT c_mktsegment, noisy_count,
-         |         CAST(row_number() OVER (ORDER BY noisy_count DESC,
-         |           c_mktsegment) AS BIGINT) AS rn
-         |  FROM z)
-         |SELECT c_mktsegment, noisy_count, rn,
-         |       CAST(0.6931 AS DOUBLE) AS eps
-         |FROM rk WHERE rn <= 3 ORDER BY rn""".stripMargin
-    },
-
-    // Ledger replayed: measured cell counts, fixed sensitivities and
-    // ε units, running sequential-composition sum over release order.
-    "q_dp_ledger" ->
-      s"""WITH rel AS (
-        |  SELECT 'dp_counts' AS release_id, 'customer' AS table_name,
-        |         'discrete_laplace' AS mechanism,
-        |         'parallel_within' AS cell_composition,
-        |         (SELECT CAST(count(*) AS BIGINT) FROM (
-        |            SELECT DISTINCT c_mktsegment, c_nationkey
-        |            FROM customer)) AS n_cells,
-        |         CAST(1 AS BIGINT) AS sensitivity,
-        |         CAST(6931 AS BIGINT) AS eps_fx
-        |  UNION ALL
-        |  SELECT 'dp_sum', 'customer', 'discrete_laplace',
-        |         'parallel_within',
-        |         (SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT)
-        |          FROM customer),
-        |         CAST(500000 AS BIGINT), CAST(6931 AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'dp_topk', 'customer', 'noisy_topk',
-        |         'parallel_within',
-        |         (SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT)
-        |          FROM customer),
-        |         CAST(1 AS BIGINT), CAST(6931 AS BIGINT)),
-        |cum AS (
-        |  SELECT *, CAST(sum(eps_fx) OVER (ORDER BY release_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS BIGINT) AS cum_eps_fx
-        |  FROM rel)
-        |SELECT release_id, table_name, mechanism, cell_composition,
-        |       n_cells, sensitivity, eps_fx, cum_eps_fx,
-        |       ${r4("CAST(eps_fx AS DOUBLE) / 1e4")} AS eps,
-        |       ${r4("CAST(cum_eps_fx AS DOUBLE) / 1e4")} AS cum_eps
-        |FROM cum ORDER BY release_id""".stripMargin,
-
-    // The cascade replayed as plain counts; orphans-after are 0 by
-    // construction on both sides — the audit's point is that the
-    // ENGINE must prove it, not assume it.
-    "q_delete_propagation" ->
-      """WITH delc AS (SELECT c_custkey FROM customer
-        |              WHERE c_custkey % 50 = 0),
-        |delo AS (SELECT o_orderkey FROM orders
-        |         WHERE o_custkey IN (SELECT c_custkey FROM delc))
-        |SELECT 'customer' AS table_name,
-        |       (SELECT count(*) FROM customer) AS n_before,
-        |       (SELECT count(*) FROM delc) AS n_deleted,
-        |       (SELECT count(*) FROM customer)
-        |         - (SELECT count(*) FROM delc) AS n_after,
-        |       CAST(0 AS BIGINT) AS n_orphans_after
-        |UNION ALL
-        |SELECT 'lineitem',
-        |       (SELECT count(*) FROM lineitem),
-        |       (SELECT count(*) FROM lineitem
-        |        WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
-        |       (SELECT count(*) FROM lineitem)
-        |         - (SELECT count(*) FROM lineitem
-        |            WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
-        |       (SELECT count(*) FROM lineitem
-        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)
-        |          AND l_orderkey IN (SELECT o_orderkey FROM delo))
-        |UNION ALL
-        |SELECT 'orders',
-        |       (SELECT count(*) FROM orders),
-        |       (SELECT count(*) FROM delo),
-        |       (SELECT count(*) FROM orders)
-        |         - (SELECT count(*) FROM delo),
-        |       (SELECT count(*) FROM orders
-        |        WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)
-        |          AND o_custkey IN (SELECT c_custkey FROM delc))
-        |ORDER BY table_name""".stripMargin,
-
-    // Doubled average ranks are exact integers; HUGEINT is DuckDB's
-    // DECIMAL(38,0) stand-in for the cross products; the final
-    // formula is the same fixed IEEE op sequence.
-    "q_spearman_corr" ->
-      """WITH li AS (
-        |  SELECT l_returnflag AS g, l_quantity AS va, l_extendedprice AS vb
-        |  FROM lineitem),
-        |r AS (
-        |  SELECT g,
-        |         2*rank() OVER (PARTITION BY g ORDER BY va)
-        |           + count(*) OVER (PARTITION BY g, va) - 1 AS ra,
-        |         2*rank() OVER (PARTITION BY g ORDER BY vb)
-        |           + count(*) OVER (PARTITION BY g, vb) - 1 AS rb
-        |  FROM li),
-        |m AS (
-        |  SELECT g, count(*) AS n,
-        |         CAST(sum(ra) AS HUGEINT) AS sa,
-        |         CAST(sum(rb) AS HUGEINT) AS sb,
-        |         CAST(sum(ra*ra) AS HUGEINT) AS saa,
-        |         CAST(sum(rb*rb) AS HUGEINT) AS sbb,
-        |         CAST(sum(ra*rb) AS HUGEINT) AS sab
-        |  FROM r GROUP BY 1)
-        |SELECT g, n,
-        |       floor((CAST(n*sab - sa*sb AS DOUBLE) /
-        |              sqrt(CAST(n*saa - sa*sa AS DOUBLE)
-        |                   * CAST(n*sbb - sb*sb AS DOUBLE)))*10000 + 0.5)
-        |         /10000.0 AS spearman
-        |FROM m ORDER BY g""".stripMargin,
-
-    // Octile cut points by exact rank ((n·k) div 8 into the sorted
-    // cents), then the same >=-threshold bucketing.
-    "q_equidepth_bins" ->
-      """WITH oc AS (
-        |  SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
-        |  FROM orders),
-        |nn AS (SELECT count(*) AS n FROM oc),
-        |ranked AS (
-        |  SELECT c, row_number() OVER (ORDER BY c) - 1 AS idx FROM oc),
-        |cuts AS (
-        |  SELECT k, (SELECT c FROM ranked, nn WHERE idx = (n*k) // 8) AS cut
-        |  FROM (SELECT unnest(generate_series(1, 7)) AS k)),
-        |b AS (
-        |  SELECT c, (SELECT count(*) FROM cuts WHERE c >= cut) AS bin
-        |  FROM oc)
-        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
-        |       min(c) AS min_c, max(c) AS max_c,
-        |       CAST(sum(c) AS BIGINT) AS sum_c
-        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
-
-    "q_trimmed_mean" ->
-      """WITH ev AS (
-        |  SELECT event_type, event_id,
-        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
-        |  FROM events),
-        |ranked AS (
-        |  SELECT event_type, value_c,
-        |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY value_c, event_id) AS rn,
-        |         count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM ev)
-        |SELECT event_type, count(*) AS n_kept,
-        |       floor((CAST(sum(value_c) AS DOUBLE) / (count(*) * 100.0))
-        |             *10000 + 0.5)/10000.0 AS trimmed_mean
-        |FROM ranked
-        |WHERE rn > n // 10 AND rn <= n - n // 10
-        |GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

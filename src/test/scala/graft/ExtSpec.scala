@@ -1633,6 +1633,40 @@ class ExtSpec extends SparkSpec {
         "line is long enough to keep.")
   }
 
+  test("warc parse: header map with unknown headers, byte-exact " +
+    "length gate, payload untouched, id recovered from the envelope") {
+    import graft.ext.Warc
+    def rec(id: Long, extra: String, payload: String,
+            statedLen: Long): String =
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        s"WARC-Target-URI: http://example.org/doc/$id\r\n" + extra +
+        s"Content-Type: application/http\r\nContent-Length: $statedLen" +
+        s"\r\n\r\n$payload\r\n\r\n"
+    // ok record carries an UNKNOWN header the parser must pass over;
+    // payload has multi-byte UTF-8 so char count != byte count —
+    // the length gate must compare BYTES
+    val okPayload = "héllo <p>wörld</p>"
+    val okBytes =
+      okPayload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(okBytes > okPayload.length)
+    val bad = rec(7L, "", "short", 99L)
+    val ok = rec(3L, "X-Custom-Header: zzz\r\n", okPayload, okBytes.toLong)
+    val out = Seq(ok, bad).toDF("warc")
+      .select(Warc.headers(col("warc")).as("h"),
+        Warc.payload(col("warc")).as("pl"))
+      .select(Warc.recordId(col("h")).as("doc_id"),
+        element_at(col("h"), "WARC-Target-URI").as("uri"),
+        col("pl"), Warc.lenOk(col("h"), col("pl")).as("len_ok"))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(3L, 7L))
+    assert(out(0).getAs[String]("uri") === "http://example.org/doc/3")
+    assert(out(0).getAs[String]("pl") === okPayload)
+    assert(out(0).getAs[Long]("len_ok") === 1L)
+    assert(out(1).getAs[String]("pl") === "short")
+    assert(out(1).getAs[Long]("len_ok") === 0L)
+  }
+
   test("url normalization: ports, www, params, fragments, roots") {
     import graft.ext.Urls
     val cases = Seq(
