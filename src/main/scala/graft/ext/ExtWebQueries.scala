@@ -66,6 +66,40 @@ object ExtWebQueries {
           .orderBy(col("doc_id"))
       }),
 
+      // robots.txt parse: per-host rule extraction from the rendered
+      // robots corpus. Group selection is the load-bearing part —
+      // hosts with k % 4 == 1 carry a special-bot `Disallow: /` but
+      // an EMPTY generic group, so a parser that reads across group
+      // boundaries (or treats `Disallow:` as a rule) flags them
+      // restricted and goes cell-visibly red.
+      "q_robots_rules" -> ((s, d) => {
+        val p = graft.io.DialectFixtures.writeRobots(s, d)
+        s.read.parquet(p)
+          .select(col("host"),
+            Robots.disallows(col("robots")).as("rules"))
+          .select(col("host"),
+            size(col("rules")).cast("long").as("n_rules"),
+            array_join(array_sort(col("rules")), ";").as("rules"))
+          .orderBy(col("host"))
+      }),
+
+      // URL admission against the parsed per-host rules: the rules
+      // table is dimension-sized next to the frontier (one row per
+      // host), so the join broadcasts at any crawl size and the
+      // prefix test is per-row scan work.
+      "q_robots_filter" -> ((s, d) => {
+        val p = graft.io.DialectFixtures.writeRobots(s, d)
+        val rules = s.read.parquet(p).select(col("host"),
+          Robots.disallows(col("robots")).as("rules"))
+        docs(s, d)
+          .select(col("doc_id"), col("source").as("host"),
+            Robots.pathOf(col("doc_id")).as("path"))
+          .join(broadcast(rules), Seq("host"))
+          .select(col("doc_id"), col("host"), col("path"),
+            Robots.allowed(col("path"), col("rules")).as("allowed"))
+          .orderBy(col("doc_id"))
+      }),
+
       // HTML → main text: tag-strip + block segmentation + the
       // length/link-density content gate (the trafilatura/jusText
       // shape), over the deterministic page fixture. Per-row scan
@@ -219,6 +253,40 @@ object ExtWebQueries {
          |  CAST(length(extract) AS BIGINT) AS extract_chars,
          |  sha256(extract) AS text_sha
          |FROM pred ORDER BY doc_id""".stripMargin,
+
+    // Both robots oracles PREDICT from host/doc arithmetic — the
+    // engine's generic group-selecting parser must earn every cell.
+    "q_robots_rules" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT source AS host,
+        |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT)
+        |      AS k
+        |  FROM documents)
+        |SELECT host,
+        |  CAST(CASE WHEN k % 4 = 1 THEN 0 ELSE 2 END AS BIGINT)
+        |    AS n_rules,
+        |  CASE WHEN k % 4 = 1 THEN ''
+        |    ELSE '/p' || CAST(k % 3 AS VARCHAR) || ';/secret'
+        |  END AS rules
+        |FROM hosts ORDER BY host""".stripMargin,
+
+    "q_robots_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, source AS host,
+        |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT)
+        |      AS k,
+        |    CASE WHEN doc_id % 7 = 3
+        |      THEN '/secret/x' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/p' || CAST(doc_id % 5 AS VARCHAR) || '/a' ||
+        |        CAST(doc_id AS VARCHAR)
+        |    END AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |  CAST(CASE WHEN k % 4 = 1 THEN 1
+        |            WHEN doc_id % 7 = 3 THEN 0
+        |            WHEN doc_id % 5 = k % 3 THEN 0
+        |            ELSE 1 END AS BIGINT) AS allowed
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Prediction from the fixture formula: the content block is the
     // encoded text round-tripped (decode ∘ encode = id) behind the

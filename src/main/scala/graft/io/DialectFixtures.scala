@@ -275,6 +275,36 @@ object DialectFixtures {
     path
   }
 
+  def robotsPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/robots"
+
+  /** One robots.txt per host (host = the documents `source` value,
+    * k = its numeric suffix): a `special-bot` group whose blanket
+    * `Disallow: /` must NOT leak into generic-crawler admission, a
+    * comment line, then the `User-agent: *` group — empty `Disallow:`
+    * (no restriction) for hosts with k % 4 == 1, else two prefixes
+    * (`/p{k % 3}` and `/secret`). Rule literals MUST stay
+    * byte-identical to the q_robots_* oracles' predictions. */
+  def writeRobots(spark: SparkSession, dir: String): String = {
+    val path = robotsPath(dir)
+    once(path, dir) {
+      val k = regexp_extract(col("source"), "src([0-9]+)", 1)
+        .cast("long")
+      Sources.table(spark, dir, "documents")
+        .select(col("source").as("host"), k.as("k")).distinct()
+        .select(col("host"), concat(
+          lit("# robots for host "), col("host"), lit("\n"),
+          lit("User-agent: special-bot\nDisallow: /\n\n"),
+          lit("User-agent: *\n"),
+          when(col("k") % 4 === 1, lit("Disallow:\n"))
+            .otherwise(concat(lit("Disallow: /p"),
+              (col("k") % 3).cast("string"),
+              lit("\nDisallow: /secret\n")))).as("robots"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def corruptPath(dir: String): String = s"$BaseDir/${leaf(dir)}/corrupt"
 
   /** The movies pipe dialect with DETERMINISTIC corruption: rows

@@ -1465,7 +1465,7 @@ class ExtSpec extends SparkSpec {
 
   test("q_dp_counts: noise inside the 20-step ladder, release = n + " +
     "noise, deterministic, not degenerate") {
-    def run() = graft.rel.RelQueries
+    def run() = graft.rel.RelStatsQueries
       .queries("q_dp_counts")(spark, "/root/testdata/sf0.001").collect()
     val rows = run()
     assert(rows.nonEmpty)
@@ -1665,6 +1665,31 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getAs[Long]("len_ok") === 1L)
     assert(out(1).getAs[String]("pl") === "short")
     assert(out(1).getAs[Long]("len_ok") === 0L)
+  }
+
+  test("robots parse: group selection, empty Disallow, comments, " +
+    "prefix admission") {
+    import graft.ext.Robots
+    // another bot's blanket Disallow must not leak into the * group;
+    // comments and blank lines are noise; the * group may appear
+    // AFTER other groups
+    val strict = "# c\nUser-agent: greedy-bot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
+    val open = "User-agent: greedy-bot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow:\n"
+    val rules = Seq(strict, open).toDF("robots")
+      .select(Robots.disallows(col("robots")).as("r"))
+      .collect().map(_.getSeq[String](0))
+    assert(rules(0) === Seq("/private", "/tmp"))
+    assert(rules(1) === Seq.empty)
+    val adm = Seq(("/private/x", strict), ("/public/x", strict),
+        ("/private/x", open))
+      .toDF("path", "robots")
+      .select(col("path"), Robots.allowed(col("path"),
+        Robots.disallows(col("robots"))).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(adm.toSeq === Seq(("/private/x", 0L), ("/public/x", 1L),
+      ("/private/x", 1L)))
   }
 
   test("url normalization: ports, www, params, fragments, roots") {
