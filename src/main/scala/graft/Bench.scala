@@ -33,6 +33,13 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * keep their cold time in the merged `queries` map, and the record
   * is flagged `warm_partial` with the measured count.
   *
+  * Load-transient guard (round-13 verdict #4): a shared build reading
+  * >1.5× the trailing-round median (committed BENCH_r*.json records)
+  * is rerun ONCE in a fresh session before recording — the rerun
+  * measures the build, not cache hits, because the first session's
+  * caches die with its context. The record carries `shared_rerun`
+  * and `shared_first_sec` so the transient stays visible.
+  *
   * Timeout-proof (round-6 postmortem: rc-124 at ~49 min left NO numbers
   * because the only JSON was printed at process end):
   *   - every finished query appends a line to `BENCH_PARTIAL.jsonl`;
@@ -85,15 +92,22 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_SEC", "2100").toDouble
     val tStart = System.nanoTime()
     def elapsed = (System.nanoTime() - tStart) / 1e9
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def mkSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    // var: the shared-build transient guard below may replace the
+    // session wholesale (a rerun against warm caches would measure
+    // cache hits, not the build)
+    var spark = mkSession()
 
     // If SIGTERM'd (driver timeout), salvage the run. A warm pass killed
     // 2 queries in must NOT report shared + 2 warm times as the total —
@@ -146,20 +160,54 @@ object Bench {
     // (serial — overlapping them would make the per-component timers
     // lie about wall cost; attribution outranks the wall-time saving
     // here because every later cold number reads against these rows).
-    val sharedL = SparkEntry.sharedComponents.map { case (name, f) =>
-      if (stopping) (name, 0.0, 0.0, 0.0)
-      else {
-        val lq = loadAvg
-        val t0 = System.nanoTime()
-        try f(spark, sfDir) catch { case _: Throwable => () }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val le = loadAvg
-        flush("shared", s"_shared:$name", sec, lq, le)
-        (name, sec, lq, le)
+    def runShared(pass: String): Seq[(String, Double, Double, Double)] =
+      SparkEntry.sharedComponents.map { case (name, f) =>
+        if (stopping) (name, 0.0, 0.0, 0.0)
+        else {
+          val lq = loadAvg
+          val t0 = System.nanoTime()
+          try f(spark, sfDir) catch { case _: Throwable => () }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val le = loadAvg
+          flush(pass, s"_$pass:$name", sec, lq, le)
+          (name, sec, lq, le)
+        }
       }
-    }
+    var sharedL = runShared("shared")
     sharedRows = sharedL.map { case (n, s, _, _) => n -> s }
-    val shared = sharedRows.map(_._2).sum
+    var shared = sharedRows.map(_._2).sum
+
+    // Shared-build load-transient guard (r13 verdict #4): the r13
+    // driver artifact's cold total carried a ~49 s shared-build
+    // transient (gate JVMs had just exited) that a serial re-measure
+    // reproduced away — the builder had to explain it in prose. If
+    // this round's shared total reads >1.5× the trailing-round
+    // median (committed BENCH_r*.json records), rerun it ONCE in a
+    // FRESH session (the caches die with the stopped context, so the
+    // rerun measures the build, not cache hits) and record both.
+    val sharedFirst = shared
+    var sharedRerun = false
+    val trailingMedian: Option[Double] = try {
+      import scala.jdk.CollectionConverters._
+      val re = """"_shared_build":([0-9.]+)""".r
+      val vals = Files.list(Paths.get("/root/repo")).iterator().asScala
+        .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+        .toSeq.sortBy(_.getFileName.toString).takeRight(5)
+        .flatMap(p => re.findFirstMatchIn(Files.readString(p))
+          .map(_.group(1).toDouble))
+      if (vals.isEmpty) None else Some(vals.sorted.apply(vals.size / 2))
+    } catch { case _: Throwable => None }
+    if (!stopping && trailingMedian.exists(m => shared > 1.5 * m)) {
+      System.err.println(f"[bench] shared build $shared%.1f s > 1.5x " +
+        f"trailing median ${trailingMedian.get}%.1f s - rerunning in " +
+        "a fresh session")
+      sharedRerun = true
+      spark.stop()
+      spark = mkSession()
+      sharedL = runShared("shared_rerun")
+      sharedRows = sharedL.map { case (n, s, _, _) => n -> s }
+      shared = sharedRows.map(_._2).sum
+    }
     sharedSec = shared
 
     // Cheapest-first: a mid-sweep kill preserves the most numbers; order
@@ -228,6 +276,7 @@ object Bench {
          |"shared_load":${obj(
             sharedL.map { case (n, _, l, _) => s"_shared:$n" -> l }, f3)},
          |"cold_pass_sec":$coldSum,"warm_pass_sec":$warmSum,
+         |"shared_rerun":$sharedRerun,"shared_first_sec":$sharedFirst,
          |"warm_partial":$warmPartial,
          |"warm_measured":${warmMeasured.size},
          |"load_avg_start":$load0,"load_avg_end":$loadEnd,
@@ -253,9 +302,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
       // compact driver line: warm-pass per-query times, 3 decimals.
-      val flags = if (warmPartial)
+      val flags = (if (warmPartial)
         s""","warm_partial":true,"warm_measured":${warmMeasured.size}"""
-      else ""
+      else "") + (if (sharedRerun)
+        s""","shared_rerun":true,"shared_first_sec":${f3(sharedFirst)}"""
+      else "")
       // mark BEFORE printing: a SIGTERM between println and the flag
       // assignment would make the hook emit a second driver line
       finalPrinted = true

@@ -41,6 +41,43 @@ object Ranking {
            tieCol: String, k: Int): DataFrame =
     withRank(df, partCol, scoreCol, tieCol).where(col("rn") <= k)
 
+  /** Sort-free per-group top-k over a LARGE ranking input — the scale
+    * path for [[topK]] (round-13 verdict #1). The window form's
+    * rank-limit pushdown still sorts every input partition in full
+    * (`WindowGroupLimitExec.requiredChildOrdering` covers BOTH Partial
+    * and Final modes), so a 95M-row moment frame pays an O(n·log n)
+    * local sort per ranking; this path aggregates with the bounded
+    * [[graft.expr.TopKAgg]] heap instead — O(n·log k) updates, hash
+    * PARTIAL map-side (≤k entries per (group, partition) reach the
+    * exchange, packed one buffer row per group), merge without sort.
+    *
+    * Returns `(partCol, tie, score, extra, rn)` with rn 1-based in
+    * (score desc, tie asc) order — row-identical to
+    * `topK(df, partCol, score, tie, k)` when `tie` is unique per
+    * group (asserted against the window form in ExprSpec).
+    */
+  def topKAgg(df: DataFrame, partCol: String, scoreCol: Column,
+              tieCol: Column, extraCol: Column, k: Int): DataFrame = {
+    val s = df.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(s)
+    // ObjectHashAggregate falls back to SORT-BASED aggregation after
+    // 128 distinct keys by default — the sort is exactly what this
+    // path exists to avoid. Budget: a TopKBuffer(10) is ~0.4 KB, so
+    // even the 50× gate's ~1M-items-per-task map stays a few hundred
+    // MB; on a real cluster rows-per-task shrink with executor count.
+    s.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "16777216")
+    df.groupBy(col(partCol))
+      .agg(call_function("graft_topk", lit(k),
+        scoreCol.cast("double"), tieCol.cast("long"),
+        extraCol.cast("long")).as("_tk"))
+      .select(col(partCol), posexplode(col("_tk")))
+      .select(col(partCol), col("col.tie").as("tie"),
+        col("col.score").as("score"), col("col.extra").as("extra"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** The reference's output protocol (R8): values joined with ';'
     * (`SemicolonValueProtocol`, `moviesSimilarities.py ≈L33–37` [R]). */
   def semicolonProtocol(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -107,5 +107,12 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "scala_udf")
+    // Sort-free exact per-group top-k (TopKAggExpr scaladoc): the
+    // ranking-window replacement for the similarity family's K cut.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => TopKAgg(exprs(0), exprs(1), exprs(2), exprs(3))
+        .toAggregateExpression(),
+      "scala_udf")
   }
 }

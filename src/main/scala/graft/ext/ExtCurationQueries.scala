@@ -350,19 +350,28 @@ object ExtCurationQueries {
     // silently inflates held-out eval (GPT-3's appendix-C n-gram
     // audit, run split-vs-split). Split membership is the SAME
     // per-row hash gate as q_split_assign — no doc list is shipped
-    // anywhere. Shingles with document frequency > LeakDfCap are
+    // anywhere. Shingles with document frequency above the cap are
     // excluded: boilerplate n-grams are not leakage evidence, and the
     // cap bounds the shingle join's fan-out (≤ cap train rows per
-    // shingle), which is what keeps this linear at 100 TB.
+    // shingle), which is what keeps this linear at 100 TB. The cap is
+    // the saturation-escalating Dedup.dfCapStats form (r13 verdict
+    // #7): LeakDfCap while it keeps ≥5% of the corpus's pair mass,
+    // derived from the df histogram under the pair budget otherwise —
+    // a densified corpus (every shingle's df × the replica factor)
+    // keeps its leakage signal instead of silently losing it.
     "q_split_leakage" -> ((s, d) => {
       val ds = distinctShinglesC(s, d)
       // the rare-shingle list is a per-dir artifact (used twice per
       // action by the join planner's two sides) — session-cache it
-      val kept = Cache.getOrPersist(s, "shingle_df_kept", d)(
-        ds.groupBy(col("shingle"))
+      val kept = Cache.getOrPersist(s, "shingle_df_kept", d) {
+        val tdf = ds.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df"))
-          .where(col("df") <= LeakDfCap)
-          .select(col("shingle")))
+        val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val capStats = Dedup.dfCapStats(tdf, nd, LeakDfCap, DfCapBudget)
+        tdf.crossJoin(broadcast(capStats.select(col("cap_used"))))
+          .where(col("df") <= col("cap_used"))
+          .select(col("shingle"))
+      }
       val tagged = Sampling.splitAssign(ds, col("doc_id").cast("string"),
         SplitBands)
       val train = tagged.where(col("split") === "train")

@@ -451,6 +451,22 @@ object ExtQueries {
     * audit dropped 13-grams above tiny DF for the same reason). */
   private[ext] val LeakDfCap = 5
 
+  /** q_doc_similarity's tuned base DF cap (non-escalated). */
+  private[ext] val DocSimDfCap = 30
+
+  /** Pair-fan-out budget for the saturation-escalated DF caps
+    * ([[Dedup.dfCapStats]]): the escalated cap may admit at most this
+    * many pair-stage rows per corpus document — the capacity rule the
+    * 100 TB pair stage is planned with. Sized 400 because a replica-
+    * densified corpus has a BIMODAL df histogram (the near-dup signal
+    * sits in one bucket whose fan-out is a large step — at the 100×
+    * replica, budget 400 selects cap 400 → 76.7M pairs over 500k docs
+    * [153/doc], vs the 13.9B-pair uncapped join and the 0-signal
+    * fixed cap); a budget below the signal bucket's step would
+    * escalate the cap to nowhere. Unsaturated corpora never read
+    * this constant. */
+  private[ext] val DfCapBudget = 400
+
   /** q_split_assign bands (shared by query and oracle). */
   private[ext] val SplitBands =
     Seq("test" -> 1.0, "train" -> 98.0, "val" -> 1.0)

@@ -596,8 +596,11 @@ object ExtServingOracles {
     "q_split_leakage" ->
       s"""WITH ${Dedup.shinglesSql},
          |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |kept AS (SELECT shingle FROM ds
-         |         GROUP BY 1 HAVING count(*) <= $LeakDfCap),
+         |dsdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |         FROM ds GROUP BY 1),
+         |${Dedup.dfCapStatsSql("dsdf", LeakDfCap, DfCapBudget, r4)},
+         |kept AS (SELECT shingle FROM dsdf, capstats
+         |         WHERE df <= cap_used),
          |tagged AS (
          |  SELECT doc_id, shingle,
          |         ${Sampling.splitAssignSql("CAST(doc_id AS VARCHAR)",
@@ -1836,8 +1839,12 @@ object ExtServingOracles {
          |posts AS (
          |  SELECT doc_id, shingle AS w, count(*) AS tf
          |  FROM shingles GROUP BY 1, 2),
+         |tdfx AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS df
+         |  FROM posts GROUP BY 1),
+         |${Dedup.dfCapStatsSql("tdfx", DocSimDfCap, DfCapBudget, r4)},
          |dfok AS (
-         |  SELECT w FROM posts GROUP BY 1 HAVING count(*) <= 30),
+         |  SELECT w FROM tdfx, capstats WHERE df <= cap_used),
          |capped AS (
          |  SELECT p.doc_id, p.w, p.tf FROM posts p
          |  JOIN dfok f ON p.w = f.w),
@@ -1854,10 +1861,12 @@ object ExtServingOracles {
          |SELECT p.d1, p.d2, p.num, p.n_shared,
          |       ${r4("CAST(p.num AS DOUBLE) / " +
               "(sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))")}
-         |         AS cos_sim
+         |         AS cos_sim,
+         |       c.cap_used, c.cap_saturated, c.capped_frac
          |FROM pairs p
          |JOIN norms x ON x.doc_id = p.d1
          |JOIN norms y ON y.doc_id = p.d2
+         |CROSS JOIN capstats c
          |ORDER BY cos_sim DESC, p.d1, p.d2""".stripMargin),
 
     // The pair-stage fan-out bound replayed as arithmetic over the
@@ -1868,22 +1877,25 @@ object ExtServingOracles {
          |posts AS (
          |  SELECT doc_id, shingle AS w, count(*) AS tf
          |  FROM shingles GROUP BY 1, 2),
-         |tdf AS (
+         |tdfx AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS df
-         |  FROM posts GROUP BY 1)
+         |  FROM posts GROUP BY 1),
+         |${Dedup.dfCapStatsSql("tdfx", DocSimDfCap, DfCapBudget, r4)}
          |SELECT CAST(count(*) AS BIGINT) AS n_terms,
-         |  CAST(sum(CASE WHEN df <= 30 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_terms_kept,
+         |  CAST(sum(CASE WHEN df <= cap_used THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_terms_kept,
          |  max(df) AS max_df,
-         |  CAST(sum(CASE WHEN df <= 30 THEN (df*(df-1))//2 ELSE 0 END)
-         |    AS BIGINT) AS capped_pairs,
+         |  cap_used, cap_saturated,
+         |  CAST(sum(CASE WHEN df <= cap_used THEN (df*(df-1))//2
+         |    ELSE 0 END) AS BIGINT) AS capped_pairs,
          |  CAST(sum((df*(df-1))//2) AS BIGINT) AS uncapped_pairs,
-         |  CAST(max(CASE WHEN df <= 30 THEN (df*(df-1))//2 ELSE 0 END)
-         |    AS BIGINT) AS max_term_pairs,
-         |  ${r4("CAST(sum(CASE WHEN df <= 30 THEN (df*(df-1))//2 " +
+         |  CAST(max(CASE WHEN df <= cap_used THEN (df*(df-1))//2
+         |    ELSE 0 END) AS BIGINT) AS max_term_pairs,
+         |  ${r4("CAST(sum(CASE WHEN df <= cap_used THEN (df*(df-1))//2 " +
               "ELSE 0 END) AS DOUBLE) / CAST(sum((df*(df-1))//2) AS DOUBLE)")}
          |    AS capped_frac
-         |FROM tdf""".stripMargin,
+         |FROM tdfx, capstats
+         |GROUP BY cap_used, cap_saturated""".stripMargin,
 
     // Link prediction: the same capped wedge join + anti join,
     // materialized (sym/viamid feed multiple references).

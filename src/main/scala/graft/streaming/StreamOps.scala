@@ -248,6 +248,47 @@ object StreamOps {
       }
   }
 
+  case class FrontierUrl(doc_id: Long, host: String, path: String)
+  case class HostPolicy(host: String, disallows: Seq[String])
+  case class Admission(doc_id: Long, host: String, path: String,
+                       allowed: Long)
+
+  /** Streaming crawl-frontier admission — the live twin of
+    * q_robots_filter (r13 verdict #6): per-HOST politeness state is
+    * BOOTSTRAPPED from the parsed robots rules table (the
+    * `initialState` variant of flatMapGroupsWithState, same
+    * deployment mechanism as [[ingestDedupGate]] — no rules replay),
+    * then each arriving frontier URL is admitted iff no Disallow
+    * prefix of its host's `*` group matches its path. State is O(1)
+    * per host (the prefix list — dimension-sized, never the URLs); a
+    * live deployment updates it when a refetched robots.txt changes
+    * and adds per-host fetch pacing to the same state object. A host
+    * with no known policy admits everything (robots absent ⇒ allowed,
+    * per the 1994 spec). URLs within one invocation emit in doc_id
+    * order so a micro-batch boundary never reorders the output
+    * contract. Works identically on a batch Dataset, which is how the
+    * scored query runs it under the SAME oracle as q_robots_filter. */
+  def robotsAdmissionGate(frontier: Dataset[FrontierUrl],
+                          policies: Dataset[HostPolicy])
+      : Dataset[Admission] = {
+    implicit val encA = Encoders.product[Admission]
+    implicit val encP = Encoders.product[HostPolicy]
+    implicit val encK = Encoders.STRING
+    frontier.groupByKey(_.host)
+      .flatMapGroupsWithState[HostPolicy, Admission](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout(),
+        policies.groupByKey(_.host)) {
+        (host: String, urls: Iterator[FrontierUrl],
+         state: GroupState[HostPolicy]) =>
+          val dis = state.getOption.map(_.disallows).getOrElse(Seq.empty)
+          urls.toArray.sortBy(_.doc_id).iterator.map { u =>
+            Admission(u.doc_id, u.host, u.path,
+              if (dis.exists(u.path.startsWith)) 0L else 1L)
+          }
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time twin of
     * [[graft.ext.Dedup.dropDuplicatesKeepFirst]]: duplicates of a key
     * arriving within the watermark horizon are dropped (first

@@ -136,4 +136,64 @@ class ExprSpec extends SparkSpec {
     val v = spark.sql("SELECT graft_hash('spark')").collect()(0).getInt(0)
     assert(v >= 0 && v < PortableHash.M)
   }
+
+  test("topKAgg equals the window topK row-for-row on a corpus frame") {
+    // the sort-free ranking path (r13 verdict #1) must be
+    // row-identical to the window form it replaces, including the
+    // (score desc, tie asc) tie order and the <k-group edge
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select((col("doc_id") % 37).as("g"), col("doc_id").as("tie"),
+        // r4-style rounded score with deliberate collisions so tie
+        // order is exercised, plus an extra payload column
+        (floor((col("doc_id") % 97) / 3) / 10.0).as("score"),
+        (col("doc_id") * 7 % 1000).as("extra"))
+    val viaAgg = graft.core.Ranking
+      .topKAgg(docs, "g", col("score"), col("tie"), col("extra"), 5)
+      .select(col("g"), col("tie"), col("score"), col("extra"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val viaWin = graft.core.Ranking
+      .topK(docs, "g", col("score"), "tie", 5)
+      .select(col("g"), col("tie"), col("score"), col("extra"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaAgg === viaWin)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("topKAgg plans as a hash aggregate with no sort below the exchange") {
+    val df = spark.range(1000).select(
+      (col("id") % 13).as("g"), col("id").as("tie"),
+      (col("id") % 31).cast("double").as("score"), lit(0L).as("extra"))
+    val plan = graft.core.Ranking
+      .topKAgg(df, "g", col("score"), col("tie"), col("extra"), 3)
+      .queryExecution.executedPlan.toString
+    // the whole point of the path: ObjectHashAggregate partial/final,
+    // no Sort and no Window over the ranking input
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.toLowerCase.contains("sort ["), plan)
+  }
+
+  test("TopKBuffer: eviction, ties, merge, and serde round-trip") {
+    val b = new graft.expr.TopKBuffer(3)
+    b.insert(1.0, 10L, 1L); b.insert(2.0, 9L, 2L); b.insert(2.0, 4L, 3L)
+    b.insert(0.5, 1L, 4L)              // worse than all three: rejected
+    assert(b.n === 3 && b.s(0) === 2.0 && b.t(0) === 4L)
+    b.insert(3.0, 99L, 5L)             // evicts the (1.0, 10) tail
+    assert((0 until b.n).map(b.t(_)) === Seq(99L, 4L, 9L))
+    val o = new graft.expr.TopKBuffer(3)
+    o.insert(2.5, 7L, 6L); o.insert(2.0, 3L, 7L)
+    b.mergeFrom(o)                     // (2.0,3) beats (2.0,4) on tie
+    assert((0 until b.n).map(b.t(_)) === Seq(99L, 7L, 3L))
+    val agg = graft.expr.TopKAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(3),
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.n === b.n &&
+      (0 until rt.n).forall(i => rt.s(i) == b.s(i) && rt.t(i) == b.t(i)
+        && rt.e(i) == b.e(i)))
+  }
 }

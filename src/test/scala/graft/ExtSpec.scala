@@ -1692,6 +1692,105 @@ class ExtSpec extends SparkSpec {
       ("/private/x", 1L)))
   }
 
+  test("doc-similarity DF cap: base corpus keeps the tuned cap " +
+    "unsaturated; a densified corpus flags saturation and escalates") {
+    // base corpus: the fixed cap keeps ~all pair mass → no escalation
+    val base = spark.read.parquet(s"$sf001/documents.parquet")
+    val baseOut = graft.ext.ExtServingQueries.docSimilarity(base)
+    val baseRow = baseOut.select("cap_used", "cap_saturated").limit(1)
+      .collect()(0)
+    assert(baseRow.getLong(0) === 30L)
+    assert(baseRow.getLong(1) === 0L)
+    // densified corpus (the 100×-replica shape: every doc gains ~40
+    // near-copies, every shingle's df multiplies by ~40): the fixed
+    // cap would keep <5% of the pair mass → the serve must FLAG
+    // saturation, escalate the cap past the replica df, and still
+    // emit a non-empty pair stage (the silent-signal-loss case the
+    // r13 verdict called out)
+    val reps = spark.range(40).select(col("id").as("rep"))
+    val nDoc = base.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .collect()(0).getLong(0) + 1L
+    val dense = base.crossJoin(reps).select(
+      (col("doc_id") + col("rep") * nDoc).as("doc_id"),
+      concat(lit("r"), col("rep"), lit(" "), col("text")).as("text"))
+    val denseOut = graft.ext.ExtServingQueries.docSimilarity(dense)
+    val rows = denseOut.select("cap_used", "cap_saturated", "capped_frac")
+      .limit(1).collect()
+    assert(rows.nonEmpty, "saturated corpus must still emit pairs")
+    assert(rows(0).getLong(1) === 1L, "saturation must be flagged")
+    assert(rows(0).getLong(0) > 30L, "cap must escalate past the base")
+    assert(rows(0).getDouble(2) < 1.0)
+  }
+
+  test("warc parse: structural malformation flagged (envelope_ok), " +
+    "header values keep their first-': ' split") {
+    import graft.ext.Warc
+    // no CRLF-CRLF boundary anywhere: must flag, not garble
+    val noSep = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:9>\r\nContent-Length: 5\r\npayload"
+    // a header VALUE legally containing ': ' (ADVICE r13) — str_to_map
+    // would truncate the URI at the second ': '
+    val colonVal = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:4>\r\n" +
+      "WARC-Target-URI: http://example.org/q?t=a: b\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n"
+    val out = Seq(noSep, colonVal).toDF("warc")
+      .select(Warc.headers(col("warc")).as("h"),
+        Warc.payload(col("warc")).as("pl"),
+        Warc.envelopeOk(col("warc")).as("env_ok"))
+      .select(Warc.recordId(col("h")).as("doc_id"),
+        try_element_at(col("h"), lit("WARC-Target-URI")).as("uri"),
+        col("pl"), col("env_ok"),
+        Warc.lenOk(col("h"), col("pl")).as("len_ok"))
+      .orderBy(col("doc_id").asc_nulls_last).collect()
+    assert(out(0).getAs[Long]("doc_id") === 4L)
+    assert(out(0).getAs[String]("uri") === "http://example.org/q?t=a: b")
+    assert(out(0).getAs[Long]("env_ok") === 1L)
+    assert(out(0).getAs[Long]("len_ok") === 1L)
+    assert(out(1).isNullAt(0))                   // no id recovered
+    assert(out(1).getAs[String]("pl") === "")    // no garbage payload
+    assert(out(1).getAs[Long]("env_ok") === 0L)  // flagged, visible
+    assert(out(1).getAs[Long]("len_ok") === 0L)  // can never pass
+  }
+
+  test("robots parse: CRLF endings, directive-case variants, stacked " +
+    "agent lines, and RFC 9309 Allow longest-match") {
+    import graft.ext.Robots
+    // CRLF + case-variant directives + the * group inside a stacked
+    // agent-line run — all must normalize to the same rule set
+    val messy = "User-Agent: greedy-bot\r\nDISALLOW: /\r\n\r\n" +
+      "user-agent: other-bot\r\nUser-Agent: *\r\n" +
+      "disallow:  /private\r\nDisallow:\t/tmp\r\n"
+    val got = Seq(messy).toDF("robots")
+      .select(Robots.disallows(col("robots")).as("r"))
+      .collect()(0).getSeq[String](0)
+    assert(got === Seq("/private", "/tmp"))
+    // RFC 9309 precedence: longest matching prefix wins; Allow wins
+    // length ties; no match ⇒ admitted
+    val rfc = "User-agent: *\nDisallow: /shop\nAllow: /shop/public\n" +
+      "Disallow: /shop/public/priv\nAllow: /dual\nDisallow: /dual\n"
+    val adm = Seq("/shop/x", "/shop/public/ok", "/shop/public/priv/x",
+        "/dual/x", "/elsewhere")
+      .toDF("path")
+      .select(col("path"), Robots.admitted(col("path"),
+        Robots.rules(lit(rfc))).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(adm("/shop/x") === 0L)               // Disallow /shop
+    assert(adm("/shop/public/ok") === 1L)       // longer Allow wins
+    assert(adm("/shop/public/priv/x") === 0L)   // longest Disallow wins
+    assert(adm("/dual/x") === 1L)               // tie → Allow wins
+    assert(adm("/elsewhere") === 1L)            // no match → admitted
+    // and with no Allow rules, admitted() reduces to allowed()
+    val plain = "User-agent: *\nDisallow: /private\n"
+    val both = Seq("/private/x", "/open/x").toDF("path")
+      .select(col("path"),
+        Robots.admitted(col("path"), Robots.rules(lit(plain))).as("a1"),
+        Robots.allowed(col("path"),
+          Robots.disallows(lit(plain))).as("a2"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+
   test("url normalization: ports, www, params, fragments, roots") {
     import graft.ext.Urls
     val cases = Seq(

@@ -1183,4 +1183,36 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(0)
     assert(psi(0L) === direct)
   }
+
+  test("robots admission gate: stream equals batch row-for-row, " +
+    "state bootstrapped from the rules table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamOps.{FrontierUrl, HostPolicy, Admission}
+    val policies = Seq(
+      HostPolicy("a.com", Seq("/private", "/tmp")),
+      HostPolicy("b.com", Seq.empty)).toDS()
+    val urls = Seq(
+      FrontierUrl(1L, "a.com", "/private/x"),
+      FrontierUrl(2L, "a.com", "/ok"),
+      FrontierUrl(3L, "b.com", "/anything"),
+      FrontierUrl(4L, "nohost.com", "/y"),   // no policy: admitted
+      FrontierUrl(5L, "a.com", "/tmp/z"))    // batch-2 arrival: the
+    // a.com rules must survive the micro-batch boundary in state
+    val batch = StreamOps.robotsAdmissionGate(urls.toDS(), policies)
+      .collect().map(a => a.doc_id -> a.allowed).toMap
+    val input = MemoryStream[FrontierUrl](spark)
+    val q = StreamOps.robotsAdmissionGate(input.toDS(), policies)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("robots_gate").start()
+    try {
+      input.addData(urls.take(4): _*); q.processAllAvailable()
+      input.addData(urls.drop(4): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM robots_gate").as[Admission]
+        .collect().map(a => a.doc_id -> a.allowed).toMap
+      assert(got === batch)
+      assert(batch === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 0L))
+    } finally q.stop()
+  }
 }
