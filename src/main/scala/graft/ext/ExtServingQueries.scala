@@ -1073,7 +1073,8 @@ object ExtServingQueries {
     // densified corpus from losing its signal silently). Numerator
     // and norms are INTEGER sums over the same capped term space
     // (Σtf₁tf₂, Σtf²) — only the final r4 division is floating.
-    "q_doc_similarity" -> ((s, d) => docSimilarity(docs(s, d))),
+    "q_doc_similarity" -> ((s, d) =>
+      docSimilarity(docs(s, d), Some(docSimCapStats(s, d)))),
 
     // The MEASURED fan-out bound for q_doc_similarity's DF-capped
     // self-join (VERDICT r12 #2: the Σ_t C(df_t,2) pair count was
@@ -1092,8 +1093,7 @@ object ExtServingQueries {
         .groupBy(col("doc_id"), col("shingle").as("w"))
         .agg(count(lit(1)).as("tf"))
         .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
-      val capStats = Dedup.dfCapStats(tdf, nd, DocSimDfCap, DfCapBudget)
+      val capStats = docSimCapStats(s, d)
       // C(df,2) in pure LONG arithmetic (df·(df−1) is even, so the
       // shift is exact; Spark's `/` would detour through double)
       val pairsOf = shiftright(col("df") * (col("df") - 1), 1)
@@ -1245,7 +1245,24 @@ object ExtServingQueries {
     * (cap_used/cap_saturated/capped_frac) next to the scores, so a
     * DF-cap that would exclude ~all pair mass is visible at serve
     * time, not only in q_doc_sim_fanout. */
-  private[graft] def docSimilarity(docsDf: DataFrame): DataFrame = {
+  /** The ONE-row derived-cap read-out q_doc_similarity and
+    * q_doc_sim_fanout share, memoized per (session, dir): the
+    * histogram chain behind it scans the full posting aggregation,
+    * and un-memoized every warm serve re-paid it (measured +2.1 s at
+    * sf0.1). Spec-driven corpora (no dir) snapshot without the memo. */
+  private[graft] def docSimCapStats(s: SparkSession, d: String)
+      : DataFrame =
+    Cache.getOrSnapshot(s, "doc_sim_capstats", d) {
+      val tdf = Dedup.shingles(docs(s, d), 3)
+        .groupBy(col("doc_id"), col("shingle").as("w"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      Dedup.dfCapStats(tdf, docs(s, d).agg(count(lit(1)).as("n_docs")),
+        DocSimDfCap, DfCapBudget)
+    }
+
+  private[graft] def docSimilarity(docsDf: DataFrame,
+      memoized: Option[DataFrame] = None): DataFrame = {
     val posts = Dedup.shingles(docsDf, 3)
       .groupBy(col("doc_id"), col("shingle").as("w"))
       .agg(count(lit(1)).as("tf"))
@@ -1253,8 +1270,9 @@ object ExtServingQueries {
     val nd = docsDf.agg(count(lit(1)).as("n_docs"))
     // one row; feeds the df filter AND the output columns — snapshot
     // so the histogram chain behind it runs once
-    val capStats = Dedup.dfCapStats(tdf, nd, DocSimDfCap, DfCapBudget)
-      .localCheckpoint(true)
+    val capStats = memoized.getOrElse(
+      Dedup.dfCapStats(tdf, nd, DocSimDfCap, DfCapBudget)
+        .localCheckpoint(true))
     val dfOk = tdf
       .crossJoin(broadcast(capStats.select(col("cap_used"))))
       .where(col("df") <= col("cap_used"))

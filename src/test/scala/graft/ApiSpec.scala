@@ -712,6 +712,19 @@ class ApiSpec extends SparkSpec {
     assert(ctPlan.contains("WindowGroupLimit"), ctPlan)
     assert(!ctPlan.contains("CartesianProduct"), ctPlan)
     assert(ct.collect().nonEmpty)
+    // q_topk_neighbors (r14): the ranking must be the SORT-FREE
+    // bounded-heap aggregate — ObjectHashAggregate with the graft_topk
+    // partial, no Window and no WindowGroupLimit (whose required child
+    // ordering would re-introduce the full local sort of the moment
+    // frame this path exists to avoid); the only Sort allowed is the
+    // oracle-compare orderBy ABOVE the aggregate, on the k·items rows
+    val tk = SparkEntry.queries("q_topk_neighbors")(spark, sf001)
+    val tkPlan = tk.queryExecution.executedPlan.toString
+    assert(tkPlan.contains("ObjectHashAggregate"), tkPlan)
+    assert(tkPlan.contains("graft_topk"), tkPlan)
+    assert(!tkPlan.contains("WindowGroupLimit"), tkPlan)
+    assert(!tkPlan.contains("Window "), tkPlan)
+    assert(tk.collect().nonEmpty)
   }
 
   test("round-11 slice: DP release and PSI stay one-agg + broadcast " +
