@@ -2011,6 +2011,18 @@ object ExtServingOracles {
          |       CAST(sum(${PortableHash.spreadSql(
                   PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
          |FROM documents
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Same parquet-side truth for the Avro container write→read path:
+    // the binary container must hand back every row and byte.
+    "q_avro_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |       CAST(sum(${PortableHash.spreadSql(
+                  PortableHash.hSql("text"))}) AS BIGINT) AS text_hash_sum
+         |FROM documents
          |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

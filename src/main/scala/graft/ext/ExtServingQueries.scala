@@ -1234,6 +1234,30 @@ object ExtServingQueries {
           sum(PortableHash.spread(PortableHash.h(
             coalesce(col("text"), lit(""))))).as("text_hash_sum"))
         .orderBy(col("lang"))
+    }),
+
+    // Avro interchange — the FIFTH roundtrip format, and the r13
+    // park-list item unblocked without the spark-avro module: the
+    // corpus written as Avro object-container files (one per input
+    // partition) and read back through file-grain tasks, both legs
+    // plain public Avro Java API over the core avro library every
+    // Spark classpath already ships (io.AvroInterchange scaladoc has
+    // the 100 TB shape). Avro is BINARY — no entity/quote/escape
+    // layer at all — so the folded text hash proves the container
+    // encoding itself hands back every byte. Same parquet-truth
+    // summary oracle as the JSONL/ORC/CSV/XML roundtrips.
+    "q_avro_roundtrip" -> ((s, d) => {
+      val path = graft.io.DialectFixtures.writeDocsAvro(s, d)
+      graft.io.AvroInterchange.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(PortableHash.spread(PortableHash.h(col("text"))))
+            .as("text_hash_sum"))
+        .orderBy(col("lang"))
     })
   )
 

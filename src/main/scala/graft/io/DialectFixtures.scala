@@ -182,6 +182,20 @@ object DialectFixtures {
     path
   }
 
+  def docsAvroPath(dir: String): String =
+    s"$BaseDir/${leaf(dir)}/docs_avro"
+
+  /** The document corpus rendered as Avro object-container files —
+    * the fifth interchange format (r13 park item, unblocked via the
+    * core avro library already on the classpath: AvroInterchange). */
+  def writeDocsAvro(spark: SparkSession, dir: String): String = {
+    val path = docsAvroPath(dir)
+    once(path, dir) {
+      AvroInterchange.write(Sources.table(spark, dir, "documents"), path)
+    }
+    path
+  }
+
   def docsCsvPath(dir: String): String =
     s"$BaseDir/${leaf(dir)}/docs_csv"
 

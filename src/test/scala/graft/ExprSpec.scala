@@ -175,6 +175,24 @@ class ExprSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort ["), plan)
   }
 
+  test("topKAgg under a hot group: one key with 2M rows stays exact " +
+    "and bounded (the skew shape a ranking window would sort in full)") {
+    // a single hot group is the worst case for the window form (one
+    // partition sorts everything); the heap path must stay O(n·log k)
+    // with a k-sized buffer and return the exact maxima
+    val df = spark.range(2000000).select(
+      lit(0L).as("g"), col("id").as("tie"),
+      (col("id") % 1000).cast("double").as("score"), col("id").as("extra"))
+    val got = graft.core.Ranking
+      .topKAgg(df, "g", col("score"), col("tie"), col("extra"), 4)
+      .orderBy(col("rn")).collect()
+      .map(r => (r.getDouble(2), r.getLong(1), r.getLong(4)))
+    // exact answer: score 999.0 at the four SMALLEST ties having
+    // id % 1000 == 999 → ids 999, 1999, 2999, 3999; rn 1..4
+    assert(got.toSeq === Seq((999.0, 999L, 1L), (999.0, 1999L, 2L),
+      (999.0, 2999L, 3L), (999.0, 3999L, 4L)))
+  }
+
   test("TopKBuffer: eviction, ties, merge, and serde round-trip") {
     val b = new graft.expr.TopKBuffer(3)
     b.insert(1.0, 10L, 1L); b.insert(2.0, 9L, 2L); b.insert(2.0, 4L, 3L)

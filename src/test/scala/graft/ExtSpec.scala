@@ -1692,6 +1692,35 @@ class ExtSpec extends SparkSpec {
       ("/private/x", 1L)))
   }
 
+  test("avro interchange: container write->read is row- and " +
+    "byte-exact, parallel on both legs") {
+    import graft.io.AvroInterchange
+    val src = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val path = "/tmp/graft-avro-spec"
+    AvroInterchange.write(src, path)
+    // one container per non-empty input partition (parallel write leg)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    val back = AvroInterchange.read(spark, path)
+    assert(back.rdd.getNumPartitions === files.length) // file-grain read
+    val a = src.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a === b)
+    // multi-byte + markup text crosses the BINARY container intact
+    // (no entity layer to mangle it) — and an empty text row survives
+    val edge = Seq((1L, "héllo <p>&amp; \"wörld\"</p>", "xx",
+        "s1", 5L), (2L, "", "xx", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    AvroInterchange.write(edge, "/tmp/graft-avro-spec-edge")
+    val eb = AvroInterchange.read(spark, "/tmp/graft-avro-spec-edge")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(eb(1L) === "héllo <p>&amp; \"wörld\"</p>")
+    assert(eb(2L) === "")
+  }
+
   test("doc-similarity DF cap: base corpus keeps the tuned cap " +
     "unsaturated; a densified corpus flags saturation and escalates") {
     // base corpus: the fixed cap keeps ~all pair mass → no escalation
