@@ -19,6 +19,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
+    // MUST precede any touch of the query/oracle registries: the
+    // file-reading oracles template DialectFixtures.OracleSfDir into
+    // their SQL at object init (DialectFixtures scaladoc).
+    sys.props("graft.oracle.sfdir") = sfDir
     // optional trailing query names: dump only those (local iteration;
     // the driver always runs with exactly two args → full dump).
     // Unknown names fail fast — a typo would otherwise dump nothing

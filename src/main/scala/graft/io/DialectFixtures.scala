@@ -42,10 +42,18 @@ object DialectFixtures {
 
   /** The sf dir the driver's DuckDB verify runs against (builder-
     * prompt contract: verify is always sf0.01) — the oracle SQL
-    * strings template in THIS dir's fixture paths. A verify against
-    * any other dir fails loudly in `read_csv` (missing path) rather
-    * than silently comparing against the wrong rows. */
-  val OracleSfDir = "/root/testdata/sf0.01"
+    * strings template in THIS dir's fixture paths. The driver
+    * contract makes `SparkEntry.oracleSql` dir-INDEPENDENT, so
+    * file-reading oracles must pin some dir; `graft.Verify` sets the
+    * `graft.oracle.sfdir` property from its actual sfDir argument
+    * before any oracle map materializes (found by the round-14 sf0.1
+    * full verify: the three ratings-scaled text-dialect oracles read
+    * the sf0.01 fixture while the engine read sf0.1's). A verify
+    * against a dir whose fixture was never rendered fails loudly in
+    * `read_csv` (missing path) rather than silently comparing
+    * against the wrong rows. */
+  val OracleSfDir: String =
+    sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
 
   private[io] def leaf(dir: String): String =
     Paths.get(dir).normalize().getFileName.toString

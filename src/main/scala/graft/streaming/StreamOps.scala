@@ -289,6 +289,43 @@ object StreamOps {
       }
   }
 
+  case class FrontierEvent(seq: Long, host: String, path: String,
+                           policy: Seq[String], is_policy: Boolean)
+
+  /** [[robotsAdmissionGate]] with LIVE policy updates — the refetch
+    * path a real crawl runs: a host's robots.txt changes mid-crawl,
+    * the parsed rules arrive on the SAME event stream as the frontier
+    * URLs, and every later URL for that host must be admitted under
+    * the NEW rules (including across micro-batch boundaries — the
+    * updated state is written back, which is the part the
+    * static-state gate never exercises). Events within one invocation
+    * apply in `seq` order, so a policy row cleanly splits the URLs
+    * before/after it; per-host state stays O(rules), never O(URLs).
+    * StreamingSpec proves the mid-stream flip and stream == batch. */
+  def robotsAdmissionGateLive(events: Dataset[FrontierEvent],
+                              policies: Dataset[HostPolicy])
+      : Dataset[Admission] = {
+    implicit val encA = Encoders.product[Admission]
+    implicit val encP = Encoders.product[HostPolicy]
+    implicit val encK = Encoders.STRING
+    events.groupByKey(_.host)
+      .flatMapGroupsWithState[HostPolicy, Admission](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout(),
+        policies.groupByKey(_.host)) {
+        (host: String, evs: Iterator[FrontierEvent],
+         state: GroupState[HostPolicy]) =>
+          var dis = state.getOption.map(_.disallows).getOrElse(Seq.empty)
+          val out = evs.toArray.sortBy(_.seq).flatMap { e =>
+            if (e.is_policy) { dis = e.policy; None }
+            else Some(Admission(e.seq, host, e.path,
+              if (dis.exists(e.path.startsWith)) 0L else 1L))
+          }
+          state.update(HostPolicy(host, dis))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time twin of
     * [[graft.ext.Dedup.dropDuplicatesKeepFirst]]: duplicates of a key
     * arriving within the watermark horizon are dropped (first

@@ -1215,4 +1215,37 @@ class StreamingSpec extends SparkSpec {
         5L -> 0L))
     } finally q.stop()
   }
+
+  test("robots gate with LIVE policy updates: a mid-stream rules " +
+    "refetch flips later admissions, across micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamOps.{FrontierEvent, HostPolicy, Admission}
+    val boot = Seq(HostPolicy("a.com", Seq("/p"))).toDS()
+    def url(seq: Long, path: String) =
+      FrontierEvent(seq, "a.com", path, Seq.empty, is_policy = false)
+    def policy(seq: Long, dis: String*) =
+      FrontierEvent(seq, "a.com", "", dis, is_policy = true)
+    val events = Seq(
+      url(1L, "/p/x"),              // denied under the bootstrap rules
+      policy(2L, "/q"),             // refetch: /p opens, /q closes
+      url(3L, "/p/x"),              // now admitted
+      url(4L, "/q/y"),              // now denied
+      url(5L, "/q/z"))              // batch-2 arrival: the UPDATED
+    // rules must have crossed the micro-batch boundary in state
+    val batch = StreamOps.robotsAdmissionGateLive(events.toDS(), boot)
+      .collect().map(a => a.doc_id -> a.allowed).toMap
+    val input = MemoryStream[FrontierEvent](spark)
+    val q = StreamOps.robotsAdmissionGateLive(input.toDS(), boot)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("robots_live").start()
+    try {
+      input.addData(events.take(4): _*); q.processAllAvailable()
+      input.addData(events.drop(4): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM robots_live").as[Admission]
+        .collect().map(a => a.doc_id -> a.allowed).toMap
+      assert(got === batch)
+      assert(batch === Map(1L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+    } finally q.stop()
+  }
 }
