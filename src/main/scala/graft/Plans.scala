@@ -12,8 +12,8 @@ object Plans {
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "q_scan_filter_project", "q_join_broadcast_dims",
       "q_topk_neighbors", "q_agg_pricing_summary", "q_parse_ratings")
-    val spark = SparkSession.builder()
-      .master("local[4]")
+    val spark = graft.core.Tuning.defaults(SparkSession.builder()
+      .master("local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

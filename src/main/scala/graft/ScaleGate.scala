@@ -322,7 +322,8 @@ object ScaleGate {
     val out = if (fullStar) s"/root/repo/target/scalefull$factor"
               else s"/root/repo/target/scale$factor"
     def session(): SparkSession = {
-      val s = SparkSession.builder().master("local[32]")
+      val s = graft.core.Tuning.defaults(
+        SparkSession.builder().master("local[32]"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

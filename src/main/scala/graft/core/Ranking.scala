@@ -61,13 +61,16 @@ object Ranking {
     val s = df.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(s)
     // ObjectHashAggregate falls back to SORT-BASED aggregation after
-    // 128 distinct keys by default — the sort is exactly what this
-    // path exists to avoid. Budget: a TopKBuffer(10) is ~0.4 KB, so
-    // even the 50× gate's ~1M-items-per-task map stays a few hundred
-    // MB; on a real cluster rows-per-task shrink with executor count.
-    s.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "16777216")
+    // `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    // distinct keys per task (default 128) — the sort is exactly what
+    // this path exists to avoid, so every graft entry point raises it
+    // at session BOOTSTRAP ([[graft.core.Tuning.SessionDefaults]];
+    // round-14 verdict #4 moved it out of here — a mid-plan session
+    // mutation silently changed every later ObjectHashAggregate).
+    // Correctness never depends on it: past the threshold the
+    // sort-based fallback is row-identical (ExprSpec forces the
+    // threshold below the group count and asserts equality), only
+    // sort-bound.
     df.groupBy(col(partCol))
       .agg(call_function("graft_topk", lit(k),
         scoreCol.cast("double"), tieCol.cast("long"),

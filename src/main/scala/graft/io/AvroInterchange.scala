@@ -51,10 +51,21 @@ object AvroInterchange {
     StructField("n_chars", LongType, nullable = false)))
 
   /** Write `df` (documents shape) as Avro container files under
-    * `path`, one `part-NNNNN.avro` per non-empty input partition. */
+    * `path`, one `part-NNNNN.avro` per non-empty input partition.
+    *
+    * Commit protocol (ADVICE r14): tasks never write the final name
+    * directly — each attempt streams to a `.inprogress-<attemptId>`
+    * temp (attempt-unique, so a speculative or zombie retry running
+    * CONCURRENTLY with the winner writes a different file) and
+    * atomically renames onto `part-NNNNN.avro` only after its own
+    * close() succeeds. Whichever attempt renames last wins whole —
+    * ATOMIC_MOVE replaces the destination as a unit, so a reader can
+    * never observe a torn container. Failed/killed attempts leave
+    * only a temp, swept by the overwrite pass of the next write. */
   def write(df: DataFrame, path: String): Unit = {
     val dir = new File(path)
     // overwrite semantics, matching DataFrameWriter.mode("overwrite")
+    // (also sweeps any .inprogress leftovers from failed attempts)
     if (dir.exists()) {
       Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
     }
@@ -65,26 +76,48 @@ object AvroInterchange {
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val schema = new Schema.Parser().parse(json)
-          val pid = TaskContext.getPartitionId()
+          val tc = TaskContext.get()
+          val pid = tc.partitionId()
+          val tmp = new File(path,
+            f"part-$pid%05d.avro.inprogress-${tc.taskAttemptId()}")
           val out = new File(path, f"part-$pid%05d.avro")
           val w = new DataFileWriter(
             new GenericDatumWriter[GenericRecord](schema))
-          w.create(schema, out)
-          try it.foreach { r =>
-            val rec = new GenericData.Record(schema)
-            rec.put("doc_id", r.getLong(0))
-            rec.put("text", r.getString(1))
-            rec.put("lang", r.getString(2))
-            rec.put("source", r.getString(3))
-            rec.put("n_chars", r.getLong(4))
-            w.append(rec)
-          } finally w.close()
+          w.create(schema, tmp)
+          var ok = false
+          try {
+            it.foreach { r =>
+              val rec = new GenericData.Record(schema)
+              rec.put("doc_id", r.getLong(0))
+              rec.put("text", r.getString(1))
+              rec.put("lang", r.getString(2))
+              rec.put("source", r.getString(3))
+              rec.put("n_chars", r.getLong(4))
+              w.append(rec)
+            }
+            w.close() // flush + sync marker BEFORE the commit rename
+            ok = true
+            java.nio.file.Files.move(tmp.toPath, out.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          } finally {
+            if (!ok) { try w.close() catch { case _: Throwable => () }
+                       tmp.delete(); () }
+          }
         }
       }
   }
 
   /** Read the container files under `path` back as a DataFrame — one
-    * task per file (the same grain Spark's avro source schedules). */
+    * task per file (the same grain Spark's avro source schedules).
+    *
+    * Streaming at partition grain (ADVICE r14): rows are decoded
+    * lazily off `DataFileReader` as the task consumes the iterator —
+    * per-task memory is O(one avro block), never O(file). The reader
+    * closes on exhaustion AND on a task-completion listener, so a
+    * short-circuited downstream (limit, take) cannot leak the file
+    * handle. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = Option(new File(path).listFiles())
       .getOrElse(Array.empty[File])
@@ -95,18 +128,26 @@ object AvroInterchange {
       .flatMap { fp =>
         val rdr = new DataFileReader(
           new File(fp), new GenericDatumReader[GenericRecord]())
-        try {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-          while (rdr.hasNext) {
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](
+          _ => try rdr.close() catch { case _: Throwable => () }))
+        new Iterator[Row] {
+          private var closed = false
+          def hasNext: Boolean = {
+            if (closed) false
+            else if (rdr.hasNext) true
+            else { closed = true
+                   try rdr.close() catch { case _: Throwable => () }
+                   false }
+          }
+          def next(): Row = {
             val rec = rdr.next()
             // Avro strings materialize as Utf8 — toString, not cast
-            buf += Row(rec.get("doc_id").asInstanceOf[Long],
+            Row(rec.get("doc_id").asInstanceOf[Long],
               rec.get("text").toString, rec.get("lang").toString,
               rec.get("source").toString,
               rec.get("n_chars").asInstanceOf[Long])
           }
-          buf
-        } finally rdr.close()
+        }
       }
     spark.createDataFrame(rows, readSchema)
   }

@@ -36,6 +36,12 @@ object Sources {
     * microsecond precision, the same floor DuckDB applies, so
     * event-time semantics agree with oracles either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-wide by nature (documented: Tuning.SessionDefaults sets
+    // it at every graft entry point's bootstrap); this idempotent set
+    // is the fail-safe for externally-built sessions. "true" is the
+    // only workable value for a NANOS-encoded file — without it the
+    // read FAILS (PARQUET_TYPE_ILLEGAL), nothing silently degrades —
+    // so there is no restore hazard.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }

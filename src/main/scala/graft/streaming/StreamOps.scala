@@ -974,7 +974,10 @@ object StreamOps {
                        queryName: String): StreamingQuery = {
     // events.ts encoding varies by testdata round (TIMESTAMP(NANOS)
     // vs TIMESTAMP_NTZ micros): normalize exactly like the batch
-    // reader (graft.io.Sources.normalizeEventTs).
+    // reader (graft.io.Sources.normalizeEventTs). Session-wide by
+    // nature — Tuning.SessionDefaults sets it at bootstrap; this
+    // idempotent set is the fail-safe for external sessions (see the
+    // Sources.events note: "true" is the only workable value).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a directory: stream the sf dir,

@@ -193,6 +193,43 @@ class ExprSpec extends SparkSpec {
       (999.0, 2999L, 3L), (999.0, 3999L, 4L)))
   }
 
+  test("topKAgg past the sort-based fallback threshold stays " +
+    "row-identical, and builds without mutating session conf") {
+    // Round-14 verdict #4: the 16M fallback threshold moved from a
+    // topKAgg side effect to session bootstrap (Tuning). Two claims
+    // to prove: (1) building/running topKAgg leaves the session conf
+    // untouched; (2) correctness never depended on the raised
+    // threshold — with it forced BELOW the distinct-key count, every
+    // task takes ObjectHashAggregate's sort-based fallback path and
+    // the rows are still identical to the window form.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    val df = spark.range(20000).select(
+      (col("id") % 500).as("g"), col("id").as("tie"),
+      (col("id") % 41).cast("double").as("score"),
+      (col("id") % 7).as("extra"))
+    try {
+      spark.conf.set(key, "4") // 500 groups over 4 partitions >> 4
+      val viaAgg = graft.core.Ranking
+        .topKAgg(df, "g", col("score"), col("tie"), col("extra"), 3)
+      assert(spark.conf.get(key) === "4",
+        "topKAgg must not touch session conf")
+      val gotAgg = viaAgg
+        .select(col("g"), col("tie"), col("score"), col("extra"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(spark.conf.get(key) === "4",
+        "topKAgg execution must not touch session conf")
+      val gotWin = graft.core.Ranking
+        .topK(df, "g", col("score"), "tie", 3)
+        .select(col("g"), col("tie"), col("score"), col("extra"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(gotAgg === gotWin)
+      assert(gotAgg.size === 1500) // 500 groups × k=3, all groups full
+    } finally spark.conf.set(key, prev)
+  }
+
   test("TopKBuffer: eviction, ties, merge, and serde round-trip") {
     val b = new graft.expr.TopKBuffer(3)
     b.insert(1.0, 10L, 1L); b.insert(2.0, 9L, 2L); b.insert(2.0, 4L, 3L)

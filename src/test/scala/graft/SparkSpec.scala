@@ -27,8 +27,8 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = graft.core.Tuning.defaults(SparkSession.builder()
+      .master("local[4]"))
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
