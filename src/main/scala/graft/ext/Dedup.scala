@@ -176,6 +176,71 @@ object Dedup {
                 "/ CAST(total_pairs AS DOUBLE) END")} AS capped_frac
        |         FROM capf)""".stripMargin
 
+  /** LSH bucket-cap read-out (r14 verdict #6): ONE row
+    * `(cap_used, cap_saturated, capped_frac, hot_buckets)` over the
+    * band-bucket SIZE distribution — the [[dfCapStats]] visibility
+    * discipline applied to [[MinhashBucketCap]]. Pair mass per bucket
+    * is C(sz,2); `capped_frac` = kept mass / total mass, and
+    * `cap_saturated` trips when the cap keeps < 5% of the corpus's
+    * LSH pair mass (same 20× integer rule as dfCapStats).
+    *
+    * Unlike the DF cap, the bucket cap does NOT auto-escalate:
+    * raising it grows the within-bucket quadratic the cap exists to
+    * bound, and the engine already ships the structural escalation —
+    * [[minhashRescueCandidates]] re-bands the over-cap population
+    * under a disjoint permutation family. What the serve needs is to
+    * SEE saturation (so a deploy sizes the rescue pass or routes the
+    * residue to exact rescoring) instead of inferring it from a
+    * silently thin candidate set. The frame is bucket-histogram-sized
+    * (one row per distinct (b, mh)), aggregated to one row — fine at
+    * any corpus scale. SQL twin: [[bucketCapStatsSql]].
+    */
+  def bucketCapStats(bandMins: DataFrame, cap: Int): DataFrame = {
+    import graft.core.Det
+    val sizes = bandMins.groupBy(col("b"), col("mh"))
+      .agg(count(lit(1)).as("sz"))
+    // C(sz,2) in pure LONG arithmetic (sz·(sz−1) is even → exact shift)
+    sizes.withColumn("fan",
+        shiftright(col("sz") * (col("sz") - 1), 1))
+      .agg(
+        coalesce(sum(col("fan")), lit(0L)).as("total_pairs"),
+        coalesce(sum(when(col("sz") <= cap, col("fan"))
+          .otherwise(lit(0L))), lit(0L)).as("kept_pairs"),
+        coalesce(sum(when(col("sz") > cap, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("hot_buckets"))
+      .select(
+        lit(cap.toLong).as("cap_used"),
+        (col("kept_pairs") * 20 < col("total_pairs")).cast("long")
+          .as("cap_saturated"),
+        Det.r4(when(col("total_pairs") === 0L, lit(1.0))
+          .otherwise(col("kept_pairs").cast("double") /
+            col("total_pairs").cast("double"))).as("capped_frac"),
+        col("hot_buckets"))
+  }
+
+  /** DuckDB twin of [[bucketCapStats]] as CTEs ending in
+    * `bucketstats` (cap_used, cap_saturated, capped_frac,
+    * hot_buckets). `bandMinsCte` must expose (b, mh) one row per
+    * (doc, band); `r4` is the caller's rounding twin. */
+  def bucketCapStatsSql(bandMinsCte: String, cap: Int,
+                        r4: String => String): String =
+    s"""bsz AS (SELECT b, mh, CAST(count(*) AS BIGINT) AS sz
+       |        FROM $bandMinsCte GROUP BY 1, 2),
+       |bagg AS (SELECT
+       |    CAST(coalesce(sum(sz*(sz-1)//2), 0) AS BIGINT) AS total_pairs,
+       |    CAST(coalesce(sum(CASE WHEN sz <= $cap THEN sz*(sz-1)//2
+       |      ELSE 0 END), 0) AS BIGINT) AS kept_pairs,
+       |    CAST(coalesce(sum(CASE WHEN sz > $cap THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS hot_buckets
+       |    FROM bsz),
+       |bucketstats AS (SELECT CAST($cap AS BIGINT) AS cap_used,
+       |    CAST(CASE WHEN kept_pairs*20 < total_pairs THEN 1 ELSE 0 END
+       |      AS BIGINT) AS cap_saturated,
+       |    ${r4("CASE WHEN total_pairs = 0 THEN 1.0 ELSE " +
+              "CAST(kept_pairs AS DOUBLE)/CAST(total_pairs AS DOUBLE) " +
+              "END")} AS capped_frac,
+       |    hot_buckets FROM bagg)""".stripMargin
+
   /** Fixed-length character windows with a stride (the exact-substring
     * dedup unit of Lee et al.'s "Deduplicating Training Data Makes
     * Language Models Better" — suffix-array ExactSubstr, approximated

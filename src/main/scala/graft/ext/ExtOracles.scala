@@ -774,7 +774,8 @@ object ExtOracles {
        |  FROM uassign1 a
        |  LEFT JOIN uprior up ON up.vec_id = a.vec_id
        |  LEFT JOIN usok ON usok.cell_id = a.cell_id
-       |   AND usok.sub_id = a.sub_id)
+       |   AND usok.sub_id = a.sub_id),
+       |${graft.ext.VectorSearch.cellCapStatsSql(s"assign$iters", cap, r4)}
        |SELECT a.vec_id, a.cell_id,
        |       CAST(CASE WHEN r.rescued = 1 THEN r.n_prior
        |                 ELSE COALESCE(p.n_prior, 0) END AS BIGINT)
@@ -788,11 +789,14 @@ object ExtOracles {
        |                 ELSE 0 END AS BIGINT) AS is_dup,
        |       CASE WHEN okc.cell_id IS NULL THEN CAST(1 AS BIGINT)
        |            ELSE CAST(0 AS BIGINT) END AS over_cap,
-       |       CAST(COALESCE(r.rescued, 0) AS BIGINT) AS rescued
+       |       CAST(COALESCE(r.rescued, 0) AS BIGINT) AS rescued,
+       |       cs.cap_used, cs.cap_saturated, cs.capped_frac,
+       |       cs.hot_cells
        |FROM assign$iters a
        |LEFT JOIN prior p USING (vec_id)
        |LEFT JOIN okc ON okc.cell_id = a.cell_id
        |LEFT JOIN uresc r ON r.vec_id = a.vec_id
+       |CROSS JOIN cellstats cs
        |ORDER BY vec_id""".stripMargin
   }
 
@@ -1305,8 +1309,12 @@ object ExtOracles {
     "q_stream_incremental_dedup" -> incrementalDedupSql,
 
     "q_minhash_near_dup" ->
-      s"""WITH $candSql
-         |SELECT d1, d2, bands FROM cand ORDER BY d1, d2""".stripMargin,
+      s"""WITH $candSql,
+         |${Dedup.bucketCapStatsSql("bandmins", Dedup.MinhashBucketCap,
+             r4)}
+         |SELECT d1, d2, bands, cap_used, cap_saturated, capped_frac,
+         |       hot_buckets
+         |FROM cand, bucketstats ORDER BY d1, d2""".stripMargin,
 
     // Index-serve triage replayed: full-corpus band minima (stored ∪
     // arriving IS the full corpus — minima are per-doc), the shared

@@ -224,6 +224,14 @@ object ExtQueries {
     Cache.getOrPersist(s, "minhash_cand", d)(
       Dedup.minhashCandidates(bandMinsC(s, d)))
 
+  /** One-row LSH bucket-cap read-out (r14 verdict #6), memoized like
+    * docSimCapStats — the histogram agg over the cached band minima
+    * runs once per (session, dir), then every serve crossJoins the
+    * snapshot row. */
+  private[ext] def bucketStatsC(s: SparkSession, d: String) =
+    Cache.getOrSnapshot(s, "minhash_bucketstats", d)(
+      Dedup.bucketCapStats(bandMinsC(s, d), Dedup.MinhashBucketCap))
+
   /** Distinct (doc_id, shingle) STRING set — the one cache that keeps
     * the strings, because exact Jaccard rescoring compares shingle
     * sets; materialized because ngramJaccard references it three times
@@ -937,9 +945,16 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash+LSH near-dup candidates (8 portable-hash bands).
+    // MinHash+LSH near-dup candidates (8 portable-hash bands), with
+    // the bucket-cap saturation read-out on every row (r14 verdict
+    // #6: the DF caps self-report saturation, the LSH cap was still
+    // fixed-and-silent — a densified corpus could lose ~all its pair
+    // mass to the cap with nothing at serve time saying so; the
+    // rescue pass is the escalation, this is the visibility).
     "q_minhash_near_dup" -> ((s, d) =>
-      candidatesC(s, d).orderBy(col("d1"), col("d2"))),
+      candidatesC(s, d)
+        .crossJoin(broadcast(bucketStatsC(s, d)))
+        .orderBy(col("d1"), col("d2"))),
 
     // DURABLE near-dup index (the dedup family's q_ann_persist
     // analog): the base corpus's minhash band minima — the LSH

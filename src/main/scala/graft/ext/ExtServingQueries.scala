@@ -105,8 +105,17 @@ object ExtServingQueries {
       // k-means split within the cell, dedup in sub-cells that fit
       // the cap) — the minhash-rescue discipline applied to the
       // semantic family; `rescued` marks verdicts from the split.
+      // cell-cap saturation read-out on every row (r14 verdict #6):
+      // the per-row over_cap/rescued flags show WHICH rows sit in hot
+      // cells; the crossJoined one-row stats show the AGGREGATE pair
+      // mass the cap is dropping — the serve-time signal for sizing
+      // ksub / recursing. Memoized per (session, dir) like the other
+      // one-row read-outs.
+      val cellStats = Cache.getOrSnapshot(s, "semdedup_cellstats", d)(
+        VectorSearch.cellCapStats(assigned, SemCellCap))
       VectorSearch.semDedupWithRescue(assigned, SemTau, SemCellCap,
           ksub = SemSubK)
+        .crossJoin(broadcast(cellStats))
         .orderBy(col("vec_id"))
     }),
 

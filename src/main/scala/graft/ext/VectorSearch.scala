@@ -401,6 +401,60 @@ object VectorSearch {
         coalesce(col("rescued"), lit(0L)).as("rescued"))
   }
 
+  /** SemDeDup cell-cap read-out (r14 verdict #6): ONE row
+    * `(cap_used, cap_saturated, capped_frac, hot_cells)` over the
+    * cell SIZE distribution — the [[graft.ext.Dedup.bucketCapStats]]
+    * shape for the semantic family. Pair mass per cell is C(csz,2);
+    * saturation = the cap keeps < 5% of the within-cell pair mass
+    * (20× integer rule). Like the LSH bucket cap, no auto-escalation:
+    * the structural escalation is [[semDedupSubSplit]] (over-cap
+    * cells get a scoped k-means split), and the residual monitoring
+    * surface is `over_cap=1 ∧ rescued=0` rows — this read-out makes
+    * the aggregate saturation visible at serve time so a deploy sizes
+    * `ksub` / recurses instead of discovering a thin verdict set
+    * after the fact. Cell histogram is O(k) rows. SQL twin:
+    * [[cellCapStatsSql]].
+    */
+  def cellCapStats(assigned: DataFrame, cap: Int): DataFrame =
+    assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("csz"))
+      .withColumn("fan", shiftright(col("csz") * (col("csz") - 1), 1))
+      .agg(
+        coalesce(sum(col("fan")), lit(0L)).as("total_pairs"),
+        coalesce(sum(when(col("csz") <= cap, col("fan"))
+          .otherwise(lit(0L))), lit(0L)).as("kept_pairs"),
+        coalesce(sum(when(col("csz") > cap, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("hot_cells"))
+      .select(
+        lit(cap.toLong).as("cap_used"),
+        (col("kept_pairs") * 20 < col("total_pairs")).cast("long")
+          .as("cap_saturated"),
+        Det.r4(when(col("total_pairs") === 0L, lit(1.0))
+          .otherwise(col("kept_pairs").cast("double") /
+            col("total_pairs").cast("double"))).as("capped_frac"),
+        col("hot_cells"))
+
+  /** DuckDB twin of [[cellCapStats]] as CTEs ending in `cellstats`.
+    * `assignCte` must expose (vec_id, cell_id); `r4` is the caller's
+    * rounding twin. */
+  def cellCapStatsSql(assignCte: String, cap: Int,
+                      r4: String => String): String =
+    s"""csz AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS csz
+       |        FROM $assignCte GROUP BY 1),
+       |cagg AS (SELECT
+       |    CAST(coalesce(sum(csz*(csz-1)//2), 0) AS BIGINT) AS total_pairs,
+       |    CAST(coalesce(sum(CASE WHEN csz <= $cap THEN csz*(csz-1)//2
+       |      ELSE 0 END), 0) AS BIGINT) AS kept_pairs,
+       |    CAST(coalesce(sum(CASE WHEN csz > $cap THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS hot_cells
+       |    FROM csz),
+       |cellstats AS (SELECT CAST($cap AS BIGINT) AS cap_used,
+       |    CAST(CASE WHEN kept_pairs*20 < total_pairs THEN 1 ELSE 0 END
+       |      AS BIGINT) AS cap_saturated,
+       |    ${r4("CASE WHEN total_pairs = 0 THEN 1.0 ELSE " +
+              "CAST(kept_pairs AS DOUBLE)/CAST(total_pairs AS DOUBLE) " +
+              "END")} AS capped_frac,
+       |    hot_cells FROM cagg)""".stripMargin
+
   /** Deterministic fixed-iteration k-means coarse quantizer — the
     * production cell builder [[ivfTopK]]'s scaladoc promises (label
     * centroids are the testdata stand-in). Spark-first shape: each

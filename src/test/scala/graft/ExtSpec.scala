@@ -1751,6 +1751,56 @@ class ExtSpec extends SparkSpec {
     assert(rows(0).getDouble(2) < 1.0)
   }
 
+  test("LSH bucket-cap stats: quiet corpus reads unsaturated; a " +
+    "boilerplate-heavy corpus flags saturation with the dropped mass") {
+    // quiet corpus: sf0.001 band buckets never approach the production cap
+    val base = spark.read.parquet(s"$sf001/documents.parquet")
+    val bm = Dedup.minhashBandMins(Dedup.shingles(base))
+    val quiet = Dedup.bucketCapStats(bm, Dedup.MinhashBucketCap)
+      .collect()(0)
+    assert(quiet.getLong(0) === Dedup.MinhashBucketCap.toLong)
+    assert(quiet.getLong(1) === 0L, "quiet corpus must not saturate")
+    assert(quiet.getDouble(2) === 1.0)
+    assert(quiet.getLong(3) === 0L)
+    // boilerplate corpus: ONE text replicated past the cap — every
+    // band bucket for that text goes hot, concentrating ~all pair
+    // mass in over-cap buckets; the read-out must say so (this is the
+    // corpus where a silent cap loses the near-dup signal and the
+    // rescue pass carries the weight)
+    import spark.implicits._
+    val n = Dedup.MinhashBucketCap + 50
+    val hotDocs = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same boilerplate header text repeated verbatim").as("text"))
+    val hotBm = Dedup.minhashBandMins(Dedup.shingles(hotDocs))
+    val hot = Dedup.bucketCapStats(hotBm, Dedup.MinhashBucketCap)
+      .collect()(0)
+    assert(hot.getLong(1) === 1L, s"must flag saturation: $hot")
+    assert(hot.getDouble(2) < 0.05, s"kept mass must read tiny: $hot")
+    assert(hot.getLong(3) === Dedup.Bands.toLong,
+      "every band bucket of the replicated text is hot")
+  }
+
+  test("SemDeDup cell-cap stats: saturation flagged when one hot cell " +
+    "holds the pair mass") {
+    import spark.implicits._
+    // synthetic assignment: one 100-member cell (cap 65 → hot) + one
+    // 5-member cell. kept = C(5,2) = 10; total = 10 + C(100,2) = 4960;
+    // 20·10 < 4960 → saturated.
+    val assigned = ((0 until 100).map(i => (i.toLong, 1L)) ++
+      (100 until 105).map(i => (i.toLong, 2L)))
+      .toDF("vec_id", "cell_id")
+    val r = VectorSearch.cellCapStats(assigned, 65).collect()(0)
+    assert(r.getLong(0) === 65L)
+    assert(r.getLong(1) === 1L)
+    assert(math.abs(r.getDouble(2) - 10.0 / 4960.0) < 1e-3, r)
+    assert(r.getLong(3) === 1L)
+    // under-cap twin: nothing dropped
+    val ok = VectorSearch.cellCapStats(
+      assigned.where(col("cell_id") === 2L), 65).collect()(0)
+    assert(ok.getLong(1) === 0L && ok.getDouble(2) === 1.0 &&
+      ok.getLong(3) === 0L)
+  }
+
   test("warc parse: structural malformation flagged (envelope_ok), " +
     "header values keep their first-': ' split") {
     import graft.ext.Warc
