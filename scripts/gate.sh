@@ -2,7 +2,21 @@
 # Launch graft.ScaleGate with the build.sbt JVM options but WITHOUT sbt,
 # so long gate runs don't hold the sbt build lock. Usage:
 #   scripts/gate.sh <heap> <baseDir> <factor> [query ... | --fullstar]
+#   scripts/gate.sh <heap> <baseDir> <factor> --per-query [--fullstar] q1 q2 ...
 # e.g. scripts/gate.sh 90g /root/testdata/sf0.1 100 q_token_count ...
+#
+# --per-query (r14 verdict #1 + #2): ONE JVM PER QUERY — each query's
+# recorded cold/warm rows are solo by construction (no storage-pool
+# co-residency from other queries' snapshots, the interference that
+# read q_ship_priority at 38.9x in-gate vs 2.3x solo), and scratch
+# disk is reclaimed at EVERY process exit (the ENOSPC wall the 35x/50x
+# rec sweeps hit when three bootstrap chains stacked in one JVM).
+# Between processes the script purges stale bucketed ratings tables
+# (spark-warehouse/graft_ratings_*, ~0.6 GB each at 35x) and checks
+# free disk against the measured rule (per-query peak ~1.8 GB x
+# factor; PLANS.md round-14 disk postmortem) — an under-provisioned
+# query is SKIPPED with a message instead of ENOSPC-ing the sweep.
+# Rows append to target/gate_perquery_f<factor>[_fullstar].jsonl.
 set -euo pipefail
 HEAP="$1"; shift
 # Repo root from the script's own location (ADVICE r13: a hardcoded
@@ -29,6 +43,45 @@ for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"$HEAP" -cp "$CLASSES:/opt/spark/jars/*" \
-  graft.ScaleGate "$@"
+run_gate() {
+  java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Xmx"$HEAP" -cp "$CLASSES:/opt/spark/jars/*" \
+    graft.ScaleGate "$@"
+}
+
+if [ "${4:-}" != "--per-query" ] && ! printf '%s\n' "$@" | grep -qx -- '--per-query'; then
+  run_gate "$@"
+  exit $?
+fi
+
+# --- per-query mode -------------------------------------------------
+BASE="$1"; FACTOR="$2"; shift 2
+FULLSTAR=""
+QUERIES=()
+for a in "$@"; do
+  case "$a" in
+    --per-query) ;;
+    --fullstar) FULLSTAR="--fullstar" ;;
+    *) QUERIES+=("$a") ;;
+  esac
+done
+[ "${#QUERIES[@]}" -gt 0 ] || { echo "gate.sh --per-query: no queries given" >&2; exit 1; }
+SUFFIX=""; [ -n "$FULLSTAR" ] && SUFFIX="_fullstar"
+OUT="$ROOT/target/gate_perquery_f${FACTOR}${SUFFIX}.jsonl"
+# measured per-query scratch peak (PLANS.md r14 disk postmortem):
+# ~1.8 GB x factor, floor 20 GB
+NEED_GB=$(( FACTOR * 18 / 10 )); [ "$NEED_GB" -lt 20 ] && NEED_GB=20
+for q in "${QUERIES[@]}"; do
+  # reclaim the known cross-process leftovers BEFORE the disk check:
+  # each gate session leaves one bucketed ratings table per dir
+  rm -rf "$ROOT"/spark-warehouse/graft_ratings_* 2>/dev/null || true
+  AVAIL_GB=$(df -BG --output=avail "$ROOT/target" | tail -1 | tr -dc '0-9')
+  if [ "$AVAIL_GB" -lt "$NEED_GB" ]; then
+    echo "gate.sh: SKIP $q — ${AVAIL_GB} GB free < ${NEED_GB} GB needed at factor $FACTOR (rule: 1.8 GB x factor)" >&2
+    echo "{\"gate_skip\":\"$q\",\"avail_gb\":$AVAIL_GB,\"need_gb\":$NEED_GB}" >> "$OUT"
+    continue
+  fi
+  echo "gate.sh: per-query $q (factor $FACTOR$SUFFIX, ${AVAIL_GB} GB free)" >&2
+  run_gate "$BASE" "$FACTOR" $FULLSTAR "$q" | tee -a "$OUT"
+done
+echo "gate.sh: per-query sweep done — rows in $OUT" >&2

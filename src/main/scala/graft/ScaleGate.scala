@@ -282,6 +282,26 @@ object ScaleGate {
   private def f2(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
+  /** Bytes of session-materialized state (persist/localCheckpoint
+    * blocks) currently in the block manager — the co-residency the
+    * r14 postmortem measured distorting in-gate rows by up to 17×
+    * (six queries' snapshots sharing one JVM storage pool push each
+    * other to the disk tier; on a cluster the pool is per-executor
+    * and this interference doesn't exist). Public DeveloperApi. */
+  private def cachedBytes(s: SparkSession): Long =
+    s.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+
+  /** Storage budget (bytes) above which the sweep ROLLS the session
+    * before the next query (r14 verdict #1: budget gate chunks by
+    * measured snapshot bytes). Default: half the heap — the point
+    * where MEMORY_AND_DISK snapshots start evicting each other on
+    * this single JVM. Override: SPARK_GRAFT_GATE_STORAGE_BUDGET_GB. */
+  private def storageBudget: Long =
+    sys.env.get("SPARK_GRAFT_GATE_STORAGE_BUDGET_GB")
+      .map(g => (g.toDouble * (1L << 30)).toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 2)
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -340,9 +360,28 @@ object ScaleGate {
     build.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
+    // Storage-budgeted sweep (r14 verdict #1): before each query,
+    // if the session's materialized state exceeds the budget, ROLL
+    // the session — the next query rebuilds what it needs instead of
+    // timing its warm run against a pool crowded by six other
+    // queries' snapshots (the co-residency that read q_ship_priority
+    // at 38.9× in-gate vs 2.3× solo). Every recorded row carries the
+    // pool bytes it actually ran against, so a crowded row is visible
+    // in the artifact instead of needing a hand-run re-measure.
     def sweep(dir: String): Map[String, Double] = {
-      val s = session()
+      var s = session()
+      val budget = storageBudget
       val times = gate.map { q =>
+        val pooled = cachedBytes(s)
+        if (pooled > budget) {
+          System.err.println(f"[gate] rolling session before $q: " +
+            f"${pooled / 1e9}%.1f GB cached > budget ${budget / 1e9}%.1f GB")
+          println(s"""{"gate_roll":"$q","cached_gb":${f2(pooled / 1e9)}}""")
+          s.stop()
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          s = session()
+        }
+        val poolAtStart = cachedBytes(s)
         def once(): Double = {
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(s, dir).count()
@@ -350,6 +389,8 @@ object ScaleGate {
         }
         val first = once() // cold: codegen + cache fills
         val warm = once()
+        println(s"""{"gate_row":"$q","dir":"$dir","cold_sec":${f2(first)},""" +
+          s""""warm_sec":${f2(warm)},"pool_gb_at_start":${f2(poolAtStart / 1e9)}}""")
         // materialized results: the warm pass scans a snapshot —
         // grade the build, or the memo hides the iteration's scaling
         q -> (if (Materialized(q)) first else warm)
