@@ -1308,6 +1308,17 @@ object ExtOracles {
     // state machine and the batch join can never drift apart.
     "q_stream_incremental_dedup" -> incrementalDedupSql,
 
+    // per-bucket hot list at the rescue cap (the population
+    // q_minhash_rescue re-bands); heads shared with the candidate
+    // chain
+    "q_lsh_hot_buckets" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |${Dedup.minhashBandMinsSql}
+         |SELECT b, mh, CAST(count(*) AS BIGINT) AS sz
+         |FROM bandmins GROUP BY 1, 2
+         |HAVING count(*) > ${RescueCap}
+         |ORDER BY b, mh""".stripMargin,
+
     "q_minhash_near_dup" ->
       s"""WITH $candSql,
          |${Dedup.bucketCapStatsSql("bandmins", Dedup.MinhashBucketCap,
@@ -1425,6 +1436,16 @@ object ExtOracles {
          |WHERE q.doc_id <> k.corpus_doc
          |GROUP BY 1, 2
          |ORDER BY doc_id, corpus_doc""".stripMargin,
+
+    // per-block hot list at the production cap (the population
+    // q_simhash_rescue re-blocks); heads shared with the pair chain
+    "q_simhash_hot_blocks" ->
+      s"""WITH $simhashPairCtes
+         |SELECT CAST(blk AS BIGINT) AS blk, CAST(bv AS BIGINT) AS bv,
+         |       CAST(count(*) AS BIGINT) AS sz
+         |FROM blocks GROUP BY 1, 2
+         |HAVING count(*) > ${Dedup.SimhashBlockCap}
+         |ORDER BY blk, bv""".stripMargin,
 
     "q_simhash_near_dup" ->
       s"""WITH $simhashPairCtes

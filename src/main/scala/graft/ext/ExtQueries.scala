@@ -1007,6 +1007,18 @@ object ExtQueries {
     "q_minhash_rescue" -> ((s, d) =>
       rescueCandC(s, d).orderBy(col("d1"), col("d2"))),
 
+    // The over-cap bucket LIST at the rescue cap — the monitoring
+    // surface Dedup.MinhashBucketCap's scaladoc names for SIZING the
+    // rescue pass (bucketCapStats gives the one-row aggregate; this
+    // is the per-bucket read-out an operator drills into: which band
+    // minima are hot and how hot). Same rescue cap (15) as
+    // q_minhash_rescue so the listed population is exactly the one
+    // that pass re-bands. Shape: one groupBy over the cached band
+    // minima, output O(hot buckets) — dimension-sized at any corpus.
+    "q_lsh_hot_buckets" -> ((s, d) =>
+      Dedup.minhashOverCapBuckets(bandMinsC(s, d), RescueCap)
+        .orderBy(col("b"), col("mh"))),
+
     // Rescue candidates with >=2 agreeing rescue bands, re-scored with
     // exact n-gram Jaccard: the full hot-bucket second-chance chain.
     "q_rescue_jaccard" -> ((s, d) => {
@@ -1289,6 +1301,18 @@ object ExtQueries {
     // for the hot population the primary cap dropped.
     "q_simhash_rescue" -> ((s, d) =>
       simhashRescueC(s, d).orderBy(col("d1"), col("d2"))),
+
+    // The over-cap block LIST at the production cap — the monitoring
+    // surface SimhashBlockCap's scaladoc names for sizing the rotated
+    // rescue pass (the simhash twin of q_lsh_hot_buckets; non-trivial
+    // on this corpus, which trips the cap for real — every doc's
+    // simhash has a zero high byte, so one block-3 bucket holds the
+    // whole corpus). One groupBy over the cached signatures; output
+    // O(hot blocks).
+    "q_simhash_hot_blocks" -> ((s, d) =>
+      Dedup.simhashOverCapBlocks(simhashSigsC(s, d))
+        .select(col("blk").cast("long").as("blk"), col("bv"), col("sz"))
+        .orderBy(col("blk"), col("bv"))),
 
     // Near-dup pairs resolved into duplicate clusters: connected
     // components by iterative min-label propagation; cluster_id is
