@@ -69,8 +69,14 @@ done
 SUFFIX=""; [ -n "$FULLSTAR" ] && SUFFIX="_fullstar"
 OUT="$ROOT/target/gate_perquery_f${FACTOR}${SUFFIX}.jsonl"
 # measured per-query scratch peak (PLANS.md r14 disk postmortem):
-# ~1.8 GB x factor, floor 20 GB
-NEED_GB=$(( FACTOR * 18 / 10 )); [ "$NEED_GB" -lt 20 ] && NEED_GB=20
+# ~1.8 GB x factor, floor 20 GB — that constant is the REC-family
+# bootstrap (the heaviest chain measured: 55–65 GB per query at 35x);
+# lighter families (scan/star-join/sim: chunk A's ONE-process 50x run
+# peaked ~70 GB for all seven queries together) can set
+# SPARK_GRAFT_GATE_NEED_GB to their measured peak instead of
+# over-skipping.
+NEED_GB="${SPARK_GRAFT_GATE_NEED_GB:-$(( FACTOR * 18 / 10 ))}"
+[ "$NEED_GB" -lt 20 ] && NEED_GB=20
 for q in "${QUERIES[@]}"; do
   # reclaim the known cross-process leftovers BEFORE the disk check:
   # each gate session leaves one bucketed ratings table per dir
@@ -82,6 +88,11 @@ for q in "${QUERIES[@]}"; do
     continue
   fi
   echo "gate.sh: per-query $q (factor $FACTOR$SUFFIX, ${AVAIL_GB} GB free)" >&2
-  run_gate "$BASE" "$FACTOR" $FULLSTAR "$q" | tee -a "$OUT"
+  # one query's failure (ENOSPC, OOM) must not kill the sweep — record
+  # it and move on; the next iteration's purge + disk check re-guard
+  if ! run_gate "$BASE" "$FACTOR" $FULLSTAR "$q" | tee -a "$OUT"; then
+    echo "gate.sh: FAIL $q (see above) — continuing sweep" >&2
+    echo "{\"gate_fail\":\"$q\"}" >> "$OUT"
+  fi
 done
 echo "gate.sh: per-query sweep done — rows in $OUT" >&2
