@@ -79,8 +79,12 @@ NEED_GB="${SPARK_GRAFT_GATE_NEED_GB:-$(( FACTOR * 18 / 10 ))}"
 [ "$NEED_GB" -lt 20 ] && NEED_GB=20
 for q in "${QUERIES[@]}"; do
   # reclaim the known cross-process leftovers BEFORE the disk check:
-  # each gate session leaves one bucketed ratings table per dir
-  rm -rf "$ROOT"/spark-warehouse/graft_ratings_* 2>/dev/null || true
+  # each gate session leaves one bucketed ratings table per dir, and
+  # the rec/dedup persist queries leave their store dirs (6.5 GB at
+  # 40x — the margin creep that ENOSPC'd the first topk re-measure);
+  # every process rebuilds its own store, so purging is always safe
+  rm -rf "$ROOT"/spark-warehouse/graft_ratings_* \
+         "$ROOT"/target/rec_store* "$ROOT"/target/dedup_index 2>/dev/null || true
   AVAIL_GB=$(df -BG --output=avail "$ROOT/target" | tail -1 | tr -dc '0-9')
   if [ "$AVAIL_GB" -lt "$NEED_GB" ]; then
     echo "gate.sh: SKIP $q — ${AVAIL_GB} GB free < ${NEED_GB} GB needed at factor $FACTOR (rule: 1.8 GB x factor)" >&2
