@@ -128,7 +128,13 @@ object ScaleGate {
     // the WARC envelope parse + the composed WARC→text chain: both
     // pure per-row scan work over the rendered record fixture — must
     // gate like the scan baseline
-    "q_warc_records", "q_warc_extract")
+    "q_warc_records", "q_warc_extract",
+    // round-15: the hot-bucket/hot-block monitoring lists — one
+    // groupBy over the cached band minima / signature blocks with
+    // dimension-sized output; replication densifies every bucket
+    // toward (and past) the caps, the adversarial direction for the
+    // histogram aggregation itself
+    "q_lsh_hot_buckets", "q_simhash_hot_blocks")
 
   /** Queries whose RESULT is session-materialized (Cache.getOrSnapshot
     * fixpoint/model artifacts): their warm run is a bare snapshot scan
