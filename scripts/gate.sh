@@ -77,7 +77,21 @@ OUT="$ROOT/target/gate_perquery_f${FACTOR}${SUFFIX}.jsonl"
 # over-skipping.
 NEED_GB="${SPARK_GRAFT_GATE_NEED_GB:-$(( FACTOR * 18 / 10 ))}"
 [ "$NEED_GB" -lt 20 ] && NEED_GB=20
+FIRST=1
 for q in "${QUERIES[@]}"; do
+  # settle guard (round-15 postmortem: the preceding process's tens-
+  # of-GB blockmgr churn inflated the NEXT query's timings — topk base
+  # warm read 6.41 s mid-sweep vs 0.93 s settled): between processes,
+  # wait for the 1-min load to drop below 4 (bounded at 5 min) so each
+  # row is measured on a settled host, not in its neighbor's wake.
+  if [ "$FIRST" -eq 0 ]; then
+    for _ in $(seq 1 30); do
+      LOAD=$(cut -d' ' -f1 /proc/loadavg | cut -d. -f1)
+      [ "$LOAD" -lt 4 ] && break
+      sleep 10
+    done
+  fi
+  FIRST=0
   # reclaim the known cross-process leftovers BEFORE the disk check:
   # each gate session leaves one bucketed ratings table per dir, and
   # the rec/dedup persist queries leave their store dirs (6.5 GB at
