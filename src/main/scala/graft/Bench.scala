@@ -87,18 +87,25 @@ object Bench {
     * usually truncated away; the `shared_components` map sits near
     * the end and survives, and its sum IS the shared build.
     */
-  private[graft] def sharedBaseline(dir: java.nio.file.Path)
-      : Option[(Double, String)] = {
+  private[graft] def sharedBaseline(dir: java.nio.file.Path,
+      sfDir: Option[String] = None): Option[(Double, String)] = {
     import scala.jdk.CollectionConverters._
     def median(vs: Seq[Double]): Option[Double] =
       if (vs.isEmpty) None else Some(vs.sorted.apply(vs.size / 2))
-    // (a) our own durable history: one line per completed full run
+    // (a) our own durable history: one line per completed full run.
+    // Lines are filtered to the CURRENT sf dir when given (ADVICE
+    // r15: one full run against sf0.001 would otherwise inject a
+    // tiny shared-build time and skew the 1.5× guard baseline);
+    // lines without an sf field are kept for back-compat.
     val hist = dir.resolve("BENCH_SHARED_HISTORY.jsonl")
     val fromHist: Option[(Double, String)] = try {
       if (!Files.exists(hist)) None
       else {
         val re = """"shared_build_sec":([0-9.]+)""".r
+        val sfRe = """"sf":"([^"]*)"""".r
         val vals = Files.readAllLines(hist).asScala.toSeq
+          .filter(l => sfDir.forall(want =>
+            sfRe.findFirstMatchIn(l).forall(_.group(1) == want)))
           .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
           .takeRight(5)
         median(vals).map(_ -> s"history median of last ${math.min(5, vals.size)}")
@@ -279,7 +286,7 @@ object Bench {
     val overrideMedian =
       sys.env.get("SPARK_GRAFT_SHARED_MEDIAN_OVERRIDE").map(_.toDouble)
     val trailingMedian: Option[Double] = overrideMedian.orElse {
-      sharedBaseline(Paths.get(repoDir)) match {
+      sharedBaseline(Paths.get(repoDir), Some(sfDir)) match {
         case Some((v, src)) =>
           System.err.println(f"[bench] shared-build baseline $v%.1f s ($src)")
           Some(v)

@@ -288,6 +288,22 @@ object ScaleGate {
   private def f2(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
+  /** 1-min system load average, stamped into every recorded row so a
+    * noisy-host measurement is visible in the artifact instead of
+    * needing a hand re-measure (r15 verdict #1 — the
+    * `pool_gb_at_start` discipline applied to the host). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Replica/scratch root: env override, else the launch cwd — the
+    * same derivation Bench.repoDir uses (ADVICE r15: gate.sh's disk
+    * check measures `$ROOT/target` while a hardcoded /root/repo here
+    * would write somewhere else in any non-/root/repo checkout). */
+  private def targetDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_REPO_DIR",
+      sys.props.getOrElse("user.dir", ".")) + "/target"
+
   /** Bytes of session-materialized state (persist/localCheckpoint
     * blocks) currently in the block manager — the co-residency the
     * r14 postmortem measured distorting in-gate rows by up to 17×
@@ -345,8 +361,8 @@ object ScaleGate {
         "(build.sbt javaOptions reads it) or pass --force.")
       sys.exit(52)
     }
-    val out = if (fullStar) s"/root/repo/target/scalefull$factor"
-              else s"/root/repo/target/scale$factor"
+    val out = if (fullStar) s"$targetDir/scalefull$factor"
+              else s"$targetDir/scale$factor"
     def session(): SparkSession = {
       val s = graft.core.Tuning.defaults(
         SparkSession.builder().master("local[32]"))
@@ -374,7 +390,8 @@ object ScaleGate {
     // at 38.9× in-gate vs 2.3× solo). Every recorded row carries the
     // pool bytes it actually ran against, so a crowded row is visible
     // in the artifact instead of needing a hand-run re-measure.
-    def sweep(dir: String): Map[String, Double] = {
+    // (graded sec, pool GB at start, 1-min load at start) per query
+    def sweep(dir: String): Map[String, (Double, Double, Double)] = {
       var s = session()
       val budget = storageBudget
       val times = gate.map { q =>
@@ -393,13 +410,16 @@ object ScaleGate {
           SparkEntry.queries(q)(s, dir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        val load0 = loadAvg
         val first = once() // cold: codegen + cache fills
         val warm = once()
         println(s"""{"gate_row":"$q","dir":"$dir","cold_sec":${f2(first)},""" +
-          s""""warm_sec":${f2(warm)},"pool_gb_at_start":${f2(poolAtStart / 1e9)}}""")
+          s""""warm_sec":${f2(warm)},"pool_gb_at_start":${f2(poolAtStart / 1e9)},""" +
+          s""""loadavg":${f2(load0)}}""")
         // materialized results: the warm pass scans a snapshot —
         // grade the build, or the memo hides the iteration's scaling
-        q -> (if (Materialized(q)) first else warm)
+        q -> ((if (Materialized(q)) first else warm,
+          poolAtStart / 1e9, load0))
       }.toMap
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -407,13 +427,22 @@ object ScaleGate {
     }
     val tBase = sweep(base)
     val tRep = sweep(out)
+    // Final per-query lines in the GATE_rN.jsonl schema (r15 verdict
+    // #6): diffable across rounds like CORRECTNESS/BENCH. per_row =
+    // ratio/factor (the ×/row figure PLANS.md tables grade against);
+    // pool_gb/loadavg are the SCALED leg's, where interference bites.
     gate.foreach { q =>
-      val ratio = tRep(q) / math.max(tBase(q), 1e-9)
-      println(s"""{"query":"$q","base_sec":${f2(tBase(q))},""" +
-        s""""x${factor}_sec":${f2(tRep(q))},"ratio":${f2(ratio)}}""")
+      val ratio = tRep(q)._1 / math.max(tBase(q)._1, 1e-9)
+      println(s"""{"query":"$q","factor":$factor,""" +
+        s""""base_sec":${f2(tBase(q)._1)},""" +
+        s""""scaled_sec":${f2(tRep(q)._1)},"ratio":${f2(ratio)},""" +
+        s""""per_row":${f2(ratio / factor)},""" +
+        s""""pool_gb":${f2(tRep(q)._2)},"loadavg":${f2(tRep(q)._3)}}""")
     }
-    println(s"""{"gate":"scale$factor","base_total":${f2(tBase.values.sum)},""" +
-      s""""x${factor}_total":${f2(tRep.values.sum)},""" +
-      s""""ratio":${f2(tRep.values.sum / tBase.values.sum)}}""")
+    val baseTot = tBase.values.map(_._1).sum
+    val repTot = tRep.values.map(_._1).sum
+    println(s"""{"gate":"scale$factor","base_total":${f2(baseTot)},""" +
+      s""""x${factor}_total":${f2(repTot)},""" +
+      s""""ratio":${f2(repTot / baseTot)}}""")
   }
 }

@@ -469,11 +469,24 @@ object Dedup {
     // buckets can afford a higher quadratic bound than the corpus-wide
     // primary pass
     val rc = if (rescueCap < 0) cap else rescueCap
+    minhashCandidates(minhashRescueBandMins(hashes, bandMins, cap), rc)
+  }
+
+  /** Rescue-family band minima (bands Bands..2·Bands−1) for the
+    * over-cap population — the [[minhashRescueCandidates]] input,
+    * exposed so callers can (a) materialize it once (the candidate
+    * build references it three times: cap filter + both self-join
+    * sides) and (b) run [[bucketCapStats]] over it (r15 verdict #5:
+    * the PRIMARY bands self-report saturation, but a hot RESCUE
+    * bucket would re-create the quadratic the rescue pass exists to
+    * absorb, and its distribution was silent). */
+  def minhashRescueBandMins(hashes: DataFrame, bandMins: DataFrame,
+                            cap: Int = MinhashBucketCap): DataFrame = {
     val hot = minhashOverCapBuckets(bandMins, cap).select(col("b"), col("mh"))
     val hotDocs = bandMins.join(hot, Seq("b", "mh"))
       .select(col("doc_id")).distinct()
     val hotH = hashes.join(hotDocs, Seq("doc_id"))
-    minhashCandidates(minhashBandMinsFromHashes(hotH, Bands, Bands), rc)
+    minhashBandMinsFromHashes(hotH, Bands, Bands)
   }
 
   /** Exact n-gram Jaccard for candidate pairs (cand: d1, d2):

@@ -1382,9 +1382,14 @@ object ExtOracles {
          |LEFT JOIN rcand rc ON rc.d1 = t.d1 AND rc.d2 = t.d2
          |ORDER BY t.d1, t.d2""".stripMargin),
 
+    // rescue candidates + the RESCUE bands' own cap read-out (the
+    // bucketCapStats discipline over rbandmins at the rescue cap)
     "q_minhash_rescue" -> Oracle.mat(
-      s"""WITH $rescueCandSql
-         |SELECT d1, d2, bands FROM rcand ORDER BY d1, d2""".stripMargin),
+      s"""WITH $rescueCandSql,
+         |${Dedup.bucketCapStatsSql("rbandmins", RescueCap, r4)}
+         |SELECT d1, d2, bands, cap_used, cap_saturated, capped_frac,
+         |       hot_buckets
+         |FROM rcand, bucketstats ORDER BY d1, d2""".stripMargin),
 
     // Rescue candidates (>=2 agreeing rescue bands) re-scored with
     // exact n-gram Jaccard — the full "hot bucket -> second chance ->

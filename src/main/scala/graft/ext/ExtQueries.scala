@@ -250,12 +250,32 @@ object ExtQueries {
     * 50k–200k. */
   private[ext] val OovVocabSize = 20
 
+  /** Rescue-family band minima for the over-cap population,
+    * materialized once per session: the candidate build references
+    * them three times (cap filter + both self-join sides) and the
+    * rescue cap read-out aggregates them a fourth. */
+  private[ext] def rescueBandMinsC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "minhash_rescue_bandmins", d)(
+      Dedup.minhashRescueBandMins(
+        shingleHashesC(s, d), bandMinsC(s, d), cap = RescueCap))
+
   /** Rescue candidate pairs, shared by the rescue query and its exact
     * Jaccard rescore. */
   private[ext] def rescueCandC(s: SparkSession, d: String) =
     Cache.getOrPersist(s, "minhash_rescue_cand", d)(
-      Dedup.minhashRescueCandidates(
-        shingleHashesC(s, d), bandMinsC(s, d), cap = RescueCap))
+      Dedup.minhashCandidates(rescueBandMinsC(s, d), RescueCap))
+
+  /** One-row RESCUE-band cap read-out (r15 verdict #5): the primary
+    * bands self-report via [[bucketStatsC]], and at 100× a hot rescue
+    * bucket would re-create the quadratic the rescue pass exists to
+    * absorb — so the rescue family gets the same serve-time stats,
+    * memoized and broadcast onto q_minhash_rescue's rows. A rescue
+    * population that stays concentrated under the second permutation
+    * family (cap_saturated = 1 here) is a boilerplate signature to
+    * route to exact rescoring, not more re-banding. */
+  private[ext] def rescueBucketStatsC(s: SparkSession, d: String) =
+    Cache.getOrSnapshot(s, "minhash_rescue_bucketstats", d)(
+      Dedup.bucketCapStats(rescueBandMinsC(s, d), RescueCap))
 
   /** Simhash signatures, shared by the primary pair pass, the rescue
     * pass (hot-bucket detection + re-block) and the monitoring
@@ -1003,9 +1023,14 @@ object ExtQueries {
     // that the synthetic corpus actually HAS hot buckets (max primary
     // bucket is 21 at sf0.01; the production cap of 200 is never hit
     // there, which would make this query a trivial empty-vs-empty
-    // check). See Dedup.minhashRescueCandidates.
+    // check). See Dedup.minhashRescueCandidates. Every row carries
+    // the RESCUE bands' own cap read-out (r15 verdict #5): the
+    // rescue pass is the primary cap's escalation, so ITS saturation
+    // is the signal that the residue needs exact rescoring instead.
     "q_minhash_rescue" -> ((s, d) =>
-      rescueCandC(s, d).orderBy(col("d1"), col("d2"))),
+      rescueCandC(s, d)
+        .crossJoin(broadcast(rescueBucketStatsC(s, d)))
+        .orderBy(col("d1"), col("d2"))),
 
     // The over-cap bucket LIST at the rescue cap — the monitoring
     // surface Dedup.MinhashBucketCap's scaladoc names for SIZING the

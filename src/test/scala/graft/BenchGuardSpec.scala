@@ -53,6 +53,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(got.get._2.contains("history"))
   }
 
+  test("history lines from a DIFFERENT sf dir are excluded from the " +
+    "median (ADVICE r15: one sf0.001 run would skew the guard)") {
+    val d = tmpDir()
+    Files.writeString(d.resolve("BENCH_SHARED_HISTORY.jsonl"),
+      """{"shared_build_sec":50.0,"rerun":false,"sf":"/t/sf0.1"}""" + "\n" +
+        """{"shared_build_sec":1.0,"rerun":false,"sf":"/t/sf0.001"}""" + "\n" +
+        """{"shared_build_sec":52.0,"rerun":false,"sf":"/t/sf0.1"}""" + "\n")
+    val got = Bench.sharedBaseline(d, Some("/t/sf0.1"))
+    // median of {50, 52}, the tiny sf0.001 line filtered out
+    assert(got.isDefined && math.abs(got.get._1 - 52.0) < 1e-9, got)
+    // unfiltered call keeps all three (median 50) — back-compat
+    val all = Bench.sharedBaseline(d)
+    assert(all.isDefined && math.abs(all.get._1 - 50.0) < 1e-9, all)
+  }
+
   test("BENCH_FULL.json is the last resort; empty dir yields None " +
     "(which main LOGS rather than silently disabling the guard)") {
     val d = tmpDir()

@@ -61,6 +61,30 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.minhashRescueCandidates(hs, bm, cap = 2).count() === 0L)
   }
 
+  test("rescue-band cap stats: a population still hot under the " +
+    "second permutation family reads saturated at serve time") {
+    // same fixture as the rescue test: five identical docs saturate
+    // every primary bucket at cap=2 AND every rescue bucket (identical
+    // text → identical minima under any permutation), so the rescue
+    // bands' own read-out must flag that the rescue pass absorbed
+    // nothing — the residue routes to exact rescoring.
+    val docs = docsDF((1L to 5L).map(i =>
+      i -> "common words repeated across all documents here"): _*)
+    val hs = Dedup.shingleHashes(Dedup.shingles(docs))
+    val bm = Dedup.minhashBandMinsFromHashes(hs, 0, Dedup.Bands)
+    val rbm = Dedup.minhashRescueBandMins(hs, bm, cap = 2)
+    val sat = Dedup.bucketCapStats(rbm, 2).collect()(0)
+    assert(sat.getLong(0) === 2L)
+    assert(sat.getLong(1) === 1L, s"rescue saturation must be flagged: $sat")
+    assert(sat.getDouble(2) === 0.0, "no pair mass survives cap 2")
+    assert(sat.getLong(3) === Dedup.Bands.toLong,
+      "all 8 rescue-band buckets of the identical population are hot")
+    // with headroom the same rescue bands read clean — kept mass 1.0
+    val ok = Dedup.bucketCapStats(rbm, 100).collect()(0)
+    assert(ok.getLong(1) === 0L && ok.getDouble(2) === 1.0 &&
+      ok.getLong(3) === 0L)
+  }
+
   test("ngram jaccard: identical docs -> 1.0") {
     val docs = docsDF(
       1L -> "one two three four five six",
