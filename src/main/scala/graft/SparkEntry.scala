@@ -54,6 +54,13 @@ object SparkEntry {
     * [[warmShared]] may still overlap them for wall time. */
   def sharedComponents: Seq[(String, (SparkSession, String) => Unit)] =
     Seq(
+      // FIRST: the scan-parallelism relayout (io.Relayout) — every
+      // other component consumes the split copies, so its write cost
+      // must land on its own row, not on whichever chain runs first.
+      // (warmShared's concurrent chains are still safe: Relayout.path
+      // memoizes per (session, dir, table) with computeIfAbsent, so a
+      // racing first touch blocks until the copy is written.)
+      "relayout" -> ((s, d) => graft.io.Relayout.warm(s, d)),
       "sim" -> ((s, d) => rel.SimQueries.warm(s, d)),
       "minhash" -> ((s, d) => ext.ExtQueries.warmMinhash(s, d)),
       "simhash" -> ((s, d) => ext.ExtQueries.warmSimhash(s, d)),

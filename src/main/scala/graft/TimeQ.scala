@@ -15,6 +15,9 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // A/B harness knob for the r16 relayout measurements
+      .config("spark.graft.relayout.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_RELAYOUT", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))

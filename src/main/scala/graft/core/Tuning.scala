@@ -39,7 +39,22 @@ object Tuning {
   val SessionDefaults: Seq[(String, String)] = Seq(
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
       -> "16777216",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    //  - `spark.sql.codegen.hugeMethodLimit` = 8000 (default 65535):
+    //    HotSpot refuses to JIT-compile any method above 8000
+    //    bytecodes (-XX:HugeMethodLimit, not configurable), so a
+    //    whole-stage-codegen method between 8000 and 65535 bytecodes
+    //    runs INTERPRETED forever. The fused 11-aggregate pair-moment
+    //    build generates exactly such a method: measured 17.0 s at
+    //    sf0.1 under the default vs 5.1 s with the limit at 8000
+    //    (Spark falls back to non-wholestage execution for that one
+    //    stage, whose smaller per-expression methods all JIT). 8000
+    //    matches the JVM's own limit, so the only stages affected are
+    //    those that could never be JIT-compiled anyway — execution
+    //    semantics are unchanged, and the setting is host-independent
+    //    (the bytecode limit is a HotSpot constant, identical on any
+    //    cluster JVM). r16 optimization round, guide §4.
+    "spark.sql.codegen.hugeMethodLimit" -> "8000")
 
   /** Fold the defaults into a builder (every graft main + the test
     * session apply this, so no operator needs a session mutation). */

@@ -232,14 +232,28 @@ object ExtQueries {
     Cache.getOrSnapshot(s, "minhash_bucketstats", d)(
       Dedup.bucketCapStats(bandMinsC(s, d), Dedup.MinhashBucketCap))
 
-  /** Distinct (doc_id, shingle) STRING set — the one cache that keeps
-    * the strings, because exact Jaccard rescoring compares shingle
-    * sets; materialized because ngramJaccard references it three times
-    * and exchange reuse does not fire above a cached frame (PLANS.md
-    * round 5). */
+  /** Per-(doc_id, shingle) STRING postings with term frequency — the
+    * ONE cache that keeps the strings. r16 restructure: the distinct
+    * set ([[distinctShinglesC]]) and the tf-weighted postings behind
+    * q_doc_similarity / q_doc_sim_fanout share the same key space, but
+    * the serve/fanout pair re-aggregated the postings FROM RAW TEXT on
+    * every run (~2–3 s warm each at sf0.1) while only the distinct
+    * projection was cached. Caching the grouped (doc_id, shingle, tf)
+    * frame instead serves both: the exact-rescoring consumers read the
+    * 2-column projection, the cosine serve reads the tf column, and
+    * total cached bytes stay ~flat (one LONG per row replaces a whole
+    * second materialization). */
+  private[ext] def shinglePostsC(s: SparkSession, d: String) =
+    Cache.getOrPersist(s, "shingle_posts_tf", d)(
+      Dedup.shingles(docs(s, d))
+        .groupBy(col("doc_id"), col("shingle"))
+        .agg(count(lit(1)).as("tf")))
+
+  /** Distinct (doc_id, shingle) STRING set — a projection of
+    * [[shinglePostsC]] (grouped by exactly these keys, so the rows are
+    * identical to the old `.distinct()` materialization). */
   private[ext] def distinctShinglesC(s: SparkSession, d: String) =
-    Cache.getOrPersist(s, "shingles_distinct", d)(
-      Dedup.shingles(docs(s, d)).distinct())
+    shinglePostsC(s, d).select(col("doc_id"), col("shingle"))
 
   /** Cap for the rescue-pass query: low enough that the synthetic
     * corpus has over-cap buckets (see q_minhash_rescue's comment). */
@@ -396,7 +410,7 @@ object ExtQueries {
     * q_ngram_jaccard / q_minhash_rescue runs first (VERDICT r10:
     * 53.2 s of q_decontaminate's driver cold was this build). */
   def warmShinglePostings(spark: SparkSession, dir: String): Unit = {
-    distinctShinglesC(spark, dir).count()
+    shinglePostsC(spark, dir).count()
     rescueCandC(spark, dir).count()
     ()
   }

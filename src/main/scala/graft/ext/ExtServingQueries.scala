@@ -1083,7 +1083,8 @@ object ExtServingQueries {
     // and norms are INTEGER sums over the same capped term space
     // (Σtf₁tf₂, Σtf²) — only the final r4 division is floating.
     "q_doc_similarity" -> ((s, d) =>
-      docSimilarity(docs(s, d), Some(docSimCapStats(s, d)))),
+      docSimilarity(docs(s, d), Some(docSimCapStats(s, d)),
+        Some(ExtQueries.shinglePostsC(s, d)))),
 
     // The MEASURED fan-out bound for q_doc_similarity's DF-capped
     // self-join (VERDICT r12 #2: the Σ_t C(df_t,2) pair count was
@@ -1098,10 +1099,10 @@ object ExtServingQueries {
     // share — the audit a capacity plan reads before running the
     // pair stage at a new scale.
     "q_doc_sim_fanout" -> ((s, d) => {
-      val tdf = Dedup.shingles(docs(s, d), 3)
-        .groupBy(col("doc_id"), col("shingle").as("w"))
-        .agg(count(lit(1)).as("tf"))
-        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // r16: df histogram from the session postings cache — the raw
+      // re-shingling was the whole warm cost of this one-row audit
+      val tdf = ExtQueries.shinglePostsC(s, d)
+        .groupBy(col("shingle").as("w")).agg(count(lit(1)).as("df"))
       val capStats = docSimCapStats(s, d)
       // C(df,2) in pure LONG arithmetic (df·(df−1) is even, so the
       // shift is exact; Spark's `/` would detour through double)
@@ -1286,19 +1287,24 @@ object ExtServingQueries {
   private[graft] def docSimCapStats(s: SparkSession, d: String)
       : DataFrame =
     Cache.getOrSnapshot(s, "doc_sim_capstats", d) {
-      val tdf = Dedup.shingles(docs(s, d), 3)
-        .groupBy(col("doc_id"), col("shingle").as("w"))
-        .agg(count(lit(1)).as("tf"))
-        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // r16: derive the df histogram from the session postings cache
+      // (ExtQueries.shinglePostsC) instead of re-shingling raw text
+      val tdf = ExtQueries.shinglePostsC(s, d)
+        .groupBy(col("shingle").as("w")).agg(count(lit(1)).as("df"))
       Dedup.dfCapStats(tdf, docs(s, d).agg(count(lit(1)).as("n_docs")),
         DocSimDfCap, DfCapBudget)
     }
 
   private[graft] def docSimilarity(docsDf: DataFrame,
-      memoized: Option[DataFrame] = None): DataFrame = {
-    val posts = Dedup.shingles(docsDf, 3)
-      .groupBy(col("doc_id"), col("shingle").as("w"))
-      .agg(count(lit(1)).as("tf"))
+      memoized: Option[DataFrame] = None,
+      postsOpt: Option[DataFrame] = None): DataFrame = {
+    // r16: the scored query hands in the session postings cache; the
+    // spec-driven corpora (no dir) still aggregate from raw text
+    val posts = postsOpt.getOrElse(
+        Dedup.shingles(docsDf, 3)
+          .groupBy(col("doc_id"), col("shingle"))
+          .agg(count(lit(1)).as("tf")))
+      .select(col("doc_id"), col("shingle").as("w"), col("tf"))
     val tdf = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val nd = docsDf.agg(count(lit(1)).as("n_docs"))
     // one row; feeds the df filter AND the output columns — snapshot

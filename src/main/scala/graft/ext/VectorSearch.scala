@@ -760,6 +760,20 @@ object VectorSearch {
                 entryDf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    // r16 NEGATIVE RESULT (measured, kept as a knob): removing the
+    // per-round eager localCheckpoints on the bet that ReuseExchange
+    // would dedup the doubled round-(N−1) reference made the serve
+    // 2–4× SLOWER (q_ann_hnsw 3.3 → 14.0 s, q_ann_graph 2.7 → 7.0 s
+    // warm at sf0.1): the two references reach the window Exchange
+    // through DIFFERENT parent operators (a BroadcastExchange vs a
+    // union leg), AQE plans them as separate stages, and the replay
+    // compounds per round. The checkpoint-per-round discipline stays
+    // the default; `spark.graft.ann.roundCheckpoint=false` preserves
+    // the measured negative for re-testing on future Spark versions.
+    val ckptRounds = !emb.sparkSession.conf
+      .getOption("spark.graft.ann.roundCheckpoint").contains("false")
+    def trunc(df: DataFrame): DataFrame =
+      if (ckptRounds) df.localCheckpoint(true) else df
     val corpus = emb.select(col("vec_id"), col("embedding"),
       fixedNormSq(col("embedding")).as("enrm"))
     val qn = queries.withColumn("qnrm", fixedNormSq(col(queryVec)))
@@ -778,19 +792,17 @@ object VectorSearch {
         .select(col("vec_id"))
       qn.select(col(queryKey)).crossJoin(broadcast(entry))
     }
-    var beamDf = score(entry0)
+    var beamDf = trunc(score(entry0)
       .withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
-      .select(col(queryKey), col("vec_id"))
-      .localCheckpoint(true)
+      .select(col(queryKey), col("vec_id")))
     for (_ <- 1 to rounds) {
       val nbrs = graph
         .join(broadcast(beamDf.withColumnRenamed("vec_id", "v")), Seq("v"))
         .select(col(queryKey), col("n").as("vec_id"))
       val cands = beamDf.unionByName(nbrs).distinct()
-      beamDf = score(cands)
+      beamDf = trunc(score(cands)
         .withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
-        .select(col(queryKey), col("vec_id"))
-        .localCheckpoint(true)
+        .select(col(queryKey), col("vec_id")))
     }
     score(beamDf)
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -23,10 +23,13 @@ object Sources {
     StructField("item_id", StringType, nullable = false),
     StructField("rating", DoubleType, nullable = false)))
 
-  /** One parquet table from a testdata scale-factor dir. */
+  /** One parquet table from a testdata scale-factor dir. Fact tables
+    * route through [[Relayout]] — the session's N-way split copy that
+    * restores scan parallelism over the single-row-group testdata
+    * files (no-op at production layouts; see Relayout scaladoc). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else spark.read.parquet(Relayout.path(spark, dir, name))
 
   /** events.parquet has shipped `ts` as parquet TIMESTAMP(NANOS) in
     * some rounds (Spark 4 cannot read it natively —
@@ -43,7 +46,7 @@ object Sources {
     // read FAILS (PARQUET_TYPE_ILLEGAL), nothing silently degrades —
     // so there is no restore hazard.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeEventTs(spark.read.parquet(Relayout.path(spark, dir, "events")))
   }
 
   /** Land `ts` on TimestampType(µs) whatever the parquet encoding:

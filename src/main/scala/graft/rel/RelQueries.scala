@@ -57,12 +57,19 @@ object RelQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Scan + filter + project: predicate and column pruning reach parquet.
+    // ORDER BY totalized over ALL output columns (r16): the synthetic
+    // lineitem duplicates (l_orderkey, l_linenumber) heavily (~20% of
+    // rows), so the old 2-key sort left tie order to input file order —
+    // identical on both engines only while the scan read ONE file in
+    // ONE split. Any layout or scheduling change breaks that silently;
+    // the full-column sort is deterministic by content.
     "q_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
         .where(col("l_quantity") > 30)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))),
 
 
     // TPC-H-Q1-style pricing summary: hash agg with partial/final split.
@@ -660,6 +667,9 @@ object RelQueries {
 
 
     // Math function family; per-row IEEE ops are engine-identical.
+    // ORDER BY totalized over all output columns (r16) — same
+    // duplicate-(orderkey, linenumber) tie hazard as
+    // q_scan_filter_project above.
     "q_math_funcs" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -668,7 +678,8 @@ object RelQueries {
             * (lit(1.0) + col("l_discount"))).as("disc_cubed"),
           Det.r4(abs(col("l_tax") - col("l_discount"))).as("abs_diff"),
           Det.r4(log(col("l_quantity"))).as("ln_qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("sqrt_price"),
+          col("disc_cubed"), col("abs_diff"), col("ln_qty"))),
 
 
     // JSON extraction + grouped stats over events.props.
@@ -1123,7 +1134,8 @@ object RelQueries {
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+        .stripMargin,
 
 
     "q_agg_pricing_summary" ->
@@ -1440,7 +1452,9 @@ object RelQueries {
          |       ${r4("(1.0 + l_discount)*(1.0 + l_discount)*(1.0 + l_discount)")} AS disc_cubed,
          |       ${r4("abs(l_tax - l_discount)")} AS abs_diff,
          |       ${r4("ln(l_quantity)")} AS ln_qty
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber, sqrt_price, disc_cubed,
+         |         abs_diff, ln_qty""".stripMargin,
 
 
     "q_json_extract" ->
