@@ -121,6 +121,73 @@ object ExtQueries {
           explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
 
+  /** Known-item probe terms — per probe doc (doc_id % 101 = 3) its
+    * rarest term by (df, w): (probe, w, df). Shared by both retrieval
+    * evaluations (r16: q_retrieval_mrr and q_retrieval_ndcg rebuilt
+    * this subplan AND the scored candidate set below per action,
+    * ~1.2–1.9 s warm each at sf0.1; one snapshot pair serves both).
+    * O(probes) rows; snapshot, not persist — the build carries
+    * broadcasts. */
+  private[ext] def bm25PtermC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "bm25_pterm", d) {
+      val tf = bm25TfC(s, d)
+      val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val probes = docs(s, d).where(col("doc_id") % 101 === 3)
+        .select(col("doc_id").as("probe"))
+      // argmin (df, w) per probe — struct-min is the argmin idiom
+      tf.join(broadcast(probes), col("doc_id") === col("probe"))
+        .join(dfTab, Seq("w")) // df is O(vocab): never hinted broadcast
+        // (a web-scale vocab exceeds any broadcast budget; the probe
+        // side is the small one and AQE may flip the build side)
+        .groupBy(col("probe"))
+        .agg(min(struct(col("df"), col("w"))).as("mt"))
+        .select(col("probe"), col("mt.w").as("w"),
+          col("mt.df").as("df"))
+    }
+
+  /** BM25-scored known-item candidate sets over [[bm25PtermC]]'s
+    * probe terms: (probe, w, doc_id, tf, cfx) — cfx is the exact
+    * integer BM25 contribution both retrieval evaluations rank by.
+    * Σ min-DF rows by construction (picking the rarest term is
+    * simultaneously the best query and the cost cap). */
+  private[ext] def bm25CandC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "bm25_cand", d) {
+      val tf = bm25TfC(s, d)
+      val dlen = Cache.getOrPersist(s, "bm25_dlen", d)(
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
+      val stats = dlen.agg(count(lit(1)).as("nn"),
+          sum(col("len")).as("tot"))
+        .select(col("nn"), expr("(tot * 1000) div nn").as("avgfx"))
+      val pterm = bm25PtermC(s, d)
+      val qidf = pterm.select(col("w"), col("df")).distinct()
+        .crossJoin(broadcast(stats))
+        .withColumn("xfx",
+          expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
+            s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
+        .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
+        .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
+          "shiftleft(1L, CAST(e - 1 AS INT))"))
+        .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
+          + element_at(typedLit(LmScore.Log2Table),
+              (col("m") - lit(LmScore.MScale - 1)).cast("int"))
+          - lit(LmScore.L9Fx))
+        .select(col("w"), col("idf_fx"))
+      tf.join(broadcast(pterm.select(col("probe"), col("w"))), Seq("w"))
+        .join(broadcast(qidf), Seq("w"))
+        .join(dlen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tfpart",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len").cast("double") /
+                (col("avgfx").cast("double") / lit(1000.0)))))
+        .withColumn("cfx",
+          floor(col("idf_fx").cast("double") * col("tfpart") + lit(0.5))
+            .cast("long"))
+        .select(col("probe"), col("w"), col("doc_id"), col("tf"),
+          col("cfx"))
+    }
+
   /** Layer-0 NSW neighbor graph snapshot (graph-ANN serving
     * structure) — shared by the flat serve, its recall twin, and
     * both HNSW queries. */
@@ -421,6 +488,10 @@ object ExtQueries {
   def warmLmTables(spark: SparkSession, dir: String): Unit = {
     lmDocScores(spark, dir).count()
     bm25TfC(spark, dir).count()
+    // the retrieval evaluations' shared probe-term + candidate
+    // snapshots (r16) — first-touch otherwise lands on whichever of
+    // q_retrieval_mrr / q_retrieval_ndcg runs first in a cold sweep
+    bm25CandC(spark, dir).count()
     ()
   }
 
@@ -1906,51 +1977,9 @@ object ExtQueries {
     // so the evaluation scales as Σ min-DF, never probes × corpus.
     "q_retrieval_mrr" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = bm25TfC(s, d)
-      val dlen = Cache.getOrPersist(s, "bm25_dlen", d)(
-        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
-      val stats = dlen.agg(count(lit(1)).as("nn"),
-          sum(col("len")).as("tot"))
-        .select(col("nn"), expr("(tot * 1000) div nn").as("avgfx"))
-      val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val probes = docs(s, d).where(col("doc_id") % 101 === 3)
-        .select(col("doc_id").as("probe"))
-      // argmin (df, w) per probe — struct-min is the argmin idiom
-      val pterm = tf.join(broadcast(probes),
-          col("doc_id") === col("probe"))
-        .join(dfTab, Seq("w")) // df is O(vocab): never hinted broadcast
-        // (a web-scale vocab exceeds any broadcast budget; the probe
-        // side is the small one and AQE may flip the build side)
-        .groupBy(col("probe"))
-        .agg(min(struct(col("df"), col("w"))).as("mt"))
-        .select(col("probe"), col("mt.w").as("w"),
-          col("mt.df").as("df"))
-      val qidf = pterm.select(col("w"), col("df")).distinct()
-        .crossJoin(broadcast(stats))
-        .withColumn("xfx",
-          expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
-            s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
-        .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
-        .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
-          "shiftleft(1L, CAST(e - 1 AS INT))"))
-        .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
-          + element_at(typedLit(LmScore.Log2Table),
-              (col("m") - lit(LmScore.MScale - 1)).cast("int"))
-          - lit(LmScore.L9Fx))
-        .select(col("w"), col("idf_fx"))
-      val cand = tf
-        .join(broadcast(pterm.select(col("probe"), col("w"))), Seq("w"))
-        .join(broadcast(qidf), Seq("w"))
-        .join(dlen, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("tfpart",
-          col("tf").cast("double") * lit(2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("len").cast("double") /
-                (col("avgfx").cast("double") / lit(1000.0)))))
-        .withColumn("cfx",
-          floor(col("idf_fx").cast("double") * col("tfpart") + lit(0.5))
-            .cast("long"))
+      // probe terms + scored candidates from the session snapshots
+      // shared with q_retrieval_ndcg (r16 — see bm25PtermC/bm25CandC)
+      val cand = bm25CandC(s, d)
       val rw = Window.partitionBy(col("probe"))
         .orderBy(col("cfx").desc, col("doc_id"))
       cand
@@ -1958,7 +1987,7 @@ object ExtQueries {
         .withColumn("n_cand", count(lit(1))
           .over(Window.partitionBy(col("probe"))))
         .where(col("doc_id") === col("probe"))
-        .join(broadcast(pterm.select(col("probe"), col("df"))),
+        .join(broadcast(bm25PtermC(s, d).select(col("probe"), col("df"))),
           Seq("probe"))
         .select(col("probe"), col("w").as("term"), col("df"),
           col("n_cand"), col("self_rank"),
@@ -1978,50 +2007,9 @@ object ExtQueries {
     "q_retrieval_ndcg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val S = LmScore.LogScale
-      val tf = bm25TfC(s, d)
-      val dlen = Cache.getOrPersist(s, "bm25_dlen", d)(
-        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
-      val stats = dlen.agg(count(lit(1)).as("nn"),
-          sum(col("len")).as("tot"))
-        .select(col("nn"), expr("(tot * 1000) div nn").as("avgfx"))
-      val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val probes = docs(s, d).where(col("doc_id") % 101 === 3)
-        .select(col("doc_id").as("probe"))
-      val pterm = tf.join(broadcast(probes),
-          col("doc_id") === col("probe"))
-        .join(dfTab, Seq("w")) // df is O(vocab): never hinted broadcast
-        // (a web-scale vocab exceeds any broadcast budget; the probe
-        // side is the small one and AQE may flip the build side)
-        .groupBy(col("probe"))
-        .agg(min(struct(col("df"), col("w"))).as("mt"))
-        .select(col("probe"), col("mt.w").as("w"),
-          col("mt.df").as("df"))
-      val qidf = pterm.select(col("w"), col("df")).distinct()
-        .crossJoin(broadcast(stats))
-        .withColumn("xfx",
-          expr(s"CAST((CAST((nn + 1) * 2 AS DECIMAL(38,0)) * " +
-            s"${LmScore.PScale}) div (2 * df + 1) AS BIGINT)"))
-        .withColumn("e", length(conv(col("xfx"), 10, 2)).cast("long"))
-        .withColumn("m", expr(s"(xfx * ${LmScore.MScale}L) div " +
-          "shiftleft(1L, CAST(e - 1 AS INT))"))
-        .withColumn("idf_fx", (col("e") - 1) * lit(LmScore.LogScale)
-          + element_at(typedLit(LmScore.Log2Table),
-              (col("m") - lit(LmScore.MScale - 1)).cast("int"))
-          - lit(LmScore.L9Fx))
-        .select(col("w"), col("idf_fx"))
-      val cand = tf
-        .join(broadcast(pterm.select(col("probe"), col("w"))), Seq("w"))
-        .join(broadcast(qidf), Seq("w"))
-        .join(dlen, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("tfpart",
-          col("tf").cast("double") * lit(2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("len").cast("double") /
-                (col("avgfx").cast("double") / lit(1000.0)))))
-        .withColumn("cfx",
-          floor(col("idf_fx").cast("double") * col("tfpart") + lit(0.5))
-            .cast("long"))
+      // the SAME session-snapshot candidate sets q_retrieval_mrr
+      // ranks (r16 — see bm25PtermC/bm25CandC)
+      val cand = bm25CandC(s, d)
       val served = Window.partitionBy(col("probe"))
         .orderBy(col("cfx").desc, col("doc_id"))
       val ideal = Window.partitionBy(col("probe"))

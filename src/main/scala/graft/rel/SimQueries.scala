@@ -41,22 +41,35 @@ object SimQueries {
   private[rel] def ratings(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrPersist(spark, "ratings", dir)(ratingsBucketed(spark, dir))
 
-  /** The fused LONG+DECIMAL moment table (Moments.pairMomentsBoth):
-    * one self-join + one groupBy serves both the LONG family (7
-    * similarity queries) and the DECIMAL overflow-audit twin. Before
-    * the fuse, q_sim_pearson_dec's cold path re-ran the entire pair
-    * explosion a second time just to change the accumulator type —
-    * ~106 s of the sf0.1 cold bench for columns the same aggregate
-    * emits for free. */
-  private def momentsBoth(spark: SparkSession, dir: String): DataFrame =
-    Cache.getOrPersist(spark, "pair_moments_both", dir)(
-      Moments.pairMomentsBoth(ratingsBucketed(spark, dir)))
-
+  /** The LONG pair-moment cache (the 7 similarity queries, ranking,
+    * serving, pipeline). r16 split: this WAS the fused LONG+DECIMAL
+    * table (Moments.pairMomentsBoth) — measured at sf0.1, the fused
+    * 11-column persist costs 23.1 s vs 5.0 s for the LONG-only table
+    * (12.7M pair rows; the five DECIMAL(38,0) aggregates plus their
+    * columnar-cache encode dominate), and the decimal columns serve
+    * exactly ONE query. The r8 fuse predated the JIT fix
+    * (Tuning: codegen.hugeMethodLimit) that made the standalone
+    * decimal aggregation cheap again — with it, splitting into this
+    * LONG cache plus the n≥2-filtered decimal cache ([[momentsDec]])
+    * is strictly better: ~10.5 s of shared build where the fused
+    * persist paid 23.1, and ~1.4 GB less cache memory. */
   private def moments(spark: SparkSession, dir: String): DataFrame =
-    Moments.longView(momentsBoth(spark, dir))
+    Cache.getOrPersist(spark, "pair_moments", dir)(
+      Moments.pairMoments(ratingsBucketed(spark, dir)))
 
+  /** DECIMAL overflow-audit twin, cached only for the n ≥ 2 pair
+    * population its single consumer (q_sim_pearson_dec) serves: the
+    * decimal AGGREGATION still runs over every co-rating pair (the
+    * overflow-safe plan is exercised end to end), but only 413k of
+    * the 12.7M result rows survive the consumer's own n ≥ 2 filter —
+    * persisting just those makes the decimal columnar encode noise
+    * (~0.3 s) instead of the 18 s the unfiltered fused persist paid.
+    * Any future consumer that needs n = 1 decimal pairs calls
+    * [[Moments.pairMomentsDec]] directly. */
   private def momentsDec(spark: SparkSession, dir: String): DataFrame =
-    Moments.decView(momentsBoth(spark, dir))
+    Cache.getOrPersist(spark, "pair_moments_dec_n2", dir)(
+      Moments.pairMomentsDec(ratingsBucketed(spark, dir))
+        .where(col("n") >= 2))
 
   /** Largest per-user posting-list size, memoized per (session, dir):
     * the runtime guard for the vectorFromMoments rewrite. */
@@ -74,14 +87,28 @@ object SimQueries {
     * so bench runs can account the one-time build separately from
     * per-query time. */
   def warm(spark: SparkSession, dir: String): Unit = {
-    ratings(spark, dir).count()
-    moments(spark, dir).count()
-    maxUserItems(spark, dir)
+    // Sub-step stderr timers (r16): the component swung 17–107 s
+    // under co-tenant load and the single _shared:sim row could not
+    // say WHICH leg absorbed the noise vs which leg was structurally
+    // slow. One line per leg, ~zero cost.
+    def leg[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[sim-warm] $tag ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    leg("ratings_bucketed+persist")(ratings(spark, dir).count())
+    leg("pair_moments_long")(moments(spark, dir).count())
+    leg("pair_moments_dec_n2")(momentsDec(spark, dir).count())
+    leg("max_user_items")(maxUserItems(spark, dir))
     // Dialect fixture renders are one-time per (sf dir) too: billing
     // them here keeps q_movies_dialect / q_books_dialect timings about
     // the query, not about whichever run touched the fixture first.
-    graft.io.DialectFixtures.writeMovies(spark, dir)
-    graft.io.DialectFixtures.writeBooks(spark, dir)
+    leg("dialect_fixtures") {
+      graft.io.DialectFixtures.writeMovies(spark, dir)
+      graft.io.DialectFixtures.writeBooks(spark, dir)
+    }
     ()
   }
 
@@ -331,11 +358,12 @@ object SimQueries {
     // variant is plan-exercised under the DuckDB oracle, not just
     // property-tested (PropertySpec owns the adversarial magnitudes
     // where LONG cannot even form a product term).
-    // Decimal moments ride the SAME fused aggregate as the LONG
-    // family (Moments.pairMomentsBoth) — the decimal columns are a
-    // projection of the shared cache, so this query costs a column
-    // prune, not a second C(n,2) pass (the r8 verdict's 106 s cold
-    // build item).
+    // Decimal moments come from their own aggregation pass, cached
+    // pre-filtered to this query's n>=2 population (r16 split — see
+    // the moments/momentsDec scaladocs: persisting the unfiltered
+    // 12.7M decimal rows cost 18 s of columnar encode for one
+    // consumer; the r8 verdict's 106 s figure was the pre-JIT-fix
+    // interpreted aggregate).
     "q_sim_pearson_dec" -> ((s, d) =>
       Moments.asDoubles(momentsDec(s, d))
         .where(col("n") >= 2)
