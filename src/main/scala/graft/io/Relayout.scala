@@ -50,13 +50,25 @@ object Relayout {
 
   /** The single-row-group fact tables worth re-splitting; dimension
     * tables (nation/region/supplier/customer/part) are broadcast-sized
-    * and their scans are already sub-millisecond. `embeddings` is
-    * deliberately EXCLUDED (measured r16): the ANN beam serves re-scan
-    * it several times per action, and 32 tiny files turned that into
-    * pure file-open/scheduling overhead (q_ann_hnsw 3.7 → 7.1 s warm);
-    * at 2 000 rows its single-task scan costs nothing to begin with. */
+    * and their scans are already sub-millisecond. Two tables are
+    * deliberately EXCLUDED by measurement (r16):
+    *  - `embeddings` (2 000 rows): the ANN beam serves re-scan it
+    *    several times per action — 32 tiny files turned that into
+    *    pure file-open/scheduling overhead (q_ann_hnsw 3.7 → 7.1 s
+    *    warm);
+    *  - `events` (100 k rows, 1.5 MB): its consumers are
+    *    window/sessionization queries whose stage-1 is a light scan
+    *    feeding a shuffle — the split bought nothing and each of the
+    *    ~15 event queries paid ~0.3–0.5 s of extra scan fan-out per
+    *    action (interleaved A/B, both load regimes);
+    *  - `documents` (5 000 rows, 0.4 MB): `ExtQueries.docs` already
+    *    repartitions to defaultParallelism in-plan whenever the scan
+    *    is narrower (the pre-r16 design), which is exactly right for
+    *    its CPU-heavy tokenize/shingle consumers — a file relayout on
+    *    top is redundant there and pure fan-out cost for the light
+    *    direct-scan doc queries. */
   private val FactTables =
-    Set("lineitem", "orders", "events", "documents")
+    Set("lineitem", "orders")
 
   private def sizeOf(f: java.io.File): Long =
     if (f.isDirectory) {
@@ -88,7 +100,15 @@ object Relayout {
     if (!f.exists()) return raw
     val maxBytes =
       conf(spark, "spark.graft.relayout.max.bytes", (1L << 30).toString).toLong
-    val splits = spark.sparkContext.defaultParallelism
+    // Split count: enough to engage multiple cores on CPU-bound
+    // stage-1 work without paying per-file open/scheduling cost on
+    // every scan of a 10 MB table (measured r16: 32-way splits made
+    // multi-scan SQL queries ~0.5–1 s SLOWER per action while 8-way
+    // kept the heavy-stage win; see OPTIMIZATION_r16.md). Production
+    // tables ship hundreds of row groups, so this knob only shapes
+    // the local restore.
+    val splits = math.min(spark.sparkContext.defaultParallelism,
+      conf(spark, "spark.graft.relayout.splits", "8").toInt)
     // the scale guard: a table that is already big or already multi-
     // file scans wide natively — relayout would only burn ingest I/O
     if (sizeOf(f) > maxBytes || fileCount(f) >= math.max(2, splits / 2))
