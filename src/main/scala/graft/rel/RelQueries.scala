@@ -494,16 +494,23 @@ object RelQueries {
     "q_approx_freq_bounds" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val eps = 0.001
-      val bytes = li.agg(
-        expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)"))
-        .head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
       val probes = Seq(1L, 2L, 3L)
-      val exact = li.where(col("l_suppkey").isin(probes: _*))
-        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val n = li.count()
+      // r17 (§1.2 don't compute things twice): the sketch, the exact
+      // probe counts and the row total used to be THREE driver actions
+      // — three full lineitem scans per invocation. One fused
+      // aggregation computes all of them in a single pass; the probe
+      // counts come from conditional sums (identical to the old
+      // filtered groupBy, including the implicit 0 for absent keys).
+      val aggs =
+        expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)").as("cms") +:
+        count(lit(1)).as("n") +:
+        probes.map(k =>
+          sum(when(col("l_suppkey") === k, 1L).otherwise(0L)).as(s"c$k"))
+      val row = li.agg(aggs.head, aggs.tail: _*).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+      val exact = probes.map(k => k -> row.getAs[Long](s"c$k")).toMap
+      val n = row.getAs[Long]("n")
       val slack = math.ceil(eps * n).toLong
       val rows = probes.map { k =>
         val est = cms.estimateCount(k)

@@ -47,12 +47,22 @@ object RelStatsQueries {
           (PortableHash.spread(
             PortableHash.h(col("user_id").cast("string"))) % 2L)
             .as("arm"))
-      val arms = users.groupBy(col("arm"))
-        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
-      val row = arms.where(col("arm") === 0L)
-        .select(col("n").as("n_a"), col("conv").as("conv_a"))
-        .crossJoin(arms.where(col("arm") === 1L)
-          .select(col("n").as("n_b"), col("conv").as("conv_b")))
+      // r17 (§2.4 dedup the repeated subtree): the per-arm counts used
+      // to come from TWO filters of the same `arms` aggregate cross-
+      // joined — the whole events scan+user agg ran twice in the plan
+      // (ReuseExchange does not fire across the differing filters).
+      // One conditional aggregation pivots both arms in a single pass:
+      // 2 scans → 1, BroadcastNestedLoopJoin gone. The where-guard
+      // reproduces the crossJoin's empty-if-either-arm-empty edge
+      // exactly, so results are row-identical on ANY input.
+      val row = users.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L))
+          .as("conv_b"))
+        .where(col("n_a") > 0 && col("n_b") > 0)
       val rateA = col("conv_a").cast("double") / col("n_a")
       val rateB = col("conv_b").cast("double") / col("n_b")
       val p = (col("conv_a") + col("conv_b")).cast("double") /
