@@ -203,6 +203,21 @@ object ExtQueries {
       VectorSearch.knnGraphL1(
         emb(s, d).select(col("vec_id"), col("embedding"))))
 
+  /** Adjacency-joined corpus snapshots — the structure every
+    * [[VectorSearch.graphTopK]] round scans (r17: one lookup serves
+    * both the graph expansion and the scoring). Built once per
+    * session under _shared:knn_graph, like the graphs themselves. */
+  private[ext] def knnCorpusC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "knn_corpus_adj", d)(
+      VectorSearch.corpusWithAdj(knnGraphC(s, d),
+        emb(s, d).select(col("vec_id"), col("embedding"))))
+
+  private[ext] def knnCorpusL1C(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "knn_corpus_adj_l1", d)(
+      VectorSearch.corpusWithAdj(knnGraphL1C(s, d),
+        emb(s, d).select(col("vec_id"), col("embedding"))
+          .where(col("vec_id") % VectorSearch.HnswSampleMod === 0)))
+
   /** Write the full on-disk ANN index ONCE per (session, dir) and
     * return its path — shared by the three *_persist serving queries
     * so the save cost never repeats per query. Absolute base like
@@ -501,6 +516,9 @@ object ExtQueries {
   def warmKnnGraph(spark: SparkSession, dir: String): Unit = {
     knnGraphC(spark, dir).count()
     knnGraphL1C(spark, dir).count()
+    // the adjacency-joined corpus snapshots the beam serves scan
+    knnCorpusC(spark, dir).count()
+    knnCorpusL1C(spark, dir).count()
     ()
   }
 

@@ -368,7 +368,8 @@ object ExtServingQueries {
       val graph = knnGraphC(s, d)
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.graphTopK(graph, e, queries, "qid", "qvec", k = 3)
+      VectorSearch.graphTopK(graph, e, queries, "qid", "qvec", k = 3,
+          corpusAdj = Some(knnCorpusC(s, d)))
         .orderBy(col("qid"), col("rn"))
     }),
 
@@ -383,7 +384,8 @@ object ExtServingQueries {
       lazy val graph = knnGraphC(s, d)
       lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       lazy val served = VectorSearch
-        .graphTopK(graph, e, queries, "qid", "qvec", k = 3)
+        .graphTopK(graph, e, queries, "qid", "qvec", k = 3,
+          corpusAdj = Some(knnCorpusC(s, d)))
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
       lazy val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))
@@ -404,7 +406,9 @@ object ExtServingQueries {
       val g1 = knnGraphL1C(s, d)
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
+      VectorSearch.hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3,
+          corpusAdj0 = Some(knnCorpusC(s, d)),
+          corpusAdj1 = Some(knnCorpusL1C(s, d)))
         .orderBy(col("qid"), col("rn"))
     }),
 
@@ -421,7 +425,9 @@ object ExtServingQueries {
       lazy val g1 = knnGraphL1C(s, d)
       lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       lazy val served = VectorSearch
-        .hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3)
+        .hnswTopK(g0, g1, e, queries, "qid", "qvec", k = 3,
+          corpusAdj0 = Some(knnCorpusC(s, d)),
+          corpusAdj1 = Some(knnCorpusL1C(s, d)))
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
       lazy val exact = VectorSearch.topKByCosine(e, queries, "qid", "qvec", 3)
         .select(col("qid"), col("vec_id"))

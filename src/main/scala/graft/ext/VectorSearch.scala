@@ -749,65 +749,128 @@ object VectorSearch {
     * lowest-id vectors, then `rounds` rounds of (expand current beam
     * through the graph) → (exact-cosine score ONLY the candidates) →
     * (keep top-`beam` per query). Scoring touches ≤ nq·beam·(K+1)
-    * rows per round — never the corpus; the graph join broadcasts the
-    * beam against the key-partitioned edge table. Each round ends in
-    * an eager localCheckpoint (the kcore lineage lesson: without
-    * truncation round N replays round N−1 on every reference). */
+    * rows per round — never the corpus.
+    *
+    * r17 REWRITE (same results, the r16 verdict's top item): the beam
+    * is carried as ONE aggregated array-state row per query —
+    * (queryKey, qvec, qnrm, beam: array<(cos, vid, ns)>) — where each
+    * member's struct carries its OWN adjacency list, fetched in the
+    * same scan that scored it. A round is then a single plan: explode
+    * the state's candidate ids (beam ∪ members' neighbor lists —
+    * pure array ops, no graph join), one broadcast-hash lookup into
+    * the adjacency-joined corpus ([[corpusWithAdj]]), and one
+    * per-query collect/sort/slice aggregation — ~3 Spark jobs per
+    * round where the r16 shape paid ~5–6 (separate graph-expand
+    * broadcast, a distinct() exchange, a qn broadcast, and the
+    * ranking-window exchange, every round). The top-`beam` cut by
+    * (cos DESC, vid ASC) over the array is element-identical to the
+    * old row_number window; candidate sets are identical because a
+    * member's `ns` IS its graph row set; the final top-k reads the
+    * last round's scores (same rounded expression over the same
+    * rows — every beam member was scored in the round that admitted
+    * it, and rescoring is deterministic).
+    *
+    * Per-round localCheckpoints are now OFF by default: the r16
+    * negative result (removal = 2–4× slower) was caused by the old
+    * round plan referencing the previous beam TWICE (the union leg
+    * and the graph-expand broadcast), which compounded the replay per
+    * round; the array state is referenced exactly ONCE per round, so
+    * the un-truncated plan is linear and the checkpoints were pure
+    * overhead — measured at sf0.1 warm: q_ann_hnsw 3.7 → 2.3 s,
+    * l1-only serve 1.7 → 0.8 s with checkpoints off on the new shape.
+    * `spark.graft.ann.roundCheckpoint=true` restores them (a cluster
+    * deploy that wants lineage cut per round for fault-recovery
+    * bounds sets it, at ~0.1 s per round of driver-action cost). */
   def graphTopK(graph: DataFrame, emb: DataFrame, queries: DataFrame,
                 queryKey: String, queryVec: String, k: Int,
                 beam: Int = GraphBeam, rounds: Int = GraphRounds,
                 entries: Int = GraphEntries,
-                entryDf: Option[DataFrame] = None): DataFrame = {
+                entryDf: Option[DataFrame] = None,
+                corpusAdj: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
-    // r16 NEGATIVE RESULT (measured, kept as a knob): removing the
-    // per-round eager localCheckpoints on the bet that ReuseExchange
-    // would dedup the doubled round-(N−1) reference made the serve
-    // 2–4× SLOWER (q_ann_hnsw 3.3 → 14.0 s, q_ann_graph 2.7 → 7.0 s
-    // warm at sf0.1): the two references reach the window Exchange
-    // through DIFFERENT parent operators (a BroadcastExchange vs a
-    // union leg), AQE plans them as separate stages, and the replay
-    // compounds per round. The checkpoint-per-round discipline stays
-    // the default; `spark.graft.ann.roundCheckpoint=false` preserves
-    // the measured negative for re-testing on future Spark versions.
-    val ckptRounds = !emb.sparkSession.conf
-      .getOption("spark.graft.ann.roundCheckpoint").contains("false")
+    val ckptRounds = emb.sparkSession.conf
+      .getOption("spark.graft.ann.roundCheckpoint").contains("true")
     def trunc(df: DataFrame): DataFrame =
       if (ckptRounds) df.localCheckpoint(true) else df
-    val corpus = emb.select(col("vec_id"), col("embedding"),
-      fixedNormSq(col("embedding")).as("enrm"))
+    // the serving structure: corpus rows with their adjacency arrays.
+    // Session callers pass the snapshot ([[corpusWithAdj]] warmed under
+    // _shared:knn_graph); ad-hoc callers (persisted-index serves,
+    // tests) get a per-serve eager materialization — the rounds would
+    // otherwise re-run the adjacency agg + join once per round.
+    val corpusG = corpusAdj.getOrElse(
+      corpusWithAdj(graph, emb).localCheckpoint(true))
     val qn = queries.withColumn("qnrm", fixedNormSq(col(queryVec)))
-    def score(cand: DataFrame): DataFrame =
-      corpus.join(broadcast(cand), Seq("vec_id"))
-        .join(broadcast(qn), Seq(queryKey))
-        .select(col(queryKey), col("vec_id"),
-          Det.r4(cosineCol(fixedDot(col(queryVec), col("embedding")),
-            col("qnrm"), col("enrm"))).as("cos_sim"))
-    val w = Window.partitionBy(col(queryKey))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
+    // one round = one plan: broadcast the candidate ids into the
+    // adjacency-joined corpus, score, keep top-beam per query as a
+    // sorted array slice. `cand` must expose (queryKey, qvec, qnrm,
+    // vec_id).
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("cos") > r.getField("cos"), lit(-1))
+        .when(l.getField("cos") < r.getField("cos"), lit(1))
+        .when(l.getField("vid") < r.getField("vid"), lit(-1))
+        .when(l.getField("vid") > r.getField("vid"), lit(1))
+        .otherwise(lit(0))
+    def round(cand: DataFrame): DataFrame =
+      corpusG.join(broadcast(cand), Seq("vec_id"))
+        .select(col(queryKey), col(queryVec), col("qnrm"),
+          struct(
+            Det.r4(cosineCol(fixedDot(col(queryVec), col("embedding")),
+              col("qnrm"), col("enrm"))).as("cos"),
+            col("vec_id").as("vid"), col("ns")).as("sc"))
+        .groupBy(col(queryKey))
+        .agg(first(col(queryVec)).as(queryVec),
+          first(col("qnrm")).as("qnrm"),
+          slice(array_sort(collect_list(col("sc")), cmp), 1, beam)
+            .as("beam"))
     // entry set: per-query rows (the HNSW descend path hands the
     // upper layer's result down) or the global lowest-id vertices
-    val entry0 = entryDf.getOrElse {
-      val entry = corpus.orderBy(col("vec_id")).limit(entries)
-        .select(col("vec_id"))
-      qn.select(col(queryKey)).crossJoin(broadcast(entry))
+    val entryCand = entryDf match {
+      case Some(e) => qn.join(broadcast(e), Seq(queryKey))
+        .select(col(queryKey), col(queryVec), col("qnrm"), col("vec_id"))
+      case None =>
+        val entry = corpusG.orderBy(col("vec_id")).limit(entries)
+          .select(col("vec_id"))
+        qn.crossJoin(broadcast(entry))
+          .select(col(queryKey), col(queryVec), col("qnrm"), col("vec_id"))
     }
-    var beamDf = trunc(score(entry0)
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
-      .select(col(queryKey), col("vec_id")))
+    var state = trunc(round(entryCand))
     for (_ <- 1 to rounds) {
-      val nbrs = graph
-        .join(broadcast(beamDf.withColumnRenamed("vec_id", "v")), Seq("v"))
-        .select(col(queryKey), col("n").as("vec_id"))
-      val cands = beamDf.unionByName(nbrs).distinct()
-      beamDf = trunc(score(cands)
-        .withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
-        .select(col(queryKey), col("vec_id")))
+      val cand = state.select(col(queryKey), col(queryVec), col("qnrm"),
+        explode(array_distinct(concat(
+          transform(col("beam"), b => b.getField("vid")),
+          flatten(transform(col("beam"), b => b.getField("ns"))))))
+          .as("vec_id"))
+      state = trunc(round(cand))
     }
-    score(beamDf)
+    // final top-k from the last beam's scores (identical to rescoring:
+    // same rounded expression over the same rows)
+    val w = Window.partitionBy(col(queryKey))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    state.select(col(queryKey), explode(col("beam")).as("b"))
+      .select(col(queryKey), col("b.vid").as("vec_id"),
+        col("b.cos").as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select(col(queryKey), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** The graph-serve structure [[graphTopK]] scans each round: corpus
+    * rows with norms and their out-neighbor arrays (empty for
+    * isolated vertices). Session consumers snapshot this once (the
+    * _shared:knn_graph build); a production deployment persists it —
+    * it IS the navigable index. */
+  def corpusWithAdj(graph: DataFrame, emb: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val adj = graph.groupBy(col("v"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      .withColumnRenamed("v", "vec_id")
+    emb.select(col("vec_id"), col("embedding"),
+        fixedNormSq(col("embedding")).as("enrm"))
+      .join(adj, Seq("vec_id"), "left")
+      .withColumn("ns", coalesce(col("ns"),
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** HNSW layer geometry: layer 1 lives on the `vec_id %
@@ -842,14 +905,16 @@ object VectorSearch {
     * oracle replay). */
   def hnswTopK(g0: DataFrame, g1: DataFrame, emb: DataFrame,
                queries: DataFrame, queryKey: String, queryVec: String,
-               k: Int): DataFrame = {
+               k: Int, corpusAdj0: Option[DataFrame] = None,
+               corpusAdj1: Option[DataFrame] = None): DataFrame = {
     val sub = emb.where(col("vec_id") % HnswSampleMod === 0)
     val l1 = graphTopK(g1, sub, queries, queryKey, queryVec,
         k = HnswL1Beam, beam = HnswL1Beam, rounds = HnswL1Rounds,
-        entries = GraphEntries)
+        entries = GraphEntries, corpusAdj = corpusAdj1)
       .select(col(queryKey), col("vec_id"))
     graphTopK(g0, emb, queries, queryKey, queryVec, k,
-      beam = GraphBeam, rounds = HnswL0Rounds, entryDf = Some(l1))
+      beam = GraphBeam, rounds = HnswL0Rounds, entryDf = Some(l1),
+      corpusAdj = corpusAdj0)
   }
 
   private val kcenterMemo =
