@@ -316,10 +316,15 @@ object ExtCurationQueries {
       // shingle), so each shared shingle contributes exactly ONE row
       // per pair — count(*) equals count(DISTINCT) without the extra
       // dedup shuffle the explicit distinct-count would run.
-      val ss = distinctShinglesC(s, d)
-        .join(broadcast(docs(s, d).select(col("doc_id"), col("source"))),
-          Seq("doc_id"))
-        .select(col("source"), col("shingle")).distinct()
+      // r17: session-snapshotted — both self-join sides replayed the
+      // join+distinct subtree per action (an in-action checkpoint
+      // measured worse than the cache-served replay; the session
+      // artifact is the audit index a deploy would persist anyway).
+      val ss = Cache.getOrSnapshot(s, "source_shingles", d)(
+        distinctShinglesC(s, d)
+          .join(broadcast(docs(s, d).select(col("doc_id"), col("source"))),
+            Seq("doc_id"))
+          .select(col("source"), col("shingle")).distinct())
       ss.select(col("source").as("s1"), col("shingle"))
         .join(ss.select(col("source").as("s2"), col("shingle")), Seq("shingle"))
         .where(col("s1") < col("s2"))
