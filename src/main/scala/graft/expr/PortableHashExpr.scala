@@ -114,5 +114,12 @@ object GraftFunctions {
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2), exprs(3))
         .toAggregateExpression(),
       "scala_udf")
+    // One-buffer simhash bit-sum aggregate (SimhashAggExpr scaladoc):
+    // replaces the 32 separate declarative bit sums in the signature
+    // build.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimhashAgg(exprs.head).toAggregateExpression(),
+      "scala_udf")
   }
 }

@@ -589,17 +589,14 @@ object Dedup {
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), call_function("graft_hash", col("w")).as("h"))
-    // (h >> j) & 1 ≡ floor(h / 2^j) % 2 for the non-negative h the
-    // portable hash emits — integer ops, no double division, and the
-    // SQL twin uses the same operators so parity is exact.
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1)) === 1, lit(1L))
-        .otherwise(lit(-1L))).as(s"s$j"))
-    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until SimhashBits).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
+    // r17: the 32 separate sum(CASE (h >> j) & 1 ...) aggregates are
+    // fused into ONE imperative long-array aggregate
+    // (graft.expr.SimhashAgg — tight per-row loop, one buffer object
+    // per doc); bit-identical by construction (integer ±1 sums, same
+    // sign rule) and asserted against the composed form in ExprSpec.
+    // The SQL twin below keeps the spelled-out per-bit arithmetic.
+    words.groupBy(col("doc_id"))
+      .agg(call_function("graft_simhash", col("h")).as("simhash"))
   }
 
   /** SQL twin of [[simhash]] (CTEs `tok`, `bitsums`, `simhash`). */

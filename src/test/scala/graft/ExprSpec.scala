@@ -24,6 +24,32 @@ class ExprSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("graft_simhash equals the composed 32-sum declarative form " +
+    "on the documents corpus") {
+    GraftFunctions.ensureRegistered(spark)
+    val bits = graft.ext.Dedup.SimhashBits
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), call_function("graft_hash", col("w")).as("h"))
+    // the pre-r17 declarative form, verbatim: 32 per-bit ±1 sums then
+    // the sign-composed signature
+    val bitSums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1)) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"s$j"))
+    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val composed = sums.select(col("doc_id"), sim.as("simhash_c"))
+    val fused = words.groupBy(col("doc_id"))
+      .agg(call_function("graft_simhash", col("h")).as("simhash_f"))
+    val mismatches = composed.join(fused, Seq("doc_id"), "full_outer")
+      .where(col("simhash_c").isNull || col("simhash_f").isNull ||
+        col("simhash_c") =!= col("simhash_f")).count()
+    assert(mismatches === 0L)
+  }
+
   test("native graft_hash equals the composed formula on edge strings") {
     GraftFunctions.ensureRegistered(spark)
     val edge = Seq("", "a", "ab", "abc", "abcd", "abcde", "#", "     ",
