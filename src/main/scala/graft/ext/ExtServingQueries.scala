@@ -150,11 +150,19 @@ object ExtServingQueries {
     // the accepted cost — the acceptance pair for that is the recall
     // family.)
     "q_ann_incremental" -> ((s, d) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
       val e = emb(s, d)
       val base = e.where(col("vec_id") % 10 =!= 9)
       val delta = e.where(col("vec_id") % 10 === 9)
-      val cells = VectorSearch.labelCentroids(base)
-        .select(col("label").cast("long").as("cell_id"), col("centroid"))
+      // r17: the FROZEN base-trained quantizer is the point of this
+      // query (assignment against it, never a retrain) — snapshot it
+      // per session like the other trained artifacts; the centroid
+      // aggregation (a posexplode over the whole base slice) was
+      // re-run per action, twice (both assignCells sides broadcast
+      // it).
+      val cells = Cache.getOrSnapshot(s, "ann_inc_cells", d)(
+        VectorSearch.labelCentroids(base)
+          .select(col("label").cast("long").as("cell_id"), col("centroid")))
       val cellsB = broadcast(cells.select(col("cell_id"), col("centroid"),
         VectorSearch.fixedNormSq(col("centroid")).as("cnrm")))
       val assigned = VectorSearch.assignCells(
@@ -471,7 +479,7 @@ object ExtServingQueries {
     // just a bound; PropertySpec asserts the aggregate recall floor.
     "q_ann_recall" -> ((s, d) => {
       lazy val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      lazy val cells = VectorSearch.labelCentroids(emb(s, d))
+      lazy val cells = labelCellsC(s, d)
         .select(col("label").cast("long").as("cell_id"), col("centroid"))
       lazy val queries = annPanelC(s, d).select(col("qid"), col("qvec"))
       lazy val ivf = VectorSearch.ivfTopK(e, cells, queries, "qid", "qvec", 3, 2)
