@@ -172,6 +172,23 @@ object SimQueries {
   private[graft] def neighborTableForSpec(s: SparkSession, d: String)
       : DataFrame = neighborTable(s, d)
 
+  /** Unsymmetrized top-10-by-corr list per item (rank over ALL n>0
+    * pairs, ties by item_y) — the acceptance-metric twin of
+    * [[neighborTable]], shared by q_rec_ils (both pair-join sides)
+    * and q_rec_coverage, session-snapshotted (r17): both queries
+    * re-ran the top-k aggregate over the full moment table per
+    * action. O(10·items) rows. */
+  private def ilsTop10(s: SparkSession, d: String): DataFrame =
+    Cache.getOrSnapshot(s, "rec_ils_top10", d) {
+      val sims = Moments.asDoubles(moments(s, d))
+        .withColumn("corr", corrCol)
+        .where(col("n") > 0)
+        .select(col("item_x"), col("item_y"), col("corr"), col("n"))
+      Ranking.topKAgg(sims, "item_x", col("corr"),
+          col("item_y"), lit(0L), 10)
+        .select(col("item_x"), col("tie").as("item_y"), col("rn"))
+    }
+
   /** Weighted-sum top-5 serve over a neighbor table (in-session or
     * reloaded from the store) — shared by both rec-serve queries so
     * the persisted variant can only differ by WHERE the neighbors
@@ -675,13 +692,7 @@ object SimQueries {
     // recommending 5% of the catalog; this read-out is how that's
     // caught. One distinct over the top-k table vs one over ratings.
     "q_rec_coverage" -> ((s, d) => {
-      val sims = Moments.asDoubles(moments(s, d))
-        .withColumn("corr", corrCol)
-        .where(col("n") > 0)
-        .select(col("item_x"), col("item_y"), col("corr"), col("n"))
-      val top = Ranking.topKAgg(sims, "item_x", col("corr"),
-        col("item_y"), lit(0L), 10)
-        .select(col("item_x"), col("tie").as("item_y"), col("rn"))
+      val top = ilsTop10(s, d)
       ratings(s, d).agg(countDistinct(col("item_id")).as("n_items"))
         .crossJoin(top.agg(
           countDistinct(col("item_y")).as("n_recommended")))
@@ -703,14 +714,13 @@ object SimQueries {
         .withColumn("corr", corrCol)
         .where(col("n") > 0)
         .select(col("item_x"), col("item_y"), col("corr"), col("n"))
-      // eager checkpoint: `top` feeds BOTH pair-join sides — without
-      // it the ranking window over the full moment table runs twice
-      // (measured: the 10× fullstar gate read 21.1× before, 7.9×
-      // after; the checkpointed frame is bounded at 10·items rows)
-      val top = Ranking.topKAgg(sims, "item_x", col("corr"),
-          col("item_y"), lit(0L), 10)
-        .select(col("item_x"), col("tie").as("item_y"), col("rn"))
-        .localCheckpoint(true)
+      // session snapshot (r17, was a per-action eager checkpoint):
+      // `top` feeds BOTH pair-join sides — without materialization
+      // the ranking over the full moment table runs twice (measured:
+      // the 10× fullstar gate read 21.1× before, 7.9× after); the
+      // snapshot additionally stops every warm action from re-ranking
+      // the moment table. Bounded at 10·items rows.
+      val top = ilsTop10(s, d)
       val a = top.select(col("item_x"), col("item_y").as("y1"),
         col("rn").as("r1"))
       val b = top.select(col("item_x"), col("item_y").as("y2"),
